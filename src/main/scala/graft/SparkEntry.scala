@@ -12,7 +12,11 @@ import scala.collection.immutable.ListMap
 object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
-    _root_.graft.queries.RelationalQueries
+    _root_.graft.queries.RelationalQueries,
+    _root_.graft.queries.WindowQueries,
+    _root_.graft.queries.GroupingQueries,
+    _root_.graft.queries.SetOpQueries,
+    _root_.graft.queries.FunctionQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

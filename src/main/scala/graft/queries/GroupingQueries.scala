@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation surface beyond plain groupBy (SURVEY.md §2.2: rollup/cube/
+  * grouping sets, distinct aggregates, approx distinct, argmin/argmax A3/A4,
+  * top-k, exact moment statistics).
+  *
+  * Determinism: additive aggregates run over DECIMAL casts (exact, associative,
+  * shuffle-order-independent); stddev is derived from exact decimal moments with
+  * the final scalar math in double — bit-identical on any partitioning and equal
+  * to the DuckDB oracle. argmin/argmax tie-break on a unique column (ts).
+  *
+  * Scale: all of these are partial+final HashAggregate pairs in Catalyst —
+  * map-side combine shrinks shuffle input to |groups| per partition, so 100 TB
+  * input shuffles only kilobytes per distinct group.
+  */
+object GroupingQueries extends QueryGroup {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dsum(c: org.apache.spark.sql.Column) = sum(dec(c)).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ROLLUP with grouping_id; NULLS FIRST ordering matched across engines.
+    QueryDef(
+      "a_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy(
+            col("gid"),
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  GROUPING(l_returnflag, l_linestatus) AS gid
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // CUBE over two order dimensions.
+    QueryDef(
+      "a_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            grouping_id().as("gid"))
+          .orderBy(
+            col("gid"),
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+             |FROM orders
+             |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // Explicit GROUPING SETS ((status),(priority),()).
+    QueryDef(
+      "a_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("gs_orders")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+            |  GROUPING_ID() AS gid
+            |FROM gs_orders
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+            |""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // COUNT(DISTINCT) per group (expand+two-phase agg in Catalyst).
+    QueryDef(
+      "a_count_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+             |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // HLL++ approx distinct — sketch values are engine-specific, so no SQL
+    // oracle (driver rows-only check); exactness bound covered in ScalaTest.
+    QueryDef(
+      "a_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+          .orderBy("l_returnflag"),
+      None),
+
+    // argmin/argmax (A3/A4 semantics): first/last event id per type by time;
+    // ts is unique (TESTDATA) so min_by/max_by are deterministic.
+    QueryDef(
+      "a_argmin_argmax",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            min_by(col("event_id"), col("ts")).as("first_event"),
+            max_by(col("event_id"), col("ts")).as("last_event"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, arg_min(event_id, ts) AS first_event,
+             |  arg_max(event_id, ts) AS last_event, COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Exact moment statistics: avg + sample stddev from DECIMAL sums; the only
+    // double math is the identical final scalar expression on both engines.
+    QueryDef(
+      "a_stats_exact",
+      (s, d) => {
+        val q = dec(col("l_quantity"))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(q).cast("double").as("s"),
+            sum(q * q).cast("double").as("ss"))
+          .select(
+            col("l_returnflag"), col("n"),
+            (col("s") / col("n")).as("avg_qty"),
+            sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
+              .as("stddev_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, n, s / n AS avg_qty,
+             |  sqrt((ss - s * s / n) / (n - 1)) AS stddev_qty
+             |FROM (SELECT l_returnflag, COUNT(*) AS n,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ss
+             |      FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Global top-k → TakeOrderedAndProject (no full sort, no single-partition
+    // shuffle: per-partition heaps + driver merge of k rows).
+    QueryDef(
+      "a_topk_orders",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
+  )
+}
