@@ -16,7 +16,8 @@ object SparkEntry {
     _root_.graft.queries.WindowQueries,
     _root_.graft.queries.GroupingQueries,
     _root_.graft.queries.SetOpQueries,
-    _root_.graft.queries.FunctionQueries
+    _root_.graft.queries.FunctionQueries,
+    _root_.graft.queries.ExtensionQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -1,0 +1,153 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Shared primitive kernels for the text-hash expressions. Token hashing uses
+  * Spark's builtin xxhash64 (seed 42) so results are interchangeable with the
+  * `xxhash64(col)` SQL function. Called from both interpreted eval and
+  * generated code.
+  */
+object TextHashKernels {
+  private val P = 2147483647L // 2^31 - 1
+
+  private def tokenHash(arr: ArrayData, i: Int): Long =
+    XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Distinct space-joined word n-grams of a token array, first-occurrence
+    * order (same output as transform(sequence…)+concat_ws+array_distinct,
+    * which costs ~1ms/row through generic lambda eval — this is one pass). */
+  def wordNGrams(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
+  /** One-pass k-minhash over a shingle array: h_i(S) = min ((a_i·x + b_i) mod
+    * p), x = pmod(xxhash64(s), p). Identical math to the higher-order-function
+    * formulation (a_i = 2i+1, b_i = i·2654435761 mod p, init Long.MaxValue). */
+  def minHashSignature(arr: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = tokenHash(arr, t)
+      val x = ((h % P) + P) % P
+      var i = 0
+      while (i < k) {
+        val v = ((2L * i + 1) * x + (i * 2654435761L) % P) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-pass 64-bit SimHash over a token array: bit j = sign of the sum of
+    * ±1 votes from bit j of each token's xxhash64. */
+  def simHash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val h = tokenHash(arr, t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+private[expressions] trait StringArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+}
+
+/** k-element MinHash signature of a shingle array (`array<string>` →
+  * `array<long>`). Native single-pass kernel: the equivalent chain of k
+  * `aggregate` folds re-walks the shingle array k times through generic
+  * lambda evaluation with per-step boxing; this walks it once in primitive
+  * code. Row-local, no shuffle, codegen-friendly.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minHashSignature(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.minHashSignature($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Distinct word n-gram shingles of a token array (`array<string>` →
+  * `array<string>`), native one-pass kernel. */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.wordNGrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.wordNGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array (`array<string>` → `long`). Same vote
+  * semantics as the higher-order formulation, one primitive pass. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.simHash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.simHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (content-hash), MinHash+LSH, SimHash, and exact n-gram Jaccard with
+  * shingle blocking. All pure `DataFrame => DataFrame` — no driver-side
+  * loops, no UDFs; every per-row computation is built from codegen'd
+  * higher-order array functions, and every cross-row step is an explicit
+  * shuffle whose key is stated in the doc comment.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup shuffles once on a 256-bit content hash (uniform keys, no
+  *    skew by construction);
+  *  - MinHash/SimHash candidate generation shuffles on (band, bandHash)
+  *    buckets; hot buckets (boilerplate shingles) are capped by
+  *    `maxBucketSize` — the standard stop-bucket cutoff, otherwise one
+  *    degenerate bucket produces O(n²) candidate pairs;
+  *  - signatures are computed row-local in one pass over the shingle array
+  *    (k folds, no shuffle, stays inside whole-stage codegen).
+  */
+object Dedup {
+
+  /** Lowercased word tokens; `sep` is a literal-space split to keep exact
+    * parity with single-space-joined corpora. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct word n-gram shingles of `text` (empty array below n words).
+    * Native one-pass kernel ([[graft.expressions.WordNGrams]]). */
+  def shingles(text: Column, n: Int): Column =
+    graft.expressions.GraftFunctions.graftNGrams(words(text), n)
+
+  /** Exact dedup: one survivor (min `keyCol`) per distinct `contentCol`,
+    * grouped by sha2-256. Single shuffle on the hash. */
+  def exact(df: DataFrame, contentCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(contentCol).cast("binary"), 256))
+      .orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays (|∩| / |∪|). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** k-element MinHash signature over a shingle array: h_i(S) = min_{s∈S}
+    * ((a_i·x(s) + b_i) mod p) with x(s) = xxhash64(s) folded to 31 bits so
+    * a_i·x never overflows a long. Row-local (no shuffle); native one-pass
+    * kernel ([[graft.expressions.MinHashSignature]]). */
+  def minHashSignature(shingleCol: Column, k: Int): Column =
+    graft.expressions.GraftFunctions.graftMinHash(shingleCol, k)
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * shingle → k-minhash → `bands` banded bucket keys → bucket self-join →
+    * exact-Jaccard verification at `threshold`. Returns (idA, idB, jaccard)
+    * with idA < idB — i.e. only *verified* pairs, so false-positive bucket
+    * collisions never escape; recall is the standard 1-(1-J^r)^b curve.
+    *
+    * @param maxBucketSize drop buckets larger than this before pairing
+    *                      (skew guard; <=0 disables)
+    */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+
+    // banding carries only (id, band, bh) — the ~50-element shingle arrays
+    // would otherwise ride through the bucket shuffle and self-join; they are
+    // re-attached only for the (small) verified candidate set below.
+    val banded = sh.select(
+      col("__id"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), slice(col("__sig"), j * r + 1, r)).as("bh"))): _*))
+        .as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.bh"))
+
+    val capped =
+      if (maxBucketSize > 0) {
+        val wb = Window.partitionBy(col("band"), col("bh"))
+        banded.withColumn("__bc", count(lit(1)).over(wb))
+          .filter(col("__bc") <= maxBucketSize).drop("__bc")
+      } else banded
+
+    val cand = capped.select(col("band"), col("bh"), col("__id").as("ida"))
+      .join(capped.select(col("band"), col("bh"), col("__id").as("idb")), Seq("band", "bh"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(sh.select(col("__id").as("ida"), col("__sh").as("sha")), Seq("ida"))
+      .join(sh.select(col("__id").as("idb"), col("__sh").as("shb")), Seq("idb"))
+      .select(col("ida"), col("idb"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via shingle blocking: pairs
+    * sharing >=1 shingle are candidates (perfect recall), then exact Jaccard.
+    * Shuffles on the shingle (blocking key); `maxShingleFreq` drops shingles
+    * occurring in more than that many docs (stop-shingle skew guard — a
+    * shingle in f docs contributes f² candidate rows).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Int = 0): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    // per-doc set size attached before the explode (a constant int per row —
+    // no separate sizes join anywhere downstream)
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__sz"),
+      explode(col("__sh")).as("__s"))
+    val exf =
+      if (maxShingleFreq > 0) {
+        val wf = Window.partitionBy(col("__s"))
+        ex.withColumn("__f", count(lit(1)).over(wf))
+          .filter(col("__f") <= maxShingleFreq).drop("__f")
+      } else ex
+    // |A∩B| directly as the number of co-occurring (distinct) shingles per
+    // pair — a single groupBy count over the blocking join, instead of
+    // distinct-pairs + re-joining both shingle arrays + per-pair array
+    // intersection (which re-walks two ~50-element arrays per candidate).
+    // |A∪B| = |A| + |B| - |A∩B|; the per-doc sizes ride along the blocking
+    // join (one extra int per row) and survive the groupBy as max() of a
+    // per-group constant — no post-group join of the (large) pair table.
+    exf.select(col("__s"), col("__id").as("ida"), col("__sz").as("__sza"))
+      .join(exf.select(col("__s"), col("__id").as("idb"), col("__sz").as("__szb")),
+        Seq("__s"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("__cnt"), max("__sza").as("__sza"), max("__szb").as("__szb"))
+      .select(col("ida"), col("idb"),
+        (col("__cnt").cast("double") / (col("__sza") + col("__szb") - col("__cnt")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset: bit j is the sign of the sum of
+    * ±1 votes (bit j of xxhash64(token)). Row-local fold, no shuffle. */
+  def simHash(text: Column): Column =
+    graft.expressions.GraftFunctions.graftSimHash(
+      filter(words(text), t => length(t) > lit(0)))
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
+    *
+    * Candidates via the pigeonhole band trick: the 64-bit signature is cut
+    * into `pieces` 16-bit chunks; any pair within Hamming distance
+    * (pieces - 1) shares at least one exact chunk, so chunk-equality
+    * bucketing has perfect recall for maxHamming <= pieces-1. Verified with
+    * bit_count(xor) before emitting.
+    */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val pieces = 4
+    val sigs = df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sig"))
+    val banded = sigs.select(
+      col("__id"), col("__sig"),
+      explode(array((0 until pieces).map(j => struct(
+        lit(j).as("band"),
+        shiftright(col("__sig"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("__b"))
+      .select(col("__id"), col("__sig"), col("__b.band"), col("__b.chunk"))
+    val capped = {
+      val wb = Window.partitionBy(col("band"), col("chunk"))
+      banded.withColumn("__bc", count(lit(1)).over(wb))
+        .filter(col("__bc") <= maxBucketSize).drop("__bc")
+    }
+    val l = capped.select(col("band"), col("chunk"), col("__id").as("ida"), col("__sig").as("siga"))
+    val rt = capped.select(col("band"), col("chunk"), col("__id").as("idb"), col("__sig").as("sigb"))
+    l.join(rt, Seq("band", "chunk"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.expressions.GraftFunctions.graftDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), pure DataFrame
+  * ops. Dot products run through graft's native codegen'd
+  * [[graft.expressions.DotProduct]] expression (sequential fold — the same
+  * summation order as the HOF formulation and DuckDB's list_dot_product, so
+  * results are bit-identical to the oracle); per-row L2 norms are computed
+  * once and reused across all pairs, which keeps the O(n²) stages at one dot
+  * product + one divide per pair.
+  *
+  * Scale design: brute-force top-k is the exact baseline — a broadcast of the
+  * (small) query side against a fully partitioned corpus: O(|Q|·|C|·d) flops
+  * but zero corpus shuffle, linear in executors. The IVF variant buckets the
+  * corpus once by nearest centroid (one shuffle), then probes only `nProbe`
+  * cells per query — the standard recall/throughput trade, exact within
+  * probed cells.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two double arrays (native expression). */
+  def dot(a: Column, b: Column): Column = graftDot(a, b)
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared euclidean distance (monotone in distance — exact for argmin). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact brute-force cosine top-k: for each query vector the k most similar
+    * corpus vectors (self-matches excluded). Query side is broadcast; ranking
+    * is per-query (partitioned window, no global sort). Similarity is rounded
+    * to 6dp *before* ranking so ordering is stable cross-engine/cross-plan;
+    * ties break on corpus id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val c = corpus.select(col(idCol).as("c_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Exact brute-force near-duplicate pairs: all (a<b) pairs with cosine >=
+    * threshold. O(n²) flops — the exact baseline; use [[ivfTopK]] or LSH
+    * bucketing when n is large. */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("ida"), toDouble(col(vecCol)).as("va"))
+      .withColumn("na", l2Norm(col("va")))
+    val b = df.select(col(idCol).as("idb"), toDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * Centroids are a deterministic stride-sample of the corpus itself (every
+    * `n/nCentroids`-th vector by id order — reproducible, no RNG). Corpus
+    * vectors are assigned to their nearest centroid (one broadcast pass +
+    * one shuffle on centroid id); each query probes its `nProbe` nearest
+    * centroids and reranks exactly within those cells.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), toDouble(col(vecCol)).as("cv"))
+
+    // deterministic stride sample as centroids
+    val wAll = Window.orderBy(col("c_id"))
+    val n = c.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents = c.withColumn("__rn", row_number().over(wAll))
+      .filter((col("__rn") - 1) % stride === 0)
+      .limit(nCentroids)
+      .select(col("c_id").as("cent_id"), col("cv").as("centv"))
+
+    // assign corpus rows to nearest centroid (broadcast centroids)
+    val assigned = c.join(broadcast(cents))
+      .select(col("c_id"), col("cv"), col("cent_id"),
+        sqDist(col("cv"), col("centv")).as("d"))
+    val wa = Window.partitionBy(col("c_id")).orderBy(col("d"), col("cent_id"))
+    val bucketed = assigned.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") === 1).select("cent_id", "c_id", "cv")
+      .withColumn("cn", l2Norm(col("cv")))
+
+    // probe nProbe nearest centroids per query
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+    val probes = q.join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cent_id"),
+        sqDist(col("qv"), col("centv")).as("d"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cent_id"))
+    val probed = probes.withColumn("__r", row_number().over(wp))
+      .filter(col("__r") <= nProbe).select("q_id", "qv", "cent_id")
+      .withColumn("qn", l2Norm(col("qv")))
+
+    // exact rerank within probed cells
+    val sims = probed.join(bucketed, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    sims.withColumn("rn", row_number().over(wr)).filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, token
+  * counting, quality scoring, n-gram language ID, and document
+  * fingerprinting. All row-local column expressions (codegen'd, shuffle-free
+  * — the embarrassingly parallel tier of a 100 TB pipeline).
+  */
+object TextAnalysis {
+
+  /** Non-empty lowercase alphanumeric tokens (regex word split). */
+  def regexTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > lit(0))
+
+  /** Plain whitespace tokens (literal single-space split). */
+  def wsTokens(text: Column): Column = split(lower(text), " ")
+
+  def tokenCount(text: Column): Column = size(regexTokens(text))
+
+  /** BPE-ish subword count proxy: word-boundary pieces plus an extra piece
+    * per 6 chars of long words (regex heuristic, no vocab needed). */
+  def bpeishTokenCount(text: Column): Column = {
+    val toks = regexTokens(text)
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + lit(1L) + floor(length(t) / lit(6.0)).cast("long"))
+  }
+
+  /** Fraction of tokens found in `stops`. Exact rational double. */
+  def stopwordRatio(toks: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (chars per token). */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Fraction of characters that are lowercase letters or spaces. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(lower(text), "[^a-z ]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Composite document-quality score in [0,1]: stopword presence (natural
+    * language signal), mean word length near prose norms, alphabetic purity.
+    * The exact weights are engine policy, not learned. */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val stop = stopwordRatio(toks, LangId.en)
+    val mlen = meanTokenLen(toks)
+    val lenScore = least(mlen / lit(8.0), lit(1.0))
+    round(lit(0.4) * least(stop * 4, lit(1.0)) + lit(0.3) * lenScore
+      + lit(0.3) * alphaRatio(text), 6)
+  }
+
+  /** Stable content fingerprint: md5 over the normalized token stream —
+    * invariant to case, punctuation and whitespace runs. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", regexTokens(text)).cast("binary"))
+
+  /** Polynomial rolling hash of the normalized token stream (mod 2^31-1,
+    * base 31): a cheap locality-free fingerprint in plain long arithmetic —
+    * used where a numeric key beats a hex string (e.g. range-bucketing). */
+  def rollingHash(text: Column): Column =
+    aggregate(regexTokens(text), lit(0L),
+      (acc, t) => (acc * 31L + pmod(xxhash64(t), lit(2147483647L))) % 2147483647L)
+
+  /** CJK-character ratio (Han range) — the zh/ja signal regex stopwords miss. */
+  def cjkRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+}
+
+/** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+  * heuristic. Deliberately small: language ID at pipeline scale is a cheap
+  * prefilter, not a classifier. */
+object LangId {
+  val en = Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for")
+  val es = Seq("el", "la", "los", "de", "que", "y", "en", "un", "una", "por")
+  val de = Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "zu", "ein")
+  val fr = Seq("le", "la", "les", "de", "et", "est", "en", "une", "du", "que")
+
+  val profiles: Seq[(String, Seq[String])] =
+    Seq("en" -> en, "es" -> es, "de" -> de, "fr" -> fr)
+
+  /** Per-language stopword-hit ratios + argmax prediction ("unknown" when no
+    * profile fires; CJK ratio overrides to "zh"). Tie-break follows profile
+    * order. Returns (ratios…, predicted) as a struct.
+    */
+  def predict(text: Column): Column = {
+    val toks = TextAnalysis.wsTokens(text)
+    val ratios = profiles.map { case (l, stops) =>
+      l -> TextAnalysis.stopwordRatio(toks, stops)
+    }
+    val maxR = greatest(ratios.map(_._2): _*)
+    val pick = ratios.foldRight(lit("unknown")) { case ((l, r), els) =>
+      when(maxR > 0 && r === maxR, lit(l)).otherwise(els)
+    }
+    val pred = when(TextAnalysis.cjkRatio(text) > 0.3, lit("zh")).otherwise(pick)
+    struct(
+      ratios.map { case (l, r) => round(r, 6).as(s"r_$l") } :+ pred.as("predicted"): _*)
+  }
+}

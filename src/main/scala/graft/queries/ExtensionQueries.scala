@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ops.{Dedup, LangId, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline extensions (SURVEY.md §2.2 last row; north-star
+  * capabilities beyond the reference): deduplication, similarity search, and
+  * text analysis over the `documents` / `embeddings` tables.
+  *
+  * The test lake has no natural duplicates (verified), so dedup queries build
+  * a deterministic duplicated corpus inline — the same UNION ALL construction
+  * on both engines — and then find exactly the planted pairs.
+  */
+object ExtensionQueries extends QueryGroup {
+
+  /** documents ∪ exact copies at doc_id+100000. */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val dupCorpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 100000, text FROM documents""".stripMargin
+
+  /** documents ∪ near-copies (first word dropped) at doc_id+100000. */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), lower(col("text")).as("text"))
+      .union(docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(lower(col("text")), "^[^ ]+ ", "").as("text")))
+  }
+
+  private val nearDupCorpusSql =
+    """SELECT doc_id, lower(text) AS text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000, regexp_replace(lower(text), '^[^ ]+ ', '') FROM documents""".stripMargin
+
+  /** Shared oracle for the two near-dup finders: exact shingle-blocked
+    * Jaccard (perfect recall); the MinHash query's LSH recall at J >= 0.875
+    * (min doc = 10 words) is 1 - (1-J²)¹⁶ ≈ 1-7e-11 per pair — equal output. */
+  private val jaccardOracle =
+    s"""WITH corpus AS ($nearDupCorpusSql),
+       |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                        for i in range(1, len(w) - 1)]) s
+       |       FROM toks WHERE len(w) >= 3),
+       |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
+       |         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |j AS (SELECT ida, idb,
+       |        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+       |      FROM cand
+       |      JOIN sh sa ON sa.doc_id = cand.ida
+       |      JOIN sh sb ON sb.doc_id = cand.idb)
+       |SELECT ida, idb, round(jac, 6) AS jaccard FROM j
+       |WHERE jac >= 0.5 ORDER BY ida, idb""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: surviving row ids after hash-dedup of the doubled corpus.
+    QueryDef(
+      "x_dedup_exact",
+      (s, d) =>
+        Dedup.exact(dupCorpus(s, d), "text", "doc_id")
+          .select("doc_id").orderBy("doc_id"),
+      Some(s"""WITH corpus AS ($dupCorpusSql)
+              |SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Exact dedup group stats keyed by content hash.
+    QueryDef(
+      "x_dedup_groups",
+      (s, d) =>
+        dupCorpus(s, d)
+          .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("h"),
+      Some(s"""WITH corpus AS ($dupCorpusSql)
+              |SELECT sha256(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+              |FROM corpus GROUP BY 1 ORDER BY h""".stripMargin)),
+
+    // Normalization-invariant dedup: case/whitespace-mangled copies collapse.
+    QueryDef(
+      "x_dedup_normalized",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .union(docs.select(
+            (col("doc_id") + 100000).as("doc_id"),
+            concat(upper(col("text")), lit("  ")).as("text")))
+        val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        corpus
+          .groupBy(md5(norm.cast("binary")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("h")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, upper(text) || '  ' FROM documents)
+             |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+             |  min(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM corpus GROUP BY 1 ORDER BY h""".stripMargin)),
+
+    // Exact n-gram Jaccard near-dup pairs (shingle blocking, perfect recall).
+    QueryDef(
+      "x_jaccard_neardup",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(nearDupCorpus(s, d), "doc_id", "text",
+            shingleN = 3, threshold = 0.5)
+          .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("ida", "idb"),
+      Some(jaccardOracle)),
+
+    // MinHash+LSH near-dup pairs: shingle → 32-hash signature → 16 bands →
+    // bucket join → exact-Jaccard verify. Same verified output as above.
+    QueryDef(
+      "x_minhash_lsh",
+      (s, d) =>
+        Dedup.minHashLshPairs(nearDupCorpus(s, d), "doc_id", "text",
+            shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+          .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("ida", "idb"),
+      Some(jaccardOracle)),
+
+    // SimHash near-dup pairs (Hamming <= 12 of 64 bits). Signature values are
+    // xxhash64-specific → rows-only check here; semantics covered in ScalaTest.
+    QueryDef(
+      "x_simhash_neardup",
+      (s, d) =>
+        Dedup.simHashPairs(nearDupCorpus(s, d), "doc_id", "text", maxHamming = 12)
+          .orderBy("ida", "idb"),
+      None),
+
+    // Brute-force cosine top-5 per query vector (exact ANN baseline).
+    QueryDef(
+      "x_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+          .select("q_id", "c_id", "sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |p AS (SELECT q.vec_id q_id, c.vec_id c_id,
+             |        round(list_dot_product(q.e, c.e)
+             |          / (sqrt(list_dot_product(q.e, q.e))
+             |             * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+             |      FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+             |SELECT q_id, c_id, sim, rn FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |                              ORDER BY sim DESC, c_id) rn FROM p)
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs over corpus + planted copies.
+    QueryDef(
+      "x_embedding_neardup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val corpus = emb.union(
+          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Similarity.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)
+          .orderBy("ida", "idb")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+             |p AS (SELECT a.vec_id ida, b.vec_id idb,
+             |        round(list_dot_product(a.e, b.e)
+             |          / (sqrt(list_dot_product(a.e, a.e))
+             |             * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+             |      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+             |SELECT ida, idb, cos FROM p WHERE cos >= 0.95 ORDER BY ida, idb""".stripMargin)),
+
+    // IVF approximate top-k — approximate by design → rows-only check here;
+    // recall-vs-brute-force bound asserted in ScalaTest.
+    QueryDef(
+      "x_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+            k = 5, nCentroids = 16, nProbe = 4)
+          .select("q_id", "c_id", "sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      None),
+
+    // Language-ID heuristic: per-language stopword-hit ratios + argmax.
+    QueryDef(
+      "x_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), LangId.predict(col("text")).as("p"))
+          .select(col("doc_id"), col("p.r_en"), col("p.r_es"), col("p.r_de"),
+            col("p.r_fr"), col("p.predicted"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w, text FROM documents),
+             |r AS (SELECT doc_id,
+             |  len(list_filter(w, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t)))::DOUBLE / len(w) AS r_en,
+             |  len(list_filter(w, t -> list_contains(['el','la','los','de','que','y','en','un','una','por'], t)))::DOUBLE / len(w) AS r_es,
+             |  len(list_filter(w, t -> list_contains(['der','die','das','und','ist','von','den','mit','zu','ein'], t)))::DOUBLE / len(w) AS r_de,
+             |  len(list_filter(w, t -> list_contains(['le','la','les','de','et','est','en','une','du','que'], t)))::DOUBLE / len(w) AS r_fr,
+             |  (length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g')))::DOUBLE / length(text) AS cjk
+             |  FROM t)
+             |SELECT doc_id, round(r_en,6) AS r_en, round(r_es,6) AS r_es,
+             |  round(r_de,6) AS r_de, round(r_fr,6) AS r_fr,
+             |  CASE WHEN cjk > 0.3 THEN 'zh'
+             |       WHEN greatest(r_en,r_es,r_de,r_fr) > 0
+             |            AND r_en = greatest(r_en,r_es,r_de,r_fr) THEN 'en'
+             |       WHEN greatest(r_en,r_es,r_de,r_fr) > 0
+             |            AND r_es = greatest(r_en,r_es,r_de,r_fr) THEN 'es'
+             |       WHEN greatest(r_en,r_es,r_de,r_fr) > 0
+             |            AND r_de = greatest(r_en,r_es,r_de,r_fr) THEN 'de'
+             |       WHEN greatest(r_en,r_es,r_de,r_fr) > 0
+             |            AND r_fr = greatest(r_en,r_es,r_de,r_fr) THEN 'fr'
+             |       ELSE 'unknown' END AS predicted
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Document quality scoring: stopword/word-length/alphabetic signals.
+    QueryDef(
+      "x_quality_score",
+      (s, d) => {
+        val toks = TextAnalysis.wsTokens(col("text"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(toks).as("n_tokens"),
+            round(TextAnalysis.meanTokenLen(toks), 6).as("mean_tok_len"),
+            round(TextAnalysis.stopwordRatio(toks, LangId.en), 6).as("stop_ratio"),
+            round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') w FROM documents),
+             |m AS (SELECT doc_id, text,
+             |  len(w) AS n_tokens,
+             |  list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mlen,
+             |  len(list_filter(w, t -> list_contains(['the','a','and','of','to','in','is','that','it','for'], t)))::DOUBLE / len(w) AS stop,
+             |  length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE / length(text) AS alpha
+             |  FROM t)
+             |SELECT doc_id, n_tokens, round(mlen,6) AS mean_tok_len,
+             |  round(stop,6) AS stop_ratio, round(alpha,6) AS alpha_ratio,
+             |  round(0.4 * least(stop * 4, 1.0) + 0.3 * least(mlen / 8.0, 1.0)
+             |        + 0.3 * alpha, 6) AS quality
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace, regex-word, distinct, and BPE-ish subword.
+    QueryDef(
+      "x_token_count",
+      (s, d) => {
+        val rtoks = TextAnalysis.regexTokens(col("text"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(TextAnalysis.wsTokens(col("text"))).as("n_ws"),
+            size(rtoks).as("n_re"),
+            size(array_distinct(rtoks)).as("n_distinct"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+            length(col("text")).as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) rt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(string_split(lower(text), ' ')) AS n_ws,
+             |  len(rt) AS n_re,
+             |  len(list_distinct(rt)) AS n_distinct,
+             |  list_sum(list_transform(rt, x -> 1 + CAST(floor(length(x) / 6.0) AS BIGINT))) AS n_bpeish,
+             |  length(text) AS n_chars
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Content fingerprinting: normalization-invariant md5 over token stream.
+    QueryDef(
+      "x_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp"),
+            substring(TextAnalysis.fingerprint(col("text")), 1, 2).as("bucket"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0), ' ')) AS fp,
+             |  substr(md5(array_to_string(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0), ' ')), 1, 2) AS bucket
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to `private[sql]` surface that third-party Catalyst
+  * expressions need: Column <-> Expression conversion and temp-function
+  * registration. Spark 4 wraps Columns in ColumnNodes with no public
+  * Expression accessor, so libraries shipping native expressions (graft's
+  * [[graft.expressions.DotProduct]]) need exactly these two hooks. Nothing
+  * else from the private API is touched.
+  */
+object GraftSqlBridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register `name` as a SQL-callable function in this session. */
+  def registerFunction(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "quick brown fox jumps over the lazy dog"),     // near dup (1 word off)
+    (4L, "completely different text about spark engines here"),
+    (5L, "tiny"),                                        // < shingle size
+    (6L, "completely different text about spark engines there")
+  ).toDF("id", "text")
+
+  test("shingles: distinct word n-grams; short docs yield empty") {
+    val sh = docs.select($"id", Dedup.shingles($"text", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).contains("the quick brown"))
+    assert(sh(1L).size === 7) // 9 words -> 7 trigrams, all distinct
+    assert(sh(1L).distinct.size === sh(1L).size)
+  }
+
+  test("exact dedup keeps min-key survivor per content") {
+    val out = Dedup.exact(docs, "text", "id").select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(docs, "text", "id")
+    val twice = Dedup.exact(once, "text", "id")
+    assert(once.select("id").as[Long].collect().sorted.toSeq
+      === twice.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("jaccard matches hand-computed value") {
+    val j = docs.filter($"id".isin(1L, 3L))
+      .agg(collect_list(Dedup.shingles($"text", 3))).as[Seq[Seq[String]]]
+      .collect().head
+    val (a, b) = (j(0).toSet, j(1).toSet)
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    val got = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.0)
+      .filter($"ida" === 1L && $"idb" === 3L)
+      .select("jaccard").as[Double].collect().head
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("ngramJaccardPairs finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical => J = 1
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs.contains((4L, 6L))) // one word differs at the end
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minHashLshPairs agrees with exact jaccard on high-similarity pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "id", "text", 3, 32, 16, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("minhash signature of identical texts is identical, length k") {
+    val sigs = docs.filter($"id".isin(1L, 2L))
+      .select(Dedup.minHashSignature(Dedup.shingles($"text", 3), 32))
+      .as[Seq[Long]].collect()
+    assert(sigs(0).size === 32)
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("simhash: identical texts equal; near dups within small hamming; unrelated far") {
+    val sh = docs.select($"id", Dedup.simHash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) <= 16)
+    assert(ham(sh(4L), sh(6L)) <= 16)
+    assert(ham(sh(1L), sh(4L)) > 16)
+  }
+
+  test("simHashPairs verified output respects hamming bound") {
+    val pairs = Dedup.simHashPairs(docs, "id", "text", maxHamming = 16)
+      .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(_._3 <= 16))
+  }
+}

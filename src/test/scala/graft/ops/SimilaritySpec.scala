@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("cosine: orthogonal=0, parallel=1, antiparallel=-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),
+      (Array(1.0f, 0.0f), Array(-3.0f, 0.0f))
+    ).toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(Similarity.toDouble($"a"), Similarity.toDouble($"b")))
+      .as[Double].collect()
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: k rows per query, descending sim, no self-match") {
+    val out = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id", "sim", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === 5 && byQ.values.forall(_.length === 5))
+    assert(out.forall(r => r._1 != r._2))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_._4).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bruteForceTopK rank-1 equals argmax over all cosines (hand check)") {
+    val vecs = emb.select($"vec_id", Similarity.toDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = vecs(0L)
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(q, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toSeq.sortBy { case (id, s) => (-s, id) }.head
+    val got = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" === 0L), emb, "vec_id", "embedding", k = 1)
+      .select("c_id", "sim").as[(Long, Double)].collect().head
+    assert(got._1 === expected._1)
+    assert(math.abs(got._2 - expected._2) < 1e-6)
+  }
+
+  test("ivfTopK: high recall vs brute force on local fixture") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // 4/8 cells probed
+    assert(approx.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
+  test("nearDupPairs finds planted duplicate with cosine 1.0") {
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(emb.filter($"vec_id" === 7L)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.99)
+      .select("ida", "idb", "cos").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 7L && p._2 == 10007L && p._3 >= 0.999999))
+  }
+}

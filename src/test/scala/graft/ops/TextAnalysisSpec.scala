@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("text").select(c).as[T].collect().head
+
+  test("regexTokens splits on non-alphanumerics and lowercases") {
+    assert(one[Seq[String]](TextAnalysis.regexTokens($"text"), "Hello, World!  42")
+      === Seq("hello", "world", "42"))
+  }
+
+  test("tokenCount / bpeishTokenCount") {
+    assert(one[Int](TextAnalysis.tokenCount($"text"), "one two three") === 3)
+    // "extraordinarily" (15 chars) -> 1 + floor(15/6) = 3 pieces
+    assert(one[Long](TextAnalysis.bpeishTokenCount($"text"), "a extraordinarily") === 1L + 3L)
+  }
+
+  test("stopwordRatio exact fraction") {
+    val r = one[Double](
+      TextAnalysis.stopwordRatio(TextAnalysis.wsTokens($"text"), LangId.en),
+      "the cat sat on the mat")
+    assert(math.abs(r - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("qualityScore in [0,1]; prose scores above junk") {
+    val prose = one[Double](TextAnalysis.qualityScore($"text"),
+      "the quick brown fox jumps over the lazy dog and runs to the forest")
+    val junk = one[Double](TextAnalysis.qualityScore($"text"), "@@@@ #### 1234 %%%%")
+    assert(prose >= 0.0 && prose <= 1.0 && junk >= 0.0 && junk <= 1.0)
+    assert(prose > junk)
+  }
+
+  test("fingerprint is normalization-invariant; rollingHash deterministic in range") {
+    val a = one[String](TextAnalysis.fingerprint($"text"), "Hello,   World!")
+    val b = one[String](TextAnalysis.fingerprint($"text"), "hello world")
+    assert(a === b)
+    val h1 = one[Long](TextAnalysis.rollingHash($"text"), "hello world")
+    val h2 = one[Long](TextAnalysis.rollingHash($"text"), "hello world")
+    val h3 = one[Long](TextAnalysis.rollingHash($"text"), "world hello") // order-sensitive
+    assert(h1 === h2 && h1 != h3)
+    assert(h1 >= 0 && h1 < 2147483647L)
+  }
+
+  test("cjkRatio detects Han text; langId routes zh/en/es/de/fr") {
+    assert(one[Double](TextAnalysis.cjkRatio($"text"), "你好世界") === 1.0)
+    assert(one[Double](TextAnalysis.cjkRatio($"text"), "hello") === 0.0)
+    def pred(t: String): String =
+      one[String](LangId.predict($"text").getField("predicted"), t)
+    assert(pred("你好世界你好世界") === "zh")
+    assert(pred("the cat is in the house") === "en")
+    assert(pred("el gato que vive en la casa") === "es")
+    assert(pred("der hund ist von den bergen") === "de")
+    assert(pred("les chats est une du chien") === "fr")
+    assert(pred("xyzzy plugh") === "unknown")
+  }
+}
