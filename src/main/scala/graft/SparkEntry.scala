@@ -17,7 +17,8 @@ object SparkEntry {
     _root_.graft.queries.GroupingQueries,
     _root_.graft.queries.SetOpQueries,
     _root_.graft.queries.FunctionQueries,
-    _root_.graft.queries.ExtensionQueries
+    _root_.graft.queries.ExtensionQueries,
+    _root_.graft.queries.GeoQueries
   )
 
   private lazy val all: Seq[QueryDef] = {
