@@ -18,7 +18,8 @@ object SparkEntry {
     _root_.graft.queries.SetOpQueries,
     _root_.graft.queries.FunctionQueries,
     _root_.graft.queries.ExtensionQueries,
-    _root_.graft.queries.GeoQueries
+    _root_.graft.queries.GeoQueries,
+    _root_.graft.queries.CatalogQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

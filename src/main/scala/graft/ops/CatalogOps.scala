@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Catalog maintenance operators (SURVEY.md §2.1 S5/S11/S12, A1, J1/J5,
+  * E3 grammar): the reference's MySQL-side mutations re-expressed as
+  * deterministic DataFrame transforms over Parquet.
+  */
+object CatalogOps {
+
+  /** A1: next surrogate key — replaces the reference's racy
+    * read-INFORMATION_SCHEMA-then-insert (mysql_process.py:13-25). */
+  def nextId(catalog: DataFrame, idCol: String): Long =
+    catalog.agg(coalesce(max(col(idCol)), lit(0L)) + 1L).collect()(0).getLong(0)
+
+  /** S11: deterministic batch key assignment — new rows get
+    * max(existing)+row_number ordered by a caller-chosen unique key (§1.5:
+    * per-batch keys instead of AUTO_INCREMENT round trips).
+    *
+    * Scale note: a global row_number serializes the batch through one task —
+    * correct for ingest batches (bounded), not for re-keying a 100 TB table
+    * (use zipWithIndex-style per-partition offsets there).
+    */
+  def assignIds(catalog: DataFrame, idCol: String, incoming: DataFrame,
+      orderCol: String): DataFrame = {
+    val base = nextId(catalog, idCol) - 1L
+    incoming.withColumn(idCol,
+      lit(base) + row_number().over(Window.orderBy(col(orderCol))).cast("long"))
+  }
+
+  /** J5: ingest idempotence — drop incoming rows whose key already exists
+    * (the reference re-inserts blindly, script_geo.py:205). */
+  def newRowsOnly(catalog: DataFrame, incoming: DataFrame, keyCol: String): DataFrame =
+    incoming.join(catalog.select(col(keyCol)), Seq(keyCol), "left_anti")
+
+  /** S12: UPDATE…WHERE on Parquet as read-modify-overwrite
+    * (mysql_process.py:83-91): set `setCol = newValue` for ids in `ids`.
+    * Caller persists with partition-overwrite; with a table format this
+    * would be MERGE INTO (no Delta jars in this environment, SURVEY §1.5).
+    */
+  def updateWhere(catalog: DataFrame, idCol: String, ids: Seq[Long],
+      setCol: String, newValue: Column): DataFrame =
+    catalog.withColumn(setCol,
+      when(col(idCol).isin(ids: _*), newValue).otherwise(col(setCol)))
+
+  /** J1 — THE reference query (`get_urllist`, mysql_process.py:64-81):
+    * PROC_EJECUCION ⋈ DETALLE_EJECUCION ⋈ CATALOG with process/type/indice
+    * filters, projecting (ID, RUTA_RESULTADO). Filters are pushed below the
+    * joins by Catalyst; pe is dim-sized → broadcast.
+    */
+  def getUrlList(pe: DataFrame, de: DataFrame, cat: DataFrame,
+      idProceso: Int, tipoImgs: Seq[Int], indice: String): DataFrame =
+    broadcast(pe.filter(col("ID_PROCESO") === idProceso))
+      .join(de, "ID_EJECUCION")
+      .join(
+        cat.filter(col("ID_TIPO_IMG").isin(tipoImgs: _*) && col("INDICE") === indice),
+        de("ID_IMAGEN_FUENTE") === cat("ID"))
+      .select(cat("ID"), cat("RUTA_RESULTADO"))
+
+  /** S5: content-addressed object key `{dir}/{md5(content)}.{ext}` — the
+    * deterministic replacement for the reference's `md5(urandom)` keys
+    * (download_list_images.py:44-55). The extension comes from an anchored
+    * regex, fixing the `split('.')[1]` multi-dot bug (§2.3.7).
+    */
+  def contentKey(dir: Column, content: Column, fileName: Column): Column =
+    concat(dir, lit("/"), md5(content),
+      lit("."), regexp_extract(fileName, "\\.([^.]+)$", 1))
+
+  /** E3 filename grammar (download_list_images.py:94-99; examples
+    * mysql_process.py:94-100): `{CODIGO}_{SECCION}_{ESPECIE}_{APL}
+    * [_grilla|_rodal|_etiquetas].ext` → typed dims struct.
+    */
+  def parseModelFilename(fileName: Column): Column = {
+    val stem = regexp_replace(fileName, "\\.[^.]+$", "")
+    val clean = regexp_replace(stem, "_(grilla|etiquetas|rodal)$", "")
+    val parts = split(clean, "_")
+    struct(
+      element_at(parts, 1).as("codigo"),
+      element_at(parts, 2).as("seccion"),
+      element_at(parts, 3).as("especie"),
+      element_at(parts, 4).cast("double").as("apl"),
+      regexp_extract(fileName, "_(grilla|etiquetas|rodal)\\.", 1).as("suffix"),
+      regexp_extract(fileName, "\\.([^.]+)$", 1).as("ext"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ops.CatalogOps
+import org.apache.spark.sql.functions._
+
+/** Catalog-maintenance queries (SURVEY.md S5/S11/S12, J1 literal form) —
+  * the reference's MySQL-side mutations exercised through [[CatalogOps]]
+  * over catalog-shaped projections of the test lake.
+  */
+object CatalogQueries extends QueryGroup {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J1 in its literal schema: PROC_EJECUCION ⋈ DETALLE_EJECUCION ⋈ CATALOG
+    // (mysql_process.py:64-81) over catalog-shaped projections.
+    QueryDef(
+      "s_urllist_literal",
+      (s, d) => {
+        val pe = Tables.region(s, d).select(
+          col("r_regionkey").cast("long").as("ID_EJECUCION"),
+          (col("r_regionkey") % 3).cast("int").as("ID_PROCESO"))
+        val de = Tables.nation(s, d).select(
+          col("n_regionkey").cast("long").as("ID_EJECUCION"),
+          col("n_nationkey").cast("long").as("ID_IMAGEN_FUENTE"))
+        val cat = Tables.customer(s, d).select(
+          col("c_custkey").as("ID"),
+          col("c_mktsegment").as("INDICE"),
+          (col("c_custkey") % 4).cast("int").as("ID_TIPO_IMG"),
+          concat(lit("lake/"), col("c_name")).as("RUTA_RESULTADO"))
+        CatalogOps.getUrlList(pe, de, cat,
+            idProceso = 1, tipoImgs = Seq(0, 3), indice = "AUTOMOBILE")
+          .orderBy("ID")
+      },
+      Some("""WITH pe AS (SELECT r_regionkey AS id_ejecucion,
+             |              r_regionkey % 3 AS id_proceso FROM region),
+             |de AS (SELECT n_regionkey AS id_ejecucion,
+             |         n_nationkey AS id_imagen_fuente FROM nation),
+             |cat AS (SELECT c_custkey AS id, c_mktsegment AS indice,
+             |          c_custkey % 4 AS id_tipo_img,
+             |          'lake/' || c_name AS ruta FROM customer)
+             |SELECT CAST(cat.id AS BIGINT) AS ID, cat.ruta AS RUTA_RESULTADO
+             |FROM pe JOIN de ON pe.id_ejecucion = de.id_ejecucion
+             |        JOIN cat ON de.id_imagen_fuente = cat.id
+             |WHERE pe.id_proceso = 1 AND cat.id_tipo_img IN (0, 3)
+             |  AND cat.indice = 'AUTOMOBILE'
+             |ORDER BY ID""".stripMargin)),
+
+    // S11: deterministic batch key assignment (max+row_number).
+    QueryDef(
+      "s11_assign_keys",
+      (s, d) =>
+        CatalogOps.assignIds(
+            Tables.orders(s, d).select(col("o_orderkey").as("ID")), "ID",
+            Tables.customer(s, d).select("c_custkey", "c_name"), "c_custkey")
+          .select(col("ID"), col("c_custkey"))
+          .orderBy("ID"),
+      Some("""SELECT (SELECT max(o_orderkey) FROM orders)
+             |         + row_number() OVER (ORDER BY c_custkey) AS ID,
+             |       c_custkey
+             |FROM customer ORDER BY ID""".stripMargin)),
+
+    // S12: UPDATE…WHERE as read-modify-overwrite over an id list.
+    QueryDef(
+      "s12_update_where",
+      (s, d) =>
+        CatalogOps.updateWhere(
+            Tables.orders(s, d).select(col("o_orderkey").as("ID"),
+              col("o_orderstatus").as("STATUS")),
+            "ID", Seq(1L, 5L, 10L, 100L, 1000L), "STATUS", lit("X"))
+          .orderBy("ID"),
+      Some("""SELECT o_orderkey AS ID,
+             |  CASE WHEN o_orderkey IN (1, 5, 10, 100, 1000)
+             |       THEN 'X' ELSE o_orderstatus END AS STATUS
+             |FROM orders ORDER BY ID""".stripMargin)),
+
+    // S5: content-addressed object keys; multi-dot filenames keep only the
+    // final extension (fixes §2.3.7).
+    QueryDef(
+      "s5_content_key",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            CatalogOps.contentKey(
+              lit("lake"), col("text").cast("binary"),
+              concat(lit("doc."), col("doc_id"), lit(".v2.txt"))).as("key"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'lake/' || md5(text) || '.txt' AS key
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
