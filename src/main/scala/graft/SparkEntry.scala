@@ -19,7 +19,8 @@ object SparkEntry {
     _root_.graft.queries.FunctionQueries,
     _root_.graft.queries.ExtensionQueries,
     _root_.graft.queries.GeoQueries,
-    _root_.graft.queries.CatalogQueries
+    _root_.graft.queries.CatalogQueries,
+    _root_.graft.queries.StreamingQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

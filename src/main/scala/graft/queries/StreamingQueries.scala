@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Batch-mode exercises of the streaming transforms (Spark's unified model:
+  * the identical functions run under Structured Streaming in StreamsSpec
+  * with MemoryStream micro-batches + watermarks — not DuckDB-checkable
+  * there, so the event-time window semantics are oracle-checked here on the
+  * same code path).
+  */
+object StreamingQueries extends QueryGroup {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling event-time windows over the events table (10-minute buckets,
+    // epoch-aligned in both engines).
+    QueryDef(
+      "st_tumbling_windows",
+      (s, d) =>
+        Streams.tumblingAgg(Tables.events(s, d), "ts", "10 minutes", "1 hour")
+          .orderBy("w_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+             |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS w_end,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY w_start, event_type""".stripMargin)),
+
+    // Sliding windows (30-minute width, 10-minute slide): every event lands
+    // in 3 windows; expressed in SQL as a bucket-offset union.
+    QueryDef(
+      "st_sliding_windows",
+      (s, d) =>
+        Streams.slidingAgg(Tables.events(s, d), "ts", "30 minutes", "10 minutes", "1 hour")
+          .orderBy("w_start", "event_type"),
+      Some("""WITH slid AS (
+             |  SELECT time_bucket(INTERVAL '10 minutes', ts)
+             |           - (k * INTERVAL '10 minutes') AS w_start, event_type
+             |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+             |SELECT w_start, w_start + INTERVAL '30 minutes' AS w_end,
+             |  event_type, COUNT(*) AS n
+             |FROM slid GROUP BY 1, 2, 3
+             |ORDER BY w_start, event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface (SURVEY.md §2.2 streaming rows, §7 Phase 6).
+  *
+  * The reference has no streaming — it re-runs a script per batch and logs
+  * each run to PROC_EJECUCION (mysql_process.py:28-43); these operators are
+  * the incremental re-expression: continuous file ingest, event-time
+  * windows, watermarked late-data handling, and stateful dedupe (the
+  * streaming upgrade of the J5 catalog-idempotence anti-join).
+  *
+  * Every transform here is expressed on plain DataFrames so the SAME
+  * function serves batch and streaming inputs — Spark's unified model; tests
+  * drive them with MemoryStream micro-batches, production wires
+  * `spark.readStream` file sources over the landing prefix.
+  *
+  * Scale: all aggregations are keyed (window, type) → state is bounded by
+  * watermark horizon × key cardinality; no global windows, no unbounded
+  * state. Sums accumulate in DECIMAL (exact, order-independent — micro-batch
+  * arrival order cannot change results).
+  */
+object Streams {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  /** Tumbling event-time windows with per-type aggregates.
+    * @param watermark e.g. "1 hour" — late rows beyond it are dropped. */
+  def tumblingAgg(events: DataFrame, tsCol: String, width: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows (width, slide) — each event lands in width/slide windows. */
+  def slidingAgg(events: DataFrame, tsCol: String, width: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Session windows: per-user activity sessions closed after `gap` idle. */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Stateful streaming dedupe: first arrival per key wins; duplicate
+    * arrivals within the watermark horizon are dropped, and state for keys
+    * older than the watermark is evicted (bounded memory — the streaming
+    * form of catalog-ingest idempotence, J5). */
+  def dedupeWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.GraftSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Top-level (encoder codegen cannot reference suite-inner classes). */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming semantics driven through MemoryStream micro-batches with
+  * manually-advanced event time (SURVEY §5.5): window contents, watermark
+  * late-row dropping, session merging, stateful dedupe.
+  */
+class StreamsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def runBatches(
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String, name: String)(batches: Seq[Ev]*): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q: StreamingQuery = transform(src.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => src.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling windows: counts and exact sums per 10-minute window") {
+    val rows = runBatches(Streams.tumblingAgg(_, "ts", "10 minutes", "30 minutes"),
+      "complete", "t_tumble")(
+      Seq(Ev(ts(1), 1, "click", 1.5), Ev(ts(4), 1, "click", 2.5),
+        Ev(ts(11), 2, "view", 4.0)))
+    val byWin = rows.map(r => (r.getTimestamp(0).toString, r.getString(2)) ->
+      ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(byWin(("2024-01-01 10:00:00.0", "click")) === ((2L, 4.0)))
+    assert(byWin(("2024-01-01 10:10:00.0", "view")) === ((1L, 4.0)))
+  }
+
+  test("watermark drops late rows in append mode") {
+    val rows = runBatches(Streams.tumblingAgg(_, "ts", "10 minutes", "5 minutes"),
+      "append", "t_late")(
+      Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 1, "click", 1.0)),
+      Seq(Ev(ts(31), 1, "click", 1.0)), // watermark → 10:26; closes 10:00-10:10
+      Seq(Ev(ts(3), 1, "click", 99.0)), // late beyond watermark → dropped
+      Seq(Ev(ts(45), 1, "click", 1.0))  // advance further
+    )
+    val first = rows.find(_.getTimestamp(0) === ts(0)).get
+    assert(first.getLong(3) === 2L, "late row must not be re-counted")
+    assert(first.getDouble(4) === 2.0)
+  }
+
+  test("sliding windows: each event appears in width/slide windows") {
+    val rows = runBatches(Streams.slidingAgg(_, "ts", "10 minutes", "5 minutes", "30 minutes"),
+      "complete", "t_slide")(
+      Seq(Ev(ts(7), 1, "click", 1.0)))
+    // event at 10:07 → windows [10:00,10:10) and [10:05,10:15)
+    val wins = rows.map(_.getTimestamp(0).toString).sorted
+    assert(wins === Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0"))
+  }
+
+  test("session windows: events within gap merge; separate users don't") {
+    val rows = runBatches(Streams.sessionAgg(_, "ts", "5 minutes", "30 minutes"),
+      "complete", "t_sess")(
+      Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(3), 1, "view", 2.0),   // one session
+        Ev(ts(20), 1, "click", 3.0),                               // new session (gap > 5m)
+        Ev(ts(2), 2, "click", 5.0)))                               // other user
+    val byUser = rows.groupBy(_.getLong(2))
+    assert(byUser(1L).size === 2)
+    val s1 = byUser(1L).find(_.getLong(3) === 2L).get
+    assert(s1.getTimestamp(0) === ts(1) && s1.getDouble(4) === 3.0)
+    assert(byUser(2L).size === 1)
+  }
+
+  test("dropDuplicatesWithinWatermark: duplicate keys across batches collapse") {
+    val rows = runBatches(
+      Streams.dedupeWithinWatermark(_, "ts", "30 minutes", "user_id", "event_type"),
+      "append", "t_dedup")(
+      Seq(Ev(ts(1), 1, "click", 1.0)),
+      Seq(Ev(ts(2), 1, "click", 2.0),   // dup key within watermark → dropped
+        Ev(ts(2), 1, "view", 3.0)),     // new key → kept
+      Seq(Ev(ts(3), 2, "click", 4.0)))
+    assert(rows.size === 3)
+    assert(rows.map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+      === Set((1L, "click", 1.0), (1L, "view", 3.0), (2L, "click", 4.0)))
+  }
+
+  test("the same transforms run on batch DataFrames (unified model)") {
+    val batch = Seq(
+      Ev(ts(1), 1, "click", 1.5), Ev(ts(4), 1, "click", 2.5), Ev(ts(11), 2, "view", 4.0)
+    ).toDF()
+    val out = Streams.tumblingAgg(batch, "ts", "10 minutes", "30 minutes")
+      .orderBy("w_start").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(3) === 2L && out(0).getDouble(4) === 4.0)
+  }
+}
