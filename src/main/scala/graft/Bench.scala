@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM / whole-stage-codegen / shuffle warm-up on synthetic data (touches
+    // no test tables) so the first timed query measures the engine, not
+    // first-use infrastructure initialization.
+    spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
