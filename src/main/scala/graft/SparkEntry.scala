@@ -20,7 +20,8 @@ object SparkEntry {
     _root_.graft.queries.ExtensionQueries,
     _root_.graft.queries.GeoQueries,
     _root_.graft.queries.CatalogQueries,
-    _root_.graft.queries.StreamingQueries
+    _root_.graft.queries.StreamingQueries,
+    _root_.graft.queries.SqlQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -68,3 +68,6 @@ object Catalog {
     val ModelPublication = 2 // download_list_images.py:89
   }
 }
+
+/** Typed projection of lineitem for the Dataset-API surface (Encoders). */
+case class LineitemSlim(l_orderkey: Long, l_returnflag: String, l_quantity: Double)

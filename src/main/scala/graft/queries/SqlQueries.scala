@@ -1,0 +1,191 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SQL-surface breadth: subqueries (scalar / EXISTS / IN — Catalyst
+  * decorrelates, SURVEY §4), multi-CTE composition, pivot, map functions,
+  * a TPC-H-style revenue top-k, and the typed Dataset API (Encoders).
+  * `spark.sql` over temp views exercises the parser→analyzer path of the
+  * engine; everything else stays in the DataFrame DSL.
+  */
+object SqlQueries extends QueryGroup {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  private def view(s: SparkSession, d: String, name: String): Unit =
+    Tables.t(s, d, name).createOrReplaceTempView(name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Scalar subquery: orders above the global average price (exact decimal
+    // average, identical scalar math on both engines).
+    QueryDef(
+      "q_scalar_subquery",
+      (s, d) => {
+        view(s, d, "orders")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_totalprice > (
+                |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                |         / COUNT(*) FROM orders)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (
+             |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |         / COUNT(*) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Correlated EXISTS — decorrelated into a semi join by Catalyst.
+    QueryDef(
+      "q_correlated_exists",
+      (s, d) => {
+        view(s, d, "orders"); view(s, d, "customer")
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                |WHERE EXISTS (SELECT 1 FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 300000.0)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 300000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // IN subquery over a filtered dimension.
+    QueryDef(
+      "q_in_subquery",
+      (s, d) => {
+        view(s, d, "lineitem"); view(s, d, "part")
+        s.sql("""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+                |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+                |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Multi-CTE composition.
+    QueryDef(
+      "q_cte_chain",
+      (s, d) => {
+        view(s, d, "orders"); view(s, d, "customer")
+        s.sql("""WITH big AS (
+                |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+                |  WHERE o_totalprice > 200000.0 GROUP BY o_custkey),
+                |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+                |SELECT seg.c_mktsegment, SUM(big.n_big) AS total_big
+                |FROM big JOIN seg ON big.o_custkey = seg.c_custkey
+                |GROUP BY seg.c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""WITH big AS (
+             |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+             |  WHERE o_totalprice > 200000.0 GROUP BY o_custkey),
+             |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+             |SELECT seg.c_mktsegment, SUM(big.n_big) AS total_big
+             |FROM big JOIN seg ON big.o_custkey = seg.c_custkey
+             |GROUP BY seg.c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Pivot: priority columns per status (fixed value list → stable schema;
+    // coalesce(0) because pivot yields null for empty cells).
+    QueryDef(
+      "a_pivot",
+      (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val p = Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", prios)
+          .count()
+        p.select(col("o_orderstatus") +:
+          prios.map(n => coalesce(col(s"`$n`"), lit(0L)).as(n)): _*)
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+             |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+             |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+             |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+             |    AS "4-NOT SPECIFIED",
+             |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Map functions: construct, extract, keys (§2.2 map row — surface).
+    QueryDef(
+      "f_map_battery",
+      (s, d) =>
+        Tables.nation(s, d)
+          .select(
+            col("n_nationkey"),
+            map_from_arrays(
+              array(lit("nation"), lit("region")),
+              array(col("n_nationkey").cast("long"), col("n_regionkey").cast("long")))
+              .as("m"))
+          .select(
+            col("n_nationkey"),
+            element_at(col("m"), "nation").as("v_nation"),
+            element_at(col("m"), "region").as("v_region"),
+            map_keys(col("m")).as("ks"),
+            size(map_values(col("m"))).as("n_vals"))
+          .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             |  (map(['nation','region'],
+             |       [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])['nation'])[1]
+             |    AS v_nation,
+             |  (map(['nation','region'],
+             |       [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])['region'])[1]
+             |    AS v_region,
+             |  ['nation','region'] AS ks,
+             |  2 AS n_vals
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // TPC-H Q3-shaped revenue top-k (decimal-exact revenue).
+    QueryDef(
+      "q_revenue_topk",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(l("l_orderkey").as("okey"), o("o_orderdate").cast("date").as("odate"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("okey"))
+          .limit(10)
+      },
+      Some("""SELECT l.l_orderkey AS okey, CAST(o.o_orderdate AS DATE) AS odate,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2
+             |ORDER BY revenue DESC, okey LIMIT 10""".stripMargin)),
+
+    // Typed Dataset API: case-class Encoders, typed filter + groupByKey.
+    QueryDef(
+      "t_typed_dataset",
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .as[graft.model.LineitemSlim]
+        ds.filter(_.l_quantity > 45.0)
+          .groupByKey(_.l_returnflag)
+          .count()
+          .toDF("l_returnflag", "n")
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+             |WHERE l_quantity > 45.0
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}
