@@ -46,9 +46,12 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+    // raw float arrays ride the join (half the bytes of a double[] cast);
+    // DotProduct widens each element exactly, so results are bit-identical
+    // to computing over CAST(vec AS DOUBLE[]).
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
-    val c = corpus.select(col(idCol).as("c_id"), toDouble(col(vecCol)).as("cv"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
     val sims = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -62,9 +65,9 @@ object Similarity {
     * bucketing when n is large. */
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("ida"), toDouble(col(vecCol)).as("va"))
+    val a = df.select(col(idCol).as("ida"), col(vecCol).as("va"))
       .withColumn("na", l2Norm(col("va")))
-    val b = df.select(col(idCol).as("idb"), toDouble(col(vecCol)).as("vb"))
+    val b = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
       .withColumn("nb", l2Norm(col("vb")))
     a.join(b, col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
