@@ -69,10 +69,13 @@ object Similarity {
       .withColumn("na", l2Norm(col("va")))
     val b = df.select(col(idCol).as("idb"), col(vecCol).as("vb"))
       .withColumn("nb", l2Norm(col("vb")))
-    a.join(b, col("ida") < col("idb"))
-      .select(col("ida"), col("idb"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+    val cos = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    // the threshold predicate lives in the join condition AFTER the cheap
+    // id test: And short-circuits left-to-right in the generated predicate,
+    // so the d-element dot runs for n²/2 ordered pairs, not all n² — letting
+    // Catalyst push the filter itself puts the expensive conjunct first
+    a.join(b, col("ida") < col("idb") && cos >= threshold)
+      .select(col("ida"), col("idb"), cos.as("cos"))
   }
 
   /** IVF (inverted-file) approximate top-k.

@@ -226,6 +226,21 @@ object FunctionQueries extends QueryGroup {
              |  substr(md5(text), 1, 4) AS bucket
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // G1 generator surface: posexplode over an array (the vertex-flatten
+    // shape, script_geo.py:146-154, with position identity kept).
+    QueryDef(
+      "g1_posexplode",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+          .select(col("vec_id"), (col("pos") + 1).as("pos"),
+            col("col").cast("double").as("v"))
+          .orderBy("vec_id", "pos"),
+      Some("""SELECT vec_id,
+             |  generate_subscripts(list_slice(embedding, 1, 4), 1) AS pos,
+             |  CAST(unnest(list_slice(embedding, 1, 4)) AS DOUBLE) AS v
+             |FROM embeddings ORDER BY vec_id, pos""".stripMargin)),
+
     // P5 typed dispatch as an explicit CASE (replacing the reference's
     // exception-driven JPEG/GeoTIFF branch, script_geo.py:166-189).
     QueryDef(

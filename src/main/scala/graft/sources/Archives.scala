@@ -34,7 +34,13 @@ object Archives {
       rows.flatMap { r =>
         val path = r.getString(pIdx)
         val bytes = r.getAs[Array[Byte]](cIdx)
-        try {
+        // ZipInputStream is lenient (garbage → zero entries, no error), so
+        // strict mode checks the PK signature explicitly
+        val looksZip = bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K'
+        if (!looksZip) {
+          if (strict) throw new RuntimeException(s"malformed archive $path: no zip signature")
+          Vector.empty
+        } else try {
           val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
           Iterator.continually(zin.getNextEntry)
             .takeWhile(_ != null)

@@ -4,6 +4,7 @@ import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.{ZipEntry, ZipOutputStream}
 import graft.GraftSuite
+import org.apache.spark.sql.functions._
 
 class SourcesSpec extends GraftSuite {
   import spark.implicits._
@@ -132,5 +133,38 @@ class SourcesSpec extends GraftSuite {
       pts, polys, "px", "py", "ring", 2.0)
       .select("id", "pid").as[(Long, Int)].collect().toSet
     assert(matched === Set((1L, 1)))
+  }
+
+  test("GeoJson source: explicit schema, ring struct, file identity (S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("gj").toFile
+    val f = new java.io.File(dir, "rodales.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id": 7, "properties": {"CODIGO": "CO1", "APL": "2"}, "coordinates": [[0.0,0.0],[2.0,0.0],[2.0,2.0],[0.0,2.0]]}
+        |{"id": 8, "properties": {"CODIGO": "CO2"}, "coordinates": [[4.0,0.0,99.0],[6.0,0.0,99.0],[6.0,2.0,99.0]]}
+        |""".stripMargin)
+    val df = GeoJson.readPolygons(spark, dir.getAbsolutePath)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("source_file").endsWith("rodales.json"))
+    assert(rows(0).getAs[Map[String, String]]("properties")("CODIGO") === "CO1")
+    val ring = rows(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ring")
+    assert(ring.map(r => (r.getDouble(0), r.getDouble(1))) ===
+      Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))
+    // z coords truncated (F4)
+    val ring2 = rows(1).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ring")
+    assert(ring2.map(_.size).forall(_ == 2))
+    // parsed rings drive the containment kernel directly
+    val hit = df.filter($"id" === 7)
+      .select(graft.geo.PointInPolygon.contains($"ring", lit(1.0), lit(1.0)))
+      .as[Boolean].collect().head
+    assert(hit)
+  }
+
+  test("explodeZip strict mode surfaces malformed archives (§2.3.4)") {
+    val df = Seq(("bad.zip", "junk".getBytes)).toDF("path", "content")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Archives.explodeZip(df, strict = true).collect()
+    }
+    assert(ex.getMessage != null)
   }
 }
