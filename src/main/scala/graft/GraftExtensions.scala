@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension injection point: registers graft's native expressions
+  * permanently for a session built with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide,
+  * no per-session register() call needed). No custom rules or strategies
+  * are injected — SURVEY §4: Catalyst's stock optimizations cover every
+  * plan shape this engine produces; the extension surface is functions only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - native dot product of two double/float arrays"),
+      (exprs: Seq[Expression]) => expressions.DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 64-bit simhash of a string array"),
+      (exprs: Seq[Expression]) => expressions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k-element minhash signature"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
+          expressions.MinHashSignature(exprs.head, k.toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash k must be a literal, got $other")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_contains"),
+      info("graft_contains", "graft_contains(ring, x, y) - ray-casting point in polygon"),
+      (exprs: Seq[Expression]) => geo.PointInPolygon(exprs.head, exprs(1), exprs(2))))
+  }
+}

@@ -155,6 +155,24 @@ object GroupingQueries extends QueryGroup {
              |      FROM lineitem GROUP BY l_returnflag)
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont: sorted linear interpolation; rounded for libm parity).
+    QueryDef(
+      "a_percentiles",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+            round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Global top-k → TakeOrderedAndProject (no full sort, no single-partition
     // shuffle: per-partition heaps + driver merge of k rows).
     QueryDef(
