@@ -92,13 +92,13 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("c_id"), toDouble(col(vecCol)).as("cv"))
 
-    // deterministic stride sample as centroids
-    val wAll = Window.orderBy(col("c_id"))
+    // deterministic hash-sample as centroids: ~nCentroids survivors of an
+    // id-hash stride filter, then a top-k by id (TakeOrderedAndProject —
+    // per-partition heaps, never a global sort/single-partition window)
     val n = c.count()
     val stride = math.max(1L, n / nCentroids)
-    val cents = c.withColumn("__rn", row_number().over(wAll))
-      .filter((col("__rn") - 1) % stride === 0)
-      .limit(nCentroids)
+    val cents = c.filter(pmod(xxhash64(col("c_id")), lit(stride)) === 0)
+      .orderBy(col("c_id")).limit(nCentroids)
       .select(col("c_id").as("cent_id"), col("cv").as("centv"))
 
     // assign corpus rows to nearest centroid (broadcast centroids)
