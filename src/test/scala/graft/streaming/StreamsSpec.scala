@@ -99,4 +99,52 @@ class StreamsSpec extends GraftSuite {
     assert(out.length === 2)
     assert(out(0).getLong(3) === 2L && out(0).getDouble(4) === 4.0)
   }
+
+  test("streaming file source: continuous ingest over a landing directory") {
+    val dir = java.nio.file.Files.createTempDirectory("landing").toFile
+    val out = java.nio.file.Files.createTempDirectory("chk").toFile
+    // batch 1 lands before the stream starts
+    Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0)).toDF()
+      .write.mode("append").json(dir.getAbsolutePath)
+    val schema = Seq.empty[Ev].toDF().schema
+    val stream = spark.readStream.schema(schema).json(dir.getAbsolutePath)
+    val q = Streams.tumblingAgg(stream, "ts", "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("t_files").outputMode("complete")
+      .option("checkpointLocation", out.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_files").count() === 2) // (click) + (view) in window 10:00
+      // batch 2 lands while running — picked up incrementally
+      Seq(Ev(ts(3), 3, "click", 3.0)).toDF()
+        .write.mode("append").json(dir.getAbsolutePath)
+      q.processAllAvailable()
+      val n = spark.table("t_files")
+        .filter($"event_type" === "click").select("n").as[Long].collect().head
+      assert(n === 2L)
+    } finally q.stop()
+  }
+
+  test("stream-static spatial join: E1 classification of a point stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val parcels = Seq(
+      (10L, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))
+    ).toDF("pid", "pts")
+      .select($"pid", org.apache.spark.sql.functions.transform($"pts",
+        p => org.apache.spark.sql.functions.struct(
+          p.getField("_1").as("x"), p.getField("_2").as("y"))).as("ring"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Double)]
+    val pts = src.toDF().toDF("id", "px", "py")
+    val q = graft.geo.SpatialJoin.pointInPolygonJoin(pts, parcels, "px", "py", "ring", 2.0)
+      .select("id", "pid")
+      .writeStream.format("memory").queryName("t_geo_stream").outputMode("append").start()
+    try {
+      src.addData((1L, 1.0, 1.0), (2L, 5.0, 5.0))
+      q.processAllAvailable()
+      src.addData((3L, 0.5, 1.5))
+      q.processAllAvailable()
+      val got = spark.table("t_geo_stream").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 10L), (3L, 10L))) // outside point never matches
+    } finally q.stop()
+  }
 }
