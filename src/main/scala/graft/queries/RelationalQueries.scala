@@ -170,6 +170,47 @@ object RelationalQueries extends QueryGroup {
              |FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
              |GROUP BY n.n_name ORDER BY n_name""".stripMargin)),
 
+    // Full outer join with null-completing sides: suppliers vs customers
+    // per nation (nations can lack either side at small SF).
+    QueryDef(
+      "j_outer_full",
+      (s, d) => {
+        val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        val cust = Tables.customer(s, d).filter(col("c_acctbal") > 9000.0)
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        sup.join(cust, Seq("nk"), "full")
+          .select(col("nk"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+          .orderBy("nk")
+      },
+      Some("""SELECT COALESCE(s.nk, c.nk) AS nk,
+             |  COALESCE(n_supp, 0) AS n_supp, COALESCE(n_cust, 0) AS n_cust
+             |FROM (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+             |      FROM supplier GROUP BY 1) s
+             |FULL OUTER JOIN (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+             |      FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1) c
+             |  USING (nk)
+             |ORDER BY nk""".stripMargin)),
+
+    // Right outer join (dim side preserved).
+    QueryDef(
+      "j_outer_right",
+      (s, d) => {
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+        val c = Tables.customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(o("o_orderkey")).as("n_big_orders"), count(lit(1)).as("n_rows"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(o_orderkey) AS n_big_orders, COUNT(*) AS n_rows
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+             |RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Broadcast dim join chain: region → nation → customer rollup.
     QueryDef(
       "j_broadcast_dims",
