@@ -28,12 +28,17 @@ object Pipelines {
     */
   def ingestClassify(images: DataFrame, predios: DataFrame, cellSize: Double): DataFrame = {
     val hasGt = images.columns.contains("gt_cx")
+    // location precedence: EXIF GPS (JPEG) → GeoTIFF extent centroid
+    // (native tag walk) → caller-supplied gt_cx/gt_cy metadata escape hatch
     val withGps = images
       .withColumn("__gps", Exif.gpsUdf(col("content")))
+      .withColumn("__gtc", graft.sources.GeoTiff.centroidUdf(col("content")))
       .withColumn("cx",
-        if (hasGt) coalesce(col("__gps.lon"), col("gt_cx")) else col("__gps.lon"))
+        if (hasGt) coalesce(col("__gps.lon"), col("__gtc.lon"), col("gt_cx"))
+        else coalesce(col("__gps.lon"), col("__gtc.lon")))
       .withColumn("cy",
-        if (hasGt) coalesce(col("__gps.lat"), col("gt_cy")) else col("__gps.lat"))
+        if (hasGt) coalesce(col("__gps.lat"), col("__gtc.lat"), col("gt_cy"))
+        else coalesce(col("__gps.lat"), col("__gtc.lat")))
       .withColumn("clase",
         when(BinarySource.isJpeg(col("path")), "BR/").otherwise("TIF/"))
       .select("path", "content", "clase", "cx", "cy")
