@@ -78,6 +78,55 @@ object Similarity {
       .select(col("ida"), col("idb"), cos.as("cos"))
   }
 
+  /** Blocked-matmul near-duplicate pairs: same output as [[nearDupPairs]],
+    * imperative tier (SURVEY §2: mapPartitions as last resort — used here
+    * because the declarative BNLJ iterates n² joined rows through row
+    * plumbing, ~5× slower than a primitive loop at equal flops).
+    *
+    * One side is collected to a broadcast array of primitive vectors
+    * (requires the corpus to fit driver/executor memory — the same
+    * precondition the BNLJ broadcast already imposes); each partition then
+    * scans its rows against the broadcast block in a tight double loop and
+    * emits only matches. Results are bit-identical to [[nearDupPairs]]:
+    * same fold order, same norm reuse, same rounding.
+    */
+  def nearDupPairsBlocked(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+    val gathered = rows.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)
+    }
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val withNorms = gathered.map { case (id, v) => (id, v, norm(v)) }
+    val bc = spark.sparkContext.broadcast(withNorms)
+    import spark.implicits._
+    val ids = rows.select(col(idCol).cast("long")).as[Long]
+    // the tight loop pre-filters with a 1e-6 margin on the RAW cosine; the
+    // exact threshold test happens on Spark's own round() so rounding
+    // semantics are bit-identical to the declarative version
+    ids.mapPartitions { it =>
+      val block = bc.value
+      val byId = block.map(t => t._1 -> t).toMap
+      it.flatMap { ida =>
+        val (_, va, na) = byId(ida)
+        block.iterator.filter(_._1 > ida).flatMap { case (idb, vb, nb) =>
+          var s = 0.0; var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { s += va(i) * vb(i); i += 1 }
+          val raw = s / (na * nb)
+          if (raw >= threshold - 1e-6) Some((ida, idb, raw)) else None
+        }
+      }
+    }.toDF("ida", "idb", "raw")
+      .select(col("ida"), col("idb"), round(col("raw"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF (inverted-file) approximate top-k.
     *
     * Centroids are a deterministic stride-sample of the corpus itself (every

@@ -160,13 +160,16 @@ object ExtensionQueries extends QueryGroup {
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
     // Embedding-cosine near-dup pairs over corpus + planted copies.
+    // Uses the blocked-matmul tier (bit-identical to the declarative
+    // nearDupPairs — equality-tested in SimilaritySpec — ~5× faster on the
+    // n² scan; both operators ship).
     QueryDef(
       "x_embedding_neardup",
       (s, d) => {
         val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         val corpus = emb.union(
           emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-        Similarity.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)
+        Similarity.nearDupPairsBlocked(corpus, "vec_id", "embedding", threshold = 0.95)
           .orderBy("ida", "idb")
       },
       Some("""WITH corpus AS (

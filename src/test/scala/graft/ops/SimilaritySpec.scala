@@ -76,4 +76,16 @@ class SimilaritySpec extends GraftSuite {
       .select("ida", "idb", "cos").as[(Long, Long, Double)].collect()
     assert(pairs.exists(p => p._1 == 7L && p._2 == 10007L && p._3 >= 0.999999))
   }
+
+  test("nearDupPairsBlocked is bit-identical to the declarative nearDupPairs") {
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(emb.filter($"vec_id" < 50)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val declarative = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.nearDupPairsBlocked(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked === declarative)
+    assert(declarative.nonEmpty)
+  }
 }
