@@ -71,6 +71,15 @@ object TextAnalysis {
     aggregate(regexTokens(text), lit(0L),
       (acc, t) => (acc * 31L + pmod(xxhash64(t), lit(2147483647L))) % 2147483647L)
 
+  /** Unicode NFC normalization (JDK Normalizer — no ICU needed): canonical
+    * composition so visually-identical strings dedupe/fingerprint equal.
+    * Scalar UDF; cheap relative to the hashing it feeds. */
+  val nfc: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
   /** CJK-character ratio (Han range) — the zh/ja signal regex stopwords miss. */
   def cjkRatio(text: Column): Column =
     when(length(text) > 0,

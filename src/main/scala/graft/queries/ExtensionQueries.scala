@@ -282,6 +282,31 @@ object ExtensionQueries extends QueryGroup {
              |  length(text) AS n_chars
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Unicode-canonical dedup: decomposed accents (NFD combining marks) are
+    // planted onto the corpus; NFC normalization collapses them with their
+    // composed forms before hashing — visually-identical text dedupes equal.
+    QueryDef(
+      "x_unicode_nfc_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        // composed 'é' (U+00E9) vs decomposed 'e' + combining acute (U+0301)
+        val corpus = docs.select(col("doc_id"),
+            concat(lit("caf\u00e9 "), col("text")).as("text"))
+          .union(docs.select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("cafe\u0301 "), col("text")).as("text")))
+        corpus
+          .groupBy(md5(TextAnalysis.nfc(col("text")).cast("binary")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("h")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, 'caf' || chr(233) || ' ' || text AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, 'cafe' || chr(769) || ' ' || text FROM documents)
+             |SELECT md5(nfc_normalize(text)) AS h, min(doc_id) AS keep_id,
+             |  COUNT(*) AS n_copies
+             |FROM corpus GROUP BY 1 ORDER BY h""".stripMargin)),
+
     // Content fingerprinting: normalization-invariant md5 over token stream.
     QueryDef(
       "x_fingerprint",

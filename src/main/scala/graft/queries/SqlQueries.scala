@@ -170,6 +170,43 @@ object SqlQueries extends QueryGroup {
              |GROUP BY 1, 2
              |ORDER BY revenue DESC, okey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q5-shaped 6-table join: regional revenue through the full
+    // dim chain with the local-supplier equality (c_nationkey = s_nationkey).
+    QueryDef(
+      "q_regional_revenue",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey")
+            && c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |              AND c.c_nationkey = s.s_nationkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
     // Typed Dataset API: case-class Encoders, typed filter + groupByKey.
     QueryDef(
       "t_typed_dataset",
