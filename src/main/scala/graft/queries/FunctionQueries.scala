@@ -226,6 +226,84 @@ object FunctionQueries extends QueryGroup {
              |  substr(md5(text), 1, 4) AS bucket
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // String battery 2: translate, repeat, instr, left/right, char-trim,
+    // split_part.
+    QueryDef(
+      "f_string_battery2",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            translate(col("p_name"), "aeiou", "01234").as("leet"),
+            repeat(substring(col("p_brand"), 1, 2), 2).as("rep"),
+            instr(col("p_name"), "id").as("pos_id"),
+            expr("left(p_name, 3)").as("l3"),
+            expr("right(p_name, 3)").as("r3"),
+            trim(col("p_type"), "PE").as("trimmed"),
+            expr("split_part(p_name, ' ', 2)").as("word2"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  translate(p_name, 'aeiou', '01234') AS leet,
+             |  repeat(substr(p_brand, 1, 2), 2) AS rep,
+             |  strpos(p_name, 'id') AS pos_id,
+             |  left(p_name, 3) AS l3,
+             |  right(p_name, 3) AS r3,
+             |  trim(p_type, 'PE') AS trimmed,
+             |  split_part(p_name, ' ', 2) AS word2
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Date battery 2: last_day, quarter, ISO week, add_months (both engines
+    // clamp month-end), fixed-day offsets.
+    QueryDef(
+      "f_date_battery2",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            last_day(col("o_orderdate")).as("month_end"),
+            quarter(col("o_orderdate")).as("q"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            add_months(col("o_orderdate"), 2).as("plus2mo"),
+            date_add(col("o_orderdate").cast("date"), 30).as("plus30d"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |  quarter(o_orderdate) AS q,
+             |  weekofyear(o_orderdate) AS iso_week,
+             |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+             |  CAST(o_orderdate AS DATE) + 30 AS plus30d
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Array battery 2: sort, position, contains, overlap, zip_with sum.
+    QueryDef(
+      "f_array_battery2",
+      (s, d) => {
+        val head4 = transform(slice(col("embedding"), 1, 4), x => x.cast("double"))
+        val next4 = transform(slice(col("embedding"), 3, 4), x => x.cast("double"))
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            sort_array(head4).as("sorted4"),
+            array_position(head4, element_at(head4, 2)).as("pos_of_2nd"),
+            array_contains(head4, element_at(head4, 1)).as("has_1st"),
+            arrays_overlap(head4, next4).as("overlaps"),
+            round(aggregate(zip_with(head4, next4, (a, b) => a + b),
+              lit(0.0), (acc, x) => acc + x), 6).as("zip_sum"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH t AS (SELECT vec_id,
+             |    list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)) h4,
+             |    list_transform(list_slice(embedding, 3, 6), x -> CAST(x AS DOUBLE)) n4
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |  list_sort(h4) AS sorted4,
+             |  list_position(h4, h4[2]) AS pos_of_2nd,
+             |  list_contains(h4, h4[1]) AS has_1st,
+             |  len(list_intersect(h4, n4)) > 0 AS overlaps,
+             |  round(list_sum(list_transform(range(1, 5), i -> h4[i] + n4[i])), 6)
+             |    AS zip_sum
+             |FROM t ORDER BY vec_id""".stripMargin)),
+
     // G1 generator surface: posexplode over an array (the vertex-flatten
     // shape, script_geo.py:146-154, with position identity kept).
     QueryDef(
