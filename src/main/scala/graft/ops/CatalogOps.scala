@@ -45,6 +45,17 @@ object CatalogOps {
     catalog.withColumn(setCol,
       when(col(idCol).isin(ids: _*), newValue).otherwise(col(setCol)))
 
+  /** MERGE-style upsert without a table format (no Delta jars, SURVEY §1.5):
+    * matched keys take the update row, unmatched keys keep the base row,
+    * brand-new keys append. Equivalent to
+    * `MERGE INTO base USING updates ON key WHEN MATCHED UPDATE * WHEN NOT
+    * MATCHED INSERT *`; persist with partition-overwrite (see StorageSpec's
+    * dynamic-overwrite pattern). Columns of both inputs must match.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+
   /** J1 — THE reference query (`get_urllist`, mysql_process.py:64-81):
     * PROC_EJECUCION ⋈ DETALLE_EJECUCION ⋈ CATALOG with process/type/indice
     * filters, projecting (ID, RUTA_RESULTADO). Filters are pushed below the

@@ -73,4 +73,37 @@ class StorageSpec extends GraftSuite {
       .collect().head
     assert(out === 11.0)
   }
+
+  test("upsert: matched rows replaced, unmatched kept, new keys appended") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("ID", "V")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("ID", "V")
+    val out = graft.ops.CatalogOps.upsert(base, updates, "ID")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c", 9L -> "new"))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = tmp("warehouse")
+    // bucketBy needs the session catalog; bucket both sides on the join key
+    val left = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "lv")
+    val right = Seq((1L, 10), (2L, 20), (4L, 40)).toDF("k", "rv")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    left.write.option("path", s"$wh/l").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("graft_bucket_l")
+    right.write.option("path", s"$wh/r").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("graft_bucket_r")
+    try {
+      val joined = spark.table("graft_bucket_l")
+        .join(spark.table("graft_bucket_r"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.select("k", "lv", "rv").as[(Long, String, Int)]
+        .collect().toSet === Set((1L, "x", 10), (2L, "y", 20)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    }
+  }
 }
