@@ -76,7 +76,9 @@ object Multimodal {
   }
 
   /** Wrap raw binary rows (from a binaryFile scan) into the media schema,
-    * decoding metadata partition-wise. */
+    * decoding metadata partition-wise. Header facts (JPEG/PNG dims, WAV
+    * format) are REAL ([[MediaHeaders]]); only unrecognized formats fall
+    * back to the stub's pseudo-dims. */
   def decode(binary: DataFrame, mediaType: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     val pathIdx = binary.schema.fieldIndex("path")
@@ -86,11 +88,22 @@ object Multimodal {
       rows.map { r =>
         val path = r.getString(pathIdx)
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        val (w, h) = StubCodec.dims(bytes)
-        Row(path, mediaType, bytes,
-          Row(StubCodec.format(bytes), w, h,
-            if (mediaType == "video") 1 + math.abs(java.util.Arrays.hashCode(bytes) % 30) else 1,
-            bytes.length.toLong))
+        val meta = MediaHeaders.imageDims(bytes) match {
+          case Some(d) => Row(d.format, d.width, d.height, 1, bytes.length.toLong)
+          case None => MediaHeaders.wavMeta(bytes) match {
+            case Some(a) =>
+              Row("wav", a.channels, a.sampleRate,
+                math.max(1, a.durationSec.toInt), bytes.length.toLong)
+            case None =>
+              val (w, h) = StubCodec.dims(bytes)
+              Row(StubCodec.format(bytes), w, h,
+                if (mediaType == "video")
+                  1 + math.abs(java.util.Arrays.hashCode(bytes) % 30)
+                else 1,
+                bytes.length.toLong)
+          }
+        }
+        Row(path, mediaType, bytes, meta)
       }
     }(enc)
   }

@@ -147,4 +147,32 @@ class StreamsSpec extends GraftSuite {
       assert(got === Set((1L, 10L), (3L, 10L))) // outside point never matches
     } finally q.stop()
   }
+
+  test("stream-stream join: purchases attributed to clicks within 15 minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "30 minutes")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+    val b = buys.toDF().withWatermark("ts", "30 minutes")
+      .select($"user_id".as("b_user"), $"ts".as("buy_ts"), $"value")
+    val joined = c.join(b,
+      $"c_user" === $"b_user" &&
+        $"buy_ts" >= $"click_ts" &&
+        $"buy_ts" <= $"click_ts" + expr("INTERVAL 15 minutes"))
+    val q = joined.writeStream.format("memory").queryName("t_ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq(Ev(ts(1), 1, "click", 0.0), Ev(ts(2), 2, "click", 0.0)))
+      q.processAllAvailable()
+      buys.addData(Seq(
+        Ev(ts(10), 1, "purchase", 9.99),   // within 15m of user 1 click
+        Ev(ts(40), 2, "purchase", 5.0)))   // too late for user 2 click
+      q.processAllAvailable()
+      val got = spark.table("t_ss_join")
+        .select("c_user", "value").as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 9.99)))
+    } finally q.stop()
+  }
 }
