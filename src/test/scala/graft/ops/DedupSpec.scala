@@ -89,4 +89,18 @@ class DedupSpec extends GraftSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     assert(pairs.forall(_._3 <= 16))
   }
+
+  test("MLlib MinHashLSH variant finds the same high-similarity pairs") {
+    val expected = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val mllib = DedupMllib.minHashLshPairs(docs, "id", "text",
+      shingleN = 3, numHashTables = 8, maxDistance = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(mllib === expected)
+    // determinism across runs (fixed seed)
+    val again = DedupMllib.minHashLshPairs(docs, "id", "text",
+      shingleN = 3, numHashTables = 8, maxDistance = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(again === mllib)
+  }
 }
