@@ -28,6 +28,29 @@ object StreamingQueries extends QueryGroup {
              |FROM events GROUP BY 1, 2, 3
              |ORDER BY w_start, event_type""".stripMargin)),
 
+    // Session windows (2-hour inactivity gap) — oracle via the classic
+    // gap-and-island formulation (lag + cumulative session ids); Spark's
+    // session end = last event + gap.
+    QueryDef(
+      "st_session_windows",
+      (s, d) =>
+        Streams.sessionAgg(Tables.events(s, d), "ts", "2 hours", "1 day")
+          .orderBy("user_id", "s_start"),
+      Some("""WITH e AS (SELECT user_id, ts, value FROM events),
+             |m AS (SELECT user_id, ts, value,
+             |        CASE WHEN lag(ts) OVER w IS NULL
+             |               OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+             |             THEN 1 ELSE 0 END AS ns
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (SELECT user_id, ts, value,
+             |        SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+             |      FROM m)
+             |SELECT min(ts) AS s_start, max(ts) + INTERVAL 2 HOUR AS s_end,
+             |  user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)),
+
     // Sliding windows (30-minute width, 10-minute slide): every event lands
     // in 3 windows; expressed in SQL as a bucket-offset union.
     QueryDef(
