@@ -129,6 +129,39 @@ object ExtensionQueries extends QueryGroup {
           .orderBy("ida", "idb"),
       Some(jaccardOracle)),
 
+    // Document-frequency-capped Jaccard (the stop-shingle skew guard,
+    // maxShingleFreq): shingles occurring in > 20 docs are excluded from the
+    // blocking join AND the intersection count; set sizes stay full. The
+    // oracle applies the identical cap — the capped measure is deterministic
+    // on both engines.
+    QueryDef(
+      "x_jaccard_dfcapped",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(nearDupCorpus(s, d), "doc_id", "text",
+            shingleN = 3, threshold = 0.5, maxShingleFreq = 20)
+          .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("ida", "idb"),
+      Some(s"""WITH corpus AS ($nearDupCorpusSql),
+              |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+              |sh AS (SELECT doc_id,
+              |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              |                        for i in range(1, len(w) - 1)]) s
+              |       FROM toks WHERE len(w) >= 3),
+              |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+              |exf AS (SELECT * FROM (
+              |          SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex)
+              |        WHERE df <= 20),
+              |inter AS (
+              |  SELECT a.doc_id ida, b.doc_id idb, COUNT(*) cnt,
+              |         max(a.sz) sza, max(b.sz) szb
+              |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT ida, idb,
+              |  round(CAST(cnt AS DOUBLE) / (sza + szb - cnt), 6) AS jaccard
+              |FROM inter
+              |WHERE CAST(cnt AS DOUBLE) / (sza + szb - cnt) >= 0.5
+              |ORDER BY ida, idb""".stripMargin)),
+
     // SimHash near-dup pairs (Hamming <= 12 of 64 bits). Signature values are
     // xxhash64-specific → rows-only check here; semantics covered in ScalaTest.
     QueryDef(

@@ -170,6 +170,31 @@ object SqlQueries extends QueryGroup {
              |GROUP BY 1, 2
              |ORDER BY revenue DESC, okey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q6-shaped forecast-revenue filter-aggregate (pure scan+filter —
+    // the pushdown showcase: all three predicates reach the parquet scan).
+    QueryDef(
+      "q_forecast_revenue",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.02, 0.06) &&
+              col("l_quantity") < 24)
+          .agg(
+            sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n")),
+      Some("""SELECT
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.02 AND 0.06
+             |  AND l_quantity < 24""".stripMargin)),
+
     // TPC-H Q5-shaped 6-table join: regional revenue through the full
     // dim chain with the local-supplier equality (c_nationkey = s_nationkey).
     QueryDef(
