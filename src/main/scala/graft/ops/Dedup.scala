@@ -66,12 +66,18 @@ object Dedup {
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      reuseShingles: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+    val sh0 = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+    // the banding self-join and the two verification joins would otherwise
+    // re-evaluate the shingle+signature subtree 4x (BroadcastExchange vs
+    // shuffle Exchange prevents ReuseExchange); a lazy local checkpoint
+    // materializes it once per query
+    val sh = if (reuseShingles) sh0.localCheckpoint(false) else sh0
 
     // banding carries only (id, band, bh) — the ~50-element shingle arrays
     // would otherwise ride through the bucket shuffle and self-join; they are
@@ -111,9 +117,12 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      maxShingleFreq: Int = 0): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      maxShingleFreq: Int = 0, reuseShingles: Boolean = true): DataFrame = {
+    val sh0 = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
+    // both sides of the blocking self-join re-evaluate the shingle subtree;
+    // materialize it once (lazy local checkpoint)
+    val sh = if (reuseShingles) sh0.localCheckpoint(false) else sh0
     // per-doc set size attached before the explode (a constant int per row —
     // no separate sizes join anywhere downstream)
     val ex = sh.select(col("__id"), size(col("__sh")).as("__sz"),
