@@ -30,6 +30,32 @@ object CatalogOps {
       lit(base) + row_number().over(Window.orderBy(col(orderCol))).cast("long"))
   }
 
+  /** S11 at scale: contiguous unique ids without a global sort — the
+    * documented scale path of [[assignIds]]. Per-partition row numbers plus
+    * driver-computed cumulative partition offsets (one tiny count-per-
+    * partition job; offsets broadcast back). Ids are unique and contiguous
+    * starting at max(existing)+1; the id↔row mapping depends on the physical
+    * partition layout (stable for a given layout — sort the input first if
+    * a canonical order matters).
+    */
+  def assignIdsDistributed(catalog: DataFrame, idCol: String,
+      incoming: DataFrame): DataFrame = {
+    val base = nextId(catalog, idCol) - 1L
+    val withPart = incoming.withColumn("__pid", spark_partition_id())
+    val counts = withPart.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts.map(_._1))
+      .map { case (off, pid) => pid -> off }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    val wp = Window.partitionBy(col("__pid")).orderBy(monotonically_increasing_id())
+    withPart
+      .withColumn(idCol,
+        lit(base) + offCol + row_number().over(wp).cast("long"))
+      .drop("__pid")
+  }
+
   /** J5: ingest idempotence — drop incoming rows whose key already exists
     * (the reference re-inserts blindly, script_geo.py:205). */
   def newRowsOnly(catalog: DataFrame, incoming: DataFrame, keyCol: String): DataFrame =

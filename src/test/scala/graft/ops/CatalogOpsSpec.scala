@@ -71,4 +71,16 @@ class CatalogOpsSpec extends GraftSuite {
     assert(out(2) === (("CO06097", "1", "EU", 2.0, "etiquetas", "tif")))
     assert(out(3) === (("CO06097", "1", "EU", 2.0, "grilla", "png")))
   }
+
+  test("assignIdsDistributed: unique contiguous ids, no global sort (S11 scale path)") {
+    val incoming = spark.range(0, 1000).toDF("v").repartition(7)
+    val keyed = CatalogOps.assignIdsDistributed(catalog, "ID", incoming)
+    val ids = keyed.select("ID").as[Long].collect().sorted
+    assert(ids.length === 1000)
+    assert(ids.head === 8L && ids.last === 1007L)
+    assert(ids.distinct.length === 1000)
+    // plan has no single-partition exchange (per-partition numbering only)
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"unexpected global exchange:\n$plan")
+  }
 }
