@@ -173,6 +173,83 @@ object GroupingQueries extends QueryGroup {
              |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Collection aggregates: collect_list/collect_set are unordered in a
+    // distributed group-by, so results are sorted before comparison (the
+    // only deterministic contract); string aggregation via concat_ws.
+    QueryDef(
+      "a_collect_agg",
+      (s, d) =>
+        Tables.nation(s, d)
+          .groupBy("n_regionkey")
+          .agg(
+            sort_array(collect_list(col("n_name"))).as("names"),
+            sort_array(collect_set(col("n_nationkey") % 3)).as("mods"),
+            concat_ws(",", sort_array(collect_list(col("n_name")))).as("csv"))
+          .orderBy("n_regionkey"),
+      Some("""SELECT n_regionkey,
+             |  list_sort(list(n_name)) AS names,
+             |  list_sort(list(DISTINCT n_nationkey % 3)) AS mods,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS csv
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
+
+    // Bitwise aggregates (exact integer semantics).
+    QueryDef(
+      "a_bitwise_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            bit_and(col("l_linenumber")).as("band"),
+            bit_or(col("l_linenumber")).as("bor"),
+            bit_xor(col("l_suppkey")).as("bxor"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bit_and(l_linenumber) AS band,
+             |  bit_or(l_linenumber) AS bor,
+             |  bit_xor(l_suppkey) AS bxor
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Exact-moment correlation: all sums in DECIMAL (exact), the final
+    // scalar formula identical on both engines — the same construction as
+    // a_stats_exact, extended to two variables.
+    QueryDef(
+      "a_corr_exact",
+      (s, d) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                  sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, n,
+             |  round((n * sxy - sx * sy)
+             |        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             |    AS corr_qty_price
+             |FROM (SELECT l_returnflag, COUNT(*) AS n,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sx,
+             |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) sy,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sxx,
+             |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) syy,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) sxy
+             |      FROM lineitem GROUP BY l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // Global top-k → TakeOrderedAndProject (no full sort, no single-partition
     // shuffle: per-partition heaps + driver merge of k rows).
     QueryDef(
