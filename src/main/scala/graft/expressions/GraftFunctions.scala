@@ -23,6 +23,11 @@ object GraftFunctions {
   def graftNGrams(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordNGrams(GraftSqlBridge.expression(tokens), n))
 
+  /** Banded random-hyperplane LSH signature (see [[HyperplaneBands]]). */
+  def graftHyperplaneBands(vec: Column, numPlanes: Int, bands: Int): Column =
+    GraftSqlBridge.column(
+      HyperplaneBands(GraftSqlBridge.expression(vec), numPlanes, bands))
+
   /** Expose the expressions to SQL in this session. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot",

@@ -38,11 +38,15 @@ object Geo {
 
   /** F2: affine geotransform corner — x = gt0 + px·gt1 + py·gt2,
     * y = gt3 + px·gt4 + py·gt5 (gt is array<double>[6], GDAL layout;
-    * script_geo.py:25-26). */
+    * script_geo.py:25-26). getItem (GetArrayItem), not element_at: repeated
+    * ElementAt over the same inline CreateArray trips a Spark
+    * subexpression-elimination codegen bug ("isNull_N is not an rvalue" →
+    * silent interpreter fallback), and GetArrayItem over a literal array is
+    * also simplified away entirely by SimplifyExtractValueOps. */
   def gtCorner(gt: Column, px: Column, py: Column): Column =
     point(
-      element_at(gt, 1) + px * element_at(gt, 2) + py * element_at(gt, 3),
-      element_at(gt, 4) + px * element_at(gt, 5) + py * element_at(gt, 6))
+      gt.getItem(0) + px * gt.getItem(1) + py * gt.getItem(2),
+      gt.getItem(3) + px * gt.getItem(4) + py * gt.getItem(5))
 
   /** F2: 4-corner raster extent ring, corner order (0,0),(0,rows),
     * (cols,rows),(cols,0) exactly as the reference's GetExtent walk

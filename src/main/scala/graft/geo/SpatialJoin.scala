@@ -76,9 +76,14 @@ object SpatialJoin {
       .select(col(idCol), lit(null).cast("long").as("poly_id"),
         lit("unclassifiable").as("method"))
 
+    // a point inside N overlapping polygons matches N times in the inner
+    // containment join; keep exactly one row per point (min polygon id —
+    // deterministic) so the exactly-once output contract holds
     val contained = pointInPolygonJoin(located, polys, xCol, yCol, ringCol, cellSize)
-      .select(col(idCol), col(polyIdCol).cast("long").as("poly_id"),
-        lit("contains").as("method"))
+      .select(col(idCol), col(polyIdCol).cast("long").as("poly_id"))
+      .groupBy(col(idCol))
+      .agg(min("poly_id").as("poly_id"))
+      .select(col(idCol), col("poly_id"), lit("contains").as("method"))
     // points with no containing polygon → 1-NN fallback
     val fallback = nearestVertexJoin(
       located.join(contained.select(col(idCol)), Seq(idCol), "left_anti"),

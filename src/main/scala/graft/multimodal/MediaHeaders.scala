@@ -69,6 +69,10 @@ object MediaHeaders {
     while (i + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
       val id = new String(b, i, 4, "ASCII")
       val len = le32(b, i + 4)
+      // malformed-length guard: a le32 length near 2^32 would wrap negative
+      // on toInt and stall (or rewind) the cursor forever — reject lengths
+      // that are negative or extend past the buffer instead of looping
+      if (len < 0 || i + 8 + len > b.length) return None
       if (id == "fmt " && i + 8 + 16 <= b.length)
         fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt, le16(b, i + 22)))
       else if (id == "data") dataLen = len

@@ -41,7 +41,12 @@ object CatalogOps {
   def assignIdsDistributed(catalog: DataFrame, idCol: String,
       incoming: DataFrame): DataFrame = {
     val base = nextId(catalog, idCol) - 1L
+    // materialize the __pid-stamped frame once: the counts job and the final
+    // id job must see the SAME partition layout — a recomputed source (AQE
+    // re-plan, non-deterministic scan order) could otherwise shift rows
+    // between partitions and silently duplicate ids
     val withPart = incoming.withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val counts = withPart.groupBy("__pid").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts.map(_._1))

@@ -90,11 +90,15 @@ object Dedup {
         .as("__b"))
       .select(col("__id"), col("__b.band"), col("__b.bh"))
 
+    // stop-bucket cap as a hash aggregate + anti-join: the over-cap bucket
+    // list is tiny (≤ rows/cap entries), so AQE turns the anti-join into a
+    // broadcast — no sort of the banded table, unlike a count() window
+    // (which sort-shuffles the entire exploded table per partition key)
     val capped =
       if (maxBucketSize > 0) {
-        val wb = Window.partitionBy(col("band"), col("bh"))
-        banded.withColumn("__bc", count(lit(1)).over(wb))
-          .filter(col("__bc") <= maxBucketSize).drop("__bc")
+        val hot = banded.groupBy("band", "bh").count()
+          .filter(col("count") > maxBucketSize).select("band", "bh")
+        banded.join(hot, Seq("band", "bh"), "left_anti")
       } else banded
 
     val cand = capped.select(col("band"), col("bh"), col("__id").as("ida"))
@@ -127,11 +131,15 @@ object Dedup {
     // no separate sizes join anywhere downstream)
     val ex = sh.select(col("__id"), size(col("__sh")).as("__sz"),
       explode(col("__sh")).as("__s"))
+    // df cap as hash aggregate + anti-join (the over-cap shingle set has at
+    // most rows/cap entries → AQE broadcasts it), replacing a count() window
+    // that sort-shuffled the exploded shingle table — the largest
+    // intermediate of the whole pipeline — just to compute frequencies
     val exf =
       if (maxShingleFreq > 0) {
-        val wf = Window.partitionBy(col("__s"))
-        ex.withColumn("__f", count(lit(1)).over(wf))
-          .filter(col("__f") <= maxShingleFreq).drop("__f")
+        val hot = ex.groupBy("__s").count()
+          .filter(col("count") > maxShingleFreq).select("__s")
+        ex.join(hot, Seq("__s"), "left_anti")
       } else ex
     // |A∩B| directly as the number of co-occurring (distinct) shingles per
     // pair — a single groupBy count over the blocking join, instead of
@@ -177,10 +185,11 @@ object Dedup {
         lit(j).as("band"),
         shiftright(col("__sig"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band"), col("__b.chunk"))
+    // stop-bucket cap via hash aggregate + anti-join (see minHashLshPairs)
     val capped = {
-      val wb = Window.partitionBy(col("band"), col("chunk"))
-      banded.withColumn("__bc", count(lit(1)).over(wb))
-        .filter(col("__bc") <= maxBucketSize).drop("__bc")
+      val hot = banded.groupBy("band", "chunk").count()
+        .filter(col("count") > maxBucketSize).select("band", "chunk")
+      banded.join(hot, Seq("band", "chunk"), "left_anti")
     }
     val l = capped.select(col("band"), col("chunk"), col("__id").as("ida"), col("__sig").as("siga"))
     val rt = capped.select(col("band"), col("chunk"), col("__id").as("idb"), col("__sig").as("sigb"))

@@ -83,18 +83,25 @@ object Similarity {
     * because the declarative BNLJ iterates n² joined rows through row
     * plumbing, ~5× slower than a primitive loop at equal flops).
     *
-    * One side is collected to a broadcast array of primitive vectors
-    * (requires the corpus to fit driver/executor memory — the same
-    * precondition the BNLJ broadcast already imposes); each partition then
-    * scans its rows against the broadcast block in a tight double loop and
-    * emits only matches. Results are bit-identical to [[nearDupPairs]]:
-    * same fold order, same norm reuse, same rounding.
+    * DRIVER-BOUNDED small-corpus tier: one side is collected to a broadcast
+    * array of primitive vectors, so the corpus must fit driver memory. The
+    * collect runs eagerly at plan-construction time and is hard-gated at
+    * `maxRows` (collected via limit(maxRows+1), so an oversized corpus fails
+    * fast instead of OOMing the driver). Not registered as a SparkEntry
+    * query — at scale use [[nearDupPairs]] (exact, distributed) or
+    * [[cosineLshPairs]] (blocked, near-exact). Results are bit-identical to
+    * [[nearDupPairs]]: same fold order, same norm reuse, same rounding.
     */
   def nearDupPairsBlocked(
-      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      maxRows: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     val rows = df.select(col(idCol).cast("long"), toDouble(col(vecCol)))
-    val gathered = rows.collect().map { r =>
+    val collected = rows.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"nearDupPairsBlocked is a driver-bounded tier: corpus exceeds " +
+        s"maxRows=$maxRows; use nearDupPairs or cosineLshPairs at scale")
+    val gathered = collected.map { r =>
       (r.getLong(0), r.getSeq[Double](1).toArray)
     }
     def norm(v: Array[Double]): Double = {
@@ -124,6 +131,52 @@ object Similarity {
       }
     }.toDF("ida", "idb", "raw")
       .select(col("ida"), col("idb"), round(col("raw"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** LSH-blocked cosine near-duplicate pairs — the 100 TB tier.
+    *
+    * Random-hyperplane signatures ([[graft.expressions.HyperplaneBands]],
+    * deterministic ±1 planes, no RNG state) are banded into (band, bandHash)
+    * bucket keys; only same-bucket pairs are candidates, then every candidate
+    * is verified with the exact cosine — so precision is exact and recall is
+    * the banding bound 1-(1-(1-θ/π)^r)^b, ≈ 1-2e-8 per pair at cos ≥ 0.95
+    * with the defaults (256 planes / 32 bands of 8 bits). Shuffles on the
+    * bucket key only; hot buckets (near-zero vectors, boilerplate embeddings)
+    * are dropped by `maxBucketSize` via a hash-aggregate + anti-join — the
+    * same stop-bucket guard as the text MinHash path. No driver collect, no
+    * O(n²) stage: candidate volume is Σ_bucket |b|².
+    */
+  def cosineLshPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numPlanes: Int = 256, bands: Int = 32,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+    // banding carries only (id, band, bh); vectors re-attach after the
+    // candidate set has collapsed to verified-size
+    val banded = base.select(col("__id"),
+        posexplode(graft.expressions.GraftFunctions.graftHyperplaneBands(
+          col("__v"), numPlanes, bands)))
+      .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
+    val capped =
+      if (maxBucketSize > 0) {
+        val hot = banded.groupBy("band", "bh").count()
+          .filter(col("count") > maxBucketSize).select("band", "bh")
+        banded.join(hot, Seq("band", "bh"), "left_anti")
+      } else banded
+    val cand = capped.select(col("band"), col("bh"), col("__id").as("ida"))
+      .join(capped.select(col("band"), col("bh"), col("__id").as("idb")),
+        Seq("band", "bh"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val cos = round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    cand
+      .join(base.select(col("__id").as("ida"), col("__v").as("va"),
+        col("__n").as("na")), Seq("ida"))
+      .join(base.select(col("__id").as("idb"), col("__v").as("vb"),
+        col("__n").as("nb")), Seq("idb"))
+      .select(col("ida"), col("idb"), cos.as("cos"))
       .filter(col("cos") >= threshold)
   }
 

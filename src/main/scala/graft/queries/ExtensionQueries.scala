@@ -61,6 +61,20 @@ object ExtensionQueries extends QueryGroup {
        |SELECT ida, idb, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.5 ORDER BY ida, idb""".stripMargin
 
+  /** Shared exact oracle for the embedding near-dup tiers (exact and LSH —
+    * the LSH recall bound makes their outputs equal, see x_embedding_lsh). */
+  private val embeddingNeardupOracle =
+    """WITH corpus AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+      |p AS (SELECT a.vec_id ida, b.vec_id idb,
+      |        round(list_dot_product(a.e, b.e)
+      |          / (sqrt(list_dot_product(a.e, a.e))
+      |             * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+      |      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      |SELECT ida, idb, cos FROM p WHERE cos >= 0.95 ORDER BY ida, idb""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: surviving row ids after hash-dedup of the doubled corpus.
@@ -192,29 +206,35 @@ object ExtensionQueries extends QueryGroup {
              |                              ORDER BY sim DESC, c_id) rn FROM p)
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs over corpus + planted copies.
-    // Uses the blocked-matmul tier (bit-identical to the declarative
-    // nearDupPairs — equality-tested in SimilaritySpec — ~5× faster on the
-    // n² scan; both operators ship).
+    // Embedding-cosine near-dup pairs over corpus + planted copies — the
+    // exact declarative tier (distributed BNLJ, no driver collect; the
+    // blocked-matmul tier stays an internal small-corpus tool, and
+    // x_embedding_lsh below is the 100 TB path).
     QueryDef(
       "x_embedding_neardup",
       (s, d) => {
         val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         val corpus = emb.union(
           emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-        Similarity.nearDupPairsBlocked(corpus, "vec_id", "embedding", threshold = 0.95)
+        Similarity.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)
           .orderBy("ida", "idb")
       },
-      Some("""WITH corpus AS (
-             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
-             |  UNION ALL
-             |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
-             |p AS (SELECT a.vec_id ida, b.vec_id idb,
-             |        round(list_dot_product(a.e, b.e)
-             |          / (sqrt(list_dot_product(a.e, a.e))
-             |             * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
-             |      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-             |SELECT ida, idb, cos FROM p WHERE cos >= 0.95 ORDER BY ida, idb""".stripMargin)),
+      Some(embeddingNeardupOracle)),
+
+    // LSH-blocked embedding near-dup — same verified output as the exact
+    // tier (recall bound 1-2e-8 per pair at cos >= 0.95, 256 planes / 32
+    // bands), but candidate volume is per-bucket, not n²: the shape that
+    // survives a 100 TB corpus.
+    QueryDef(
+      "x_embedding_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val corpus = emb.union(
+          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Similarity.cosineLshPairs(corpus, "vec_id", "embedding", threshold = 0.95)
+          .orderBy("ida", "idb")
+      },
+      Some(embeddingNeardupOracle)),
 
     // IVF approximate top-k — approximate by design → rows-only check here;
     // recall-vs-brute-force bound asserted in ScalaTest.
@@ -311,7 +331,7 @@ object ExtensionQueries extends QueryGroup {
              |  len(string_split(lower(text), ' ')) AS n_ws,
              |  len(rt) AS n_re,
              |  len(list_distinct(rt)) AS n_distinct,
-             |  list_sum(list_transform(rt, x -> 1 + CAST(floor(length(x) / 6.0) AS BIGINT))) AS n_bpeish,
+             |  CAST(list_sum(list_transform(rt, x -> 1 + CAST(floor(length(x) / 6.0) AS BIGINT))) AS BIGINT) AS n_bpeish,
              |  length(text) AS n_chars
              |FROM t ORDER BY doc_id""".stripMargin)),
 

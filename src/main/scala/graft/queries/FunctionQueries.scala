@@ -280,10 +280,17 @@ object FunctionQueries extends QueryGroup {
       (s, d) => {
         val head4 = transform(slice(col("embedding"), 1, 4), x => x.cast("double"))
         val next4 = transform(slice(col("embedding"), 3, 4), x => x.cast("double"))
+        val sorted4 = sort_array(head4)
         Tables.embeddings(s, d)
           .select(
             col("vec_id"),
-            sort_array(head4).as("sorted4"),
+            // Element-wise scalar columns instead of the raw array: the
+            // driver's pandas compare can't hash array cells, and casting
+            // doubles to strings formats differently across engines.
+            round(element_at(sorted4, 1), 6).as("srt1"),
+            round(element_at(sorted4, 2), 6).as("srt2"),
+            round(element_at(sorted4, 3), 6).as("srt3"),
+            round(element_at(sorted4, 4), 6).as("srt4"),
             array_position(head4, element_at(head4, 2)).as("pos_of_2nd"),
             array_contains(head4, element_at(head4, 1)).as("has_1st"),
             arrays_overlap(head4, next4).as("overlaps"),
@@ -296,7 +303,10 @@ object FunctionQueries extends QueryGroup {
              |    list_transform(list_slice(embedding, 3, 6), x -> CAST(x AS DOUBLE)) n4
              |  FROM embeddings)
              |SELECT vec_id,
-             |  list_sort(h4) AS sorted4,
+             |  round(list_sort(h4)[1], 6) AS srt1,
+             |  round(list_sort(h4)[2], 6) AS srt2,
+             |  round(list_sort(h4)[3], 6) AS srt3,
+             |  round(list_sort(h4)[4], 6) AS srt4,
              |  list_position(h4, h4[2]) AS pos_of_2nd,
              |  list_contains(h4, h4[1]) AS has_1st,
              |  len(list_intersect(h4, n4)) > 0 AS overlaps,

@@ -175,20 +175,24 @@ object GroupingQueries extends QueryGroup {
 
     // Collection aggregates: collect_list/collect_set are unordered in a
     // distributed group-by, so results are sorted before comparison (the
-    // only deterministic contract); string aggregation via concat_ws.
+    // only deterministic contract). Array outputs are serialized to CSV
+    // strings — the driver's pandas compare sorts every column and cannot
+    // hash array cells.
     QueryDef(
       "a_collect_agg",
       (s, d) =>
         Tables.nation(s, d)
           .groupBy("n_regionkey")
           .agg(
-            sort_array(collect_list(col("n_name"))).as("names"),
-            sort_array(collect_set(col("n_nationkey") % 3)).as("mods"),
+            concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"),
+            concat_ws(",",
+              transform(sort_array(collect_set(col("n_nationkey") % 3)),
+                _.cast("string"))).as("mods"),
             concat_ws(",", sort_array(collect_list(col("n_name")))).as("csv"))
           .orderBy("n_regionkey"),
       Some("""SELECT n_regionkey,
-             |  list_sort(list(n_name)) AS names,
-             |  list_sort(list(DISTINCT n_nationkey % 3)) AS mods,
+             |  array_to_string(list_sort(list(n_name)), ',') AS names,
+             |  array_to_string(list_sort(list(DISTINCT n_nationkey % 3)), ',') AS mods,
              |  string_agg(n_name, ',' ORDER BY n_name) AS csv
              |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
 

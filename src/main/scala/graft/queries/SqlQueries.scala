@@ -77,15 +77,17 @@ object SqlQueries extends QueryGroup {
                 |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
                 |  WHERE o_totalprice > 200000.0 GROUP BY o_custkey),
                 |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
-                |SELECT seg.c_mktsegment, SUM(big.n_big) AS total_big
+                |SELECT seg.c_mktsegment, CAST(SUM(big.n_big) AS BIGINT) AS total_big
                 |FROM big JOIN seg ON big.o_custkey = seg.c_custkey
                 |GROUP BY seg.c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       },
+      // CAST AS BIGINT on both sides: DuckDB's SUM(BIGINT) yields HUGEINT,
+      // which hash-mismatches Spark's int64 even when values agree.
       Some("""WITH big AS (
              |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
              |  WHERE o_totalprice > 200000.0 GROUP BY o_custkey),
              |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
-             |SELECT seg.c_mktsegment, SUM(big.n_big) AS total_big
+             |SELECT seg.c_mktsegment, CAST(SUM(big.n_big) AS BIGINT) AS total_big
              |FROM big JOIN seg ON big.o_custkey = seg.c_custkey
              |GROUP BY seg.c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
@@ -127,7 +129,9 @@ object SqlQueries extends QueryGroup {
             col("n_nationkey"),
             element_at(col("m"), "nation").as("v_nation"),
             element_at(col("m"), "region").as("v_region"),
-            map_keys(col("m")).as("ks"),
+            // Stringified: the driver's pandas compare sorts every output
+            // column and can't hash numpy arrays — keep outputs scalar.
+            concat_ws(",", map_keys(col("m"))).as("ks"),
             size(map_values(col("m"))).as("n_vals"))
           .orderBy("n_nationkey"),
       Some("""SELECT n_nationkey,
@@ -137,7 +141,7 @@ object SqlQueries extends QueryGroup {
              |  (map(['nation','region'],
              |       [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])['region'])[1]
              |    AS v_region,
-             |  ['nation','region'] AS ks,
+             |  'nation,region' AS ks,
              |  2 AS n_vals
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 

@@ -67,8 +67,10 @@ object Shapefile {
   final case class DbfField(name: String, typ: Char, len: Int)
 
   /** Parse dBase III attribute rows from .dbf bytes: (fields, rows of
-    * string/double/boolean/null). */
-  def parseDbf(bytes: Array[Byte]): (Seq[DbfField], Seq[Seq[Any]]) = {
+    * string/double/boolean/null keyed by PHYSICAL 1-based record number —
+    * deleted rows are skipped but still counted, so record numbers stay
+    * aligned with .shp record numbers, which count all records). */
+  def parseDbf(bytes: Array[Byte]): (Seq[DbfField], Seq[(Int, Seq[Any])]) = {
     require(bytes.length >= 32, "not a dbf: truncated header")
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nRec = le.getInt(4)
@@ -85,10 +87,10 @@ object Shapefile {
     val rows = (0 until nRec).flatMap { r =>
       val base = headerSize + r.toLong * recSize
       if (base + recSize > bytes.length) None
-      else if (bytes(base.toInt) == '*') None // deleted row
+      else if (bytes(base.toInt) == '*') None // deleted row (counted, not emitted)
       else {
         var off = base.toInt + 1
-        Some(fs.map { f =>
+        Some((r + 1) -> fs.map { f =>
           val raw = new String(bytes, off, f.len, "ASCII").trim
           off += f.len
           f.typ match {
@@ -142,8 +144,8 @@ object Shapefile {
     bin.mapPartitions { rows =>
       rows.flatMap { r =>
         val (fields, recs) = parseDbf(r.getAs[Array[Byte]](cIdx))
-        recs.zipWithIndex.map { case (rec, i) =>
-          Row(r.getString(pIdx), i + 1,
+        recs.map { case (recNo, rec) =>
+          Row(r.getString(pIdx), recNo,
             fields.map(_.name).zip(rec.map(v => if (v == null) null else v.toString)).toMap)
         }
       }

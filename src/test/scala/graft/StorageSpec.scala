@@ -56,6 +56,46 @@ class StorageSpec extends GraftSuite {
     assert(spark.read.parquet(dir).count() === 5)
   }
 
+  test("TwinCommit: both tables visible after commit, atomically") {
+    val (catDir, linDir, comDir) = (tmp("twcat"), tmp("twlin"), tmp("twcom"))
+    val cat = Seq((1L, "A"), (2L, "B")).toDF("ID", "INDICE")
+    val lin = Seq((100L, 1L), (100L, 2L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
+    graft.storage.TwinCommit.append(spark, "b1", cat, catDir, lin, linDir, comDir)
+    val backCat = graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get
+    val backLin = graft.storage.TwinCommit.readCommitted(spark, linDir, comDir).get
+    assert(backCat.count() === 2 && backLin.count() === 2)
+    // second batch appends; re-using a committed batch id is refused
+    graft.storage.TwinCommit.append(spark, "b2",
+      Seq((3L, "C")).toDF("ID", "INDICE"),
+      catDir, Seq((101L, 3L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), linDir, comDir)
+    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 3)
+    intercept[IllegalArgumentException] {
+      graft.storage.TwinCommit.append(spark, "b1", cat, catDir, lin, linDir, comDir)
+    }
+  }
+
+  test("TwinCommit crash injection: failed second append is invisible to readers") {
+    val (catDir, linDir, comDir) = (tmp("crcat"), tmp("crlin"), tmp("crcom"))
+    val cat = Seq((1L, "A")).toDF("ID", "INDICE")
+    val lin = Seq((100L, 1L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
+    graft.storage.TwinCommit.append(spark, "ok", cat, catDir, lin, linDir, comDir)
+    // crash between the two appends: lineage write fails (schema readable
+    // but the write dies mid-flight — simulated with a failing expression)
+    val poisoned = lin.withColumn("ID_IMAGEN_FUENTE",
+      expr("raise_error('simulated crash') IS NULL").cast("long"))
+    intercept[Exception] {
+      graft.storage.TwinCommit.append(spark, "torn", cat, catDir, poisoned, linDir, comDir)
+    }
+    // the torn batch wrote catalog files on disk, but no marker was
+    // published — readers of BOTH tables see only the committed batch
+    assert(graft.storage.TwinCommit.committedBatches(spark, comDir) === Seq("ok"))
+    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 1)
+    assert(graft.storage.TwinCommit.readCommitted(spark, linDir, comDir).get.count() === 1)
+    // raw directory listing confirms the torn catalog batch is really there
+    val raw = spark.read.option("basePath", catDir).parquet(catDir)
+    assert(raw.count() >= 1) // torn files may exist; readers never see them
+  }
+
   test("S10: indices.csv sink writes header + data rows") {
     val dir = tmp("csv")
     Seq(("img1.JPG", "1.0;2.0", "Fundo", "C_1_EU_1"))

@@ -64,6 +64,24 @@ class SpatialJoinSpec extends GraftSuite {
     assert(out.size === 5)
   }
 
+  test("classify: a point in N overlapping polygons emits exactly one row") {
+    // two coincident unit squares both containing (1,1)
+    val overlapping = Seq(
+      (10L, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))),
+      (11L, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))
+    ).toDF("pid", "pts")
+      .select($"pid",
+        transform($"pts", p => struct(p.getField("_1").as("x"), p.getField("_2").as("y")))
+          .as("ring"))
+    val out = SpatialJoin.classify(
+      points, overlapping, "id", "px", "py", "ring", "pid", cellSize = 2.0)
+      .select("id", "poly_id", "method").collect()
+    assert(out.length === 5, "every input point exactly once")
+    val p1 = out.filter(_.getLong(0) == 1L)
+    assert(p1.length === 1)
+    assert(p1.head.getLong(1) === 10L && p1.head.getString(2) === "contains")
+  }
+
   test("indice: composite key and sentinel (script_geo.py:197,199)") {
     val df = Seq(
       ("C1", "S2", "PINO", "7", "contains"),

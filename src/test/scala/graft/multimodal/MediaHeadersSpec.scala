@@ -62,6 +62,20 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.wavMeta("RIFFjunk".getBytes).isEmpty)
   }
 
+  test("wav meta: malformed chunk lengths return None instead of looping") {
+    // le32 chunk length 0xFFFFFFF8 wraps negative on toInt — the cursor
+    // would never advance without the malformed-length guard
+    val buf = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(56); buf.put("WAVE".getBytes)
+    buf.put("junk".getBytes); buf.putInt(0xFFFFFFF8)
+    assert(MediaHeaders.wavMeta(buf.array()).isEmpty)
+    // chunk claiming to extend past the buffer is also malformed
+    val buf2 = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    buf2.put("RIFF".getBytes); buf2.putInt(56); buf2.put("WAVE".getBytes)
+    buf2.put("fmt ".getBytes); buf2.putInt(100000)
+    assert(MediaHeaders.wavMeta(buf2.array()).isEmpty)
+  }
+
   test("decode() uses real header facts for recognized formats") {
     val spark = graft.SparkTestBase.spark
     import spark.implicits._

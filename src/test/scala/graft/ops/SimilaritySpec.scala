@@ -77,6 +77,27 @@ class SimilaritySpec extends GraftSuite {
     assert(pairs.exists(p => p._1 == 7L && p._2 == 10007L && p._3 >= 0.999999))
   }
 
+  test("cosineLshPairs equals the exact nearDupPairs output on the fixture") {
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(emb.filter($"vec_id" < 50)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val exact = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.cosineLshPairs(corpus, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("nearDupPairsBlocked rejects a corpus beyond its driver-bounded gate") {
+    val corpus = emb.select($"vec_id", $"embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsBlocked(corpus, "vec_id", "embedding", 0.95,
+        maxRows = 10)
+    }
+    assert(e.getMessage.contains("driver-bounded"))
+  }
+
   test("nearDupPairsBlocked is bit-identical to the declarative nearDupPairs") {
     val corpus = emb.select($"vec_id", $"embedding")
       .union(emb.filter($"vec_id" < 50)

@@ -110,10 +110,12 @@ class SourcesSpec extends GraftSuite {
     buf.array()
   }
 
-  test("parseDbf: typed fields, deleted rows skipped") {
+  test("parseDbf: typed fields, deleted rows skipped but counted") {
     val (fields, rows) = Shapefile.parseDbf(dbfOf())
     assert(fields.map(f => (f.name, f.typ)) === Seq(("CODIGO", 'C'), ("APL", 'N')))
-    assert(rows === Seq(Seq("CO06097", 12.0), Seq("CO06098", 7.0)))
+    // record numbers are physical positions (deleted row 2 still counts),
+    // keeping (path, record_no) aligned with .shp record numbers
+    assert(rows === Seq(1 -> Seq("CO06097", 12.0), 3 -> Seq("CO06098", 7.0)))
   }
 
   test("readShp + classify integration: shapefile parcels drive the PIP join") {
