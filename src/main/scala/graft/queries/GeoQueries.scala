@@ -172,9 +172,12 @@ object GeoQueries extends QueryGroup {
               |FROM fallback
               |ORDER BY c_custkey""".stripMargin)),
 
-    // F3: UTM 18S → WGS84 reprojection (hand-written series math; no SQL
-    // oracle possible — validated by anchor/round-trip properties in
-    // ReprojectSpec). Rows-only check.
+    // F3: UTM 18S → WGS84 reprojection. Cross-engine oracle: the same
+    // published Snyder inverse series (USGS PP 1395 §8, eqs 10-18..10-22)
+    // independently re-coded as DuckDB SQL — two implementations of the
+    // public formulas compared at 6 dp (~0.1 m), the same construction as
+    // the haversine oracle. ReprojectSpec additionally proves the exact
+    // central-meridian/equator anchors and forward∘inverse round trips.
     QueryDef(
       "g_reproject_utm18s",
       (s, d) => {
@@ -183,10 +186,47 @@ object GeoQueries extends QueryGroup {
         val ll = Reproject.utm18sToWgs84(e, n)
         Tables.customer(s, d).select(
           col("c_custkey"), e.as("easting"), n.as("northing"),
-          round(ll.getField("x"), 9).as("lon"), round(ll.getField("y"), 9).as("lat"))
+          round(ll.getField("x"), 6).as("lon"), round(ll.getField("y"), 6).as("lat"))
           .orderBy("c_custkey")
       },
-      None),
+      Some("""WITH const AS (SELECT
+             |    6378137.0 AS a, 1.0/298.257223563 AS f),
+             |c2 AS (SELECT a, f*(2-f) AS e2 FROM const),
+             |c3 AS (SELECT a, e2, e2/(1-e2) AS ep2,
+             |    (1-sqrt(1-e2))/(1+sqrt(1-e2)) AS e1 FROM c2),
+             |pts AS (SELECT c_custkey,
+             |    300000.0 + (c_custkey % 1000) * 400.0 AS easting,
+             |    8000000.0 + (c_custkey * 13 % 2000) * 500.0 AS northing
+             |  FROM customer),
+             |s1 AS (SELECT pts.*, c3.*,
+             |    easting - 500000.0 AS x,
+             |    (northing - 10000000.0) / 0.9996 AS m FROM pts, c3),
+             |s2 AS (SELECT *,
+             |    m / (a*(1 - e2/4 - 3*e2*e2/64 - 5*e2*e2*e2/256)) AS mu FROM s1),
+             |s3 AS (SELECT *, mu
+             |    + (3*e1/2 - 27*e1*e1*e1/32) * sin(2*mu)
+             |    + (21*e1*e1/16 - 55*pow(e1,4)/32) * sin(4*mu)
+             |    + (151*e1*e1*e1/96) * sin(6*mu)
+             |    + (1097*pow(e1,4)/512) * sin(8*mu) AS phi1 FROM s2),
+             |s4 AS (SELECT *, sin(phi1) AS sp, cos(phi1) AS cp, tan(phi1) AS tp
+             |  FROM s3),
+             |s5 AS (SELECT *, ep2*cp*cp AS c1, tp*tp AS t1,
+             |    a/sqrt(1 - e2*sp*sp) AS n1,
+             |    a*(1-e2)/pow(1 - e2*sp*sp, 1.5) AS r1 FROM s4),
+             |s6 AS (SELECT *, x/(n1*0.9996) AS d FROM s5),
+             |s7 AS (SELECT c_custkey, easting, northing,
+             |    degrees(radians(-75.0)
+             |      + (d - (1 + 2*t1 + c1)*d*d*d/6
+             |         + (5 - 2*c1 + 28*t1 - 3*c1*c1 + 8*ep2 + 24*t1*t1)
+             |           * pow(d,5)/120) / cp) AS lon,
+             |    degrees(phi1 - (n1*tp/r1)*(d*d/2
+             |      - (5 + 3*t1 + 10*c1 - 4*c1*c1 - 9*ep2) * pow(d,4)/24
+             |      + (61 + 90*t1 + 298*c1 + 45*t1*t1 - 252*ep2 - 3*c1*c1)
+             |        * pow(d,6)/720)) AS lat
+             |  FROM s6)
+             |SELECT c_custkey, easting, northing,
+             |  round(lon, 6) AS lon, round(lat, 6) AS lat
+             |FROM s7 ORDER BY c_custkey""".stripMargin)),
 
     // F10 extra: haversine great-circle distance to a fixed reference point.
     QueryDef(
