@@ -21,7 +21,8 @@ object SparkEntry {
     _root_.graft.queries.GeoQueries,
     _root_.graft.queries.CatalogQueries,
     _root_.graft.queries.StreamingQueries,
-    _root_.graft.queries.SqlQueries
+    _root_.graft.queries.SqlQueries,
+    _root_.graft.queries.TemporalGraphQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

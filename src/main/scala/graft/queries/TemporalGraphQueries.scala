@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ops.{Dedup, Graph, Temporal}
+import org.apache.spark.sql.functions._
+
+/** Time-series joins (as-of, keyed interval) and graph clustering
+  * (connected components, dedup clusters) — operators Spark lacks as
+  * builtins, re-expressed as single-shuffle declarative plans
+  * ([[graft.ops.Temporal]]) and bounded join-iteration ([[graft.ops.Graph]]).
+  * Oracles: DuckDB's native ASOF JOIN / inequality join / recursive-CTE
+  * transitive closure — genuinely independent formulations of the same
+  * semantics.
+  */
+object TemporalGraphQueries extends QueryGroup {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Backward as-of join: each purchase attributed to the user's most
+    // recent click within 1 hour (the canonical attribution shape).
+    QueryDef(
+      "x_asof_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+            col("value"))
+        Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+            Seq("click_id", "value"), tolerance = Some(expr("INTERVAL 1 HOUR")))
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").as("click_id"),
+            round(col("asof_value"), 6).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts, event_id AS click_id, value FROM events
+             |      WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id,
+             |  CASE WHEN p.ts <= c.ts + INTERVAL 1 HOUR THEN c.click_id END
+             |    AS click_id,
+             |  CASE WHEN p.ts <= c.ts + INTERVAL 1 HOUR THEN round(c.value, 6) END
+             |    AS click_value
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY event_id""".stripMargin)),
+
+    // Keyed interval join: every error within 1 hour after a signup by the
+    // same user (half-open window), via time-bucketed equi-join.
+    QueryDef(
+      "x_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"),
+            col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+        Temporal.rangeJoin(errors, signups, Seq("user_id"),
+            "ts", "w_start", "w_end", bucketSeconds = 3600)
+          .select(col("signup_id"), col("event_id"), col("user_id"))
+          .orderBy("signup_id", "event_id")
+      },
+      Some("""SELECT s.event_id AS signup_id, e.event_id, e.user_id
+             |FROM (SELECT user_id, event_id, ts FROM events
+             |      WHERE event_type = 'signup') s
+             |JOIN (SELECT user_id, event_id, ts FROM events
+             |      WHERE event_type = 'error') e
+             |  ON e.user_id = s.user_id
+             | AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Connected components over a synthetic order–part co-occurrence
+    // bipartite graph; oracle = recursive-CTE transitive closure.
+    QueryDef(
+      "x_connected_components",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 800)
+          .select(col("l_orderkey").cast("long").as("src"),
+            (col("l_partkey") + 1000000L).cast("long").as("dst"))
+        Graph.connectedComponents(edges, "src", "dst", maxIter = 30)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(l_orderkey AS BIGINT) AS a,
+             |         CAST(l_partkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem WHERE l_orderkey < 800),
+             |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             |reach(a, b) AS (
+             |  SELECT a, a FROM ud
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+             |lbl AS (SELECT b AS id, min(a) AS label FROM reach GROUP BY b)
+             |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
+             |ORDER BY id""".stripMargin)),
+
+    // The full dedup-pipeline tail: MinHash+LSH pairs → connected
+    // components → one survivor per duplicate cluster.
+    QueryDef(
+      "x_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id"), lower(col("text")).as("text"))
+          .union(docs.select(
+            (col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(lower(col("text")), "^[^ ]+ ", "").as("text")))
+        val pairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        Graph.dedupClusters(pairs, "ida", "idb")
+          .select(col("cluster").cast("long").as("cluster"),
+            col("cluster_size"), col("keep_id").cast("long").as("keep_id"))
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, lower(text) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, regexp_replace(lower(text), '^[^ ]+ ', '')
+             |  FROM documents),
+             |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+             |sh AS (SELECT doc_id,
+             |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) s
+             |       FROM toks WHERE len(w) >= 3),
+             |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+             |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
+             |         FROM ex a JOIN ex b ON a.shingle = b.shingle
+             |                            AND a.doc_id < b.doc_id),
+             |pairs AS (SELECT ida, idb FROM cand
+             |          JOIN sh sa ON sa.doc_id = cand.ida
+             |          JOIN sh sb ON sb.doc_id = cand.idb
+             |          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             |            / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+             |ud AS (SELECT ida a, idb b FROM pairs
+             |       UNION SELECT idb, ida FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, a FROM ud
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+             |lbl AS (SELECT b AS id, min(a) AS label FROM reach GROUP BY b)
+             |SELECT CAST(label AS BIGINT) AS cluster,
+             |  COUNT(*) AS cluster_size,
+             |  CAST(min(id) AS BIGINT) AS keep_id
+             |FROM lbl GROUP BY label ORDER BY cluster""".stripMargin))
+  )
+}

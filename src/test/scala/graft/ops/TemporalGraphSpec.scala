@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+class TemporalGraphSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: latest right row at or before left time; inclusive ties") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 10:05:00")),
+      (3L, "u2", ts("2024-01-01 10:00:00"))
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:59:00"), 100L),
+      ("u1", ts("2024-01-01 10:05:00"), 200L), // exactly simultaneous with id=2
+      ("u2", ts("2024-01-01 10:01:00"), 300L)  // after u2's only left row
+    ).toDF("k", "t", "rid")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(100L))
+    assert(out(2L) === Some(200L)) // <= is inclusive: equal time matches
+    assert(out(3L) === None)       // nothing at or before → null
+  }
+
+  test("asofJoin: tolerance nulls out matches older than the window") {
+    val left = Seq((1L, "u", ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("u", ts("2024-01-01 10:00:00"), 7L)).toDF("k", "t", "rid")
+    val unbounded = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .select("asof_rid").as[Option[Long]].collect().head
+    val bounded = Temporal.asofJoin(left, right, Seq("k"), "t", Seq("rid"),
+        tolerance = Some(expr("INTERVAL 1 HOUR")))
+      .select("asof_rid").as[Option[Long]].collect().head
+    assert(unbounded === Some(7L))
+    assert(bounded === None) // 2h-old match rejected by 1h tolerance
+  }
+
+  test("rangeJoin: half-open [start, end), intervals spanning buckets") {
+    val points = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00")), // == start → in
+      (2L, "u", ts("2024-01-01 11:30:00")), // inside, next hour-bucket
+      (3L, "u", ts("2024-01-01 12:00:00")), // == end → out (half-open)
+      (4L, "v", ts("2024-01-01 10:30:00"))  // wrong key
+    ).toDF("pid", "k", "t")
+    val intervals = Seq(
+      ("u", 9L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))
+    ).toDF("k", "iid", "s", "e")
+    val out = Temporal.rangeJoin(points, intervals, Seq("k"), "t", "s", "e",
+        bucketSeconds = 3600)
+      .select("pid").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
+  test("connectedComponents: chain, separate component, self-loop singleton") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, singleton 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain within maxIter") {
+    val n = 12
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val out = Graph.connectedComponents(edges, "src", "dst", maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(out.length === n)
+    assert(out.forall(_._2 === 1L), "all chain vertices share the min label")
+  }
+
+  test("dedupClusters: cluster sizes and survivors from pair rows") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("ida", "idb")
+    val out = Graph.dedupClusters(pairs, "ida", "idb")
+      .select("cluster", "cluster_size", "keep_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L, 1L), (7L, 2L, 7L)))
+  }
+}
