@@ -22,7 +22,8 @@ object SparkEntry {
     _root_.graft.queries.CatalogQueries,
     _root_.graft.queries.StreamingQueries,
     _root_.graft.queries.SqlQueries,
-    _root_.graft.queries.TemporalGraphQueries
+    _root_.graft.queries.TemporalGraphQueries,
+    _root_.graft.queries.TextStatsQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics: TF-IDF term ranking and corpus n-gram
+  * counts — the profiling/feature tier of a text pipeline.
+  *
+  * Scale design: everything is explode → hash aggregate → (optionally) a
+  * per-document window for top-k. The document-frequency table is aggregated
+  * once (hash agg, partial+final) and joined back by term — at corpus scale
+  * the df table is vocabulary-sized (≪ corpus), and AQE broadcasts it when
+  * it fits. No sort of the exploded token table; the only sort is the
+  * per-document top-k window, partitioned by doc (bounded partitions).
+  */
+object TextStats {
+
+  /** (doc, term, tf, df, tfidf) for every distinct term of every document,
+    * with tf = in-doc count, idf = ln((N+1)/(df+1)) + 1 (smooth variant —
+    * positive for all df, no division by zero).
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+      .select("doc", "term", "tf", "df", "tfidf")
+  }
+
+  /** Top-k terms per document by (tfidf desc, term) — deterministic. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tfIdf(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Corpus-wide n-gram frequencies, top `k` by (count desc, ngram) —
+    * distinct-per-doc counting (document frequency of the shingle), the
+    * boilerplate-detection signal of the dedup pipeline.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram"))
+      .limit(k)
+}
+
+/** Deterministic, oracle-reproducible sampling: the sampling decision is a
+  * pure function of the row's key (md5 prefix), so any engine draws the
+  * SAME sample — reproducible experiment splits, no RNG state, no seed
+  * plumbing, stable under retries/recomputation (a `rand()` sample is not:
+  * task retries resample).
+  *
+  * Scale: a narrow filter over the scan — no shuffle, pushdown-friendly,
+  * embarrassingly parallel.
+  */
+object Sampling {
+
+  /** Uniform 16-bit sample key: 4 lowercase-hex md5 prefix chars. Fixed
+    * width + lowercase hex means LEXICOGRAPHIC order equals numeric order,
+    * so thresholds compare as plain strings — portable to any engine with
+    * md5, no base-conversion function needed. */
+  def sampleKey(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 4)
+
+  /** The hex threshold under which ~`rate` of uniform 16-bit keys fall. */
+  def hexThreshold(rate: Double): String =
+    f"${math.round(rate * 65536).toInt}%04x"
+
+  /** Keep ~`rate` of rows, decided by the key hash (deterministic: any
+    * engine — and any retry — draws the same sample; `rand()` does not). */
+  def deterministicSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(sampleKey(col(keyCol)) < hexThreshold(rate))
+
+  /** Per-stratum rates: `rates(stratum) -> rate`, strata absent from the map
+    * are dropped — the class-rebalancing sampler of a training pipeline. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val key = sampleKey(col(keyCol))
+    val keep = rates.foldLeft(lit(false)) { case (acc, (stratum, rate)) =>
+      when(col(stratumCol) === stratum, key < hexThreshold(rate))
+        .otherwise(acc)
+    }
+    df.filter(keep)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ops.{Sampling, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Corpus statistics (TF-IDF term ranking, boilerplate n-gram counts) and
+  * deterministic sampling — the profiling / split-drawing tier of a
+  * training-data pipeline. All oracles recompute the same pure functions in
+  * DuckDB (identical expression shapes, per README methodology).
+  */
+object TextStatsQueries extends QueryGroup {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Top-3 TF-IDF terms per document (smooth idf, deterministic ties).
+    QueryDef(
+      "x_tfidf_topterms",
+      (s, d) =>
+        TextStats.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+          .select(col("doc"), col("term"), col("tf"), col("df"),
+            round(col("tfidf"), 6).as("tfidf"), col("rank"))
+          .orderBy("doc", "rank"),
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                       x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+             |t AS (SELECT doc, tf.term, tf, df,
+             |        tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+             |      FROM tf JOIN df USING (term), n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc
+             |                 ORDER BY tfidf DESC, term) AS rank FROM t)
+             |SELECT doc, term, tf, df, round(tfidf, 6) AS tfidf, rank
+             |FROM r WHERE rank <= 3 ORDER BY doc, rank""".stripMargin)),
+
+    // Corpus-wide top-50 trigram document frequencies (boilerplate signal).
+    QueryDef(
+      "x_top_ngrams",
+      (s, d) =>
+        TextStats.topNgrams(Tables.documents(s, d), "text", n = 3, k = 50),
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') w
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) s
+             |       FROM toks WHERE len(w) >= 3),
+             |ex AS (SELECT doc_id, unnest(s) AS ngram FROM sh)
+             |SELECT ngram, COUNT(*) AS n_docs FROM ex
+             |GROUP BY ngram ORDER BY n_docs DESC, ngram LIMIT 50""".stripMargin)),
+
+    // Deterministic ~25% sample of documents by md5-prefix key: the same
+    // rows on every engine, every retry.
+    QueryDef(
+      "x_sample_deterministic",
+      (s, d) =>
+        Sampling.deterministicSample(Tables.documents(s, d), "doc_id", 0.25)
+          .select("doc_id").orderBy("doc_id"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Stratified sampling: class-rebalanced event sample (50% of clicks,
+    // 10% of errors, everything else dropped).
+    QueryDef(
+      "x_sample_stratified",
+      (s, d) =>
+        Sampling.stratifiedSample(Tables.events(s, d), "event_id",
+            "event_type", Map("click" -> 0.5, "error" -> 0.1))
+          .select("event_id", "event_type")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, event_type FROM events
+             |WHERE (event_type = 'click'
+             |       AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '8000')
+             |   OR (event_type = 'error'
+             |       AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '199a')
+             |ORDER BY event_id""".stripMargin))
+  )
+}

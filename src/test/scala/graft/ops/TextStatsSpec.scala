@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("tfIdf: corpus-wide term gets minimum idf, rare term ranks higher") {
+    val docs = Seq(
+      (1L, "common rare1 common filler"),
+      (2L, "common filler other"),
+      (3L, "common stuff more")
+    ).toDF("doc_id", "text")
+    val out = TextStats.tfIdf(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // df: common=3 docs, rare1=1 doc
+    assert(out((1L, "common"))._2 === 3L)
+    assert(out((1L, "rare1"))._2 === 1L)
+    // idf(common) = ln(4/4)+1 = 1; tf=2 → tfidf 2.0 exactly
+    assert(math.abs(out((1L, "common"))._3 - 2.0) < 1e-12)
+    // rare1: ln(4/2)+1 ≈ 1.6931 > common's per-occurrence weight
+    assert(out((1L, "rare1"))._3 > out((1L, "filler"))._3)
+  }
+
+  test("topTerms: k rows per doc, deterministic tie-break on term") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa aa zz")).toDF("doc_id", "text")
+    val out = TextStats.topTerms(docs, "doc_id", "text", k = 2)
+      .select("doc", "term", "rank").as[(Long, String, Int)].collect()
+    assert(out.count(_._1 == 1L) === 2)
+    // doc 1: all terms tf=1; unique terms (bb/cc/dd, df=1) outrank shared
+    // 'aa' (df=2); ties alphabetical
+    assert(out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq === Seq("bb", "cc"))
+  }
+
+  test("topNgrams counts distinct docs per shingle, not occurrences") {
+    val docs = Seq(
+      (1L, "x y z x y z"), // 'x y z' appears twice in one doc → counts once
+      (2L, "x y z only")
+    ).toDF("doc_id", "text")
+    val out = TextStats.topNgrams(docs, "text", n = 3, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out("x y z") === 2L)
+  }
+
+  test("deterministicSample: stable across invocations, rate approximately honored") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.deterministicSample(df, "id", 0.25).as[Long].collect().sorted
+    val b = Sampling.deterministicSample(df, "id", 0.25).as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq, "same sample every time")
+    assert(math.abs(a.length / 10000.0 - 0.25) < 0.02, s"got ${a.length}")
+    // nested rates: a 10% sample is a subset of the 25% sample
+    val c = Sampling.deterministicSample(df, "id", 0.10).as[Long].collect().toSet
+    assert(c.subsetOf(a.toSet))
+  }
+
+  test("stratifiedSample honors per-stratum rates and drops unlisted strata") {
+    val df = spark.range(20000)
+      .select($"id", when($"id" % 2 === 0, "a").otherwise("b").as("s"))
+    val out = Sampling.stratifiedSample(df, "id", "s", Map("a" -> 0.5))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(!out.contains("b"), "unlisted stratum dropped")
+    assert(math.abs(out("a") / 10000.0 - 0.5) < 0.03)
+  }
+}
