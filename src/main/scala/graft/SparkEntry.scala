@@ -23,7 +23,8 @@ object SparkEntry {
     _root_.graft.queries.StreamingQueries,
     _root_.graft.queries.SqlQueries,
     _root_.graft.queries.TemporalGraphQueries,
-    _root_.graft.queries.TextStatsQueries
+    _root_.graft.queries.TextStatsQueries,
+    _root_.graft.queries.LayoutQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

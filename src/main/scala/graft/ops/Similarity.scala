@@ -150,15 +150,19 @@ object Similarity {
   def cosineLshPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       numPlanes: Int = 256, bands: Int = 32,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000, reuseSignatures: Boolean = true): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__n", l2Norm(col("__v")))
     // banding carries only (id, band, bh); vectors re-attach after the
     // candidate set has collapsed to verified-size
-    val banded = base.select(col("__id"),
+    val banded0 = base.select(col("__id"),
         posexplode(graft.expressions.GraftFunctions.graftHyperplaneBands(
           col("__v"), numPlanes, bands)))
       .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
+    // the O(d·numPlanes) signature kernel would otherwise re-run on both
+    // sides of the bucket self-join AND under the hot-bucket count;
+    // materialize the (small: 3 ints × bands per vector) banded table once
+    val banded = if (reuseSignatures) banded0.localCheckpoint(false) else banded0
     val capped =
       if (maxBucketSize > 0) {
         val hot = banded.groupBy("band", "bh").count()
