@@ -63,4 +63,40 @@ class SkewAndExtensionsSpec extends GraftSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("SpatialJoinRewrite: naive cross join + graft_contains becomes a bucketed equi-join") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-rule-test")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.spatialJoin.cellSize", "2.0")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val pts = Seq((1L, 1.0, 1.0), (2L, 5.0, 1.5), (3L, 9.0, 9.0))
+        .toDF("id", "px", "py")
+      val polys = Seq(
+        (10L, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))),
+        (20L, Seq((4.0, 0.0), (6.0, 0.0), (6.0, 2.0), (4.0, 2.0)))
+      ).toDF("pid", "pts")
+        .select($"pid", org.apache.spark.sql.functions.transform($"pts",
+          p => org.apache.spark.sql.functions.struct(
+            p.getField("_1").as("x"), p.getField("_2").as("y"))).as("ring"))
+      pts.createOrReplaceTempView("pts")
+      polys.createOrReplaceTempView("polys")
+      val naive = s2.sql(
+        "SELECT id, pid FROM pts CROSS JOIN polys WHERE graft_contains(ring, px, py)")
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"rule must eliminate the cross product:\n$plan")
+      assert(naive.as[(Long, Long)].collect().toSet === Set((1L, 10L), (2L, 20L)))
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
