@@ -28,6 +28,11 @@ object GraftFunctions {
     GraftSqlBridge.column(
       HyperplaneBands(GraftSqlBridge.expression(vec), numPlanes, bands))
 
+  /** One-pass multi-profile stopword ratios (see [[StopwordRatios]]). */
+  def graftStopRatios(tokens: Column, profiles: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(
+      StopwordRatios(GraftSqlBridge.expression(tokens), profiles))
+
   /** Expose the expressions to SQL in this session. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "graft_dot",

@@ -59,6 +59,36 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** One pass over a token array counting membership hits against k
+    * stopword hash sets at once → k hit ratios (0.0 for an empty array).
+    * Replaces k × `filter(toks, array_contains(...))` HOF chains that the
+    * optimizer re-evaluates per reference (~12 generic-lambda walks per row
+    * in the language-ID query). */
+  def stopwordRatios(arr: ArrayData,
+      sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]])
+      : ArrayData = {
+    val n = arr.numElements()
+    val k = sets.length
+    val hits = new Array[Int](k)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        if (sets(j).contains(t)) hits(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      out(j) = if (n > 0) hits(j).toDouble / n else 0.0
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass 64-bit SimHash over a token array: bit j = sign of the sum of
     * ±1 votes from bit j of each token's xxhash64. */
   def simHash(arr: ArrayData): Long = {
@@ -131,6 +161,39 @@ case class WordNGrams(child: Expression, n: Int)
       s"graft.expressions.TextHashKernels.wordNGrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+/** k stopword-profile hit ratios of a token array in one pass
+  * (`array<string>` → `array<double>`, profile order). Hash-set membership
+  * per token against all profiles at once; exact count/size division, so
+  * results are bit-identical to the per-profile HOF formulation. */
+case class StopwordRatios(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_stop_ratios"
+
+  @transient private lazy val sets
+      : Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    profiles.map { ws =>
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      ws.foreach(w =>
+        s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.stopwordRatios(input.asInstanceOf[ArrayData], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("stopSets", sets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.stopwordRatios($c, $setsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordRatios =
     copy(child = newChild)
 }
 

@@ -99,15 +99,24 @@ object GeoQueries extends QueryGroup {
           (col("o_orderkey") % 50).cast("double"), lit(0.0), lit(-0.1))
         val cols = (lit(50) + col("o_orderkey") % 10).cast("double")
         val rows = (lit(40) + col("o_orderkey") % 5).cast("double")
-        val corners = Geo.extentCorners(gt, cols, rows)
-        val c = Geo.vertexMeanCentroid(corners)
+        // scalar corner structs + explicit-fold centroid: bit-identical to
+        // vertexMeanCentroid(extentCorners(...)) — the array-HOF aggregate
+        // folds ((((0+x0)+x1)+x2)+x3)/4 and 0.0+x0 == x0 exactly — but
+        // stays fully inside whole-stage codegen (the HOF path runs
+        // interpreted lambdas, ~20µs/row)
+        val c0 = Geo.gtCorner(gt, lit(0.0), lit(0.0))
+        val c1 = Geo.gtCorner(gt, lit(0.0), rows)
+        val c2 = Geo.gtCorner(gt, cols, rows)
+        val c3 = Geo.gtCorner(gt, cols, lit(0.0))
+        def mean4(f: String) =
+          (c0.getField(f) + c1.getField(f) + c2.getField(f) + c3.getField(f)) / 4
         Tables.orders(s, d).select(
           col("o_orderkey"),
-          element_at(corners, 1).getField("x").as("x0"),
-          element_at(corners, 1).getField("y").as("y0"),
-          element_at(corners, 3).getField("x").as("x2"),
-          element_at(corners, 3).getField("y").as("y2"),
-          c.getField("x").as("cx"), c.getField("y").as("cy"))
+          c0.getField("x").as("x0"),
+          c0.getField("y").as("y0"),
+          c2.getField("x").as("x2"),
+          c2.getField("y").as("y2"),
+          mean4("x").as("cx"), mean4("y").as("cy"))
           .orderBy("o_orderkey")
       },
       Some("""WITH r AS (SELECT o_orderkey,
