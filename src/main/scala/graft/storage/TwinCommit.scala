@@ -31,15 +31,25 @@ object TwinCommit {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Append `a`→`dirA` and `b`→`dirB` as batch `batchId`, atomically
-    * published by the commit marker. Throws (and publishes nothing) if
-    * either write fails or the batch id was already committed. */
+    * published by the commit marker. Idempotent on replay — the retry
+    * contract a streaming foreachBatch sink needs:
+    *  - batch already committed (marker exists): no-op, so a re-delivered
+    *    micro-batch after a post-commit crash writes nothing twice;
+    *  - batch torn (data dirs exist, no marker): the invisible remnants are
+    *    deleted and the batch is rewritten cleanly.
+    * Throws (and publishes nothing) if either write fails. */
   def append(spark: SparkSession, batchId: String,
       a: DataFrame, dirA: String, b: DataFrame, dirB: String,
       commitsDir: String): Unit = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
     val f = fs(spark, commitsDir)
     val marker = new Path(commitsDir, batchId)
-    require(!f.exists(marker), s"batch $batchId already committed")
+    if (f.exists(marker)) return // committed replay — exactly-once no-op
+    Seq(dirA, dirB).foreach { dir =>
+      val p = new Path(s"$dir/batch=$batchId")
+      val df = fs(spark, dir)
+      if (df.exists(p)) df.delete(p, true) // torn remnants, never visible
+    }
     a.write.mode("errorifexists").parquet(s"$dirA/batch=$batchId")
     b.write.mode("errorifexists").parquet(s"$dirB/batch=$batchId")
     val tmp = new Path(commitsDir, s".$batchId.inprogress")

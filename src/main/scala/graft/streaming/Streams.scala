@@ -1,8 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
+
+/** Output row of [[Streams.assignPerKeySequence]] (top-level — encoder
+  * codegen cannot reference object-nested classes). */
+case class KeyedSeq(key: Long, ts: java.sql.Timestamp, seq: Long)
 
 /** Structured Streaming surface (SURVEY.md §2.2 streaming rows, §7 Phase 6).
   *
@@ -68,4 +73,65 @@ object Streams {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming atomic twin-table sink: each micro-batch is split into
+    * (catalog rows, lineage rows) and committed through
+    * [[graft.storage.TwinCommit]] — both tables appear atomically per
+    * batch, and foreachBatch's at-least-once redelivery becomes
+    * exactly-once because TwinCommit replays committed batch ids as no-ops
+    * and cleans torn remnants before rewriting. The streaming form of the
+    * reference's single-transaction catalog+lineage insert
+    * (mysql_process.py:53-56).
+    *
+    * Returns the started query; caller owns its lifecycle.
+    */
+  def twinCommitSink(stream: DataFrame,
+      split: DataFrame => (DataFrame, DataFrame),
+      catalogDir: String, lineageDir: String, commitsDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (cat, lin) = split(batch)
+        graft.storage.TwinCommit.append(batch.sparkSession, s"b$id",
+          cat, catalogDir, lin, lineageDir, commitsDir)
+      }
+      .start()
+
+  /** Custom streaming state via `flatMapGroupsWithState`: contiguous
+    * per-key sequence numbers that SURVIVE across micro-batches — the
+    * streaming form of S11 deterministic key assignment (each key's counter
+    * lives in the state store; a batch's events are numbered in event-time
+    * order continuing from the stored counter).
+    *
+    * State is one Long per live key, evicted `idleEvictMs` after a key's
+    * latest event falls behind the watermark (EventTimeTimeout) — bounded
+    * by (active keys in horizon) × 8 bytes, the same bounded-state contract
+    * as the windowed aggregates above.
+    */
+  def assignPerKeySequence(events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String, idleEvictMs: Long = 3600 * 1000L): Dataset[KeyedSeq] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, KeyedSeq](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.getOrElse(0L)
+            val batch = rows.toSeq.sortBy(_._2.getTime)
+            val out = batch.map { case (_, t) => n += 1; KeyedSeq(key, t, n) }
+            state.update(n)
+            state.setTimeoutTimestamp(batch.last._2.getTime + idleEvictMs)
+            out.iterator
+          }
+      }
+  }
 }

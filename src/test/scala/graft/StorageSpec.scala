@@ -64,14 +64,15 @@ class StorageSpec extends GraftSuite {
     val backCat = graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get
     val backLin = graft.storage.TwinCommit.readCommitted(spark, linDir, comDir).get
     assert(backCat.count() === 2 && backLin.count() === 2)
-    // second batch appends; re-using a committed batch id is refused
+    // second batch appends; replaying a committed batch id is a no-op
+    // (exactly-once: a foreachBatch retry after commit must not double-write)
     graft.storage.TwinCommit.append(spark, "b2",
       Seq((3L, "C")).toDF("ID", "INDICE"),
       catDir, Seq((101L, 3L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), linDir, comDir)
     assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 3)
-    intercept[IllegalArgumentException] {
-      graft.storage.TwinCommit.append(spark, "b1", cat, catDir, lin, linDir, comDir)
-    }
+    graft.storage.TwinCommit.append(spark, "b1", cat, catDir, lin, linDir, comDir)
+    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 3,
+      "replayed committed batch must not duplicate rows")
   }
 
   test("TwinCommit crash injection: failed second append is invisible to readers") {
@@ -94,6 +95,12 @@ class StorageSpec extends GraftSuite {
     // raw directory listing confirms the torn catalog batch is really there
     val raw = spark.read.option("basePath", catDir).parquet(catDir)
     assert(raw.count() >= 1) // torn files may exist; readers never see them
+    // retrying the SAME batch id cleans the torn remnants and commits
+    graft.storage.TwinCommit.append(spark, "torn",
+      Seq((2L, "B")).toDF("ID", "INDICE"),
+      catDir, Seq((100L, 2L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), linDir, comDir)
+    assert(graft.storage.TwinCommit.committedBatches(spark, comDir) === Seq("ok", "torn"))
+    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 2)
   }
 
   test("S10: indices.csv sink writes header + data rows") {

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import graft.GraftSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Top-level (encoder codegen cannot reference suite-inner classes). */
@@ -75,6 +76,52 @@ class StreamsSpec extends GraftSuite {
     val s1 = byUser(1L).find(_.getLong(3) === 2L).get
     assert(s1.getTimestamp(0) === ts(1) && s1.getDouble(4) === 3.0)
     assert(byUser(2L).size === 1)
+  }
+
+  test("flatMapGroupsWithState: per-key sequence numbers persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streams.assignPerKeySequence(src.toDF(), "user_id", "ts", "30 minutes")
+      .writeStream.format("memory").queryName("t_seq").outputMode("append").start()
+    try {
+      src.addData(Seq(Ev(ts(2), 1, "click", 1.0), Ev(ts(1), 1, "click", 1.0),
+        Ev(ts(1), 2, "view", 1.0)))
+      q.processAllAvailable()
+      src.addData(Seq(Ev(ts(5), 1, "click", 1.0)))  // same key, next batch
+      q.processAllAvailable()
+      val rows = spark.table("t_seq")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      // user 1: batch 1 numbers its events in EVENT-TIME order (10:01 → 1,
+      // 10:02 → 2); batch 2 continues from stored state (10:05 → 3)
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._3)
+      assert(u1.map(r => (r._2, r._3)).toSeq ===
+        Seq((ts(1), 1L), (ts(2), 2L), (ts(5), 3L)))
+      assert(rows.filter(_._1 == 2L).map(_._3).toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("twinCommitSink: each micro-batch lands atomically in both tables") {
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
+    val (catDir, linDir, comDir, ckDir) = (tmp("scat"), tmp("slin"), tmp("scom"), tmp("sck"))
+    val src = MemoryStream[Ev]
+    val q = Streams.twinCommitSink(
+      src.toDF(),
+      batch => (
+        batch.select(col("user_id").as("ID"), col("event_type").as("INDICE")),
+        batch.select(col("user_id").as("ID_IMAGEN_FUENTE"))),
+      catDir, linDir, comDir, ckDir)
+    try {
+      src.addData(Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0)))
+      q.processAllAvailable()
+      src.addData(Seq(Ev(ts(3), 3, "click", 3.0)))
+      q.processAllAvailable()
+      val cat = graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get
+      val lin = graft.storage.TwinCommit.readCommitted(spark, linDir, comDir).get
+      assert(cat.count() === 3 && lin.count() === 3)
+      assert(graft.storage.TwinCommit.committedBatches(spark, comDir).size === 2)
+    } finally q.stop()
   }
 
   test("dropDuplicatesWithinWatermark: duplicate keys across batches collapse") {
