@@ -1,18 +1,26 @@
 package graft.tools
+
+import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 
+/** Dev tool: dump formatted physical plans for named queries (or a default
+  * flagship set) so plan regressions are reviewable in diffs.
+  * Run: tools/run.sh graft.tools.Explain [sfDir] [query ...]
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("j1_lineage_join", "a6_group_agg", "g_pip_grid_join", "x_cosine_topk")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    args.foreach { name =>
-      println(s"########## $name ##########")
-      val df = graft.SparkEntry.queries(name)(spark, d)
-      println(df.queryExecution.executedPlan.toString.take(6000))
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      SparkEntry.queries(n)(spark, d).explain("formatted")
     }
     spark.stop()
   }
