@@ -16,6 +16,42 @@ object TemporalGraphQueries extends QueryGroup {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Salted two-phase aggregation: identical results to the direct group
+    // aggregate (the salt only re-routes the shuffle), proven cross-engine.
+    QueryDef(
+      "x_salted_agg",
+      (s, d) =>
+        graft.ops.Skew.saltedCountSum(
+            Tables.lineitem(s, d).select(col("l_returnflag"),
+              col("l_quantity").cast("decimal(18,2)").as("q")),
+            "l_returnflag", col("q"), salts = 8)
+          .select(col("l_returnflag"), col("n"),
+            col("sum").cast("double").as("sum_qty"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // MERGE-style upsert (CatalogOps.upsert): updated nations take the new
+    // comment, unmatched keep theirs, a brand-new key appends.
+    QueryDef(
+      "s_upsert",
+      (s, d) => {
+        val base = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("v"))
+        val updates = base.filter(col("k") < 5)
+          .select(col("k"), concat(col("v"), lit("_v2")).as("v"))
+          .union(s.range(900, 901).select(col("id").as("k"), lit("NEW").as("v")))
+        graft.ops.CatalogOps.upsert(base, updates, "k").orderBy("k")
+      },
+      Some("""WITH base AS (SELECT CAST(n_nationkey AS BIGINT) k, n_name v FROM nation),
+             |updates AS (
+             |  SELECT k, v || '_v2' AS v FROM base WHERE k < 5
+             |  UNION ALL SELECT 900, 'NEW')
+             |SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM updates)
+             |UNION ALL SELECT k, v FROM updates
+             |ORDER BY k""".stripMargin)),
+
     // Backward as-of join: each purchase attributed to the user's most
     // recent click within 1 hour (the canonical attribution shape).
     QueryDef(
