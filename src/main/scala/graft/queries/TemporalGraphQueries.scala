@@ -4,13 +4,14 @@ import graft.{QueryDef, QueryGroup, Tables}
 import graft.ops.{Dedup, Graph, Temporal}
 import org.apache.spark.sql.functions._
 
-/** Time-series joins (as-of, keyed interval) and graph clustering
-  * (connected components, dedup clusters) — operators Spark lacks as
-  * builtins, re-expressed as single-shuffle declarative plans
-  * ([[graft.ops.Temporal]]) and bounded join-iteration ([[graft.ops.Graph]]).
-  * Oracles: DuckDB's native ASOF JOIN / inequality join / recursive-CTE
-  * transitive closure — genuinely independent formulations of the same
-  * semantics.
+/** Time-series joins (as-of, keyed interval), graph clustering (connected
+  * components, dedup clusters), and distribution-machinery proofs (salted
+  * aggregation, MERGE upsert) — operators Spark lacks as builtins,
+  * re-expressed as single-shuffle declarative plans ([[graft.ops.Temporal]])
+  * and bounded join-iteration ([[graft.ops.Graph]]). Oracles: DuckDB's
+  * native ASOF JOIN / inequality join / recursive-CTE transitive closure /
+  * direct-aggregate equivalents — genuinely independent formulations of the
+  * same semantics.
   */
 object TemporalGraphQueries extends QueryGroup {
 
