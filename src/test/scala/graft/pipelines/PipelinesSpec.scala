@@ -127,4 +127,23 @@ class PipelinesSpec extends GraftSuite {
     val f2 = Multimodal.extractFeatures(media).collect().map(_.getAs[scala.collection.Seq[Float]]("embedding"))
     assert(f.map(_.toSeq).toSeq === f2.map(_.toSeq).toSeq)
   }
+
+  test("multimodal features feed the similarity operators end to end") {
+    // two byte-identical blobs + two distinct ones; the extracted embedding
+    // column is consumed AS-IS by Similarity — the full media-dedup path
+    val blobs = Seq(
+      (1L, Array.fill(256)(7.toByte)),
+      (2L, Array.fill(256)(7.toByte)),                    // exact dup of 1
+      (3L, Array.tabulate(256)(_.toByte)),
+      (4L, "completely different bytes".getBytes)
+    ).toDF("id", "content").withColumn("path", concat(lit("b"), $"id"))
+    val media = Multimodal.decode(blobs, "image")
+    val feats = Multimodal.extractFeatures(media)
+      .join(blobs.select($"id", concat(lit("b"), $"id").as("path")), "path")
+    val pairs = graft.ops.Similarity
+      .nearDupPairs(feats, "id", "embedding", threshold = 0.999)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical media must pair")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
 }
