@@ -70,4 +70,72 @@ object Graph {
       .groupBy("label")
       .agg(count(lit(1)).as("cluster_size"), min("id").as("keep_id"))
       .select(col("label").as("cluster"), col("cluster_size"), col("keep_id"))
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * DEEP-graph tier: converges in O(log² n) rounds regardless of component
+    * diameter, where [[connectedComponents]]' label propagation needs
+    * O(diameter) rounds (fine for shallow near-dup clusters, hopeless for a
+    * 10⁶-hop chain). Each round is two hash aggregations + joins over the
+    * edge list; the edge set only shrinks toward the final star forest.
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(Γ(u) ∪ u) — long chains fold toward small ids;
+    *  - small-star: with edges oriented (larger → smaller), every node links
+    *    its smaller neighbors AND itself to m — stars flatten.
+    *
+    * Same output contract as [[connectedComponents]]: (id, label = component
+    * min), vertices taken from either edge side (self-loops allowed).
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val verts = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+      .localCheckpoint(false)
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(false)
+
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.union(in.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      sym.join(m, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(in: DataFrame): DataFrame = {
+      val oriented = in.select(
+        greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val m = oriented.groupBy("u").agg(min("v").as("m")) // neighbors all < u
+      val linked = oriented.join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+      linked.filter(col("a") =!= col("b")).distinct()
+    }
+
+    // edge-set fixpoint detected by (count, order-free XOR checksum) — one
+    // aggregate action per round, no join-based diff; XOR never overflows
+    // and is exact on a distinct edge set
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = sig(e)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
+      e = next
+      iter += 1
+    }
+    // converged edges form stars (v → component min); roots label themselves
+    val labels = e.select(col("a").as("id"), col("b").as("label"))
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
 }

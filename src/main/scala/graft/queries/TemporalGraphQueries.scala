@@ -135,6 +135,31 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
              |ORDER BY id""".stripMargin)),
 
+    // Same components via alternating large-star/small-star contraction —
+    // the O(log n)-round deep-graph tier; identical labels, same oracle.
+    QueryDef(
+      "x_cc_star",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 800)
+          .select(col("l_orderkey").cast("long").as("src"),
+            (col("l_partkey") + 1000000L).cast("long").as("dst"))
+        Graph.connectedComponentsStar(edges, "src", "dst")
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(l_orderkey AS BIGINT) AS a,
+             |         CAST(l_partkey + 1000000 AS BIGINT) AS b
+             |  FROM lineitem WHERE l_orderkey < 800),
+             |ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             |reach(a, b) AS (
+             |  SELECT a, a FROM ud
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+             |lbl AS (SELECT b AS id, min(a) AS label FROM reach GROUP BY b)
+             |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
+             |ORDER BY id""".stripMargin)),
+
     // The full dedup-pipeline tail: MinHash+LSH pairs → connected
     // components → one survivor per duplicate cluster.
     QueryDef(

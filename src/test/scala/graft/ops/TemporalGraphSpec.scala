@@ -73,6 +73,33 @@ class TemporalGraphSpec extends GraftSuite {
     assert(out.forall(_._2 === 1L), "all chain vertices share the min label")
   }
 
+  test("connectedComponentsStar equals propagation on random graphs and chains") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("src", "dst")
+      val prop = Graph.connectedComponents(edges, "src", "dst", maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      val star = Graph.connectedComponentsStar(edges, "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(star === prop, s"trial $trial")
+    }
+    // a 60-hop chain: worst case for propagation, logarithmic for star
+    val chain = (1 until 60).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val out = Graph.connectedComponentsStar(chain, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(out.length === 60 && out.forall(_._2 === 1L))
+  }
+
+  test("connectedComponentsStar: self-loop singleton and two components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("src", "dst")
+    val out = Graph.connectedComponentsStar(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L))
+  }
+
   test("dedupClusters: cluster sizes and survivors from pair rows") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("ida", "idb")
     val out = Graph.dedupClusters(pairs, "ida", "idb")
