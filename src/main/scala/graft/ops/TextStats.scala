@@ -90,4 +90,23 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Disjoint, exhaustive, deterministic dataset split (train/val/test…):
+    * every row gets exactly one label, decided by which cumulative-weight
+    * hash band its key falls in. Reproducible on any engine and any retry;
+    * growing the table never moves an existing row between splits (each
+    * row's band depends only on its own key). Weights must sum to ≤ 1;
+    * any remainder falls into the LAST split (so 0.8/0.1/0.1 is exact). */
+  def assignSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split weights must sum to <= 1")
+    val key = sampleKey(col(keyCol))
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val labeled = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1)) { case ((name, upper), els) =>
+        when(key < hexThreshold(upper), lit(name)).otherwise(els)
+      }
+    df.withColumn("split", labeled)
+  }
 }

@@ -62,6 +62,24 @@ object TextStatsQueries extends QueryGroup {
              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
              |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic 80/10/10 train/val/test split: every document gets
+    // exactly one label from its own key hash — rows never migrate between
+    // splits as the corpus grows.
+    QueryDef(
+      "x_train_val_test",
+      (s, d) =>
+        Sampling.assignSplit(Tables.documents(s, d), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "split")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+             |         THEN 'train'
+             |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+             |         THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Stratified sampling: class-rebalanced event sample (50% of clicks,
     // 10% of errors, everything else dropped).
     QueryDef(

@@ -55,6 +55,23 @@ class TextStatsSpec extends GraftSuite {
     assert(c.subsetOf(a.toSet))
   }
 
+  test("assignSplit: disjoint, exhaustive, stable under corpus growth") {
+    val df = spark.range(10000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplit(df, "id", splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.keySet === Set("train", "val", "test"), "exhaustive")
+    assert(out.values.sum === 10000L, "disjoint: every row exactly once")
+    assert(math.abs(out("train") / 10000.0 - 0.8) < 0.02)
+    assert(math.abs(out("val") / 10000.0 - 0.1) < 0.01)
+    // growing the table never moves an existing row between splits
+    val small = Sampling.assignSplit(spark.range(1000).toDF("id"), "id", splits)
+      .as[(Long, String)].collect().toMap
+    val big = Sampling.assignSplit(df, "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(small.forall { case (k, v) => big(k) == v })
+  }
+
   test("stratifiedSample honors per-stratum rates and drops unlisted strata") {
     val df = spark.range(20000)
       .select($"id", when($"id" % 2 === 0, "a").otherwise("b").as("s"))
