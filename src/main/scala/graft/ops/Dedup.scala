@@ -112,6 +112,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash+LSH: near-dup pairs BETWEEN an existing corpus and
+    * an incoming batch only (corpus-internal and batch-internal pairs are
+    * not re-derived) — the day-2 shape of a production dedup pipeline:
+    * pairing cost is bands·|batch| bucket probes against the corpus bucket
+    * table, not a fresh self-join over corpus ∪ batch. Returns
+    * (corpus_id, batch_id, jaccard), verified-exact like
+    * [[minHashLshPairs]]; the same banding parameters MUST be used on both
+    * sides (and stored corpus signatures can be reused across batches).
+    */
+  def minHashLshPairsAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+        .filter(size(col("__sh")) > 0)
+        .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+        .localCheckpoint(false)
+    def band(df: DataFrame): DataFrame =
+      df.select(col("__id"),
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"),
+            xxhash64(lit(j), slice(col("__sig"), j * r + 1, r)).as("bh"))): _*))
+          .as("__b"))
+        .select(col("__id"), col("__b.band"), col("__b.bh"))
+    val (cp, bp) = (prep(corpus), prep(batch))
+    val cb = band(cp)
+    // hot-bucket cap on the CORPUS side (the side that can degenerate)
+    val capped =
+      if (maxBucketSize > 0) {
+        val hot = cb.groupBy("band", "bh").count()
+          .filter(col("count") > maxBucketSize).select("band", "bh")
+        cb.join(hot, Seq("band", "bh"), "left_anti")
+      } else cb
+    val cand = capped.select(col("band"), col("bh"), col("__id").as("ida"))
+      .join(band(bp).select(col("band"), col("bh"), col("__id").as("idb")),
+        Seq("band", "bh"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(cp.select(col("__id").as("ida"), col("__sh").as("sha")), Seq("ida"))
+      .join(bp.select(col("__id").as("idb"), col("__sh").as("shb")), Seq("idb"))
+      .select(col("ida"), col("idb"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs via shingle blocking: pairs
     * sharing >=1 shingle are candidates (perfect recall), then exact Jaccard.
     * Shuffles on the shingle (blocking key); `maxShingleFreq` drops shingles

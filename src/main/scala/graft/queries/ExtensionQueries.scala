@@ -143,6 +143,49 @@ object ExtensionQueries extends QueryGroup {
           .orderBy("ida", "idb"),
       Some(jaccardOracle)),
 
+    // Incremental dedup: pair ONLY the incoming batch (near-dup rewrites at
+    // doc_id+100000) against the existing corpus — corpus-internal pairs
+    // are never re-derived. Oracle: bipartite exact Jaccard.
+    QueryDef(
+      "x_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id"), lower(col("text")).as("text"))
+        val batch = docs.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(lower(col("text")), "^[^ ]+ ", "").as("text"))
+        Dedup.minHashLshPairsAgainst(corpus, batch, "doc_id", "text",
+            shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+          .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("ida", "idb")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, lower(text) AS text FROM documents),
+             |batch AS (SELECT doc_id + 100000 AS doc_id,
+             |            regexp_replace(lower(text), '^[^ ]+ ', '') AS text
+             |          FROM documents),
+             |shc AS (SELECT doc_id,
+             |          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                         for i in range(1, len(w) - 1)]) s
+             |        FROM (SELECT doc_id, string_split(text, ' ') w FROM corpus)
+             |        WHERE len(w) >= 3),
+             |shb AS (SELECT doc_id,
+             |          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                         for i in range(1, len(w) - 1)]) s
+             |        FROM (SELECT doc_id, string_split(text, ' ') w FROM batch)
+             |        WHERE len(w) >= 3),
+             |exc AS (SELECT doc_id, unnest(s) shingle FROM shc),
+             |exb AS (SELECT doc_id, unnest(s) shingle FROM shb),
+             |cand AS (SELECT DISTINCT c.doc_id ida, b.doc_id idb
+             |         FROM exc c JOIN exb b ON c.shingle = b.shingle),
+             |j AS (SELECT ida, idb,
+             |        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             |          / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+             |      FROM cand
+             |      JOIN shc sa ON sa.doc_id = cand.ida
+             |      JOIN shb sb ON sb.doc_id = cand.idb)
+             |SELECT ida, idb, round(jac, 6) AS jaccard FROM j
+             |WHERE jac >= 0.5 ORDER BY ida, idb""".stripMargin)),
+
     // Document-frequency-capped Jaccard (the stop-shingle skew guard,
     // maxShingleFreq): shingles occurring in > 20 docs are excluded from the
     // blocking join AND the intersection count; set sizes stay full. The

@@ -65,6 +65,25 @@ class DedupSpec extends GraftSuite {
     assert(lsh === exact)
   }
 
+  test("minHashLshPairsAgainst: only corpus×batch pairs, no internal re-pairing") {
+    // corpus holds an INTERNAL near-dup pair (1,2); batch doc 10 is near
+    // both; batch docs 10,11 are near each other (internal to the batch)
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((1L, base), (2L, base + " ok"),
+      (3L, "completely unrelated text about something else entirely here"))
+      .toDF("id", "text")
+    val batch = Seq((10L, base + " yes"), (11L, base + " yes sir")).toDF("id", "text")
+    val pairs = Dedup.minHashLshPairsAgainst(corpus, batch, "id", "text",
+        threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 10L)))
+    assert(!pairs.contains((1L, 2L)), "corpus-internal pair must not re-derive")
+    assert(!pairs.contains((10L, 11L)) && !pairs.contains((11L, 10L)),
+      "batch-internal pair must not emit")
+    assert(pairs.forall { case (a, b) => a < 10L && b >= 10L },
+      "all pairs are corpus-side × batch-side")
+  }
+
   test("minhash signature of identical texts is identical, length k") {
     val sigs = docs.filter($"id".isin(1L, 2L))
       .select(Dedup.minHashSignature(Dedup.shingles($"text", 3), 32))
