@@ -79,6 +79,28 @@ object TextAnalysis {
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     }
 
+  /** Markup strip + whitespace normalization: HTML tags and control chars
+    * become spaces, whitespace runs collapse, ends trimmed. RE2-safe
+    * patterns (no backrefs/lookaround) so the same regexes run on any
+    * engine. Row-local, codegen'd, shuffle-free. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "<[^>]+>", " "),
+        "[\\x00-\\x1f]", " "),
+      " +", " "))
+
+  /** PII-shaped span redaction: emails → `<EMAIL>`, URLs → `<URL>`,
+    * long digit runs (phone-ish) → `<NUM>`. Pattern policy, not NER —
+    * the cheap first-pass scrub of a training-data pipeline. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+      "[0-9][0-9 ()+-]{6,}[0-9]", "<NUM>")
+
   /** CJK-character ratio (Han range) — the zh/ja signal regex stopwords miss. */
   def cjkRatio(text: Column): Column =
     when(length(text) > 0,

@@ -378,6 +378,38 @@ object ExtensionQueries extends QueryGroup {
              |  length(text) AS n_chars
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Text cleaning + PII redaction over documents decorated with
+    // deterministic markup/URL/email/phone spans — the preprocessing scrub.
+    QueryDef(
+      "x_text_clean",
+      (s, d) => {
+        val decorated = concat(
+          lit("<p class=\"x\">"), col("text"),
+          lit("</p> see https://example.com/a?b=1 or mail "),
+          lit("user"), col("doc_id").cast("string"), lit("@example.org tel 0012 345 6789"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            TextAnalysis.cleanText(decorated).as("cleaned"),
+            TextAnalysis.redactPii(TextAnalysis.cleanText(decorated)).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  '<p class="x">' || text || '</p> see https://example.com/a?b=1 or mail user'
+             |    || CAST(doc_id AS VARCHAR) || '@example.org tel 0012 345 6789' AS raw
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '<[^>]+>', ' ', 'g'), '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g'))
+             |    AS cleaned
+             |  FROM t)
+             |SELECT doc_id, cleaned,
+             |  regexp_replace(regexp_replace(regexp_replace(cleaned,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^ ]+', '<URL>', 'g'),
+             |    '[0-9][0-9 ()+-]{6,}[0-9]', '<NUM>', 'g') AS redacted
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Unicode-canonical dedup: decomposed accents (NFD combining marks) are
     // planted onto the corpus; NFC normalization collapses them with their
     // composed forms before hashing — visually-identical text dedupes equal.

@@ -59,4 +59,24 @@ class TextAnalysisSpec extends GraftSuite {
     assert(pred("les chats est une du chien") === "fr")
     assert(pred("xyzzy plugh") === "unknown")
   }
+
+  test("cleanText strips tags/control chars and collapses whitespace") {
+    val df = Seq("<b>hello</b>\u0001  world <br/> again ").toDF("t")
+    val out = df.select(TextAnalysis.cleanText($"t")).as[String].collect().head
+    assert(out === "hello world again")
+  }
+
+  test("redactPii masks emails, urls, and digit runs; plain text untouched") {
+    val df = Seq(
+      "mail a.b+c@ex-ample.org now",
+      "go to https://x.io/p?q=1 ok",
+      "call 0012 345 6789 today",
+      "year 2024 is fine"
+    ).toDF("t")
+    val out = df.select(TextAnalysis.redactPii($"t")).as[String].collect()
+    assert(out(0) === "mail <EMAIL> now")
+    assert(out(1) === "go to <URL> ok")
+    assert(out(2) === "call <NUM> today")
+    assert(out(3) === "year 2024 is fine") // short digit run survives
+  }
 }
