@@ -207,6 +207,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * ≥ threshold — "A is mostly contained in B" (quote/subsumption
+    * detection, where Jaccard misses short-in-long duplication because the
+    * union term dilutes it). Same shingle-blocking machinery as
+    * [[ngramJaccardPairs]]: one explode, one blocking join, one count-based
+    * group — emitted both ways (containedId, containerId, containment), so
+    * a short doc quoted inside a long one surfaces even at Jaccard ≈ 0.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxShingleFreq: Int = 0): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .localCheckpoint(false)
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__sz"),
+      explode(col("__sh")).as("__s"))
+    val exf =
+      if (maxShingleFreq > 0) {
+        val hot = ex.groupBy("__s").count()
+          .filter(col("count") > maxShingleFreq).select("__s")
+        ex.join(hot, Seq("__s"), "left_anti")
+      } else ex
+    val inter = exf.select(col("__s"), col("__id").as("ida"), col("__sz").as("__sza"))
+      .join(exf.select(col("__s"), col("__id").as("idb")), Seq("__s"))
+      .filter(col("ida") =!= col("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("__cnt"), max("__sza").as("__sza"))
+    inter
+      .select(col("ida").as("contained"), col("idb").as("container"),
+        (col("__cnt").cast("double") / col("__sza")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** 64-bit SimHash of the token multiset: bit j is the sign of the sum of
     * ±1 votes (bit j of xxhash64(token)). Row-local fold, no shuffle. */
   def simHash(text: Column): Column =

@@ -219,6 +219,47 @@ object ExtensionQueries extends QueryGroup {
               |WHERE CAST(cnt AS DOUBLE) / (sza + szb - cnt) >= 0.5
               |ORDER BY ida, idb""".stripMargin)),
 
+    // Containment pairs: the first half of every document is planted as a
+    // separate "quote" doc at doc_id+200000 — contained ≥ 90% in its source
+    // even though Jaccard ≈ 0.5 would miss at higher thresholds.
+    QueryDef(
+      "x_containment",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id"), lower(col("text")).as("text"))
+          .union(docs.select(
+            (col("doc_id") + 200000).as("doc_id"),
+            // first half of the token stream, space-joined
+            concat_ws(" ", slice(split(lower(col("text")), " "), lit(1),
+              (size(split(lower(col("text")), " ")) / 2).cast("int"))).as("text")))
+        Dedup.containmentPairs(corpus, "doc_id", "text",
+            shingleN = 3, threshold = 0.9)
+          .select(col("contained"), col("container"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("contained", "container")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lower(text) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000,
+             |    array_to_string(list_slice(string_split(lower(text), ' '), 1,
+             |      len(string_split(lower(text), ' ')) // 2), ' ')
+             |  FROM documents),
+             |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+             |sh AS (SELECT doc_id,
+             |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) s
+             |       FROM toks WHERE len(w) >= 3),
+             |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+             |inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) cnt, max(a.sz) sza
+             |          FROM ex a JOIN ex b ON a.shingle = b.shingle
+             |                             AND a.doc_id != b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT ida AS contained, idb AS container,
+             |  round(CAST(cnt AS DOUBLE) / sza, 6) AS containment
+             |FROM inter WHERE CAST(cnt AS DOUBLE) / sza >= 0.9
+             |ORDER BY contained, container""".stripMargin)),
+
     // SimHash near-dup pairs (Hamming <= 12 of 64 bits). Signature values are
     // xxhash64-specific → rows-only check here; semantics covered in ScalaTest.
     QueryDef(
