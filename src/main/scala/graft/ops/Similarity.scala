@@ -184,6 +184,30 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale =
+    * max|v|/127, q_i = round(v_i/scale) ∈ [-127,127]. A float32 embedding
+    * table shrinks 4× (the dominant storage cost of a 100 TB embedding
+    * corpus); cosine error after dequantization is bounded by the
+    * quantization step (≲1e-2 at d=64, spec-checked). Zero vectors keep
+    * scale 0 and quantize to zeros. Row-local column expressions —
+    * shuffle-free, codegen'd.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = toDouble(vec)
+    val maxAbs = array_max(transform(v, abs(_)))
+    val scale = maxAbs / 127.0
+    struct(
+      scale.as("scale"),
+      transform(v, x =>
+        when(scale === 0.0, lit(0).cast("tinyint"))
+          .otherwise(round(x / scale).cast("int").cast("tinyint"))).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: q_i · scale as array<double>. */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      q => q.cast("double") * quantized.getField("scale"))
+
   /** IVF (inverted-file) approximate top-k.
     *
     * Centroids are a deterministic stride-sample of the corpus itself (every

@@ -320,6 +320,29 @@ object ExtensionQueries extends QueryGroup {
       },
       Some(embeddingNeardupOracle)),
 
+    // int8 embedding quantization: per-vector scale + code CSV (the 4×
+    // storage tier of a 100 TB embedding corpus), exact cross-engine.
+    QueryDef(
+      "x_quantize_int8",
+      (s, d) => {
+        val z = Similarity.quantizeInt8(col("embedding"))
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            round(z.getField("scale"), 6).as("scale"),
+            concat_ws(",", transform(z.getField("q"), _.cast("string"))).as("q_csv"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |s AS (SELECT vec_id, e,
+             |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+             |      FROM t)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  array_to_string(list_transform(e, x ->
+             |    CAST(CAST(round(CASE WHEN scale = 0 THEN 0 ELSE x / scale END)
+             |              AS INT) AS VARCHAR)), ',') AS q_csv
+             |FROM s ORDER BY vec_id""".stripMargin)),
+
     // IVF approximate top-k — approximate by design → rows-only check here;
     // recall-vs-brute-force bound asserted in ScalaTest.
     QueryDef(

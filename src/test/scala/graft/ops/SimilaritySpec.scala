@@ -68,6 +68,23 @@ class SimilaritySpec extends GraftSuite {
     assert(approx.groupBy(_._1).values.forall(_.size <= 5))
   }
 
+  test("int8 quantization: 4x smaller, cosine preserved within step error") {
+    val q = emb.select($"vec_id", Similarity.quantizeInt8($"embedding").as("z"),
+      Similarity.toDouble($"embedding").as("v"))
+    val cosines = q.select(
+      Similarity.cosine(Similarity.dequantizeInt8($"z"), $"v")).as[Double].collect()
+    assert(cosines.forall(c => c > 0.995), s"min cos ${cosines.min}")
+    // q values stay within int8 range
+    val maxQ = q.select(array_max(transform($"z.q", _.cast("int")))).as[Int].collect()
+    assert(maxQ.forall(m => m <= 127))
+    // zero vector: scale 0, all-zero codes
+    val zero = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("z"))
+    val r = zero.select($"z.scale", $"z.q").collect().head
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getSeq[Byte](1).forall(_ === 0))
+  }
+
   test("nearDupPairs finds planted duplicate with cosine 1.0") {
     val corpus = emb.select($"vec_id", $"embedding")
       .union(emb.filter($"vec_id" === 7L)
