@@ -90,6 +90,26 @@ object Pipelines {
       col("NOMBRE_PREDIO").as("PREDIO"),
       col("INDICE"))
 
+  /** Ingest health metrics via Spark's Observation API: named aggregates
+    * (row count, unclassifiable count/ratio, null-coordinate count) are
+    * collected ON the existing action — no second pass over the data, which
+    * at 100 TB is the difference between "free telemetry" and "doubling the
+    * job". Returns the observation; read `obs.get` after any action on the
+    * returned frame. The reference logs per-run row counts to
+    * PROC_EJECUCION (mysql_process.py:28-43) with extra queries; this is
+    * the single-pass form.
+    */
+  def observedClassify(classified: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("ingest")
+    val observed = classified.observe(
+      obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("method") === "unclassifiable", 1L).otherwise(0L))
+        .as("n_unclassifiable"),
+      sum(when(col("cx").isNull, 1L).otherwise(0L)).as("n_no_coords"))
+    (observed, obs)
+  }
+
   /** E3 (upload_model_files, download_list_images.py:74-104): model-output
     * artifact rows → parsed dims + catalog rows (ID_TIPO_IMG=10,
     * ID_PROCESO=2) with the model-bucket key layout

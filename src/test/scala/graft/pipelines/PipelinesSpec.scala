@@ -108,6 +108,16 @@ class PipelinesSpec extends GraftSuite {
     assert(ruta === "CO06097/CO06097_1_EU_2/2026-08-12/CO06097_1_EU_2_rodal.png")
   }
 
+  test("observedClassify: single-pass health metrics ride the existing action") {
+    val classified = Pipelines.ingestClassify(images, predios, 2.0)
+    val (observed, obs) = Pipelines.observedClassify(classified)
+    val n = observed.count() // the ONLY action — metrics piggyback on it
+    val m = obs.get
+    assert(m("n_rows") === n)
+    assert(m("n_unclassifiable").asInstanceOf[Long] >= 1L) // the no-GPS image
+    assert(m("n_no_coords") === m("n_unclassifiable"))
+  }
+
   test("multimodal: decode/feature/frame plumbing over binary rows") {
     val bin = images.select($"path", $"content")
     val media = Multimodal.decode(bin, "video")
