@@ -79,6 +79,27 @@ object TextAnalysis {
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     }
 
+  /** Overlapping token-window chunks — the tokenize-and-chunk step that
+    * precedes training/embedding: windows of `chunkTokens` whitespace
+    * tokens advancing by `chunkTokens - overlap`, last partial window kept.
+    * Returns array<struct<chunk_idx:int, chunk:string, n_tokens:int>> —
+    * posexplode at the call site for one row per chunk. Row-local,
+    * shuffle-free; a 100 TB corpus chunks at scan speed. */
+  def chunk(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val w = wsTokens(text)
+    val n = size(w)
+    // window starts: 1, 1+step, … while start <= max(1, n - overlap)
+    val starts = sequence(lit(1), greatest(lit(1), n - overlap), lit(step))
+    transform(starts, (s, i) =>
+      struct(
+        i.cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(w, s, lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), n - s + 1).cast("int").as("n_tokens")))
+  }
+
   /** Markup strip + whitespace normalization: HTML tags and control chars
     * become spaces, whitespace runs collapse, ends trimmed. RE2-safe
     * patterns (no backrefs/lookaround) so the same regexes run on any

@@ -416,6 +416,26 @@ object ExtensionQueries extends QueryGroup {
              |        + 0.3 * alpha, 6) AS quality
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Document chunking: 40-token windows, 10-token overlap — one row per
+    // chunk, the tokenize-and-chunk step before training/embedding.
+    QueryDef(
+      "x_chunking",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.chunk(col("text"), chunkTokens = 40, overlap = 10)))
+          .select(col("doc_id"), col("col.chunk_idx"), col("col.chunk"),
+            col("col.n_tokens"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+             |c AS (SELECT doc_id, w,
+             |        unnest(generate_series(1, greatest(1, len(w) - 10), 30)) AS s
+             |      FROM t)
+             |SELECT doc_id, CAST((s - 1) / 30 AS INT) AS chunk_idx,
+             |  array_to_string(list_slice(w, s, s + 39), ' ') AS chunk,
+             |  least(40, len(w) - s + 1) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // Token counting: whitespace, regex-word, distinct, and BPE-ish subword.
     QueryDef(
       "x_token_count",

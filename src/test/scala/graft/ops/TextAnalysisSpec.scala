@@ -60,6 +60,28 @@ class TextAnalysisSpec extends GraftSuite {
     assert(pred("xyzzy plugh") === "unknown")
   }
 
+  test("chunk: overlapping windows cover every token; partial tail kept") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq(text).toDF("text")
+    val chunks = df.select(posexplode(TextAnalysis.chunk($"text", 4, 1)))
+      .select($"col.chunk_idx", $"col.chunk", $"col.n_tokens")
+      .as[(Int, String, Int)].collect().sortBy(_._1)
+    // step 3: starts 1,4,7 → [t1..t4], [t4..t7], [t7..t10]
+    assert(chunks.map(_._2).toSeq === Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(chunks.map(_._3).toSeq === Seq(4, 4, 4))
+    // 11 tokens → a 2-token partial tail survives
+    val tail = Seq((1 to 11).map(i => s"t$i").mkString(" ")).toDF("text")
+      .select(posexplode(TextAnalysis.chunk($"text", 4, 1)))
+      .select($"col.chunk", $"col.n_tokens").as[(String, Int)].collect()
+    assert(tail.last === (("t10 t11", 2)))
+    // overlap reconstruction: dropping the first `overlap` tokens of every
+    // chunk after the first re-yields the original token stream
+    val rebuilt = chunks.map(_._2.split(" ")).zipWithIndex
+      .flatMap { case (t, i) => if (i == 0) t else t.drop(1) }.mkString(" ")
+    assert(rebuilt === text)
+  }
+
   test("cleanText strips tags/control chars and collapses whitespace") {
     val df = Seq("<b>hello</b>\u0001  world <br/> again ").toDF("t")
     val out = df.select(TextAnalysis.cleanText($"t")).as[String].collect().head
