@@ -24,7 +24,8 @@ object SparkEntry {
     _root_.graft.queries.SqlQueries,
     _root_.graft.queries.TemporalGraphQueries,
     _root_.graft.queries.TextStatsQueries,
-    _root_.graft.queries.LayoutQueries
+    _root_.graft.queries.LayoutQueries,
+    _root_.graft.queries.MultimodalQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

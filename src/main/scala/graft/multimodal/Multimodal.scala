@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, plus decode / feature /
   * resize / frame-sample operators.
   *
-  * The Spark-side architecture is real and tested — schemas, partition-wise
-  * batch execution via `mapPartitions` (the JVM analogue of a Python
-  * `mapInPandas` batch UDF: one iterator per partition, amortized per-batch
-  * setup, no per-row driver involvement). The actual codecs are STUBBED
-  * (this container ships no imaging/audio libraries): [[StubCodec]] derives
-  * deterministic pseudo-metadata and pseudo-features from the bytes alone.
-  * Swapping in a real decoder = replacing StubCodec, nothing else moves.
+  * Partition-wise batch execution via `mapPartitions` (the JVM analogue of a
+  * Python `mapInPandas` batch UDF: one iterator per partition, amortized
+  * per-batch setup, no per-row driver involvement). Decode is REAL:
+  * [[ImageCodec]] (javax.imageio — JPEG/PNG/BMP/GIF/TIFF, headless) for
+  * pixels and [[AudioCodec]] (pure-JVM RIFF/PCM) for waveforms;
+  * [[MediaHeaders]] stays as the cheap header-only metadata path. Only
+  * formats with no JDK decoder (video containers, compressed audio) fall
+  * back to [[StubCodec]]'s deterministic byte-level pseudo-features, so
+  * opaque blobs still flow through the pipeline with stable fingerprints.
   */
 object Multimodal {
 
@@ -30,9 +32,11 @@ object Multimodal {
       StructField("n_frames", IntegerType),
       StructField("size_bytes", LongType))))))
 
-  /** Deterministic stand-in for a real decoder: every quantity is a pure
-    * function of the bytes (so tests are exact and re-runs identical).
-    * A real implementation would decode headers/pixels here. */
+  /** Deterministic byte-level fallback for formats with no JDK decoder
+    * (video containers, MP3/AAC/FLAC, arbitrary blobs): every quantity is a
+    * pure function of the bytes, so undecodable media still get stable
+    * fingerprints/pseudo-frames. Decodable images/audio never reach this —
+    * see [[ImageCodec]] / [[AudioCodec]]. */
   object StubCodec {
     def format(bytes: Array[Byte]): String =
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) "jpeg"
@@ -109,7 +113,13 @@ object Multimodal {
   }
 
   /** Feature extraction: media rows → (path, embedding array<float>). The
-    * embedding column is directly consumable by [[graft.ops.Similarity]]. */
+    * embedding column is directly consumable by [[graft.ops.Similarity]].
+    *
+    * Real pixels first: bytes that decode as an image embed as their
+    * L1-normalized 16-bin luminance histogram (a content feature — invariant
+    * under re-encoding, unlike any function of the compressed bytes);
+    * undecodable bytes fall back to the byte-histogram fingerprint. Both
+    * paths emit the same 16-dim L1-normalized shape. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("path", StringType),
@@ -119,7 +129,99 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
       rows.map { r =>
-        Row(r.getString(pathIdx), StubCodec.features(r.getAs[Array[Byte]](contentIdx)))
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val emb = ImageCodec.decode(bytes) match {
+          case Some(d) => ImageCodec.lumaHistogram(d.img, bins = 16)
+          case None    => StubCodec.features(bytes)
+        }
+        Row(r.getString(pathIdx), emb)
+      }
+    }(enc)
+  }
+
+  /** Full pixel decode: binary rows → per-image pixel facts. Width/height/
+    * channels come from the decoded raster (not headers); channel sums are
+    * exact longs over every pixel; aHash/dHash are 64-bit perceptual hashes
+    * for image near-dup detection (join on small Hamming distance, or band
+    * the 64 bits 16×4 for an LSH-style bucketed self-join — the same
+    * pattern as [[graft.ops.Dedup.simHashPairs]]). Undecodable rows are
+    * dropped (they carry no pixels; route them through [[decode]] for
+    * byte-level metadata instead). */
+  def decodePixels(binary: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("format", StringType),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pathIdx = binary.schema.fieldIndex("path")
+    val contentIdx = binary.schema.fieldIndex("content")
+    binary.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.decode(r.getAs[Array[Byte]](contentIdx)).map { d =>
+          val (sr, sg, sb, n) = ImageCodec.channelSums(d.img)
+          Row(r.getString(pathIdx), d.format, d.width, d.height, d.channels,
+            n, sr, sg, sb, ImageCodec.aHash(d.img), ImageCodec.dHash(d.img))
+        }
+      }
+    }(enc)
+  }
+
+  /** Real audio decode: binary rows → PCM waveform statistics (duration,
+    * exact sample sum, peak, RMS, clipped fraction). Non-PCM/undecodable
+    * rows are dropped. */
+  def decodeAudio(binary: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("bits_per_sample", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_sec", DoubleType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("clipped_pct", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pathIdx = binary.schema.fieldIndex("path")
+    val contentIdx = binary.schema.fieldIndex("content")
+    binary.mapPartitions { rows =>
+      rows.flatMap { r =>
+        AudioCodec.decode(r.getAs[Array[Byte]](contentIdx)).map { p =>
+          val s = AudioCodec.stats(p)
+          Row(r.getString(pathIdx), p.channels, p.sampleRate, p.bitsPerSample,
+            s.nSamples, s.durationSec, s.sumSamples, s.peak, s.rms, s.clippedPct)
+        }
+      }
+    }(enc)
+  }
+
+  /** Real thumbnail generation: decode → deterministic box resize →
+    * lossless PNG re-encode. The storage-reduction tier for image corpora
+    * (the image analogue of [[graft.ops.Similarity]]'s int8 quantization).
+    * Undecodable rows are dropped. */
+  def resizeImages(binary: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pathIdx = binary.schema.fieldIndex("path")
+    val contentIdx = binary.schema.fieldIndex("content")
+    binary.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.decode(r.getAs[Array[Byte]](contentIdx)).map { d =>
+          val small = ImageCodec.boxResize(d.img, outW, outH)
+          Row(r.getString(pathIdx), outW, outH, ImageCodec.encode(small, "png"))
+        }
       }
     }(enc)
   }

@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+/** DataFrame-level specs for the real-decode multimodal operators: the
+  * distributed plumbing (schemas, mapPartitions batch shape, drop-vs-keep
+  * semantics) over real PNG/JPEG/WAV bytes. */
+class MultimodalOpsSpec extends GraftSuite {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      ("p0.png", ImageCodec.encode(ImageCodec.testPattern(64, 48, 0), "png")),
+      ("p1.png", ImageCodec.encode(ImageCodec.testPattern(80, 56, 1), "png")),
+      ("j0.jpg", ImageCodec.encode(ImageCodec.testPattern(64, 48, 0), "jpg")),
+      ("w0.wav", AudioCodec.pcm16Wav(1, 8000,
+        Array.tabulate(4000)(i => ((i * 37) % 4001 - 2000).toShort))),
+      ("b0.bin", "just opaque bytes".getBytes("UTF-8"))
+    ).toDF("path", "content")
+  }
+
+  test("decodePixels: real raster facts for images, undecodable rows dropped") {
+    val out = Multimodal.decodePixels(corpus).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("p0.png", "p1.png", "j0.jpg"))
+    val p0 = out("p0.png")
+    assert(p0.getString(1) === "png")
+    assert(p0.getInt(2) === 64 && p0.getInt(3) === 48 && p0.getInt(4) === 3)
+    val (er, eg, eb) = ImageCodec.expectedPatternSums(64, 48, 0)
+    assert((p0.getLong(6), p0.getLong(7), p0.getLong(8)) === ((er, eg, eb)))
+    // perceptual: PNG and JPEG of the SAME pattern hash near each other
+    val j0 = out("j0.jpg")
+    assert(ImageCodec.hamming(p0.getLong(10), j0.getLong(10)) <= 5) // dhash
+    // and a different pattern hashes far away
+    assert(ImageCodec.hamming(p0.getLong(10), out("p1.png").getLong(10)) > 5)
+  }
+
+  test("decodeAudio: real waveform stats, non-audio dropped") {
+    val rows = Multimodal.decodeAudio(corpus).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("w0.wav"))
+    val r = rows.head
+    assert(r.getInt(1) === 1 && r.getInt(2) === 8000)
+    assert(r.getLong(4) === 4000L)
+    assert(r.getDouble(5) === 0.5) // 4000 frames / 8000 Hz
+    val expected = (0 until 4000).map(i => ((i * 37) % 4001 - 2000).toLong).sum
+    assert(r.getLong(6) === expected)
+  }
+
+  test("resizeImages: thumbnails re-decode at target dims with conserved brightness") {
+    val thumbs = Multimodal.resizeImages(corpus, 16, 12)
+    val decoded = Multimodal.decodePixels(thumbs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(decoded.keySet === Set("p0.png", "p1.png", "j0.jpg"))
+    val t = decoded("p0.png")
+    assert(t.getInt(2) === 16 && t.getInt(3) === 12)
+    // box resize preserves the mean up to integer truncation per output px
+    val (er, _, _) = ImageCodec.expectedPatternSums(64, 48, 0)
+    val fullMean = er.toDouble / (64 * 48)
+    val thumbMean = t.getLong(6).toDouble / t.getLong(5)
+    assert(math.abs(thumbMean - fullMean) < 1.5)
+  }
+
+  test("extractFeatures embeds real pixels for images (re-encode invariant)") {
+    import spark.implicits._
+    val media = corpus.withColumn("media_type", lit("image"))
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getString(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    assert(f.values.forall(_.size === 16))
+    assert(f.values.forall(e => math.abs(e.sum - 1.0f) < 1e-3))
+    // content feature: PNG and JPEG encodings of the same pattern are close
+    // in L1 even though their BYTES are completely different
+    def l1(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]) =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    assert(l1(f("p0.png"), f("j0.jpg")) < 0.1)
+    // a byte-level feature could never do that — and different patterns stay apart
+    assert(l1(f("p0.png"), f("p1.png")) > 0.05)
+  }
+}
