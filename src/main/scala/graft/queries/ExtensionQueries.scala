@@ -61,6 +61,45 @@ object ExtensionQueries extends QueryGroup {
        |SELECT ida, idb, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.5 ORDER BY ida, idb""".stripMargin
 
+  /** documents ∪ first-half "quote" docs at doc_id+200000 — the containment
+    * test corpus (shared by the exact and df-capped tiers). */
+  private def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), lower(col("text")).as("text"))
+      .union(docs.select(
+        (col("doc_id") + 200000).as("doc_id"),
+        // first half of the token stream, space-joined
+        concat_ws(" ", slice(split(lower(col("text")), " "), lit(1),
+          (size(split(lower(col("text")), " ")) / 2).cast("int"))).as("text")))
+  }
+
+  /** Containment oracle; `capSql` optionally inserts the df-cap CTE (and the
+    * intersection then reads from `exf` instead of `ex`). */
+  private def containmentOracle(capSql: String): String = {
+    val src = if (capSql.isEmpty) "ex" else "exf"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lower(text) AS text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000,
+       |    array_to_string(list_slice(string_split(lower(text), ' '), 1,
+       |      len(string_split(lower(text), ' ')) // 2), ' ')
+       |  FROM documents),
+       |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                        for i in range(1, len(w) - 1)]) s
+       |       FROM toks WHERE len(w) >= 3),
+       |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh)$capSql,
+       |inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) cnt, max(a.sz) sza
+       |          FROM $src a JOIN $src b ON a.shingle = b.shingle
+       |                             AND a.doc_id != b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ida AS contained, idb AS container,
+       |  round(CAST(cnt AS DOUBLE) / sza, 6) AS containment
+       |FROM inter WHERE CAST(cnt AS DOUBLE) / sza >= 0.9
+       |ORDER BY contained, container""".stripMargin
+  }
+
   /** Shared exact oracle for the embedding near-dup tiers (exact and LSH —
     * the LSH recall bound makes their outputs equal, see x_embedding_lsh). */
   private val embeddingNeardupOracle =
@@ -224,41 +263,35 @@ object ExtensionQueries extends QueryGroup {
     // even though Jaccard ≈ 0.5 would miss at higher thresholds.
     QueryDef(
       "x_containment",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val corpus = docs.select(col("doc_id"), lower(col("text")).as("text"))
-          .union(docs.select(
-            (col("doc_id") + 200000).as("doc_id"),
-            // first half of the token stream, space-joined
-            concat_ws(" ", slice(split(lower(col("text")), " "), lit(1),
-              (size(split(lower(col("text")), " ")) / 2).cast("int"))).as("text")))
-        Dedup.containmentPairs(corpus, "doc_id", "text",
+      (s, d) =>
+        Dedup.containmentPairs(containmentCorpus(s, d), "doc_id", "text",
             shingleN = 3, threshold = 0.9)
           .select(col("contained"), col("container"),
             round(col("containment"), 6).as("containment"))
-          .orderBy("contained", "container")
-      },
-      Some("""WITH corpus AS (
-             |  SELECT doc_id, lower(text) AS text FROM documents
-             |  UNION ALL
-             |  SELECT doc_id + 200000,
-             |    array_to_string(list_slice(string_split(lower(text), ' '), 1,
-             |      len(string_split(lower(text), ' ')) // 2), ' ')
-             |  FROM documents),
-             |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
-             |sh AS (SELECT doc_id,
-             |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-             |                        for i in range(1, len(w) - 1)]) s
-             |       FROM toks WHERE len(w) >= 3),
-             |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
-             |inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) cnt, max(a.sz) sza
-             |          FROM ex a JOIN ex b ON a.shingle = b.shingle
-             |                             AND a.doc_id != b.doc_id
-             |          GROUP BY 1, 2)
-             |SELECT ida AS contained, idb AS container,
-             |  round(CAST(cnt AS DOUBLE) / sza, 6) AS containment
-             |FROM inter WHERE CAST(cnt AS DOUBLE) / sza >= 0.9
-             |ORDER BY contained, container""".stripMargin)),
+          .orderBy("contained", "container"),
+      Some(containmentOracle(capSql = ""))),
+
+    // Containment with the document-frequency cap engaged — the 100 TB tier
+    // (same pattern as x_jaccard_dfcapped): shingles appearing in more than
+    // 20 docs are dropped from BOTH the blocking join and the intersection
+    // count on BOTH engines. A boilerplate shingle with frequency f feeds
+    // f² candidate rows to the uncapped join; the cap bounds every
+    // shingle's contribution at cap², making candidate volume linear in
+    // corpus size for natural text. The exact row above stays as the
+    // perfect-recall baseline.
+    QueryDef(
+      "x_containment_capped",
+      (s, d) =>
+        Dedup.containmentPairs(containmentCorpus(s, d), "doc_id", "text",
+            shingleN = 3, threshold = 0.9, maxShingleFreq = 20)
+          .select(col("contained"), col("container"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("contained", "container"),
+      Some(containmentOracle(
+        capSql = """,
+          |exf AS (SELECT * FROM (
+          |          SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex)
+          |        WHERE df <= 20)""".stripMargin))),
 
     // SimHash near-dup pairs (Hamming <= 12 of 64 bits). Signature values are
     // xxhash64-specific → rows-only check here; semantics covered in ScalaTest.
@@ -356,6 +389,32 @@ object ExtensionQueries extends QueryGroup {
           .orderBy("q_id", "rn")
       },
       None),
+
+    // IVF with every cell probed (nProbe = nCentroids): the bucketing +
+    // rerank machinery runs unchanged but degenerates to exact search, so
+    // the full IVF pipeline — centroid selection, assignment, probing,
+    // in-cell rerank — is checkable against the brute-force cosine oracle.
+    // The approximate setting above keeps its recall spec (SimilaritySpec).
+    QueryDef(
+      "x_ann_ivf_exhaustive",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+            k = 5, nCentroids = 16, nProbe = 16)
+          .select("q_id", "c_id", "sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |p AS (SELECT q.vec_id q_id, c.vec_id c_id,
+             |        round(list_dot_product(q.e, c.e)
+             |          / (sqrt(list_dot_product(q.e, q.e))
+             |             * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+             |      FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+             |SELECT q_id, c_id, sim, rn FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |                              ORDER BY sim DESC, c_id) rn FROM p)
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
     // Language-ID heuristic: per-language stopword-hit ratios + argmax.
     QueryDef(
