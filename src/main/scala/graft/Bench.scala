@@ -12,13 +12,26 @@ import org.apache.spark.sql.SparkSession
   *    unpersisted after every query, so earlier queries' blocks can't build
   *    memory pressure that skews later measurements;
   *  - SPARK_GRAFT_BENCH_ITERS iterations (default 3), per-query median
-  *    reported — single cold runs conflate page-cache state with plan cost.
+  *    reported — single cold runs conflate page-cache state with plan cost;
+  *  - queries whose 3-iter median exceeds SLOW_THRESHOLD get 2 extra
+  *    iterations (median of 5): the slow tail is exactly where run-to-run
+  *    noise is largest relative to the round-over-round deltas being judged;
+  *  - the JSON line carries the host's 1-min load average sampled before
+  *    and after the run — numbers taken on a busy box are visibly suspect
+  *    instead of silently wrong (round-2 verdict: a 2× driver-vs-builder
+  *    gap traced to shared-box contention).
   */
 object Bench {
+  private val SlowThreshold = 2.0 // sec; above this, median of 5 not 3
+
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,7 +51,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val samples = (1 to iters).map { _ =>
+      def sample(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -47,13 +60,20 @@ object Bench {
         }
         finally dropCheckpointBlocks()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> samples(samples.length / 2)
+      }
+      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      val base = Seq.fill(iters)(sample())
+      val all =
+        if (median(base) > SlowThreshold && iters < 5)
+          base ++ Seq.fill(5 - iters)(sample())
+        else base
+      name -> median(all)
     }
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }

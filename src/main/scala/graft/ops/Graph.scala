@@ -27,13 +27,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Convergence report for the iterative tiers — at 100 TB the difference
+    * between 5 rounds and 20 rounds IS the job cost, so it must be visible
+    * to callers (alerting, auto-switching to the star tier), not buried in
+    * driver logs. `perRound` is labels-changed per round for propagation /
+    * surviving-edge count per round for star contraction; a non-converged
+    * run (hit `maxIter`) reports converged = false rather than returning
+    * silently-partial labels. */
+  final case class CcStats(rounds: Int, converged: Boolean, perRound: Seq[Long])
+
   /** Connected components of the undirected graph given by (srcCol, dstCol)
     * edge rows. Returns (vertex `id`, component `label`) with label = the
     * minimum vertex id in the component. Isolated vertices appear in the
     * output only if present as a self-loop or on either edge side.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithStats(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] plus its [[CcStats]]. The per-round changed
+    * count rides the convergence-check action the loop already runs (the
+    * join must execute either way; counting all changed rows instead of
+    * probing for one costs the same shuffle and buys the metric). */
+  def connectedComponentsWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): (DataFrame, CcStats) = {
     // symmetrize once: undirected adjacency as directed both ways
     val adj = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -44,6 +61,7 @@ object Graph {
       .localCheckpoint(false)
     var iter = 0
     var converged = false
+    val perRound = Seq.newBuilder[Long]
     while (iter < maxIter && !converged) {
       // neighbor labels: for edge a->b, a's label is a candidate for b
       val msgs = adj.join(labels.withColumnRenamed("id", "a"), Seq("a"))
@@ -53,12 +71,13 @@ object Graph {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") =!= col("__old")).limit(1).count()
+        .filter(col("label") =!= col("__old")).count()
+      perRound += changed
       labels = next
       converged = changed == 0
       iter += 1
     }
-    labels
+    (labels, CcStats(iter, converged, perRound.result()))
   }
 
   /** Duplicate-cluster survivors: from near-dup pair rows, the component id
@@ -88,7 +107,14 @@ object Graph {
     * min), vertices taken from either edge side (self-loops allowed).
     */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsStarWithStats(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus its [[CcStats]] (perRound = surviving
+    * edge count after each large-star/small-star round, straight from the
+    * fixpoint signature the loop already computes). */
+  def connectedComponentsStarWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30): (DataFrame, CcStats) = {
     val verts = edges.select(col(srcCol).as("id"))
       .union(edges.select(col(dstCol).as("id"))).distinct()
       .localCheckpoint(false)
@@ -125,9 +151,11 @@ object Graph {
     var prevSig = sig(e)
     var iter = 0
     var converged = false
+    val perRound = Seq.newBuilder[Long]
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = sig(next)
+      perRound += nextSig._1
       converged = nextSig == prevSig
       prevSig = nextSig
       e = next
@@ -135,7 +163,8 @@ object Graph {
     }
     // converged edges form stars (v → component min); roots label themselves
     val labels = e.select(col("a").as("id"), col("b").as("label"))
-    verts.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label")),
+      CcStats(iter, converged, perRound.result()))
   }
 }

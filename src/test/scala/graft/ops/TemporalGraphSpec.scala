@@ -73,6 +73,28 @@ class TemporalGraphSpec extends GraftSuite {
     assert(out.forall(_._2 === 1L), "all chain vertices share the min label")
   }
 
+  test("convergence stats: rounds = diameter + 1 on a path, monotone changed counts") {
+    // path 0-1-...-7: label 0 propagates one hop per round, so round k
+    // changes vertices k..7 (8-k changes); round 8 confirms the fixpoint
+    val edges = (0 until 7).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val (labels, stats) = Graph.connectedComponentsWithStats(edges, "src", "dst")
+    assert(labels.as[(Long, Long)].collect().forall(_._2 === 0L))
+    assert(stats.converged)
+    assert(stats.rounds === 8) // diameter 7 + one zero-change round
+    assert(stats.perRound === Seq(7L, 6L, 5L, 4L, 3L, 2L, 1L, 0L))
+
+    // hitting maxIter on a deeper chain must report converged = false
+    val (_, truncated) = Graph.connectedComponentsWithStats(edges, "src", "dst", maxIter = 3)
+    assert(!truncated.converged && truncated.rounds === 3)
+
+    // star tier: stats report rounds and surviving-edge counts
+    val (slabels, sstats) = Graph.connectedComponentsStarWithStats(edges, "src", "dst")
+    assert(slabels.as[(Long, Long)].collect().forall(_._2 === 0L))
+    assert(sstats.converged)
+    assert(sstats.rounds <= 5, "star contraction is O(log n) rounds")
+    assert(sstats.perRound.last === 7L) // final star: 7 spokes to the root
+  }
+
   test("connectedComponentsStar equals propagation on random graphs and chains") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
