@@ -203,6 +203,20 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image near-duplicate pairs by perceptual hash: decode → dHash →
+    * banded Hamming self-join ([[graft.ops.Dedup.hammingPairs]], perfect
+    * recall at `maxHamming` via maxHamming+1 pigeonhole bands). Catches
+    * re-encoded / re-compressed / lightly-edited copies whose BYTES differ
+    * completely — the image analogue of MinHash text dedup, with the same
+    * bucketed 100 TB shape (explode + one shuffle + capped buckets; decode
+    * cost dominates and is row-local). Returns (patha, pathb, hamming). */
+  def imageNearDupPairs(binary: DataFrame, maxHamming: Int = 5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = decodePixels(binary).select(col("path"), col("dhash"))
+    graft.ops.Dedup.hammingPairs(sigs, "path", "dhash", maxHamming, maxBucketSize)
+      .select(col("ida").as("patha"), col("idb").as("pathb"), col("hamming"))
+  }
+
   /** Real thumbnail generation: decode → deterministic box resize →
     * lossless PNG re-encode. The storage-reduction tier for image corpora
     * (the image analogue of [[graft.ops.Similarity]]'s int8 quantization).

@@ -247,24 +247,57 @@ object Dedup {
     graft.expressions.GraftFunctions.graftSimHash(
       filter(words(text), t => length(t) > lit(0)))
 
-  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming.
-    *
-    * Candidates via the pigeonhole band trick: the 64-bit signature is cut
-    * into `pieces` 16-bit chunks; any pair within Hamming distance
-    * (pieces - 1) shares at least one exact chunk, so chunk-equality
-    * bucketing has perfect recall for maxHamming <= pieces-1. Verified with
-    * bit_count(xor) before emitting.
-    */
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming:
+    * row-local 64-bit signatures + [[hammingPairs]] banding (4 × 16-bit
+    * chunks — perfect recall for maxHamming <= 3, standard high-recall
+    * candidate generator above that). */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val pieces = 4
-    val sigs = df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sig"))
-    val banded = sigs.select(
-      col("__id"), col("__sig"),
-      explode(array((0 until pieces).map(j => struct(
-        lit(j).as("band"),
-        shiftright(col("__sig"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("__b"))
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sig")),
+      "__id", "__sig", maxHamming, maxBucketSize, pieces = 4)
+
+  /** All (a<b) pairs of 64-bit signatures within Hamming distance
+    * `maxHamming` — the generic banded self-join behind [[simHashPairs]]
+    * and image perceptual-hash dedup ([[graft.multimodal.Multimodal
+    * .imageNearDupPairs]]).
+    *
+    * Candidates via the pigeonhole band trick: the 64 bits are cut into
+    * `pieces` chunks; a pair differing in fewer than `pieces` bits cannot
+    * differ in every chunk, so it shares at least one exact chunk and
+    * chunk-equality bucketing has PERFECT recall for maxHamming <= pieces-1
+    * (the default pieces = maxHamming + 1 guarantees it). Each candidate is
+    * verified with bit_count(xor) before emitting. More pieces = more
+    * recall budget but smaller chunks and hence bigger buckets — exactly
+    * the banding trade-off of [[minHashLshPairs]]; callers with low-entropy
+    * signatures can trade recall for bucket size by passing fewer pieces.
+    *
+    * Scale shape: one explode (pieces× the signature table — tiny rows),
+    * one shuffle on (band, chunk), hot buckets capped via hash aggregate +
+    * broadcast anti-join (no sort, no window). Candidate volume is
+    * Σ|bucket|² — bounded by `maxBucketSize`·|rows| after the cap.
+    */
+  def hammingPairs(
+      sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      pieces: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
+    val nPieces = if (pieces > 0) pieces else maxHamming + 1
+    require(nPieces >= 1 && nPieces <= 64, s"pieces=$nPieces out of range")
+    // band j covers bits [j*64/nPieces, (j+1)*64/nPieces) — widths differ
+    // by at most one bit when 64 % nPieces != 0; the pigeonhole argument
+    // only needs the chunks to partition the 64 bits
+    val bands = (0 until nPieces).map { j =>
+      val lo = j * 64 / nPieces
+      val hi = (j + 1) * 64 / nPieces
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(j).as("band"),
+        shiftright(col("__sig"), lo).bitwiseAND(mask).as("chunk"))
+    }
+    val banded = sigs
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .select(col("__id"), col("__sig"), explode(array(bands: _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band"), col("__b.chunk"))
     // stop-bucket cap via hash aggregate + anti-join (see minHashLshPairs)
     val capped = {

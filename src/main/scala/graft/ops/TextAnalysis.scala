@@ -54,8 +54,13 @@ object TextAnalysis {
     val stop = stopwordRatio(toks, LangId.en)
     val mlen = meanTokenLen(toks)
     val lenScore = least(mlen / lit(8.0), lit(1.0))
-    round(lit(0.4) * least(stop * 4, lit(1.0)) + lit(0.3) * lenScore
-      + lit(0.3) * alphaRatio(text), 6)
+    // round via DECIMAL(18,12), not the raw double: the weighted sum can
+    // land EXACTLY on a 1e-6 half-boundary (e.g. 0.5153125), where Spark's
+    // shortest-decimal HALF_UP and DuckDB's std::round(x*1e6) disagree by
+    // one ulp of the binary double. Both engines agree on the decimal path
+    // (caught by sf0.1 cross-validation: 2/5000 docs).
+    round((lit(0.4) * least(stop * 4, lit(1.0)) + lit(0.3) * lenScore
+      + lit(0.3) * alphaRatio(text)).cast("decimal(18,12)"), 6).cast("double")
   }
 
   /** Stable content fingerprint: md5 over the normalized token stream —

@@ -471,8 +471,8 @@ object ExtensionQueries extends QueryGroup {
              |  FROM t)
              |SELECT doc_id, n_tokens, round(mlen,6) AS mean_tok_len,
              |  round(stop,6) AS stop_ratio, round(alpha,6) AS alpha_ratio,
-             |  round(0.4 * least(stop * 4, 1.0) + 0.3 * least(mlen / 8.0, 1.0)
-             |        + 0.3 * alpha, 6) AS quality
+             |  round(CAST(0.4 * least(stop * 4, 1.0) + 0.3 * least(mlen / 8.0, 1.0)
+             |        + 0.3 * alpha AS DECIMAL(18,12)), 6)::DOUBLE AS quality
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     // Document chunking: 40-token windows, 10-token overlap — one row per
