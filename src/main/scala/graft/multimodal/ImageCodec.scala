@@ -184,6 +184,42 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Decode ALL frames (animated GIF / multi-page TIFF; single-frame
+    * formats yield one). None if undecodable. The real basis for video-ish
+    * frame sampling: each frame is a full raster, usable by every
+    * pixel-level operator above. */
+  def frames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        if (n <= 0) None else Some((0 until n).map(r.read))
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode frames as an animated GIF (fixture generator for frame-sampling
+    * specs/queries; GIF is palette-based, so patterns with ≤256 distinct
+    * colors round-trip losslessly). */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    import javax.imageio.IIOImage
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic test pattern — pure integer function of (x, y,
     * seed), so any pixel statistic is analytically computable (see
     * [[expectedPatternSums]]). Used by specs and the `m_image_pixel_stats`

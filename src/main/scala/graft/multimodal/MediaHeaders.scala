@@ -54,9 +54,18 @@ object MediaHeaders {
     else Some(ImageDims("png", w.toInt, h.toInt))
   }
 
-  /** Either image format. */
+  /** GIF logical-screen dimensions (header bytes 6-9, little-endian u16). */
+  def gifDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null || b.length < 10) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0) None else Some(ImageDims("gif", w, h))
+  }
+
+  /** Any recognized image format. */
   def imageDims(b: Array[Byte]): Option[ImageDims] =
-    jpegDims(b).orElse(pngDims(b))
+    jpegDims(b).orElse(pngDims(b)).orElse(gifDims(b))
 
   /** WAV audio facts from the RIFF fmt + data chunks. */
   def wavMeta(b: Array[Byte]): Option[AudioMeta] = {

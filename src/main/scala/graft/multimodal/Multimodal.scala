@@ -240,8 +240,13 @@ object Multimodal {
     }(enc)
   }
 
-  /** Video frame sampling: one output row per sampled frame (path, frame_idx,
-    * frame bytes) — the generator shape of a real frame extractor. */
+  /** Frame sampling: one output row per sampled frame (path, frame_idx,
+    * frame bytes). REAL for multi-frame formats the JDK decodes (animated
+    * GIF, multi-page TIFF): n equal-stride frames are decoded and
+    * re-encoded as lossless PNG — directly consumable by [[decodePixels]] /
+    * [[extractFeatures]]. Formats with no JDK frame decoder (MP4 etc.) fall
+    * back to deterministic byte slices so the generator shape holds for any
+    * input. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("path", StringType),
@@ -252,8 +257,17 @@ object Multimodal {
     val contentIdx = media.schema.fieldIndex("content")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        StubCodec.sampleFrames(r.getAs[Array[Byte]](contentIdx), n)
-          .zipWithIndex.map { case (f, i) => Row(r.getString(pathIdx), i, f) }
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val frames = ImageCodec.frames(bytes) match {
+          case Some(fs) if fs.length > 1 =>
+            // n equal-stride real frames (all of them when n >= count)
+            val take = math.min(n, fs.length)
+            (0 until take).map { k =>
+              ImageCodec.encode(fs(k * fs.length / take), "png")
+            }
+          case _ => StubCodec.sampleFrames(bytes, n)
+        }
+        frames.zipWithIndex.map { case (f, i) => Row(r.getString(pathIdx), i, f) }
       }
     }(enc)
   }

@@ -85,6 +85,39 @@ class MultimodalOpsSpec extends GraftSuite {
       s"false positive among $pairs")
   }
 
+  test("sampleFrames: real frames from animated GIF, byte-slice fallback elsewhere") {
+    import spark.implicits._
+    // 6-frame animated GIF; each frame is a constant-color image with a
+    // palette-exact level so the PNG re-encode is checkable per frame
+    def flat(level: Int) = {
+      val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, level << 16)
+      img
+    }
+    val gif = ImageCodec.encodeGif((0 until 6).map(k => flat(40 * k)))
+    val df = Seq(
+      ("anim.gif", gif),
+      ("blob.bin", Array.tabulate(300)(_.toByte))
+    ).toDF("path", "content")
+    val media = Multimodal.decode(df, "video")
+    // header fast path knows GIF dims now
+    val meta = media.collect().map(r => r.getString(0) -> r.getStruct(3)).toMap
+    assert(meta("anim.gif").getString(0) === "gif")
+    assert(meta("anim.gif").getInt(1) === 20 && meta("anim.gif").getInt(2) === 10)
+
+    val frames = Multimodal.sampleFrames(media, 3).collect()
+      .groupBy(_.getString(0))
+    assert(frames("anim.gif").length === 3 && frames("blob.bin").length === 3)
+    // sampled GIF frames are REAL decodable rasters: stride 0,2,4 of the
+    // 6-frame sequence, red level 0/80/160
+    val levels = frames("anim.gif").sortBy(_.getInt(1)).map { r =>
+      val d = ImageCodec.decode(r.getAs[Array[Byte]](2)).get
+      assert(d.width === 20 && d.height === 10)
+      (d.img.getRGB(5, 5) >> 16) & 0xFF
+    }
+    assert(levels.toSeq === Seq(0, 80, 160))
+  }
+
   test("extractFeatures embeds real pixels for images (re-encode invariant)") {
     import spark.implicits._
     val media = corpus.withColumn("media_type", lit("image"))
