@@ -67,6 +67,67 @@ object MediaHeaders {
   def imageDims(b: Array[Byte]): Option[ImageDims] =
     jpegDims(b).orElse(pngDims(b)).orElse(gifDims(b))
 
+  final case class VideoMeta(
+      brand: String, durationSec: Double, width: Int, height: Int)
+
+  /** MP4/ISO-BMFF video facts from a pure-JVM box walk: major brand from
+    * `ftyp`, duration from `moov/mvhd` (timescale + duration), display
+    * dims from the first `moov/trak/tkhd` with nonzero size (16.16 fixed
+    * point). No codec involved — this is real container metadata, the
+    * filter/bucket signal a pipeline needs long before (and usually
+    * instead of) frame decode. None on malformed/truncated/non-MP4 bytes;
+    * box-length guards prevent loops exactly as in [[wavMeta]]. */
+  def mp4Meta(b: Array[Byte]): Option[VideoMeta] = {
+    if (b == null || b.length < 16) return None
+    // top-level: first box must be ftyp
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    val ftypLen = be32(b, 0)
+    if (ftypLen < 16 || ftypLen > b.length) return None
+    val brand = new String(b, 8, 4, "ASCII").trim
+
+    var mvhd: Option[Double] = None
+    var dims: Option[(Int, Int)] = None
+
+    // walk boxes in [from, until); descend into containers we care about
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= until && depth < 8) {
+        val len = be32(b, i)
+        if (len < 8 || i + len > until) return // malformed: stop cleanly
+        val typ = new String(b, i + 4, 4, "ASCII")
+        typ match {
+          case "moov" | "trak" => walk(i + 8, (i + len).toInt, depth + 1)
+          case "mvhd" if i + 8 + 20 <= until =>
+            val ver = u8(b, i + 8)
+            if (ver == 0) {
+              val timescale = be32(b, i + 8 + 12)
+              val duration = be32(b, i + 8 + 16)
+              if (timescale > 0) mvhd = Some(duration.toDouble / timescale)
+            } else if (ver == 1 && i + 8 + 32 <= until) {
+              val timescale = be32(b, i + 8 + 20)
+              val duration = (be32(b, i + 8 + 24) << 32) | be32(b, i + 8 + 28)
+              if (timescale > 0) mvhd = Some(duration.toDouble / timescale)
+            }
+          case "tkhd" =>
+            val ver = u8(b, i + 8)
+            val base = i + (if (ver == 1) 96 else 84) // abs offset of width field
+            if (base + 8 <= until && dims.isEmpty) {
+              val w = (be32(b, base) >> 16).toInt  // 16.16 fixed → integer part
+              val h = (be32(b, base + 4) >> 16).toInt
+              if (w > 0 && h > 0) dims = Some((w, h))
+            }
+          case _ => ()
+        }
+        i += len.toInt
+      }
+    }
+    walk(ftypLen.toInt, b.length, 0)
+    for (d <- mvhd) yield {
+      val (w, h) = dims.getOrElse((0, 0))
+      VideoMeta(brand, d, w, h)
+    }
+  }
+
   /** WAV audio facts from the RIFF fmt + data chunks. */
   def wavMeta(b: Array[Byte]): Option[AudioMeta] = {
     if (b == null || b.length < 44) return None

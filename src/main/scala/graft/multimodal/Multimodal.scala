@@ -98,13 +98,21 @@ object Multimodal {
             case Some(a) =>
               Row("wav", a.channels, a.sampleRate,
                 math.max(1, a.durationSec.toInt), bytes.length.toLong)
-            case None =>
-              val (w, h) = StubCodec.dims(bytes)
-              Row(StubCodec.format(bytes), w, h,
-                if (mediaType == "video")
-                  1 + math.abs(java.util.Arrays.hashCode(bytes) % 30)
-                else 1,
-                bytes.length.toLong)
+            case None => MediaHeaders.mp4Meta(bytes) match {
+              case Some(v) =>
+                // real container metadata: display dims + whole seconds of
+                // duration in n_frames (frame count needs a codec the JDK
+                // lacks; duration is the filter signal pipelines use)
+                Row("mp4", v.width, v.height,
+                  math.max(1, math.ceil(v.durationSec).toInt), bytes.length.toLong)
+              case None =>
+                val (w, h) = StubCodec.dims(bytes)
+                Row(StubCodec.format(bytes), w, h,
+                  if (mediaType == "video")
+                    1 + math.abs(java.util.Arrays.hashCode(bytes) % 30)
+                  else 1,
+                  bytes.length.toLong)
+            }
           }
         }
         Row(path, mediaType, bytes, meta)
