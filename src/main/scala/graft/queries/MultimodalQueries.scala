@@ -102,6 +102,28 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("path"),
       Some(audioOracle)),
 
+    // Perceptual-hash image dedup: PNG / JPEG / downscaled re-encodings of
+    // the same patterns pair up despite fully different bytes (banded
+    // Hamming self-join over dHash — the bucketed 100 TB shape). dHash
+    // values are implementation-defined, so no cross-engine SQL oracle:
+    // rows-only here, semantics pinned by MultimodalOpsSpec.
+    QueryDef(
+      "m_image_neardup",
+      (s, _) => {
+        import s.implicits._
+        val reencoded = imageFixtures.flatMap { case (id, w, h, seed) =>
+          val img = ImageCodec.testPattern(w, h, seed)
+          Seq(
+            (s"$id.png", ImageCodec.encode(img, "png")),
+            (s"$id.jpg", ImageCodec.encode(img, "jpg")),
+            (s"$id.half.png",
+              ImageCodec.encode(ImageCodec.boxResize(img, w / 2, h / 2), "png")))
+        }.toDF("path", "content")
+        Multimodal.imageNearDupPairs(reencoded, maxHamming = 5)
+          .orderBy("patha", "pathb")
+      },
+      None),
+
     // Typed media dispatch over a mixed corpus through the header-only
     // metadata fast path (decode() routes real PNG/WAV headers vs opaque
     // bytes) — format histogram is analytic.
