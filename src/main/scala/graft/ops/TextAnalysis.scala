@@ -105,6 +105,33 @@ object TextAnalysis {
         least(lit(chunkTokens), n - s + 1).cast("int").as("n_tokens")))
   }
 
+  /** Word n-grams of the whitespace token stream, joined by single spaces;
+    * empty array when the document has fewer than `n` tokens. The `when`
+    * guard matters: `sequence(1, m-n+1)` with m < n would generate a
+    * DESCENDING sequence (Spark's sequence defaults to step -1 when
+    * stop < start) and then slice() would fault on start 0. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val w = wsTokens(text)
+    val m = size(w)
+    when(m >= n,
+      transform(sequence(lit(1), m - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of word n-grams that repeat an earlier occurrence
+    * (1 - distinct/total) — the within-document repetition signal of
+    * Gopher-style corpus filtering: templated/boilerplate/looping text
+    * scores high, natural prose low. 0.0 for docs with < n tokens.
+    * Row-local (array_distinct over the gram array), shuffle-free. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) > 0,
+      (size(g) - size(array_distinct(g))).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
   /** Markup strip + whitespace normalization: HTML tags and control chars
     * become spaces, whitespace runs collapse, ends trimmed. RE2-safe
     * patterns (no backrefs/lookaround) so the same regexes run on any

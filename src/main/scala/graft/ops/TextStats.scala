@@ -50,6 +50,38 @@ object TextStats {
       .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("ngram"))
       .limit(k)
+
+  /** Per-document repetition signals (Gopher-style corpus filtering): word
+    * count, duplicate word/bigram/trigram ratios, and the fraction of
+    * bigram slots taken by the single most frequent bigram. Docs that loop
+    * or template score high on all of them; natural prose scores low.
+    *
+    * Scale design: the dup ratios are ROW-LOCAL (array_distinct over the
+    * per-doc gram array — no shuffle, the embarrassingly parallel tier);
+    * only the top-bigram signal needs cross-row state, and that is a
+    * two-level hash aggregate — (doc, gram) counts, then max/sum per doc —
+    * joined back on doc. Both aggregates map-side combine; nothing sorts.
+    * All ratios round through DECIMAL(18,12) (oracle half-boundary
+    * invariant, see NOTES.md).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def r6(c: Column) = round(c.cast("decimal(18,12)"), 6).cast("double")
+    val t = col(textCol)
+    val rowSig = docs.select(
+      col(idCol).as("doc"),
+      size(TextAnalysis.wsTokens(t)).cast("long").as("n_words"),
+      r6(TextAnalysis.dupNgramRatio(t, 1)).as("dup_word_ratio"),
+      r6(TextAnalysis.dupNgramRatio(t, 2)).as("dup_bigram_ratio"),
+      r6(TextAnalysis.dupNgramRatio(t, 3)).as("dup_trigram_ratio"))
+    val top = docs
+      .select(col(idCol).as("doc"),
+        explode(TextAnalysis.wordNgrams(t, 2)).as("gram"))
+      .groupBy("doc", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(r6(max("c").cast("double") / sum("c")).as("top_bigram_frac"))
+    rowSig.join(top, Seq("doc"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
 }
 
 /** Deterministic, oracle-reproducible sampling: the sampling decision is a

@@ -94,6 +94,51 @@ object TextStatsQueries extends QueryGroup {
              |       AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '8000')
              |   OR (event_type = 'error'
              |       AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '199a')
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Gopher-style within-document repetition signals: duplicate
+    // word/bigram/trigram ratios (row-local array_distinct — no shuffle)
+    // plus the top-bigram fraction (two-level hash aggregate). The pass
+    // flag is policy thresholds over the ROUNDED columns, so both engines
+    // compare identical 6-dp doubles.
+    QueryDef(
+      "x_repetition_signals",
+      (s, d) => {
+        val sig = TextStats.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+        sig.withColumn("repetition_pass",
+            (col("dup_bigram_ratio") < 0.03 && col("top_bigram_frac") < 0.04 &&
+              col("n_words") >= 20).cast("int"))
+          .orderBy("doc")
+      },
+      Some("""WITH w AS (SELECT doc_id AS doc, string_split(lower(text), ' ') AS w
+             |  FROM documents),
+             |b AS (SELECT doc, w,
+             |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS g2,
+             |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |         for i in range(1, len(w) - 1)] AS g3
+             |      FROM w),
+             |rs AS (SELECT doc, CAST(len(w) AS BIGINT) AS n_words,
+             |        CAST(round(CAST(CASE WHEN len(w) > 0 THEN
+             |          CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w)
+             |          ELSE 0.0 END AS DECIMAL(18,12)), 6) AS DOUBLE) AS dup_word_ratio,
+             |        CAST(round(CAST(CASE WHEN len(g2) > 0 THEN
+             |          CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+             |          ELSE 0.0 END AS DECIMAL(18,12)), 6) AS DOUBLE) AS dup_bigram_ratio,
+             |        CAST(round(CAST(CASE WHEN len(g3) > 0 THEN
+             |          CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             |          ELSE 0.0 END AS DECIMAL(18,12)), 6) AS DOUBLE) AS dup_trigram_ratio
+             |      FROM b),
+             |cnt AS (SELECT doc, g, COUNT(*) AS c
+             |        FROM (SELECT doc, unnest(g2) AS g FROM b) GROUP BY 1, 2),
+             |tp AS (SELECT doc,
+             |         CAST(round(CAST(CAST(max(c) AS DOUBLE) / sum(c)
+             |           AS DECIMAL(18,12)), 6) AS DOUBLE) AS top_bigram_frac
+             |       FROM cnt GROUP BY 1)
+             |SELECT rs.doc, n_words, dup_word_ratio, dup_bigram_ratio,
+             |       dup_trigram_ratio,
+             |       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+             |       CAST(dup_bigram_ratio < 0.03 AND COALESCE(top_bigram_frac, 0.0) < 0.04
+             |            AND n_words >= 20 AS INT) AS repetition_pass
+             |FROM rs LEFT JOIN tp USING (doc) ORDER BY rs.doc""".stripMargin))
   )
 }

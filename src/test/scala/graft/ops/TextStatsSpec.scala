@@ -80,4 +80,36 @@ class TextStatsSpec extends GraftSuite {
     assert(!out.contains("b"), "unlisted stratum dropped")
     assert(math.abs(out("a") / 10000.0 - 0.5) < 0.03)
   }
+
+  test("dupNgramRatio: hand-computed ratios, short-doc zero guard") {
+    val df = Seq(
+      (1L, "a b a b a"),   // words: 5 tok, 2 distinct → 3/5; bigrams:
+                           // [a b, b a, a b, b a] → 2/4; trigrams:
+                           // [a b a, b a b, a b a] → 1/3
+      (2L, "x y z"),       // all distinct → 0 everywhere
+      (3L, "w")            // 1 token: bigram/trigram guards → 0.0, not NaN
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.dupNgramRatio($"text", 1).as("d1"),
+        TextAnalysis.dupNgramRatio($"text", 2).as("d2"),
+        TextAnalysis.dupNgramRatio($"text", 3).as("d3"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((0.6, 0.5, 1.0 / 3)))
+    assert(out(2L) === ((0.0, 0.0, 0.0)))
+    assert(out(3L) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("repetitionSignals: top-bigram fraction and left-join zero fill") {
+    val df = Seq(
+      (1L, "a b a b c"),   // bigrams: a b(2), b a(1), b c(1) → top 2/4
+      (2L, "solo")         // no bigrams → top_bigram_frac coalesces to 0
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(df, "doc_id", "text")
+      .select("doc", "n_words", "top_bigram_frac")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((5L, 0.5)))
+    assert(out(2L) === ((1L, 0.0)))
+  }
 }
