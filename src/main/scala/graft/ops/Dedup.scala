@@ -159,6 +159,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Train-vs-eval decontamination: for every train doc, the number of
+    * DISTINCT word n-grams it shares with ANY eval doc, plus a
+    * `contaminated` flag (`eval_ngram_hits >= minHits`) — the benchmark-
+    * leakage scrub of a training-data pipeline (a separate concern from
+    * dedup: the eval set is small, external, and must never be paired
+    * against itself).
+    *
+    * Scale: the eval n-gram set is distinct-aggregated once — it is
+    * eval-corpus-sized, orders of magnitude smaller than the train corpus —
+    * and hash-joined on the shingle (AQE broadcasts it when it fits).
+    * The train side explodes its per-doc DISTINCT shingles (native
+    * [[graft.expressions.WordNGrams]], one shuffle on the shingle), hit
+    * counts are a per-doc hash aggregate, and a left join restores the
+    * clean docs with 0 hits. Nothing sorts; no n² pairing anywhere.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 5, minHits: Int = 1): DataFrame = {
+    val evalGrams = eval
+      .select(explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .distinct()
+    val hits = train
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .join(evalGrams, Seq("shingle"))
+      .groupBy("__id").agg(count(lit(1)).as("eval_ngram_hits"))
+    val ids = train.select(col(idCol))
+    ids.join(hits, ids(idCol) === hits("__id"), "left")
+      .drop("__id")
+      .withColumn("eval_ngram_hits", coalesce(col("eval_ngram_hits"), lit(0L)))
+      .withColumn("contaminated", (col("eval_ngram_hits") >= minHits).cast("int"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs via shingle blocking: pairs
     * sharing >=1 shingle are candidates (perfect recall), then exact Jaccard.
     * Shuffles on the shingle (blocking key); `maxShingleFreq` drops shingles

@@ -225,6 +225,48 @@ object ExtensionQueries extends QueryGroup {
              |SELECT ida, idb, round(jac, 6) AS jaccard FROM j
              |WHERE jac >= 0.5 ORDER BY ida, idb""".stripMargin)),
 
+    // Train-vs-eval decontamination: the benchmark-leakage scrub. A
+    // deterministic md5-prefix split carves ~10% of the corpus into the
+    // "eval set"; every remaining train doc is flagged with the number of
+    // distinct 5-grams it shares with any eval doc. The contaminated rows
+    // are exactly the near/exact duplicate twins that straddle the split.
+    QueryDef(
+      "x_decontamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), lower(col("text")).as("text"))
+        val isEval = graft.ops.Sampling.sampleKey(col("doc_id")) <
+          graft.ops.Sampling.hexThreshold(0.10)
+        Dedup.decontaminate(docs.filter(!isEval), docs.filter(isEval),
+            "doc_id", "text", shingleN = 5, minHits = 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lower(text) AS text FROM documents),
+             |ev AS (SELECT * FROM d
+             |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'),
+             |tr AS (SELECT * FROM d
+             |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '199a'),
+             |evg AS (SELECT DISTINCT
+             |          unnest(list_distinct(
+             |            [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+             |               || w[i+3] || ' ' || w[i+4]
+             |             for i in range(1, len(w) - 3)])) AS shingle
+             |        FROM (SELECT string_split(text, ' ') w FROM ev)
+             |        WHERE len(w) >= 5),
+             |trg AS (SELECT doc_id,
+             |          unnest(list_distinct(
+             |            [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+             |               || w[i+3] || ' ' || w[i+4]
+             |             for i in range(1, len(w) - 3)])) AS shingle
+             |        FROM (SELECT doc_id, string_split(text, ' ') w FROM tr)
+             |        WHERE len(w) >= 5),
+             |h AS (SELECT doc_id, COUNT(*) AS eval_ngram_hits
+             |      FROM trg JOIN evg USING (shingle) GROUP BY 1)
+             |SELECT tr.doc_id,
+             |       COALESCE(eval_ngram_hits, 0) AS eval_ngram_hits,
+             |       CAST(COALESCE(eval_ngram_hits, 0) >= 1 AS INT) AS contaminated
+             |FROM tr LEFT JOIN h USING (doc_id) ORDER BY tr.doc_id""".stripMargin)),
+
     // Document-frequency-capped Jaccard (the stop-shingle skew guard,
     // maxShingleFreq): shingles occurring in > 20 docs are excluded from the
     // blocking join AND the intersection count; set sizes stay full. The

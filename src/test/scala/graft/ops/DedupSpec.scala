@@ -122,4 +122,28 @@ class DedupSpec extends GraftSuite {
       .select("ida", "idb").as[(Long, Long)].collect().toSet
     assert(again === mllib)
   }
+
+  test("decontaminate counts distinct shared n-grams; clean docs kept with 0") {
+    val train = Seq(
+      (1L, "a b c d e f"),        // shares 5-grams 'a b c d e','b c d e f'
+      (2L, "a b c d e x y z w v"),// shares only 'a b c d e'
+      (3L, "p q r s t u"),        // clean
+      (4L, "short one")           // < 5 tokens: no shingles, still a row
+    ).toDF("id", "text")
+    val eval = Seq((100L, "a b c d e f g")).toDF("id", "text")
+    val out = Dedup.decontaminate(train, eval, "id", "text",
+        shingleN = 5, minHits = 2)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size === 4, "every train doc gets a row")
+    assert(out(1L) === ((2L, 1)))  // 2 hits >= minHits 2 → contaminated
+    assert(out(2L) === ((1L, 0)))  // 1 hit < minHits 2
+    assert(out(3L) === ((0L, 0)))
+    assert(out(4L) === ((0L, 0)))
+    // duplicated eval docs must not double-count (distinct eval gram set)
+    val evalDup = eval.union(eval)
+    val out2 = Dedup.decontaminate(train, evalDup, "id", "text", 5, 2)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(out2(1L) === 2L)
+  }
 }
