@@ -23,6 +23,10 @@ object GraftFunctions {
   def graftNGrams(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordNGrams(GraftSqlBridge.expression(tokens), n))
 
+  /** Most-frequent-n-gram fraction (see [[TopNGramFrac]]). */
+  def graftTopNGramFrac(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(TopNGramFrac(GraftSqlBridge.expression(tokens), n))
+
   /** Banded random-hyperplane LSH signature (see [[HyperplaneBands]]). */
   def graftHyperplaneBands(vec: Column, numPlanes: Int, bands: Int): Column =
     GraftSqlBridge.column(

@@ -37,6 +37,32 @@ object TextHashKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Fraction of n-gram slots taken by the single most frequent n-gram of a
+    * token array (max in-doc count / total n-grams; 0.0 when fewer than n
+    * tokens) — the "most repeated n-gram" Gopher signal. One hash-map pass;
+    * the agg-join formulation (explode → count → max → join back) shuffles
+    * twice for what is purely per-row state. */
+  def topNGramFrac(arr: ArrayData, n: Int): Double = {
+    val m = arr.numElements()
+    val total = m - n + 1
+    if (total <= 0) return 0.0
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    var max = 0
+    var i = 0
+    while (i + n <= m) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      val g = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      val prev = counts.getOrDefault(g, 0)
+      counts.put(g, prev + 1)
+      if (prev + 1 > max) max = prev + 1
+      i += 1
+    }
+    max.toDouble / total
+  }
+
   /** One-pass k-minhash over a shingle array: h_i(S) = min ((a_i·x + b_i) mod
     * p), x = pmod(xxhash64(s), p). Identical math to the higher-order-function
     * formulation (a_i = 2i+1, b_i = i·2654435761 mod p, init Long.MaxValue). */
@@ -161,6 +187,26 @@ case class WordNGrams(child: Expression, n: Int)
       s"graft.expressions.TextHashKernels.wordNGrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+/** Most-frequent-n-gram fraction of a token array (`array<string>` →
+  * `double` in [0,1]), native one-pass kernel — see
+  * [[TextHashKernels.topNGramFrac]]. */
+case class TopNGramFrac(child: Expression, n: Int)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_top_ngram_frac"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.topNGramFrac(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.topNGramFrac($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopNGramFrac =
     copy(child = newChild)
 }
 

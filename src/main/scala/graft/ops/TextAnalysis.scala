@@ -105,30 +105,27 @@ object TextAnalysis {
         least(lit(chunkTokens), n - s + 1).cast("int").as("n_tokens")))
   }
 
-  /** Word n-grams of the whitespace token stream, joined by single spaces;
-    * empty array when the document has fewer than `n` tokens. The `when`
-    * guard matters: `sequence(1, m-n+1)` with m < n would generate a
-    * DESCENDING sequence (Spark's sequence defaults to step -1 when
-    * stop < start) and then slice() would fault on start 0. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    require(n >= 1, "n-gram size must be >= 1")
-    val w = wsTokens(text)
-    val m = size(w)
-    when(m >= n,
-      transform(sequence(lit(1), m - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Fraction of word n-grams that repeat an earlier occurrence
     * (1 - distinct/total) — the within-document repetition signal of
     * Gopher-style corpus filtering: templated/boilerplate/looping text
     * scores high, natural prose low. 0.0 for docs with < n tokens.
-    * Row-local (array_distinct over the gram array), shuffle-free. */
-  def dupNgramRatio(text: Column, n: Int): Column = {
-    val g = wordNgrams(text, n)
-    when(size(g) > 0,
-      (size(g) - size(array_distinct(g))).cast("double") / size(g))
+    *
+    * Shape: total n-grams is pure arithmetic (m - n + 1) and the distinct
+    * count comes from the native one-pass [[graft.expressions.WordNGrams]]
+    * kernel — everything codegen'd, no higher-order functions. (The first
+    * cut built the gram array with transform(sequence…)+slice+array_distinct;
+    * generic lambda eval made it the slowest line of the whole bench, ~40 s
+    * at sf0.1 vs <1 s for this formulation.) */
+  def dupNgramRatio(text: Column, n: Int): Column =
+    dupNgramRatioTokens(wsTokens(text), n)
+
+  /** [[dupNgramRatio]] over an already-tokenized array column. */
+  def dupNgramRatioTokens(toks: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val total = size(toks) - (n - 1)
+    when(total > 0,
+      (total - size(graft.expressions.GraftFunctions.graftNGrams(toks, n)))
+        .cast("double") / total)
       .otherwise(lit(0.0))
   }
 

@@ -56,31 +56,28 @@ object TextStats {
     * bigram slots taken by the single most frequent bigram. Docs that loop
     * or template score high on all of them; natural prose scores low.
     *
-    * Scale design: the dup ratios are ROW-LOCAL (array_distinct over the
-    * per-doc gram array — no shuffle, the embarrassingly parallel tier);
-    * only the top-bigram signal needs cross-row state, and that is a
-    * two-level hash aggregate — (doc, gram) counts, then max/sum per doc —
-    * joined back on doc. Both aggregates map-side combine; nothing sorts.
-    * All ratios round through DECIMAL(18,12) (oracle half-boundary
-    * invariant, see NOTES.md).
+    * Scale design: EVERY signal here is per-row state — including the
+    * top-bigram fraction (max in-doc count needs no cross-row context) —
+    * so the whole operator is one codegen'd projection over the scan:
+    * no shuffle, no join, embarrassingly parallel at 100 TB. Distinct and
+    * top counts come from the native one-pass kernels
+    * ([[graft.expressions.WordNGrams]], [[graft.expressions.TopNGramFrac]]);
+    * the first cut paired HOF gram construction with an explode → two hash
+    * aggregates → join-back for the top bigram, and benched ~40 s at sf0.1
+    * against <1 s for this plan. All ratios round through DECIMAL(18,12)
+    * (oracle half-boundary invariant, see NOTES.md).
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def r6(c: Column) = round(c.cast("decimal(18,12)"), 6).cast("double")
-    val t = col(textCol)
-    val rowSig = docs.select(
+    val w = TextAnalysis.wsTokens(col(textCol))
+    docs.select(
       col(idCol).as("doc"),
-      size(TextAnalysis.wsTokens(t)).cast("long").as("n_words"),
-      r6(TextAnalysis.dupNgramRatio(t, 1)).as("dup_word_ratio"),
-      r6(TextAnalysis.dupNgramRatio(t, 2)).as("dup_bigram_ratio"),
-      r6(TextAnalysis.dupNgramRatio(t, 3)).as("dup_trigram_ratio"))
-    val top = docs
-      .select(col(idCol).as("doc"),
-        explode(TextAnalysis.wordNgrams(t, 2)).as("gram"))
-      .groupBy("doc", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc")
-      .agg(r6(max("c").cast("double") / sum("c")).as("top_bigram_frac"))
-    rowSig.join(top, Seq("doc"), "left")
-      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+      size(w).cast("long").as("n_words"),
+      r6(TextAnalysis.dupNgramRatioTokens(w, 1)).as("dup_word_ratio"),
+      r6(TextAnalysis.dupNgramRatioTokens(w, 2)).as("dup_bigram_ratio"),
+      r6(TextAnalysis.dupNgramRatioTokens(w, 3)).as("dup_trigram_ratio"),
+      r6(graft.expressions.GraftFunctions.graftTopNGramFrac(w, 2))
+        .as("top_bigram_frac"))
   }
 }
 

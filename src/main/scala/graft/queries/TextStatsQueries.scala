@@ -97,10 +97,13 @@ object TextStatsQueries extends QueryGroup {
              |ORDER BY event_id""".stripMargin)),
 
     // Gopher-style within-document repetition signals: duplicate
-    // word/bigram/trigram ratios (row-local array_distinct — no shuffle)
-    // plus the top-bigram fraction (two-level hash aggregate). The pass
-    // flag is policy thresholds over the ROUNDED columns, so both engines
-    // compare identical 6-dp doubles.
+    // word/bigram/trigram ratios and the top-bigram fraction — ALL per-row
+    // state, so the whole query is one codegen'd projection (native n-gram
+    // kernels; no shuffle, no join). The pass flag is policy thresholds
+    // over the ROUNDED columns, so both engines compare identical 6-dp
+    // doubles. The DuckDB oracle computes the same quantities through its
+    // list comprehensions + a grouped mode — deliberately a DIFFERENT
+    // formulation of the same math.
     QueryDef(
       "x_repetition_signals",
       (s, d) => {

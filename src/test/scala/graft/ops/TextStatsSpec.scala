@@ -100,10 +100,10 @@ class TextStatsSpec extends GraftSuite {
     assert(out(3L) === ((0.0, 0.0, 0.0)))
   }
 
-  test("repetitionSignals: top-bigram fraction and left-join zero fill") {
+  test("repetitionSignals: top-bigram fraction and short-doc zero guard") {
     val df = Seq(
       (1L, "a b a b c"),   // bigrams: a b(2), b a(1), b c(1) → top 2/4
-      (2L, "solo")         // no bigrams → top_bigram_frac coalesces to 0
+      (2L, "solo")         // no bigrams → top_bigram_frac 0.0
     ).toDF("doc_id", "text")
     val out = TextStats.repetitionSignals(df, "doc_id", "text")
       .select("doc", "n_words", "top_bigram_frac")
