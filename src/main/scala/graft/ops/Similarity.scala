@@ -190,17 +190,26 @@ object Similarity {
     * corpus); cosine error after dequantization is bounded by the
     * quantization step (≲1e-2 at d=64, spec-checked). Zero vectors keep
     * scale 0 and quantize to zeros. Row-local column expressions —
-    * shuffle-free, codegen'd.
+    * shuffle-free.
+    *
+    * The scale is BOUND once per row through a single-element transform:
+    * a lambda body that references an outer expression tree re-evaluates
+    * it per element (HOF lambdas are interpreted), so quantizing with the
+    * scale tree inline is O(d²) per row — measured 3.4× slower on the
+    * registered query at sf0.1, 3.4 s vs 1.0 s (the same generic-lambda
+    * lesson as x_repetition_signals, see NOTES.md).
     */
   def quantizeInt8(vec: Column): Column = {
     val v = toDouble(vec)
     val maxAbs = array_max(transform(v, abs(_)))
     val scale = maxAbs / 127.0
-    struct(
-      scale.as("scale"),
-      transform(v, x =>
-        when(scale === 0.0, lit(0).cast("tinyint"))
-          .otherwise(round(x / scale).cast("int").cast("tinyint"))).as("q"))
+    transform(array(scale), s =>
+      struct(
+        s.as("scale"),
+        transform(v, x =>
+          when(s === 0.0, lit(0).cast("tinyint"))
+            .otherwise(round(x / s).cast("int").cast("tinyint"))).as("q")))
+      .getItem(0)
   }
 
   /** Inverse of [[quantizeInt8]]: q_i · scale as array<double>. */
