@@ -212,7 +212,10 @@ object Similarity {
       .getItem(0)
   }
 
-  /** Inverse of [[quantizeInt8]]: q_i · scale as array<double>. */
+  /** Inverse of [[quantizeInt8]]: q_i · scale as array<double>. Pass an
+    * ATTRIBUTE (a materialized column), not the quantizeInt8 tree inline —
+    * the lambda reads `quantized` per element, and a tree there re-runs
+    * the whole quantization per element (see [[quantizeInt8]]'s note). */
   def dequantizeInt8(quantized: Column): Column =
     transform(quantized.getField("q"),
       q => q.cast("double") * quantized.getField("scale"))
