@@ -89,20 +89,26 @@ object TextAnalysis {
     * tokens advancing by `chunkTokens - overlap`, last partial window kept.
     * Returns array<struct<chunk_idx:int, chunk:string, n_tokens:int>> —
     * posexplode at the call site for one row per chunk. Row-local,
-    * shuffle-free; a 100 TB corpus chunks at scan speed. */
+    * shuffle-free; a 100 TB corpus chunks at scan speed.
+    *
+    * The token array is BOUND as a lambda variable before the per-window
+    * transform — referencing the split tree inside the window lambda would
+    * re-tokenize the document once per chunk (the tree-in-lambda rule,
+    * NOTES.md). */
   def chunk(text: Column, chunkTokens: Int, overlap: Int): Column = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
-    val w = wsTokens(text)
-    val n = size(w)
-    // window starts: 1, 1+step, … while start <= max(1, n - overlap)
-    val starts = sequence(lit(1), greatest(lit(1), n - overlap), lit(step))
-    transform(starts, (s, i) =>
-      struct(
-        i.cast("int").as("chunk_idx"),
-        concat_ws(" ", slice(w, s, lit(chunkTokens))).as("chunk"),
-        least(lit(chunkTokens), n - s + 1).cast("int").as("n_tokens")))
+    transform(array(wsTokens(text)), w => {
+      val n = size(w)
+      // window starts: 1, 1+step, … while start <= max(1, n - overlap)
+      val starts = sequence(lit(1), greatest(lit(1), n - overlap), lit(step))
+      transform(starts, (s, i) =>
+        struct(
+          i.cast("int").as("chunk_idx"),
+          concat_ws(" ", slice(w, s, lit(chunkTokens))).as("chunk"),
+          least(lit(chunkTokens), n - s + 1).cast("int").as("n_tokens")))
+    }).getItem(0)
   }
 
   /** Fraction of word n-grams that repeat an earlier occurrence
