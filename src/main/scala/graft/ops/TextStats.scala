@@ -120,6 +120,40 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Deterministic corpus mixing (domain weighting): each row is repeated
+    * according to its stratum's weight — floor(w) guaranteed copies plus one
+    * extra copy for the hash-chosen frac(w) of rows — so the realized mix
+    * converges to the target weights while staying a pure function of each
+    * row's key (engine-portable, retry-stable, and growth-stable: adding
+    * rows never changes existing rows' copy counts). Weights < 1 downsample
+    * (w = 0.4 keeps ~40%), weights > 1 upsample (w = 2.5 emits 2–3 copies);
+    * strata absent from the map keep weight 1. Emits a 0-based `epoch`
+    * column per copy so downstream shuffles spread repeats.
+    *
+    * Scale: a row-local filter + bounded explode over the scan — no
+    * shuffle; this is how a 100 TB pre-training mix (upweight curated
+    * domains, downweight crawl) is materialized without moving data twice.
+    */
+  def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w < 100), "weights in [0,100)")
+    val key = Sampling.sampleKey(col(keyCol))
+    val extra = weights.foldLeft(lit(0)) { case (acc, (stratum, w)) =>
+      val frac = w - math.floor(w)
+      when(col(stratumCol) === stratum,
+        when(key < Sampling.hexThreshold(frac), 1).otherwise(0))
+        .otherwise(acc)
+    }
+    val base = weights.foldLeft(lit(1)) { case (acc, (stratum, w)) =>
+      when(col(stratumCol) === stratum, lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    df.withColumn("__copies", base + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("__epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .withColumn("epoch", col("__epoch").cast("long"))
+      .drop("__copies", "__epoch")
+  }
+
   /** Disjoint, exhaustive, deterministic dataset split (train/val/test…):
     * every row gets exactly one label, decided by which cumulative-weight
     * hash band its key falls in. Reproducible on any engine and any retry;

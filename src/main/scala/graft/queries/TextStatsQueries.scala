@@ -96,6 +96,29 @@ object TextStatsQueries extends QueryGroup {
              |       AND substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '199a')
              |ORDER BY event_id""".stripMargin)),
 
+    // Deterministic corpus mixing: upweight one domain (src0 ×2.5),
+    // downweight another (src1 ×0.4), keep the rest — copy counts are a
+    // pure function of each doc's key (floor(w) copies + one hash-chosen
+    // extra for frac(w)), so both engines materialize the identical mix.
+    // hexThreshold(0.5) = '8000', hexThreshold(0.4) = '6666'.
+    QueryDef(
+      "x_corpus_mix",
+      (s, d) =>
+        Sampling.weightedMix(Tables.documents(s, d), "doc_id", "source",
+            Map("src0" -> 2.5, "src1" -> 0.4))
+          .select("doc_id", "source", "epoch")
+          .orderBy("doc_id", "epoch"),
+      Some("""WITH w AS (SELECT doc_id, source,
+             |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS k FROM documents),
+             |c AS (SELECT doc_id, source,
+             |        CASE source
+             |          WHEN 'src0' THEN 2 + CAST(k < '8000' AS INT)
+             |          WHEN 'src1' THEN CAST(k < '6666' AS INT)
+             |          ELSE 1 END AS copies
+             |      FROM w)
+             |SELECT doc_id, source, unnest(range(0, copies)) AS epoch
+             |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin)),
+
     // Gopher-style within-document repetition signals: duplicate
     // word/bigram/trigram ratios and the top-bigram fraction — ALL per-row
     // state, so the whole query is one codegen'd projection (native n-gram

@@ -81,6 +81,30 @@ class TextStatsSpec extends GraftSuite {
     assert(math.abs(out("a") / 10000.0 - 0.5) < 0.03)
   }
 
+  test("weightedMix: copy counts converge to weights, deterministic, growth-stable") {
+    val df = spark.range(10000)
+      .select($"id", (concat(lit("s"), $"id" % 3)).as("dom"))
+    val weights = Map("s0" -> 2.5, "s1" -> 0.4) // s2 keeps weight 1
+    val out = Sampling.weightedMix(df, "id", "dom", weights)
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // ~3333 rows per domain; realized copies ≈ weight * n
+    assert(math.abs(counts("s0") / 3334.0 - 2.5) < 0.1)
+    assert(math.abs(counts("s1") / 3333.0 - 0.4) < 0.05)
+    assert(counts("s2") === 3333L, "unlisted stratum: exactly one copy each")
+    // per-row guarantees: floor(w) <= copies <= ceil(w), epochs 0..copies-1
+    val perRow = out.filter($"dom" === "s0").groupBy("id").count()
+      .as[(Long, Long)].collect()
+    assert(perRow.forall(r => r._2 == 2L || r._2 == 3L))
+    val epochs = out.filter($"id" === perRow.head._1).select("epoch")
+      .as[Long].collect().sorted
+    assert(epochs === (0L until perRow.head._2).toArray)
+    // growth-stable: the same row draws the same copies in a bigger table
+    val small = Sampling.weightedMix(df.limit(1000), "id", "dom", weights)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    val bigMap = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(small.forall { case (k, v) => bigMap(k) == v })
+  }
+
   test("dupNgramRatio: hand-computed ratios, short-doc zero guard") {
     val df = Seq(
       (1L, "a b a b a"),   // words: 5 tok, 2 distinct → 3/5; bigrams:
