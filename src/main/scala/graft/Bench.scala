@@ -24,12 +24,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val SlowThreshold = 2.0 // sec; above this, median of 5 not 3
 
+  /** Default parallelism when SPARK_GRAFT_CPUS is unset — 32, matching the
+    * driver's setting (BENCH_r02.json records cpus:32), so TimeQuery and an
+    * env-less Bench run measure the same configuration the recorded numbers
+    * were taken at. */
+  val DefaultCpus = "32"
+
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", DefaultCpus)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val loadStart = loadAvg()
     val spark = SparkSession.builder()

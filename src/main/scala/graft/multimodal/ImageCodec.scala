@@ -55,6 +55,13 @@ object ImageCodec {
     else "bin"
   }
 
+  /** ITU-R BT.601 integer luma of a packed RGB pixel: (77R+150G+29B)>>8 —
+    * the ONE luma definition shared by the histogram embedding and both
+    * perceptual hashes (a drift between them would silently decorrelate
+    * features from hashes). */
+  @inline def luma(p: Int): Int =
+    (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
+
   /** One-pass per-channel pixel sums (exact longs — oracle-friendly: no
     * rounding ambiguity, unlike means) plus pixel count. */
   def channelSums(img: BufferedImage): (Long, Long, Long, Long) = {
@@ -87,9 +94,8 @@ object ImageCodec {
     while (y < img.getHeight) {
       var x = 0
       while (x < img.getWidth) {
-        val p = img.getRGB(x, y)
-        val luma = (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
-        hist(math.min(bins - 1, luma * bins / 256)) += 1f
+        val l = luma(img.getRGB(x, y))
+        hist(math.min(bins - 1, l * bins / 256)) += 1f
         x += 1
       }
       y += 1
@@ -142,8 +148,7 @@ object ImageCodec {
     val out = new Array[Int](64)
     var i = 0
     while (i < 64) {
-      val p = small.getRGB(i % 8, i / 8)
-      out(i) = (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
+      out(i) = luma(small.getRGB(i % 8, i / 8))
       i += 1
     }
     out
@@ -163,13 +168,10 @@ object ImageCodec {
     * than aHash to global brightness shifts. */
   def dHash(img: BufferedImage): Long = {
     val small = boxResize(img, 9, 8)
-    def luma(x: Int, y: Int): Int = {
-      val p = small.getRGB(x, y)
-      (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
-    }
+    def l(x: Int, y: Int): Int = luma(small.getRGB(x, y))
     var h = 0L; var i = 0
     while (i < 64) {
-      if (luma(i % 8, i / 8) < luma(i % 8 + 1, i / 8)) h |= 1L << i
+      if (l(i % 8, i / 8) < l(i % 8 + 1, i / 8)) h |= 1L << i
       i += 1
     }
     h
@@ -187,7 +189,14 @@ object ImageCodec {
   /** Decode ALL frames (animated GIF / multi-page TIFF; single-frame
     * formats yield one). None if undecodable. The real basis for video-ish
     * frame sampling: each frame is a full raster, usable by every
-    * pixel-level operator above. */
+    * pixel-level operator above.
+    *
+    * Known limitation (documented, not hidden): frames are the reader's raw
+    * per-frame rasters. Optimized animated GIFs that store later frames as
+    * delta patches (smaller rect + disposal metadata) yield those patches,
+    * not composited full frames — compositing needs the per-frame IIOMetadata
+    * offsets/disposal codes. Fixture GIFs ([[encodeGif]]) and multi-page
+    * TIFFs are always full frames. */
   def frames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] = {
     if (bytes == null || bytes.length < 8) return None
     try {
@@ -196,9 +205,11 @@ object ImageCodec {
         val readers = ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return None
         val r = readers.next()
-        r.setInput(iis)
-        val n = r.getNumImages(true)
-        if (n <= 0) None else Some((0 until n).map(r.read))
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          if (n <= 0) None else Some((0 until n).map(r.read))
+        } finally r.dispose()
       } finally iis.close()
     } catch { case _: Exception => None }
   }

@@ -108,7 +108,7 @@ object MediaHeaders {
               val duration = (be32(b, i + 8 + 24) << 32) | be32(b, i + 8 + 28)
               if (timescale > 0) mvhd = Some(duration.toDouble / timescale)
             }
-          case "tkhd" =>
+          case "tkhd" if i + 9 <= until =>
             val ver = u8(b, i + 8)
             val base = i + (if (ver == 1) 96 else 84) // abs offset of width field
             if (base + 8 <= until && dims.isEmpty) {

@@ -220,9 +220,30 @@ object Multimodal {
     * cost dominates and is row-local). Returns (patha, pathb, hamming). */
   def imageNearDupPairs(binary: DataFrame, maxHamming: Int = 5,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = decodePixels(binary).select(col("path"), col("dhash"))
-    graft.ops.Dedup.hammingPairs(sigs, "path", "dhash", maxHamming, maxBucketSize)
+    graft.ops.Dedup.hammingPairs(imageSignatures(binary),
+        "path", "dhash", maxHamming, maxBucketSize)
       .select(col("ida").as("patha"), col("idb").as("pathb"), col("hamming"))
+  }
+
+  /** dHash signatures only: decode + one 9×8 box resize per image. The
+    * near-dup path needs nothing else — going through [[decodePixels]]
+    * would add a full channel-stats raster pass and an aHash thumbnail
+    * pass per image whose outputs are immediately discarded (~2× avoidable
+    * pixel work at corpus scale). */
+  private def imageSignatures(binary: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val pathIdx = binary.schema.fieldIndex("path")
+    val contentIdx = binary.schema.fieldIndex("content")
+    binary.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageCodec.decode(r.getAs[Array[Byte]](contentIdx)).map { d =>
+          Row(r.getString(pathIdx), ImageCodec.dHash(d.img))
+        }
+      }
+    }(enc)
   }
 
   /** Real thumbnail generation: decode → deterministic box resize →
@@ -249,11 +270,13 @@ object Multimodal {
   }
 
   /** Frame sampling: one output row per sampled frame (path, frame_idx,
-    * frame bytes). REAL for multi-frame formats the JDK decodes (animated
-    * GIF, multi-page TIFF): n equal-stride frames are decoded and
-    * re-encoded as lossless PNG — directly consumable by [[decodePixels]] /
-    * [[extractFeatures]]. Formats with no JDK frame decoder (MP4 etc.) fall
-    * back to deterministic byte slices so the generator shape holds for any
+    * frame bytes). REAL for every format the JDK decodes: min(n, frame
+    * count) equal-stride frames are decoded and re-encoded as lossless
+    * PNG — directly consumable by [[decodePixels]] / [[extractFeatures]].
+    * A single-frame image yields its one real frame (not n pseudo-frames —
+    * every emitted frame from a decodable input is a decodable raster).
+    * Only formats with no JDK frame decoder (MP4 etc.) fall back to
+    * deterministic byte slices so the generator shape holds for any
     * input. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val outSchema = StructType(Seq(
@@ -267,7 +290,7 @@ object Multimodal {
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
         val frames = ImageCodec.frames(bytes) match {
-          case Some(fs) if fs.length > 1 =>
+          case Some(fs) if fs.nonEmpty =>
             // n equal-stride real frames (all of them when n >= count)
             val take = math.min(n, fs.length)
             (0 until take).map { k =>

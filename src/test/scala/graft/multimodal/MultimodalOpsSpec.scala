@@ -97,6 +97,7 @@ class MultimodalOpsSpec extends GraftSuite {
     val gif = ImageCodec.encodeGif((0 until 6).map(k => flat(40 * k)))
     val df = Seq(
       ("anim.gif", gif),
+      ("still.png", ImageCodec.encode(flat(200), "png")),
       ("blob.bin", Array.tabulate(300)(_.toByte))
     ).toDF("path", "content")
     val media = Multimodal.decode(df, "video")
@@ -108,6 +109,11 @@ class MultimodalOpsSpec extends GraftSuite {
     val frames = Multimodal.sampleFrames(media, 3).collect()
       .groupBy(_.getString(0))
     assert(frames("anim.gif").length === 3 && frames("blob.bin").length === 3)
+    // a decodable single-frame image yields its ONE real frame, not n
+    // pseudo-frames — every frame from a decodable input is a real raster
+    assert(frames("still.png").length === 1)
+    val still = ImageCodec.decode(frames("still.png").head.getAs[Array[Byte]](2)).get
+    assert(((still.img.getRGB(5, 5) >> 16) & 0xFF) === 200)
     // sampled GIF frames are REAL decodable rasters: stride 0,2,4 of the
     // 6-frame sequence, red level 0/80/160
     val levels = frames("anim.gif").sortBy(_.getInt(1)).map { r =>

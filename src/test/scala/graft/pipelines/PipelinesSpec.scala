@@ -130,8 +130,11 @@ class PipelinesSpec extends GraftSuite {
     assert(f.forall(_.size === 16))
     assert(f.forall(e => math.abs(e.sum - 1.0f) < 1e-3)) // L1-normalized
 
+    // these fixture bytes are NOT decodable images, so every file takes the
+    // deterministic byte-slice fallback: n pseudo-frames each (decodable
+    // single-frame inputs yield their 1 real frame — MultimodalOpsSpec)
     val frames = Multimodal.sampleFrames(media, 3)
-    assert(frames.count() === 12) // 4 files × 3 frames
+    assert(frames.count() === 12) // 4 undecodable files × 3 stub frames
     assert(frames.columns.toSeq === Seq("path", "frame_idx", "frame"))
     // determinism: same input → same features
     val f2 = Multimodal.extractFeatures(media).collect().map(_.getAs[scala.collection.Seq[Float]]("embedding"))
