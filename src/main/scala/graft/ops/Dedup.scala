@@ -191,6 +191,50 @@ object Dedup {
       .withColumn("contaminated", (col("eval_ngram_hits") >= minHits).cast("int"))
   }
 
+  /** Paragraph-level exact dedup (CCNet-style): split each document into
+    * consecutive `paraWords`-word paragraphs, keep only the FIRST
+    * corpus-wide occurrence of each distinct paragraph (first = lowest
+    * (id, paragraph index) order), and reassemble each document from its
+    * surviving paragraphs. Boilerplate repeated across pages (headers,
+    * navigation, license blocks) disappears from every copy but one while
+    * unique prose is untouched — dedup at sub-document granularity, the
+    * complement of whole-document [[exact]].
+    *
+    * Returns one row per input document: (idCol, n_paras, n_kept,
+    * clean_text); n_kept = 0 keeps fully-boilerplate docs visible to
+    * downstream filters rather than silently dropping them.
+    *
+    * Scale: the split is row-local (codegen'd array ops); the only wide
+    * exchanges are the first-occurrence window keyed on the paragraph text
+    * and the per-document reassembly groupBy — 2 shuffles total, both on
+    * keys that cannot skew beyond true paragraph frequency (and a 100 TB
+    * run would key the window on xxhash64(paragraph) to shrink shuffle
+    * bytes; equality semantics identical up to 64-bit collisions).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      paraWords: Int = 8): DataFrame = {
+    val w = words(col(textCol))
+    // consecutive fixed-width word windows; slice() truncates the tail
+    val paras = transform(
+      sequence(lit(0), ceil(size(w) / lit(paraWords.toDouble)).cast("int") - 1),
+      i => array_join(slice(w, i * paraWords + 1, lit(paraWords)), " "))
+    val exploded = df.select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
+    val firstSeen = Window.partitionBy(col("para"))
+      .orderBy(col(idCol), col("para_idx"))
+    exploded
+      .withColumn("__rn", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("__rn") === 1, 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col("para_idx"), col("para"))))),
+            p => p.getField("para")),
+          " ").as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs via shingle blocking: pairs
     * sharing >=1 shingle are candidates (perfect recall), then exact Jaccard.
     * Shuffles on the shingle (blocking key); `maxShingleFreq` drops shingles

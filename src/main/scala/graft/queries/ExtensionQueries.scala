@@ -138,6 +138,32 @@ object ExtensionQueries extends QueryGroup {
               |SELECT sha256(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_copies
               |FROM corpus GROUP BY 1 ORDER BY h""".stripMargin)),
 
+    // Paragraph-level (CCNet-style) dedup: sub-document granularity — each
+    // distinct 8-word paragraph survives only at its first corpus position,
+    // and documents are reassembled from their surviving paragraphs. On the
+    // doubled corpus every copy's paragraphs are drops; originals keep all.
+    QueryDef(
+      "x_paragraph_dedup",
+      (s, d) =>
+        Dedup.paragraphDedup(dupCorpus(s, d), "doc_id", "text", paraWords = 8)
+          .orderBy("doc_id"),
+      Some(s"""WITH corpus AS ($dupCorpusSql),
+              |toks AS (SELECT doc_id, string_split(lower(text), ' ') w FROM corpus),
+              |paras AS (SELECT doc_id,
+              |    [array_to_string(w[i*8+1 : i*8+8], ' ')
+              |     for i in range(0, CAST(ceil(len(w)/8.0) AS INT))] ps
+              |  FROM toks),
+              |ex AS (SELECT doc_id, unnest(ps) AS para,
+              |         generate_subscripts(ps, 1) AS para_idx FROM paras),
+              |rn AS (SELECT *, row_number() OVER
+              |         (PARTITION BY para ORDER BY doc_id, para_idx) rn FROM ex)
+              |SELECT doc_id,
+              |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+              |  CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+              |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+              |                      ORDER BY para_idx), '') AS clean_text
+              |FROM rn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Normalization-invariant dedup: case/whitespace-mangled copies collapse.
     QueryDef(
       "x_dedup_normalized",

@@ -232,6 +232,26 @@ object RelationalQueries extends QueryGroup {
              |FROM customer c
              |JOIN nation n ON c.c_nationkey = n.n_nationkey
              |JOIN region r ON n.n_regionkey = r.r_regionkey
-             |GROUP BY r_name ORDER BY r_name""".stripMargin))
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Explicit runtime-filter semi join: bloom-prefilter the fact scan on
+    // the dimension keys before the shuffle, then exact semi join — result
+    // identical to the plain semi join (bloom only removes guaranteed
+    // non-matches), shuffle volume cut by the dimension's selectivity.
+    QueryDef(
+      "x_bloom_semi_join",
+      (s, d) => {
+        val building = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+        graft.ops.RuntimeFilter.bloomSemiJoin(
+            Tables.orders(s, d), building, "o_custkey", "c_custkey",
+            expectedItems = 100000L, fpp = 0.01)
+          .select(col("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_custkey IN
+             |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

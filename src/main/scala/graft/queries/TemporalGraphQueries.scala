@@ -206,6 +206,68 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT CAST(label AS BIGINT) AS cluster,
              |  COUNT(*) AS cluster_size,
              |  CAST(min(id) AS BIGINT) AS keep_id
-             |FROM lbl GROUP BY label ORDER BY cluster""".stripMargin))
+             |FROM lbl GROUP BY label ORDER BY cluster""".stripMargin)),
+
+    // Canonical-document selection: per near-dup cluster keep the BEST
+    // member, not the lowest id — here longest text (deterministic
+    // tie-break on id), the standard keep-the-most-complete-copy policy.
+    // On this corpus every cluster's copies dropped their first word, so
+    // the canonical pick must recover exactly the originals.
+    QueryDef(
+      "x_canonical_pick",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.select(col("doc_id"), lower(col("text")).as("text"))
+          .union(docs.select(
+            (col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(lower(col("text")), "^[^ ]+ ", "").as("text")))
+        val pairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+        val labels = Graph.connectedComponents(pairs, "ida", "idb")
+        val scored = corpus.select(col("doc_id"), length(col("text")).as("len"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(col("len").desc, col("id"))
+        labels.join(scored, labels("id") === scored("doc_id"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .select(col("label").cast("long").as("cluster"),
+            col("id").cast("long").as("canonical_id"),
+            col("len").cast("long").as("canonical_len"))
+          .orderBy("cluster")
+      },
+      Some("""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, lower(text) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, regexp_replace(lower(text), '^[^ ]+ ', '')
+             |  FROM documents),
+             |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
+             |sh AS (SELECT doc_id,
+             |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             |                        for i in range(1, len(w) - 1)]) s
+             |       FROM toks WHERE len(w) >= 3),
+             |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+             |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
+             |         FROM ex a JOIN ex b ON a.shingle = b.shingle
+             |                            AND a.doc_id < b.doc_id),
+             |pairs AS (SELECT ida, idb FROM cand
+             |          JOIN sh sa ON sa.doc_id = cand.ida
+             |          JOIN sh sb ON sb.doc_id = cand.idb
+             |          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             |            / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+             |ud AS (SELECT ida a, idb b FROM pairs
+             |       UNION SELECT idb, ida FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT a, a FROM ud
+             |  UNION
+             |  SELECT r.a, u.b FROM reach r JOIN ud u ON r.b = u.a),
+             |lbl AS (SELECT b AS id, min(a) AS label FROM reach GROUP BY b),
+             |mem AS (SELECT lbl.id, lbl.label, len(c.text) AS l
+             |        FROM lbl JOIN corpus c ON c.doc_id = lbl.id),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY label ORDER BY l DESC, id) rk FROM mem)
+             |SELECT CAST(label AS BIGINT) AS cluster,
+             |  CAST(id AS BIGINT) AS canonical_id,
+             |  CAST(l AS BIGINT) AS canonical_len
+             |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin))
   )
 }

@@ -165,6 +165,47 @@ object TextStatsQueries extends QueryGroup {
              |       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
              |       CAST(dup_bigram_ratio < 0.03 AND COALESCE(top_bigram_frac, 0.0) < 0.04
              |            AND n_words >= 20 AS INT) AS repetition_pass
-             |FROM rs LEFT JOIN tp USING (doc) ORDER BY rs.doc""".stripMargin))
+             |FROM rs LEFT JOIN tp USING (doc) ORDER BY rs.doc""".stripMargin)),
+
+    // URL canonicalization + per-registrable-domain corpus stats (the crawl
+    // dedup key): scheme/www/query/fragment stripping and the 2-label
+    // domain heuristic over a deterministic synthetic URL per document —
+    // the same construction on both engines, so the operator under test is
+    // the normalization chain, not the data.
+    QueryDef(
+      "x_url_domain_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val url = concat(
+          lit("HTTPS://WWW.a."), col("source"), lit("-"),
+          (col("doc_id") % 3).cast("string"), lit(".NET/docs/"),
+          col("doc_id").cast("string"), lit("/?utm_source=x&ref=y#frag"))
+        val norm = graft.ops.Urls.normalizeUrl(url)
+        val domain = graft.ops.Urls.registrableDomain(graft.ops.Urls.host(norm))
+        docs.select(col("n_chars"), norm.as("nurl"), domain.as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast("long")).as("total_chars"),
+            min(col("nurl")).as("sample_url"))
+          .orderBy("domain")
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+             |    'HTTPS://WWW.a.' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+             |      || '.NET/docs/' || CAST(doc_id AS VARCHAR)
+             |      || '/?utm_source=x&ref=y#frag' AS url
+             |  FROM documents),
+             |n AS (SELECT n_chars,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+             |      '#.*$', ''), '\?.*$', ''), '^www\.', ''), '/+$', '') AS nurl
+             |  FROM u),
+             |h AS (SELECT n_chars, nurl,
+             |        regexp_replace(nurl, '[/:].*$', '') AS host FROM n),
+             |d AS (SELECT n_chars, nurl,
+             |        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)
+             |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       min(nurl) AS sample_url
+             |FROM d GROUP BY domain ORDER BY domain""".stripMargin))
   )
 }

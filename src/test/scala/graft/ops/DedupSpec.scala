@@ -146,4 +146,37 @@ class DedupSpec extends GraftSuite {
       .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
     assert(out2(1L) === 2L)
   }
+
+  test("paragraphDedup keeps first occurrence only and reassembles in order") {
+    // paraWords = 2: doc 1 = [a b][c d][e f]; doc 2 repeats [c d] then
+    // unique [x y]; doc 3 is entirely doc 1's first paragraph.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "a b")
+    ).toDF("id", "text")
+    val out = Dedup.paragraphDedup(docs, "id", "text", paraWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 3L, "a b c d e f")))
+    assert(out(2L) === ((2L, 1L, "x y")))        // "c d" first seen in doc 1
+    assert(out(3L) === ((1L, 0L, "")))           // fully boilerplate, row kept
+  }
+
+  test("paragraphDedup first-occurrence order is (id, paragraph index)") {
+    // the same paragraph twice INSIDE one doc: second in-doc copy drops too
+    val docs = Seq((1L, "p q p q"), (2L, "p q")).toDF("id", "text")
+    val out = Dedup.paragraphDedup(docs, "id", "text", paraWords = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 1L, "p q")))
+    assert(out(2L) === ((1L, 0L, "")))
+  }
+
+  test("paragraphDedup truncates the tail paragraph instead of padding") {
+    val docs = Seq((1L, "a b c d e")).toDF("id", "text")
+    val out = Dedup.paragraphDedup(docs, "id", "text", paraWords = 2)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out === ((1L, 3L, 3L, "a b c d e"))) // [a b][c d][e]
+  }
 }
