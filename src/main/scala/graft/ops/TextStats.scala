@@ -32,6 +32,35 @@ object TextStats {
       .select("doc", "term", "tf", "df", "tfidf")
   }
 
+  /** Corpus-trained unigram-LM quality signal: per-document cross-entropy
+    * (mean -ln p(term)) and perplexity under the corpus's own unigram
+    * distribution — the degenerate (order-free) form of the CCNet/KenLM
+    * LM-based quality filter, with the exact same dataflow: train token
+    * statistics over the corpus, ship them back to every document, score.
+    * Low perplexity = stereotypical text; high = rare-token soup — both
+    * tails are the usual filter targets.
+    *
+    * Scale: the trained "model" is the vocabulary-sized count table (≪
+    * corpus; AQE broadcasts the join back), the total-count scalar rides a
+    * broadcast cross join of a 1-row aggregate, and scoring is one hash
+    * aggregate over the exploded tokens — 2 shuffles, nothing global.
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("t"))
+    toks.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log(col("c").cast("double") / col("t"))).as("__ce"))
+      .select(col("doc"), col("n_tokens"),
+        round(col("__ce"), 6).as("cross_entropy"),
+        round(exp(col("__ce")), 6).as("ppl"))
+  }
+
   /** Top-k terms per document by (tfidf desc, term) — deterministic. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc"))
@@ -152,6 +181,43 @@ object Sampling {
       .withColumn("__epoch", explode(sequence(lit(0), col("__copies") - 1)))
       .withColumn("epoch", col("__epoch").cast("long"))
       .drop("__copies", "__epoch")
+  }
+
+  /** Deterministic size-balanced shard packing for corpus export: rows are
+    * packed into shards of ~`targetPerShard` total `weightCol` (bytes,
+    * tokens, …) in `idCol` order — shard = floor(exclusive-prefix-sum /
+    * target), so a row starting before a shard boundary belongs to that
+    * shard and shard sizes overshoot by at most one row. The assignment is
+    * a pure function of the data (engine-portable, retry-stable).
+    *
+    * Scale: the global prefix sum does NOT use a single-partition window —
+    * range-partition by id, per-partition totals to the driver (one tiny
+    * row per partition), broadcast offsets back, within-partition running
+    * sum. Same two-pass shape as CatalogOps.assignIdsDistributed, and the
+    * same layout-pinning rule: the partition-stamped frame is checkpointed
+    * once so both passes see identical partitioning.
+    */
+  def packShards(df: DataFrame, idCol: String, weightCol: String,
+      targetPerShard: Long): DataFrame = {
+    require(targetPerShard > 0, "targetPerShard must be positive")
+    val withPart = df.repartitionByRange(col(idCol))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(false)
+    val partSums = withPart.groupBy("__pid")
+      .agg(sum(col(weightCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partSums.scanLeft(0L)(_ + _._2).zip(partSums.map(_._1))
+      .map { case (off, pid) => pid -> off }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    val wp = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    withPart
+      .withColumn("__cum", offCol + sum(col(weightCol).cast("long")).over(wp))
+      .withColumn("shard",
+        floor((col("__cum") - col(weightCol).cast("long")) /
+          lit(targetPerShard.toDouble)).cast("long"))
+      .drop("__pid", "__cum")
   }
 
   /** Disjoint, exhaustive, deterministic dataset split (train/val/test…):

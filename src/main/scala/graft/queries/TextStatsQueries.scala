@@ -206,6 +206,43 @@ object TextStatsQueries extends QueryGroup {
              |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              |       min(nurl) AS sample_url
-             |FROM d GROUP BY domain ORDER BY domain""".stripMargin))
+             |FROM d GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // Corpus-trained unigram-LM quality signal: per-doc cross-entropy and
+    // perplexity under the corpus's own token distribution (the CCNet/KenLM
+    // LM-filter dataflow with an order-free model).
+    QueryDef(
+      "x_unigram_ppl",
+      (s, d) =>
+        TextStats.unigramCrossEntropy(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc"),
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                       x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |c AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+             |t AS (SELECT SUM(c) AS t FROM c),
+             |j AS (SELECT doc, -ln(CAST(c AS DOUBLE) / t) AS nll
+             |      FROM toks JOIN c USING (term), t)
+             |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  round(avg(nll), 6) AS cross_entropy,
+             |  round(exp(avg(nll)), 6) AS ppl
+             |FROM j GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // Deterministic size-balanced shard packing (corpus export): shards of
+    // ~20000 chars in doc_id order via a distributed exclusive prefix sum.
+    QueryDef(
+      "x_shard_pack",
+      (s, d) =>
+        Sampling.packShards(
+            Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", targetPerShard = 20000L)
+          .select(col("doc_id"), col("n_chars"), col("shard"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars,
+             |  CAST(floor((SUM(n_chars) OVER (ORDER BY doc_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       - n_chars) / 20000.0) AS BIGINT) AS shard
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

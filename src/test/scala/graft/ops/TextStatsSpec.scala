@@ -136,4 +136,41 @@ class TextStatsSpec extends GraftSuite {
     assert(out(1L) === ((5L, 0.5)))
     assert(out(2L) === ((1L, 0.0)))
   }
+
+  test("unigramCrossEntropy matches hand-computed corpus unigram LM") {
+    // counts: a=2 b=2 c=1, total 5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextStats.unigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val ce1 = math.log(5.0 / 2.0)                        // all tokens p=2/5
+    val ce2 = (math.log(5.0 / 2.0) + math.log(5.0)) / 2  // b:2/5, c:1/5
+    assert(out(1L) === ((3L, r6(ce1), r6(math.exp(ce1)))))
+    assert(out(2L) === ((2L, r6(ce2), r6(math.exp(ce2)))))
+  }
+
+  test("packShards: exclusive prefix-sum boundaries, exhaustive + ordered") {
+    // weights 6,6,6 with target 10: prefixes 0,6,12 → shards 0,0,1
+    val df = Seq((1L, 6), (2L, 6), (3L, 6)).toDF("id", "w")
+    val got = Sampling.packShards(df, "id", "w", targetPerShard = 10L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("packShards distributed prefix sum equals single-window reference") {
+    val df = (1L to 200L).map(i => (i, (i * 37 % 91 + 1).toInt))
+      .toDF("id", "w").repartition(7) // scrambled input layout
+    val got = Sampling.packShards(df, "id", "w", targetPerShard = 500L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    // reference: driver-side running sum in id order
+    var cum = 0L
+    val want = (1L to 200L).map { i =>
+      val w = (i * 37 % 91 + 1).toLong
+      val shard = cum / 500L
+      cum += w
+      i -> shard
+    }.toMap
+    assert(got === want)
+  }
 }
