@@ -25,7 +25,8 @@ object SparkEntry {
     _root_.graft.queries.TemporalGraphQueries,
     _root_.graft.queries.TextStatsQueries,
     _root_.graft.queries.LayoutQueries,
-    _root_.graft.queries.MultimodalQueries
+    _root_.graft.queries.MultimodalQueries,
+    _root_.graft.queries.CurationQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

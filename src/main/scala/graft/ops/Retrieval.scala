@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus — the retrieval tier of a
+  * training-data pipeline (e.g. sourcing in-domain documents for a target
+  * task, or retrieval-augmented eval-set construction).
+  *
+  * Scoring is Robertson/Sparck-Jones BM25 with the standard "+1" idf floor
+  * (Lucene's variant — strictly positive for any df):
+  *
+  *   idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+  *   score(d,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+  *
+  * Scale design: the query-term IN-filter is applied to the token stream
+  * BEFORE any aggregation, so the tf/df aggregates only ever see the
+  * candidate postings (predicate pushdown straight into the exploded scan —
+  * at 100 TB the tf table is |q| terms × matching docs, not the corpus
+  * vocabulary). Document lengths and the corpus-wide (N, avgdl) scalars are
+  * one hash aggregate + a 1-row broadcast cross join; dl sums are integers,
+  * so avgdl is order-insensitive and exact across engines. The df table is
+  * at most |q| rows — broadcast. The only per-corpus shuffle is the dl
+  * aggregate and its join back to candidates (AQE-broadcast once candidates
+  * are filtered). Final top-k is a TakeOrderedAndProject, never a global
+  * sort.
+  */
+object Retrieval {
+
+  private def r6(c: Column) = round(c.cast("decimal(18,12)"), 6).cast("double")
+
+  /** Top-k documents for a bag-of-words query under BM25.
+    *
+    * Output: (doc, score, rank) — score rounded to 6 dp through
+    * DECIMAL(18,12) before ranking so ordering is stable cross-engine;
+    * ties break on doc id.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+
+    // per-document length + corpus scalars (N docs with >=1 token, mean dl)
+    val dl = toks.groupBy("doc").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+
+    // candidate postings only: filter BEFORE tf/df aggregation
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__w",
+        col("__idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc").agg(r6(sum(col("__w"))).as("score"))
+
+    val w = Window.orderBy(col("score").desc, col("doc"))
+    // single-partition window is fine: input is already the aggregated
+    // per-candidate-doc score table; at scale swap for orderBy().limit(k)
+    // (TakeOrderedAndProject) when rank output is not required.
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

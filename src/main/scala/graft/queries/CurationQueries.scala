@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ops.{Clustering, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation extensions: BM25 ranked retrieval, embedding-space
+  * k-means (Lloyd), and SemDeDup-style cluster-then-dedup. Together these
+  * are the "select what to train on" tier of an LLM data pipeline: retrieve
+  * in-domain documents, cluster the embedding space, and drop semantic
+  * duplicates cluster-locally instead of globally (O(m²) per cluster,
+  * m = n/k, instead of O(n²)).
+  *
+  * Determinism: k-means seeds are the k smallest ids, distances ride the
+  * native DotProduct expression (bit-identical to DuckDB list_dot_product),
+  * centroids pin to 6 dp between iterations, and every score/cosine rounds
+  * through DECIMAL(18,12) before ranking/thresholding — so both engines
+  * walk the exact same Lloyd trajectory and keep/drop frontier.
+  */
+object CurationQueries extends QueryGroup {
+
+  /** Shared kmeans CTE chain (k = 8, iters = 2, dim = 64) over `src`. */
+  private def kmeansSql(src: String): String =
+    s"""WITH v AS ($src),
+       |vn AS (SELECT vec_id, e, list_dot_product(e, e) en FROM v),
+       |c0 AS (SELECT vec_id cid, e ce FROM v ORDER BY vec_id LIMIT 8),
+       |d1 AS (SELECT vn.vec_id, c0.cid,
+       |         vn.en - 2 * list_dot_product(vn.e, c0.ce)
+       |           + list_dot_product(c0.ce, c0.ce) AS d
+       |       FROM vn, c0),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY d, cid) r FROM d1)
+       |       WHERE r = 1),
+       |m1 AS (SELECT a1.cid, t.i,
+       |         CAST(round(CAST(avg(vn.e[t.i]) AS DECIMAL(18,12)), 6) AS DOUBLE) m
+       |       FROM a1 JOIN vn USING (vec_id), range(1, 65) t(i)
+       |       GROUP BY a1.cid, t.i),
+       |c1 AS (SELECT cid, list(m ORDER BY i) ce FROM m1 GROUP BY cid),
+       |d2 AS (SELECT vn.vec_id, c1.cid,
+       |         vn.en - 2 * list_dot_product(vn.e, c1.ce)
+       |           + list_dot_product(c1.ce, c1.ce) AS d
+       |       FROM vn, c1),
+       |a2 AS (SELECT vec_id, cid, d FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                      ORDER BY d, cid) r FROM d2)
+       |       WHERE r = 1)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // BM25 top-20 for a fixed bag-of-words query. The query-term filter is
+    // applied to the token stream BEFORE any aggregation (candidate
+    // postings only); (N, avgdl) ride a 1-row broadcast cross join.
+    QueryDef(
+      "x_bm25_topk",
+      (s, d) =>
+        Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+            queryTerms = Seq("spark", "hash", "join"), k = 20)
+          .orderBy("rank"),
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                       x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc, COUNT(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks
+             |       WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc,
+             |         sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+             |             * (tf * 2.2)
+             |             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc), stats
+             |       GROUP BY 1),
+             |r AS (SELECT doc,
+             |        CAST(round(CAST(s AS DECIMAL(18,12)), 6) AS DOUBLE) AS score
+             |      FROM sc)
+             |SELECT doc, score, rank FROM (
+             |  SELECT *, row_number() OVER (ORDER BY score DESC, doc) AS rank
+             |  FROM r)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // Two deterministic Lloyd iterations from the 8 smallest-id seeds over
+    // the raw embedding corpus; both engines walk the same trajectory
+    // because centroids pin to 6 dp between passes.
+    QueryDef(
+      "x_kmeans_lloyd",
+      (s, d) =>
+        Clustering.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+            k = 8, iters = 2)
+          .orderBy("id"),
+      Some(kmeansSql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings") +
+        """
+          |SELECT vec_id AS id, cid AS cluster,
+          |  CAST(round(CAST(d AS DECIMAL(18,12)), 6) AS DOUBLE) AS dist
+          |FROM a2 ORDER BY id""".stripMargin)),
+
+    // SemDeDup over corpus + planted exact copies at vec_id+10000: cluster,
+    // then within each cluster drop every vector with a smaller-id
+    // neighbor at cosine >= 0.95. Finds exactly the planted copies.
+    QueryDef(
+      "x_semdedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val corpus = emb.union(
+          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        Clustering.semDedup(corpus, "vec_id", "embedding",
+            k = 8, iters = 2, threshold = 0.95)
+          .orderBy("id")
+      },
+      Some(kmeansSql(
+        """SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+          |           UNION ALL
+          |           SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings""".stripMargin) +
+        """,
+          |p AS (SELECT DISTINCT b.vec_id AS id
+          |      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          |      JOIN vn va ON va.vec_id = a.vec_id
+          |      JOIN vn vb ON vb.vec_id = b.vec_id
+          |      WHERE CAST(round(CAST(list_dot_product(va.e, vb.e)
+          |              / (sqrt(va.en) * sqrt(vb.en)) AS DECIMAL(18,12)), 6)
+          |            AS DOUBLE) >= 0.95)
+          |SELECT a2.vec_id AS id, cid AS cluster,
+          |  a2.vec_id NOT IN (SELECT id FROM p) AS keep
+          |FROM a2 ORDER BY id""".stripMargin))
+  )
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics of the curation tier: BM25 retrieval, k-means, SemDeDup. */
+class CurationSpec extends GraftSuite {
+  import spark.implicits._
+
+  // --- BM25 ---
+
+  test("bm25: docs matching more query terms with shorter length rank first") {
+    val docs = Seq(
+      (1L, "spark join hash spark"), // tf(spark)=2, 3 distinct matches
+      (2L, "spark filter filter filter filter filter filter filter"),
+      (3L, "table scan group value"), // no query terms
+      (4L, "spark join")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "join", "hash"), k = 10).collect()
+    val ranked = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc"))
+    // doc 3 has no query term -> absent entirely
+    assert(!ranked.contains(3L))
+    assert(out.length === 3)
+    // doc 1 matches all three terms -> top; doc 4 (2 terms, short) beats
+    // doc 2 (1 term, long)
+    assert(ranked.head === 1L)
+    assert(ranked(1) === 4L)
+    assert(ranked(2) === 2L)
+  }
+
+  test("bm25: hand-computed single-term score") {
+    // one doc, one term: idf = ln(1 + (1-1+0.5)/(1+0.5)) = ln(4/3)
+    // tf=1, dl=avgdl=2 -> w = idf * (1*2.2)/(1 + 1.2*(0.25+0.75*1)) = idf
+    val docs = Seq((1L, "spark x")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 1)
+      .collect()
+    assert(out.length === 1)
+    val expected = BigDecimal(math.log(1 + 0.5 / 1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getAs[Double]("score") === expected)
+  }
+
+  // --- k-means ---
+
+  private def vecDf(rows: Seq[(Long, Seq[Double])]) =
+    rows.toDF("id", "vec").select(col("id"),
+      transform(col("vec"), _.cast("float")).as("vec"))
+
+  test("kmeans: two well-separated blobs split into their own clusters") {
+    // seeds are the 2 smallest ids: id 0 lands in blob A, id 1 in blob B
+    val pts = Seq(
+      0L -> Seq(0.0, 0.1), 2L -> Seq(0.1, 0.0), 3L -> Seq(0.1, 0.1),
+      1L -> Seq(9.0, 9.1), 11L -> Seq(9.1, 9.0), 12L -> Seq(9.0, 9.0))
+    val out = Clustering.kmeansAssign(vecDf(pts), "id", "vec", k = 2, iters = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(Set(0L, 2L, 3L).map(out) === Set(0L))
+    assert(Set(1L, 11L, 12L).map(out) === Set(1L))
+  }
+
+  test("kmeans: every input appears exactly once with non-negative dist") {
+    val pts = (0L until 20L).map(i => i -> Seq(i.toDouble, (i % 7).toDouble))
+    val out = Clustering.kmeansAssign(vecDf(pts), "id", "vec", k = 4, iters = 2)
+      .collect()
+    assert(out.map(_.getAs[Long]("id")).sorted === (0L until 20L).toArray)
+    // dist is the expansion e·e - 2e·c + c·c of a true squared distance;
+    // rounding the centroid can make it dip microscopically below zero,
+    // never materially
+    assert(out.forall(_.getAs[Double]("dist") > -1e-6))
+  }
+
+  // --- SemDeDup ---
+
+  test("semdedup: drops exact copies, keeps originals and singletons") {
+    val base = Seq(
+      0L -> Seq(1.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0),
+      2L -> Seq(0.0, 0.0, 1.0))
+    val corpus = vecDf(base ++ base.map { case (i, v) => (i + 100) -> v })
+    val out = Clustering.semDedup(corpus, "id", "vec",
+        k = 3, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_)))
+    assert(Seq(100L, 101L, 102L).forall(!out(_)))
+  }
+
+  test("semdedup: near-but-below-threshold pairs both survive") {
+    val corpus = vecDf(Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.8, 0.6))) // cos = 0.8
+    val out = Clustering.semDedup(corpus, "id", "vec",
+        k = 1, iters = 1, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out(0L) && out(1L))
+  }
+}
