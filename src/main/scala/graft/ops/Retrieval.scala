@@ -70,4 +70,51 @@ object Retrieval {
     // (TakeOrderedAndProject) when rank output is not required.
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Exact phrase search over a positional index built on the fly:
+    * documents containing `phrase` as consecutive tokens, with the number
+    * of occurrences.
+    *
+    * Each phrase term's postings are filtered out of the token stream
+    * BEFORE any join (per-term postings only — the IN-filter reaches the
+    * exploded scan), then normalized to the phrase-start position
+    * (pos − term offset) and intersected with an equi-join on
+    * (doc, start). Every phrase occurrence survives the n−1 joins exactly
+    * once; a final hash aggregate counts per document. At scale this is
+    * the standard positional-postings merge: shuffle volume is the
+    * postings of the query's terms, never the corpus.
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.regexTokens(col(textCol))).as(Seq("pos", "term")))
+    val parts = phrase.zipWithIndex.map { case (t, i) =>
+      toks.filter(col("term") === t).select(col("doc"), (col("pos") - i).as("p0"))
+    }
+    parts.reduce(_.join(_, Seq("doc", "p0")))
+      .groupBy("doc").agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** FastText-style hashed linear classifier: each token maps to a
+    * 16-bit md5 bucket whose pseudo-weight is uniform in [−0.5, 0.5);
+    * the document score is the logistic of the mean token weight. The
+    * weights here are hash-derived (a stand-in for trained ones — the
+    * md5 bucketing IS the production feature-hashing trick); the shape
+    * is the CCNet/fastText quality-filter inference path: row-local,
+    * shuffle-free, embarrassingly parallel over the scan.
+    *
+    * Output: sigmoid(slope · mean_w) rounded to 6 dp; `keep` is
+    * score >= 0.5 (equivalently mean_w >= 0 — a rounding-stable frontier).
+    */
+  def hashedLinearScore(text: Column, slope: Double = 4.0): Column = {
+    val toks = TextAnalysis.regexTokens(text)
+    val wsum = aggregate(toks, lit(0.0), (acc, t) =>
+      acc + (conv(substring(md5(t.cast("binary")), 1, 4), 16, 10)
+        .cast("double") / 65536.0 - 0.5))
+    val meanW = wsum / size(toks)
+    round((lit(1.0) / (lit(1.0) + exp(lit(-slope) * meanW)))
+      .cast("decimal(18,12)"), 6).cast("double")
+  }
 }

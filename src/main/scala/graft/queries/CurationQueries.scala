@@ -80,6 +80,55 @@ object CurationQueries extends QueryGroup {
              |  FROM r)
              |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // Exact phrase search on a fly-built positional index: per-term
+    // postings filtered before the position-intersect join; shuffle
+    // volume is the phrase terms' postings, never the corpus.
+    QueryDef(
+      "x_phrase_search",
+      (s, d) =>
+        Retrieval.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+            Seq("spark", "join"))
+          .orderBy("doc"),
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                x -> len(x) > 0) AS tl
+             |  FROM documents),
+             |pos AS (SELECT doc, unnest(tl) AS term,
+             |               unnest(range(1, len(tl) + 1)) AS p
+             |        FROM toks),
+             |t0 AS (SELECT doc, p AS p0 FROM pos WHERE term = 'spark'),
+             |t1 AS (SELECT doc, p - 1 AS p0 FROM pos WHERE term = 'join')
+             |SELECT doc, COUNT(*) AS n_matches
+             |FROM t0 JOIN t1 USING (doc, p0)
+             |GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // FastText-style hashed linear scorer: md5-bucket token weights in
+    // [-0.5, 0.5), logistic of the mean — the row-local, shuffle-free
+    // model-inference shape of a quality filter.
+    QueryDef(
+      "x_hashed_classifier",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            Retrieval.hashedLinearScore(col("text")).as("score"))
+          .withColumn("keep", col("score") >= 0.5)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                x -> len(x) > 0) AS tl
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |        list_sum(list_transform(tl, t ->
+             |          ('0x' || substr(md5(t), 1, 4))::INT / 65536.0 - 0.5))
+             |          / len(tl) AS mw
+             |      FROM toks)
+             |SELECT doc_id,
+             |  CAST(round(CAST(1.0 / (1.0 + exp(-4.0 * mw)) AS DECIMAL(18,12)), 6)
+             |       AS DOUBLE) AS score,
+             |  CAST(round(CAST(1.0 / (1.0 + exp(-4.0 * mw)) AS DECIMAL(18,12)), 6)
+             |       AS DOUBLE) >= 0.5 AS keep
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     // Two deterministic Lloyd iterations from the 8 smallest-id seeds over
     // the raw embedding corpus; both engines walk the same trajectory
     // because centroids pin to 6 dp between passes.

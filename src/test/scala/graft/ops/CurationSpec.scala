@@ -41,6 +41,42 @@ class CurationSpec extends GraftSuite {
     assert(out.head.getAs[Double]("score") === expected)
   }
 
+  test("phrase search: counts consecutive-token occurrences only") {
+    val docs = Seq(
+      (1L, "spark join now spark join later"), // 2 occurrences
+      (2L, "join spark"),                      // reversed -> no match
+      (3L, "spark x join"),                    // gap -> no match
+      (4L, "SPARK Join!")                      // case/punct-normalized match
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("n_matches")).toMap
+    assert(out === Map(1L -> 2L, 4L -> 1L))
+  }
+
+  test("phrase search: three-term phrase chains the position joins") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b x c"), (3L, "x a b c y a b c")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("n_matches")).toMap
+    assert(out === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("hashed classifier: deterministic, bounded, monotone in token weight") {
+    val docs = Seq((1L, "spark spark"), (2L, "spark spark")).toDF("doc_id", "text")
+    val s = docs.select(Retrieval.hashedLinearScore(col("text")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(s(0) === s(1)) // same text -> same score
+    assert(s(0) > 0 && s(0) < 1)
+    // single-token doc: score = sigmoid(4 * (bucket/65536 - 0.5)) exactly
+    val w = 0x98f1 / 65536.0 - 0.5 // md5("spark") 16-bit prefix = 0x98f1
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-4.0 * w)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val one = Seq((1L, "spark")).toDF("doc_id", "text")
+      .select(Retrieval.hashedLinearScore(col("text"))).head.getDouble(0)
+    assert(one === expected)
+  }
+
   // --- k-means ---
 
   private def vecDf(rows: Seq[(Long, Seq[Double])]) =
