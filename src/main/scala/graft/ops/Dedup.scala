@@ -390,4 +390,65 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document repeated-span scrubbing (exact substring dedup, the
+    * span-level tier of "Deduplicating Training Data Makes Language Models
+    * Better"): every token covered by an `n`-token span whose shingle
+    * occurs in >= `minDf` distinct documents is removed; the document is
+    * rebuilt from the surviving tokens in order.
+    *
+    * Output: (doc, text_clean, n_kept, n_removed) — one row per input
+    * document (fully-scrubbed docs emit text_clean = "").
+    *
+    * Scale design: positional shingles are row-local (a bound-attribute
+    * transform over the token array — O(m·n) per doc, no shuffle); the
+    * boilerplate set comes from one (doc,s)-distinct + hash-agg pass over
+    * shingles (vocabulary-sized result, AQE broadcasts the semi join back
+    * when it fits); covered positions and the anti join shuffle on
+    * (doc, p) — per-document keys, no skew; the rebuild is one hash agg
+    * per doc over its surviving tokens. Nothing global, nothing O(n²):
+    * span dedup at corpus scale is exactly this chain of hash aggregates.
+    */
+  def scrubRepeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 2 && minDf >= 2, "need n >= 2 and minDf >= 2")
+    val base = docs.select(col(idCol).as("doc"),
+      TextAnalysis.regexTokens(col(textCol)).as("tl"))
+
+    // (doc, p0, s): every n-token span with its 1-based start position.
+    // `tl` is a materialized attribute, so the lambda's slice reads the
+    // array directly (the chunk()/NOTES lesson: never an expression tree).
+    val sh = base.filter(size(col("tl")) >= n)
+      .select(col("doc"), posexplode(transform(
+        sequence(lit(1), size(col("tl")) - (n - 1)),
+        i => concat_ws(" ", slice(col("tl"), i, lit(n))))).as(Seq("off", "s")))
+      .select(col("doc"), (col("off") + 1).as("p0"), col("s"))
+
+    // boilerplate shingles: document frequency >= minDf
+    val bp = sh.select("doc", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("s")
+
+    // positions covered by any boilerplate occurrence
+    val cov = sh.join(bp, Seq("s"), "left_semi")
+      .select(col("doc"), explode(sequence(col("p0"), col("p0") + (n - 1))).as("p"))
+      .distinct()
+
+    val pos = base.select(col("doc"), posexplode(col("tl")).as(Seq("off", "term")))
+      .select(col("doc"), (col("off") + 1).as("p"), col("term"))
+    val kept = pos.join(cov, Seq("doc", "p"), "left_anti")
+    val agg = kept.groupBy("doc").agg(
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("term")))),
+          x => x.getField("term"))).as("text_clean"),
+      count(lit(1)).as("n_kept"))
+
+    base.select(col("doc"), size(col("tl")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -145,6 +145,42 @@ object CurationQueries extends QueryGroup {
           |  CAST(round(CAST(d AS DECIMAL(18,12)), 6) AS DOUBLE) AS dist
           |FROM a2 ORDER BY id""".stripMargin)),
 
+    // Span-level exact substring dedup: tokens covered by any 4-gram that
+    // occurs in >= 2 documents are scrubbed, the doc rebuilt from the
+    // survivors — the Lee-et-al. span tier, as a chain of hash aggregates.
+    QueryDef(
+      "x_span_scrub",
+      (s, d) =>
+        graft.ops.Dedup.scrubRepeatedSpans(Tables.documents(s, d),
+            "doc_id", "text", n = 4, minDf = 2)
+          .orderBy("doc"),
+      Some("""WITH toksr AS (SELECT doc_id AS doc,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                x -> len(x) > 0) AS tl
+             |  FROM documents),
+             |sh AS (SELECT doc, unnest(range(1, len(tl) - 2)) AS p0,
+             |              unnest([array_to_string(tl[i:i+3], ' ')
+             |                      for i in range(1, len(tl) - 2)]) AS s
+             |       FROM toksr WHERE len(tl) >= 4),
+             |bp AS (SELECT s FROM (
+             |         SELECT s, count(DISTINCT doc) AS df FROM sh GROUP BY s)
+             |       WHERE df >= 2),
+             |cov AS (SELECT DISTINCT doc, p FROM (
+             |          SELECT sh.doc, unnest(range(sh.p0, sh.p0 + 4)) AS p
+             |          FROM sh SEMI JOIN bp USING (s))),
+             |pos AS (SELECT doc, unnest(tl) AS term,
+             |               unnest(range(1, len(tl) + 1)) AS p
+             |        FROM toksr),
+             |kept AS (SELECT pos.doc, pos.p, pos.term
+             |         FROM pos ANTI JOIN cov USING (doc, p)),
+             |agg AS (SELECT doc, string_agg(term, ' ' ORDER BY p) AS text_clean,
+             |               count(*) AS n_kept
+             |        FROM kept GROUP BY doc)
+             |SELECT t.doc, coalesce(a.text_clean, '') AS text_clean,
+             |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+             |  CAST(len(t.tl) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+             |FROM toksr t LEFT JOIN agg a USING (doc) ORDER BY doc""".stripMargin)),
+
     // SemDeDup over corpus + planted exact copies at vec_id+10000: cluster,
     // then within each cluster drop every vector with a smaller-id
     // neighbor at cosine >= 0.95. Finds exactly the planted copies.

@@ -105,6 +105,47 @@ class CurationSpec extends GraftSuite {
     assert(out.forall(_.getAs[Double]("dist") > -1e-6))
   }
 
+  // --- repeated-span scrub ---
+
+  test("span scrub: removes only tokens covered by cross-doc repeated spans") {
+    val boiler = "all rights reserved worldwide"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"delta $boiler epsilon zeta"),
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 4, minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) === (("alpha beta gamma", 4L)))
+    assert(out(2L) === (("delta epsilon zeta", 4L)))
+    assert(out(3L) === (("nothing shared here at all", 0L)))
+  }
+
+  test("span scrub: fully-scrubbed doc emits empty text, short docs survive") {
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four"), // exact copy: both fully covered
+      (3L, "tiny doc")            // < n tokens: no shingles, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 4, minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[String]("text_clean"), r.getAs[Long]("n_kept")))).toMap
+    assert(out(1L) === (("", 0L)) && out(2L) === (("", 0L)))
+    assert(out(3L) === (("tiny doc", 2L)))
+  }
+
+  test("span scrub: overlapping occurrences of the same span union their cover") {
+    // "a b a b a b" with n=2, minDf=2: "a b"/"b a" shared across docs
+    val docs = Seq((1L, "a b a b c"), (2L, "x a b y")).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 2, minDf = 2)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[String]("text_clean")).toMap
+    // doc1: "a b a b" covered (positions 1-4), "c" survives ("b c" df=1, but
+    // position 4 'b' already covered by "a b" at 3-4)
+    assert(out(1L) === "c")
+    assert(out(2L) === "x y")
+  }
+
   // --- SemDeDup ---
 
   test("semdedup: drops exact copies, keeps originals and singletons") {
