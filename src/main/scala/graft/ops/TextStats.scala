@@ -61,6 +61,47 @@ object TextStats {
         round(exp(col("__ce")), 6).as("ppl"))
   }
 
+  /** Corpus-trained bigram-LM quality signal (order-2 upgrade of
+    * [[unigramCrossEntropy]] — the actual KenLM/CCNet filter shape):
+    * per-document mean −ln P(wᵢ | wᵢ₋₁) under add-k-smoothed corpus bigram
+    * statistics, P = (c₂(prev,w) + k) / (c₁(prev) + k·V).
+    *
+    * Scale: the trained model is two count tables (bigram- and
+    * unigram-keyed hash aggs, vocabulary-sized ≪ corpus; AQE broadcasts
+    * the joins back when they fit), the vocabulary-size scalar rides a
+    * 1-row broadcast cross join, and scoring is one hash aggregate over
+    * the exploded bigrams. Bigram construction is row-local over the
+    * bound token-array attribute (never an expression tree in the
+    * lambda — the NOTES HOF lesson).
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"),
+      TextAnalysis.regexTokens(col(textCol)).as("tl"))
+    val bi = base.filter(size(col("tl")) >= 2)
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), size(col("tl")) - 1),
+        i => struct(
+          element_at(col("tl"), i).as("prev"),
+          concat_ws(" ", slice(col("tl"), i, lit(2))).as("bg")))).as("b"))
+      .select(col("doc"), col("b.prev"), col("b.bg"))
+    val uni = base.select(col("doc"), explode(col("tl")).as("term"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = uni.groupBy(col("term").as("prev")).agg(count(lit(1)).as("c1"))
+    val v = uni.agg(countDistinct(col("term")).as("v"))
+    bi.join(c2, Seq("bg")).join(c1, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .withColumn("__nll",
+        -log((col("c2") + k) / (col("c1") + lit(k) * col("v"))))
+      .groupBy("doc")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(col("__nll")).as("__ce"))
+      .select(col("doc"), col("n_bigrams"),
+        round(col("__ce"), 6).as("cross_entropy"),
+        round(exp(col("__ce")), 6).as("ppl"))
+  }
+
   /** Top-k terms per document by (tfidf desc, term) — deterministic. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc"))

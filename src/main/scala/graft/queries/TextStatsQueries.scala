@@ -229,6 +229,33 @@ object TextStatsQueries extends QueryGroup {
              |  round(exp(avg(nll)), 6) AS ppl
              |FROM j GROUP BY doc ORDER BY doc""".stripMargin)),
 
+    // Order-2 LM quality filter: add-k-smoothed corpus bigram model,
+    // per-doc cross-entropy/perplexity — the KenLM/CCNet filter shape
+    // (two vocabulary-sized count tables joined back, nothing global).
+    QueryDef(
+      "x_bigram_ppl",
+      (s, d) =>
+        TextStats.bigramCrossEntropy(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("doc"),
+      Some("""WITH toksr AS (SELECT doc_id AS doc,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                x -> len(x) > 0) AS tl
+             |  FROM documents),
+             |bi AS (SELECT doc, unnest(tl[1:len(tl)-1]) AS prev,
+             |              unnest([tl[i] || ' ' || tl[i+1]
+             |                      for i in range(1, len(tl))]) AS bg
+             |       FROM toksr WHERE len(tl) >= 2),
+             |uni AS (SELECT doc, unnest(tl) AS term FROM toksr),
+             |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY 1),
+             |c1 AS (SELECT term AS prev, COUNT(*) AS c1 FROM uni GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT term) AS v FROM uni),
+             |j AS (SELECT doc, -ln((c2 + 0.5) / (c1 + 0.5 * v)) AS nll
+             |      FROM bi JOIN c2 USING (bg) JOIN c1 USING (prev), v)
+             |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  round(avg(nll), 6) AS cross_entropy,
+             |  round(exp(avg(nll)), 6) AS ppl
+             |FROM j GROUP BY doc ORDER BY doc""".stripMargin)),
+
     // Deterministic size-balanced shard packing (corpus export): shards of
     // ~20000 chars in doc_id order via a distributed exclusive prefix sum.
     QueryDef(

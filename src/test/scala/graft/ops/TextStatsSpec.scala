@@ -150,6 +150,22 @@ class TextStatsSpec extends GraftSuite {
     assert(out(2L) === ((2L, r6(ce2), r6(math.exp(ce2)))))
   }
 
+  test("bigramCrossEntropy matches hand-computed add-k bigram LM") {
+    // doc "a b a": bigrams (a,"a b"), (b,"b a"); c1: a=2 b=1; V=2; k=0.5
+    // p("a b") = (1+0.5)/(2+1) = 1/2;  p("b a") = (1+0.5)/(1+1) = 3/4
+    val docs = Seq((1L, "a b a"), (2L, "x")).toDF("doc_id", "text")
+    // doc 2 has a single token -> no bigrams -> absent from output;
+    // but its token still trains c1/V (x enters the vocabulary)
+    val out = TextStats.bigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // V=3 (a,b,x): p("a b") = 1.5/(2+1.5) = 3/7; p("b a") = 1.5/(1+1.5) = 3/5
+    val ce = (math.log(7.0 / 3.0) + math.log(5.0 / 3.0)) / 2
+    assert(out.keySet === Set(1L))
+    assert(out(1L) === ((2L, r6(ce), r6(math.exp(ce)))))
+  }
+
   test("packShards: exclusive prefix-sum boundaries, exhaustive + ordered") {
     // weights 6,6,6 with target 10: prefixes 0,6,12 → shards 0,0,1
     val df = Seq((1L, 6), (2L, 6), (3L, 6)).toDF("id", "w")
