@@ -68,6 +68,36 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", regexTokens(text)).cast("binary"))
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every `k`-gram, then
+    * keep the minimum hash of each `w`-wide window of consecutive gram
+    * hashes — a robust, position-tolerant fingerprint set with guaranteed
+    * density 2/(w+1): any shared run of k+w-1 tokens yields at least one
+    * shared fingerprint, so plagiarism/quote detection needs only an
+    * equi-join on (fp). Hashes are fixed-width lowercase-hex md5 prefixes,
+    * so MIN compares lexicographically — portable to any engine with md5,
+    * no numeric conversion (this library's sampleKey trick).
+    *
+    * Entirely row-local (no shuffle): every intermediate array is bound
+    * once through a single-element transform (the NOTES HOF lesson —
+    * referencing a tree from a lambda re-evaluates it per element).
+    * Returns a sorted distinct `array<string>`; empty below k+w-1 tokens.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val raw = transform(array(regexTokens(text)), t =>
+      transform(array(
+          transform(sequence(lit(1), size(t) - (k - 1)), i =>
+            substring(md5(concat_ws(" ", slice(t, i, lit(k))).cast("binary")),
+              1, 8))),
+        h => array_sort(array_distinct(
+          transform(sequence(lit(1), size(h) - (w - 1)), j =>
+            array_min(slice(h, j, lit(w)))))))
+        .getItem(0))
+      .getItem(0)
+    when(size(regexTokens(text)) >= k + w - 1, raw)
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Polynomial rolling hash of the normalized token stream (mod 2^31-1,
     * base 31): a cheap locality-free fingerprint in plain long arithmetic —
     * used where a numeric key beats a hex string (e.g. range-bucketing). */

@@ -145,6 +145,31 @@ object CurationQueries extends QueryGroup {
           |  CAST(round(CAST(d AS DECIMAL(18,12)), 6) AS DOUBLE) AS dist
           |FROM a2 ORDER BY id""".stripMargin)),
 
+    // Winnowing (MOSS) fingerprints: min-hash of each 4-window of trigram
+    // hashes — density-guaranteed shared fingerprints for any k+w-1-token
+    // overlap; entirely row-local, dedup becomes an equi-join on fp.
+    QueryDef(
+      "x_winnowing",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id").as("doc"),
+            explode(graft.ops.TextAnalysis.winnowFingerprints(
+              col("text"), k = 3, w = 4)).as("fp"))
+          .orderBy("doc", "fp"),
+      Some("""WITH toksr AS (SELECT doc_id AS doc,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                x -> len(x) > 0) AS tl
+             |  FROM documents),
+             |g AS (SELECT doc,
+             |        [substr(md5(array_to_string(tl[i:i+2], ' ')), 1, 8)
+             |         for i in range(1, len(tl) - 1)] AS hs
+             |      FROM toksr WHERE len(tl) >= 3),
+             |w AS (SELECT doc,
+             |        list_sort(list_distinct(
+             |          [list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)])) AS fps
+             |      FROM g WHERE len(hs) >= 4)
+             |SELECT doc, unnest(fps) AS fp FROM w ORDER BY doc, fp""".stripMargin)),
+
     // Span-level exact substring dedup: tokens covered by any 4-gram that
     // occurs in >= 2 documents are scrubbed, the doc rebuilt from the
     // survivors — the Lee-et-al. span tier, as a chain of hash aggregates.

@@ -105,6 +105,32 @@ class CurationSpec extends GraftSuite {
     assert(out.forall(_.getAs[Double]("dist") > -1e-6))
   }
 
+  // --- winnowing ---
+
+  test("winnowing: shared k+w-1 token run guarantees a shared fingerprint") {
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens = k+w-1
+    val docs = Seq(
+      (1L, s"one two $run three"),
+      (2L, s"$run completely different tail here")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        explode(TextAnalysis.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty) // the winnowing density guarantee
+  }
+
+  test("winnowing: short docs yield no fingerprints; output sorted distinct") {
+    val docs = Seq((1L, "too few tokens here"), // 4 < k+w-1 = 6
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(col("text"), 3, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).nonEmpty)
+    assert(out(2L) === out(2L).distinct.sorted)
+  }
+
   // --- repeated-span scrub ---
 
   test("span scrub: removes only tokens covered by cross-doc repeated spans") {
