@@ -137,6 +137,32 @@ class StreamsSpec extends GraftSuite {
       === Set((1L, "click", 1.0), (1L, "view", 3.0), (2L, "click", 4.0)))
   }
 
+  test("streaming curation: quality-gate filter + exact dedup over a doc stream") {
+    // the batch curation kernels (hashedLinearScore, fingerprint) run
+    // unchanged on a stream: score filter is row-local (no state), dedup
+    // rides dropDuplicates state keyed by content fingerprint
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val curated = docs
+      .withColumn("score", graft.ops.Retrieval.hashedLinearScore(col("text")))
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fp")
+    val q = curated.writeStream.format("memory")
+      .queryName("t_curation").outputMode("append").start()
+    try {
+      src.addData(Seq((1L, "spark join table"), (2L, "hash value row")))
+      q.processAllAvailable()
+      src.addData(Seq((3L, "SPARK  join, table!"), (4L, "fresh new doc")))
+      q.processAllAvailable()
+      val rows = spark.table("t_curation").collect()
+      // doc 3 normalizes to doc 1's fingerprint -> deduped across batches
+      assert(rows.map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+      assert(rows.forall { r =>
+        val s = r.getAs[Double]("score"); s > 0 && s < 1 })
+    } finally q.stop()
+  }
+
   test("the same transforms run on batch DataFrames (unified model)") {
     val batch = Seq(
       Ev(ts(1), 1, "click", 1.5), Ev(ts(4), 1, "click", 2.5), Ev(ts(11), 2, "view", 4.0)
