@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering (Lloyd's k-means) and SemDeDup-style
@@ -20,10 +19,10 @@ import org.apache.spark.sql.functions._
   *    (order-sensitive) member mean is pinned to the same value on every
   *    engine before the next assignment pass.
   *
-  * Scale design: each Lloyd iteration is one broadcast join (k centroids
-  * against the corpus — no corpus shuffle), one per-row argmin (window
-  * partitioned by id over k rows), and one hash aggregate of k·dim cells
-  * for the centroid update. Nothing global; iterations add plan depth, so
+  * Scale design: each Lloyd iteration is one 1-row centroid broadcast
+  * cross-joined onto the corpus with a row-local array_min argmin (no
+  * corpus shuffle at all), plus one hash aggregate of k·dim cells for the
+  * centroid update. Nothing global; iterations add plan depth, so
   * localCheckpoint between iterations when iters is large (not needed for
   * the 2–5 typical of curation runs).
   */
@@ -36,6 +35,14 @@ object Clustering {
   /** (id, cluster, dist) after `iters` Lloyd iterations from the
     * k-smallest-id seeds. `dist` is the squared-distance surrogate
     * e·e − 2·e·c + c·c (monotone in true distance), rounded to 6 dp.
+    *
+    * Assignment is SHUFFLE-FREE: the k centroids ride a 1-row broadcast
+    * (`collect_list` of (cid, ce, cn) structs) cross-joined onto the
+    * corpus, and the argmin is a row-local `array_min` over
+    * struct(d, cid) — lexicographic struct ordering IS the
+    * (distance, centroid-id) tie-break. The naive alternative (broadcast
+    * join + per-id window) shuffles n·k rows per iteration; this shape
+    * shuffles only the k·dim centroid-update cells.
     */
   def kmeansAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -49,14 +56,19 @@ object Clustering {
 
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      val withCn = cents.withColumn("cn", dot(col("ce"), col("ce")))
-      val d = v.join(broadcast(withCn))
-        .withColumn("d",
-          col("en") - lit(2.0) * dot(col("e"), col("ce")) + col("cn"))
-      val w = Window.partitionBy(col("id")).orderBy(col("d"), col("cid"))
-      assigned = d.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("id"), col("cid"), col("d"), col("e"))
+      val centsRow = cents
+        .withColumn("cn", dot(col("ce"), col("ce")))
+        .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cs"))
+      // row-local argmin over the broadcast centroid array; `e`/`en` are
+      // bound attributes (never trees) per the NOTES HOF lesson
+      assigned = v.crossJoin(broadcast(centsRow))
+        .withColumn("best", array_min(transform(col("cs"), c =>
+          struct(
+            (col("en") - lit(2.0) * dot(col("e"), c.getField("ce"))
+              + c.getField("cn")).as("d"),
+            c.getField("cid").as("cid")))))
+        .select(col("id"), col("best.cid").as("cid"),
+          col("best.d").as("d"), col("e"))
 
       // element-wise member mean, pinned to 6 dp before the next pass
       cents = assigned
