@@ -134,6 +134,112 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Distributed block-matmul exact near-duplicate pairs: same output as
+    * [[nearDupPairs]] (bit-identical: same element widening, fold order,
+    * norm reuse and rounding), but executed as a blocked all-pairs schedule
+    * instead of a row-at-a-time BNLJ.
+    *
+    * Shape: rows are packed into ⌈n/rowsPerBlock⌉ blocks (one hash shuffle),
+    * the ⌈B²/2⌉ unordered block pairs are formed by two EQUI-joins against a
+    * tiny (B rows) pair-key table — never a cartesian over heavy rows — and
+    * each block pair runs a primitive double[] loop over its ≤rowsPerBlock²
+    * candidates. Exact all-pairs is Θ(n²·d) flops no matter the plan; what
+    * this tier fixes is the constant: the BNLJ iterates every candidate
+    * through codegen'd Row plumbing (join-condition eval, per-pair array
+    * reads), while the block loop touches primitive arrays unpacked once per
+    * block. Communication is n·B/2 vector replications (each block meets
+    * B/2 partners) — the standard 1D-blocked GEMM schedule; `rowsPerBlock`
+    * trades replication factor against per-task memory (2·rowsPerBlock
+    * vectors ≈ a few MB at d=64). Fully distributed: no driver collect, no
+    * per-executor corpus copy, B² independent tasks. This is the plan you'd
+    * run on a 1000-executor cluster when the EXACT answer is required; when
+    * near-exact recall suffices, [[cosineLshPairs]] skips the n² flops
+    * entirely.
+    */
+  def nearDupPairsBlockJoin(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      rowsPerBlock: Int = 2048): DataFrame = {
+    require(rowsPerBlock > 0, "rowsPerBlock must be positive")
+    val rows = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+    // one scalar count to size the block grid (same pattern as ivfTopK)
+    val n = rows.count()
+    val nBlocks = math.max(1L, (n + rowsPerBlock - 1) / rowsPerBlock).toInt
+    val packed = rows
+      .withColumn("__bid", pmod(xxhash64(col("__id")), lit(nBlocks)).cast("int"))
+      .groupBy("__bid")
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__items"))
+    // unordered block-pair keys from a cartesian over B ints (tiny), then
+    // two hash equi-joins attach the heavy packed arrays
+    val bids = packed.select(col("__bid"))
+    val pairKeys = bids.select(col("__bid").as("__ba"))
+      .crossJoin(bids.select(col("__bid").as("__bb")))
+      .filter(col("__ba") <= col("__bb"))
+    val joined = pairKeys
+      .join(packed.select(col("__bid").as("__ba"), col("__items").as("__ia")), Seq("__ba"))
+      .join(packed.select(col("__bid").as("__bb"), col("__items").as("__ib")), Seq("__bb"))
+      .select(col("__ba"), col("__bb"), col("__ia"), col("__ib"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ida",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("idb",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raw",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    import org.apache.spark.sql.Row
+    val out = joined.mapPartitions { it =>
+      // unpack a packed block once: ids, exactly-widened double vectors, norms
+      def unpack(items: Seq[Row]): (Array[Long], Array[Array[Double]], Array[Double]) = {
+        val m = items.length
+        val ids = new Array[Long](m); val vs = new Array[Array[Double]](m)
+        val ns = new Array[Double](m)
+        var i = 0
+        while (i < m) {
+          val r = items(i)
+          val seq = r.getSeq[Number](1)
+          val v = new Array[Double](seq.length)
+          var k = 0
+          while (k < v.length) { v(k) = seq(k).doubleValue(); k += 1 }
+          var s = 0.0; k = 0
+          while (k < v.length) { s += v(k) * v(k); k += 1 }
+          ids(i) = r.getLong(0); vs(i) = v; ns(i) = math.sqrt(s)
+          i += 1
+        }
+        (ids, vs, ns)
+      }
+      it.flatMap { pr =>
+        val same = pr.getInt(0) == pr.getInt(1)
+        val (idsA, vsA, nsA) = unpack(pr.getSeq[Row](2))
+        val (idsB, vsB, nsB) = if (same) (idsA, vsA, nsA) else unpack(pr.getSeq[Row](3))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var i = 0
+        while (i < idsA.length) {
+          val va = vsA(i); val na = nsA(i)
+          var j = if (same) i + 1 else 0
+          while (j < idsB.length) {
+            val vb = vsB(j)
+            var s = 0.0; var k = 0
+            val d = math.min(va.length, vb.length)
+            while (k < d) { s += va(k) * vb(k); k += 1 }
+            val raw = s / (na * nsB(j))
+            // 1e-6 margin prefilter; the exact test happens on Spark's own
+            // round() below so rounding semantics match the declarative tier
+            if (raw >= threshold - 1e-6 && idsA(i) != idsB(j)) {
+              val (lo, hi) =
+                if (idsA(i) < idsB(j)) (idsA(i), idsB(j)) else (idsB(j), idsA(i))
+              buf += Row(lo, hi, raw)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        buf.iterator
+      }
+    }(enc)
+    out.select(col("ida"), col("idb"), round(col("raw"), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-blocked cosine near-duplicate pairs — the 100 TB tier.
     *
     * Random-hyperplane signatures ([[graft.expressions.HyperplaneBands]],

@@ -392,16 +392,21 @@ object ExtensionQueries extends QueryGroup {
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
     // Embedding-cosine near-dup pairs over corpus + planted copies — the
-    // exact declarative tier (distributed BNLJ, no driver collect; the
-    // blocked-matmul tier stays an internal small-corpus tool, and
-    // x_embedding_lsh below is the 100 TB path).
+    // exact tier, run as the distributed blocked all-pairs schedule
+    // (Similarity.nearDupPairsBlockJoin: pack → equi-join block pairs →
+    // primitive per-block loops; bit-identical to the declarative BNLJ
+    // nearDupPairs, which stays the library baseline the specs verify
+    // against). Exact all-pairs is Θ(n²·d) flops by definition — this is
+    // the plan that spends them at matmul constants with no driver state;
+    // x_embedding_lsh below skips the n² entirely and is the 100 TB path.
     QueryDef(
       "x_embedding_neardup",
       (s, d) => {
         val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         val corpus = emb.union(
           emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
-        Similarity.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)
+        Similarity.nearDupPairsBlockJoin(corpus, "vec_id", "embedding",
+            threshold = 0.95, rowsPerBlock = 512)
           .orderBy("ida", "idb")
       },
       Some(embeddingNeardupOracle)),

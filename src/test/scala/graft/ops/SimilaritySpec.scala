@@ -115,6 +115,23 @@ class SimilaritySpec extends GraftSuite {
     assert(e.getMessage.contains("driver-bounded"))
   }
 
+  test("nearDupPairsBlockJoin is bit-identical to nearDupPairs across block sizes") {
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(emb.filter($"vec_id" < 50)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val declarative = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(declarative.nonEmpty)
+    // one block (pure in-block i<j loop), many tiny blocks (mostly
+    // cross-block pairs), and a mid size exercising both paths
+    for (rpb <- Seq(1 << 20, 7, 256)) {
+      val blocked = Similarity.nearDupPairsBlockJoin(
+        corpus, "vec_id", "embedding", 0.9, rowsPerBlock = rpb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked === declarative, s"mismatch at rowsPerBlock=$rpb")
+    }
+  }
+
   test("nearDupPairsBlocked is bit-identical to the declarative nearDupPairs") {
     val corpus = emb.select($"vec_id", $"embedding")
       .union(emb.filter($"vec_id" < 50)
