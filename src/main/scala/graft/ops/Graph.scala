@@ -80,6 +80,58 @@ object Graph {
     (labels, CcStats(iter, converged, perRound.result()))
   }
 
+  /** Triangle enumeration over an undirected edge list, returned as one row
+    * per triangle with vertices in ascending id order (a < b < c).
+    *
+    * Algorithm: degree-ordered edge orientation (the MapReduce-era standard,
+    * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+    * Reducer"). Every edge is directed from its lower-(degree, id) endpoint
+    * to the higher; wedges are built only from each vertex's OUT-neighbors
+    * and closed against the oriented edge set. Orientation is what makes
+    * this survive skew at 100 TB: a degree-D hub produces O(D²) wedges under
+    * naive id ordering, but its out-degree after orientation is bounded by
+    * O(√|E|) (every out-neighbor has degree ≥ its own), so per-vertex wedge
+    * work — and with it the largest single task — is capped without any
+    * sampling. Three hash shuffles total: degree agg, wedge self-join,
+    * closing-edge join. Each triangle appears exactly once.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): x -> y iff (deg_x, x) < (deg_y, y); carry y's rank
+    // so the wedge join can order the two out-neighbors consistently
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("x"), col("v").as("y"), col("dv").as("dy")))
+        .otherwise(struct(col("v").as("x"), col("u").as("y"), col("du").as("dy")))
+        .as("e")).select(col("e.x"), col("e.y"), col("e.dy"))
+    val f = oriented.select(col("x"), col("y").as("p"), col("dy").as("dp"))
+    val g = oriented.select(col("x"), col("y").as("q"), col("dy").as("dq"))
+    val wedges = f.join(g,
+        f("x") === g("x") &&
+          (col("dp") < col("dq") || (col("dp") === col("dq") && col("p") < col("q"))))
+      .select(f("x"), col("p"), col("q"))
+    val closing = oriented.select(col("x").as("p"), col("y").as("q"))
+    wedges.join(closing, Seq("p", "q"), "left_semi")
+      .select(array_sort(array(col("x"), col("p"), col("q"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
+  /** Per-vertex triangle participation counts (vertices in ≥1 triangle):
+    * explode each triangle to its three corners, one hash aggregate. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangles(edges, srcCol, dstCol)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+
   /** Duplicate-cluster survivors: from near-dup pair rows, the component id
     * (cluster label), size, and the kept document (min id) per cluster —
     * the standard "dedup by LSH clusters" tail of a training-data pipeline.

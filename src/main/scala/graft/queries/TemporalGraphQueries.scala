@@ -160,6 +160,38 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
              |ORDER BY id""".stripMargin)),
 
+    // Per-vertex triangle counts over the part co-occurrence graph (parts
+    // sharing an order are linked). Spark side runs the degree-oriented
+    // wedge-close algorithm (Graph.triangles — bounded out-degree, no hub
+    // wedge explosion); the oracle is the direct a<b<c triple self-join,
+    // a genuinely different formulation of the same count.
+    QueryDef(
+      "x_triangle_count",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val a = li.select(col("o"), col("p").as("pa"))
+        val b = li.select(col("o"), col("p").as("pb"))
+        val edges = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
+          .select(col("pa").cast("long").as("src"),
+            col("pb").cast("long").as("dst"))
+        Graph.triangleCounts(edges, "src", "dst")
+          .select(col("id"), col("triangles"))
+          .orderBy("id")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+             |            FROM lineitem WHERE l_orderkey < 300),
+             |e AS (SELECT DISTINCT CAST(a.p AS BIGINT) u, CAST(b.p AS BIGINT) v
+             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |t AS (SELECT e1.u a, e1.v b, e2.v c
+             |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |x AS (SELECT a AS id FROM t
+             |      UNION ALL SELECT b FROM t
+             |      UNION ALL SELECT c FROM t)
+             |SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+             |FROM x GROUP BY id ORDER BY id""".stripMargin)),
+
     // The full dedup-pipeline tail: MinHash+LSH pairs → connected
     // components → one survivor per duplicate cluster.
     QueryDef(

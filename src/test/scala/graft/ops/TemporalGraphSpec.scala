@@ -129,4 +129,27 @@ class TemporalGraphSpec extends GraftSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq === Seq((1L, 3L, 1L), (7L, 2L, 7L)))
   }
+
+  test("triangles: K4 yields all 4 canonical triples; paths and stars yield none") {
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, duplicate/reversed/self edges ignored
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 3L)).toDF("src", "dst")
+    val tris = Graph.triangles(k4, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tris === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // triangle-free graphs: a path and a hub star (the skew case the
+    // degree orientation exists for) both produce zero rows
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(path, "src", "dst").count() === 0L)
+    val star = (2L to 40L).map(v => (1L, v)).toDF("src", "dst")
+    assert(Graph.triangles(star, "src", "dst").count() === 0L)
+  }
+
+  test("triangleCounts: each K4 vertex sits in 3 triangles; pendant vertex in none") {
+    val k4plus = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L)).toDF("src", "dst") // 9 is pendant: no triangle
+    val counts = Graph.triangleCounts(k4plus, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(counts === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
