@@ -80,6 +80,55 @@ object Graph {
     (labels, CcStats(iter, converged, perRound.result()))
   }
 
+  /** PageRank over a directed edge list, fixed iteration count.
+    *
+    * Per round: one equi-join of ranks onto edges, one hash aggregate of
+    * contributions by destination, one left join back onto the vertex set —
+    * all hash-partitioned by vertex id, no driver-side graph. Dangling mass
+    * (vertices with no out-edges) is collected as ONE scalar per round (the
+    * same bounded-collect pattern as the CC convergence check) and
+    * redistributed uniformly, so Σ rank stays 1. Lineage is truncated per
+    * round with localCheckpoint, as in [[connectedComponents]].
+    *
+    * Ranks are pinned to `pinScale` decimal places after every iteration:
+    * two engines computing group-sums of doubles in different orders drift
+    * at ~1e-16 per round, and pinning re-snaps both trajectories to the
+    * identical value — the same cross-engine determinism device as the
+    * Lloyd-iteration centroid pinning in the k-means query. At 100 TB the
+    * per-round cost is one shuffle of |E| contributions — the canonical
+    * "iteration = aggregation over edges" shape; fixed `iters` (not a
+    * convergence loop) keeps the job cost predictable.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85, pinScale: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct()
+      .localCheckpoint(false)
+    val verts = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct().localCheckpoint(false)
+    val n = verts.count()
+    val outd = e.groupBy("u").agg(count(lit(1)).as("od")).localCheckpoint(false)
+    var ranks = verts.select(col("id"), round(lit(1.0) / n, pinScale).as("r"))
+      .localCheckpoint(false)
+    var i = 0
+    while (i < iters) {
+      val dangling = ranks
+        .join(outd.withColumnRenamed("u", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0))).collect()(0).getDouble(0)
+      val contribs = e.join(outd, Seq("u"))
+        .join(ranks.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id"), (col("r") / col("od")).as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = verts.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(1.0 - damping) / n +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dangling) / n),
+            pinScale).as("r"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    ranks.select(col("id"), col("r").as("pagerank"))
+  }
+
   /** Triangle enumeration over an undirected edge list, returned as one row
     * per triangle with vertices in ascending id order (a < b < c).
     *

@@ -15,7 +15,56 @@ import org.apache.spark.sql.functions._
   */
 object TemporalGraphQueries extends QueryGroup {
 
+  /** Unrolled fixed-iteration PageRank as a DuckDB CTE chain (recursive CTEs
+    * can't aggregate in the recursive term, so each Lloyd-style round is its
+    * own CTE). Expression shapes mirror [[graft.ops.Graph.pageRank]] exactly
+    * — same (1.0 - 0.85) subtraction, same COALESCE(s, 0.0), same per-round
+    * round(…, 10) trajectory pinning — so both engines walk the identical
+    * rank sequence. */
+  private def pageRankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) u,
+        |                  CAST(l_partkey + 1000000 AS BIGINT) v
+        |           FROM lineitem WHERE l_orderkey < 800),
+        |verts AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) c FROM verts),
+        |outd AS (SELECT u, CAST(COUNT(*) AS BIGINT) od FROM e GROUP BY u),
+        |r0 AS (SELECT id, round(1.0 / (SELECT c FROM nn), 10) r FROM verts)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.v AS id, SUM(r${k - 1}.r / outd.od) s
+         |      FROM e JOIN outd ON e.u = outd.u
+         |             JOIN r${k - 1} ON r${k - 1}.id = e.u GROUP BY e.v),
+         |d$k AS (SELECT COALESCE(SUM(r.r), 0.0) dm FROM r${k - 1} r
+         |      LEFT JOIN outd ON r.id = outd.u WHERE outd.u IS NULL),
+         |r$k AS (SELECT v.id,
+         |        round((1.0 - 0.85) / (SELECT c FROM nn)
+         |              + 0.85 * (COALESCE(c$k.s, 0.0)
+         |                        + (SELECT dm FROM d$k) / (SELECT c FROM nn)),
+         |              10) r
+         |      FROM verts v LEFT JOIN c$k ON v.id = c$k.id)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id, round(r, 6) AS pagerank FROM r$iters ORDER BY id"
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Fixed-iteration PageRank over the order→part bipartite graph (every
+    // part vertex is dangling — the mass-redistribution path is exercised
+    // on half the graph). 5 rounds, damping 0.85, per-round 10 dp pinning;
+    // the oracle walks the same trajectory as an unrolled CTE chain.
+    QueryDef(
+      "x_pagerank",
+      (s, d) => {
+        val edges = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 800)
+          .select(col("l_orderkey").cast("long").as("src"),
+            (col("l_partkey") + 1000000L).cast("long").as("dst"))
+        Graph.pageRank(edges, "src", "dst", iters = 5)
+          .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+          .orderBy("id")
+      },
+      Some(pageRankOracle(5))),
 
     // Salted two-phase aggregation: identical results to the direct group
     // aggregate (the salt only re-routes the shuffle), proven cross-engine.

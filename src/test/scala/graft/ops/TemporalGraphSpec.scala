@@ -130,6 +130,24 @@ class TemporalGraphSpec extends GraftSuite {
     assert(out.toSeq === Seq((1L, 3L, 1L), (7L, 2L, 7L)))
   }
 
+  test("pageRank: symmetric 2-cycle stays uniform at 0.5; mass is conserved") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(cyc, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-9 && math.abs(r(2L) - 0.5) < 1e-9)
+  }
+
+  test("pageRank: dangling sinks keep total mass 1; sink outranks its sources") {
+    // star into a sink: 1..4 -> 9; 9 has no out-edges (dangling path)
+    val star = (1L to 4L).map(v => (v, 9L)).toDF("src", "dst")
+    val r = Graph.pageRank(star, "src", "dst", iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass not conserved: ${r.values.sum}")
+    assert((1L to 4L).forall(v => r(9L) > r(v)))
+    // the four symmetric sources tie exactly (identical pinned trajectories)
+    assert((2L to 4L).forall(v => r(v) === r(1L)))
+  }
+
   test("triangles: K4 yields all 4 canonical triples; paths and stars yield none") {
     // K4 on {1,2,3,4}: C(4,3) = 4 triangles, duplicate/reversed/self edges ignored
     val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
