@@ -67,6 +67,43 @@ object Temporal {
             payloadCols.map(n => col("__g").getField(n).as(s"asof_$n"))): _*)
   }
 
+  /** Gap-fill a keyed irregular time series onto a fixed grid with
+    * last-observation-carried-forward (LOCF) — the resample/regularize step
+    * every downstream window model needs before irregular event data.
+    *
+    * Per key: slots are `stepSeconds`-wide epoch buckets spanning
+    * [min(ts), max(ts)]; each observed slot takes its LATEST observation
+    * (deterministic: max by (ts, value)); unobserved slots carry the
+    * previous slot's value forward and are flagged `filled = true`.
+    * Output: (keys…, `slot_ts` epoch seconds, value, `filled`).
+    *
+    * Scale shape: one hash aggregate per (key, slot), one tiny per-key
+    * bounds aggregate, a bounded `sequence` explode (span/step rows per
+    * key — the caller picks `stepSeconds` to keep that sane), and ONE
+    * window shuffle on the key for the carry-forward. No self-join, no
+    * per-key driver loop; skew is bounded by the hottest key's span like
+    * any per-key window.
+    */
+  def gapFillLocf(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val slotted = df.withColumn("__slot",
+      (floor(unix_timestamp(col(timeCol)) / stepSeconds) * stepSeconds).cast("long"))
+    val perSlot = slotted.groupBy(keys :+ col("__slot"): _*)
+      .agg(max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("__v"))
+    val bounds = slotted.groupBy(keys: _*)
+      .agg(min("__slot").as("__lo"), max("__slot").as("__hi"))
+    val grid = bounds.select(keys :+
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds))).as("__slot"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perSlot, keyCols :+ "__slot", "left")
+      .withColumn("filled", col("__v").isNull)
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+      .select(keys ++ Seq(col("__slot").as("slot_ts"),
+        col("__f").as(valueCol), col("filled")): _*)
+  }
+
   /** Keyed interval join: (point, interval) pairs on the same key with
     * `startCol <= point.tsCol < endCol` (half-open). `bucketSeconds` should
     * be on the order of a typical interval span — too small replicates

@@ -209,6 +209,42 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
              |ORDER BY id""".stripMargin)),
 
+    // Daily-grid gap-fill with LOCF over each user's purchase series:
+    // unobserved days carry the last purchase value forward and are
+    // flagged. Oracle builds the same grid with generate_series and an
+    // IGNORE NULLS carry window — no shared machinery.
+    QueryDef(
+      "x_gapfill_locf",
+      (s, d) => {
+        val purchases = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("user_id") < 300)
+          .select(col("user_id"), col("ts"), col("value"))
+        Temporal.gapFillLocf(purchases, Seq("user_id"), "ts", "value",
+            stepSeconds = 86400L)
+          .select(col("user_id"), col("slot_ts"),
+            round(col("value"), 6).as("value"), col("filled"))
+          .orderBy("user_id", "slot_ts")
+      },
+      Some("""WITH s AS (SELECT user_id,
+             |    CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) slot, ts, value
+             |  FROM events WHERE event_type = 'purchase' AND user_id < 300),
+             |ps AS (SELECT user_id, slot, value FROM (
+             |    SELECT user_id, slot, value,
+             |      row_number() OVER (PARTITION BY user_id, slot
+             |                         ORDER BY ts DESC, value DESC) rn FROM s)
+             |  WHERE rn = 1),
+             |b AS (SELECT user_id, min(slot) lo, max(slot) hi FROM s GROUP BY user_id),
+             |g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) slot FROM b),
+             |j AS (SELECT g.user_id, g.slot, ps.value
+             |      FROM g LEFT JOIN ps ON g.user_id = ps.user_id AND g.slot = ps.slot),
+             |f AS (SELECT user_id, slot, value IS NULL AS filled,
+             |        last_value(value IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY slot
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v
+             |      FROM j)
+             |SELECT user_id, slot AS slot_ts, round(v, 6) AS value, filled
+             |FROM f ORDER BY user_id, slot_ts""".stripMargin)),
+
     // Per-vertex triangle counts over the part co-occurrence graph (parts
     // sharing an order are linked). Spark side runs the degree-oriented
     // wedge-close algorithm (Graph.triangles — bounded out-degree, no hub

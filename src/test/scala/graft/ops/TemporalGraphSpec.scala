@@ -130,6 +130,27 @@ class TemporalGraphSpec extends GraftSuite {
     assert(out.toSeq === Seq((1L, 3L, 1L), (7L, 2L, 7L)))
   }
 
+  test("gapFillLocf: gaps carry the last value forward and are flagged") {
+    // user A: days 0 and 2 observed (day 1 is a gap); day 0 has two
+    // observations — the later one (value 20) must win the slot.
+    // user B: a single day (no gaps, no fill).
+    val obs = Seq(
+      ("A", ts("2024-01-01 08:00:00"), 10.0),
+      ("A", ts("2024-01-01 17:00:00"), 20.0),
+      ("A", ts("2024-01-03 09:00:00"), 30.0),
+      ("B", ts("2024-01-05 12:00:00"), 99.0)
+    ).toDF("k", "t", "v")
+    val out = Temporal.gapFillLocf(obs, Seq("k"), "t", "v", 86400L)
+      .select("k", "slot_ts", "v", "filled")
+      .as[(String, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    val day0 = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(out.toSeq === Seq(
+      ("A", day0, 20.0, false),
+      ("A", day0 + 86400, 20.0, true),   // gap: carried, flagged
+      ("A", day0 + 2 * 86400, 30.0, false),
+      ("B", day0 + 4 * 86400, 99.0, false)))
+  }
+
   test("pageRank: symmetric 2-cycle stays uniform at 0.5; mass is conserved") {
     val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(cyc, "src", "dst", iters = 5)
