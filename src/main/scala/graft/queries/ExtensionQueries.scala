@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ops.{Dedup, LangId, Similarity, TextAnalysis}
+import graft.ops.{Dedup, LangId, Pq, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,28 @@ import org.apache.spark.sql.functions._
   * on both engines — and then find exactly the planted pairs.
   */
 object ExtensionQueries extends QueryGroup {
+
+  /** Brute-force cosine top-k oracle computed with the SAME m-subspace
+    * slice decomposition the PQ-ADC scorer uses (Σ_j of per-slice dots;
+    * sliced norms) over the RAW vectors — with a lossless codebook the ADC
+    * path must reproduce it exactly. DuckDB list slicing is 1-based
+    * inclusive. */
+  private def pqSlicedCosineOracle(m: Int, ds: Int, k: Int, qMax: Int): String = {
+    def sliceDot(a: String, b: String) = (0 until m).map { j =>
+      val lo = j * ds + 1; val hi = (j + 1) * ds
+      s"list_dot_product($a[$lo:$hi], $b[$lo:$hi])"
+    }.mkString("\n          + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+       |p AS (SELECT q.vec_id q_id, c.vec_id c_id,
+       |        round((${sliceDot("q.e", "c.e")})
+       |          / (sqrt(${sliceDot("q.e", "q.e")})
+       |             * sqrt(${sliceDot("c.e", "c.e")})), 6) AS sim
+       |      FROM v q JOIN v c ON q.vec_id < $qMax AND q.vec_id != c.vec_id)
+       |SELECT q_id, c_id, sim, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY sim DESC, c_id) rn FROM p)
+       |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+  }
 
   /** documents ∪ exact copies at doc_id+100000. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
@@ -478,7 +500,8 @@ object ExtensionQueries extends QueryGroup {
           .select("q_id", "c_id", "sim", "rn")
           .orderBy("q_id", "rn")
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      Some("""-- exhaustive-IVF oracle
+             |WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
              |p AS (SELECT q.vec_id q_id, c.vec_id c_id,
              |        round(list_dot_product(q.e, c.e)
              |          / (sqrt(list_dot_product(q.e, q.e))
@@ -488,6 +511,46 @@ object ExtensionQueries extends QueryGroup {
              |  SELECT *, row_number() OVER (PARTITION BY q_id
              |                              ORDER BY sim DESC, c_id) rn FROM p)
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // Product-quantization ADC search with a LOSSLESS dictionary codebook
+    // (one centroid per distinct subvector ⇒ reconstruction is exact ⇒ ADC
+    // degenerates to exact sliced-cosine search): the full PQ pipeline —
+    // train, encode, per-query table build, m-lookup scoring, rank — is
+    // oracle-checked against a plain SQL cosine computed with the same
+    // 8-subspace slice decomposition on the RAW vectors (no PQ anywhere in
+    // the oracle). The k-means-codebook compression tier is x_pq_adc below.
+    QueryDef(
+      "x_pq_adc_exact",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.trainDict(emb, "embedding", m = 8)
+        val encoded = Pq.encode(emb, "vec_id", "embedding", cb)
+        Pq.topKAdc(emb.filter(col("vec_id") < 10), encoded,
+            "vec_id", "embedding", cb, k = 5)
+          .select("q_id", "c_id", "sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      Some(pqSlicedCosineOracle(m = 8, ds = 8, k = 5, qMax = 10))),
+
+    // PQ-ADC with the real per-subspace k-means codebook (m=8 bytes per
+    // vector — a 32x storage cut on float32 d=64) + exact rerank of the
+    // ADC shortlist: the production search shape (compression scans the
+    // corpus, full precision ranks the shortlist). No cross-engine oracle
+    // is expressible (scores depend on trained centroids); recall vs brute
+    // force is spec-verified in PqSpec, and the encode/table/lookup
+    // machinery itself is oracle-proven by x_pq_adc_exact above.
+    QueryDef(
+      "x_pq_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Pq.trainKmeans(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+        val encoded = Pq.encode(emb, "vec_id", "embedding", cb)
+        Pq.topKAdcRerank(emb.filter(col("vec_id") < 10), encoded, emb,
+            "vec_id", "embedding", cb, k = 5, pool = 50)
+          .select("q_id", "c_id", "sim", "rn")
+          .orderBy("q_id", "rn")
+      },
+      None),
 
     // Language-ID heuristic: per-language stopword-hit ratios + argmax.
     QueryDef(

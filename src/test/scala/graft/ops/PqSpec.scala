@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+class PqSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("trainDict + encode reconstructs every vector exactly (lossless by construction)") {
+    val cb = Pq.trainDict(emb, "embedding", m = 8)
+    assert(cb.m === 8 && cb.ds === 8)
+    val encoded = Pq.encode(emb, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (id, c, n) => id -> ((c, n)) }.toMap
+    val originals = emb.select($"vec_id", Similarity.toDouble($"embedding"))
+      .as[(Long, Seq[Double])].collect()
+    assert(originals.nonEmpty)
+    originals.foreach { case (id, v) =>
+      val (codes, _) = encoded(id)
+      assert(codes.length === 8)
+      val recon = codes.zipWithIndex.flatMap { case (c, j) => cb.cents(j)(c) }
+      assert(recon.toSeq === v, s"vec $id not reconstructed exactly")
+    }
+  }
+
+  test("dict-codebook ADC top-k matches brute-force top-k ids") {
+    val cb = Pq.trainDict(emb, "embedding", m = 8)
+    val encoded = Pq.encode(emb, "vec_id", "embedding", cb)
+    val adc = Pq.topKAdc(emb.filter($"vec_id" < 10), encoded,
+        "vec_id", "embedding", cb, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" < 10), emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(adc === exact)
+  }
+
+  test("kmeans-codebook ADC: shortlist recall floor holds; rerank recovers exact-tier recall") {
+    val cb = Pq.trainKmeans(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    assert(cb.cents.forall(_.length <= 16))
+    val encoded = Pq.encode(emb, "vec_id", "embedding", cb)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    // plain ADC@5: the synthetic embeddings are RANDOM — the hardest,
+    // incompressible case for any 32x quantizer — so the floor is modest
+    val adc = Pq.topKAdc(queries, encoded, "vec_id", "embedding", cb, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val adcRecall = exact.intersect(adc).size.toDouble / exact.size
+    assert(adcRecall >= 0.15, s"plain ADC recall collapsed: $adcRecall")
+    assert(adc.groupBy(_._1).values.forall(_.size === 5))
+    // ADC shortlist (pool=50) + exact rerank: recall is bounded by the
+    // shortlist, not the quantization error — this is the production tier
+    val reranked = Pq.topKAdcRerank(queries, encoded, emb,
+        "vec_id", "embedding", cb, k = 5, pool = 50)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val rrRecall = exact.intersect(reranked).size.toDouble / exact.size
+    assert(rrRecall >= 0.7, s"reranked recall too low: $rrRecall")
+    assert(rrRecall > adcRecall, "rerank must improve on plain ADC here")
+  }
+
+  test("topKAdc rejects an oversized query set at its driver-bounded gate") {
+    val cb = Pq.trainDict(emb.limit(50), "embedding", m = 8)
+    val encoded = Pq.encode(emb.limit(50), "vec_id", "embedding", cb)
+    val e = intercept[IllegalArgumentException] {
+      Pq.topKAdc(emb, encoded, "vec_id", "embedding", cb, k = 5, maxQueries = 3)
+    }
+    assert(e.getMessage.contains("driver-bounded"))
+  }
+}
