@@ -451,4 +451,67 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Edit-distance similarity join: all (a<b) pairs with
+    * `levenshtein(a, b) <= maxDist`, found by q-gram PREFIX FILTERING
+    * (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs) and verified with
+    * Spark's codegen'd `levenshtein`.
+    *
+    * Candidate bound: one edit destroys at most q of a string's positional
+    * q-grams, so ed(a,b) ≤ t ⇒ the gram sets overlap in ≥ |G| − q·t
+    * elements — equivalently, two qualifying strings MUST share a gram
+    * among their (q·t+1) globally-rarest grams. Only those prefix grams
+    * are indexed: the self-join is on rare grams by construction, which is
+    * what keeps bucket sizes bounded at 100 TB (no "the" bucket — the
+    * prefix of a common-gram-only string is still its q·t+1 rarest).
+    * Strings with ≤ q·t grams (shorter than ~q·(t+1) chars) carry no count
+    * bound; they fall back to one all-pairs "short" bucket so recall stays
+    * PERFECT — at corpus scale short strings are routed to [[exactPairs]]
+    * shapes anyway, and `maxShortBucket` fails fast if the fallback would
+    * blow up. Output: (ida, idb, dist).
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, q: Int = 3, maxShortBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && q >= 1, "maxDist >= 0 and q >= 1 required")
+    val prefixLen = q * maxDist + 1
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .localCheckpoint(false)
+    // distinct positional q-grams; `__t` is a bound attribute in the HOF
+    // lambda (never an expression tree — NOTES HOF lesson)
+    val grams = base
+      .filter(length(col("__t")) >= q + q * maxDist) // long tier
+      .select(col("__id"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("__t")) - (q - 1)),
+          i => col("__t").substr(i, lit(q))))).as("g"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("__f"))
+    val wPrefix = Window.partitionBy(col("__id")).orderBy(col("__f"), col("g"))
+    val prefix = grams.join(freq, Seq("g"))
+      .withColumn("__rn", row_number().over(wPrefix))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("g"), col("__id"))
+    val candLong = prefix.select(col("g"), col("__id").as("ida"))
+      .join(prefix.select(col("g"), col("__id").as("idb")), Seq("g"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    // short tier: strings below the count-bound floor — all-pairs in one
+    // bucket (cheap DPs), gated so a degenerate corpus fails fast
+    val short = base.filter(length(col("__t")) < q + q * maxDist)
+      .select(col("__id"))
+    val nShort = short.limit(maxShortBucket + 1).count()
+    require(nShort <= maxShortBucket,
+      s"editDistancePairs short-string fallback exceeds maxShortBucket=" +
+        s"$maxShortBucket rows; dedup short strings exactly instead")
+    val candShort = short.select(col("__id").as("ida"))
+      .crossJoin(short.select(col("__id").as("idb")))
+      .filter(col("ida") < col("idb"))
+    val cand = candLong.unionByName(candShort)
+    cand
+      .join(base.select(col("__id").as("ida"), col("__t").as("__ta")), Seq("ida"))
+      .join(base.select(col("__id").as("idb"), col("__t").as("__tb")), Seq("idb"))
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .select(col("ida"), col("idb"),
+        levenshtein(col("__ta"), col("__tb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -552,6 +552,38 @@ object ExtensionQueries extends QueryGroup {
       },
       None),
 
+    // Edit-distance similarity join (typo-level near-dup, where shingle
+    // Jaccard is blunt): corpus = 100 docs + copies with ONE deleted char,
+    // joined at levenshtein <= 2 via q-gram prefix filtering
+    // (Dedup.editDistancePairs — only each string's q·t+1 RAREST grams are
+    // indexed). The oracle runs the full quadratic levenshtein join: if the
+    // prefix filter dropped any true pair, the hash would catch it — this
+    // checks perfect recall of the blocking, not just the verifier.
+    QueryDef(
+      "x_editdist_neardup",
+      (s, d) => {
+        val t0 = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+        val corpus = t0.union(t0.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("t"), 1, 4),
+            col("t").substr(lit(6), length(col("t")))).as("t")))
+        Dedup.editDistancePairs(corpus, "doc_id", "t", maxDist = 2, q = 3)
+          .orderBy("ida", "idb")
+      },
+      Some("""WITH t0 AS (SELECT doc_id, substr(text, 1, 200) t
+             |            FROM documents WHERE doc_id < 100),
+             |corpus AS (SELECT doc_id, t FROM t0
+             |           UNION ALL
+             |           SELECT doc_id + 100000, substr(t, 1, 4) || substr(t, 6)
+             |           FROM t0)
+             |SELECT a.doc_id ida, b.doc_id idb,
+             |  CAST(levenshtein(a.t, b.t) AS INT) dist
+             |FROM corpus a JOIN corpus b
+             |  ON a.doc_id < b.doc_id AND abs(length(a.t) - length(b.t)) <= 2
+             |WHERE levenshtein(a.t, b.t) <= 2
+             |ORDER BY ida, idb""".stripMargin)),
+
     // Language-ID heuristic: per-language stopword-hit ratios + argmax.
     QueryDef(
       "x_lang_id",

@@ -179,4 +179,41 @@ class DedupSpec extends GraftSuite {
       .as[(Long, Long, Long, String)].collect().head
     assert(out === ((1L, 3L, 3L, "a b c d e"))) // [a b][c d][e]
   }
+
+  test("editDistancePairs finds exactly the pairs within maxDist (vs exhaustive check)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cog"),  // 1 sub vs 1
+      (3L, "the quick brown fox jumped over the lazy dog"), // 1 ins vs 1
+      (4L, "a completely different sentence about nothing at all"),
+      (5L, "the quick brown fox leaps over sleepy dogs here")  // far from 1
+    ).toDF("id", "text")
+    val got = Dedup.editDistancePairs(docs, "id", "text", maxDist = 2, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // exhaustive ground truth via the same levenshtein kernel
+    val texts = docs.as[(Long, String)].collect()
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      d = Seq((ta, tb)).toDF("a", "b")
+        .select(levenshtein($"a", $"b")).as[Int].collect().head
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 2)))
+  }
+
+  test("editDistancePairs short-string fallback keeps perfect recall below the gram floor") {
+    // all strings are shorter than q + q*t = 9 chars: no count bound holds,
+    // so they pair through the short bucket, not the prefix index
+    val docs = Seq((1L, "ab"), (2L, "ac"), (3L, "zzzz")).toDF("id", "text")
+    val got = Dedup.editDistancePairs(docs, "id", "text", maxDist = 1, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1)))
+    // and the fallback is gated
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, "id", "text", maxDist = 1, q = 3,
+        maxShortBucket = 1)
+    }
+    assert(e.getMessage.contains("maxShortBucket"))
+  }
 }
