@@ -584,6 +584,36 @@ object ExtensionQueries extends QueryGroup {
              |WHERE levenshtein(a.t, b.t) <= 2
              |ORDER BY ida, idb""".stripMargin)),
 
+    // Count-min-sketch heavy hitters over part keys. The sketch uses the
+    // EXPLICIT Carter-Wegman hash family (published constants, plain
+    // BIGINT arithmetic), so the DuckDB oracle rebuilds the identical
+    // depth*width cell table — estimates match INCLUDING every collision's
+    // overestimate, not just on collision-free keys. Sketch size is
+    // 3*256 cells regardless of input size; the build is one map-side-
+    // combined hash aggregate.
+    QueryDef(
+      "x_cms_heavy_hitters",
+      (s, d) =>
+        graft.ops.Sketches.cmsHeavyHitters(
+          Tables.lineitem(s, d).select(col("l_partkey")),
+          "l_partkey", width = 256, depth = 3, topK = 20),
+      Some("""WITH r AS (SELECT CAST(l_partkey AS BIGINT) k FROM lineitem),
+             |h AS (SELECT * FROM (VALUES (0, 1299709, 7), (1, 15485863, 97),
+             |                            (2, 32452843, 997)) t(j, a, b)),
+             |cells AS (SELECT j, ((a * k + b) % 2147483647) % 256 AS bucket,
+             |                 COUNT(*) cnt
+             |          FROM r CROSS JOIN h GROUP BY 1, 2),
+             |keys AS (SELECT DISTINCT k FROM r),
+             |kb AS (SELECT keys.k, h.j,
+             |              ((h.a * keys.k + h.b) % 2147483647) % 256 AS bucket
+             |       FROM keys CROSS JOIN h),
+             |est AS (SELECT k, MIN(COALESCE(cnt, 0)) est
+             |        FROM kb LEFT JOIN cells ON kb.j = cells.j
+             |                               AND kb.bucket = cells.bucket
+             |        GROUP BY k)
+             |SELECT k, CAST(est AS BIGINT) AS est FROM est
+             |ORDER BY est DESC, k LIMIT 20""".stripMargin)),
+
     // Language-ID heuristic: per-language stopword-hit ratios + argmax.
     QueryDef(
       "x_lang_id",

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.GraftSuite
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def keysDf(counts: Map[Long, Int]) =
+    counts.toSeq.flatMap { case (k, n) => Seq.fill(n)(k) }.toDF("k")
+
+  test("CMS never underestimates, and a wide sketch is exact on this fixture") {
+    val counts = Map(1L -> 50, 2L -> 30, 3L -> 20, 7L -> 5, 11L -> 1)
+    val df = keysDf(counts)
+    // tiny sketch: collisions guaranteed (5 keys, 4 buckets) — est >= true
+    val tiny = Sketches.cmsHeavyHitters(df, "k", width = 4, depth = 2, topK = 10)
+      .as[(Long, Long)].collect().toMap
+    counts.foreach { case (k, n) =>
+      assert(tiny(k) >= n, s"CMS underestimated key $k: ${tiny(k)} < $n")
+    }
+    // wide sketch: no colliding pair on this fixture — estimates exact
+    val wide = Sketches.cmsHeavyHitters(df, "k", width = 4096, depth = 3, topK = 10)
+      .as[(Long, Long)].collect().toMap
+    counts.foreach { case (k, n) => assert(wide(k) === n.toLong) }
+  }
+
+  test("CMS cell tables merge by union + re-aggregation (mergeable sketch)") {
+    val a = keysDf(Map(1L -> 10, 2L -> 5))
+    val b = keysDf(Map(2L -> 7, 3L -> 2))
+    val whole = Sketches.cmsBuild(a.union(b), "k", width = 8, depth = 3)
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Sketches.cmsBuild(a, "k", width = 8, depth = 3)
+      .union(Sketches.cmsBuild(b, "k", width = 8, depth = 3))
+      .groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("heavy hitters surface the true top keys when the sketch is wide enough") {
+    val counts = (1L to 100L).map(k => k -> (if (k <= 3) 1000 else 2).toInt).toMap
+    val top = Sketches.cmsHeavyHitters(keysDf(counts), "k",
+        width = 2048, depth = 3, topK = 3)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(top === Set(1L, 2L, 3L))
+  }
+}
