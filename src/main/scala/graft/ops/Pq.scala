@@ -78,35 +78,62 @@ object Pq {
     PqCodebook(m, ds, cents)
   }
 
-  /** Per-subspace k-means codebook (the compression tier): subspace j's
-    * centroids are the pinned member means after `iters` Lloyd rounds of
-    * [[Clustering.kmeansAssign]] over the sliced corpus. Codes are the rank
-    * of the (deterministic, smallest-id) seed labels. m small Spark jobs;
-    * the result is kilobytes. */
+  /** Per-subspace k-means codebook (the compression tier), trained FUSED:
+    * all m subspace Lloyd loops advance together — one slice-explode up
+    * front, then per iteration ONE broadcast of all m·k centroids and ONE
+    * centroid-update aggregate, instead of m independent loops (8
+    * sequential Lloyd runs benched 6.5 s at sf0.1; fused is one loop's
+    * worth of jobs). Per subspace the math is exactly
+    * [[Clustering.kmeansAssign]]'s: k-smallest-id seeds, dot-expansion
+    * distances on bound attributes, (distance, cid) struct argmin, member
+    * means pinned to 6 dp through DECIMAL(18,12) — subspaces don't
+    * interact, so fusion changes scheduling, not results. Codes are the
+    * rank of the seed labels (deterministic). */
   def trainKmeans(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int): PqCodebook = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
     val d = dims(corpus, vecCol)
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val ds = d / m
     val r6 = (c: org.apache.spark.sql.Column) =>
       round(c.cast("decimal(18,12)"), 6).cast("double")
-    val cents = (0 until m).map { j =>
-      val sliced = corpus.select(col(idCol).as("id"),
-        slice(Similarity.toDouble(col(vecCol)), j * ds + 1, ds).as("sv"))
-      val assigned = Clustering.kmeansAssign(sliced, "id", "sv", k, iters)
-        .select(col("id"), col("cluster"))
-      val means = assigned.join(sliced, Seq("id"))
-        .select(col("cluster"), posexplode(col("sv")).as(Seq("i", "x")))
-        .groupBy("cluster", "i").agg(r6(avg(col("x"))).as("mv"))
-        .groupBy("cluster")
+    val v = corpus.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("e"))
+    val sub = v.select(col("id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col("e"), j * ds + 1, ds).as("sv"))): _*)).as("s"))
+      .select(col("s.j").as("j"), col("id"), col("s.sv").as("sv"))
+      .withColumn("sn", Similarity.dot(col("sv"), col("sv")))
+      .localCheckpoint(false)
+    val seeds = v.orderBy(col("id")).limit(k).select(col("id").as("cid"))
+    var cents = sub.join(broadcast(seeds), sub("id") === seeds("cid"))
+      .select(col("j"), col("cid"), col("sv").as("ce"))
+    for (_ <- 1 to iters) {
+      // one m-row broadcast: subspace j's centroid list with cached norms
+      val centsRows = cents
+        .withColumn("cn", Similarity.dot(col("ce"), col("ce")))
+        .groupBy("j")
+        .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cs"))
+      val assigned = sub.join(broadcast(centsRows), Seq("j"))
+        .withColumn("best", array_min(transform(col("cs"), c =>
+          struct(
+            (col("sn") - lit(2.0) * Similarity.dot(col("sv"), c.getField("ce"))
+              + c.getField("cn")).as("d"),
+            c.getField("cid").as("cid")))))
+        .select(col("j"), col("best.cid").as("cid"), col("sv"))
+      cents = assigned
+        .select(col("j"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("j", "cid", "i").agg(r6(avg(col("x"))).as("mv"))
+        .groupBy("j", "cid")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("mv")))),
           s => s.getField("mv")).as("ce"))
-        .orderBy("cluster")
-        .collect()
-        .map(_.getSeq[Double](1).toArray)
-      means
+    }
+    val collected = cents.orderBy("j", "cid").collect()
+    val byJ = collected.groupBy(_.getInt(0))
+    val tables = (0 until m).map { j =>
+      byJ.getOrElse(j, Array.empty[Row]).toArray
+        .map(_.getSeq[Double](2).toArray)
     }.toArray
-    PqCodebook(m, ds, cents)
+    PqCodebook(m, ds, tables)
   }
 
   private val codesSchema = StructType(Seq(
