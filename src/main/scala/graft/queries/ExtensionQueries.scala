@@ -614,6 +614,39 @@ object ExtensionQueries extends QueryGroup {
              |SELECT k, CAST(est AS BIGINT) AS est FROM est
              |ORDER BY est DESC, k LIMIT 20""".stripMargin)),
 
+    // HyperLogLog distinct-count estimate with an explicit avalanche hash
+    // (two multiply-mod-2^31 + xorshift rounds — plain BIGINT/xor/shift
+    // SQL): the oracle rebuilds the 64 registers bit-for-bit (bucket =
+    // low 6 hash bits, rank = leading-zero position of the 25-bit suffix)
+    // and applies the same published estimator — so the APPROXIMATE answer
+    // itself is cross-engine verified, unlike builtin HLLs whose internal
+    // hashes can't leave the engine (a_approx_distinct stays rows-only for
+    // exactly that reason).
+    QueryDef(
+      "x_hll_distinct",
+      (s, d) =>
+        graft.ops.Sketches.hllEstimate(
+          Tables.lineitem(s, d).select(col("l_partkey")), "l_partkey", bits = 6),
+      Some("""WITH k0 AS (SELECT CAST(l_partkey AS BIGINT) % 2147483648 h0
+             |            FROM lineitem),
+             |m1 AS (SELECT (h0 * 2654435761) % 2147483648 AS h1 FROM k0),
+             |m2 AS (SELECT xor(h1, h1 >> 15) AS h2 FROM m1),
+             |m3 AS (SELECT (h2 * 1103515245) % 2147483648 AS h3 FROM m2),
+             |h AS (SELECT xor(h3, h3 >> 13) AS hv FROM m3),
+             |x AS (SELECT hv % 64 AS bucket, hv // 64 AS w FROM h),
+             |rr AS (SELECT bucket,
+             |         MAX(CASE WHEN w = 0 THEN 26.0
+             |             ELSE 25.0 - floor(log2(CAST(w AS DOUBLE))) END) M
+             |       FROM x GROUP BY bucket),
+             |agg AS (SELECT COUNT(*) nb,
+             |               COALESCE(SUM(pow(2.0, -M)), 0.0) s2 FROM rr),
+             |vs AS (SELECT (64 - nb) AS V, (64.0 - nb) + s2 AS S FROM agg),
+             |e AS (SELECT V, 0.709 * 64 * 64 / S AS E FROM vs)
+             |SELECT round(CASE WHEN E <= 2.5 * 64 AND V > 0
+             |                  THEN 64.0 * ln(64.0 / V) ELSE E END, 6)
+             |         AS hll_estimate
+             |FROM e""".stripMargin)),
+
     // Language-ID heuristic: per-language stopword-hit ratios + argmax.
     QueryDef(
       "x_lang_id",

@@ -36,6 +36,36 @@ class SketchesSpec extends GraftSuite {
     assert(merged === whole)
   }
 
+  test("HLL estimate lands within the m=64 error envelope on 1000 distinct keys") {
+    val df = (1L to 1000L).toDF("k")
+    val est = Sketches.hllEstimate(df, "k", bits = 6)
+      .as[Double].collect().head
+    // sigma = 1.04/sqrt(64) = 13%; 3 sigma = 39%
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.39, s"HLL estimate off: $est")
+    // duplicates never move registers: same estimate on a 5x-duplicated input
+    val dup = df.union(df).union(df).union(df).union(df)
+    val est5 = Sketches.hllEstimate(dup, "k", bits = 6).as[Double].collect().head
+    assert(est5 === est)
+  }
+
+  test("HLL linear-counting branch engages for tiny cardinalities") {
+    val est = Sketches.hllEstimate(Seq(1L, 2L, 3L).toDF("k"), "k", bits = 6)
+      .as[Double].collect().head
+    assert(est > 0.5 && est < 10.0, s"small-range estimate implausible: $est")
+  }
+
+  test("HLL registers merge by per-bucket max") {
+    val a = (1L to 400L).toDF("k")
+    val b = (300L to 700L).toDF("k")
+    val whole = Sketches.hllRegisters(a.union(b), "k", bits = 6)
+      .as[(Long, Double)].collect().toSet
+    val merged = Sketches.hllRegisters(a, "k", bits = 6)
+      .union(Sketches.hllRegisters(b, "k", bits = 6))
+      .groupBy("bucket").agg(max("M").as("M"))
+      .as[(Long, Double)].collect().toSet
+    assert(merged === whole)
+  }
+
   test("heavy hitters surface the true top keys when the sketch is wide enough") {
     val counts = (1L to 100L).map(k => k -> (if (k <= 3) 1000 else 2).toInt).toMap
     val top = Sketches.cmsHeavyHitters(keysDf(counts), "k",
