@@ -279,4 +279,29 @@ object Sampling {
       }
     df.withColumn("split", labeled)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis A-ES, exponential-race form): each row draws a uniform
+    * u ∈ (0,1) from its key's md5 prefix and races with arrival time
+    * −ln(u)/w — the k smallest arrivals are the sample, which is exactly
+    * weighted sampling without replacement (a row with twice the weight is
+    * twice as likely at every draw). Pure function of (key, weight): any
+    * engine — and any retry — draws the SAME sample; the md5-derived u is
+    * the same device as [[sampleKey]], widened to 32 bits so ties are
+    * negligible (and broken on `idCol` regardless).
+    *
+    * Scale: score is row-local; the top-k is `orderBy(...).limit(k)` —
+    * Spark executes TakeOrderedAndProject (per-partition heaps + driver
+    * merge of k·partitions rows), never a global sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long") + 0.5) / 4294967296.0
+    val score = -log(u) / col(weightCol).cast("double")
+    df.withColumn("__score", score)
+      .orderBy(col("__score"), col(idCol))
+      .limit(k)
+      .drop("__score")
+  }
 }

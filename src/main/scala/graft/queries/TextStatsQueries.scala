@@ -62,6 +62,27 @@ object TextStatsQueries extends QueryGroup {
              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
              |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    // exponential race): 100 documents drawn proportionally to length.
+    // The oracle recomputes the same md5-derived uniforms and arrival
+    // times in SQL and takes the same k smallest — the DRAW itself is
+    // cross-engine verified, not just the sample-size contract.
+    QueryDef(
+      "x_weighted_sample",
+      (s, d) =>
+        Sampling.weightedSample(Tables.documents(s, d), "doc_id", "n_chars",
+            k = 100)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""WITH s AS (SELECT doc_id, n_chars,
+             |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |         + 0.5) / 4294967296.0)
+             |      / CAST(n_chars AS DOUBLE) AS score
+             |  FROM documents),
+             |top AS (SELECT doc_id, n_chars FROM s
+             |        ORDER BY score, doc_id LIMIT 100)
+             |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin)),
+
     // Deterministic 80/10/10 train/val/test split: every document gets
     // exactly one label from its own key hash — rows never migrate between
     // splits as the corpus grows.

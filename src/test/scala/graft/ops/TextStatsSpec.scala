@@ -189,4 +189,26 @@ class TextStatsSpec extends GraftSuite {
     }.toMap
     assert(got === want)
   }
+
+  test("weightedSample: k distinct rows, deterministic, and weight-dominant keys win") {
+    // 5 ids carry 1000x the weight of the other 200: virtually certain to
+    // be drawn into a k=20 sample; the rest fill by their own race
+    val df = (1L to 205L).map(i => (i, if (i <= 5) 100000.0 else 100.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").as[Long].collect()
+    assert(s1.length === 20 && s1.distinct.length === 20)
+    assert((1L to 5L).forall(s1.contains), "heavy ids missing from sample")
+    // same draw on re-run (pure function of key+weight)
+    val s2 = Sampling.weightedSample(df.repartition(5), "id", "w", k = 20)
+      .select("id").as[Long].collect()
+    assert(s1.sorted.toSeq === s2.sorted.toSeq)
+  }
+
+  test("weightedSample with equal weights is a plain uniform k-sample of the keys") {
+    val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").as[Long].collect()
+    assert(out.sorted.toSeq === (1L to 100L)) // k = n returns everything
+  }
 }
