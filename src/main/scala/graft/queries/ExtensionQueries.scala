@@ -37,6 +37,28 @@ object ExtensionQueries extends QueryGroup {
        |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Unrolled pinned power iteration as a DuckDB CTE chain (same device as
+    * the PageRank oracle): per round, s = e·v via list_dot_product, w from
+    * a 64-way position sum rounded to 10 dp, v = w/‖w‖ rounded to 10 dp —
+    * expression shapes mirror [[graft.ops.Spectral.powerIteration]]. */
+  private def powerIterationOracle(d: Int, iters: Int): String = {
+    val head =
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings),
+         |v0 AS (SELECT j, round(1.0 / sqrt($d.0), 10) v
+         |       FROM generate_series(1, $d) t(j))""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS (SELECT list_dot_product(e.e,
+         |          (SELECT list(v ORDER BY j) FROM v${k - 1})) s, e.e AS e
+         |      FROM e),
+         |w$k AS (SELECT j, round(SUM(s * e[j]), 10) w
+         |      FROM s$k CROSS JOIN generate_series(1, $d) t(j) GROUP BY j),
+         |n$k AS (SELECT sqrt(SUM(w * w)) n FROM w$k),
+         |v$k AS (SELECT j, round(w / (SELECT n FROM n$k), 10) v FROM w$k)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT j AS i, round(v, 6) AS loading FROM v$iters ORDER BY i"
+  }
+
   /** documents ∪ exact copies at doc_id+100000. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -646,6 +668,19 @@ object ExtensionQueries extends QueryGroup {
              |                  THEN 64.0 * ln(64.0 / V) ELSE E END, 6)
              |         AS hll_estimate
              |FROM e""".stripMargin)),
+
+    // Dominant principal direction of the embedding corpus by 4 pinned
+    // power iterations (w = X'(Xv), renormalize, re-snap to 10 dp each
+    // round). The oracle walks the identical trajectory as an unrolled CTE
+    // chain — the same cross-engine device as x_pagerank/x_kmeans_lloyd,
+    // now over a dense linear-algebra recursion.
+    QueryDef(
+      "x_power_iteration",
+      (s, d) =>
+        graft.ops.Spectral.powerIteration(
+            Tables.embeddings(s, d), "embedding", iters = 4)
+          .orderBy("i"),
+      Some(powerIterationOracle(d = 64, iters = 4))),
 
     // Language-ID heuristic: per-language stopword-hit ratios + argmax.
     QueryDef(
