@@ -104,6 +104,57 @@ object Temporal {
         col("__f").as(valueCol), col("filled")): _*)
   }
 
+  /** Funnel analysis: per key, the timestamps at which the ordered `steps`
+    * were first reached — step i counts only STRICTLY after step i−1 (the
+    * greedy earliest chain: first steps(0) event, then the first steps(1)
+    * event after it, …), plus a `completed` flag requiring the whole chain
+    * inside `windowMicros`. Keys with no steps(0) event are dropped.
+    *
+    * ONE shuffle: events group to their key, sort row-local
+    * (`sort_array`), and a single left fold over the sorted array advances
+    * the step cursor — no per-step join chain (the n-step chain costs n
+    * shuffles and re-scans; this costs one, the classic sessionize shape).
+    * Per-key event counts bound task memory, as with any per-key window.
+    * Output: (key, step_0_us … step_{n−1}_us epoch-micros columns — null
+    * where the funnel stalled — and `completed`).
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val n = steps.size
+    // fold state: array of n epoch-micros, -1 = step not reached
+    val init = array(Seq.fill(n)(lit(-1L)): _*)
+    val sorted = events
+      .select(col(keyCol).as("k"),
+        struct(unix_micros(col(tsCol)).as("t"), col(typeCol).as("y")).as("ev"))
+      .groupBy("k").agg(sort_array(collect_list(col("ev"))).as("evs"))
+    val folded = sorted.select(col("k"),
+      aggregate(col("evs"), init, (acc, ev) => {
+        val t = ev.getField("t"); val y = ev.getField("y")
+        // at most one step can fire per event: step i fires iff its type
+        // matches, i-1 is reached, i is not, and the event is strictly
+        // after step i-1
+        steps.indices.foldLeft(acc) { (cur, i) =>
+          val fires =
+            if (i == 0) y === steps(0) && acc.getItem(0) === -1L
+            else y === steps(i) && acc.getItem(i - 1) =!= -1L &&
+              acc.getItem(i) === -1L && t > acc.getItem(i - 1)
+          when(fires,
+            transform(acc, (v, idx) => when(idx === i, t).otherwise(v)))
+            .otherwise(cur)
+        }
+      }).as("st"))
+      .filter(col("st").getItem(0) =!= -1L)
+    val stepCols = steps.indices.map(i =>
+      when(col("st").getItem(i) =!= -1L, col("st").getItem(i))
+        .as(s"step_${i}_us"))
+    val completed = (col("st").getItem(n - 1) =!= -1L &&
+      col("st").getItem(n - 1) - col("st").getItem(0) <= windowMicros)
+      .as("completed")
+    folded.select(col("k") +: stepCols :+ completed: _*)
+  }
+
   /** Keyed interval join: (point, interval) pairs on the same key with
     * `startCol <= point.tsCol < endCol` (half-open). `bucketSeconds` should
     * be on the order of a typical interval span — too small replicates

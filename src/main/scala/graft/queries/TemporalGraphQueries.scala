@@ -209,6 +209,36 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
              |ORDER BY id""".stripMargin)),
 
+    // Funnel: signup -> first click strictly after it -> first purchase
+    // strictly after that, completed within 7 days. Spark side is ONE
+    // shuffle + a sorted row-local fold (Temporal.funnel); the oracle is a
+    // chain of min-aggregate joins — a genuinely different formulation of
+    // the same greedy-earliest semantics. Timestamps compare at micros on
+    // both engines.
+    QueryDef(
+      "x_funnel",
+      (s, d) =>
+        Temporal.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+            Seq("signup", "click", "purchase"), windowMicros = 604800000000L)
+          .select(col("k").as("user_id"), col("step_0_us"), col("step_1_us"),
+            col("step_2_us"), col("completed"))
+          .orderBy("user_id"),
+      Some("""WITH ev AS (SELECT user_id k, epoch_us(ts) t, event_type y
+             |            FROM events),
+             |s AS (SELECT k, min(t) s FROM ev WHERE y = 'signup' GROUP BY k),
+             |c AS (SELECT ev.k, min(ev.t) c FROM ev
+             |      JOIN s ON ev.k = s.k AND ev.t > s.s
+             |      WHERE ev.y = 'click' GROUP BY ev.k),
+             |p AS (SELECT ev.k, min(ev.t) p FROM ev
+             |      JOIN c ON ev.k = c.k AND ev.t > c.c
+             |      WHERE ev.y = 'purchase' GROUP BY ev.k)
+             |SELECT s.k AS user_id, s.s AS step_0_us, c.c AS step_1_us,
+             |       p.p AS step_2_us,
+             |       (p.p IS NOT NULL AND p.p - s.s <= 604800000000)
+             |         AS completed
+             |FROM s LEFT JOIN c ON s.k = c.k LEFT JOIN p ON c.k = p.k
+             |ORDER BY user_id""".stripMargin)),
+
     // Daily-grid gap-fill with LOCF over each user's purchase series:
     // unobserved days carry the last purchase value forward and are
     // flagged. Oracle builds the same grid with generate_series and an

@@ -130,6 +130,49 @@ class TemporalGraphSpec extends GraftSuite {
     assert(out.toSeq === Seq((1L, 3L, 1L), (7L, 2L, 7L)))
   }
 
+  test("funnel: greedy earliest chain, strict ordering, window gate, stalls are null") {
+    val ev = Seq(
+      // u1 completes: signup 10:00, click 10:05, purchase 10:10
+      ("u1", ts("2024-01-01 10:00:00"), "signup"),
+      ("u1", ts("2024-01-01 09:00:00"), "click"),    // click BEFORE signup: ignored
+      ("u1", ts("2024-01-01 10:05:00"), "click"),
+      ("u1", ts("2024-01-01 10:10:00"), "purchase"),
+      // u2 stalls after click (no purchase)
+      ("u2", ts("2024-01-02 08:00:00"), "signup"),
+      ("u2", ts("2024-01-02 08:30:00"), "click"),
+      // u3 purchases before clicking: purchase must not count
+      ("u3", ts("2024-01-03 12:00:00"), "signup"),
+      ("u3", ts("2024-01-03 12:10:00"), "purchase"),
+      ("u3", ts("2024-01-03 12:20:00"), "click"),
+      // u4 never signs up: dropped entirely
+      ("u4", ts("2024-01-04 09:00:00"), "click")
+    ).toDF("u", "t", "y")
+    val out = Temporal.funnel(ev, "u", "t", "y",
+        Seq("signup", "click", "purchase"), windowMicros = 86400000000L)
+      .select("k", "step_0_us", "step_1_us", "step_2_us", "completed")
+      .as[(String, Option[Long], Option[Long], Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(out("u1") === (("u1", Some(us("2024-01-01 10:00:00")),
+      Some(us("2024-01-01 10:05:00")), Some(us("2024-01-01 10:10:00")), true)))
+    assert(out("u2") === (("u2", Some(us("2024-01-02 08:00:00")),
+      Some(us("2024-01-02 08:30:00")), None, false)))
+    assert(out("u3")._4 === None && !out("u3")._5) // early purchase ignored
+    assert(!out.contains("u4"))
+  }
+
+  test("funnel window gate fails a chain completing outside the window") {
+    val ev = Seq(
+      ("u", ts("2024-01-01 10:00:00"), "a"),
+      ("u", ts("2024-01-01 10:30:00"), "b")
+    ).toDF("u", "t", "y")
+    // 10-minute window: both steps reached, but 30 min apart => not completed
+    val r = Temporal.funnel(ev, "u", "t", "y", Seq("a", "b"),
+        windowMicros = 600000000L)
+      .select("completed").as[Boolean].collect().head
+    assert(!r)
+  }
+
   test("gapFillLocf: gaps carry the last value forward and are flagged") {
     // user A: days 0 and 2 observed (day 1 is a gap); day 0 has two
     // observations — the later one (value 20) must win the slot.
