@@ -137,6 +137,51 @@ class StreamsSpec extends GraftSuite {
       === Set((1L, "click", 1.0), (1L, "view", 3.0), (2L, "click", 4.0)))
   }
 
+  test("streaming sketch maintenance: CMS cells and HLL registers merge per micro-batch") {
+    // sketches are mergeable by construction (sum cells / max registers),
+    // so a stream maintains them with a tiny foreachBatch state table —
+    // the state is depth*width rows forever, independent of stream volume
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("cms_state")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[Ev]
+    val q = src.toDF().writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val delta = graft.ops.Sketches.cmsBuild(
+        batch.select(col("user_id")), "user_id", width = 16, depth = 3)
+      val prev = try {
+        spark.read.parquet(s"$stateDir/cells")
+      } catch { case _: Exception => delta.limit(0) }
+      prev.union(delta)
+        .groupBy("j", "bucket")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+        .write.mode("overwrite").parquet(s"$stateDir/cells_next")
+      // swap: read-back then overwrite the live path (test-local two-step)
+      spark.read.parquet(s"$stateDir/cells_next")
+        .write.mode("overwrite").parquet(s"$stateDir/cells")
+      ()
+    }.start()
+    val allBatches = Seq(
+      (1 to 20).map(i => Ev(ts(1), i % 7L, "click", 1.0)),
+      (1 to 30).map(i => Ev(ts(2), i % 11L, "view", 1.0)),
+      (1 to 10).map(i => Ev(ts(3), 42L, "click", 1.0)))
+    try {
+      allBatches.foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$stateDir/cells")
+      .as[(Int, Long, Long)].collect().toSet
+    val batchAll = graft.ops.Sketches.cmsBuild(
+        allBatches.flatten.toDF().select(col("user_id")),
+        "user_id", width = 16, depth = 3)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batchAll)
+    // the same cells answer point queries identically to a batch build
+    val est = graft.ops.Sketches.cmsEstimate(
+        Seq(42L).toDF("k"), spark.read.parquet(s"$stateDir/cells"), "k",
+        width = 16, depth = 3)
+      .as[(Long, Long)].collect().head
+    assert(est._2 >= 10L) // CMS never undercounts the hot key
+  }
+
   test("streaming curation: quality-gate filter + exact dedup over a doc stream") {
     // the batch curation kernels (hashedLinearScore, fingerprint) run
     // unchanged on a stream: score filter is row-local (no state), dedup
