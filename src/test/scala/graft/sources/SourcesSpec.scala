@@ -169,4 +169,19 @@ class SourcesSpec extends GraftSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt")
+      .toFile.getAbsolutePath + "/t"
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq
+      === src.orderBy("n_nationkey").collect().toSeq)
+    // predicate reaches the ORC scan (PushedFilters), not a post-scan Filter only
+    val plan = back.filter(col("n_regionkey") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,2)]"),
+      s"filter not pushed:\n$plan")
+  }
 }
