@@ -161,12 +161,12 @@ object Graph {
         struct(col("u").as("x"), col("v").as("y"), col("dv").as("dy")))
         .otherwise(struct(col("v").as("x"), col("u").as("y"), col("du").as("dy")))
         .as("e")).select(col("e.x"), col("e.y"), col("e.dy"))
-    val f = oriented.select(col("x"), col("y").as("p"), col("dy").as("dp"))
-    val g = oriented.select(col("x"), col("y").as("q"), col("dy").as("dq"))
+    val f = oriented.select(col("x").as("xa"), col("y").as("p"), col("dy").as("dp"))
+    val g = oriented.select(col("x").as("xb"), col("y").as("q"), col("dy").as("dq"))
     val wedges = f.join(g,
-        f("x") === g("x") &&
+        col("xa") === col("xb") &&
           (col("dp") < col("dq") || (col("dp") === col("dq") && col("p") < col("q"))))
-      .select(f("x"), col("p"), col("q"))
+      .select(col("xa").as("x"), col("p"), col("q"))
     val closing = oriented.select(col("x").as("p"), col("y").as("q"))
     wedges.join(closing, Seq("p", "q"), "left_semi")
       .select(array_sort(array(col("x"), col("p"), col("q"))).as("t"))
