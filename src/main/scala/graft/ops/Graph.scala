@@ -181,6 +181,96 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
 
+  /** Local clustering coefficient per vertex: 2·T(v) / (deg(v)·(deg(v)−1)),
+    * 0 for degree-<2 vertices — how close each neighborhood is to a clique
+    * (community-structure signal). Rides [[triangles]]' degree-oriented
+    * enumeration; one extra degree aggregate + left join. Output
+    * (id, degree, triangles, coeff 6 dp). */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("id")).union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val t = triangleCounts(edges, srcCol, dstCol)
+    deg.join(t, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
+  /** Adamic–Adar link prediction: for non-adjacent pairs (u < v) with at
+    * least one common neighbor, score = Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w) —
+    * rare shared neighbors weigh more. Common neighbors enumerate as
+    * wedges through w (one self-join of the symmetric adjacency on w);
+    * `maxHubDeg` drops hub wedges BEFORE pairing (a degree-D hub alone
+    * yields D² candidate pairs — the stop-bucket guard of link prediction;
+    * a hub's 1/ln(D) contribution is the least informative anyway).
+    * Output (u, v, common, score 6 dp). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHubDeg: Int = 0): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("w"), col("v").as("n"))
+    val deg = sym.groupBy("w").agg(count(lit(1)).as("dw"))
+    val hubFiltered =
+      if (maxHubDeg > 0) sym.join(deg.filter(col("dw") <= maxHubDeg), Seq("w"))
+      else sym.join(deg, Seq("w"))
+    val a = hubFiltered.select(col("w"), col("n").as("pu"), col("dw"))
+    val b = hubFiltered.select(col("w"), col("n").as("pv"))
+    val wedges = a.join(b, Seq("w")).filter(col("pu") < col("pv"))
+    val scored = wedges.groupBy(col("pu").as("u"), col("pv").as("v"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("dw"))), 6).as("score"))
+    // link PREDICTION: existing edges are excluded
+    scored.join(und, scored("u") === und("u") && scored("v") === und("v"),
+        "left_anti")
+      .select(scored("u"), scored("v"), col("common"), col("score"))
+  }
+
+  /** k-core decomposition: the maximal subgraph where every vertex has
+    * degree ≥ k, by iterative peeling — drop under-degree vertices, drop
+    * edges touching them, repeat. Each round is one degree aggregate + two
+    * semi-joins over the shrinking edge set; peeling is monotone, so early
+    * convergence equals running all `maxIter` rounds (the oracle unrolls a
+    * fixed chain and matches either way). Output: core vertices with their
+    * in-core degree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 12): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("id")
+      val next = e
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(false)
+      val (ec, nc) = (e.count(), next.count())
+      stable = ec == nc
+      e = next
+      iter += 1
+    }
+    e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Duplicate-cluster survivors: from near-dup pair rows, the component id
     * (cluster label), size, and the kept document (min id) per cluster —
     * the standard "dedup by LSH clusters" tail of a training-data pipeline.

@@ -104,6 +104,46 @@ object Temporal {
         col("__f").as(valueCol), col("filled")): _*)
   }
 
+  /** Time-decayed aggregate: per key, Σ value · 2^(−Δt/halfLife) at a fixed
+    * reference instant — the standard recency-weighted feature (decayed
+    * revenue, decayed activity) with half-life semantics. Row-local weight
+    * + one hash aggregate; Δt in whole seconds so both engines weigh
+    * identically. */
+  def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeSeconds: Long, refEpochSeconds: Long): DataFrame =
+    events
+      .groupBy(col(keyCol))
+      .agg(round(sum(col(valueCol) *
+        pow(lit(2.0),
+          -(lit(refEpochSeconds) - unix_timestamp(col(tsCol))).cast("double")
+            / halfLifeSeconds)), 6).as("decayed_sum"))
+
+  /** Batch sessionization: assign each event a per-key session id, where a
+    * gap of more than `gapSeconds` between consecutive events opens a new
+    * session (the batch twin of the streaming session windows in
+    * [[graft.streaming.Streams]]). Session ids are 0-based per key in time
+    * order — a pure function of the data.
+    *
+    * ONE shuffle: the lag/cumulative-sum pair runs in a single window pass
+    * over (key, time) — the canonical gaps-and-islands formulation; no
+    * self-join, no driver state. Adds `session` (long) and keeps all input
+    * columns. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(prev.isNull, lit(0))
+      .otherwise((unix_timestamp(col(tsCol)) - unix_timestamp(prev) >
+        gapSeconds).cast("int"))
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session",
+        (sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("long"))
+      .drop("__new")
+  }
+
   /** Funnel analysis: per key, the timestamps at which the ordered `steps`
     * were first reached — step i counts only STRICTLY after step i−1 (the
     * greedy earliest chain: first steps(0) event, then the first steps(1)

@@ -47,6 +47,35 @@ object TemporalGraphQueries extends QueryGroup {
       s"\nSELECT id, round(r, 6) AS pagerank FROM r$iters ORDER BY id"
   }
 
+  /** Unrolled k-core peeling as a DuckDB CTE chain: each round recomputes
+    * degrees over the surviving edge set and keeps vertices with degree ≥
+    * k. Peeling is monotone, so a chain at least as long as the peel depth
+    * produces exactly the converged core. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // twice, and DuckDB's default inlining would re-expand the chain
+    // exponentially (measured as a too-many-open-files blowup at 12 rounds)
+    val head =
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey o, l_partkey p
+        |            FROM lineitem WHERE l_orderkey < 300),
+        |e0 AS MATERIALIZED (SELECT DISTINCT CAST(a.p AS BIGINT) u,
+        |              CAST(b.p AS BIGINT) v
+        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, COUNT(*) dg FROM
+         |         (SELECT u AS id FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |       GROUP BY id),
+         |k$i AS MATERIALIZED (SELECT id FROM d$i WHERE dg >= $k),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |       WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))""".stripMargin
+    }
+    (head +: peels).mkString(",\n") +
+      s"""
+         |SELECT id, CAST(COUNT(*) AS BIGINT) core_degree FROM
+         |  (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY id ORDER BY id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Fixed-iteration PageRank over the order→part bipartite graph (every
@@ -209,6 +238,52 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
              |ORDER BY id""".stripMargin)),
 
+    // Recency-weighted purchase value per user: half-life 7 days at a
+    // fixed reference instant; Δt truncates to whole seconds identically
+    // on both engines.
+    QueryDef(
+      "x_decayed_sum",
+      (s, d) =>
+        Temporal.decayedSum(
+            Tables.events(s, d).filter(col("event_type") === "purchase"),
+            "user_id", "ts", "value",
+            halfLifeSeconds = 604800L,
+            refEpochSeconds = 1706745600L) // 2024-02-01 00:00:00 UTC
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  round(SUM(value * pow(2.0,
+             |    -CAST(1706745600 - epoch_us(ts) // 1000000 AS DOUBLE)
+             |      / 604800)), 6) AS decayed_sum
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Batch sessionization (gaps-and-islands): a >1 h silence opens a new
+    // 0-based session per user. One window pass on (user, ts); gap compare
+    // truncates to whole epoch seconds on both engines.
+    QueryDef(
+      "x_sessionize",
+      (s, d) =>
+        Temporal.sessionize(Tables.events(s, d), "user_id", "ts",
+            gapSeconds = 3600L)
+          .select(col("user_id"), col("event_id"), col("session"))
+          .orderBy("user_id", "event_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+             |                  epoch_us(ts) // 1000000 AS tsec FROM events),
+             |x AS (SELECT user_id, event_id, ts, tsec,
+             |        CASE WHEN lag(tsec) OVER
+             |               (PARTITION BY user_id ORDER BY ts) IS NULL THEN 0
+             |             WHEN tsec - lag(tsec) OVER
+             |               (PARTITION BY user_id ORDER BY ts) > 3600 THEN 1
+             |             ELSE 0 END AS nw
+             |      FROM e),
+             |sess AS (SELECT user_id, event_id,
+             |        CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          AS BIGINT) AS session
+             |      FROM x)
+             |SELECT user_id, event_id, session FROM sess
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // Funnel: signup -> first click strictly after it -> first purchase
     // strictly after that, completed within 7 days. Spark side is ONE
     // shuffle + a sorted row-local fold (Temporal.funnel); the oracle is a
@@ -306,6 +381,95 @@ object TemporalGraphQueries extends QueryGroup {
              |      UNION ALL SELECT c FROM t)
              |SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
              |FROM x GROUP BY id ORDER BY id""".stripMargin)),
+
+    // Local clustering coefficient over the same co-occurrence graph:
+    // 2T/(d(d-1)) per vertex, triangles from the degree-oriented
+    // enumeration, oracle from the direct triple join.
+    QueryDef(
+      "x_clustering_coeff",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val a = li.select(col("o"), col("p").as("pa"))
+        val b = li.select(col("o"), col("p").as("pb"))
+        val edges = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
+          .select(col("pa").cast("long").as("src"),
+            col("pb").cast("long").as("dst"))
+        Graph.clusteringCoefficient(edges, "src", "dst")
+          .orderBy("id")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+             |            FROM lineitem WHERE l_orderkey < 300),
+             |e AS (SELECT DISTINCT CAST(a.p AS BIGINT) u, CAST(b.p AS BIGINT) v
+             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |d AS (SELECT id, CAST(COUNT(*) AS BIGINT) degree FROM
+             |        (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+             |      GROUP BY id),
+             |t AS (SELECT e1.u a, e1.v b, e2.v c
+             |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+             |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |x AS (SELECT a AS id FROM t
+             |      UNION ALL SELECT b FROM t
+             |      UNION ALL SELECT c FROM t),
+             |tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) triangles FROM x
+             |       GROUP BY id)
+             |SELECT d.id, d.degree, COALESCE(tc.triangles, 0) AS triangles,
+             |  CASE WHEN d.degree >= 2
+             |       THEN round(2.0 * COALESCE(tc.triangles, 0)
+             |                  / (d.degree * (d.degree - 1)), 6)
+             |       ELSE 0.0 END AS coeff
+             |FROM d LEFT JOIN tc ON d.id = tc.id ORDER BY d.id""".stripMargin)),
+
+    // Adamic-Adar link prediction over the co-occurrence graph: score
+    // non-adjacent pairs by rare common neighbors, hubs (deg > 15) dropped
+    // before wedging — the stop-bucket guard, mirrored in the oracle.
+    QueryDef(
+      "x_adamic_adar",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val a = li.select(col("o"), col("p").as("pa"))
+        val b = li.select(col("o"), col("p").as("pb"))
+        val edges = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
+          .select(col("pa").cast("long").as("src"),
+            col("pb").cast("long").as("dst"))
+        Graph.adamicAdar(edges, "src", "dst", maxHubDeg = 15)
+          .orderBy("u", "v")
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+             |            FROM lineitem WHERE l_orderkey < 300),
+             |e AS (SELECT DISTINCT CAST(a.p AS BIGINT) u, CAST(b.p AS BIGINT) v
+             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |sym AS (SELECT u w, v n FROM e UNION ALL SELECT v, u FROM e),
+             |dg AS (SELECT w, COUNT(*) dw FROM sym GROUP BY w),
+             |f AS (SELECT sym.w, sym.n, dg.dw FROM sym
+             |      JOIN dg ON sym.w = dg.w WHERE dg.dw <= 15),
+             |wd AS (SELECT a.w, a.n pu, b.n pv, a.dw
+             |       FROM f a JOIN f b ON a.w = b.w AND a.n < b.n),
+             |sc AS (SELECT pu u, pv v, CAST(COUNT(*) AS BIGINT) common,
+             |              round(SUM(1.0 / ln(dw)), 6) score
+             |       FROM wd GROUP BY pu, pv)
+             |SELECT u, v, common, score FROM sc
+             |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = sc.u AND e.v = sc.v)
+             |ORDER BY u, v""".stripMargin)),
+
+    // 5-core of the co-occurrence graph by iterative peeling; the oracle
+    // unrolls 12 peel rounds as a CTE chain (peeling is monotone, so early
+    // convergence equals running them all).
+    QueryDef(
+      "x_kcore",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 300)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val a = li.select(col("o"), col("p").as("pa"))
+        val b = li.select(col("o"), col("p").as("pb"))
+        val edges = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
+          .select(col("pa").cast("long").as("src"),
+            col("pb").cast("long").as("dst"))
+        Graph.kCore(edges, "src", "dst", k = 5, maxIter = 12)
+          .orderBy("id")
+      },
+      Some(kCoreOracle(k = 5, rounds = 12))),
 
     // The full dedup-pipeline tail: MinHash+LSH pairs → connected
     // components → one survivor per duplicate cluster.

@@ -161,6 +161,19 @@ class TemporalGraphSpec extends GraftSuite {
     assert(!out.contains("u4"))
   }
 
+  test("sessionize: gaps over the threshold open new 0-based sessions per key") {
+    val ev = Seq(
+      ("u1", 1L, ts("2024-01-01 10:00:00")),
+      ("u1", 2L, ts("2024-01-01 10:30:00")),  // 30 min: same session
+      ("u1", 3L, ts("2024-01-01 12:00:00")),  // 90 min gap: new session
+      ("u1", 4L, ts("2024-01-01 12:59:00")),
+      ("u2", 5L, ts("2024-01-01 09:00:00"))   // other key restarts at 0
+    ).toDF("u", "id", "t")
+    val out = Temporal.sessionize(ev, "u", "t", gapSeconds = 3600L)
+      .select("id", "session").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("funnel window gate fails a chain completing outside the window") {
     val ev = Seq(
       ("u", ts("2024-01-01 10:00:00"), "a"),
@@ -210,6 +223,62 @@ class TemporalGraphSpec extends GraftSuite {
     assert((1L to 4L).forall(v => r(9L) > r(v)))
     // the four symmetric sources tie exactly (identical pinned trajectories)
     assert((2L to 4L).forall(v => r(v) === r(1L)))
+  }
+
+  test("clusteringCoefficient: clique vertices 1.0, bridge lowers, pendant 0") {
+    // K3 {1,2,3} + pendant 4 on vertex 3
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(g, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 1L, 1.0)))
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L) === ((3L, 1L, round2(2.0 / 6.0)))) // deg 3, 1 triangle
+    assert(out(4L) === ((1L, 0L, 0.0)))
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("adamicAdar: scores non-adjacent pairs by rare common neighbors only") {
+    // path 1-3-2 plus 1-4-2: pair (1,2) has common neighbors {3,4};
+    // deg(3)=deg(4)=2 => score = 2/ln(2); (1,2) is NOT an edge
+    val g = Seq((1L, 3L), (3L, 2L), (1L, 4L), (4L, 2L)).toDF("src", "dst")
+    val out = Graph.adamicAdar(g, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 2L))._1 === 2L)
+    assert(math.abs(out((1L, 2L))._2 - 2.0 / math.log(2.0)) < 1e-5)
+    // (3,4) share {1,2} the same way
+    assert(out((3L, 4L))._1 === 2L)
+    // adjacent pairs are excluded
+    assert(!out.contains((1L, 3L)))
+  }
+
+  test("kCore peels cascades: a tail hanging off a clique dissolves entirely") {
+    // K4 {1,2,3,4} + chain 4-5-6: at k=2 the chain peels in cascade
+    // (6 first, then 5), leaving exactly the K4 with in-core degree 3
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core2 = Graph.kCore(g, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max core: everything peels
+    assert(Graph.kCore(g, "src", "dst", k = 4).count() === 0L)
+  }
+
+  test("decayedSum: half-life semantics — one half-life halves the weight") {
+    val ref = ts("2024-01-08 00:00:00").getTime / 1000 // epoch seconds
+    val ev = Seq(
+      ("u", ts("2024-01-08 00:00:00"), 10.0),  // Δt=0: weight 1
+      ("u", ts("2024-01-01 00:00:00"), 8.0),   // Δt=7d: weight 1/2
+      ("w", ts("2024-01-07 00:00:00"), 4.0)    // Δt=1d: weight 2^(-1/7)
+    ).toDF("k", "t", "v")
+    val out = Temporal.decayedSum(ev, "k", "t", "v",
+        halfLifeSeconds = 604800L, refEpochSeconds = ref)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out("u") - (10.0 + 4.0)) < 1e-6)
+    assert(math.abs(out("w") - 4.0 * math.pow(2.0, -1.0 / 7.0)) < 1e-5)
   }
 
   test("triangles: K4 yields all 4 canonical triples; paths and stars yield none") {
