@@ -104,6 +104,22 @@ object Temporal {
         col("__f").as(valueCol), col("filled")): _*)
   }
 
+  /** Cohort retention: keys cohort by their FIRST active period (epoch
+    * time / `periodSeconds`, engine-neutral integer arithmetic — no
+    * calendar functions to disagree over), then count distinct keys active
+    * at each offset after their cohort. Output (cohort, offset, n_active):
+    * the retention-curve table behind every engagement dashboard. Two hash
+    * aggregates + one join, all keyed on the key column. */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+      periodSeconds: Long): DataFrame = {
+    val period = floor(unix_timestamp(col(tsCol)) / periodSeconds).cast("long")
+    val act = events.select(col(keyCol).as("k"), period.as("period")).distinct()
+    val cohort = act.groupBy("k").agg(min("period").as("cohort"))
+    act.join(cohort, Seq("k"))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("k")).as("n_active"))
+  }
+
   /** Time-decayed aggregate: per key, Σ value · 2^(−Δt/halfLife) at a fixed
     * reference instant — the standard recency-weighted feature (decayed
     * revenue, decayed activity) with half-life semantics. Row-local weight

@@ -238,6 +238,24 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT id, CAST(label AS BIGINT) AS label FROM lbl
              |ORDER BY id""".stripMargin)),
 
+    // Weekly cohort retention over all events: users cohorted by first
+    // active epoch-week, distinct actives per (cohort, offset).
+    QueryDef(
+      "x_cohort_retention",
+      (s, d) =>
+        Temporal.cohortRetention(Tables.events(s, d), "user_id", "ts",
+            periodSeconds = 604800L)
+          .orderBy("cohort", "offset"),
+      Some("""WITH act AS (SELECT DISTINCT user_id k,
+             |    CAST(floor((epoch_us(ts) // 1000000) / 604800) AS BIGINT)
+             |      period
+             |  FROM events),
+             |c AS (SELECT k, min(period) cohort FROM act GROUP BY k)
+             |SELECT c.cohort, act.period - c.cohort AS offset,
+             |  CAST(COUNT(DISTINCT act.k) AS BIGINT) AS n_active
+             |FROM act JOIN c ON act.k = c.k
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Recency-weighted purchase value per user: half-life 7 days at a
     // fixed reference instant; Δt truncates to whole seconds identically
     // on both engines.

@@ -267,6 +267,20 @@ class TemporalGraphSpec extends GraftSuite {
     assert(Graph.kCore(g, "src", "dst", k = 4).count() === 0L)
   }
 
+  test("cohortRetention: first period defines the cohort; offsets count distinct actives") {
+    val wk = 604800L
+    def t(week: Long) = new java.sql.Timestamp(week * wk * 1000L)
+    val ev = Seq(
+      ("a", t(2800)), ("a", t(2801)), ("a", t(2801)), // cohort 2800, offsets 0,1 (dup collapsed)
+      ("b", t(2800)), ("b", t(2802)),                 // cohort 2800, offsets 0,2
+      ("c", t(2801))                                  // cohort 2801, offset 0
+    ).toDF("u", "ts")
+    val out = Temporal.cohortRetention(ev, "u", "ts", wk)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (2800L, 0L, 2L), (2800L, 1L, 1L), (2800L, 2L, 1L), (2801L, 0L, 1L)))
+  }
+
   test("decayedSum: half-life semantics — one half-life halves the weight") {
     val ref = ts("2024-01-08 00:00:00").getTime / 1000 // epoch seconds
     val ev = Seq(
