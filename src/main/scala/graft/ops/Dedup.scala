@@ -510,8 +510,11 @@ object Dedup {
       .join(base.select(col("__id").as("ida"), col("__t").as("__ta")), Seq("ida"))
       .join(base.select(col("__id").as("idb"), col("__t").as("__tb")), Seq("idb"))
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      // thresholded levenshtein: banded O(maxDist·n) DP with early exit
+      // (returns -1 past the threshold) instead of the full O(n²) table —
+      // the verification constant, not just the candidate count, respects t
       .select(col("ida"), col("idb"),
-        levenshtein(col("__ta"), col("__tb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 }
