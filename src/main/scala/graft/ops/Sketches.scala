@@ -134,4 +134,40 @@ object Sketches {
   /** One-shot HLL distinct-count estimate for `keyCol`. */
   def hllEstimate(df: DataFrame, keyCol: String, bits: Int = 6): DataFrame =
     hllFromRegisters(hllRegisters(df, keyCol, bits), bits)
+
+  /** Per-group HLL estimates (the "distinct users per day" shape): one
+    * register table keyed by (group, bucket) — ≤ 2^bits rows per group
+    * regardless of group size, one hash aggregate for the registers and
+    * one for the estimates. The same estimator as [[hllFromRegisters]],
+    * applied group-wise: register-count and Σ2^(−M) fold in a single pass,
+    * with the linear-counting correction per group. */
+  def hllEstimateByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      bits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 12, "bits must be in [1, 12]")
+    val m = 1 << bits
+    val wBits = 31 - bits
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val regs = df
+      .select(col(groupCol).as("g"), mix31(col(keyCol)).as("hv"))
+      .select(col("g"), (col("hv") % m).as("bucket"),
+        shiftright(col("hv"), bits).as("w"))
+      .groupBy("g", "bucket")
+      .agg(max(when(col("w") === 0, lit(wBits + 1.0))
+        .otherwise(lit(wBits * 1.0) - floor(log2(col("w"))))).as("M"))
+    regs.groupBy("g")
+      .agg(count(lit(1)).as("nb"),
+        coalesce(sum(pow(lit(2.0), -col("M"))), lit(0.0)).as("s2"))
+      .select(col("g"), (lit(m) - col("nb")).as("V"),
+        ((lit(m * 1.0) - col("nb")) + col("s2")).as("S"))
+      .select(col("g"), col("V"), (lit(alpha) * m * m / col("S")).as("E"))
+      .select(col("g").as(groupCol), round(
+        when(col("E") <= 2.5 * m && col("V") > 0,
+          lit(m * 1.0) * log(lit(m * 1.0) / col("V")))
+          .otherwise(col("E")), 6).as("hll_estimate"))
+  }
 }

@@ -669,6 +669,40 @@ object ExtensionQueries extends QueryGroup {
              |         AS hll_estimate
              |FROM e""".stripMargin)),
 
+    // Per-group HLL: distinct parts per order-priority bucket — the
+    // "distinct users per day" sketch shape, ≤64 register rows per group.
+    // Same explicit avalanche hash; the oracle rebuilds every group's
+    // registers and estimator in SQL.
+    QueryDef(
+      "x_hll_by_group",
+      (s, d) =>
+        graft.ops.Sketches.hllEstimateByGroup(
+          Tables.lineitem(s, d)
+            .select((col("l_orderkey") % 5).as("grp"), col("l_partkey")),
+          "grp", "l_partkey", bits = 6)
+          .orderBy("grp"),
+      Some("""WITH r AS (SELECT CAST(l_orderkey AS BIGINT) % 5 g,
+             |                  CAST(l_partkey AS BIGINT) % 2147483648 h0
+             |           FROM lineitem),
+             |m1 AS (SELECT g, (h0 * 2654435761) % 2147483648 AS h1 FROM r),
+             |m2 AS (SELECT g, xor(h1, h1 >> 15) AS h2 FROM m1),
+             |m3 AS (SELECT g, (h2 * 1103515245) % 2147483648 AS h3 FROM m2),
+             |h AS (SELECT g, xor(h3, h3 >> 13) AS hv FROM m3),
+             |x AS (SELECT g, hv % 64 AS bucket, hv // 64 AS w FROM h),
+             |rr AS (SELECT g, bucket,
+             |         MAX(CASE WHEN w = 0 THEN 26.0
+             |             ELSE 25.0 - floor(log2(CAST(w AS DOUBLE))) END) M
+             |       FROM x GROUP BY g, bucket),
+             |agg AS (SELECT g, COUNT(*) nb,
+             |               COALESCE(SUM(pow(2.0, -M)), 0.0) s2
+             |        FROM rr GROUP BY g),
+             |vs AS (SELECT g, (64 - nb) AS V, (64.0 - nb) + s2 AS S FROM agg),
+             |e AS (SELECT g, V, 0.709 * 64 * 64 / S AS E FROM vs)
+             |SELECT g AS grp, round(CASE WHEN E <= 2.5 * 64 AND V > 0
+             |                  THEN 64.0 * ln(64.0 / V) ELSE E END, 6)
+             |         AS hll_estimate
+             |FROM e ORDER BY grp""".stripMargin)),
+
     // Dominant principal direction of the embedding corpus by 4 pinned
     // power iterations (w = X'(Xv), renormalize, re-snap to 10 dp each
     // round). The oracle walks the identical trajectory as an unrolled CTE

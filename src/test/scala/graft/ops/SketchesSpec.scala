@@ -66,6 +66,17 @@ class SketchesSpec extends GraftSuite {
     assert(merged === whole)
   }
 
+  test("per-group HLL equals the single-group estimator run on each slice") {
+    val df = (1L to 900L).map(k => (k % 3, k)).toDF("g", "k")
+    val grouped = Sketches.hllEstimateByGroup(df, "g", "k", bits = 6)
+      .as[(Long, Double)].collect().toMap
+    (0L to 2L).foreach { g =>
+      val single = Sketches.hllEstimate(df.filter($"g" === g), "k", bits = 6)
+        .as[Double].collect().head
+      assert(grouped(g) === single, s"group $g diverges from single-group HLL")
+    }
+  }
+
   test("heavy hitters surface the true top keys when the sketch is wide enough") {
     val counts = (1L to 100L).map(k => k -> (if (k <= 3) 1000 else 2).toInt).toMap
     val top = Sketches.cmsHeavyHitters(keysDf(counts), "k",
