@@ -87,6 +87,32 @@ object CatalogOps {
     base.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates)
 
+  /** Snapshot diff — the change-data-capture view between two catalog
+    * versions: per key, `added` (new only), `removed` (old only),
+    * `changed` / `unchanged` (both, by content hash over `valueCols`).
+    * One full outer join on the key; content compare is a row-local md5
+    * over the '|'-joined value columns (cast to string — callers pick
+    * columns whose text form is stable). The scale shape of table-format
+    * diffing without a table format. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    // both snapshots often derive from the SAME source frame (old vs
+    // transformed-old); aliasing mints fresh attributes on each side so
+    // the full-outer condition can never resolve into a self-join tangle
+    def h(df: DataFrame, k: String, hn: String) = df.select(
+      col(keyCol).as(k),
+      md5(concat_ws("|", valueCols.map(c => col(c).cast("string")): _*)
+        .cast("binary")).as(hn))
+    val o = h(oldDf, "__ko", "__ho")
+    val n = h(newDf, "__kn", "__hn")
+    o.join(n, col("__ko") === col("__kn"), "full_outer")
+      .select(coalesce(col("__ko"), col("__kn")).as(keyCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") =!= col("__hn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** J1 — THE reference query (`get_urllist`, mysql_process.py:64-81):
     * PROC_EJECUCION ⋈ DETALLE_EJECUCION ⋈ CATALOG with process/type/indice
     * filters, projecting (ID, RUTA_RESULTADO). Filters are pushed below the

@@ -304,4 +304,36 @@ object Sampling {
       .limit(k)
       .drop("__score")
   }
+
+  /** Deterministic negative sampling for contrastive training: each row
+    * draws `k` pseudo-random partners by walking a hash-ordered RING —
+    * rows sort by md5 within 16 hash buckets, and row r's j-th negative is
+    * the row (r+j) mod bucket-size positions ahead. Hash order makes the
+    * pairing effectively random w.r.t. any content signal, yet it is a
+    * pure function of the id set (engine-portable, retry-stable — `rand()`
+    * sampling is neither).
+    *
+    * Scale: NO global ordering — the window partitions by hash bucket, and
+    * the wrap-around is an equi-join on (bucket, position), not a lead()
+    * chain. One shuffle for the window, one modular self-join. Output
+    * (id, j 1..k, neg_id), neg_id ≠ id whenever the bucket has > 1 row. */
+  def ringNegatives(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = df.select(col(idCol).as("__id"))
+      .withColumn("__h", md5(col("__id").cast("string").cast("binary")))
+      .withColumn("__bucket", substring(col("__h"), 1, 1))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__h"), col("__id"))
+    val pos = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+    val exploded = pos.select(col("__id"), col("__bucket"), col("__rn"), col("__cnt"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("__target", ((col("__rn") - 1 + col("j")) % col("__cnt")) + 1)
+    exploded.join(
+        pos.select(col("__bucket"), col("__rn").as("__target"),
+          col("__id").as("neg_id")),
+        Seq("__bucket", "__target"))
+      .filter(col("neg_id") =!= col("__id"))
+      .select(col("__id").as(idCol), col("j"), col("neg_id"))
+  }
 }

@@ -83,6 +83,71 @@ object TextStatsQueries extends QueryGroup {
              |        ORDER BY score, doc_id LIMIT 100)
              |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin)),
 
+    // Snapshot diff (CDC view between two catalog versions): removed keys
+    // (every 10th), changed rows (price bump below 100), added keys (5
+    // synthetic) — one full outer join; the oracle compares VALUES
+    // directly while the operator compares content hashes, so hash-equals-
+    // value-equality is itself under test.
+    QueryDef(
+      "x_snapshot_diff",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        val next = p.filter(col("p_partkey") % 10 =!= 0)
+          .select(col("p_partkey"), col("p_name"),
+            when(col("p_partkey") < 100, col("p_retailprice") + 1)
+              .otherwise(col("p_retailprice")).as("p_retailprice"))
+          .union(p.filter(col("p_partkey") < 5)
+            .select((col("p_partkey") + 1000000).as("p_partkey"),
+              col("p_name"), col("p_retailprice")))
+        graft.ops.CatalogOps.snapshotDiff(p, next, "p_partkey",
+            Seq("p_name", "p_retailprice"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH old AS (SELECT p_partkey k, p_name, p_retailprice p
+             |            FROM part),
+             |neu AS (SELECT p_partkey k, p_name,
+             |          CASE WHEN p_partkey < 100 THEN p_retailprice + 1
+             |               ELSE p_retailprice END p
+             |        FROM part WHERE p_partkey % 10 <> 0
+             |        UNION ALL
+             |        SELECT p_partkey + 1000000, p_name, p_retailprice
+             |        FROM part WHERE p_partkey < 5)
+             |SELECT COALESCE(old.k, neu.k) p_partkey,
+             |  CASE WHEN old.k IS NULL THEN 'added'
+             |       WHEN neu.k IS NULL THEN 'removed'
+             |       WHEN old.p_name <> neu.p_name OR old.p <> neu.p
+             |         THEN 'changed'
+             |       ELSE 'unchanged' END status
+             |FROM old FULL OUTER JOIN neu ON old.k = neu.k
+             |ORDER BY 1""".stripMargin)),
+
+    // Deterministic ring negative sampling (contrastive-training prep):
+    // ids sort by md5 inside 16 hash buckets; row r's j-th negative sits
+    // (r+j) mod bucket-size ahead. No global window; the wrap-around is a
+    // modular equi-join. The oracle replays the identical walk.
+    QueryDef(
+      "x_negative_sampling",
+      (s, d) =>
+        Sampling.ringNegatives(
+            Tables.documents(s, d).select("doc_id"), "doc_id", k = 3)
+          .orderBy("doc_id", "j"),
+      Some("""WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) h,
+             |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) bucket
+             |           FROM documents),
+             |p AS (SELECT doc_id, bucket,
+             |        row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) rn,
+             |        COUNT(*) OVER (PARTITION BY bucket) cnt
+             |      FROM b),
+             |x AS (SELECT p.*, j FROM p
+             |      CROSS JOIN (SELECT unnest(generate_series(1, 3)) j)),
+             |t AS (SELECT doc_id, bucket, j,
+             |        ((rn - 1 + j) % cnt) + 1 AS target FROM x)
+             |SELECT t.doc_id, CAST(t.j AS INT) j, p2.doc_id neg_id
+             |FROM t JOIN p p2 ON p2.bucket = t.bucket AND p2.rn = t.target
+             |WHERE p2.doc_id <> t.doc_id
+             |ORDER BY t.doc_id, j""".stripMargin)),
+
     // Deterministic 80/10/10 train/val/test split: every document gets
     // exactly one label from its own key hash — rows never migrate between
     // splits as the corpus grows.

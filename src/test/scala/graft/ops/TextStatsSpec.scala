@@ -205,6 +205,31 @@ class TextStatsSpec extends GraftSuite {
     assert(s1.sorted.toSeq === s2.sorted.toSeq)
   }
 
+  test("snapshotDiff classifies added, removed, changed, unchanged by key") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "price")
+    val neu = Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0))
+      .toDF("k", "name", "price")
+    val out = CatalogOps.snapshotDiff(old, neu, "k", Seq("name", "price"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("ringNegatives: k distinct-position partners per id, never self, retry-stable") {
+    val df = (1L to 200L).toDF("id")
+    val out = Sampling.ringNegatives(df, "id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.forall { case (id, _, neg) => id != neg })
+    // buckets here all have > 3 rows, so every id draws exactly 3
+    val perId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(perId.values.forall(_ == Seq(1, 2, 3)))
+    // pure function of the id set: repartitioned input draws the same pairs
+    val again = Sampling.ringNegatives(df.repartition(7), "id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
   test("weightedSample with equal weights is a plain uniform k-sample of the keys") {
     val df = (1L to 100L).map(i => (i, 1.0)).toDF("id", "w")
     val out = Sampling.weightedSample(df, "id", "w", k = 100)
