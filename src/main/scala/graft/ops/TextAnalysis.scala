@@ -193,6 +193,47 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fff]", "")))
         .cast("double") / length(text))
       .otherwise(lit(0.0))
+
+  /** Compression-ratio quality signal: deflate(text).length / text.length —
+    * the classic "too compressible = boilerplate/repetition, incompressible
+    * = noise/binary junk" curation filter (used by RefinedWeb-style
+    * pipelines alongside the n-gram repetition signals). Deflate has no
+    * Column form, so this is a `mapPartitions` batch pass like the media
+    * codecs — one Deflater per partition, reused across rows (allocation
+    * per row would dominate). Row-local, shuffle-free. Output:
+    * (id, raw_len, deflate_len, ratio 6 dp). */
+  def compressionSignals(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("raw_len", IntegerType, nullable = false),
+      StructField("deflate_len", IntegerType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val tIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      // partition-scoped deflater, reset per row (fixed level => the
+      // signal is a pure function of the bytes)
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { r =>
+        val bytes = r.getString(tIdx).getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var n = 0
+        while (!deflater.finished()) n += deflater.deflate(buf)
+        val ratio =
+          if (bytes.length == 0) 0.0
+          else BigDecimal(n.toDouble / bytes.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(r.getLong(idIdx), bytes.length, n, ratio)
+      }
+    }(enc)
+  }
 }
 
 /** Tiny per-language stopword profiles for the n-gram/stopword language-ID

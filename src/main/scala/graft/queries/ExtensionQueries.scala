@@ -669,6 +669,20 @@ object ExtensionQueries extends QueryGroup {
              |         AS hll_estimate
              |FROM e""".stripMargin)),
 
+    // Compression-ratio quality signal over documents: deflate-bytes /
+    // raw-bytes per doc (too low = boilerplate, too high = junk). No SQL
+    // deflate exists in the oracle engine — rows-only; the signal's
+    // determinism and direction are spec-verified (TextAnalysisSpec), and
+    // raw_len doubles as a sanity column.
+    QueryDef(
+      "x_compression_ratio",
+      (s, d) =>
+        TextAnalysis.compressionSignals(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text")
+          .orderBy("id"),
+      None),
+
     // Per-group HLL: distinct parts per order-priority bucket — the
     // "distinct users per day" sketch shape, ≤64 register rows per group.
     // Same explicit avalanche hash; the oracle rebuilds every group's

@@ -101,4 +101,21 @@ class TextAnalysisSpec extends GraftSuite {
     assert(out(2) === "call <NUM> today")
     assert(out(3) === "year 2024 is fine") // short digit run survives
   }
+
+  test("compressionSignals: repetitive text compresses far below prose; deterministic") {
+    val docs = Seq(
+      (1L, "spam " * 200),                                  // boilerplate
+      (2L, (1 to 200).map(i => s"w${i * 7 % 113}x$i").mkString(" ")), // high-entropy
+      (3L, "")
+    ).toDF("id", "text")
+    val out = TextAnalysis.compressionSignals(docs, "id", "text")
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 < 0.1, s"boilerplate should crush: ${out(1L)}")
+    assert(out(2L)._4 > 0.3, s"high-entropy should resist: ${out(2L)}")
+    assert(out(3L) === ((3L, 0, out(3L)._3, 0.0))) // empty input: ratio 0
+    // pure function of the bytes: identical on a rerun with other layout
+    val again = TextAnalysis.compressionSignals(docs.repartition(3), "id", "text")
+      .as[(Long, Int, Int, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === out)
+  }
 }
