@@ -669,6 +669,23 @@ object ExtensionQueries extends QueryGroup {
              |         AS hll_estimate
              |FROM e""".stripMargin)),
 
+    // Real BPE tokenization: 20 merges trained on THIS corpus's word-count
+    // dictionary (distributed agg + driver greedy loop — the production
+    // trainer shape), then row-local encoding under broadcast ranks.
+    // Per-doc token/fertility stats; the synthetic corpus has a ~31-word
+    // vocabulary, so a budget of 20 merges leaves tokenization partial and
+    // the fertility column informative. No SQL BPE exists — rows-only; the
+    // merge order and encoding are hand-verified in BpeSpec.
+    QueryDef(
+      "x_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 20)
+        graft.ops.Bpe.tokenize(docs, "doc_id", "text", merges)
+          .orderBy("id")
+      },
+      None),
+
     // Compression-ratio quality signal over documents: deflate-bytes /
     // raw-bytes per doc (too low = boilerplate, too high = junk). No SQL
     // deflate exists in the oracle engine — rows-only; the signal's
