@@ -283,6 +283,88 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs by PREFIX FILTERING (Bayardo et al.
+    * AllPairs / Chaudhuri et al. SSJoin) — same output as
+    * [[ngramJaccardPairs]] (spec-identical), far fewer candidates.
+    *
+    * J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so under any global shingle order
+    * two qualifying sets MUST share one of their (|X| − ⌈t·|X|⌉ + 1)
+    * smallest shingles: if the smallest shared shingle sat outside either
+    * prefix, the whole intersection would fit in that side's suffix of
+    * ⌈t·|X|⌉ − 1 elements — contradiction. Ordering globally by
+    * (frequency, shingle) makes prefixes the RAREST shingles, so the
+    * blocking join never touches hot shingles: candidate volume is
+    * Σ_{s∈prefixes} f'ₛ² instead of Σ_s fₛ² over every shingle (11M
+    * co-occurrence rows at sf0.1 for the count-based plan). The small
+    * candidate set then verifies with one `array_intersect` per pair —
+    * affordable exactly because prefixes made candidates ≈ true pairs.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sz", size(col("__sh")))
+      .localCheckpoint(false)
+    val ex = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__s"))
+    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__f"))
+    val wRank = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
+    val prefix = ex.join(freq, Seq("__s"))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__s"), col("__id"))
+    val cand = prefix.select(col("__s"), col("__id").as("ida"))
+      .join(prefix.select(col("__s"), col("__id").as("idb")), Seq("__s"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    cand
+      .join(sh.select(col("__id").as("ida"), col("__sh").as("__sha"),
+        col("__sz").as("__sza")), Seq("ida"))
+      .join(sh.select(col("__id").as("idb"), col("__sh").as("__shb"),
+        col("__sz").as("__szb")), Seq("idb"))
+      .withColumn("__cnt", size(array_intersect(col("__sha"), col("__shb"))))
+      .select(col("ida"), col("idb"),
+        (col("__cnt").cast("double") / (col("__sza") + col("__szb") - col("__cnt")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Asymmetric containment pairs by prefix filtering — same output as
+    * [[containmentPairs]] with no df cap. Containment is one-sided
+    * (|∩|/|A| ≥ t says nothing about |B|), so only the CONTAINED side can
+    * prefix-prune: A indexes its (|A| − ⌈t·|A|⌉ + 1) rarest shingles
+    * (≈ 10% of them at t = 0.9), the container side indexes everything,
+    * and candidates are (prefix × full) shingle matches — rare-shingle
+    * volume on the A side keeps hot shingles from ever pairing. */
+  def containmentPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sz", size(col("__sh")))
+      .localCheckpoint(false)
+    val ex = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__s"))
+    val freq = ex.groupBy("__s").agg(count(lit(1)).as("__f"))
+    val wRank = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
+    val prefix = ex.join(freq, Seq("__s"))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .select(col("__s"), col("__id"))
+    val cand = prefix.select(col("__s"), col("__id").as("contained"))
+      .join(ex.select(col("__s"), col("__id").as("container")), Seq("__s"))
+      .filter(col("contained") =!= col("container"))
+      .select("contained", "container").distinct()
+    cand
+      .join(sh.select(col("__id").as("contained"), col("__sh").as("__sha"),
+        col("__sz").as("__sza")), Seq("contained"))
+      .join(sh.select(col("__id").as("container"), col("__sh").as("__shb")),
+        Seq("container"))
+      .withColumn("__cnt", size(array_intersect(col("__sha"), col("__shb"))))
+      .select(col("contained"), col("container"),
+        (col("__cnt").cast("double") / col("__sza")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Asymmetric containment pairs: |shingles(A) ∩ shingles(B)| / |shingles(A)|
     * ≥ threshold — "A is mostly contained in B" (quote/subsumption
     * detection, where Jaccard misses short-in-long duplication because the

@@ -180,6 +180,29 @@ class DedupSpec extends GraftSuite {
     assert(out === ((1L, 3L, 3L, "a b c d e"))) // [a b][c d][e]
   }
 
+  test("prefix-filtered Jaccard and containment equal the count-based exact tiers") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", lower($"text").as("text"))
+    val corpus = docs.union(docs.select(($"doc_id" + 100000).as("doc_id"),
+      regexp_replace($"text", "^[^ ]+ ", "").as("text")))
+    val blocked = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefixed = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefixed === blocked)
+    assert(blocked.nonEmpty)
+    val cBlocked = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cPrefixed = Dedup.containmentPairsPrefix(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cPrefixed === cBlocked)
+    assert(cBlocked.nonEmpty)
+  }
+
   test("editDistancePairs finds exactly the pairs within maxDist (vs exhaustive check)") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
