@@ -338,27 +338,41 @@ object Dedup {
     * volume on the A side keeps hot shingles from ever pairing. */
   def containmentPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.9): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.9,
+      maxShingleFreq: Int = 0): DataFrame = {
     val sh = df.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .withColumn("__sz", size(col("__sh")))
       .localCheckpoint(false)
     val ex = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__s"))
     val freq = ex.groupBy("__s").agg(count(lit(1)).as("__f"))
+    // df cap (matches containmentPairs' capped semantics: hot shingles
+    // leave the intersection NUMERATOR; the denominator stays the full set
+    // size). The prefix bound tightens with it: |capped ∩| >= ceil(t·|A|)
+    // still, but A now has only its capped shingles to offer — a doc whose
+    // capped prefix length <= 0 can never qualify and drops out entirely.
+    val exf =
+      if (maxShingleFreq > 0)
+        ex.join(freq.filter(col("__f") <= maxShingleFreq), Seq("__s"))
+      else ex.join(freq, Seq("__s"))
     val wRank = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
-    val prefix = ex.join(freq, Seq("__s"))
+    val wCnt = Window.partitionBy(col("__id"))
+    val prefix = exf
       .withColumn("__rn", row_number().over(wRank))
-      .filter(col("__rn") <= col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+      .withColumn("__szc", count(lit(1)).over(wCnt))
+      .filter(col("__rn") <= col("__szc") - ceil(lit(threshold) * col("__sz")) + 1)
       .select(col("__s"), col("__id"))
     val cand = prefix.select(col("__s"), col("__id").as("contained"))
-      .join(ex.select(col("__s"), col("__id").as("container")), Seq("__s"))
+      .join(exf.select(col("__s"), col("__id").as("container")), Seq("__s"))
       .filter(col("contained") =!= col("container"))
       .select("contained", "container").distinct()
+    val cappedArrays = exf.groupBy("__id")
+      .agg(collect_list(col("__s")).as("__shc"), max("__sz").as("__sz"))
     cand
-      .join(sh.select(col("__id").as("contained"), col("__sh").as("__sha"),
-        col("__sz").as("__sza")), Seq("contained"))
-      .join(sh.select(col("__id").as("container"), col("__sh").as("__shb")),
-        Seq("container"))
+      .join(cappedArrays.select(col("__id").as("contained"),
+        col("__shc").as("__sha"), col("__sz").as("__sza")), Seq("contained"))
+      .join(cappedArrays.select(col("__id").as("container"),
+        col("__shc").as("__shb")), Seq("container"))
       .withColumn("__cnt", size(array_intersect(col("__sha"), col("__shb"))))
       .select(col("contained"), col("container"),
         (col("__cnt").cast("double") / col("__sza")).as("containment"))

@@ -404,7 +404,7 @@ object ExtensionQueries extends QueryGroup {
     QueryDef(
       "x_containment_capped",
       (s, d) =>
-        Dedup.containmentPairs(containmentCorpus(s, d), "doc_id", "text",
+        Dedup.containmentPairsPrefix(containmentCorpus(s, d), "doc_id", "text",
             shingleN = 3, threshold = 0.9, maxShingleFreq = 20)
           .select(col("contained"), col("container"),
             round(col("containment"), 6).as("containment"))

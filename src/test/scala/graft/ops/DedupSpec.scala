@@ -201,6 +201,15 @@ class DedupSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(cPrefixed === cBlocked)
     assert(cBlocked.nonEmpty)
+    // and the df-capped variants agree too (capped numerator, full-size
+    // denominator — the subtle part of the capped contract)
+    val capBlocked = Dedup.containmentPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxShingleFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capPrefixed = Dedup.containmentPairsPrefix(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxShingleFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capPrefixed === capBlocked)
   }
 
   test("editDistancePairs finds exactly the pairs within maxDist (vs exhaustive check)") {
