@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -53,5 +54,23 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("e"))
       .select(col("e.colname"), col("e.metric"), col("e.value"))
+  }
+
+  /** Shannon entropy of a categorical column per group: −Σ p·ln p over the
+    * category distribution (nats, 6 dp) plus the category count — the
+    * diversity/skew signal a corpus-mix dashboard tracks per source or per
+    * user. Two hash aggregates keyed on (group, category) then group; the
+    * inner counts are exact longs, so both engines divide the identical
+    * integers before the only float step. */
+  def entropyByGroup(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    val tot = Window.partitionBy(col(groupCol))
+    cnt
+      .withColumn("__t", sum(col("__c")).over(tot))
+      .withColumn("__p", col("__c").cast("double") / col("__t"))
+      .groupBy(col(groupCol))
+      .agg(round(-sum(col("__p") * log(col("__p"))), 6).as("entropy"),
+        count(lit(1)).as("n_categories"))
   }
 }

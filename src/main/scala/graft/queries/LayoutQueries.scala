@@ -77,6 +77,23 @@ object LayoutQueries extends QueryGroup {
              |  UNION ALL SELECT 'l_returnflag', 'ndv',
              |    CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) FROM lineitem)
              |SELECT colname, metric, round(value, 6) AS value FROM m
-             |ORDER BY colname, metric""".stripMargin))
+             |ORDER BY colname, metric""".stripMargin)),
+
+    // Per-user Shannon entropy of the event-type distribution — the
+    // diversity/skew profile column. Exact integer counts divide before
+    // the only float step on both engines.
+    QueryDef(
+      "x_entropy_by_group",
+      (s, d) =>
+        Profile.entropyByGroup(Tables.events(s, d), "user_id", "event_type")
+          .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) c
+             |           FROM events GROUP BY 1, 2),
+             |t AS (SELECT user_id, SUM(c) t FROM c GROUP BY 1),
+             |p AS (SELECT c.user_id, CAST(c.c AS DOUBLE) / t.t AS p
+             |      FROM c JOIN t ON c.user_id = t.user_id)
+             |SELECT user_id, round(-SUM(p * ln(p)), 6) AS entropy,
+             |  CAST(COUNT(*) AS BIGINT) AS n_categories
+             |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
