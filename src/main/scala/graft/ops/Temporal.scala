@@ -104,6 +104,26 @@ object Temporal {
         col("__f").as(valueCol), col("filled")): _*)
   }
 
+  /** OHLC resample: per key and epoch period, the first (open), max
+    * (high), min (low) and last (close) of `valueCol`, plus the
+    * observation count — the canonical downsample of any metered series.
+    * First/last are deterministic via min_by/max_by on (ts, value): at
+    * duplicate timestamps the larger value wins `close` and the smaller
+    * wins `open`, mirrored exactly in the oracle. One hash aggregate. */
+  def ohlc(events: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      periodSeconds: Long): DataFrame = {
+    val period = (floor(unix_timestamp(col(tsCol)) / periodSeconds) *
+      periodSeconds).cast("long")
+    events
+      .groupBy(col(keyCol), period.as("period_start"))
+      .agg(
+        min_by(col(valueCol), struct(col(tsCol), col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(valueCol))).as("close"),
+        count(lit(1)).as("n_obs"))
+  }
+
   /** Cohort retention: keys cohort by their FIRST active period (epoch
     * time / `periodSeconds`, engine-neutral integer arithmetic — no
     * calendar functions to disagree over), then count distinct keys active

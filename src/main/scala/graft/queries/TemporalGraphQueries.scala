@@ -256,6 +256,41 @@ object TemporalGraphQueries extends QueryGroup {
              |FROM act JOIN c ON act.k = c.k
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Daily OHLC of purchase values per user: the canonical metered-series
+    // downsample. Open/close tie-break on (ts, value) structs mirrors the
+    // oracle's row_number ordering exactly.
+    QueryDef(
+      "x_ohlc_daily",
+      (s, d) =>
+        Temporal.ohlc(
+            Tables.events(s, d).filter(col("event_type") === "purchase"),
+            "user_id", "ts", "value", periodSeconds = 86400L)
+          .select(col("user_id"), col("period_start"),
+            round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+            round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+            col("n_obs"))
+          .orderBy("user_id", "period_start"),
+      Some("""WITH e AS (SELECT user_id, value,
+             |    CAST(floor((epoch_us(ts) // 1000000) / 86400) * 86400 AS BIGINT)
+             |      AS period_start,
+             |    row_number() OVER (PARTITION BY user_id,
+             |        CAST(floor((epoch_us(ts) // 1000000) / 86400) * 86400 AS BIGINT)
+             |      ORDER BY epoch_us(ts), value) rn_open,
+             |    row_number() OVER (PARTITION BY user_id,
+             |        CAST(floor((epoch_us(ts) // 1000000) / 86400) * 86400 AS BIGINT)
+             |      ORDER BY epoch_us(ts) DESC, value DESC) rn_close
+             |  FROM events WHERE event_type = 'purchase'),
+             |o AS (SELECT user_id, period_start,
+             |        MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+             |        MAX(value) AS high, MIN(value) AS low,
+             |        MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+             |        CAST(COUNT(*) AS BIGINT) AS n_obs
+             |      FROM e GROUP BY 1, 2)
+             |SELECT user_id, period_start, round(open, 6) AS open,
+             |  round(high, 6) AS high, round(low, 6) AS low,
+             |  round(close, 6) AS close, n_obs
+             |FROM o ORDER BY user_id, period_start""".stripMargin)),
+
     // Recency-weighted purchase value per user: half-life 7 days at a
     // fixed reference instant; Δt truncates to whole seconds identically
     // on both engines.
