@@ -91,18 +91,25 @@ object CatalogOps {
     * versions: per key, `added` (new only), `removed` (old only),
     * `changed` / `unchanged` (both, by content hash over `valueCols`).
     * One full outer join on the key; content compare is a row-local md5
-    * over the '|'-joined value columns (cast to string — callers pick
-    * columns whose text form is stable). The scale shape of table-format
-    * diffing without a table format. */
+    * over a CANONICAL encoding of the value columns: each value is tagged
+    * (`n` for NULL, `v` for present) and length-prefixed, so NULL position
+    * and delimiter bytes inside values cannot alias a column boundary —
+    * ("a", NULL, "b") vs ("a", "b", NULL) and values containing the
+    * separator hash differently. The scale shape of table-format diffing
+    * without a table format. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       valueCols: Seq[String]): DataFrame = {
     // both snapshots often derive from the SAME source frame (old vs
     // transformed-old); aliasing mints fresh attributes on each side so
     // the full-outer condition can never resolve into a self-join tangle
+    def enc(c: String): Column = {
+      val s = col(c).cast("string")
+      when(s.isNull, lit("|n"))
+        .otherwise(concat(lit("|v"), length(s).cast("string"), lit(":"), s))
+    }
     def h(df: DataFrame, k: String, hn: String) = df.select(
       col(keyCol).as(k),
-      md5(concat_ws("|", valueCols.map(c => col(c).cast("string")): _*)
-        .cast("binary")).as(hn))
+      md5(concat(valueCols.map(enc): _*).cast("binary")).as(hn))
     val o = h(oldDf, "__ko", "__ho")
     val n = h(newDf, "__kn", "__hn")
     o.join(n, col("__ko") === col("__kn"), "full_outer")

@@ -601,7 +601,20 @@ object Dedup {
     val candShort = short.select(col("__id").as("ida"))
       .crossJoin(short.select(col("__id").as("idb")))
       .filter(col("ida") < col("idb"))
-    val cand = candLong.unionByName(candShort)
+    // cross-tier band: a qualifying (short, long) pair needs
+    // |len_a − len_b| ≤ maxDist, so the long partner's length is strictly
+    // below the boundary + maxDist. Pairing the gated short bucket against
+    // only that band keeps the extra candidates ≤ |short|·|band| while
+    // restoring perfect recall for boundary-straddling pairs.
+    val boundaryBand = base
+      .filter(length(col("__t")) >= q + q * maxDist &&
+        length(col("__t")) < q + q * maxDist + maxDist)
+      .select(col("__id"))
+    val candCross = broadcast(short.select(col("__id").as("__s")))
+      .crossJoin(boundaryBand.select(col("__id").as("__b")))
+      .select(least(col("__s"), col("__b")).as("ida"),
+        greatest(col("__s"), col("__b")).as("idb"))
+    val cand = candLong.unionByName(candShort).unionByName(candCross)
     cand
       .join(base.select(col("__id").as("ida"), col("__t").as("__ta")), Seq("ida"))
       .join(base.select(col("__id").as("idb"), col("__t").as("__tb")), Seq("idb"))

@@ -257,9 +257,29 @@ object Graph {
     * semi-joins over the shrinking edge set; peeling is monotone, so early
     * convergence equals running all `maxIter` rounds (the oracle unrolls a
     * fixed chain and matches either way). Output: core vertices with their
-    * in-core degree. */
+    * in-core degree.
+    *
+    * FAILS FAST if peeling has not stabilized within `maxIter` rounds — an
+    * unconverged peel is a strict superset of the true k-core (e.g. a long
+    * path needs O(n) rounds), and silently returning it would hand the
+    * caller wrong vertices with no signal. Callers who want the partial
+    * result plus convergence stats use [[kCoreWithStats]]. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 12): DataFrame = {
+    val (core, stats) = kCoreWithStats(edges, srcCol, dstCol, k, maxIter)
+    require(stats.converged,
+      s"kCore did not converge within maxIter=$maxIter rounds " +
+        s"(per-round edge counts: ${stats.perRound.mkString(",")}); " +
+        "the partial result is a superset of the true k-core — raise " +
+        "maxIter or use kCoreWithStats to inspect the unconverged state")
+    core
+  }
+
+  /** [[kCore]] plus its [[CcStats]] (perRound = surviving edge count after
+    * each peel round; converged = the edge set was stable at loop exit).
+    * Does NOT throw on non-convergence — the caller owns the decision. */
+  def kCoreWithStats(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 12): (DataFrame, CcStats) = {
     require(k >= 1, "k must be positive")
     var e = edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
@@ -268,6 +288,7 @@ object Graph {
       .localCheckpoint(false)
     var iter = 0
     var stable = false
+    val perRound = Seq.newBuilder[Long]
     while (iter < maxIter && !stable) {
       val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
         .groupBy("id").agg(count(lit(1)).as("d"))
@@ -278,12 +299,14 @@ object Graph {
         .select("u", "v")
         .localCheckpoint(false)
       val (ec, nc) = (e.count(), next.count())
+      perRound += nc
       stable = ec == nc
       e = next
       iter += 1
     }
-    e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+    val core = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
+    (core, CcStats(iter, stable, perRound.result()))
   }
 
   /** Duplicate-cluster survivors: from near-dup pair rows, the component id

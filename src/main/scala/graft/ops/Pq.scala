@@ -249,7 +249,12 @@ object Pq {
           val tbl = tables(qi)
           var s = 0.0; var j = 0
           while (j < cbv.m) { s += tbl(j)(codes(j)); j += 1 }
-          Row(qs(qi)._1, cId, s / (qn(qi) * rnorm))
+          // zero-norm guard: an all-zero query or corpus vector would give
+          // 0/0 = NaN, and Spark ranks NaN LARGEST in the desc window —
+          // NaN rows would occupy the whole top-k. Cosine vs a zero vector
+          // is defined as 0 here (never a neighbor), matching bruteForceTopK
+          val den = qn(qi) * rnorm
+          Row(qs(qi)._1, cId, if (den == 0.0) 0.0 else s / den)
         }
       }
     }(enc)
@@ -281,7 +286,9 @@ object Pq {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     shortlist.join(c, Seq("c_id")).join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+        round(when(col("qn") === 0 || col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 6)
+          .as("sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 }

@@ -53,9 +53,13 @@ object Similarity {
       .withColumn("qn", l2Norm(col("qv")))
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
+    // zero-norm guard: cosine vs an all-zero vector is 0 by convention —
+    // without it 0/0 = NaN, which Spark ranks LARGEST in the desc window
     val sims = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+        round(when(col("qn") === 0 || col("cn") === 0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

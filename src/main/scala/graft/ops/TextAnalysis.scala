@@ -218,6 +218,10 @@ object TextAnalysis {
       // partition-scoped deflater, reset per row (fixed level => the
       // signal is a pure function of the bytes)
       val deflater = new java.util.zip.Deflater(6)
+      // native zlib memory is NOT gc-driven: release deterministically at
+      // task end, or long-lived executors accumulate it until finalization
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => deflater.end()))
       val buf = new Array[Byte](1 << 16)
       rows.map { r =>
         val bytes = r.getString(tIdx).getBytes("UTF-8")

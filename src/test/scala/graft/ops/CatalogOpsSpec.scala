@@ -83,4 +83,22 @@ class CatalogOpsSpec extends GraftSuite {
     val plan = keyed.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), s"unexpected global exchange:\n$plan")
   }
+
+  test("snapshotDiff: NULL position and delimiter bytes cannot alias (canonical encoding)") {
+    // ("a", NULL, "b") vs ("a", "b", NULL): under a naive concat_ws both
+    // encode as "a|b" and misreport 'unchanged'; the tagged length-prefixed
+    // encoding must see them as changed
+    val oldDf = Seq((1L, Some("a"), None: Option[String], Some("b")),
+        (2L, Some("x"), Some("y"), Some("z")),
+        (3L, Some("p|q"), Some("r"), None: Option[String]))
+      .toDF("k", "c1", "c2", "c3")
+    val newDf = Seq((1L, Some("a"), Some("b"), None: Option[String]),
+        (2L, Some("x"), Some("y"), Some("z")),
+        // "p" / "|q|r" vs "p|q" / "r": same concat bytes, different columns
+        (3L, Some("p"), Some("|q|r"), None: Option[String]))
+      .toDF("k", "c1", "c2", "c3")
+    val got = CatalogOps.snapshotDiff(oldDf, newDf, "k", Seq("c1", "c2", "c3"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "unchanged", 3L -> "changed"))
+  }
 }

@@ -234,6 +234,34 @@ class DedupSpec extends GraftSuite {
     assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 2)))
   }
 
+  test("editDistancePairs keeps pairs that straddle the short/long tier boundary") {
+    // q=3, maxDist=2 → tier boundary at q*(maxDist+1) = 9 chars.
+    // "abcdefgh" (8, short tier) vs "abcdefghi" (9, long tier) are at edit
+    // distance 1 — a pair generated by NEITHER the prefix index (one side
+    // has no indexed grams) NOR the short bucket (one side isn't in it).
+    // The cross-tier band must produce it.
+    val docs = Seq(
+      (1L, "abcdefgh"),              // 8 chars: short tier
+      (2L, "abcdefghi"),             // 9 chars: long tier, dist 1 from #1
+      (3L, "abcdefghij"),            // 10 chars: long tier, dist 2 from #1
+      (4L, "abcdefghijk"),           // 11 chars: dist 3 from #1 — that PAIR excluded
+      (5L, "qrstuvwx")               // 8 chars: short, far from everything
+    ).toDF("id", "text")
+    val got = Dedup.editDistancePairs(docs, "id", "text", maxDist = 2, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // exhaustive ground truth
+    val texts = docs.as[(Long, String)].collect()
+    val want = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      d = Seq((ta, tb)).toDF("a", "b")
+        .select(levenshtein($"a", $"b")).as[Int].collect().head
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 2)))
+    assert(!got.contains((1L, 4L, 3)) && !got.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
   test("editDistancePairs short-string fallback keeps perfect recall below the gram floor") {
     // all strings are shorter than q + q*t = 9 chars: no count bound holds,
     // so they pair through the short bucket, not the prefix index

@@ -61,6 +61,32 @@ class PqSpec extends GraftSuite {
     assert(rrRecall > adcRecall, "rerank must improve on plain ADC here")
   }
 
+  test("topKAdc guards zero-norm vectors: no NaN rows hijack the top-k window") {
+    // an all-zero query or corpus vector yields denominator 0; unguarded,
+    // 0/0 = NaN and Spark ranks NaN LARGEST descending — NaN rows would
+    // fill the top-k for every query. Guarded, zero-norm sims are 0.0.
+    val dim = 16
+    // all-positive components → every real cosine is > 0, so the guarded
+    // zero vector (sim 0.0) must rank strictly last
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => ((seed * 31 + i * 7) % 13 + 1).toFloat)
+    val rows = (1L to 20L).map(i => (i, vec(i.toInt))) :+
+      (99L, Array.fill(dim)(0f)) // zero corpus vector
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cb = Pq.trainDict(corpus, "embedding", m = 4)
+    val encoded = Pq.encode(corpus, "vec_id", "embedding", cb)
+    val queries = Seq((1L, vec(1)), (98L, Array.fill(dim)(0f)))
+      .toDF("vec_id", "embedding")
+    val got = Pq.topKAdc(queries, encoded, "vec_id", "embedding", cb, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.forall(r => !r._3.isNaN), "NaN similarity leaked into top-k")
+    // the zero QUERY scores every candidate 0.0 (never NaN)
+    assert(got.filter(_._1 == 98L).forall(_._3 === 0.0))
+    // the zero CORPUS vector cannot outrank a real neighbor for query 1
+    val q1Top = got.filter(_._1 == 1L).minBy(_._4)
+    assert(q1Top._2 !== 99L)
+  }
+
   test("topKAdc rejects an oversized query set at its driver-bounded gate") {
     val cb = Pq.trainDict(emb.limit(50), "embedding", m = 8)
     val encoded = Pq.encode(emb.limit(50), "vec_id", "embedding", cb)

@@ -267,6 +267,25 @@ class TemporalGraphSpec extends GraftSuite {
     assert(Graph.kCore(g, "src", "dst", k = 4).count() === 0L)
   }
 
+  test("kCore fails fast when peeling has not converged; WithStats exposes the state") {
+    // a 12-vertex path at k=2 peels one vertex per END per round — needs
+    // ~5 rounds to empty. maxIter=2 leaves a strict superset of the true
+    // (empty) 2-core: kCore must throw rather than return it silently
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(path, "src", "dst", k = 2, maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val (partial, stats) =
+      Graph.kCoreWithStats(path, "src", "dst", k = 2, maxIter = 2)
+    assert(!stats.converged && stats.rounds === 2)
+    assert(partial.count() > 0L) // the unconverged superset, explicitly opted into
+    // with enough rounds the same graph converges to the true empty core
+    val (full, okStats) =
+      Graph.kCoreWithStats(path, "src", "dst", k = 2, maxIter = 12)
+    assert(okStats.converged && full.count() === 0L)
+  }
+
   test("cohortRetention: first period defines the cohort; offsets count distinct actives") {
     val wk = 604800L
     def t(week: Long) = new java.sql.Timestamp(week * wk * 1000L)
