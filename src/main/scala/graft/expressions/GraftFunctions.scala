@@ -19,6 +19,11 @@ object GraftFunctions {
   def graftSimHash(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
 
+  /** 62-bit SimHash with the explicit SQL-reproducible token hash
+    * (see [[SimHashExplicit62]]). */
+  def graftSimHash62(tokens: Column): Column =
+    GraftSqlBridge.column(SimHashExplicit62(GraftSqlBridge.expression(tokens)))
+
   /** Distinct word n-grams of a token array (see [[WordNGrams]]). */
   def graftNGrams(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordNGrams(GraftSqlBridge.expression(tokens), n))

@@ -115,6 +115,52 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** 62-bit SimHash over a token array with an EXPLICIT, SQL-reproducible
+    * per-token hash (the oracle device proven by `Sketches.mix31`): the
+    * token folds char-by-char into 31 bits (`h·31 + codepoint mod 2³¹`),
+    * then two decorrelated avalanche chains (multiply-mod-2³¹ + xor-shift,
+    * every intermediate < 2⁶³ so BIGINT SQL reproduces it bit-for-bit)
+    * yield two 31-bit halves packed into a 62-bit signature. Slightly less
+    * uniform than xxhash64 ([[simHash]]) but cross-engine checkable — the
+    * HLL lesson, applied to SimHash. */
+  def simHashExplicit(arr: ArrayData): Long = {
+    val votes = new Array[Int](62)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val s = arr.getUTF8String(t).toString
+      var h0 = 0L
+      var ci = 0
+      while (ci < s.length) {
+        h0 = (h0 * 31 + s.charAt(ci)) % 2147483648L
+        ci += 1
+      }
+      val ts = mixHalf(h0) | (mixHalf(h0 ^ 625148049L) << 31)
+      var j = 0
+      while (j < 62) {
+        if (((ts >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 62) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** The 31-bit avalanche half-chain of [[simHashExplicit]]: identical math
+    * to `Sketches.mix31` (multiply-mod + xor-shift, overflow-safe). */
+  private def mixHalf(h0: Long): Long = {
+    val h1 = (h0 * 2654435761L) % 2147483648L
+    val h2 = h1 ^ (h1 >>> 15)
+    val h3 = (h2 * 1103515245L) % 2147483648L
+    h3 ^ (h3 >>> 13)
+  }
+
   /** One-pass 64-bit SimHash over a token array: bit j = sign of the sum of
     * ±1 votes from bit j of each token's xxhash64. */
   def simHash(arr: ArrayData): Long = {
@@ -258,5 +304,24 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextHashKernels.simHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** 62-bit SimHash with the explicit SQL-reproducible token hash
+  * (`array<string>` → `long`, see [[TextHashKernels.simHashExplicit]]). */
+case class SimHashExplicit62(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash62"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.simHashExplicit(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashKernels.simHashExplicit($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExplicit62 =
     copy(child = newChild)
 }

@@ -419,6 +419,13 @@ object Dedup {
     graft.expressions.GraftFunctions.graftSimHash(
       filter(words(text), t => length(t) > lit(0)))
 
+  /** 62-bit SimHash with an explicit SQL-reproducible per-token hash —
+    * same vote semantics as [[simHash]], cross-engine checkable (see
+    * [[graft.expressions.TextHashKernels.simHashExplicit]]). */
+  def simHashExplicit(text: Column): Column =
+    graft.expressions.GraftFunctions.graftSimHash62(
+      filter(words(text), t => length(t) > lit(0)))
+
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming:
     * row-local 64-bit signatures + [[hammingPairs]] banding (4 × 16-bit
     * chunks — perfect recall for maxHamming <= 3, standard high-recall
@@ -429,6 +436,19 @@ object Dedup {
     hammingPairs(
       df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sig")),
       "__id", "__sig", maxHamming, maxBucketSize, pieces = 4)
+
+  /** [[simHashPairs]] over the explicit SQL-reproducible signature
+    * ([[simHashExplicit]]), with `pieces = maxHamming + 1` so recall is
+    * PERFECT — the output equals the all-pairs Hamming join, which is what
+    * lets a DuckDB oracle check the whole pipeline (signature math
+    * included) bit-for-bit. */
+  def simHashPairsExplicit(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("__id"),
+        simHashExplicit(col(textCol)).as("__sig")),
+      "__id", "__sig", maxHamming, maxBucketSize, pieces = maxHamming + 1)
 
   /** All (a<b) pairs of 64-bit signatures within Hamming distance
     * `maxHamming` — the generic banded self-join behind [[simHashPairs]]

@@ -415,14 +415,59 @@ object ExtensionQueries extends QueryGroup {
           |          SELECT *, COUNT(*) OVER (PARTITION BY shingle) AS df FROM ex)
           |        WHERE df <= 20)""".stripMargin))),
 
-    // SimHash near-dup pairs (Hamming <= 12 of 64 bits). Signature values are
-    // xxhash64-specific → rows-only check here; semantics covered in ScalaTest.
+    // SimHash near-dup pairs over the EXPLICIT SQL-reproducible signature
+    // (char-fold + two mix31-style avalanche chains — the HLL oracle
+    // device applied to SimHash): pieces = maxHamming+1 makes the banded
+    // join perfect-recall, so the output equals the all-pairs Hamming join
+    // and the oracle reproduces the entire pipeline — tokenization,
+    // per-token hash, bit votes, 62-bit signature, Hamming verify —
+    // bit-for-bit in SQL.
     QueryDef(
       "x_simhash_neardup",
       (s, d) =>
-        Dedup.simHashPairs(nearDupCorpus(s, d), "doc_id", "text", maxHamming = 12)
+        Dedup.simHashPairsExplicit(nearDupCorpus(s, d), "doc_id", "text",
+            maxHamming = 3)
           .orderBy("ida", "idb"),
-      None),
+      Some(s"""WITH corpus AS ($nearDupCorpusSql),
+             |tok AS (SELECT doc_id,
+             |          unnest(list_filter(string_split(text, ' '),
+             |                             t -> len(t) > 0)) AS t
+             |        FROM corpus),
+             |f AS (SELECT doc_id,
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(string_split(t, ''),
+             |                         c -> CAST(ord(c) AS BIGINT))),
+             |          (h, c) -> (h * 31 + c) % 2147483648) AS h0
+             |      FROM tok),
+             |m AS (SELECT doc_id,
+             |        xor(h3a, h3a // 8192) AS ha,
+             |        xor(h3b, h3b // 8192) AS hb
+             |      FROM (SELECT doc_id,
+             |              (xor(h1a, h1a // 32768) * 1103515245)
+             |                % 2147483648 AS h3a,
+             |              (xor(h1b, h1b // 32768) * 1103515245)
+             |                % 2147483648 AS h3b
+             |            FROM (SELECT doc_id,
+             |                    (h0 * 2654435761) % 2147483648 AS h1a,
+             |                    (xor(h0, 625148049) * 2654435761)
+             |                      % 2147483648 AS h1b
+             |                  FROM f))),
+             |sigtok AS (SELECT doc_id, ha + hb * 2147483648 AS ts FROM m),
+             |votes AS (SELECT doc_id, j,
+             |            SUM(CASE WHEN (ts // power(2, j)::BIGINT) % 2 = 1
+             |                     THEN 1 ELSE -1 END) AS v
+             |          FROM sigtok
+             |          CROSS JOIN (SELECT unnest(range(62)) AS j) bits
+             |          GROUP BY doc_id, j),
+             |sig AS (SELECT doc_id,
+             |          SUM(CASE WHEN v > 0 THEN power(2, j)::BIGINT
+             |                   ELSE 0 END)::BIGINT AS s
+             |        FROM votes GROUP BY doc_id)
+             |SELECT a.doc_id ida, b.doc_id idb,
+             |  bit_count(xor(a.s, b.s)) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.s, b.s)) <= 3
+             |ORDER BY ida, idb""".stripMargin)),
 
     // Brute-force cosine top-5 per query vector (exact ANN baseline).
     QueryDef(

@@ -109,6 +109,25 @@ class DedupSpec extends GraftSuite {
     assert(pairs.forall(_._3 <= 16))
   }
 
+  test("simHashPairsExplicit equals the all-pairs Hamming join (perfect recall)") {
+    // pieces = maxHamming+1 pigeonholes every qualifying pair into at least
+    // one shared chunk, so the banded output must EQUAL brute force over
+    // the explicit signatures — the property the DuckDB oracle relies on
+    val got = Dedup.simHashPairsExplicit(docs, "id", "text", maxHamming = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = docs.select($"id", Dedup.simHashExplicit($"text").as("s"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb)
+      if d <= 8
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // signatures use only the low 62 bits
+    assert(sigs.forall { case (_, s) => s >= 0 && (s >>> 62) == 0L })
+  }
+
   test("MLlib MinHashLSH variant finds the same high-similarity pairs") {
     val expected = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
       .select("ida", "idb").as[(Long, Long)].collect().toSet
