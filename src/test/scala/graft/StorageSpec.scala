@@ -103,6 +103,43 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 2)
   }
 
+  test("VersionedTable: updateSnapshot is snapshot-atomic; torn overwrite invisible") {
+    val dir = tmp("vt")
+    val v1 = graft.storage.VersionedTable.overwrite(spark, dir, catalog)
+    assert(v1 === 1L)
+    assert(graft.storage.VersionedTable.readCurrent(spark, dir).get.count() === 4)
+    // S12 as a snapshot transaction: UPDATE ... WHERE publishes version 2
+    val v2 = graft.storage.VersionedTable.updateSnapshot(spark, dir)(cur =>
+      graft.ops.CatalogOps.updateWhere(cur, "ID", Seq(1L, 3L), "INDICE", lit("Z")))
+    assert(v2 === 2L)
+    val byId = graft.storage.VersionedTable.readCurrent(spark, dir).get
+      .select("ID", "INDICE").as[(Long, String)].collect().toMap
+    assert(byId === Map(1L -> "Z", 2L -> "B", 3L -> "Z", 4L -> "D"))
+    // crash injection: the NEXT overwrite dies mid-write — data lands in
+    // v=3 but no marker is published
+    val poisoned = catalog.withColumn("INDICE",
+      expr("raise_error('simulated crash') IS NULL").cast("string"))
+    intercept[Exception] {
+      graft.storage.VersionedTable.overwrite(spark, dir, poisoned)
+    }
+    // readers still resolve version 2, bit-for-bit — the torn v=3 is
+    // invisible even if some of its files exist on disk
+    assert(graft.storage.VersionedTable.currentVersion(spark, dir) === Some(2L))
+    val after = graft.storage.VersionedTable.readCurrent(spark, dir).get
+      .select("ID", "INDICE").as[(Long, String)].collect().toMap
+    assert(after === byId)
+    // the retried overwrite clears the torn remnants and commits version 3
+    val v3 = graft.storage.VersionedTable.overwrite(spark, dir,
+      catalog.filter($"ID" =!= 4L))
+    assert(v3 === 3L)
+    assert(graft.storage.VersionedTable.readCurrent(spark, dir).get.count() === 3)
+    // vacuum keeps the current version readable, drops old data dirs
+    graft.storage.VersionedTable.vacuum(spark, dir, keep = 1)
+    assert(graft.storage.VersionedTable.currentVersion(spark, dir) === Some(3L))
+    assert(graft.storage.VersionedTable.readCurrent(spark, dir).get.count() === 3)
+    assert(!new java.io.File(s"$dir/v=1").exists())
+  }
+
   test("S10: indices.csv sink writes header + data rows") {
     val dir = tmp("csv")
     Seq(("img1.JPG", "1.0;2.0", "Fundo", "C_1_EU_1"))
