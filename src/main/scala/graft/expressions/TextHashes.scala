@@ -131,9 +131,13 @@ object TextHashKernels {
       val s = arr.getUTF8String(t).toString
       var h0 = 0L
       var ci = 0
+      // fold Unicode CODEPOINTS, not UTF-16 code units — DuckDB's
+      // ord(string_split(...)) sees codepoints, so surrogate pairs
+      // (emoji, CJK extensions) must hash identically on both engines
       while (ci < s.length) {
-        h0 = (h0 * 31 + s.charAt(ci)) % 2147483648L
-        ci += 1
+        val cp = s.codePointAt(ci)
+        h0 = (h0 * 31 + cp) % 2147483648L
+        ci += Character.charCount(cp)
       }
       val ts = mixHalf(h0) | (mixHalf(h0 ^ 625148049L) << 31)
       var j = 0

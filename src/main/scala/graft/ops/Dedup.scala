@@ -441,10 +441,15 @@ object Dedup {
     * ([[simHashExplicit]]), with `pieces = maxHamming + 1` so recall is
     * PERFECT — the output equals the all-pairs Hamming join, which is what
     * lets a DuckDB oracle check the whole pipeline (signature math
-    * included) bit-for-bit. */
+    * included) bit-for-bit. Buckets are deliberately UNCAPPED by default:
+    * a stop-bucket cap would silently drop a qualifying pair's only shared
+    * band and break the oracle-equality contract (with `pieces=maxHamming+1`
+    * the chunks are only ~15 bits, so hot buckets are realistic at scale).
+    * Callers who cap anyway knowingly trade the exactness claim for
+    * bounded bucket cost — the capped path is [[simHashPairs]]. */
   def simHashPairsExplicit(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+      maxHamming: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame =
     hammingPairs(
       df.select(col(idCol).as("__id"),
         simHashExplicit(col(textCol)).as("__sig")),
@@ -491,8 +496,10 @@ object Dedup {
       .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
       .select(col("__id"), col("__sig"), explode(array(bands: _*)).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band"), col("__b.chunk"))
-    // stop-bucket cap via hash aggregate + anti-join (see minHashLshPairs)
-    val capped = {
+    // stop-bucket cap via hash aggregate + anti-join (see minHashLshPairs);
+    // an uncapped caller (the oracle-exact simHashPairsExplicit path) skips
+    // the aggregate + anti-join entirely rather than planning a no-op
+    val capped = if (maxBucketSize == Int.MaxValue) banded else {
       val hot = banded.groupBy("band", "chunk").count()
         .filter(col("count") > maxBucketSize).select("band", "chunk")
       banded.join(hot, Seq("band", "chunk"), "left_anti")

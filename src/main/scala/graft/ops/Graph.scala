@@ -304,6 +304,16 @@ object Graph {
       e = next
       iter += 1
     }
+    // degenerate/boundary guard: the loop can exit AT the fixpoint without
+    // observing it (maxIter=0 on an already-valid core, or the last allowed
+    // round doing the final peel). One degree probe settles it: if no
+    // surviving vertex is under k, `e` IS the k-core and the peel converged.
+    if (!stable) {
+      val under = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).limit(1).count()
+      stable = under == 0L
+    }
     val core = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_degree"))
     (core, CcStats(iter, stable, perRound.result()))

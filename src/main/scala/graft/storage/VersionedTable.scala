@@ -12,15 +12,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Versioned-directory + commit-marker protocol (how table formats do
   * snapshot isolation, minus the format):
-  *  1. every overwrite writes a COMPLETE new copy into its own
-  *     `v=<n>` directory (`errorifexists` — a retried version can never
-  *     half-overwrite a published one);
+  *  1. every overwrite attempt writes a COMPLETE new copy into its own
+  *     UNIQUE staging directory `v=<n>.<nonce>` — attempts never share a
+  *     path, so no writer can ever delete or write into another writer's
+  *     in-flight data (the torn-commit race a shared `v=<n>` dir has);
   *  2. only after the write succeeds is `<table>/_versions/<n>` published
-  *     via create-temp + atomic rename;
-  *  3. readers resolve max(committed version) first and read ONLY that
-  *     directory — an unmarked `v=<n>` is invisible no matter how many of
-  *     its files landed, and a reader holding version n is never disturbed
-  *     by a concurrent writer publishing n+1 (old versions are immutable).
+  *     via create-temp + atomic rename; the marker RECORDS the winning
+  *     data directory's name. The rename is the commit point: exactly one
+  *     attempt per version wins, losers see the existing marker, delete
+  *     only their own staging dir, and throw;
+  *  3. readers resolve max(committed version), read its marker for the
+  *     data directory, and read ONLY that — an unmarked staging dir is
+  *     invisible no matter how many of its files landed, and a reader
+  *     holding version n is never disturbed by a concurrent writer
+  *     publishing n+1 (old versions are immutable).
   *
   * Scale posture: the marker listing is one driver-side `listStatus` over
   * tiny files; data reads are explicit-path Parquet. Full-copy versions are
@@ -47,32 +52,64 @@ object VersionedTable {
       .sorted.lastOption
   }
 
-  /** The committed snapshot: max committed version's directory, never an
-    * in-flight or torn one. None before the first commit. */
-  def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    currentVersion(spark, tableDir).map(v =>
-      spark.read.parquet(s"$tableDir/v=$v"))
+  /** Data directory name a committed version's marker points at; the
+    * marker body is the dir name (legacy empty markers map to `v=<n>`). */
+  private def committedDataDir(
+      f: org.apache.hadoop.fs.FileSystem, tableDir: String, v: Long): String = {
+    val marker = new Path(versionsDir(tableDir), v.toString)
+    val in = f.open(marker)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    if (body.isEmpty) s"v=$v" else body
+  }
 
-  /** Publish `df` as the next version and return its number. A crash
-    * before the marker rename leaves an unmarked (invisible) directory
-    * that the next overwrite clears; a crash after it is a completed
-    * commit. Single-writer protocol: concurrent writers race on the
-    * marker rename and the loser throws without corrupting anything. */
-  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+  /** The committed snapshot: the data directory the max committed
+    * version's marker records, never an in-flight or torn one. None
+    * before the first commit. */
+  def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
+    currentVersion(spark, tableDir).map { v =>
+      val f = fs(spark, tableDir)
+      spark.read.parquet(s"$tableDir/${committedDataDir(f, tableDir, v)}")
+    }
+
+  /** Publish `df` as the next version and return its number. Each attempt
+    * writes its own `v=<n>.<nonce>` staging dir, so concurrent writers
+    * never touch each other's data; the marker rename is the commit CAS —
+    * the loser deletes ONLY its own staging dir and throws, the winner's
+    * published directory is immutable from that point. A crash before the
+    * marker rename leaves an unmarked (invisible) orphan that [[vacuum]]
+    * clears once the version number is committed by a later attempt. */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Long =
+    overwriteHooked(spark, tableDir, df)(() => ())
+
+  /** [[overwrite]] with a test-only interleave seam: `beforePublish` runs
+    * after the staging write completes and before the marker rename — the
+    * window where a concurrent writer can win the same version. */
+  private[graft] def overwriteHooked(
+      spark: SparkSession, tableDir: String, df: DataFrame)(
+      beforePublish: () => Unit): Long = {
     val next = currentVersion(spark, tableDir).getOrElse(0L) + 1L
     val f = fs(spark, tableDir)
-    val data = new Path(s"$tableDir/v=$next")
-    if (f.exists(data)) f.delete(data, true) // torn remnant, never visible
+    val dataName = s"v=$next.${java.util.UUID.randomUUID().toString.take(8)}"
+    val data = new Path(s"$tableDir/$dataName")
     df.write.mode("errorifexists").parquet(data.toString)
     val vdir = new Path(versionsDir(tableDir))
     f.mkdirs(vdir)
-    val tmp = new Path(vdir, s".$next.inprogress")
+    val tmp = new Path(vdir, s".$next.inprogress.${dataName.drop(2)}")
     val out = f.create(tmp, true)
-    out.writeBytes(s"$next\n")
+    out.writeBytes(s"$dataName\n")
     out.close()
     val marker = new Path(vdir, next.toString)
-    if (f.exists(marker) || !f.rename(tmp, marker)) {
-      f.delete(tmp, false)
+    beforePublish()
+    // commit CAS: on HDFS rename-to-existing fails atomically; local FS
+    // overwrites, so read back the published marker and keep only the
+    // attempt whose dataName actually landed — the loser never deletes
+    // anything but its own staging dir either way
+    val won = !f.exists(marker) && f.rename(tmp, marker) &&
+      committedDataDir(f, tableDir, next) == dataName
+    if (!won) {
+      if (f.exists(tmp)) f.delete(tmp, false)
+      f.delete(data, true) // loser cleans only its OWN staging dir
       throw new java.io.IOException(
         s"lost the commit race publishing version marker $marker")
     }
@@ -92,8 +129,12 @@ object VersionedTable {
   }
 
   /** Drop data directories of versions older than the `keep` most recent
-    * committed ones (vacuum). The current version is never dropped; marker
-    * files of dropped versions are removed AFTER their data so a crash
+    * committed ones (vacuum), plus orphan staging dirs of crashed or
+    * race-losing attempts whose version number is already committed (an
+    * in-flight writer always targets a version ABOVE the max committed
+    * one it observed, so an unreferenced dir at a committed version can
+    * only be a loser). The current version is never dropped; marker files
+    * of dropped versions are removed AFTER their data so a crash
     * mid-vacuum leaves only harmless unreferenced directories. */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
     require(keep >= 1, "must keep at least the current version")
@@ -103,9 +144,21 @@ object VersionedTable {
     val committed = f.listStatus(vdir).toSeq.map(_.getPath.getName)
       .filterNot(_.startsWith("."))
       .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+    if (committed.isEmpty) return
+    val maxCommitted = committed.last
     committed.dropRight(keep).foreach { v =>
-      f.delete(new Path(s"$tableDir/v=$v"), true)
+      f.delete(new Path(s"$tableDir/${committedDataDir(f, tableDir, v)}"), true)
       f.delete(new Path(vdir, v.toString), false)
     }
+    val kept = committed.takeRight(keep)
+      .map(v => committedDataDir(f, tableDir, v)).toSet
+    f.listStatus(new Path(tableDir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filterNot(s => kept.contains(s.getPath.getName))
+      .filter { s =>
+        val base = s.getPath.getName.stripPrefix("v=").takeWhile(_ != '.')
+        scala.util.Try(base.toLong).toOption.exists(_ <= maxCommitted)
+      }
+      .foreach(s => f.delete(s.getPath, true))
   }
 }

@@ -133,11 +133,40 @@ class StorageSpec extends GraftSuite {
       catalog.filter($"ID" =!= 4L))
     assert(v3 === 3L)
     assert(graft.storage.VersionedTable.readCurrent(spark, dir).get.count() === 3)
-    // vacuum keeps the current version readable, drops old data dirs
+    // vacuum keeps the current version readable, drops old data dirs and
+    // the torn v=3 orphan from the crashed attempt
     graft.storage.VersionedTable.vacuum(spark, dir, keep = 1)
     assert(graft.storage.VersionedTable.currentVersion(spark, dir) === Some(3L))
     assert(graft.storage.VersionedTable.readCurrent(spark, dir).get.count() === 3)
-    assert(!new java.io.File(s"$dir/v=1").exists())
+    val leftover = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v="))
+    assert(leftover.length === 1 && leftover.head.startsWith("v=3."),
+      s"vacuum must keep only the current data dir, saw: ${leftover.toSeq}")
+  }
+
+  test("VersionedTable two-writer race: one commit survives, no committed data deleted") {
+    val dir = tmp("vtrace")
+    graft.storage.VersionedTable.overwrite(spark, dir, catalog) // v1
+    val winner = catalog.withColumn("INDICE", lit("WINNER"))
+    val loser = catalog.withColumn("INDICE", lit("LOSER"))
+    // writer A finishes its staging write for v2, then writer B commits v2
+    // in the window before A publishes its marker — A must lose, throw,
+    // and clean only its OWN staging dir
+    intercept[java.io.IOException] {
+      graft.storage.VersionedTable.overwriteHooked(spark, dir, loser) { () =>
+        graft.storage.VersionedTable.overwrite(spark, dir, winner)
+      }
+    }
+    assert(graft.storage.VersionedTable.currentVersion(spark, dir) === Some(2L))
+    val back = graft.storage.VersionedTable.readCurrent(spark, dir).get
+      .select("INDICE").distinct().as[String].collect().toSeq
+    assert(back === Seq("WINNER"),
+      "the surviving committed version must be the winner's, bit-for-bit")
+    // exactly one v=2 data dir remains (the winner's); the loser's staging
+    // dir was removed by the loser itself, never the winner's by the loser
+    val v2dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v=2."))
+    assert(v2dirs.length === 1, s"expected one surviving v=2 dir: ${v2dirs.toSeq}")
   }
 
   test("S10: indices.csv sink writes header + data rows") {

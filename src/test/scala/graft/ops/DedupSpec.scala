@@ -128,6 +128,32 @@ class DedupSpec extends GraftSuite {
     assert(sigs.forall { case (_, s) => s >= 0 && (s >>> 62) == 0L })
   }
 
+  test("simHashExplicit folds Unicode CODEPOINTS (oracle parity for non-BMP)") {
+    // "🦀" is one codepoint (0x1F980) but two UTF-16 code units; DuckDB's
+    // ord(string_split(text,'')) sees the codepoint, so the kernel must
+    // too. A single-token doc's signature IS its token hash (every vote is
+    // that token's bit), so recompute the hash here with an explicit
+    // codepoint fold + the documented mix chain and demand equality.
+    val token = "a🦀b" // a 🦀 b — straddles the BMP
+    val sig = Seq((1L, token)).toDF("id", "text")
+      .select(Dedup.simHashExplicit($"text")).as[Long].collect().head
+    val h0 = token.codePoints().toArray
+      .foldLeft(0L)((h, cp) => (h * 31 + cp) % 2147483648L)
+    def half(x: Long): Long = {
+      val h1 = (x * 2654435761L) % 2147483648L
+      val h2 = h1 ^ (h1 >>> 15)
+      val h3 = (h2 * 1103515245L) % 2147483648L
+      h3 ^ (h3 >>> 13)
+    }
+    val expected = half(h0) | (half(h0 ^ 625148049L) << 31)
+    assert(sig === expected)
+    // and the UTF-16-unit fold would have produced something ELSE — the
+    // distinction is real for this input
+    val unitFold = token.toCharArray
+      .foldLeft(0L)((h, c) => (h * 31 + c) % 2147483648L)
+    assert(unitFold !== h0)
+  }
+
   test("MLlib MinHashLSH variant finds the same high-similarity pairs") {
     val expected = Dedup.ngramJaccardPairs(docs, "id", "text", 3, 0.5)
       .select("ida", "idb").as[(Long, Long)].collect().toSet

@@ -30,12 +30,16 @@ class PlanShapeSpec extends GraftSuite {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy cog")).toDF("id", "text")
     val plan = planOf(Dedup.editDistancePairs(docs, "id", "text", maxDist = 1))
-    // exactly ONE nested-loop site is allowed: the gated short-string
-    // all-pairs bucket (runtime-empty here but always planned); the gram
-    // candidate join and both verification joins must be equi-joins
+    // exactly TWO nested-loop sites are allowed, both with a gated build
+    // side: (1) the short×short all-pairs bucket (≤ maxShortBucket rows,
+    // fails fast past the gate) and (2) the broadcast of that same gated
+    // short tier against the maxDist-wide boundary band (cross-tier
+    // recall). The gram candidate join and both verification joins must
+    // stay equi-joins — a third nested loop means the corpus itself is
+    // being crossed.
     val nlj = plan.split("\n").count(l =>
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
-    assert(nlj <= 1, s"more than the short-bucket nested loop in plan:\n$plan")
+    assert(nlj <= 2, s"more than the two gated nested loops in plan:\n$plan")
     assert(plan.contains("HashJoin"), s"no hash join for grams/verification:\n$plan")
   }
 

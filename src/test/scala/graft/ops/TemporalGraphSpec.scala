@@ -284,6 +284,17 @@ class TemporalGraphSpec extends GraftSuite {
     val (full, okStats) =
       Graph.kCoreWithStats(path, "src", "dst", k = 2, maxIter = 12)
     assert(okStats.converged && full.count() === 0L)
+    // degenerate guard: maxIter=0 on a graph that already IS its own
+    // k-core (K4 at k=2) must report converged via the final degree probe
+    // rather than throwing on the unobserved fixpoint
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val noIter = Graph.kCore(k4, "src", "dst", k = 2, maxIter = 0)
+    assert(noIter.count() === 4L)
+    // ...but an UNconverged graph at maxIter=0 still fails fast
+    intercept[IllegalArgumentException] {
+      Graph.kCore(path, "src", "dst", k = 2, maxIter = 0).count()
+    }
   }
 
   test("cohortRetention: first period defines the cohort; offsets count distinct actives") {
