@@ -152,4 +152,127 @@ object MediaHeaders {
       yield AudioMeta(ch, rate, bits,
         dataLen.toDouble / (rate.toLong * ch * (bits / 8)))
   }
+
+  /** Compressed-audio facts from a frame-HEADER walk — no codec: every
+    * MPEG audio (MP3) and ADTS (AAC) frame header states its own length
+    * and sample count, so bitrate/sample-rate/duration fall out of a pure
+    * byte walk. `frames` counted, `durationSec` summed per frame,
+    * `bitrateKbps` = stream bytes over duration (so VBR streams report
+    * their true average, not the first frame's nominal rate). */
+  final case class FramedAudioMeta(
+      format: String, sampleRate: Int, channels: Int, frames: Int,
+      durationSec: Double, bitrateKbps: Double)
+
+  // MPEG audio bitrate tables (kbps), index 1-14; 0 = "free" (stop), 15 = bad
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val MpegRates = Map( // version code → sample-rate table
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000)) // MPEG2.5
+
+  /** ID3v2 tag length at offset 0 (syncsafe 28-bit size), or 0. */
+  private def id3v2Len(b: Array[Byte]): Int =
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+      10 + ((u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9))
+    else 0
+
+  /** MP3 (MPEG-1/2/2.5 Layer I/II/III) facts from walking frame headers.
+    * Requires ≥ 2 valid consecutive frames so a random 0xFFE sync byte in
+    * arbitrary binary is not misread as audio. Walks until the buffer
+    * ends or a header stops parsing (truncated final frame is fine). */
+  def mp3Meta(b: Array[Byte]): Option[FramedAudioMeta] = {
+    if (b == null || b.length < 4) return None
+    var i = id3v2Len(b)
+    var frames = 0
+    var dur = 0.0
+    var bytes = 0L
+    var rate = 0
+    var chans = 0
+    var ok = true
+    while (ok && i + 4 <= b.length) {
+      val h0 = u8(b, i); val h1 = u8(b, i + 1)
+      if (h0 != 0xFF || (h1 & 0xE0) != 0xE0) ok = false
+      else {
+        val ver = (h1 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        val layer = (h1 >> 1) & 3 // 3=Layer I, 2=Layer II, 1=Layer III
+        val brIdx = (u8(b, i + 2) >> 4) & 0xF
+        val srIdx = (u8(b, i + 2) >> 2) & 3
+        val pad = (u8(b, i + 2) >> 1) & 1
+        if (ver == 1 || layer == 0 || brIdx == 0 || brIdx == 15 || srIdx == 3) ok = false
+        else {
+          val v1 = ver == 3
+          val table =
+            if (layer == 3) { if (v1) BrV1L1 else BrV2L1 }
+            else if (layer == 2) { if (v1) BrV1L2 else BrV2L23 }
+            else { if (v1) BrV1L3 else BrV2L23 }
+          val br = table(brIdx) * 1000
+          val sr = MpegRates(ver)(srIdx)
+          val (frameLen, samples) =
+            if (layer == 3) ((12 * br / sr + pad) * 4, 384)
+            else if (layer == 2) (144 * br / sr + pad, 1152)
+            else if (v1) (144 * br / sr + pad, 1152) // Layer III MPEG1
+            else (72 * br / sr + pad, 576) // Layer III MPEG2/2.5
+          if (frameLen < 4) ok = false
+          else {
+            frames += 1
+            dur += samples.toDouble / sr
+            bytes += math.min(frameLen, b.length - i).toLong
+            rate = sr
+            chans = if (((u8(b, i + 3) >> 6) & 3) == 3) 1 else 2
+            i += frameLen
+          }
+        }
+      }
+    }
+    if (frames >= 2 && dur > 0)
+      Some(FramedAudioMeta("mp3", rate, chans, frames, dur, bytes * 8 / dur / 1000.0))
+    else None
+  }
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** AAC facts from walking ADTS frame headers (7/9 bytes; 13-bit frame
+    * length, 1024 samples per AAC frame). Same ≥ 2-frame sync guard as
+    * [[mp3Meta]]. */
+  def aacAdtsMeta(b: Array[Byte]): Option[FramedAudioMeta] = {
+    if (b == null || b.length < 7) return None
+    var i = id3v2Len(b)
+    var frames = 0
+    var dur = 0.0
+    var bytes = 0L
+    var rate = 0
+    var chans = 0
+    var ok = true
+    while (ok && i + 7 <= b.length) {
+      if (u8(b, i) != 0xFF || (u8(b, i + 1) & 0xF6) != 0xF0) ok = false
+      else {
+        val srIdx = (u8(b, i + 2) >> 2) & 0xF
+        val chanCfg = ((u8(b, i + 2) & 1) << 2) | ((u8(b, i + 3) >> 6) & 3)
+        val frameLen = ((u8(b, i + 3) & 3) << 11) | (u8(b, i + 4) << 3) |
+          ((u8(b, i + 5) >> 5) & 7)
+        if (srIdx >= AdtsRates.length || frameLen < 7) ok = false
+        else {
+          val sr = AdtsRates(srIdx)
+          frames += 1
+          dur += 1024.0 / sr
+          bytes += math.min(frameLen, b.length - i).toLong
+          rate = sr
+          chans = if (chanCfg == 0) 2 else math.min(chanCfg, 8)
+          i += frameLen
+        }
+      }
+    }
+    if (frames >= 2 && dur > 0)
+      Some(FramedAudioMeta("aac", rate, chans, frames, dur, bytes * 8 / dur / 1000.0))
+    else None
+  }
+
+  /** Any recognized framed compressed-audio format. */
+  def framedAudioMeta(b: Array[Byte]): Option[FramedAudioMeta] =
+    aacAdtsMeta(b).orElse(mp3Meta(b))
 }

@@ -105,13 +105,20 @@ object Multimodal {
                 // lacks; duration is the filter signal pipelines use)
                 Row("mp4", v.width, v.height,
                   math.max(1, math.ceil(v.durationSec).toInt), bytes.length.toLong)
-              case None =>
-                val (w, h) = StubCodec.dims(bytes)
-                Row(StubCodec.format(bytes), w, h,
-                  if (mediaType == "video")
-                    1 + math.abs(java.util.Arrays.hashCode(bytes) % 30)
-                  else 1,
-                  bytes.length.toLong)
+              case None => MediaHeaders.framedAudioMeta(bytes) match {
+                case Some(fa) =>
+                  // MP3/ADTS frame-header walk: real sample rate, channel
+                  // count and frame count without any decoder
+                  Row(fa.format, fa.channels, fa.sampleRate, fa.frames,
+                    bytes.length.toLong)
+                case None =>
+                  val (w, h) = StubCodec.dims(bytes)
+                  Row(StubCodec.format(bytes), w, h,
+                    if (mediaType == "video")
+                      1 + math.abs(java.util.Arrays.hashCode(bytes) % 30)
+                    else 1,
+                    bytes.length.toLong)
+              }
             }
           }
         }

@@ -22,20 +22,43 @@ object Bpe {
 
   /** Greedy merge training: returns `numMerges` merges in creation order.
     * One distributed word-count aggregate; the driver loop touches only
-    * the ≤ `maxVocabWords` dictionary (hard-gated via a limit probe). */
+    * the ≤ `maxVocabWords` dictionary.
+    *
+    * Memory envelope: the driver holds one `(word, count)` array of at
+    * most `maxVocabWords` entries — ≲ tens of MB at the 2¹⁷ default —
+    * regardless of corpus size; the full vocabulary only ever exists as a
+    * distributed aggregate. A web-scale corpus's raw vocabulary (billions
+    * of distinct "words": URLs, typos, hapax junk) would blow the gate,
+    * so words rarer than `minWordCount` are dropped first, and if the
+    * dictionary STILL exceeds the gate the threshold deterministically
+    * doubles until it fits (standard practice — production BPE trainers
+    * threshold low-frequency words; merges learned from the frequent
+    * vocabulary are what matter, and a hapax tail cannot win a merge vote
+    * against the gate-surviving mass anyway). Escalation is driven by
+    * cheap counts over the vocab-sized aggregate, not by re-reading the
+    * corpus. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      maxVocabWords: Int = 1 << 17): Seq[(String, String)] = {
+      maxVocabWords: Int = 1 << 17, minWordCount: Long = 1L): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
-    val collected = df
+    require(minWordCount >= 1L, "minWordCount must be >= 1")
+    val wc = df
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // vocab-sized; escalation probes re-scan this, not the corpus
+    var threshold = minWordCount
+    var dictSize = wc.filter(col("c") >= threshold).count()
+    while (dictSize > maxVocabWords) {
+      threshold *= 2L
+      dictSize = wc.filter(col("c") >= threshold).count()
+    }
+    require(dictSize > 0L,
+      s"BPE training dictionary is empty at min-count threshold $threshold " +
+        s"(maxVocabWords=$maxVocabWords is too small for this corpus's " +
+        "frequency profile); raise the gate")
+    val collected = wc.filter(col("c") >= threshold)
       .orderBy(col("c").desc, col("w"))
-      .limit(maxVocabWords + 1)
       .collect()
-    require(collected.length <= maxVocabWords,
-      s"BPE training dictionary exceeds maxVocabWords=$maxVocabWords; " +
-        "raise the gate or pre-filter the corpus")
     var words: Array[(Array[String], Long)] =
       collected.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

@@ -213,27 +213,43 @@ object Dedup {
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       paraWords: Int = 8): DataFrame = {
+    val exploded = paragraphs(df, idCol, textCol, paraWords)
+    val firstSeen = Window.partitionBy(col("para"))
+      .orderBy(col(idCol), col("para_idx"))
+    reassembleParagraphs(
+      exploded.withColumn("__rn", row_number().over(firstSeen))
+        .withColumn("__keep", col("__rn") === 1),
+      idCol)
+  }
+
+  /** The paragraph explode of [[paragraphDedup]]: one (idCol, para_idx,
+    * para) row per consecutive `paraWords`-word window — row-local, shared
+    * by the batch and the incremental/streaming paragraph dedup paths. */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String,
+      paraWords: Int = 8): DataFrame = {
     val w = words(col(textCol))
     // consecutive fixed-width word windows; slice() truncates the tail
     val paras = transform(
       sequence(lit(0), ceil(size(w) / lit(paraWords.toDouble)).cast("int") - 1),
       i => array_join(slice(w, i * paraWords + 1, lit(paraWords)), " "))
-    val exploded = df.select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
-    val firstSeen = Window.partitionBy(col("para"))
-      .orderBy(col(idCol), col("para_idx"))
+    df.select(col(idCol), posexplode(paras).as(Seq("para_idx", "para")))
+  }
+
+  /** The reassembly tail of [[paragraphDedup]]: per-document counts +
+    * clean_text from the rows whose boolean `__keep` column is true. */
+  private[graft] def reassembleParagraphs(
+      exploded: DataFrame, idCol: String): DataFrame =
     exploded
-      .withColumn("__rn", row_number().over(firstSeen))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_paras"),
-        count(when(col("__rn") === 1, 1)).as("n_kept"),
+        count(when(col("__keep"), 1)).as("n_kept"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("__rn") === 1, struct(col("para_idx"), col("para"))))),
+              when(col("__keep"), struct(col("para_idx"), col("para"))))),
             p => p.getField("para")),
           " ").as("clean_text"))
-  }
 
   /** Exact n-gram Jaccard near-duplicate pairs via shingle blocking: pairs
     * sharing >=1 shingle are candidates (perfect recall), then exact Jaccard.

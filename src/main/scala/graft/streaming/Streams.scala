@@ -134,4 +134,42 @@ object Streams {
           }
       }
   }
+
+  /** One `foreachBatch` step of incremental paragraph dedup (the streaming
+    * form of [[graft.ops.Dedup.paragraphDedup]]): a paragraph survives iff
+    * it is the first occurrence WITHIN the batch (same (id, para_idx)
+    * order as the batch operator) and was never seen in any earlier batch.
+    * Cleaned docs append to `outDir`; the seen-paragraph set persists in
+    * `stateDir` (two-step overwrite, same pattern as the CMS cells state).
+    *
+    * When doc ids arrive in increasing order across batches, the appended
+    * output is IDENTICAL to running the batch operator over the
+    * concatenated stream — the equivalence the spec pins. State is one row
+    * per distinct paragraph: corpus-vocabulary-sized, not stream-sized,
+    * and keyed for the same anti-join a 100 TB run would hash down to. */
+  def paragraphDedupBatchStep(
+      batch: DataFrame, idCol: String, textCol: String,
+      outDir: String, stateDir: String, paraWords: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val exploded = graft.ops.Dedup
+      .paragraphs(batch, idCol, textCol, paraWords)
+      .localCheckpoint(false) // two consumers: output + state update
+    val prev =
+      try spark.read.parquet(s"$stateDir/paras")
+      catch { case _: Exception => exploded.select("para").limit(0) }
+    val firstInBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para")).orderBy(col(idCol), col("para_idx"))
+    val marked = exploded
+      .withColumn("__rn", row_number().over(firstInBatch))
+      .join(prev.select(col("para"), lit(1).as("__seen")), Seq("para"), "left")
+      .withColumn("__keep", col("__rn") === 1 && col("__seen").isNull)
+    graft.ops.Dedup.reassembleParagraphs(marked, idCol)
+      .write.mode("append").parquet(outDir)
+    // state swap AFTER the output lands: crash-replay of this batch then
+    // re-reads the old state and rewrites the same rows
+    prev.select("para").union(exploded.select("para")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/paras_next")
+    spark.read.parquet(s"$stateDir/paras_next")
+      .write.mode("overwrite").parquet(s"$stateDir/paras")
+  }
 }

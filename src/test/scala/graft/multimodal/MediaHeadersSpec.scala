@@ -42,6 +42,59 @@ class MediaHeadersSpec extends AnyFunSuite {
     buf.array()
   }
 
+  // MPEG1 Layer III, 44100 Hz, 128 kbps, stereo, no padding:
+  // frame length = 144 * 128000 / 44100 = 417 bytes, 1152 samples/frame
+  private def mp3Of(nFrames: Int): Array[Byte] = {
+    val frame = new Array[Byte](417)
+    frame(0) = 0xFF.toByte
+    frame(1) = 0xFB.toByte // sync | MPEG1 (3<<3) | Layer III (1<<1) | no CRC
+    frame(2) = 0x90.toByte // bitrate idx 9 (=128k) << 4 | rate idx 0 (=44100) << 2
+    frame(3) = 0x00.toByte // stereo
+    Array.fill(nFrames)(frame).flatten
+  }
+
+  // ADTS AAC-LC, 44100 Hz (idx 4), 2 channels, frameLen bytes/frame
+  private def aacOf(nFrames: Int, frameLen: Int): Array[Byte] = {
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xFF.toByte
+    frame(1) = 0xF1.toByte // sync | MPEG-4 | no CRC
+    frame(2) = 0x50.toByte // AAC-LC (1<<6) | rate idx 4 << 2 | chanCfg hi bit 0
+    frame(3) = (0x80 | ((frameLen >> 11) & 3)).toByte // chanCfg 2 << 6 | len hi
+    frame(4) = ((frameLen >> 3) & 0xFF).toByte
+    frame(5) = ((frameLen & 7) << 5).toByte
+    frame(6) = 0xFC.toByte
+    Array.fill(nFrames)(frame).flatten
+  }
+
+  test("mp3 frame-header walk: rate, channels, frames, duration, avg bitrate") {
+    val m = MediaHeaders.mp3Meta(mp3Of(10)).get
+    assert(m.format === "mp3" && m.sampleRate === 44100 && m.channels === 2)
+    assert(m.frames === 10)
+    assert(math.abs(m.durationSec - 10 * 1152.0 / 44100) < 1e-9)
+    // 417-byte frames are the floor of the exact 417.96 at 128 kbps, so the
+    // measured average sits just under nominal
+    assert(m.bitrateKbps > 120 && m.bitrateKbps < 129)
+    // an ID3v2 tag in front is skipped (syncsafe size = 100 → 110 total)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++
+      new Array[Byte](100) ++ mp3Of(3)
+    assert(MediaHeaders.mp3Meta(id3).get.frames === 3)
+    // one lone sync word in arbitrary bytes is NOT audio (≥2-frame guard)
+    assert(MediaHeaders.mp3Meta(mp3Of(1)).isEmpty)
+    assert(MediaHeaders.mp3Meta("random bytes".getBytes).isEmpty)
+  }
+
+  test("aac ADTS frame-header walk: rate, channels, frames, duration") {
+    val m = MediaHeaders.aacAdtsMeta(aacOf(5, 100)).get
+    assert(m.format === "aac" && m.sampleRate === 44100 && m.channels === 2)
+    assert(m.frames === 5)
+    assert(math.abs(m.durationSec - 5 * 1024.0 / 44100) < 1e-9)
+    assert(MediaHeaders.aacAdtsMeta(aacOf(1, 100)).isEmpty)
+    assert(MediaHeaders.aacAdtsMeta(wavOf(2, 44100, 16, 100)).isEmpty)
+    // dispatcher picks the right parser for each stream
+    assert(MediaHeaders.framedAudioMeta(aacOf(3, 64)).get.format === "aac")
+    assert(MediaHeaders.framedAudioMeta(mp3Of(3)).get.format === "mp3")
+  }
+
   test("jpeg dims from SOF0 after skipped segments") {
     assert(MediaHeaders.jpegDims(jpegOf(640, 480))
       === Some(MediaHeaders.ImageDims("jpeg", 640, 480)))

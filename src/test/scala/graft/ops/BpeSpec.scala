@@ -43,11 +43,33 @@ class BpeSpec extends GraftSuite {
     assert(again === out)
   }
 
-  test("train rejects a dictionary beyond the driver gate") {
+  test("train fails clearly when even min-count escalation empties the dict") {
+    // 150 distinct hapax words, gate of 10: threshold escalation (1→2)
+    // drops EVERYTHING — that corpus has no frequent vocabulary to learn
+    // from and must fail with the gate named, not train on junk
     val docs = (1 to 50).map(i => (i.toLong, s"w$i u$i v$i")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {
       Bpe.train(docs, "text", numMerges = 2, maxVocabWords = 10)
     }
     assert(e.getMessage.contains("maxVocabWords"))
+  }
+
+  test("train survives a vocabulary beyond the gate: hapax tail is dropped") {
+    // 200 distinct hapax words (vocabulary 204 ≫ gate 10) plus a small
+    // frequent core; the old hard gate failed here. Escalation to
+    // min-count 2 keeps only the 4-word core, and the learned merges are
+    // EXACTLY the ones training on the core alone produces — the hapax
+    // tail cannot affect the outcome it was dropped from.
+    val tail = (1 to 100).map(i => (i.toLong, s"junk$i noise$i"))
+    val core = (101 to 110).map(i => (i.toLong, "low low lower lowest"))
+    val docs = (tail ++ core).toDF("id", "text")
+    val merges = Bpe.train(docs, "text", numMerges = 4, maxVocabWords = 10)
+    val coreOnly = Bpe.train(core.toDF("id", "text"), "text", numMerges = 4)
+    assert(merges === coreOnly)
+    assert(merges.take(2) === Seq(("l", "o"), ("lo", "w")))
+    // explicit prefilter reaches the same state without escalation probes
+    val explicitMin = Bpe.train(docs, "text", numMerges = 4,
+      maxVocabWords = 10, minWordCount = 2L)
+    assert(explicitMin === merges)
   }
 }

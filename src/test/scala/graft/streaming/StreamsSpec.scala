@@ -208,6 +208,82 @@ class StreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination: per-batch scrub against static eval equals the batch run") {
+    // decontaminate is per-doc row-independent against the (small, static)
+    // eval set, so running it inside foreachBatch and appending is EXACTLY
+    // the batch operator over the concatenated stream — the streaming form
+    // of the benchmark-leakage scrub
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("decont_out")
+      .toFile.getAbsolutePath
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.decontaminate(batch, evalSet, "doc_id", "text",
+            shingleN = 3)
+          .write.mode("append").parquet(outDir)
+        ()
+    }.start()
+    val b1 = Seq((1L, "the quick brown fox went home"), // shares 3-grams
+      (2L, "completely unrelated training text here"))
+    val b2 = Seq((3L, "jumps over the lazy dog again and again"), // shares
+      (4L, "clean document number four"))
+    try {
+      Seq(b1, b2).foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Long, Int)].collect().toSet
+    val batchAll = graft.ops.Dedup.decontaminate(
+        (b1 ++ b2).toDF("doc_id", "text"), evalSet, "doc_id", "text",
+        shingleN = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed === batchAll)
+    assert(streamed.exists { case (id, hits, flag) => id == 1L && hits > 0 && flag == 1 })
+    assert(streamed.exists { case (id, hits, flag) => id == 2L && hits == 0L && flag == 0 })
+  }
+
+  test("streaming paragraph dedup: cross-batch paragraph state matches the batch run") {
+    // paragraphDedupBatchStep keeps the seen-paragraph set in a state dir;
+    // with ids arriving in order, appended output must be IDENTICAL to the
+    // batch operator over the whole stream — boilerplate repeated across
+    // batches survives only in its first doc
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("pdedup_out")
+      .toFile.getAbsolutePath
+    val stateDir = java.nio.file.Files.createTempDirectory("pdedup_state")
+      .toFile.getAbsolutePath
+    // exactly 8 words => one aligned paragraph window when leading a doc
+    val boiler = "all rights reserved contact us terms of service"
+    val b1 = Seq((1L, "unique prose of document one stands fully alone"),
+      (2L, s"$boiler second doc adds nothing but this tail"))
+    val b2 = Seq((3L, s"$boiler third document repeats the leading window"),
+      (4L, "entirely fresh paragraphs in the final doc"))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streams.paragraphDedupBatchStep(batch, "doc_id", "text",
+          outDir, stateDir)
+    }.start()
+    try {
+      Seq(b1, b2).foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batchAll = graft.ops.Dedup.paragraphDedup(
+        (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed === batchAll)
+    // the boilerplate window's first occurrence is doc 2 (batch 1); doc 3
+    // carries the same window in batch 2 and must lose it to CROSS-BATCH
+    // state, not within-batch dedup
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(2L)._3 === byId(2L)._2) // first occurrence keeps everything
+    assert(byId(3L)._3 < byId(3L)._2)
+    assert(!byId(3L)._4.contains("rights reserved"))
+  }
+
   test("the same transforms run on batch DataFrames (unified model)") {
     val batch = Seq(
       Ev(ts(1), 1, "click", 1.5), Ev(ts(4), 1, "click", 2.5), Ev(ts(11), 2, "view", 4.0)
