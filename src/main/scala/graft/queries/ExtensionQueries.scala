@@ -85,7 +85,13 @@ object ExtensionQueries extends QueryGroup {
 
   /** Shared oracle for the two near-dup finders: exact shingle-blocked
     * Jaccard (perfect recall); the MinHash query's LSH recall at J >= 0.875
-    * (min doc = 10 words) is 1 - (1-J²)¹⁶ ≈ 1-7e-11 per pair — equal output. */
+    * (min doc = 10 words) is 1 - (1-J²)¹⁶ ≈ 1-7e-11 per pair — equal output.
+    *
+    * Intersections come from the exploded shingle join + GROUP BY (|A∩B| =
+    * shared-shingle count, |A∪B| = |A|+|B|−|A∩B|), NOT from list_intersect
+    * over per-pair list payloads: identical result, but the join carries
+    * only scalars — the list-payload form blew past 70 GB on the 10×
+    * corpus while this shape streams. */
   private val jaccardOracle =
     s"""WITH corpus AS ($nearDupCorpusSql),
        |toks AS (SELECT doc_id, string_split(text, ' ') w FROM corpus),
@@ -94,14 +100,16 @@ object ExtensionQueries extends QueryGroup {
        |                        for i in range(1, len(w) - 1)]) s
        |       FROM toks WHERE len(w) >= 3),
        |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
-       |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
-       |         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) nsh FROM ex GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+       |          FROM ex a JOIN ex b ON a.shingle = b.shingle
+       |            AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
        |j AS (SELECT ida, idb,
-       |        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |          / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-       |      FROM cand
-       |      JOIN sh sa ON sa.doc_id = cand.ida
-       |      JOIN sh sb ON sb.doc_id = cand.idb)
+       |        CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) AS jac
+       |      FROM inter
+       |      JOIN sz sa ON sa.doc_id = inter.ida
+       |      JOIN sz sb ON sb.doc_id = inter.idb)
        |SELECT ida, idb, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.5 ORDER BY ida, idb""".stripMargin
 
@@ -150,12 +158,11 @@ object ExtensionQueries extends QueryGroup {
     """WITH corpus AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) nrm FROM corpus),
       |p AS (SELECT a.vec_id ida, b.vec_id idb,
-      |        round(list_dot_product(a.e, b.e)
-      |          / (sqrt(list_dot_product(a.e, a.e))
-      |             * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
-      |      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+      |        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT ida, idb, cos FROM p WHERE cos >= 0.95 ORDER BY ida, idb""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
@@ -503,7 +510,7 @@ object ExtensionQueries extends QueryGroup {
       (s, d) => {
         val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         val corpus = emb.union(
-          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         Similarity.nearDupPairsBlockJoin(corpus, "vec_id", "embedding",
             threshold = 0.95, rowsPerBlock = 512)
           .orderBy("ida", "idb")
@@ -519,7 +526,7 @@ object ExtensionQueries extends QueryGroup {
       (s, d) => {
         val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
         val corpus = emb.union(
-          emb.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         Similarity.cosineLshPairs(corpus, "vec_id", "embedding", threshold = 0.95)
           .orderBy("ida", "idb")
       },

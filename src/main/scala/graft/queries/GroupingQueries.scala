@@ -111,20 +111,32 @@ object GroupingQueries extends QueryGroup {
           .orderBy("l_returnflag"),
       None),
 
-    // argmin/argmax (A3/A4 semantics): first/last event id per type by time;
-    // ts is unique (TESTDATA) so min_by/max_by are deterministic.
+    // argmin/argmax (A3/A4 semantics): first/last event id per type by time.
+    // The ordering key is (ts, event_id) — a TOTAL order — not bare ts:
+    // driver data happens to have unique ts, but any scaled/replicated
+    // corpus has timestamp ties and bare min_by/max_by would be
+    // nondeterministic across engines (caught by the 10× sweep).
     QueryDef(
       "a_argmin_argmax",
-      (s, d) =>
+      (s, d) => {
+        // exact 128-bit composite: micros·10¹⁰ + event_id (DuckDB arg_min
+        // takes no struct keys; DECIMAL(38,0)/HUGEINT carry it exactly)
+        val key = unix_micros(col("ts")).cast("decimal(38,0)") *
+          lit(10000000000L) + col("event_id")
         Tables.events(s, d)
           .groupBy("event_type")
           .agg(
-            min_by(col("event_id"), col("ts")).as("first_event"),
-            max_by(col("event_id"), col("ts")).as("last_event"),
+            min_by(col("event_id"), key).as("first_event"),
+            max_by(col("event_id"), key).as("last_event"),
             count(lit(1)).as("n"))
-          .orderBy("event_type"),
-      Some("""SELECT event_type, arg_min(event_id, ts) AS first_event,
-             |  arg_max(event_id, ts) AS last_event, COUNT(*) AS n
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |  arg_min(event_id, epoch_us(ts)::HUGEINT * 10000000000 + event_id)
+             |    AS first_event,
+             |  arg_max(event_id, epoch_us(ts)::HUGEINT * 10000000000 + event_id)
+             |    AS last_event,
+             |  COUNT(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Exact moment statistics: avg + sample stddev from DECIMAL sums; the only

@@ -194,4 +194,18 @@ class CurationSpec extends GraftSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
     assert(out(0L) && out(1L))
   }
+
+  test("semdedup auto-k: exact copies are caught under any clustering") {
+    // k <= 0 auto-sizes k from the corpus; identical vectors always share
+    // a cluster, so exact-twin recall is invariant to the chosen k
+    val base = Seq(
+      0L -> Seq(1.0, 0.0, 0.0), 1L -> Seq(0.0, 1.0, 0.0),
+      2L -> Seq(0.0, 0.0, 1.0))
+    val corpus = vecDf(base ++ base.map { case (i, v) => (i + 100) -> v })
+    val out = Clustering.semDedup(corpus, "id", "vec",
+        k = 0, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("keep")).toMap
+    assert(Seq(0L, 1L, 2L).forall(out(_)))
+    assert(Seq(100L, 101L, 102L).forall(!out(_)))
+  }
 }
