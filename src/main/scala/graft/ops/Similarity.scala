@@ -279,9 +279,14 @@ object Similarity {
       else {
         val n = math.max(base.count(), 2L).toDouble
         val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+        // collision budget ~50 per row: measured at d=64 the exact-cosine
+        // verify on excess candidates costs MORE than the wider signature
+        // pass that avoids them, at small n as well as large — so no
+        // small-n floor; the narrow-band config loses even at sf0.1
+        val budget = 50.0 * n
         var r = 8
         var b = math.max(8, math.ceil(math.log(1e8) / math.pow(p, r)).toInt)
-        while (r < 24 && b * n * n / math.pow(2.0, r) > 50.0 * n) {
+        while (r < 24 && b * n * n / math.pow(2.0, r) > budget) {
           r += 1
           b = math.max(8, math.ceil(math.log(1e8) / math.pow(p, r)).toInt)
         }

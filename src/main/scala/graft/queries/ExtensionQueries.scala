@@ -298,14 +298,16 @@ object ExtensionQueries extends QueryGroup {
              |        WHERE len(w) >= 3),
              |exc AS (SELECT doc_id, unnest(s) shingle FROM shc),
              |exb AS (SELECT doc_id, unnest(s) shingle FROM shb),
-             |cand AS (SELECT DISTINCT c.doc_id ida, b.doc_id idb
-             |         FROM exc c JOIN exb b ON c.shingle = b.shingle),
+             |szc AS (SELECT doc_id, COUNT(*) nsh FROM exc GROUP BY doc_id),
+             |szb AS (SELECT doc_id, COUNT(*) nsh FROM exb GROUP BY doc_id),
+             |inter AS (SELECT c.doc_id ida, b.doc_id idb, COUNT(*) cnt
+             |          FROM exc c JOIN exb b ON c.shingle = b.shingle
+             |          GROUP BY 1, 2),
              |j AS (SELECT ida, idb,
-             |        CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             |          / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-             |      FROM cand
-             |      JOIN shc sa ON sa.doc_id = cand.ida
-             |      JOIN shb sb ON sb.doc_id = cand.idb)
+             |        CAST(cnt AS DOUBLE) / (sa.nsh + sb.nsh - cnt) AS jac
+             |      FROM inter
+             |      JOIN szc sa ON sa.doc_id = inter.ida
+             |      JOIN szb sb ON sb.doc_id = inter.idb)
              |SELECT ida, idb, round(jac, 6) AS jaccard FROM j
              |WHERE jac >= 0.5 ORDER BY ida, idb""".stripMargin)),
 

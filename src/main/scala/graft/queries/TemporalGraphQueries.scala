@@ -552,14 +552,15 @@ object TemporalGraphQueries extends QueryGroup {
              |                        for i in range(1, len(w) - 1)]) s
              |       FROM toks WHERE len(w) >= 3),
              |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
-             |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
-             |         FROM ex a JOIN ex b ON a.shingle = b.shingle
-             |                            AND a.doc_id < b.doc_id),
-             |pairs AS (SELECT ida, idb FROM cand
-             |          JOIN sh sa ON sa.doc_id = cand.ida
-             |          JOIN sh sb ON sb.doc_id = cand.idb
-             |          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             |            / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+             |sz AS (SELECT doc_id, COUNT(*) nsh FROM ex GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+             |          FROM ex a JOIN ex b ON a.shingle = b.shingle
+             |            AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT ida, idb FROM inter
+             |          JOIN sz sa ON sa.doc_id = inter.ida
+             |          JOIN sz sb ON sb.doc_id = inter.idb
+             |          WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.5),
              |ud AS (SELECT ida a, idb b FROM pairs
              |       UNION SELECT idb, ida FROM pairs),
              |reach(a, b) AS (
@@ -610,14 +611,15 @@ object TemporalGraphQueries extends QueryGroup {
              |                        for i in range(1, len(w) - 1)]) s
              |       FROM toks WHERE len(w) >= 3),
              |ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
-             |cand AS (SELECT DISTINCT a.doc_id ida, b.doc_id idb
-             |         FROM ex a JOIN ex b ON a.shingle = b.shingle
-             |                            AND a.doc_id < b.doc_id),
-             |pairs AS (SELECT ida, idb FROM cand
-             |          JOIN sh sa ON sa.doc_id = cand.ida
-             |          JOIN sh sb ON sb.doc_id = cand.idb
-             |          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-             |            / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+             |sz AS (SELECT doc_id, COUNT(*) nsh FROM ex GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id ida, b.doc_id idb, COUNT(*) c
+             |          FROM ex a JOIN ex b ON a.shingle = b.shingle
+             |            AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2),
+             |pairs AS (SELECT ida, idb FROM inter
+             |          JOIN sz sa ON sa.doc_id = inter.ida
+             |          JOIN sz sb ON sb.doc_id = inter.idb
+             |          WHERE CAST(c AS DOUBLE) / (sa.nsh + sb.nsh - c) >= 0.5),
              |ud AS (SELECT ida a, idb b FROM pairs
              |       UNION SELECT idb, ida FROM pairs),
              |reach(a, b) AS (

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * near-duplicate workloads honest at scale (a naive copy would make every
   * doc a 10-way cross-replica near-dup and blow pair outputs up
   * quadratically):
-  *  - documents: replicas r > 0 suffix every word with `~r` — a bijection
-  *    on the vocabulary, so each replica's internal shingle/minhash/edit
-  *    structure is EXACTLY the source's, while cross-replica similarity
-  *    drops to zero;
+  *  - documents: replicas r > 0 PREFIX every word with `q<r>` — a
+  *    bijection on the vocabulary, so each replica's internal
+  *    shingle/minhash/edit structure is EXACTLY the source's, while
+  *    cross-replica similarity drops to zero. The marker is alphanumeric
+  *    and leading so BOTH tokenizers (space-split and the
+  *    `[^a-z0-9']+` regex) keep one token per word — a non-alphanumeric
+  *    suffix would split every word in the regex path, double the token
+  *    stream, and silently halve the effective n of span-level operators
+  *    (measured: 95% of shingles misclassified as cross-doc boilerplate);
   *  - embeddings: replicas r > 0 circularly permute the components by 7r —
   *    a rotation, so within-replica cosine geometry (clusters, near-dup
   *    pairs) is EXACTLY preserved and cross-replica similarity decorrelates.
@@ -111,7 +116,7 @@ object GenScale {
       val text =
         if (r == 0) col("text")
         else array_join(
-          transform(split(col("text"), " "), w => concat(w, lit(s"~$r"))),
+          transform(split(col("text"), " "), w => concat(lit(s"q$r"), w)),
           " ")
       df.withColumn("doc_id", col("doc_id") + lit(r * nDoc))
         .withColumn("text", text)
