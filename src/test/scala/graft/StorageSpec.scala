@@ -169,6 +169,60 @@ class StorageSpec extends GraftSuite {
     assert(v2dirs.length === 1, s"expected one surviving v=2 dir: ${v2dirs.toSeq}")
   }
 
+  test("TxnCatalog: multi-table commit is atomic; torn second write invisible") {
+    val root = tmp("txncat")
+    val cat = Seq((1L, "A"), (2L, "B")).toDF("ID", "INDICE")
+    val lin = Seq((100L, 1L), (100L, 2L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
+    val t1 = graft.storage.TxnCatalog.commit(spark, root,
+      Seq("catalog" -> cat, "lineage" -> lin))
+    assert(t1 === 1L)
+    assert(graft.storage.TxnCatalog.tables(spark, root) === Seq("catalog", "lineage"))
+    assert(graft.storage.TxnCatalog.read(spark, root, "catalog").get.count() === 2)
+    // txn 2 updates catalog only: lineage carries forward, same snapshot
+    val t2 = graft.storage.TxnCatalog.commit(spark, root,
+      Seq("catalog" -> cat.withColumn("INDICE", lit("Z"))))
+    assert(t2 === 2L)
+    assert(graft.storage.TxnCatalog.read(spark, root, "lineage").get.count() === 2)
+    assert(graft.storage.TxnCatalog.read(spark, root, "catalog").get
+      .select("INDICE").distinct().as[String].collect().toSeq === Seq("Z"))
+    // crash mid-transaction: catalog's staging write lands, lineage's
+    // write dies — NEITHER new snapshot is visible (all-or-nothing)
+    val poisoned = lin.withColumn("ID_IMAGEN_FUENTE",
+      expr("raise_error('simulated crash') IS NULL").cast("long"))
+    intercept[Exception] {
+      graft.storage.TxnCatalog.commit(spark, root,
+        Seq("catalog" -> cat.withColumn("INDICE", lit("TORN")),
+          "lineage" -> poisoned))
+    }
+    assert(graft.storage.TxnCatalog.currentTxn(spark, root) === Some(2L))
+    assert(graft.storage.TxnCatalog.read(spark, root, "catalog").get
+      .select("INDICE").distinct().as[String].collect().toSeq === Seq("Z"),
+      "a torn multi-table txn must leave every table at the old snapshot")
+  }
+
+  test("TxnCatalog two-writer race: one txn survives, committed data untouched") {
+    val root = tmp("txnrace")
+    val base = Seq((1L, "A")).toDF("ID", "INDICE")
+    graft.storage.TxnCatalog.commit(spark, root, Seq("catalog" -> base))
+    intercept[java.io.IOException] {
+      graft.storage.TxnCatalog.commitHooked(spark, root,
+        Seq("catalog" -> base.withColumn("INDICE", lit("LOSER")))) { () =>
+        graft.storage.TxnCatalog.commit(spark, root,
+          Seq("catalog" -> base.withColumn("INDICE", lit("WINNER"))))
+      }
+    }
+    assert(graft.storage.TxnCatalog.currentTxn(spark, root) === Some(2L))
+    assert(graft.storage.TxnCatalog.read(spark, root, "catalog").get
+      .select("INDICE").distinct().as[String].collect().toSeq === Seq("WINNER"))
+    // vacuum drops txn-1 data and the loser's orphan, keeps the winner
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1)
+    assert(graft.storage.TxnCatalog.read(spark, root, "catalog").get
+      .select("INDICE").distinct().as[String].collect().toSeq === Seq("WINNER"))
+    val dirs = new java.io.File(s"$root/catalog").listFiles().map(_.getName)
+      .filter(_.startsWith("v="))
+    assert(dirs.length === 1, s"vacuum must keep only the live snapshot: ${dirs.toSeq}")
+  }
+
   test("S10: indices.csv sink writes header + data rows") {
     val dir = tmp("csv")
     Seq(("img1.JPG", "1.0;2.0", "Fundo", "C_1_EU_1"))
