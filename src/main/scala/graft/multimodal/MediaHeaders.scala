@@ -272,7 +272,34 @@ object MediaHeaders {
     else None
   }
 
-  /** Any recognized framed compressed-audio format. */
+  /** FLAC facts from the mandatory STREAMINFO metadata block (always the
+    * first block after the "fLaC" magic): sample rate (20 bits), channels
+    * (3 bits, stored −1), bits/sample (5 bits, stored −1), total samples
+    * (36 bits) ⇒ exact duration — no decode. Frame count reports total
+    * samples / max block size (header-derived; FLAC frames are
+    * variable-sized). Bitrate is stream bytes over duration. */
+  def flacMeta(b: Array[Byte]): Option[FramedAudioMeta] = {
+    if (b == null || b.length < 4 + 4 + 34) return None
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    // first metadata block header: 1 byte (last-flag | type), 3 bytes len
+    if ((u8(b, 4) & 0x7F) != 0) return None // STREAMINFO is type 0
+    val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (len < 34 || 8 + len > b.length) return None
+    val i = 8
+    val maxBlock = be16(b, i + 2)
+    val rate = (u8(b, i + 10) << 12) | (u8(b, i + 11) << 4) | (u8(b, i + 12) >> 4)
+    val chans = ((u8(b, i + 12) >> 1) & 7) + 1
+    val totalSamples = ((u8(b, i + 13) & 0x0F).toLong << 32) |
+      (be32(b, i + 14) & 0xFFFFFFFFL)
+    if (rate <= 0 || totalSamples <= 0) return None
+    val dur = totalSamples.toDouble / rate
+    val frames = math.max(1L, math.ceil(
+      totalSamples.toDouble / math.max(1, maxBlock)).toLong).toInt
+    Some(FramedAudioMeta("flac", rate, chans, frames, dur,
+      b.length.toLong * 8 / dur / 1000.0))
+  }
+
+  /** Any recognized framed/compressed-audio format. */
   def framedAudioMeta(b: Array[Byte]): Option[FramedAudioMeta] =
-    aacAdtsMeta(b).orElse(mp3Meta(b))
+    flacMeta(b).orElse(aacAdtsMeta(b)).orElse(mp3Meta(b))
 }

@@ -95,6 +95,35 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.framedAudioMeta(mp3Of(3)).get.format === "mp3")
   }
 
+  // FLAC: "fLaC" magic + STREAMINFO (type 0, 34 bytes): min/max block,
+  // min/max frame, then 20-bit rate | 3-bit chans-1 | 5-bit bps-1 |
+  // 36-bit total samples packed big-endian from byte 10 of the block
+  private def flacOf(rate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 4 + 34)
+    buf.put("fLaC".getBytes)
+    buf.put(0x00.toByte) // STREAMINFO, not last (flag irrelevant here)
+    buf.put(0x00.toByte); buf.put(0x00.toByte); buf.put(34.toByte)
+    buf.putShort(4096.toShort); buf.putShort(4096.toShort) // min/max block
+    buf.put(new Array[Byte](6)) // min/max frame size (24 bits each)
+    buf.put((rate >> 12).toByte)
+    buf.put(((rate >> 4) & 0xFF).toByte)
+    buf.put((((rate & 0xF) << 4) | ((channels - 1) << 1) | 0).toByte) // bps hi=0
+    buf.put((((16 - 1) & 0x1F) << 4 | ((totalSamples >> 32) & 0xF)).toInt.toByte)
+    buf.putInt((totalSamples & 0xFFFFFFFFL).toInt)
+    buf.put(new Array[Byte](16)) // md5
+    buf.array()
+  }
+
+  test("flac STREAMINFO: rate, channels, exact duration from total samples") {
+    val m = MediaHeaders.flacMeta(flacOf(44100, 2, 441000L)).get
+    assert(m.format === "flac" && m.sampleRate === 44100 && m.channels === 2)
+    assert(math.abs(m.durationSec - 10.0) < 1e-9)
+    assert(m.frames === math.ceil(441000.0 / 4096).toInt)
+    assert(MediaHeaders.flacMeta("fLaX nope".getBytes).isEmpty)
+    assert(MediaHeaders.flacMeta(flacOf(44100, 2, 441000L).take(20)).isEmpty)
+    assert(MediaHeaders.framedAudioMeta(flacOf(8000, 1, 8000L)).get.format === "flac")
+  }
+
   test("jpeg dims from SOF0 after skipped segments") {
     assert(MediaHeaders.jpegDims(jpegOf(640, 480))
       === Some(MediaHeaders.ImageDims("jpeg", 640, 480)))
