@@ -140,9 +140,13 @@ object TxnCatalog {
   /** Drop snapshots referenced only by txns older than the `keep` most
     * recent ones, plus orphan staging dirs of crashed or race-losing
     * attempts at already-committed txn numbers. Data still referenced by
-    * any kept manifest is never touched; manifests are removed AFTER the
-    * data they exclusively reference. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Unit = {
+    * any SURVIVING manifest is never touched; manifests are removed AFTER
+    * the data they exclusively reference. `minAgeMs` is the retention
+    * window against vacuum-vs-long-reader races: a txn is reclaimed only
+    * once its successor has been committed at least that long, so any
+    * reader that resolved it within the window still has its files. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1,
+      minAgeMs: Long = 0L): Unit = {
     require(keep >= 1, "must keep at least the current txn")
     val f = fs(spark, root)
     val tdir = new Path(txnsDir(root))
@@ -151,10 +155,17 @@ object TxnCatalog {
       .filterNot(_.startsWith("."))
       .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
     if (committed.isEmpty) return
-    val keptTxns = committed.takeRight(keep)
-    val keptRefs: Set[(String, String)] = keptTxns
+    val now = System.currentTimeMillis()
+    def successorAge(t: Long): Long = {
+      val next = committed.find(_ > t).get
+      now - f.getFileStatus(new Path(tdir, next.toString)).getModificationTime
+    }
+    val dropped = committed.dropRight(keep)
+      .filter(t => minAgeMs <= 0L || successorAge(t) >= minAgeMs)
+    val survivors = committed.filterNot(dropped.contains)
+    val keptRefs: Set[(String, String)] = survivors
       .flatMap(t => manifest(f, root, t).toSeq).toSet
-    committed.dropRight(keep).foreach { t =>
+    dropped.foreach { t =>
       manifest(f, root, t).foreach { case (tab, dir) =>
         if (!keptRefs.contains((tab, dir)))
           f.delete(new Path(s"$root/$tab/$dir"), true)

@@ -135,8 +135,13 @@ object VersionedTable {
     * one it observed, so an unreferenced dir at a committed version can
     * only be a loser). The current version is never dropped; marker files
     * of dropped versions are removed AFTER their data so a crash
-    * mid-vacuum leaves only harmless unreferenced directories. */
-  def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
+    * mid-vacuum leaves only harmless unreferenced directories.
+    * `minAgeMs` is the retention window against vacuum-vs-long-reader
+    * races: a version is reclaimed only once its successor has been
+    * committed at least that long, so any reader that resolved the
+    * current version within the window still has its files. */
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1,
+      minAgeMs: Long = 0L): Unit = {
     require(keep >= 1, "must keep at least the current version")
     val f = fs(spark, tableDir)
     val vdir = new Path(versionsDir(tableDir))
@@ -146,11 +151,28 @@ object VersionedTable {
       .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
     if (committed.isEmpty) return
     val maxCommitted = committed.last
-    committed.dropRight(keep).foreach { v =>
-      f.delete(new Path(s"$tableDir/${committedDataDir(f, tableDir, v)}"), true)
-      f.delete(new Path(vdir, v.toString), false)
+    // retention window (the standard vacuum-vs-long-reader mitigation):
+    // a version is only reclaimable once its SUCCESSOR's marker is older
+    // than minAgeMs — every reader that resolved max(committed) after
+    // that point reads a newer version, so a straggler has had the whole
+    // window to finish. minAgeMs=0 keeps the aggressive behavior for
+    // tests and single-reader pipelines.
+    val now = System.currentTimeMillis()
+    def successorAge(v: Long): Long = {
+      val next = committed.find(_ > v).get // dropRight(keep) ⇒ one exists
+      now - f.getFileStatus(new Path(vdir, next.toString)).getModificationTime
     }
-    val kept = committed.takeRight(keep)
+    committed.dropRight(keep)
+      .filter(v => minAgeMs <= 0L || successorAge(v) >= minAgeMs)
+      .foreach { v =>
+        f.delete(new Path(s"$tableDir/${committedDataDir(f, tableDir, v)}"), true)
+        f.delete(new Path(vdir, v.toString), false)
+      }
+    // live = every data dir a SURVIVING marker references (retention may
+    // have kept markers outside takeRight(keep) — re-list, don't assume)
+    val kept = f.listStatus(vdir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
       .map(v => committedDataDir(f, tableDir, v)).toSet
     f.listStatus(new Path(tableDir)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))

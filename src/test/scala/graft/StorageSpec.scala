@@ -223,6 +223,32 @@ class StorageSpec extends GraftSuite {
     assert(dirs.length === 1, s"vacuum must keep only the live snapshot: ${dirs.toSeq}")
   }
 
+  test("vacuum retention window: young versions survive, aged ones reclaim") {
+    val dir = tmp("vtret")
+    graft.storage.VersionedTable.overwrite(spark, dir, catalog) // v1
+    graft.storage.VersionedTable.overwrite(spark, dir,          // v2
+      catalog.withColumn("INDICE", lit("B")))
+    // v2's marker is seconds old: with a 1h window, v1 must SURVIVE —
+    // a straggler reader that resolved v1 before v2 landed still reads it
+    graft.storage.VersionedTable.vacuum(spark, dir, keep = 1,
+      minAgeMs = 3600L * 1000)
+    val dirs1 = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v="))
+    assert(dirs1.exists(_.startsWith("v=1.")) && dirs1.exists(_.startsWith("v=2.")),
+      s"retention must keep the young predecessor: ${dirs1.toSeq}")
+    // age the successor's marker past the window: v1 is now reclaimable
+    val marker2 = new java.io.File(s"$dir/_versions/2")
+    assert(marker2.setLastModified(System.currentTimeMillis() - 7200L * 1000))
+    graft.storage.VersionedTable.vacuum(spark, dir, keep = 1,
+      minAgeMs = 3600L * 1000)
+    val dirs2 = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v="))
+    assert(dirs2.length === 1 && dirs2.head.startsWith("v=2."),
+      s"aged version must reclaim: ${dirs2.toSeq}")
+    assert(graft.storage.VersionedTable.readCurrent(spark, dir).get
+      .select("INDICE").distinct().as[String].collect().toSeq === Seq("B"))
+  }
+
   test("S10: indices.csv sink writes header + data rows") {
     val dir = tmp("csv")
     Seq(("img1.JPG", "1.0;2.0", "Fundo", "C_1_EU_1"))
