@@ -275,8 +275,12 @@ object Similarity {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__n", l2Norm(col("__v")))
     val (nPlanes, nBands) =
-      if (numPlanes > 0) (numPlanes, if (bands > 0) bands else numPlanes / 8)
-      else {
+      if (numPlanes > 0) {
+        (numPlanes, if (bands > 0) bands else math.max(1, numPlanes / 8))
+      } else {
+        require(threshold > 0.0 && threshold < 1.0,
+          s"auto-banded LSH needs threshold in (0,1), got $threshold " +
+            "(pass explicit numPlanes/bands to force a fixed plan)")
         val n = math.max(base.count(), 2L).toDouble
         val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
         // collision budget ~50 per row: measured at d=64 the exact-cosine
@@ -284,13 +288,22 @@ object Similarity {
         // pass that avoids them, at small n as well as large — so no
         // small-n floor; the narrow-band config loses even at sf0.1
         val budget = 50.0 * n
+        def sizeB(r: Int): Long =
+          math.max(8L, math.ceil(math.log(1e8) / math.pow(p, r)).toLong)
         var r = 8
-        var b = math.max(8, math.ceil(math.log(1e8) / math.pow(p, r)).toInt)
+        var b = sizeB(r)
         while (r < 24 && b * n * n / math.pow(2.0, r) > budget) {
           r += 1
-          b = math.max(8, math.ceil(math.log(1e8) / math.pow(p, r)).toInt)
+          b = sizeB(r)
         }
-        (r * b, b)
+        // total-plane cap: b grows as p^-r, so moderate thresholds at large
+        // n would otherwise push r·b into the 10^5-10^6 range (the signature
+        // pass becomes the bottleneck) and near-0 thresholds overflow Int.
+        // When the cap binds we RELAX the 1e-8 per-pair miss target instead
+        // — recall degrades gracefully, cost stays bounded.
+        val maxTotalPlanes = 4096L
+        if (r.toLong * b > maxTotalPlanes) b = math.max(1L, maxTotalPlanes / r)
+        ((r * b).toInt, b.toInt)
       }
     // banding carries only (id, band, bh); vectors re-attach after the
     // candidate set has collapsed to verified-size

@@ -181,6 +181,11 @@ object VersionedTable {
         val base = s.getPath.getName.stripPrefix("v=").takeWhile(_ != '.')
         scala.util.Try(base.toLong).toOption.exists(_ <= maxCommitted)
       }
+      // retention applies to orphan staging dirs too: a writer whose Spark
+      // write is STILL RUNNING after a rival committed its number would
+      // otherwise have its staging dir deleted under it, turning a clean
+      // lost-the-race IOException into confusing mid-job task failures
+      .filter(s => minAgeMs <= 0L || now - s.getModificationTime >= minAgeMs)
       .foreach(s => f.delete(s.getPath, true))
   }
 }

@@ -140,7 +140,10 @@ object Streams {
     * it is the first occurrence WITHIN the batch (same (id, para_idx)
     * order as the batch operator) and was never seen in any earlier batch.
     * Cleaned docs append to `outDir`; the seen-paragraph set persists in
-    * `stateDir` (two-step overwrite, same pattern as the CMS cells state).
+    * `stateDir/paras` as a [[graft.storage.VersionedTable]] — the marker
+    * protocol makes the state swap crash-atomic: a crash mid-publish leaves
+    * an unmarked (invisible) staging dir and the PREVIOUS state intact, so
+    * replay can never observe a torn or silently-emptied seen-set.
     *
     * When doc ids arrive in increasing order across batches, the appended
     * output is IDENTICAL to running the batch operator over the
@@ -154,9 +157,13 @@ object Streams {
     val exploded = graft.ops.Dedup
       .paragraphs(batch, idCol, textCol, paraWords)
       .localCheckpoint(false) // two consumers: output + state update
-    val prev =
-      try spark.read.parquet(s"$stateDir/paras")
-      catch { case _: Exception => exploded.select("para").limit(0) }
+    // readCurrent is None only before the first commit — a transient read
+    // error (IO, permissions, corrupt footer) PROPAGATES instead of
+    // silently reinitializing the seen-set to empty (which would re-admit
+    // every previously-seen paragraph on replay)
+    val stateTable = s"$stateDir/paras"
+    val prev = graft.storage.VersionedTable.readCurrent(spark, stateTable)
+      .getOrElse(exploded.select("para").limit(0))
     val firstInBatch = org.apache.spark.sql.expressions.Window
       .partitionBy(col("para")).orderBy(col(idCol), col("para_idx"))
     val marked = exploded
@@ -165,11 +172,13 @@ object Streams {
       .withColumn("__keep", col("__rn") === 1 && col("__seen").isNull)
     graft.ops.Dedup.reassembleParagraphs(marked, idCol)
       .write.mode("append").parquet(outDir)
-    // state swap AFTER the output lands: crash-replay of this batch then
-    // re-reads the old state and rewrites the same rows
-    prev.select("para").union(exploded.select("para")).distinct()
-      .write.mode("overwrite").parquet(s"$stateDir/paras_next")
-    spark.read.parquet(s"$stateDir/paras_next")
-      .write.mode("overwrite").parquet(s"$stateDir/paras")
+    // state publish AFTER the output lands: crash-replay of this batch then
+    // re-reads the old committed state and rewrites the same rows. The
+    // marker rename is the commit point — the live state is never destroyed
+    // by a partial write. Old versions are reclaimed immediately (keep=1,
+    // no concurrent long readers inside one foreachBatch pipeline).
+    graft.storage.VersionedTable.overwrite(spark, stateTable,
+      prev.select("para").union(exploded.select("para")).distinct())
+    graft.storage.VersionedTable.vacuum(spark, stateTable, keep = 1)
   }
 }

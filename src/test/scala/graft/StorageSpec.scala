@@ -249,6 +249,27 @@ class StorageSpec extends GraftSuite {
       .select("INDICE").distinct().as[String].collect().toSeq === Seq("B"))
   }
 
+  test("vacuum retention window shields a possibly-still-writing loser's staging dir") {
+    val dir = tmp("vtorph")
+    graft.storage.VersionedTable.overwrite(spark, dir, catalog) // v1
+    // simulate a race loser whose Spark write is STILL RUNNING after the
+    // winner committed v1: an unreferenced young staging dir at a committed
+    // version number
+    val orphan = new java.io.File(s"$dir/v=1.loser123")
+    assert(orphan.mkdirs())
+    graft.storage.VersionedTable.vacuum(spark, dir, keep = 1,
+      minAgeMs = 3600L * 1000)
+    assert(orphan.exists(),
+      "a young orphan staging dir must survive the retention window " +
+        "(its writer may still be mid-job)")
+    // age it past the window: now it is reclaimable
+    assert(orphan.setLastModified(System.currentTimeMillis() - 7200L * 1000))
+    graft.storage.VersionedTable.vacuum(spark, dir, keep = 1,
+      minAgeMs = 3600L * 1000)
+    assert(!orphan.exists(), "an aged orphan staging dir must reclaim")
+    assert(graft.storage.VersionedTable.readCurrent(spark, dir).get.count() === 4)
+  }
+
   test("S10: indices.csv sink writes header + data rows") {
     val dir = tmp("csv")
     Seq(("img1.JPG", "1.0;2.0", "Fundo", "C_1_EU_1"))

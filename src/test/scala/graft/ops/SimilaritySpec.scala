@@ -106,6 +106,25 @@ class SimilaritySpec extends GraftSuite {
     assert(exact.nonEmpty)
   }
 
+  test("cosineLshPairs: small explicit numPlanes gets >=1 band, not 0") {
+    // numPlanes in 1..7 with bands unset used to truncate to 0 bands
+    val corpus = emb.select($"vec_id", $"embedding")
+      .union(emb.filter($"vec_id" === 7L)
+        .select(($"vec_id" + 10000).as("vec_id"), $"embedding"))
+    val pairs = Similarity.cosineLshPairs(corpus, "vec_id", "embedding", 0.99,
+      numPlanes = 6)
+    assert(pairs.collect().exists(r =>
+      r.getLong(0) == 7L && r.getLong(1) == 10007L))
+  }
+
+  test("cosineLshPairs auto mode validates threshold range") {
+    val corpus = emb.select($"vec_id", $"embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineLshPairs(corpus, "vec_id", "embedding", -0.5)
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("nearDupPairsBlocked rejects a corpus beyond its driver-bounded gate") {
     val corpus = emb.select($"vec_id", $"embedding")
     val e = intercept[IllegalArgumentException] {
