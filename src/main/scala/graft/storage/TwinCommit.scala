@@ -1,6 +1,5 @@
 package graft.storage
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic twin-append over two Parquet tables — the reference commits
@@ -9,76 +8,68 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * not atomic: a crash between them leaves a catalog row whose lineage
   * never arrives.
   *
-  * Commit-marker protocol (the classic manifest pattern, no table format
-  * needed):
-  *  1. each batch writes to its own `batch=<id>` directory under each table
-  *     (`errorifexists` — a retried batch id can never half-overwrite);
-  *  2. only after BOTH writes succeed is `<commits>/<id>` published via
-  *     create-temp + atomic rename (a single-file rename is atomic on
-  *     HDFS/POSIX/S3-committer targets);
-  *  3. readers resolve the marker directory first and read ONLY committed
-  *     batch directories — an unmarked batch is invisible no matter how many
-  *     of its files landed.
+  * Implemented as the 2-table special case of [[TxnCatalog]] partition
+  * commits — ONE commit protocol in the engine: each batch is the
+  * partition `batch=<id>` of both tables, staged into unique dirs and
+  * published by the single manifest rename, so both tables' batches
+  * appear atomically and stay snapshot-consistent with every other table
+  * under the same root. Append-only growth costs one new partition entry
+  * per batch (no table copy — the partition-grain manifest's point).
   *
-  * Scale posture: the marker listing is one driver-side `listStatus` of a
-  * directory holding one tiny file per batch — thousands of batches cost
-  * milliseconds; the data read is explicit-path Parquet, so committed-batch
+  * Scale posture: the manifest is one driver-side line per committed
+  * batch; the data read is explicit-path Parquet, so committed-batch
   * selection doubles as partition pruning.
   */
 object TwinCommit {
 
-  private def fs(spark: SparkSession, p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def part(batchId: String) = s"batch=$batchId"
 
-  /** Append `a`→`dirA` and `b`→`dirB` as batch `batchId`, atomically
-    * published by the commit marker. Idempotent on replay — the retry
-    * contract a streaming foreachBatch sink needs:
-    *  - batch already committed (marker exists): no-op, so a re-delivered
-    *    micro-batch after a post-commit crash writes nothing twice;
-    *  - batch torn (data dirs exist, no marker): the invisible remnants are
-    *    deleted and the batch is rewritten cleanly.
-    * Throws (and publishes nothing) if either write fails. */
-  def append(spark: SparkSession, batchId: String,
-      a: DataFrame, dirA: String, b: DataFrame, dirB: String,
-      commitsDir: String): Unit = {
+  /** Append `a`→`tableA` and `b`→`tableB` as batch `batchId` under
+    * `root`, atomically published by the txn manifest. Idempotent on
+    * replay — the retry contract a streaming foreachBatch sink needs:
+    *  - batch already committed (its partition is in the manifest):
+    *    no-op, so a re-delivered micro-batch after a post-commit crash
+    *    writes nothing twice;
+    *  - batch torn (staging dirs exist, no manifest entry): the remnants
+    *    are invisible by construction (unique staging dirs), the retry
+    *    stages fresh dirs and commits; [[TxnCatalog.vacuum]] reclaims the
+    *    orphans.
+    * Concurrent appends of DIFFERENT batches serialize on the txn number;
+    * a lost race is retried (bounded) so both land. Throws (and publishes
+    * nothing) if a write fails or retries exhaust. */
+  def append(spark: SparkSession, root: String, batchId: String,
+      a: DataFrame, tableA: String, b: DataFrame, tableB: String): Unit = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
-    val f = fs(spark, commitsDir)
-    val marker = new Path(commitsDir, batchId)
-    if (f.exists(marker)) return // committed replay — exactly-once no-op
-    Seq(dirA, dirB).foreach { dir =>
-      val p = new Path(s"$dir/batch=$batchId")
-      val df = fs(spark, dir)
-      if (df.exists(p)) df.delete(p, true) // torn remnants, never visible
+    var attempts = 0
+    while (true) {
+      // committed replay — exactly-once no-op (manifest publish was
+      // all-or-nothing, so presence in tableA implies presence in tableB)
+      if (TxnCatalog.partitions(spark, root, tableA).contains(part(batchId)))
+        return
+      attempts += 1
+      try {
+        TxnCatalog.commitPartitions(spark, root, Seq(
+          (tableA, part(batchId), a), (tableB, part(batchId), b)))
+        return
+      } catch {
+        case _: java.io.IOException if attempts < 5 =>
+        // lost the txn-number race to a concurrent append of another
+        // batch — re-resolve the manifest and retry this batch
+      }
     }
-    a.write.mode("errorifexists").parquet(s"$dirA/batch=$batchId")
-    b.write.mode("errorifexists").parquet(s"$dirB/batch=$batchId")
-    val tmp = new Path(commitsDir, s".$batchId.inprogress")
-    val out = f.create(tmp, true)
-    out.writeBytes(s"$batchId\n")
-    out.close()
-    if (!f.rename(tmp, marker))
-      throw new java.io.IOException(s"could not publish commit marker $marker")
   }
 
-  /** Committed batch ids, marker-directory order-independent. */
-  def committedBatches(spark: SparkSession, commitsDir: String): Seq[String] = {
-    val f = fs(spark, commitsDir)
-    val dir = new Path(commitsDir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).sorted
-  }
+  /** Committed batch ids, order-independent. */
+  def committedBatches(spark: SparkSession, root: String,
+      table: String): Seq[String] =
+    TxnCatalog.partitions(spark, root, table)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=")).sorted
 
   /** Read one table's committed batches only. Uncommitted (crashed, torn,
-    * in-flight) batch directories are never touched. Returns None when no
-    * batch has been committed yet (no schema to read). */
-  def readCommitted(spark: SparkSession, tableDir: String,
-      commitsDir: String): Option[DataFrame] = {
-    val f = fs(spark, tableDir)
-    val paths = committedBatches(spark, commitsDir)
-      .map(id => s"$tableDir/batch=$id")
-      .filter(p => f.exists(new Path(p)))
-    if (paths.isEmpty) None
-    else Some(spark.read.option("basePath", tableDir).parquet(paths: _*))
-  }
+    * in-flight) staging dirs are never visible. None when no batch has
+    * been committed yet (no schema to read). */
+  def readCommitted(spark: SparkSession, root: String,
+      table: String): Option[DataFrame] =
+    TxnCatalog.read(spark, root, table)
 }

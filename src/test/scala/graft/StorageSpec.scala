@@ -57,50 +57,59 @@ class StorageSpec extends GraftSuite {
   }
 
   test("TwinCommit: both tables visible after commit, atomically") {
-    val (catDir, linDir, comDir) = (tmp("twcat"), tmp("twlin"), tmp("twcom"))
+    val root = tmp("twroot")
     val cat = Seq((1L, "A"), (2L, "B")).toDF("ID", "INDICE")
     val lin = Seq((100L, 1L), (100L, 2L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
-    graft.storage.TwinCommit.append(spark, "b1", cat, catDir, lin, linDir, comDir)
-    val backCat = graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get
-    val backLin = graft.storage.TwinCommit.readCommitted(spark, linDir, comDir).get
+    graft.storage.TwinCommit.append(spark, root, "b1", cat, "catalog", lin, "lineage")
+    val backCat = graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get
+    val backLin = graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get
     assert(backCat.count() === 2 && backLin.count() === 2)
     // second batch appends; replaying a committed batch id is a no-op
     // (exactly-once: a foreachBatch retry after commit must not double-write)
-    graft.storage.TwinCommit.append(spark, "b2",
-      Seq((3L, "C")).toDF("ID", "INDICE"),
-      catDir, Seq((101L, 3L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), linDir, comDir)
-    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 3)
-    graft.storage.TwinCommit.append(spark, "b1", cat, catDir, lin, linDir, comDir)
-    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 3,
+    graft.storage.TwinCommit.append(spark, root, "b2",
+      Seq((3L, "C")).toDF("ID", "INDICE"), "catalog",
+      Seq((101L, 3L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), "lineage")
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get.count() === 3)
+    graft.storage.TwinCommit.append(spark, root, "b1", cat, "catalog", lin, "lineage")
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get.count() === 3,
       "replayed committed batch must not duplicate rows")
   }
 
   test("TwinCommit crash injection: failed second append is invisible to readers") {
-    val (catDir, linDir, comDir) = (tmp("crcat"), tmp("crlin"), tmp("crcom"))
+    val root = tmp("twcrash")
     val cat = Seq((1L, "A")).toDF("ID", "INDICE")
     val lin = Seq((100L, 1L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
-    graft.storage.TwinCommit.append(spark, "ok", cat, catDir, lin, linDir, comDir)
-    // crash between the two appends: lineage write fails (schema readable
-    // but the write dies mid-flight — simulated with a failing expression)
+    graft.storage.TwinCommit.append(spark, root, "ok", cat, "catalog", lin, "lineage")
+    // crash between the two staging writes: lineage write fails (schema
+    // readable but the write dies mid-flight — a failing expression)
     val poisoned = lin.withColumn("ID_IMAGEN_FUENTE",
       expr("raise_error('simulated crash') IS NULL").cast("long"))
     intercept[Exception] {
-      graft.storage.TwinCommit.append(spark, "torn", cat, catDir, poisoned, linDir, comDir)
+      graft.storage.TwinCommit.append(spark, root, "torn", cat, "catalog",
+        poisoned, "lineage")
     }
-    // the torn batch wrote catalog files on disk, but no marker was
+    // the torn batch wrote catalog files on disk, but no manifest was
     // published — readers of BOTH tables see only the committed batch
-    assert(graft.storage.TwinCommit.committedBatches(spark, comDir) === Seq("ok"))
-    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 1)
-    assert(graft.storage.TwinCommit.readCommitted(spark, linDir, comDir).get.count() === 1)
-    // raw directory listing confirms the torn catalog batch is really there
-    val raw = spark.read.option("basePath", catDir).parquet(catDir)
-    assert(raw.count() >= 1) // torn files may exist; readers never see them
-    // retrying the SAME batch id cleans the torn remnants and commits
-    graft.storage.TwinCommit.append(spark, "torn",
-      Seq((2L, "B")).toDF("ID", "INDICE"),
-      catDir, Seq((100L, 2L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), linDir, comDir)
-    assert(graft.storage.TwinCommit.committedBatches(spark, comDir) === Seq("ok", "torn"))
-    assert(graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get.count() === 2)
+    assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog") === Seq("ok"))
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get.count() === 1)
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get.count() === 1)
+    // raw directory listing confirms the torn catalog staging dir is there
+    val torn = new java.io.File(s"$root/catalog/batch=torn").listFiles()
+    assert(torn != null && torn.nonEmpty) // files exist; readers never see them
+    // retrying the SAME batch id commits cleanly (remnants stay invisible
+    // and are vacuum's to reclaim)
+    graft.storage.TwinCommit.append(spark, root, "torn",
+      Seq((2L, "B")).toDF("ID", "INDICE"), "catalog",
+      Seq((100L, 2L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), "lineage")
+    assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog")
+      === Seq("ok", "torn"))
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get.count() === 2)
+    // the unified path also reclaims the torn remnants via TxnCatalog.vacuum
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1)
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get.count() === 2)
+    val dirs = new java.io.File(s"$root/catalog/batch=torn").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSeq
+    assert(dirs.length === 1, s"vacuum must reclaim the torn staging dir: $dirs")
   }
 
   test("VersionedTable: updateSnapshot is snapshot-atomic; torn overwrite invisible") {
@@ -221,6 +230,83 @@ class StorageSpec extends GraftSuite {
     val dirs = new java.io.File(s"$root/catalog").listFiles().map(_.getName)
       .filter(_.startsWith("v="))
     assert(dirs.length === 1, s"vacuum must keep only the live snapshot: ${dirs.toSeq}")
+  }
+
+  test("TxnCatalog partition commit: 1 of N partitions rewrites only that partition") {
+    val root = tmp("txnpart")
+    // a fact table partitioned by process id: the partition key stays a
+    // data column (read() unions partition snapshots losslessly)
+    def slice(p: Int) = catalog.filter($"ID_PROCESO" === p)
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "ID_PROCESO=0", slice(0)), ("facts", "ID_PROCESO=2", slice(2))))
+    assert(graft.storage.TxnCatalog.partitions(spark, root, "facts")
+      === Seq("ID_PROCESO=0", "ID_PROCESO=2"))
+    assert(graft.storage.TxnCatalog.read(spark, root, "facts").get.count() === 4)
+    // update ONLY partition 0: partition 2's snapshot dir must carry
+    // forward untouched (same single dir, no whole-table copy)
+    def dirsOf(part: String) =
+      new java.io.File(s"$root/facts/$part").listFiles()
+        .map(_.getName).filter(_.startsWith("v=")).toSeq.sorted
+    val p2Before = dirsOf("ID_PROCESO=2")
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "ID_PROCESO=0", slice(0).withColumn("INDICE", lit("Z")))))
+    assert(dirsOf("ID_PROCESO=2") === p2Before,
+      "updating one partition must not rewrite another's data")
+    val byId = graft.storage.TxnCatalog.read(spark, root, "facts").get
+      .select("ID", "INDICE").as[(Long, String)].collect().toMap
+    assert(byId === Map(1L -> "Z", 2L -> "Z", 3L -> "C", 4L -> "D"))
+    // partition-pruned read touches exactly one entry
+    assert(graft.storage.TxnCatalog
+      .readPartition(spark, root, "facts", "ID_PROCESO=2").get.count() === 2)
+    // a table holding a whole-table snapshot rejects partition commits
+    graft.storage.TxnCatalog.commit(spark, root, Seq("dims" -> catalog))
+    val e = intercept[IllegalArgumentException] {
+      graft.storage.TxnCatalog.commitPartitions(spark, root,
+        Seq(("dims", "ID_PROCESO=0", slice(0))))
+    }
+    assert(e.getMessage.contains("whole-table"))
+  }
+
+  test("TxnCatalog partition commit is atomic across partitions AND tables") {
+    val root = tmp("txnpatom")
+    def slice(p: Int) = catalog.filter($"ID_PROCESO" === p)
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "ID_PROCESO=0", slice(0)), ("facts", "ID_PROCESO=2", slice(2)),
+      ("audit", "ID_PROCESO=0", slice(0).select("ID"))))
+    // crash mid-commit: facts' partition stages, audit's write dies —
+    // NEITHER new snapshot is visible (all-or-nothing across tables)
+    val poisoned = slice(2).select(
+      expr("raise_error('simulated crash') IS NULL").cast("long").as("ID"))
+    intercept[Exception] {
+      graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+        ("facts", "ID_PROCESO=2", slice(2).withColumn("INDICE", lit("TORN"))),
+        ("audit", "ID_PROCESO=2", poisoned)))
+    }
+    assert(graft.storage.TxnCatalog.currentTxn(spark, root) === Some(1L))
+    assert(graft.storage.TxnCatalog.read(spark, root, "facts").get
+      .filter($"INDICE" === "TORN").count() === 0,
+      "a torn partition txn must leave every partition at the old snapshot")
+    // two-writer race at partition grain: loser throws, cleans only its
+    // own staging dir, winner's data survives bit-for-bit
+    intercept[java.io.IOException] {
+      graft.storage.TxnCatalog.commitPartitionsHooked(spark, root, Seq(
+        ("facts", "ID_PROCESO=0", slice(0).withColumn("INDICE", lit("LOSER"))))) { () =>
+        graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+          ("facts", "ID_PROCESO=0", slice(0).withColumn("INDICE", lit("WINNER")))))
+      }
+    }
+    assert(graft.storage.TxnCatalog.readPartition(spark, root, "facts", "ID_PROCESO=0")
+      .get.select("INDICE").distinct().as[String].collect().toSeq === Seq("WINNER"))
+    // vacuum reclaims the superseded partition snapshot, the torn orphans
+    // and the loser's staging dir; live partitions keep exactly one dir
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1)
+    for (part <- Seq("ID_PROCESO=0", "ID_PROCESO=2")) {
+      val dirs = new java.io.File(s"$root/facts/$part").listFiles()
+        .map(_.getName).filter(_.startsWith("v=")).toSeq
+      assert(dirs.length === 1, s"$part must keep only its live snapshot: $dirs")
+    }
+    assert(graft.storage.TxnCatalog.read(spark, root, "facts").get.count() === 4)
+    assert(graft.storage.TxnCatalog.read(spark, root, "audit").get.count() === 2)
   }
 
   test("vacuum retention window: young versions survive, aged ones reclaim") {
