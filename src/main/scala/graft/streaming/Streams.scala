@@ -76,27 +76,55 @@ object Streams {
 
   /** Streaming atomic twin-table sink: each micro-batch is split into
     * (catalog rows, lineage rows) and committed through
-    * [[graft.storage.TwinCommit]] — both tables appear atomically per
-    * batch, and foreachBatch's at-least-once redelivery becomes
-    * exactly-once because TwinCommit replays committed batch ids as no-ops
-    * and cleans torn remnants before rewriting. The streaming form of the
-    * reference's single-transaction catalog+lineage insert
-    * (mysql_process.py:53-56).
+    * [[graft.storage.TwinCommit]] (the 2-table special case of
+    * [[graft.storage.TxnCatalog]] partition commits) — both tables appear
+    * atomically per batch, and foreachBatch's at-least-once redelivery
+    * becomes exactly-once because TwinCommit replays committed batch ids
+    * as no-ops and torn remnants are invisible by construction. The
+    * streaming form of the reference's single-transaction catalog+lineage
+    * insert (mysql_process.py:53-56).
     *
     * Returns the started query; caller owns its lifecycle.
     */
   def twinCommitSink(stream: DataFrame,
       split: DataFrame => (DataFrame, DataFrame),
-      catalogDir: String, lineageDir: String, commitsDir: String,
+      root: String, catalogTable: String, lineageTable: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (cat, lin) = split(batch)
-        graft.storage.TwinCommit.append(batch.sparkSession, s"b$id",
-          cat, catalogDir, lin, lineageDir, commitsDir)
+        graft.storage.TwinCommit.append(batch.sparkSession, root, s"b$id",
+          cat, catalogTable, lin, lineageTable)
       }
       .start()
+
+  /** E1 as a continuous ingest: a stream of image rows is classified
+    * against the STATIC parcel table (centroid → containment-first spatial
+    * join with 1-NN fallback, [[graft.pipelines.Pipelines.ingestClassify]])
+    * and committed atomically to catalog + lineage through
+    * [[twinCommitSink]] — the streaming re-expression of the reference's
+    * re-run-the-script-per-batch loop (script_geo.py:166-205 +
+    * mysql_process.py:53-56) with exactly-once landing.
+    *
+    * ingestClassify is a per-batch transform (it runs inside foreachBatch
+    * on a plain DataFrame), so the stream output is IDENTICAL row-for-row
+    * to the batch pipeline over the concatenated input — the parity the
+    * spec pins. Parcels are a broadcast dim; per-batch work scales with
+    * the batch, not the corpus.
+    */
+  def classifyCommitSink(images: DataFrame, predios: DataFrame,
+      cellSize: Double, runId: Long, root: String, catalogTable: String,
+      lineageTable: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    twinCommitSink(images, batch => {
+      val classified =
+        graft.pipelines.Pipelines.ingestClassify(batch, predios, cellSize)
+      (classified,
+        classified.filter(col("RUTA_RESULTADO").isNotNull)
+          .select(lit(runId).as("ID_EJECUCION"),
+            col("RUTA_RESULTADO").as("RUTA_IMAGEN_FUENTE")))
+    }, root, catalogTable, lineageTable, checkpointDir)
 
   /** Custom streaming state via `flatMapGroupsWithState`: contiguous
     * per-key sequence numbers that SURVIVE across micro-batches — the

@@ -104,24 +104,76 @@ class StreamsSpec extends GraftSuite {
     implicit val sqlCtx = spark.sqlContext
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
-    val (catDir, linDir, comDir, ckDir) = (tmp("scat"), tmp("slin"), tmp("scom"), tmp("sck"))
+    val (root, ckDir) = (tmp("sroot"), tmp("sck"))
     val src = MemoryStream[Ev]
     val q = Streams.twinCommitSink(
       src.toDF(),
       batch => (
         batch.select(col("user_id").as("ID"), col("event_type").as("INDICE")),
         batch.select(col("user_id").as("ID_IMAGEN_FUENTE"))),
-      catDir, linDir, comDir, ckDir)
+      root, "catalog", "lineage", ckDir)
     try {
       src.addData(Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0)))
       q.processAllAvailable()
       src.addData(Seq(Ev(ts(3), 3, "click", 3.0)))
       q.processAllAvailable()
-      val cat = graft.storage.TwinCommit.readCommitted(spark, catDir, comDir).get
-      val lin = graft.storage.TwinCommit.readCommitted(spark, linDir, comDir).get
+      val cat = graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get
+      val lin = graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get
       assert(cat.count() === 3 && lin.count() === 3)
-      assert(graft.storage.TwinCommit.committedBatches(spark, comDir).size === 2)
+      assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog").size === 2)
     } finally q.stop()
+  }
+
+  test("classifyCommitSink: streamed E1 classification equals the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
+    val (root, ckDir) = (tmp("e1root"), tmp("e1ck"))
+    val predios = Seq(
+      (10L, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)),
+        "C10", "Fundo Norte", "S1", "EU", "1"),
+      (20L, Seq((4.0, 0.0), (6.0, 0.0), (6.0, 2.0), (4.0, 2.0)),
+        "C20", "Fundo Sur", "S2", "PD", "2")
+    ).toDF("predioId", "pts", "CODIGO", "NOMBRE", "SECCION", "TIPOUSO", "APL")
+      .select($"predioId",
+        org.apache.spark.sql.functions.transform($"pts", p =>
+          org.apache.spark.sql.functions.struct(
+            p.getField("_1").as("x"), p.getField("_2").as("y"))).as("ring"),
+        $"CODIGO", $"NOMBRE", $"SECCION", $"TIPOUSO", $"APL")
+    // centroids via the gt escape hatch; one gap row (1-NN fallback) and
+    // one unlocatable row (sentinel) so every classify method streams
+    val b1 = Seq(("lake/a/img1.JPG", "bytes-1", Some(1.0), Some(1.0)),
+      ("lake/b/img2.tif", "bytes-2", Some(4.5), Some(0.5)))
+    val b2 = Seq(("lake/c/img3.JPG", "bytes-3", Some(3.0), Some(1.0)),
+      ("lake/d/img4.JPG", "bytes-4", None, None))
+    def toImages(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("path", "contentStr", "gt_cx", "gt_cy")
+      .select($"path", $"contentStr".cast("binary").as("content"),
+        $"gt_cx", $"gt_cy")
+    val src = MemoryStream[(String, String, Option[Double], Option[Double])]
+    val q = Streams.classifyCommitSink(toImages(src.toDF()), predios,
+      cellSize = 2.0, runId = 7L, root, "catalog", "lineage", ckDir)
+    try {
+      Seq(b1, b2).foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("path"), r.getAs[String]("method"),
+      r.getAs[String]("INDICE"), r.getAs[String]("RUTA_RESULTADO"))
+    val streamed = graft.storage.TwinCommit
+      .readCommitted(spark, root, "catalog").get.collect().map(key).toSet
+    val batchAll = graft.pipelines.Pipelines
+      .ingestClassify(toImages((b1 ++ b2).toDF()), predios, 2.0)
+      .collect().map(key).toSet
+    assert(streamed === batchAll)
+    assert(streamed.exists(_._2 === "contains") &&
+      streamed.exists(_._2 === "nearest") &&
+      streamed.exists(_._2 === "unclassifiable"))
+    // lineage landed atomically with the catalog rows: one row per
+    // LOCATED image, both batches committed
+    val lin = graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get
+    assert(lin.count() === 3 &&
+      lin.select("ID_EJECUCION").distinct().as[Long].collect().toSeq === Seq(7L))
+    assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog").size === 2)
   }
 
   test("dropDuplicatesWithinWatermark: duplicate keys across batches collapse") {
