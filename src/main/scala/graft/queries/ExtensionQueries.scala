@@ -37,6 +37,84 @@ object ExtensionQueries extends QueryGroup {
        |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Unrolled BPE as a DuckDB CTE chain (the k-core/pageRank device):
+    * training REDERIVED in SQL. Each step counts adjacent symbol pairs
+    * over the word dictionary weighted by word count (ties: count desc,
+    * then lexicographically smallest pair — ASCII corpus, so UTF-8 binary
+    * and UTF-16 orders agree), picks the winner, and applies it with the
+    * greedy left-to-right non-overlap rule: candidate start positions in
+    * consecutive runs keep only even offsets from the run start (overlaps
+    * only arise for a==b runs, where this parity IS left-to-right greedy).
+    *
+    * Because [[graft.ops.Bpe.train]] applies each learned merge to the
+    * whole dictionary as it goes and (at minWordCount=1) the dictionary
+    * holds every distinct corpus word, the final training state already
+    * equals the ENCODED form of each word: encodeWord's lowest-rank-first
+    * loop is equivalent to applying merges in rank order, since a merge
+    * can only create pairs of strictly higher rank than itself. So one
+    * chain yields token counts per word; per-doc stats follow by join.
+    * tokens_per_word's 6-dp HALF_UP is computed in exact integer
+    * arithmetic — (2·t·10⁶ + w) // (2·w) — which matches the engine's
+    * BigDecimal rounding for every feasible word count (non-terminating
+    * expansions can't sit on a half-boundary; terminating ones are exact
+    * in both engines). */
+  private def bpeOracle(numMerges: Int): String = {
+    val head =
+      """WITH d0 AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) c, string_split(w, '') s FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) w FROM documents) t
+        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    val steps = (1 to numMerges).map { k =>
+      val p = k - 1
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT a, b, SUM(c) cnt FROM (
+         |    SELECT s[j] a, s[j+1] b, c FROM (
+         |      SELECT c, s, unnest(generate_series(1, len(s)-1)) j
+         |      FROM d$p WHERE len(s) >= 2) t1) t2
+         |  GROUP BY a, b),
+         |m$k AS MATERIALIZED (SELECT a, b FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |ap$k AS MATERIALIZED (
+         |  SELECT w, i FROM (
+         |    SELECT w, i, min(i) OVER (PARTITION BY w, g) rs FROM (
+         |      SELECT p.w, p.i,
+         |             p.i - row_number() OVER (PARTITION BY p.w ORDER BY p.i) g
+         |      FROM (SELECT w, s, unnest(generate_series(1, len(s)-1)) i
+         |            FROM d$p WHERE len(s) >= 2) p, m$k m
+         |      WHERE p.s[p.i] = m.a AND p.s[p.i+1] = m.b) t1) t2
+         |  WHERE (i - rs) % 2 = 0),
+         |d$k AS MATERIALIZED (
+         |  SELECT w, c, list(sym ORDER BY i) s FROM (
+         |    SELECT p.w, p.c, p.i,
+         |           CASE WHEN k1.i IS NOT NULL THEN p.s[p.i] || p.s[p.i+1]
+         |                ELSE p.s[p.i] END sym,
+         |           k2.i drop_i
+         |    FROM (SELECT w, c, s, unnest(generate_series(1, len(s))) i FROM d$p) p
+         |    LEFT JOIN ap$k k1 ON k1.w = p.w AND k1.i = p.i
+         |    LEFT JOIN ap$k k2 ON k2.w = p.w AND k2.i = p.i - 1) t
+         |  WHERE drop_i IS NULL
+         |  GROUP BY w, c)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s""",
+         |tok AS MATERIALIZED (SELECT w, CAST(len(s) AS BIGINT) nt FROM d$numMerges),
+         |docw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) w
+         |    FROM documents) t
+         |  WHERE len(w) > 0),
+         |agg AS (SELECT doc.doc_id id,
+         |               CAST(COUNT(t.w) AS BIGINT) nw,
+         |               CAST(COALESCE(SUM(t.nt), 0) AS BIGINT) ntk
+         |        FROM documents doc
+         |        LEFT JOIN docw dw ON dw.doc_id = doc.doc_id
+         |        LEFT JOIN tok t ON t.w = dw.w
+         |        GROUP BY doc.doc_id)
+         |SELECT id, CAST(nw AS INTEGER) n_words, CAST(ntk AS INTEGER) n_tokens,
+         |       CASE WHEN nw = 0 THEN 0.0
+         |            ELSE CAST((2*ntk*1000000 + nw) // (2*nw) AS DOUBLE)/1000000
+         |       END tokens_per_word
+         |FROM agg ORDER BY id""".stripMargin
+  }
+
   /** Unrolled pinned power iteration as a DuckDB CTE chain (same device as
     * the PageRank oracle): per round, s = e·v via list_dot_product, w from
     * a 64-way position sum rounded to 10 dp, v = w/‖w‖ rounded to 10 dp —
@@ -738,8 +816,10 @@ object ExtensionQueries extends QueryGroup {
     // trainer shape), then row-local encoding under broadcast ranks.
     // Per-doc token/fertility stats; the synthetic corpus has a ~31-word
     // vocabulary, so a budget of 20 merges leaves tokenization partial and
-    // the fertility column informative. No SQL BPE exists — rows-only; the
-    // merge order and encoding are hand-verified in BpeSpec.
+    // the fertility column informative. The oracle REDERIVES training and
+    // encoding as one unrolled CTE chain (the k-core/pageRank device, see
+    // bpeOracle); merge order and encoding are also hand-verified in
+    // BpeSpec.
     QueryDef(
       "x_bpe_tokenize",
       (s, d) => {
@@ -748,7 +828,7 @@ object ExtensionQueries extends QueryGroup {
         graft.ops.Bpe.tokenize(docs, "doc_id", "text", merges)
           .orderBy("id")
       },
-      None),
+      Some(bpeOracle(20))),
 
     // Compression-ratio quality signal over documents: deflate-bytes /
     // raw-bytes per doc (too low = boilerplate, too high = junk). No SQL
