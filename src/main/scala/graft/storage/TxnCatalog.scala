@@ -40,7 +40,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  3. readers resolve max committed txn once and read ONLY dirs that its
   *     manifest names: a reader can never observe table A at txn n and
   *     table B at txn n−1, or partition P at n and partition Q at n−1,
-  *     no matter how the writer crashed.
+  *     no matter how the writer crashed. [[snapshot]] pins that one
+  *     resolution across any number of read calls; the per-call readers
+  *     re-resolve latest each call.
   *
   * Scale posture: manifests are driver-side text — one line per LIVE
   * (table, partition), not per version, so a 10 000-partition fact table
@@ -102,41 +104,75 @@ object TxnCatalog {
     }.toMap
   }
 
-  private def currentManifest(spark: SparkSession,
-      root: String): Map[(String, String), String] =
-    currentTxn(spark, root)
-      .map(manifest(fs(spark, root), root, _)).getOrElse(Map.empty)
+  /** A catalog view pinned at one committed txn: every read through the
+    * same snapshot resolves against the SAME manifest, so a logical read
+    * that spans several calls (table A, then table B; or partition by
+    * partition) can never mix txns, no matter how many commits land in
+    * between. The per-call readers on [[TxnCatalog]] re-resolve the
+    * LATEST txn on every call — pin a snapshot whenever one computation
+    * reads more than once. A pinned txn's data dirs stay on disk only
+    * while [[vacuum]]'s keep/minAgeMs retention covers it: size the
+    * retention window to the longest-running reader. */
+  final class Snapshot private[storage] (
+      spark: SparkSession, root: String, val txn: Long,
+      entries: Map[(String, String), String]) {
+
+    /** Tables present in this snapshot. */
+    def tables: Seq[String] = entries.keys.map(_._1).toSeq.distinct.sorted
+
+    /** Partitions of `table` in this snapshot (empty for a whole-table
+      * snapshot or an absent table). */
+    def partitions(table: String): Seq[String] = entries.keys
+      .collect { case (t, p) if t == table && p != Whole => p }.toSeq.sorted
+
+    /** Read `table` at this snapshot's txn. A partitioned table reads as
+      * the union of its live partition snapshots (the partition key is a
+      * data column by contract — explicit version dirs preclude
+      * Hive-style dir-name recovery). None if absent. */
+    def read(table: String): Option[DataFrame] = {
+      val paths = entries.toSeq
+        .collect { case ((t, p), d) if t == table => entryPath(root, t, p, d) }
+        .sorted
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    }
+
+    /** Read one partition of `table` at this snapshot's txn — touches
+      * ONLY that partition's files (manifest-level partition pruning). */
+    def readPartition(table: String, partition: String): Option[DataFrame] = {
+      checkPartitionName(partition)
+      entries.get((table, partition))
+        .map(d => spark.read.parquet(entryPath(root, table, partition, d)))
+    }
+  }
+
+  /** Pin the latest committed txn for snapshot-consistent multi-call
+    * reads. None for an empty catalog. */
+  def snapshot(spark: SparkSession, root: String): Option[Snapshot] =
+    currentTxn(spark, root).map(t =>
+      new Snapshot(spark, root, t, manifest(fs(spark, root), root, t)))
 
   /** Tables present in the latest committed snapshot. */
   def tables(spark: SparkSession, root: String): Seq[String] =
-    currentManifest(spark, root).keys.map(_._1).toSeq.distinct.sorted
+    snapshot(spark, root).map(_.tables).getOrElse(Nil)
 
   /** Partitions of `table` in the latest committed snapshot (empty for a
     * whole-table snapshot or an absent table). */
   def partitions(spark: SparkSession, root: String, table: String): Seq[String] =
-    currentManifest(spark, root).keys
-      .collect { case (t, p) if t == table && p != Whole => p }.toSeq.sorted
+    snapshot(spark, root).map(_.partitions(table)).getOrElse(Nil)
 
-  /** Read `table` at the latest committed txn — always consistent with
-    * every other table AND partition read at the same txn. A partitioned
-    * table reads as the union of its live partition snapshots (the
-    * partition key is a data column by contract — explicit version dirs
-    * preclude Hive-style dir-name recovery). None if absent. */
-  def read(spark: SparkSession, root: String, table: String): Option[DataFrame] = {
-    val paths = currentManifest(spark, root).toSeq
-      .collect { case ((t, p), d) if t == table => entryPath(root, t, p, d) }
-      .sorted
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
-  }
+  /** Read `table` at the latest committed txn. Consistency note: ONE call
+    * resolves one manifest, but each call re-resolves the latest — a
+    * multi-call read should go through [[snapshot]] to pin a single txn
+    * across calls. None if absent. */
+  def read(spark: SparkSession, root: String, table: String): Option[DataFrame] =
+    snapshot(spark, root).flatMap(_.read(table))
 
   /** Read one partition of `table` at the latest committed txn — touches
-    * ONLY that partition's files (manifest-level partition pruning). */
+    * ONLY that partition's files (manifest-level partition pruning).
+    * Multi-call reads should pin a [[snapshot]] (see [[read]]). */
   def readPartition(spark: SparkSession, root: String, table: String,
-      partition: String): Option[DataFrame] = {
-    checkPartitionName(partition)
-    currentManifest(spark, root).get((table, partition))
-      .map(d => spark.read.parquet(entryPath(root, table, partition, d)))
-  }
+      partition: String): Option[DataFrame] =
+    snapshot(spark, root).flatMap(_.readPartition(table, partition))
 
   /** Atomically publish new WHOLE-TABLE snapshots for `updates`
     * (table → DataFrame); untouched tables carry forward. A whole-table

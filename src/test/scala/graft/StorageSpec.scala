@@ -309,6 +309,53 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TxnCatalog.read(spark, root, "audit").get.count() === 2)
   }
 
+  test("TxnCatalog snapshot: pinned reads never mix txns across commits") {
+    val root = tmp("txnsnap")
+    val cat = Seq((1L, "A")).toDF("ID", "INDICE")
+    val lin = Seq((100L, 1L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
+    graft.storage.TxnCatalog.commit(spark, root,
+      Seq("catalog" -> cat, "lineage" -> lin))
+    val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
+    assert(snap.txn === 1L)
+    assert(snap.tables === Seq("catalog", "lineage"))
+    // the reader consumes table A, then a writer commits BOTH tables,
+    // then the reader consumes table B through the same pin: both reads
+    // land at txn 1 — the straddle that per-call reads cannot prevent
+    assert(snap.read("catalog").get
+      .select("INDICE").as[String].collect().toSeq === Seq("A"))
+    graft.storage.TxnCatalog.commit(spark, root, Seq(
+      "catalog" -> cat.withColumn("INDICE", lit("A2")),
+      "lineage" -> lin.withColumn("ID_EJECUCION", lit(200L))))
+    assert(snap.read("lineage").get
+      .select("ID_EJECUCION").as[Long].collect().toSeq === Seq(100L),
+      "a pinned snapshot must keep serving the txn it pinned")
+    // per-call reads see the new txn immediately
+    assert(graft.storage.TxnCatalog.read(spark, root, "lineage").get
+      .select("ID_EJECUCION").as[Long].collect().toSeq === Seq(200L))
+    // vacuum inside the retention window keeps the pinned txn readable
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1,
+      minAgeMs = 3600L * 1000)
+    assert(snap.read("catalog").get
+      .select("INDICE").as[String].collect().toSeq === Seq("A"))
+  }
+
+  test("TxnCatalog snapshot pins partition reads too") {
+    val root = tmp("txnsnapp")
+    def slice(p: Int) = catalog.filter($"ID_PROCESO" === p)
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "ID_PROCESO=0", slice(0)), ("facts", "ID_PROCESO=2", slice(2))))
+    val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
+    assert(snap.partitions("facts") === Seq("ID_PROCESO=0", "ID_PROCESO=2"))
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "ID_PROCESO=2", slice(2).withColumn("INDICE", lit("NEW")))))
+    assert(snap.readPartition("facts", "ID_PROCESO=2").get
+      .filter($"INDICE" === "NEW").count() === 0,
+      "a pinned snapshot must serve the partition dir its manifest names")
+    assert(graft.storage.TxnCatalog
+      .readPartition(spark, root, "facts", "ID_PROCESO=2").get
+      .filter($"INDICE" === "NEW").count() === 2)
+  }
+
   test("vacuum retention window: young versions survive, aged ones reclaim") {
     val dir = tmp("vtret")
     graft.storage.VersionedTable.overwrite(spark, dir, catalog) // v1
