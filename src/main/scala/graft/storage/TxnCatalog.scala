@@ -74,16 +74,22 @@ object TxnCatalog {
       !p.startsWith("_") && !p.startsWith(".") && !p.startsWith("v="),
       s"illegal partition name '$p'")
 
-  /** Highest committed transaction, or None for an empty catalog. */
-  def currentTxn(spark: SparkSession, root: String): Option[Long] = {
+  /** Every committed txn whose manifest is still on disk, ascending —
+    * the time-travel axis for [[snapshotAt]]. [[vacuum]] trims the old
+    * end (outside its keep/minAgeMs window). */
+  def txns(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     val dir = new Path(txnsDir(root))
-    if (!f.exists(dir)) None
+    if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filterNot(_.startsWith("."))
       .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .sorted.lastOption
+      .sorted
   }
+
+  /** Highest committed transaction, or None for an empty catalog. */
+  def currentTxn(spark: SparkSession, root: String): Option[Long] =
+    txns(spark, root).lastOption
 
   /** The (table, partition)→dataDir mapping a committed txn's manifest
     * records. Two-field lines (pre-partition manifests) parse as
@@ -150,6 +156,18 @@ object TxnCatalog {
   def snapshot(spark: SparkSession, root: String): Option[Snapshot] =
     currentTxn(spark, root).map(t =>
       new Snapshot(spark, root, t, manifest(fs(spark, root), root, t)))
+
+  /** Time travel: pin a SPECIFIC committed txn and read every table and
+    * partition exactly as it stood then (audits, reproducing a run,
+    * diffing against [[snapshot]]). Reaches only as far back as
+    * [[vacuum]]'s keep window — throws if `txn` was never committed or
+    * its manifest has been vacuumed. */
+  def snapshotAt(spark: SparkSession, root: String, txn: Long): Snapshot = {
+    val f = fs(spark, root)
+    require(f.exists(new Path(txnsDir(root), txn.toString)),
+      s"txn $txn is not committed (or already vacuumed) under $root")
+    new Snapshot(spark, root, txn, manifest(f, root, txn))
+  }
 
   /** Tables present in the latest committed snapshot. */
   def tables(spark: SparkSession, root: String): Seq[String] =

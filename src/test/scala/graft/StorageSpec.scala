@@ -339,6 +339,42 @@ class StorageSpec extends GraftSuite {
       .select("INDICE").as[String].collect().toSeq === Seq("A"))
   }
 
+  test("TxnCatalog time travel: snapshotAt reads history inside the keep window") {
+    val root = tmp("txntt")
+    val cat = Seq((1L, "A")).toDF("ID", "INDICE")
+    graft.storage.TxnCatalog.commit(spark, root, Seq("catalog" -> cat))
+    graft.storage.TxnCatalog.commit(spark, root,
+      Seq("catalog" -> cat.withColumn("INDICE", lit("B")),
+        "lineage" -> Seq((100L, 1L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")))
+    graft.storage.TxnCatalog.commit(spark, root,
+      Seq("catalog" -> cat.withColumn("INDICE", lit("C"))))
+    assert(graft.storage.TxnCatalog.txns(spark, root) === Seq(1L, 2L, 3L))
+    // as of txn 1: old catalog value, lineage does not exist yet
+    val at1 = graft.storage.TxnCatalog.snapshotAt(spark, root, 1L)
+    assert(at1.read("catalog").get
+      .select("INDICE").as[String].collect().toSeq === Seq("A"))
+    assert(at1.tables === Seq("catalog"))
+    // as of txn 2: mid value, lineage present
+    val at2 = graft.storage.TxnCatalog.snapshotAt(spark, root, 2L)
+    assert(at2.read("catalog").get
+      .select("INDICE").as[String].collect().toSeq === Seq("B"))
+    assert(at2.read("lineage").get.count() === 1)
+    // never-committed txns are rejected
+    intercept[IllegalArgumentException] {
+      graft.storage.TxnCatalog.snapshotAt(spark, root, 9L)
+    }
+    // vacuum trims the travel horizon: txn 1 falls out of keep=2
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 2)
+    assert(graft.storage.TxnCatalog.txns(spark, root) === Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      graft.storage.TxnCatalog.snapshotAt(spark, root, 1L)
+    }
+    // survivors stay readable with their full history semantics
+    assert(graft.storage.TxnCatalog.snapshotAt(spark, root, 2L)
+      .read("catalog").get
+      .select("INDICE").as[String].collect().toSeq === Seq("B"))
+  }
+
   test("TxnCatalog snapshot pins partition reads too") {
     val root = tmp("txnsnapp")
     def slice(p: Int) = catalog.filter($"ID_PROCESO" === p)
