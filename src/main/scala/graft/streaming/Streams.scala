@@ -209,4 +209,55 @@ object Streams {
       prev.select("para").union(exploded.select("para")).distinct())
     graft.storage.VersionedTable.vacuum(spark, stateTable, keep = 1)
   }
+
+  /** One `foreachBatch` step of incremental MinHash-LSH NEAR-dup dedup
+    * (the streaming form of the [[graft.ops.Dedup.minHashLshPairs]] +
+    * drop-matched-ids rule): a doc survives iff it near-dup-matches
+    * (verified Jaccard ≥ `threshold`) no earlier doc — neither a
+    * lower-`idCol` doc within its own batch nor ANY doc of ANY earlier
+    * batch. Survivors append to `outDir`; the seen-doc set persists in
+    * `stateDir/docs` as a [[graft.storage.VersionedTable]] (same
+    * crash-atomic marker swap as [[paragraphDedupBatchStep]]: replay
+    * re-reads the old committed state and recomputes the same survivors).
+    *
+    * State holds every SEEN doc, not just survivors — the batch rule
+    * "drop any doc that matches a lower-id doc" counts matches against
+    * dropped docs too, and only a full-seen state makes the streamed
+    * output independent of where the stream was cut. With ids increasing
+    * across batches and the hot-bucket cap disabled (the cap is a
+    * per-run statistic, so per-batch caps and a whole-corpus cap can
+    * disagree), the appended output is IDENTICAL to the batch rule over
+    * the concatenated stream — the equivalence the spec pins.
+    *
+    * Scale: each batch pays one LSH self-join over the batch plus
+    * bands·|batch| bucket probes against the state via
+    * [[graft.ops.Dedup.minHashLshPairsAgainst]] — never a self-join over
+    * the accumulated corpus. State is one (id, text) row per seen doc,
+    * keyed for the hash joins a 100 TB run would bucket on. */
+  def minHashDedupBatchStep(
+      batch: DataFrame, idCol: String, textCol: String,
+      outDir: String, stateDir: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col(idCol), col(textCol)).localCheckpoint(false)
+    val stateTable = s"$stateDir/docs"
+    // None only before the first commit; transient read errors PROPAGATE
+    // (a silently-emptied seen-set would re-admit every earlier near-dup)
+    val prev = graft.storage.VersionedTable.readCurrent(spark, stateTable)
+      .getOrElse(docs.limit(0))
+    val droppedInBatch = graft.ops.Dedup.minHashLshPairs(
+      docs, idCol, textCol, shingleN, numHashes, bands, threshold,
+      maxBucketSize).select(col("idb").as(idCol))
+    val droppedByState = graft.ops.Dedup.minHashLshPairsAgainst(
+      prev, docs, idCol, textCol, shingleN, numHashes, bands, threshold,
+      maxBucketSize).select(col("idb").as(idCol))
+    docs.join(droppedInBatch.union(droppedByState).distinct(),
+        Seq(idCol), "left_anti")
+      .write.mode("append").parquet(outDir)
+    // state publish AFTER the output lands (see paragraphDedupBatchStep)
+    graft.storage.VersionedTable.overwrite(spark, stateTable,
+      prev.unionByName(docs).dropDuplicates(idCol))
+    graft.storage.VersionedTable.vacuum(spark, stateTable, keep = 1)
+  }
 }

@@ -336,6 +336,48 @@ class StreamsSpec extends GraftSuite {
     assert(!byId(3L)._4.contains("rights reserved"))
   }
 
+  test("streaming minhash near-dup dedup: cross-batch LSH state matches the batch rule") {
+    // minHashDedupBatchStep keeps every SEEN doc in a state table; with
+    // ids arriving in order (and the hot-bucket cap off, a per-run
+    // statistic), appended survivors must be IDENTICAL to the batch rule
+    // "drop any doc that near-dup-matches a lower-id doc" over the
+    // concatenated stream
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("mhdedup_out")
+      .toFile.getAbsolutePath
+    val stateDir = java.nio.file.Files.createTempDirectory("mhdedup_state")
+      .toFile.getAbsolutePath
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")) // J=0.6 vs 1 -> dropped
+    val b2 = Seq(
+      (3L, "alpha beta gamma delta epsilon theta"), // J=0.6 vs 1: CROSS-batch drop
+      (4L, "one two three four five six"),
+      (5L, "one two three four five seven"), // J=0.6 vs 4: within-batch drop
+      (6L, "omega beta gamma delta epsilon eta")) // J=0.6 vs DROPPED 2 only (1/3 vs 1)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streams.minHashDedupBatchStep(batch, "doc_id", "text",
+          outDir, stateDir)
+    }.start()
+    try {
+      Seq(b1, b2).foreach { b => src.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, String)].collect().toSet
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val droppedAll = graft.ops.Dedup.minHashLshPairs(all, "doc_id", "text",
+        maxBucketSize = 0)
+      .select(col("idb").as("doc_id")).distinct()
+    val batchKept = all.join(droppedAll, Seq("doc_id"), "left_anti")
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batchKept)
+    // doc 6 near-dup-matches ONLY the already-dropped doc 2 — dropping it
+    // requires the state to hold every seen doc, not just survivors
+    assert(streamed.map(_._1) === Set(1L, 4L))
+  }
+
   test("the same transforms run on batch DataFrames (unified model)") {
     val batch = Seq(
       Ev(ts(1), 1, "click", 1.5), Ev(ts(4), 1, "click", 2.5), Ev(ts(11), 2, "view", 4.0)
