@@ -134,12 +134,18 @@ object TxnCatalog {
     /** Read `table` at this snapshot's txn. A partitioned table reads as
       * the union of its live partition snapshots (the partition key is a
       * data column by contract — explicit version dirs preclude
-      * Hive-style dir-name recovery). None if absent. */
+      * Hive-style dir-name recovery), with schemas MERGED across
+      * partitions: batches appended over time may carry evolved schemas
+      * (a later batch adds a column), so older partitions surface the
+      * new column as null and an incompatible type change fails loudly
+      * instead of silently picking one footer's schema. None if absent. */
     def read(table: String): Option[DataFrame] = {
       val paths = entries.toSeq
         .collect { case ((t, p), d) if t == table => entryPath(root, t, p, d) }
         .sorted
-      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+      if (paths.isEmpty) None
+      else if (paths.sizeIs == 1) Some(spark.read.parquet(paths.head))
+      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }
 
     /** Read one partition of `table` at this snapshot's txn — touches
@@ -167,6 +173,40 @@ object TxnCatalog {
     require(f.exists(new Path(txnsDir(root), txn.toString)),
       s"txn $txn is not committed (or already vacuumed) under $root")
     new Snapshot(spark, root, txn, manifest(f, root, txn))
+  }
+
+  /** One changed (table, partition) entry between two committed txns. */
+  final case class EntryChange(table: String, partition: String,
+      change: String) // "added" | "updated" | "removed"
+
+  /** The (table, partition) entries whose data differs between two
+    * committed txns — how an incremental consumer discovers what to
+    * reprocess WITHOUT rescanning the catalog: the answer is
+    * manifest-sized (driver-side KB), and reading just the changed data
+    * is `snapshotAt(toTxn).readPartition` over the `added`/`updated`
+    * entries — partition-pruned by construction, so a 1-of-10 000
+    * partition commit costs its consumers exactly one partition read.
+    * Both manifests must still be inside [[vacuum]]'s keep window.
+    * Whole-table entries diff under the reserved partition `-`. */
+  def diff(spark: SparkSession, root: String, fromTxn: Long,
+      toTxn: Long): Seq[EntryChange] = {
+    require(fromTxn <= toTxn, s"diff range is reversed: $fromTxn > $toTxn")
+    val f = fs(spark, root)
+    for (t <- Seq(fromTxn, toTxn))
+      require(f.exists(new Path(txnsDir(root), t.toString)),
+        s"txn $t is not committed (or already vacuumed) under $root")
+    val (from, to) = (manifest(f, root, fromTxn), manifest(f, root, toTxn))
+    val changes =
+      to.collect {
+        case (k, _) if !from.contains(k) =>
+          EntryChange(k._1, k._2, "added")
+        case (k, d) if from(k) != d =>
+          EntryChange(k._1, k._2, "updated")
+      } ++
+      from.collect { case (k, _) if !to.contains(k) =>
+        EntryChange(k._1, k._2, "removed")
+      }
+    changes.toSeq.sortBy(c => (c.table, c.partition))
   }
 
   /** Tables present in the latest committed snapshot. */

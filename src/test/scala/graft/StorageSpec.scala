@@ -375,6 +375,56 @@ class StorageSpec extends GraftSuite {
       .select("INDICE").as[String].collect().toSeq === Seq("B"))
   }
 
+  test("TxnCatalog diff names exactly the changed entries between txns") {
+    val root = tmp("txndiff")
+    def slice(p: Int) = catalog.filter($"ID_PROCESO" === p)
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "ID_PROCESO=0", slice(0)), ("facts", "ID_PROCESO=2", slice(2))))
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "ID_PROCESO=0", slice(0).withColumn("INDICE", lit("Z"))),
+      ("audit", "ID_PROCESO=0", slice(0).select("ID"))))
+    graft.storage.TxnCatalog.commit(spark, root,
+      Seq("dims" -> catalog.limit(1)))
+    import graft.storage.TxnCatalog.EntryChange
+    // txn1 -> txn3: facts/p0 rewritten, audit + dims appeared; facts/p2
+    // carried forward untouched and must NOT be listed
+    assert(graft.storage.TxnCatalog.diff(spark, root, 1L, 3L) === Seq(
+      EntryChange("audit", "ID_PROCESO=0", "added"),
+      EntryChange("dims", "-", "added"),
+      EntryChange("facts", "ID_PROCESO=0", "updated")))
+    // adjacent diff: only that commit's entries
+    assert(graft.storage.TxnCatalog.diff(spark, root, 2L, 3L) === Seq(
+      EntryChange("dims", "-", "added")))
+    assert(graft.storage.TxnCatalog.diff(spark, root, 3L, 3L) === Nil)
+    // whole-table recommit replacing partition entries reports removals
+    graft.storage.TxnCatalog.commit(spark, root, Seq("audit" -> catalog.limit(1)))
+    assert(graft.storage.TxnCatalog.diff(spark, root, 3L, 4L) === Seq(
+      EntryChange("audit", "-", "added"),
+      EntryChange("audit", "ID_PROCESO=0", "removed")))
+    // the incremental-consumer composition: read ONLY what changed
+    val changed = graft.storage.TxnCatalog.diff(spark, root, 1L, 2L)
+      .filter(c => c.change != "removed" && c.table == "facts")
+    val at2 = graft.storage.TxnCatalog.snapshotAt(spark, root, 2L)
+    val reprocess = changed.flatMap(c => at2.readPartition(c.table, c.partition))
+    assert(reprocess.map(_.count()).sum === 2)
+    intercept[IllegalArgumentException] {
+      graft.storage.TxnCatalog.diff(spark, root, 3L, 1L)
+    }
+  }
+
+  test("TxnCatalog read merges evolved schemas across partition batches") {
+    val root = tmp("txnschema")
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("docs", "batch=0", Seq((1L, "old doc")).toDF("ID", "TEXT"))))
+    // a later batch adds a column: old rows must surface it as null
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("docs", "batch=1", Seq((2L, "new doc", "es")).toDF("ID", "TEXT", "LANG"))))
+    val got = graft.storage.TxnCatalog.read(spark, root, "docs").get
+    assert(got.columns.sorted.toSeq === Seq("ID", "LANG", "TEXT"))
+    assert(got.filter($"ID" === 1L).select("LANG").first().isNullAt(0))
+    assert(got.filter($"ID" === 2L).select("LANG").as[String].first() === "es")
+  }
+
   test("TxnCatalog snapshot pins partition reads too") {
     val root = tmp("txnsnapp")
     def slice(p: Int) = catalog.filter($"ID_PROCESO" === p)
