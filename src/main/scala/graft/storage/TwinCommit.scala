@@ -38,7 +38,15 @@ object TwinCommit {
     * a lost race is retried (bounded) so both land. Throws (and publishes
     * nothing) if a write fails or retries exhaust. */
   def append(spark: SparkSession, root: String, batchId: String,
-      a: DataFrame, tableA: String, b: DataFrame, tableB: String): Unit = {
+      a: DataFrame, tableA: String, b: DataFrame, tableB: String): Unit =
+    appendHooked(spark, root, batchId, a, tableA, b, tableB)(() => ())
+
+  /** [[append]] with a test-only interleave seam before the FIRST
+    * attempt's manifest publish (the window a concurrent append of a
+    * different batch can steal the txn number). */
+  private[graft] def appendHooked(spark: SparkSession, root: String,
+      batchId: String, a: DataFrame, tableA: String, b: DataFrame,
+      tableB: String)(beforeFirstPublish: () => Unit): Unit = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
     var attempts = 0
     while (true) {
@@ -48,8 +56,9 @@ object TwinCommit {
         return
       attempts += 1
       try {
-        TxnCatalog.commitPartitions(spark, root, Seq(
-          (tableA, part(batchId), a), (tableB, part(batchId), b)))
+        val hook = if (attempts == 1) beforeFirstPublish else () => ()
+        TxnCatalog.commitPartitionsHooked(spark, root, Seq(
+          (tableA, part(batchId), a), (tableB, part(batchId), b)))(hook)
         return
       } catch {
         case _: java.io.IOException if attempts < 5 =>

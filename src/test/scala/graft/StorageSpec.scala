@@ -112,6 +112,36 @@ class StorageSpec extends GraftSuite {
     assert(dirs.length === 1, s"vacuum must reclaim the torn staging dir: $dirs")
   }
 
+  test("TwinCommit concurrent appends of different batches: both land via retry") {
+    val root = tmp("twboth")
+    val cat = Seq((1L, "A")).toDF("ID", "INDICE")
+    val lin = Seq((100L, 1L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
+    // a rival lands batch b2 inside b1's pre-publish window: b1's first
+    // attempt loses the txn number, the retry loop must land it anyway
+    graft.storage.TwinCommit.appendHooked(spark, root, "b1",
+      cat, "catalog", lin, "lineage") { () =>
+      graft.storage.TwinCommit.append(spark, root, "b2",
+        Seq((2L, "B")).toDF("ID", "INDICE"), "catalog",
+        Seq((101L, 2L)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE"), "lineage")
+    }
+    assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog")
+      === Seq("b1", "b2"))
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get
+      .count() === 2)
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get
+      .count() === 2)
+    assert(graft.storage.TxnCatalog.currentTxn(spark, root) === Some(2L),
+      "two appends must serialize onto two txns")
+    // the loser's first-attempt staging dirs were its own to delete: after
+    // vacuum each batch partition holds exactly one snapshot dir
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1)
+    for (b <- Seq("batch=b1", "batch=b2")) {
+      val dirs = new java.io.File(s"$root/catalog/$b").listFiles()
+        .map(_.getName).filter(_.startsWith("v=")).toSeq
+      assert(dirs.length === 1, s"$b must hold exactly one snapshot: $dirs")
+    }
+  }
+
   test("VersionedTable: updateSnapshot is snapshot-atomic; torn overwrite invisible") {
     val dir = tmp("vt")
     val v1 = graft.storage.VersionedTable.overwrite(spark, dir, catalog)
