@@ -41,16 +41,22 @@ object VersionedTable {
 
   private def versionsDir(tableDir: String) = s"$tableDir/_versions"
 
-  /** Highest committed version, or None for an empty table. */
-  def currentVersion(spark: SparkSession, tableDir: String): Option[Long] = {
+  /** Every committed version whose marker is still on disk, ascending —
+    * the time-travel axis for [[readVersion]]. [[vacuum]] trims the old
+    * end (outside its keep/minAgeMs window). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
     val f = fs(spark, tableDir)
     val dir = new Path(versionsDir(tableDir))
-    if (!f.exists(dir)) None
+    if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filterNot(_.startsWith("."))
       .flatMap(n => scala.util.Try(n.toLong).toOption)
-      .sorted.lastOption
+      .sorted
   }
+
+  /** Highest committed version, or None for an empty table. */
+  def currentVersion(spark: SparkSession, tableDir: String): Option[Long] =
+    versions(spark, tableDir).lastOption
 
   /** Data directory name a committed version's marker points at; the
     * marker body is the dir name (legacy empty markers map to `v=<n>`). */
@@ -67,10 +73,18 @@ object VersionedTable {
     * version's marker records, never an in-flight or torn one. None
     * before the first commit. */
   def readCurrent(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    currentVersion(spark, tableDir).map { v =>
-      val f = fs(spark, tableDir)
-      spark.read.parquet(s"$tableDir/${committedDataDir(f, tableDir, v)}")
-    }
+    currentVersion(spark, tableDir).map(readVersion(spark, tableDir, _))
+
+  /** Time travel: read a SPECIFIC committed version (the single-table
+    * form of [[TxnCatalog.snapshotAt]]). Reaches only as far back as
+    * [[vacuum]]'s keep window — throws if `v` was never committed or its
+    * marker has been vacuumed. */
+  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    val f = fs(spark, tableDir)
+    require(f.exists(new Path(versionsDir(tableDir), v.toString)),
+      s"version $v is not committed (or already vacuumed) under $tableDir")
+    spark.read.parquet(s"$tableDir/${committedDataDir(f, tableDir, v)}")
+  }
 
   /** Publish `df` as the next version and return its number. Each attempt
     * writes its own `v=<n>.<nonce>` staging dir, so concurrent writers

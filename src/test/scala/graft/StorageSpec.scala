@@ -472,6 +472,27 @@ class StorageSpec extends GraftSuite {
       .filter($"INDICE" === "NEW").count() === 2)
   }
 
+  test("VersionedTable time travel: readVersion reads history inside the keep window") {
+    val dir = tmp("vttt")
+    graft.storage.VersionedTable.overwrite(spark, dir,
+      Seq((1L, "A")).toDF("ID", "INDICE"))
+    graft.storage.VersionedTable.overwrite(spark, dir,
+      Seq((1L, "B"), (2L, "C")).toDF("ID", "INDICE"))
+    assert(graft.storage.VersionedTable.versions(spark, dir) === Seq(1L, 2L))
+    assert(graft.storage.VersionedTable.readVersion(spark, dir, 1L)
+      .select("INDICE").as[String].collect().toSeq === Seq("A"))
+    assert(graft.storage.VersionedTable.readCurrent(spark, dir).get.count() === 2)
+    intercept[IllegalArgumentException] {
+      graft.storage.VersionedTable.readVersion(spark, dir, 9L)
+    }
+    // vacuum trims the travel horizon
+    graft.storage.VersionedTable.vacuum(spark, dir, keep = 1)
+    assert(graft.storage.VersionedTable.versions(spark, dir) === Seq(2L))
+    intercept[IllegalArgumentException] {
+      graft.storage.VersionedTable.readVersion(spark, dir, 1L)
+    }
+  }
+
   test("vacuum retention window: young versions survive, aged ones reclaim") {
     val dir = tmp("vtret")
     graft.storage.VersionedTable.overwrite(spark, dir, catalog) // v1
