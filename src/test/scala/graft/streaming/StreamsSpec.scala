@@ -176,6 +176,54 @@ class StreamsSpec extends GraftSuite {
     assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog").size === 2)
   }
 
+  test("incremental consumer: manifest diff yields exactly the new ingest batch") {
+    // the 100 TB consumption pattern end to end: the streaming classify
+    // ingest lands TwinCommit batch partitions; a downstream consumer
+    // diffs two txns and reads ONLY the added partitions — never a rescan
+    // of earlier batches
+    implicit val sqlCtx = spark.sqlContext
+    def tmpd(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
+    val (root, ckDir) = (tmpd("e1inc"), tmpd("e1incck"))
+    val predios = Seq(
+      (10L, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)),
+        "C10", "Fundo Norte", "S1", "EU", "1")
+    ).toDF("predioId", "pts", "CODIGO", "NOMBRE", "SECCION", "TIPOUSO", "APL")
+      .select($"predioId",
+        org.apache.spark.sql.functions.transform($"pts", p =>
+          org.apache.spark.sql.functions.struct(
+            p.getField("_1").as("x"), p.getField("_2").as("y"))).as("ring"),
+        $"CODIGO", $"NOMBRE", $"SECCION", $"TIPOUSO", $"APL")
+    val b1 = Seq(("lake/a/img1.JPG", "bytes-1", Some(1.0), Some(1.0)))
+    val b2 = Seq(("lake/c/img3.JPG", "bytes-3", Some(1.5), Some(1.0)),
+      ("lake/d/img4.JPG", "bytes-4", Some(0.5), Some(0.5)))
+    def toImages(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("path", "contentStr", "gt_cx", "gt_cy")
+      .select($"path", $"contentStr".cast("binary").as("content"),
+        $"gt_cx", $"gt_cy")
+    val src = MemoryStream[(String, String, Option[Double], Option[Double])]
+    val q = Streams.classifyCommitSink(toImages(src.toDF()), predios,
+      cellSize = 2.0, runId = 9L, root, "catalog", "lineage", ckDir)
+    var (t1, t2) = (0L, 0L)
+    try {
+      src.addData(b1); q.processAllAvailable()
+      t1 = graft.storage.TxnCatalog.currentTxn(spark, root).get
+      src.addData(b2); q.processAllAvailable()
+      t2 = graft.storage.TxnCatalog.currentTxn(spark, root).get
+    } finally q.stop()
+    // the diff names exactly the second micro-batch's twin partitions
+    val changes = graft.storage.TxnCatalog.diff(spark, root, t1, t2)
+    assert(changes.map(c => (c.table, c.partition, c.change)).toSet === Set(
+      ("catalog", "batch=b1", "added"), ("lineage", "batch=b1", "added")))
+    // reading just those partitions yields just the new batch's rows
+    val at2 = graft.storage.TxnCatalog.snapshotAt(spark, root, t2)
+    val newPaths = changes.filter(_.table == "catalog")
+      .flatMap(c => at2.readPartition(c.table, c.partition))
+      .map(_.select("path").as[String].collect().toSet)
+      .foldLeft(Set.empty[String])(_ ++ _)
+    assert(newPaths === Set("lake/c/img3.JPG", "lake/d/img4.JPG"))
+  }
+
   test("dropDuplicatesWithinWatermark: duplicate keys across batches collapse") {
     val rows = runBatches(
       Streams.dedupeWithinWatermark(_, "ts", "30 minutes", "user_id", "event_type"),
