@@ -91,19 +91,52 @@ object TxnCatalog {
   def currentTxn(spark: SparkSession, root: String): Option[Long] =
     txns(spark, root).lastOption
 
-  /** The (table, partition)→dataDir mapping a committed txn's manifest
+  /** Per-column min/max a manifest entry records for data skipping.
+    * `kind` is "n" (numeric — compared as Double) or "s" (string —
+    * compared lexically); min/max are the column's non-null extremes in
+    * that entry's data files, rendered as strings. Entries or columns
+    * without stats are simply read (pruning is always conservative). */
+  final case class ColStat(kind: String, min: String, max: String)
+
+  /** One live manifest entry: the snapshot dir plus optional column
+    * stats. Stats ride the manifest line, so they carry forward with the
+    * entry and cost nothing to consult at read time (driver-side text —
+    * the manifest IS the stats index, the same trade Delta/Iceberg make
+    * with file-level stats in the log). */
+  final case class Entry(dir: String, stats: Map[String, ColStat] = Map.empty)
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** `col=kind:min:max;col2=...` with URL-escaped names/values (keeps the
+    * field free of tabs, newlines, and the separators themselves). */
+  private def statsField(stats: Map[String, ColStat]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
+    }.mkString(";")
+
+  private def parseStats(field: String): Map[String, ColStat] =
+    field.split(';').filter(_.nonEmpty).map { item =>
+      // bounded splits: an empty-string min/max must survive the parse
+      val Array(name, rest) = item.split("=", 2)
+      val Array(kind, mi, ma) = rest.split(":", 3)
+      dec(name) -> ColStat(kind, dec(mi), dec(ma))
+    }.toMap
+
+  /** The (table, partition)→[[Entry]] mapping a committed txn's manifest
     * records. Two-field lines (pre-partition manifests) parse as
-    * whole-table entries. */
+    * whole-table entries; three-field lines as stat-less entries. */
   private def manifest(
       f: org.apache.hadoop.fs.FileSystem, root: String,
-      txn: Long): Map[(String, String), String] = {
+      txn: Long): Map[(String, String), Entry] = {
     val in = f.open(new Path(txnsDir(root), txn.toString))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     body.linesIterator.filter(_.nonEmpty).map { line =>
       line.split('\t') match {
-        case Array(t, d)    => (t, Whole) -> d
-        case Array(t, p, d) => (t, p) -> d
+        case Array(t, d)       => (t, Whole) -> Entry(d)
+        case Array(t, p, d)    => (t, p) -> Entry(d)
+        case Array(t, p, d, s) => (t, p) -> Entry(d, parseStats(s))
         case _ => throw new java.io.IOException(
           s"corrupt manifest line in txn $txn: '$line'")
       }
@@ -121,7 +154,7 @@ object TxnCatalog {
     * retention window to the longest-running reader. */
   final class Snapshot private[storage] (
       spark: SparkSession, root: String, val txn: Long,
-      entries: Map[(String, String), String]) {
+      private[storage] val entries: Map[(String, String), Entry]) {
 
     /** Tables present in this snapshot. */
     def tables: Seq[String] = entries.keys.map(_._1).toSeq.distinct.sorted
@@ -131,6 +164,11 @@ object TxnCatalog {
     def partitions(table: String): Seq[String] = entries.keys
       .collect { case (t, p) if t == table && p != Whole => p }.toSeq.sorted
 
+    private def readPaths(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else if (paths.sizeIs == 1) Some(spark.read.parquet(paths.head))
+      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+
     /** Read `table` at this snapshot's txn. A partitioned table reads as
       * the union of its live partition snapshots (the partition key is a
       * data column by contract — explicit version dirs preclude
@@ -139,23 +177,87 @@ object TxnCatalog {
       * (a later batch adds a column), so older partitions surface the
       * new column as null and an incompatible type change fails loudly
       * instead of silently picking one footer's schema. None if absent. */
-    def read(table: String): Option[DataFrame] = {
-      val paths = entries.toSeq
-        .collect { case ((t, p), d) if t == table => entryPath(root, t, p, d) }
-        .sorted
-      if (paths.isEmpty) None
-      else if (paths.sizeIs == 1) Some(spark.read.parquet(paths.head))
-      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
-    }
+    def read(table: String): Option[DataFrame] =
+      readPaths(entries.toSeq
+        .collect { case ((t, p), e) if t == table => entryPath(root, t, p, e.dir) }
+        .sorted)
 
     /** Read one partition of `table` at this snapshot's txn — touches
       * ONLY that partition's files (manifest-level partition pruning). */
     def readPartition(table: String, partition: String): Option[DataFrame] = {
       checkPartitionName(partition)
       entries.get((table, partition))
-        .map(d => spark.read.parquet(entryPath(root, table, partition, d)))
+        .map(e => spark.read.parquet(entryPath(root, table, partition, e.dir)))
+    }
+
+    /** Read a SUBSET of `table`'s partitions as one schema-merged frame —
+      * the read half of incremental consumption ([[TxnCatalog.diff]]
+      * names the partitions, this reads exactly those) and of
+      * [[TxnCatalog.compactPartitions]]. Throws if any named partition
+      * is absent (a silent partial read would corrupt a compaction). */
+    def readPartitions(table: String, parts: Seq[String]): Option[DataFrame] = {
+      parts.foreach(checkPartitionName)
+      if (parts.isEmpty) None
+      else {
+        val missing = parts.filterNot(p => entries.contains((table, p)))
+        require(missing.isEmpty,
+          s"partitions absent from txn $txn of '$table': ${missing.mkString(", ")}")
+        readPaths(parts.sorted.map(p =>
+          entryPath(root, table, p, entries((table, p)).dir)))
+      }
+    }
+
+    /** Column stats of one entry (empty when none were recorded). */
+    def stats(table: String, partition: String): Map[String, ColStat] =
+      entries.get((table, partition)).map(_.stats).getOrElse(Map.empty)
+
+    /** The partitions of `table` whose recorded `column` stats MAY hold a
+      * value in [lo, hi] — data skipping at manifest cost, zero file
+      * reads. A partition with no stats for `column` (or stats of a
+      * different kind than the bounds) is always kept: pruning is
+      * conservative, never a correctness bet. Bounds are a Double pair
+      * for numeric columns, a String pair for string columns. */
+    def partitionsWhere(table: String, column: String,
+        lo: Any, hi: Any): Seq[String] = entries.toSeq.collect {
+      case ((t, p), e) if t == table && p != Whole &&
+        e.stats.get(column).forall(mayOverlap(_, lo, hi)) => p
+    }.sorted
+
+    /** Read `table` filtered to `column` in [lo, hi] (inclusive),
+      * scanning ONLY partitions whose manifest stats may overlap the
+      * bound — semantically identical to `read(table)` plus the filter,
+      * but a bound that touches 1 of 10 000 partitions reads one
+      * partition's files. Falls back to reading (and filtering)
+      * everything when no stats were recorded. None if absent. */
+    def readWhere(table: String, column: String,
+        lo: Any, hi: Any): Option[DataFrame] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val whole = entries.contains((table, Whole))
+      val keep =
+        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        else partitionsWhere(table, column, lo, hi)
+      val paths = keep.map(p => entryPath(root, table, p,
+        entries((table, p)).dir)).sorted
+      val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+      readPaths(paths).map(_.filter(pred)).orElse {
+        // table exists but every partition pruned: an empty frame with
+        // the table's schema (footer-only read; lit(false) folds the
+        // scan away before any data is touched)
+        read(table).map(_.filter(lit(false)).filter(pred))
+      }
     }
   }
+
+  /** Can a value in [lo, hi] exist in an entry whose `column` spans
+    * [st.min, st.max]? Kind-mismatched bounds never prune. */
+  private def mayOverlap(st: ColStat, lo: Any, hi: Any): Boolean =
+    (st.kind, lo, hi) match {
+      case ("n", l: Number, h: Number) =>
+        !(st.max.toDouble < l.doubleValue() || st.min.toDouble > h.doubleValue())
+      case ("s", l: String, h: String) =>
+        !(st.max < l || st.min > h)
+      case _ => true
+    }
 
   /** Pin the latest committed txn for snapshot-consistent multi-call
     * reads. None for an empty catalog. */
@@ -200,7 +302,7 @@ object TxnCatalog {
       to.collect {
         case (k, _) if !from.contains(k) =>
           EntryChange(k._1, k._2, "added")
-        case (k, d) if from(k) != d =>
+        case (k, e) if from(k).dir != e.dir =>
           EntryChange(k._1, k._2, "updated")
       } ++
       from.collect { case (k, _) if !to.contains(k) =>
@@ -253,8 +355,9 @@ object TxnCatalog {
     updates.foreach { case (t, _) => checkTableName(t) }
     publish(spark, root,
       updates.map { case (t, df) => (t, Whole, df) },
+      statsColumns = Nil, drops = Nil, expectedTxn = None,
       // a whole-table snapshot supersedes every entry of that table
-      carried => carried.filterNot { case ((t, _), _) =>
+      reconcile = carried => carried.filterNot { case ((t, _), _) =>
         updates.exists(_._1 == t) })(beforePublish)
   }
 
@@ -268,49 +371,154 @@ object TxnCatalog {
     * losslessly. Tables are partitioned or whole, never both: committing
     * a partition to a table holding a whole-table snapshot throws. */
   def commitPartitions(spark: SparkSession, root: String,
-      updates: Seq[(String, String, DataFrame)]): Long =
-    commitPartitionsHooked(spark, root, updates)(() => ())
+      updates: Seq[(String, String, DataFrame)],
+      statsColumns: Seq[String] = Nil,
+      drops: Seq[(String, String)] = Nil): Long =
+    commitPartitionsHooked(spark, root, updates, statsColumns, drops)(() => ())
 
-  /** [[commitPartitions]] with the test-only pre-publish seam. */
+  /** [[commitPartitions]] with the test-only pre-publish seam and the
+    * optimistic-concurrency guard [[compactPartitions]] needs:
+    * `expectedTxn`, when set, makes the commit conditional on the catalog
+    * still standing at that txn — a rival commit in between fails this
+    * one cleanly instead of letting it publish decisions (drops!) made
+    * against a stale snapshot. */
   private[graft] def commitPartitionsHooked(spark: SparkSession, root: String,
-      updates: Seq[(String, String, DataFrame)])(
+      updates: Seq[(String, String, DataFrame)],
+      statsColumns: Seq[String] = Nil,
+      drops: Seq[(String, String)] = Nil,
+      expectedTxn: Option[Long] = None)(
       beforePublish: () => Unit): Long = {
-    require(updates.nonEmpty, "commit needs at least one partition update")
+    require(updates.nonEmpty || drops.nonEmpty,
+      "commit needs at least one partition update or drop")
     require(updates.map(u => (u._1, u._2)).distinct.size == updates.size,
       "duplicate (table, partition) in one commit")
     updates.foreach { case (t, p, _) =>
       checkTableName(t); checkPartitionName(p)
     }
-    publish(spark, root, updates, carried => {
-      updates.map(_._1).distinct.foreach { t =>
-        require(!carried.contains((t, Whole)),
-          s"table '$t' holds a whole-table snapshot; partition commits " +
-            "need a partitioned table (or a whole-table commit to replace it)")
+    drops.foreach { case (t, p) => checkTableName(t); checkPartitionName(p) }
+    require(drops.distinct.size == drops.size, "duplicate drop")
+    val updatedKeys = updates.map(u => (u._1, u._2)).toSet
+    require(!drops.exists(updatedKeys), "a (table, partition) cannot be " +
+      "both updated and dropped in one commit")
+    publish(spark, root, updates, statsColumns, drops, expectedTxn,
+      reconcile = carried => {
+        updates.map(_._1).distinct.foreach { t =>
+          require(!carried.contains((t, Whole)),
+            s"table '$t' holds a whole-table snapshot; partition commits " +
+              "need a partitioned table (or a whole-table commit to replace it)")
+        }
+        val missing = drops.filterNot(carried.contains)
+        require(missing.isEmpty, "dropping partitions absent from the " +
+          s"current manifest: ${missing.mkString(", ")}")
+        carried -- drops
+      })(beforePublish)
+  }
+
+  /** Compact N small partitions of `table` into ONE (`into`), atomically:
+    * the merged data is staged, then a single manifest commit publishes
+    * the new partition and drops the old ones — readers see either all
+    * the small batches or the compacted one, never both, and pinned
+    * snapshots keep reading the old batches until [[vacuum]] ages them
+    * out. This is the small-file answer for append-heavy tables (a
+    * streaming [[TwinCommit]] sink lands one batch partition per
+    * micro-batch; compaction folds them up without pausing the stream).
+    *
+    * Conditional on the catalog still standing at the pinned snapshot's
+    * txn: a rival commit (even to an unrelated partition) between pin
+    * and publish throws `IOException` and the compaction simply retries —
+    * the alternative (carrying drops forward over a stale view) could
+    * silently discard a rival's concurrent rewrite of a source
+    * partition. Source partitions' data files are untouched until
+    * vacuum. Returns the committed txn. */
+  def compactPartitions(spark: SparkSession, root: String, table: String,
+      parts: Seq[String], into: String, numFiles: Int = 1,
+      statsColumns: Seq[String] = Nil): Long =
+    compactPartitionsHooked(spark, root, table, parts, into, numFiles,
+      statsColumns)(() => ())
+
+  /** [[compactPartitions]] with the test-only pre-publish seam. */
+  private[graft] def compactPartitionsHooked(spark: SparkSession,
+      root: String, table: String, parts: Seq[String], into: String,
+      numFiles: Int = 1, statsColumns: Seq[String] = Nil)(
+      beforePublish: () => Unit): Long = {
+    require(parts.nonEmpty, "nothing to compact")
+    require(numFiles >= 1, "numFiles must be >= 1")
+    checkPartitionName(into)
+    require(!parts.contains(into),
+      s"target partition '$into' is among the sources")
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val merged = snap.readPartitions(table, parts).get.coalesce(numFiles)
+    commitPartitionsHooked(spark, root, Seq((table, into, merged)),
+      statsColumns, drops = parts.map((table, _)),
+      expectedTxn = Some(snap.txn))(beforePublish)
+  }
+
+  /** Min/max of each requested stat column, measured on the STAGED data
+    * files (read-back, so the stats describe exactly the bytes a reader
+    * will scan — a columnar read of just the stat columns, cheap next to
+    * the write that preceded it). Columns absent from the schema, of
+    * un-stat-able types, or all-null record nothing — readers treat a
+    * missing stat as "may contain anything". */
+  private def measureStats(spark: SparkSession, path: String,
+      cols: Seq[String]): Map[String, ColStat] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    if (cols.isEmpty) return Map.empty
+    val df = spark.read.parquet(path)
+    val kinds: Map[String, String] = cols.distinct
+      .filter(df.schema.fieldNames.contains)
+      .map(c => c -> (df.schema(c).dataType match {
+        case _: NumericType => "n"
+        case StringType     => "s"
+        case _              => ""
+      })).filter(_._2.nonEmpty).toMap
+    if (kinds.isEmpty) return Map.empty
+    val aggs = kinds.keys.toSeq.sorted.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"min:$c"),
+          max(col(c)).cast("string").as(s"max:$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    kinds.flatMap { case (c, kind) =>
+      (Option(row.getAs[String](s"min:$c")), Option(row.getAs[String](s"max:$c"))) match {
+        case (Some(mi), Some(ma)) => Some(c -> ColStat(kind, mi, ma))
+        case _                    => None
       }
-      carried
-    })(beforePublish)
+    }
   }
 
   /** Shared commit path: stage every update into its own unique dir,
-    * splice into the carried-forward manifest (after `reconcile` drops
-    * superseded entries), publish via the rename CAS. */
+    * measure stats off the staged files, splice updates and `drops` into
+    * the carried-forward manifest (after `reconcile` drops superseded
+    * entries), publish via the rename CAS — conditional on `expectedTxn`
+    * when given. */
   private def publish(spark: SparkSession, root: String,
       updates: Seq[(String, String, DataFrame)],
-      reconcile: Map[(String, String), String] => Map[(String, String), String])(
+      statsColumns: Seq[String],
+      drops: Seq[(String, String)],
+      expectedTxn: Option[Long],
+      reconcile: Map[(String, String), Entry] => Map[(String, String), Entry])(
       beforePublish: () => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentTxn(spark, root)
+    expectedTxn.foreach { e =>
+      if (prev.getOrElse(0L) != e) throw new java.io.IOException(
+        s"catalog moved to txn ${prev.getOrElse(0L)} since snapshot $e; retry")
+    }
     val next = prev.getOrElse(0L) + 1L
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // 1. all staging writes finish before anything is published
-    val staged: Map[(String, String), String] = updates.map { case (t, p, df) =>
+    val staged: Map[(String, String), Entry] = updates.map { case (t, p, df) =>
       val dirName = s"v=$next.$nonce"
-      df.write.mode("errorifexists").parquet(entryPath(root, t, p, dirName))
-      (t, p) -> dirName
+      val path = entryPath(root, t, p, dirName)
+      df.write.mode("errorifexists").parquet(path)
+      (t, p) -> Entry(dirName, measureStats(spark, path, statsColumns))
     }.toMap
     val carried = reconcile(prev.map(manifest(f, root, _)).getOrElse(Map.empty))
     val entries = (carried ++ staged).toSeq.sortBy(_._1)
-      .map { case ((t, p), d) => s"$t\t$p\t$d" }.mkString("", "\n", "\n")
+      .map { case ((t, p), e) =>
+        if (e.stats.isEmpty) s"$t\t$p\t${e.dir}"
+        else s"$t\t$p\t${e.dir}\t${statsField(e.stats)}"
+      }.mkString("", "\n", "\n")
     // 2. one rename commits every table and partition at once
     val tdir = new Path(txnsDir(root))
     f.mkdirs(tdir)
@@ -324,8 +532,8 @@ object TxnCatalog {
       manifest(f, root, next) == (carried ++ staged)
     if (!won) {
       if (f.exists(tmp)) f.delete(tmp, false)
-      staged.foreach { case ((t, p), d) =>
-        f.delete(new Path(entryPath(root, t, p, d)), true)
+      staged.foreach { case ((t, p), e) =>
+        f.delete(new Path(entryPath(root, t, p, e.dir)), true)
       }
       throw new java.io.IOException(
         s"lost the commit race publishing txn manifest $marker")
@@ -361,12 +569,12 @@ object TxnCatalog {
       .filter(t => minAgeMs <= 0L || successorAge(t) >= minAgeMs)
     val survivors = committed.filterNot(dropped.contains)
     val keptRefs: Set[(String, String, String)] = survivors
-      .flatMap(t => manifest(f, root, t).toSeq.map { case ((tab, p), d) =>
-        (tab, p, d) }).toSet
+      .flatMap(t => manifest(f, root, t).toSeq.map { case ((tab, p), e) =>
+        (tab, p, e.dir) }).toSet
     dropped.foreach { t =>
-      manifest(f, root, t).foreach { case ((tab, p), dir) =>
-        if (!keptRefs.contains((tab, p, dir)))
-          f.delete(new Path(entryPath(root, tab, p, dir)), true)
+      manifest(f, root, t).foreach { case ((tab, p), e) =>
+        if (!keptRefs.contains((tab, p, e.dir)))
+          f.delete(new Path(entryPath(root, tab, p, e.dir)), true)
       }
       f.delete(new Path(tdir, t.toString), false)
     }

@@ -472,6 +472,137 @@ class StorageSpec extends GraftSuite {
       .filter($"INDICE" === "NEW").count() === 2)
   }
 
+  test("TxnCatalog manifest stats: readWhere skips partitions at manifest cost") {
+    val root = tmp("txnstats")
+    // three range-disjoint batches with stats on a numeric and a string col
+    def batch(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, s"$tag$i")).toDF("ID", "INDICE")
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "b=0", batch(1 to 10, "a")),
+      ("facts", "b=1", batch(11 to 20, "m")),
+      ("facts", "b=2", batch(21 to 30, "z"))),
+      statsColumns = Seq("ID", "INDICE"))
+    val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
+    assert(snap.stats("facts", "b=0")("ID") ===
+      graft.storage.TxnCatalog.ColStat("n", "1", "10"))
+    assert(snap.stats("facts", "b=2")("INDICE").kind === "s")
+    // numeric bound touching one batch prunes the other two
+    assert(snap.partitionsWhere("facts", "ID", 12.0, 15.0) === Seq("b=1"))
+    // string bound likewise
+    assert(snap.partitionsWhere("facts", "INDICE", "z0", "zz") === Seq("b=2"))
+    // kind-mismatched bounds never prune (conservative)
+    assert(snap.partitionsWhere("facts", "ID", "12", "15")
+      === Seq("b=0", "b=1", "b=2"))
+    // readWhere ≡ read + filter, on every bound shape
+    val full = snap.read("facts").get
+    for ((lo, hi) <- Seq((1.0, 5.0), (8.0, 23.0), (30.0, 99.0))) {
+      val expect = full.filter($"ID" >= lo && $"ID" <= hi)
+        .select("ID", "INDICE").as[(Long, String)].collect().toSet
+      val got = snap.readWhere("facts", "ID", lo, hi).get
+        .select("ID", "INDICE").as[(Long, String)].collect().toSet
+      assert(got === expect, s"readWhere([$lo,$hi]) diverged from filter")
+    }
+    // a fully-pruned bound still returns the table's schema, empty
+    val none = snap.readWhere("facts", "ID", 500.0, 600.0).get
+    assert(none.columns.sorted.toSeq === Seq("ID", "INDICE"))
+    assert(none.count() === 0)
+  }
+
+  test("TxnCatalog stats carry forward; stat-less entries read conservatively") {
+    val root = tmp("txnstatscf")
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "b=0", Seq((1L, "x")).toDF("ID", "INDICE"))),
+      statsColumns = Seq("ID"))
+    // a later commit of ANOTHER partition without stats: b=0's stats ride
+    // the carried-forward manifest entry, b=1 has none
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("facts", "b=1", Seq((100L, "y")).toDF("ID", "INDICE"))))
+    val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
+    assert(snap.stats("facts", "b=0")("ID").max === "1")
+    assert(snap.stats("facts", "b=1") === Map.empty)
+    // the stat-less partition is never pruned, even by a bound that
+    // excludes the statted one
+    assert(snap.partitionsWhere("facts", "ID", 50.0, 60.0) === Seq("b=1"))
+    assert(snap.readWhere("facts", "ID", 99.0, 101.0).get
+      .select("ID").as[Long].collect().toSeq === Seq(100L))
+  }
+
+  test("TxnCatalog drops: atomic removal, pinned readers unaffected, vacuum reclaims") {
+    val root = tmp("txndrop")
+    def b(i: Int) = Seq((i.toLong, s"doc$i")).toDF("ID", "TEXT")
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("docs", "batch=0", b(0)), ("docs", "batch=1", b(1))))
+    val pinned = graft.storage.TxnCatalog.snapshot(spark, root).get
+    // drop-only commit (no data staged) removes the entry atomically
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Nil,
+      drops = Seq(("docs", "batch=0")))
+    assert(graft.storage.TxnCatalog.partitions(spark, root, "docs")
+      === Seq("batch=1"))
+    assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 1)
+    // the pinned pre-drop snapshot still reads the dropped batch
+    assert(pinned.readPartition("docs", "batch=0").get.count() === 1)
+    // dropping an absent partition fails loudly, publishes nothing
+    intercept[IllegalArgumentException] {
+      graft.storage.TxnCatalog.commitPartitions(spark, root, Nil,
+        drops = Seq(("docs", "batch=7")))
+    }
+    assert(graft.storage.TxnCatalog.currentTxn(spark, root) === Some(2L))
+    // vacuum ages the dropped batch's data out once no manifest names it
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1)
+    assert(!new java.io.File(s"$root/docs/batch=0").exists() ||
+      new java.io.File(s"$root/docs/batch=0").listFiles().isEmpty,
+      "dropped batch data must be reclaimed after its manifests vacuum")
+  }
+
+  test("TxnCatalog compaction folds N batch partitions into one, atomically") {
+    val root = tmp("txncompact")
+    def b(i: Int) = Seq((i.toLong, s"doc$i")).toDF("ID", "TEXT")
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("docs", "batch=0", b(0)), ("docs", "batch=1", b(1)),
+      ("docs", "batch=2", b(2))))
+    val before = graft.storage.TxnCatalog.read(spark, root, "docs").get
+      .as[(Long, String)].collect().toSet
+    val pinned = graft.storage.TxnCatalog.snapshot(spark, root).get
+    graft.storage.TxnCatalog.compactPartitions(spark, root, "docs",
+      Seq("batch=0", "batch=1", "batch=2"), into = "compact=1",
+      statsColumns = Seq("ID"))
+    // one partition, same rows, one data file (numFiles = 1)
+    assert(graft.storage.TxnCatalog.partitions(spark, root, "docs")
+      === Seq("compact=1"))
+    assert(graft.storage.TxnCatalog.read(spark, root, "docs").get
+      .as[(Long, String)].collect().toSet === before)
+    val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
+    assert(snap.stats("docs", "compact=1")("ID") ===
+      graft.storage.TxnCatalog.ColStat("n", "0", "2"))
+    val dataDir = new java.io.File(s"$root/docs/compact=1").listFiles()
+      .filter(_.getName.startsWith("v=")).head
+    assert(dataDir.listFiles().count(_.getName.startsWith("part-")) === 1)
+    // pinned pre-compaction snapshot still reads the small batches
+    assert(pinned.readPartitions("docs",
+      Seq("batch=0", "batch=1", "batch=2")).get.count() === 3)
+    // a rival commit between snapshot pin and publish fails the
+    // compaction (its drops were decided against a stale view)
+    intercept[java.io.IOException] {
+      graft.storage.TxnCatalog.compactPartitionsHooked(spark, root, "docs",
+        Seq("compact=1"), into = "compact=2") { () =>
+        graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+          ("docs", "batch=9", b(9))))
+      }
+    }
+    // the failed compaction published nothing: rival's batch + compact=1
+    assert(graft.storage.TxnCatalog.partitions(spark, root, "docs")
+      === Seq("batch=9", "compact=1"))
+    assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
+    // vacuum leaves exactly the live dirs
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1)
+    for (part <- Seq("batch=0", "batch=1", "batch=2")) {
+      val d = new java.io.File(s"$root/docs/$part")
+      assert(!d.exists() || d.listFiles().isEmpty,
+        s"compacted-away $part must be reclaimed")
+    }
+    assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
+  }
+
   test("VersionedTable time travel: readVersion reads history inside the keep window") {
     val dir = tmp("vttt")
     graft.storage.VersionedTable.overwrite(spark, dir,
