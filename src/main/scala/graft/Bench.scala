@@ -54,6 +54,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
+    // SPARK_GRAFT_BENCH_WARMUP=N (default 0 — the driver protocol): N
+    // per-query iterations run and DISCARDED before the measured ones, so
+    // a pinned-JIT run can exclude first-compilation noise entirely. The
+    // round-4/5 noise adjudications (x_connected_components, x_pagerank —
+    // >25% driver deltas on untouched code, both traced to environment/JIT
+    // variance) are the reason this knob exists: warm-up 2 makes the
+    // per-query numbers plan-cost, not compile-state.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0").toInt
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -68,6 +77,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      (1 to warmup).foreach(_ => sample()) // discarded
       val base = Seq.fill(iters)(sample())
       val all =
         if (median(base) > SlowThreshold && iters < 5)
@@ -79,7 +89,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val loadEnd = loadAvg()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"warmup":$warmup,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }

@@ -22,15 +22,20 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("id % 7 AS k", "id AS v")
       .groupBy("k").sum("v").count() // same warm-up as Bench
+    // SPARK_GRAFT_BENCH_WARMUP=N — discarded pre-iterations per query
+    // (pinned-JIT protocol, same knob as Bench)
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0").toInt
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val ts = Seq.fill(iters) {
+      def sample(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         (System.nanoTime() - t0) / 1e9
       }
+      (1 to warmup).foreach(_ => sample())
+      val ts = Seq.fill(iters)(sample())
       println(f"$name%-28s median=${ts.sorted.apply(ts.length / 2)}%.3f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }
     spark.stop()
