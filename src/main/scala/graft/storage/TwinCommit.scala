@@ -68,6 +68,35 @@ object TwinCommit {
     }
   }
 
+  /** Fold N committed batches of BOTH twin tables into one `batch=<into>`
+    * partition per table, in ONE atomic commit — the twin answer to the
+    * streaming small-file problem (every micro-batch lands a new
+    * partition in each table; unchecked, a day of 10 s batches is 8 640
+    * tiny files per table). A single-table compaction would break the
+    * twin shape: tableA's batch folded but tableB's still split means the
+    * batch=<id> alignment readers rely on for per-batch lineage joins is
+    * gone on one side only. Here both tables' merged partitions and all
+    * 2N drops ride one manifest rename, conditional on the catalog still
+    * standing at the pinned snapshot (a rival append in between throws;
+    * just retry — the appends themselves are never blocked or lost).
+    * Pinned pre-compaction snapshots keep reading the small batches until
+    * [[TxnCatalog.vacuum]] ages them out. */
+  def compactBatches(spark: SparkSession, root: String, batchIds: Seq[String],
+      into: String, tableA: String, tableB: String,
+      numFiles: Int = 1): Unit = {
+    require(batchIds.nonEmpty, "nothing to compact")
+    require(!batchIds.contains(into), s"target batch '$into' is a source")
+    val snap = TxnCatalog.snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val parts = batchIds.map(part)
+    val updates = Seq(tableA, tableB).map { t =>
+      (t, part(into), snap.readPartitions(t, parts).get.coalesce(numFiles))
+    }
+    val drops = for (t <- Seq(tableA, tableB); p <- parts) yield (t, p)
+    TxnCatalog.commitPartitionsHooked(spark, root, updates,
+      drops = drops, expectedTxn = Some(snap.txn))(() => ())
+  }
+
   /** Committed batch ids, order-independent. */
   def committedBatches(spark: SparkSession, root: String,
       table: String): Seq[String] =

@@ -112,6 +112,44 @@ class StorageSpec extends GraftSuite {
     assert(dirs.length === 1, s"vacuum must reclaim the torn staging dir: $dirs")
   }
 
+  test("TwinCommit compaction folds both twin tables' batches in one commit") {
+    val root = tmp("twcompact")
+    def cat(i: Int) = Seq((i.toLong, s"IMG$i")).toDF("ID", "INDICE")
+    def lin(i: Int) = Seq((100L + i, i.toLong)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
+    for (i <- 1 to 3)
+      graft.storage.TwinCommit.append(spark, root, i.toString,
+        cat(i), "catalog", lin(i), "lineage")
+    val pinned = graft.storage.TxnCatalog.snapshot(spark, root).get
+    graft.storage.TwinCommit.compactBatches(spark, root,
+      Seq("1", "2"), into = "c1", "catalog", "lineage")
+    // both tables hold the same batch partitions — twin shape preserved
+    val partsA = graft.storage.TxnCatalog.partitions(spark, root, "catalog")
+    val partsB = graft.storage.TxnCatalog.partitions(spark, root, "lineage")
+    assert(partsA === partsB && partsA === Seq("batch=3", "batch=c1"))
+    // row sets unchanged on both sides
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "IMG1"), (2L, "IMG2"), (3L, "IMG3")))
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get
+      .as[(Long, Long)].collect().toSet
+      === Set((101L, 1L), (102L, 2L), (103L, 3L)))
+    // the pinned pre-compaction snapshot still serves the small batches
+    assert(pinned.readPartition("catalog", "batch=1").get.count() === 1)
+    // appends keep flowing after compaction
+    graft.storage.TwinCommit.append(spark, root, "4",
+      cat(4), "catalog", lin(4), "lineage")
+    assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog")
+      === Seq("3", "4", "c1"))
+    // vacuum reclaims the folded batches' data on both sides
+    graft.storage.TxnCatalog.vacuum(spark, root, keep = 1)
+    for (t <- Seq("catalog", "lineage"); b <- Seq("batch=1", "batch=2")) {
+      val d = new java.io.File(s"$root/$t/$b")
+      assert(!d.exists() || d.listFiles().isEmpty,
+        s"compacted-away $t/$b must be reclaimed")
+    }
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get.count() === 4)
+  }
+
   test("TwinCommit concurrent appends of different batches: both land via retry") {
     val root = tmp("twboth")
     val cat = Seq((1L, "A")).toDF("ID", "INDICE")
