@@ -97,6 +97,35 @@ object TwinCommit {
       drops = drops, expectedTxn = Some(snap.txn))(() => ())
   }
 
+  /** The maintenance entry point a streaming sink calls between batches:
+    * when the committed batch count has reached `maxBatches`, fold ALL
+    * current batches (previous compaction outputs included — compaction
+    * is idempotent reorganization, so re-folding a `c*` batch is fine)
+    * into one batch named `c<txn>`; otherwise no-op. Bounded retries
+    * re-pin the snapshot and absorb rival appends racing the conditional
+    * commit — appends are never blocked, the compactor just tries again
+    * against the moved catalog. Returns the new batch id when a
+    * compaction landed. */
+  def maintain(spark: SparkSession, root: String, tableA: String,
+      tableB: String, maxBatches: Int, numFiles: Int = 1,
+      attempts: Int = 5): Option[String] = {
+    require(maxBatches >= 2, "maxBatches must be >= 2")
+    val ids = committedBatches(spark, root, tableA)
+    if (ids.size < maxBatches) None
+    else {
+      val into = s"c${TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1}"
+      try {
+        compactBatches(spark, root, ids, into, tableA, tableB, numFiles)
+        Some(into)
+      } catch {
+        case _: java.io.IOException if attempts > 1 =>
+          // a rival append moved the catalog between pin and publish
+          maintain(spark, root, tableA, tableB, maxBatches, numFiles,
+            attempts - 1)
+      }
+    }
+  }
+
   /** Committed batch ids, order-independent. */
   def committedBatches(spark: SparkSession, root: String,
       table: String): Seq[String] =

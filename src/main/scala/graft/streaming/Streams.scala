@@ -84,18 +84,31 @@ object Streams {
     * streaming form of the reference's single-transaction catalog+lineage
     * insert (mysql_process.py:53-56).
     *
+    * `compactEvery` > 0 turns on inline small-file maintenance: after
+    * each append, once the committed batch count reaches the threshold,
+    * [[graft.storage.TwinCommit.maintain]] folds all batches into one
+    * partition per table (one atomic commit, both tables together) — a
+    * day of 10 s micro-batches stays a handful of data files instead of
+    * 8 640 per table, with no pause in the stream and no extra process.
+    *
     * Returns the started query; caller owns its lifecycle.
     */
   def twinCommitSink(stream: DataFrame,
       split: DataFrame => (DataFrame, DataFrame),
       root: String, catalogTable: String, lineageTable: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (cat, lin) = split(batch)
         graft.storage.TwinCommit.append(batch.sparkSession, root, s"b$id",
           cat, catalogTable, lin, lineageTable)
+        if (compactEvery > 0) {
+          graft.storage.TwinCommit.maintain(batch.sparkSession, root,
+            catalogTable, lineageTable, maxBatches = compactEvery)
+          ()
+        }
       }
       .start()
 

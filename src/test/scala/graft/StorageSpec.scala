@@ -150,6 +150,43 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get.count() === 4)
   }
 
+  test("TwinCommit maintain: threshold-gated compaction, idempotent re-fold") {
+    val root = tmp("twmaint")
+    def cat(i: Int) = Seq((i.toLong, s"IMG$i")).toDF("ID", "INDICE")
+    def lin(i: Int) = Seq((100L + i, i.toLong)).toDF("ID_EJECUCION", "ID_IMAGEN_FUENTE")
+    for (i <- 1 to 2)
+      graft.storage.TwinCommit.append(spark, root, i.toString,
+        cat(i), "catalog", lin(i), "lineage")
+    // below threshold: no-op
+    assert(graft.storage.TwinCommit.maintain(spark, root,
+      "catalog", "lineage", maxBatches = 4) === None)
+    for (i <- 3 to 4)
+      graft.storage.TwinCommit.append(spark, root, i.toString,
+        cat(i), "catalog", lin(i), "lineage")
+    // at threshold: all 4 batches fold into one on both sides
+    val folded = graft.storage.TwinCommit.maintain(spark, root,
+      "catalog", "lineage", maxBatches = 4)
+    assert(folded.isDefined)
+    assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog")
+      === Seq(folded.get))
+    assert(graft.storage.TxnCatalog.partitions(spark, root, "catalog")
+      === graft.storage.TxnCatalog.partitions(spark, root, "lineage"))
+    // rows survive the fold
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get
+      .select("ID").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    // a later fold happily re-folds the previous compaction output
+    for (i <- 5 to 7)
+      graft.storage.TwinCommit.append(spark, root, i.toString,
+        cat(i), "catalog", lin(i), "lineage")
+    val again = graft.storage.TwinCommit.maintain(spark, root,
+      "catalog", "lineage", maxBatches = 4)
+    assert(again.isDefined && again != folded)
+    assert(graft.storage.TwinCommit.committedBatches(spark, root, "catalog")
+      === Seq(again.get))
+    assert(graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get
+      .count() === 7)
+  }
+
   test("TwinCommit concurrent appends of different batches: both land via retry") {
     val root = tmp("twboth")
     val cat = Seq((1L, "A")).toDF("ID", "INDICE")

@@ -124,6 +124,37 @@ class StreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("twinCommitSink compactEvery: batch count stays bounded, rows survive") {
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
+    val (root, ckDir) = (tmp("scroot"), tmp("scck"))
+    val src = MemoryStream[Ev]
+    val q = Streams.twinCommitSink(
+      src.toDF(),
+      batch => (
+        batch.select(col("user_id").as("ID"), col("event_type").as("INDICE")),
+        batch.select(col("user_id").as("ID_IMAGEN_FUENTE"))),
+      root, "catalog", "lineage", ckDir, compactEvery = 2)
+    try {
+      for (i <- 1 to 5) {
+        src.addData(Seq(Ev(ts(i), i, s"e$i", i.toDouble)))
+        q.processAllAvailable()
+      }
+      // every append that reaches 2 committed batches folds them: the
+      // partition count never exceeds the threshold
+      val batches = graft.storage.TwinCommit.committedBatches(spark, root, "catalog")
+      assert(batches.size <= 2, s"maintenance must bound batches: $batches")
+      assert(graft.storage.TxnCatalog.partitions(spark, root, "catalog")
+        === graft.storage.TxnCatalog.partitions(spark, root, "lineage"))
+      val cat = graft.storage.TwinCommit.readCommitted(spark, root, "catalog").get
+      assert(cat.select("ID").as[Long].collect().toSet
+        === Set(1L, 2L, 3L, 4L, 5L))
+      assert(graft.storage.TwinCommit.readCommitted(spark, root, "lineage").get
+        .count() === 5)
+    } finally q.stop()
+  }
+
   test("classifyCommitSink: streamed E1 classification equals the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     def tmp(p: String) =
