@@ -678,6 +678,29 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
   }
 
+  test("TxnCatalog diff across a compaction: pure reorg, row set invariant") {
+    val root = tmp("txndiffc")
+    def b(i: Int) = Seq((i.toLong, s"doc$i")).toDF("ID", "TEXT")
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("docs", "batch=0", b(0)), ("docs", "batch=1", b(1))))
+    val from = graft.storage.TxnCatalog.currentTxn(spark, root).get
+    val to = graft.storage.TxnCatalog.compactPartitions(spark, root, "docs",
+      Seq("batch=0", "batch=1"), into = "compact=1")
+    // an incremental consumer sees the fold as removes + one add…
+    val changes = graft.storage.TxnCatalog.diff(spark, root, from, to)
+      .map(c => (c.partition, c.change))
+    assert(changes === Seq(("batch=0", "removed"), ("batch=1", "removed"),
+      ("compact=1", "added")))
+    // …but the row set is INVARIANT across the txn — the signal that the
+    // "added" partition is reorganization, not new data, so re-running an
+    // idempotent consumer over it must be a no-op by content
+    val before = graft.storage.TxnCatalog.snapshotAt(spark, root, from)
+      .read("docs").get.as[(Long, String)].collect().toSet
+    val after = graft.storage.TxnCatalog.snapshotAt(spark, root, to)
+      .read("docs").get.as[(Long, String)].collect().toSet
+    assert(before === after)
+  }
+
   test("VersionedTable time travel: readVersion reads history inside the keep window") {
     val dir = tmp("vttt")
     graft.storage.VersionedTable.overwrite(spark, dir,
