@@ -248,6 +248,23 @@ object TxnCatalog {
     }
   }
 
+  /** Spark compares strings by UTF-8 bytes (code-point order); Java's
+    * String.compareTo by UTF-16 code units, which DISAGREES beyond the
+    * BMP (surrogates sort below [U+E000, U+FFFF]). Stats come from
+    * Spark's min/max and pruning must match Spark's filter comparison,
+    * so compare the way Spark does — unsigned UTF-8 bytes. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Can a value in [lo, hi] exist in an entry whose `column` spans
     * [st.min, st.max]? Kind-mismatched bounds never prune. */
   private def mayOverlap(st: ColStat, lo: Any, hi: Any): Boolean =
@@ -255,7 +272,7 @@ object TxnCatalog {
       case ("n", l: Number, h: Number) =>
         !(st.max.toDouble < l.doubleValue() || st.min.toDouble > h.doubleValue())
       case ("s", l: String, h: String) =>
-        !(st.max < l || st.min > h)
+        !(utf8Lt(st.max, l) || utf8Lt(h, st.min))
       case _ => true
     }
 

@@ -583,6 +583,22 @@ class StorageSpec extends GraftSuite {
     assert(none.count() === 0)
   }
 
+  test("TxnCatalog stats pruning follows Spark's binary string order beyond the BMP") {
+    val root = tmp("txnbmp")
+    // a doc whose stat min/max is an emoji string: UTF-16 code-unit order
+    // (Java compareTo) sorts surrogates BELOW [U+E000, U+FFFF], so a Java
+    // compare would wrongly prune this partition against a U+E000 bound;
+    // Spark's min/max and filters compare UTF-8 bytes (code-point order)
+    graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
+      ("docs", "b=0", Seq((1L, "😀doc")).toDF("ID", "TEXT"))),
+      statsColumns = Seq("TEXT"))
+    val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
+    assert(snap.partitionsWhere("docs", "TEXT", "", "😀zzz")
+      === Seq("b=0"))
+    val got = snap.readWhere("docs", "TEXT", "", "😀zzz").get
+    assert(got.count() === 1, "binary-order bound must reach the emoji doc")
+  }
+
   test("TxnCatalog stats carry forward; stat-less entries read conservatively") {
     val root = tmp("txnstatscf")
     graft.storage.TxnCatalog.commitPartitions(spark, root, Seq(
