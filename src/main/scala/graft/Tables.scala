@@ -24,24 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    * rejects; read it as raw nanos and integer-truncate to a micros timestamp
-    * (matches DuckDB's ns ordering — collisions would need two events in the
-    * same microsecond). `ts div 1000` is integer division: a double division
-    * would lose precision above 2^53 ns (~1970+104 days).
+  /** events.ts normalizes to a session-zoned micros TIMESTAMP whatever the
+    * parquet writer produced, so every downstream op (`unix_micros`, window
+    * ranges, date buckets) sees one type:
+    *  - TIMESTAMP(NANOS) (older driver corpora): Spark's vectorized reader
+    *    rejects it — read as raw nanos and integer-truncate to micros
+    *    (matches DuckDB's ns ordering; `div` keeps precision above 2^53 ns,
+    *    where a double division would round);
+    *  - timestamp[us] WITHOUT timezone (current driver corpora): Spark 4
+    *    infers TIMESTAMP_NTZ — cast to TIMESTAMP, which under the pinned
+    *    UTC session zone preserves the exact microsecond values DuckDB
+    *    reads natively;
+    *  - micros TIMESTAMP (GenScale output): passes through unchanged.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, d, "events")
-    // nanos layout reads as raw long under nanosAsLong → truncate to a
-    // micros timestamp; a corpus already written in micros (GenScale
-    // output) reads as timestamp directly and passes through unchanged
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(
-        "ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(
+          "ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
