@@ -471,6 +471,108 @@ object TxnCatalog {
       expectedTxn = Some(snap.txn))(beforePublish)
   }
 
+  /** Re-cluster N partitions of `table` into up to `buckets` partitions
+    * that are contiguous RANGES of the Morton (Z-order) code of
+    * (`aCol`, `bCol`), in one atomic conditional commit — the lakehouse
+    * `OPTIMIZE … ZORDER BY` for this catalog. Append-order partitions
+    * keep manifest stats tight on the arrival axis only: every batch
+    * spans the full range of any other column, so [[Snapshot.readWhere]]
+    * on that column prunes nothing. After clustering, each partition
+    * covers a small tile of the (a, b) plane, so the recorded min/max
+    * stats prune on EITHER dimension — the same rewrite that keeps
+    * parquet row-group stats tight inside each file (rows are written
+    * Z-sorted).
+    *
+    * Mechanics: both columns are min-max scaled to `bits`-bit grid cells
+    * (nulls land in cell 0 — pruning stays correct because range
+    * predicates never match null anyway), interleaved with
+    * [[graft.ops.Layout.interleaveBits]], and split at approximate
+    * Z-quantiles so buckets are near-equal-sized regardless of data
+    * skew; duplicate quantile boundaries (heavy ties) just yield fewer,
+    * never wrong, buckets. Target partitions are named
+    * `<intoPrefix><i>` and must not collide with live partitions outside
+    * the sources. Stats on (`aCol`, `bCol`, `extraStatsColumns`) are
+    * measured off the staged files by the commit itself.
+    *
+    * Cost: one min/max pass, one quantile + one count pass over the
+    * Z-augmented frame (persisted MEMORY_AND_DISK), then one staged
+    * write per non-empty bucket — the same data volume any sorted
+    * rewrite pays, each bucket write independent. Same optimistic
+    * concurrency as [[compactPartitions]]: conditional on the pinned
+    * txn, a rival commit in the window fails this commit cleanly
+    * (IOException) and the caller retries against the new snapshot.
+    * Returns the committed txn. */
+  def clusterPartitions(spark: SparkSession, root: String, table: String,
+      parts: Seq[String], intoPrefix: String, aCol: String, bCol: String,
+      buckets: Int = 16, bits: Int = 8,
+      extraStatsColumns: Seq[String] = Nil): Long =
+    clusterPartitionsHooked(spark, root, table, parts, intoPrefix, aCol,
+      bCol, buckets, bits, extraStatsColumns)(() => ())
+
+  /** [[clusterPartitions]] with the test-only pre-publish seam. */
+  private[graft] def clusterPartitionsHooked(spark: SparkSession,
+      root: String, table: String, parts: Seq[String], intoPrefix: String,
+      aCol: String, bCol: String, buckets: Int, bits: Int,
+      extraStatsColumns: Seq[String])(beforePublish: () => Unit): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, max, min}
+    import org.apache.spark.sql.types.NumericType
+    require(parts.nonEmpty, "nothing to cluster")
+    require(buckets >= 2, "buckets must be >= 2")
+    val targets = (0 until buckets).map(i => s"$intoPrefix$i")
+    targets.foreach(checkPartitionName)
+    require(!parts.exists(targets.contains),
+      "target partitions overlap the sources — pick a fresh intoPrefix")
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val clash = targets.toSet intersect
+      (snap.partitions(table).toSet -- parts)
+    require(clash.isEmpty, "target partitions collide with live " +
+      s"partitions outside the sources: ${clash.toSeq.sorted.mkString(", ")}")
+    val merged = snap.readPartitions(table, parts).get
+    for (c <- Seq(aCol, bCol)) {
+      require(merged.schema.fieldNames.contains(c),
+        s"no column '$c' in '$table'")
+      require(merged.schema(c).dataType.isInstanceOf[NumericType],
+        s"cluster column '$c' must be numeric, is ${merged.schema(c).dataType}")
+    }
+    val Array(bounds) = merged.agg(
+      min(col(aCol)).cast("double").as("alo"),
+      max(col(aCol)).cast("double").as("ahi"),
+      min(col(bCol)).cast("double").as("blo"),
+      max(col(bCol)).cast("double").as("bhi")).collect()
+    val cells = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double) = {
+      val s = if (hi > lo) cells / (hi - lo) else 0.0
+      coalesce(floor((col(c).cast("double") - lit(lo)) * lit(s)), lit(0L))
+    }
+    val z = graft.ops.Layout.interleaveBits(
+      scaled(aCol, bounds.getDouble(0), bounds.getDouble(1)),
+      scaled(bCol, bounds.getDouble(2), bounds.getDouble(3)), bits)
+    val withZ = merged.withColumn("__z", z)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val splits = withZ.stat.approxQuantile("__z",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      val bucket = splits.zipWithIndex.foldLeft(lit(0)) {
+        case (acc, (b, i)) =>
+          org.apache.spark.sql.functions.when(col("__z") >= lit(b), lit(i + 1))
+            .otherwise(acc)
+      }
+      val withB = withZ.withColumn("__b", bucket)
+      val nonEmpty = withB.groupBy("__b").agg(count(lit(1)))
+        .collect().map(_.getInt(0)).toSet
+      val updates = (0 to splits.length).filter(nonEmpty).map { i =>
+        (table, targets(i), withB.filter(col("__b") === i)
+          .coalesce(1).sortWithinPartitions("__z").drop("__z", "__b"))
+      }
+      commitPartitionsHooked(spark, root, updates,
+        statsColumns = (Seq(aCol, bCol) ++ extraStatsColumns).distinct,
+        drops = parts.map((table, _)),
+        expectedTxn = Some(snap.txn))(beforePublish)
+    } finally withZ.unpersist()
+  }
+
   /** Min/max of each requested stat column, measured on the STAGED data
     * files (read-back, so the stats describe exactly the bytes a reader
     * will scan — a columnar read of just the stat columns, cheap next to

@@ -694,6 +694,71 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
   }
 
+  test("TxnCatalog Z-order clustering: readWhere prunes BOTH dimensions after rewrite") {
+    val root = tmp("txnzorder")
+    val T = graft.storage.TxnCatalog
+    // 8 append-order time batches over a 64×64 (uid, t) grid: each batch
+    // holds a t-slice but spans the FULL uid range, so manifest stats
+    // prune on t and on nothing else — the layout clustering exists to fix
+    def slice(k: Int) = (for (t <- k * 8 until (k + 1) * 8; u <- 0 until 64)
+      yield (u.toLong, t.toLong, s"e$u-$t")).toDF("UID", "T", "PAYLOAD")
+    val batches = (0 until 8).map(k => s"batch=$k")
+    T.commitPartitions(spark, root,
+      (0 until 8).map(k => ("events", s"batch=$k", slice(k))),
+      statsColumns = Seq("UID", "T"))
+    val before = T.snapshot(spark, root).get
+    assert(before.partitionsWhere("events", "T", 0.0, 7.0) === Seq("batch=0"))
+    assert(before.partitionsWhere("events", "UID", 8.0, 15.0).size === 8,
+      "append layout cannot prune on uid — every batch spans all uids")
+    val rows = before.read("events").get
+      .as[(Long, Long, String)].collect().toSet
+
+    T.clusterPartitions(spark, root, "events", batches, "z=",
+      "UID", "T", buckets = 16, bits = 3)
+    val after = T.snapshot(spark, root).get
+    val parts = after.partitions("events")
+    assert(parts.nonEmpty && parts.forall(_.startsWith("z=")),
+      "sources must be dropped in the same txn that publishes the tiles")
+    // row set is invariant under the reorg
+    assert(after.read("events").get
+      .as[(Long, Long, String)].collect().toSet === rows)
+    // tiles bound BOTH dimensions: a uid bound now prunes too, and the
+    // t bound keeps pruning
+    val uidKeep = after.partitionsWhere("events", "UID", 8.0, 15.0)
+    val tKeep = after.partitionsWhere("events", "T", 0.0, 7.0)
+    assert(uidKeep.size <= parts.size / 2,
+      s"uid bound kept ${uidKeep.size} of ${parts.size} tiles — no pruning")
+    assert(tKeep.size <= parts.size / 2,
+      s"t bound kept ${tKeep.size} of ${parts.size} tiles — no pruning")
+    // readWhere ≡ read + filter on the newly-prunable dimension
+    val expect = rows.filter(r => r._1 >= 8L && r._1 <= 15L)
+    val got = after.readWhere("events", "UID", 8.0, 15.0).get
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === expect, "pruned read diverged from full filter")
+  }
+
+  test("TxnCatalog clustering is conditional: a rival commit in the window fails it") {
+    val root = tmp("txnzaba")
+    val T = graft.storage.TxnCatalog
+    def b(i: Int) = Seq((i.toLong, i.toLong * 2)).toDF("A", "B")
+    T.commitPartitions(spark, root,
+      Seq(("m", "batch=0", b(1)), ("m", "batch=1", b(2))))
+    intercept[java.io.IOException] {
+      T.clusterPartitionsHooked(spark, root, "m",
+        Seq("batch=0", "batch=1"), "z=", "A", "B", 4, 8, Nil) { () =>
+        // rival rewrites a SOURCE partition between pin and publish —
+        // unconditional clustering would publish drops decided against a
+        // stale view and silently discard this write
+        T.commitPartitions(spark, root, Seq(("m", "batch=0", b(9))))
+      }
+    }
+    // the rival's write survives; the failed clustering changed nothing
+    val snap = T.snapshot(spark, root).get
+    assert(snap.partitions("m") === Seq("batch=0", "batch=1"))
+    assert(snap.readPartition("m", "batch=0").get
+      .as[(Long, Long)].collect().toSet === Set((9L, 18L)))
+  }
+
   test("TxnCatalog diff across a compaction: pure reorg, row set invariant") {
     val root = tmp("txndiffc")
     def b(i: Int) = Seq((i.toLong, s"doc$i")).toDF("ID", "TEXT")
