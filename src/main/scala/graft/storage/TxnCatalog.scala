@@ -95,8 +95,17 @@ object TxnCatalog {
     * `kind` is "n" (numeric — compared as Double) or "s" (string —
     * compared lexically); min/max are the column's non-null extremes in
     * that entry's data files, rendered as strings. Entries or columns
-    * without stats are simply read (pruning is always conservative). */
-  final case class ColStat(kind: String, min: String, max: String)
+    * without stats are simply read (pruning is always conservative).
+    *
+    * `bloom` (optional, base64) is a Bloom filter over the column's
+    * values rendered as strings — the equality-predicate complement to
+    * min/max: a point lookup on a high-cardinality key (content hash,
+    * URL, uuid) prunes nothing by range when every partition spans the
+    * full lexical range, but a per-partition Bloom answers "definitely
+    * absent" at manifest cost. False positives only cost a read; false
+    * negatives cannot happen, so pruning stays conservative. */
+  final case class ColStat(kind: String, min: String, max: String,
+      bloom: String = "")
 
   /** One live manifest entry: the snapshot dir plus optional column
     * stats. Stats ride the manifest line, so they carry forward with the
@@ -108,19 +117,25 @@ object TxnCatalog {
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** `col=kind:min:max;col2=...` with URL-escaped names/values (keeps the
-    * field free of tabs, newlines, and the separators themselves). */
+  /** `col=kind:min:max[:bloom];col2=...` with URL-escaped names/values
+    * (keeps the field free of tabs, newlines, and the separators
+    * themselves); the base64 bloom rides as an optional 4th component,
+    * so stat-only lines from older manifests parse unchanged. */
   private def statsField(stats: Map[String, ColStat]): String =
     stats.toSeq.sortBy(_._1).map { case (c, st) =>
-      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
+      val base = s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
+      if (st.bloom.isEmpty) base else s"$base:${enc(st.bloom)}"
     }.mkString(";")
 
   private def parseStats(field: String): Map[String, ColStat] =
     field.split(';').filter(_.nonEmpty).map { item =>
       // bounded splits: an empty-string min/max must survive the parse
       val Array(name, rest) = item.split("=", 2)
-      val Array(kind, mi, ma) = rest.split(":", 3)
-      dec(name) -> ColStat(kind, dec(mi), dec(ma))
+      rest.split(":", 4) match {
+        case Array(kind, mi, ma)     => dec(name) -> ColStat(kind, dec(mi), dec(ma))
+        case Array(kind, mi, ma, bl) => dec(name) -> ColStat(kind, dec(mi), dec(ma), dec(bl))
+        case _ => throw new java.io.IOException(s"corrupt stats item '$item'")
+      }
     }.toMap
 
   /** The (table, partition)→[[Entry]] mapping a committed txn's manifest
@@ -223,6 +238,38 @@ object TxnCatalog {
         e.stats.get(column).forall(mayOverlap(_, lo, hi)) => p
     }.sorted
 
+    /** The partitions of `table` that MAY contain `column = value`:
+      * min/max range pruning plus, where a Bloom was recorded at commit
+      * (`bloomColumns`), a "definitely absent" membership probe — the
+      * skipping that works for point lookups on high-cardinality keys
+      * whose per-partition ranges all overlap. Stat-less or bloom-less
+      * entries are always kept (conservative, like [[partitionsWhere]]). */
+    def partitionsWhereEq(table: String, column: String,
+        value: Any): Seq[String] = entries.toSeq.collect {
+      case ((t, p), e) if t == table && p != Whole &&
+        e.stats.get(column).forall(st =>
+          mayOverlap(st, value, value) && bloomMayContain(st, value)) => p
+    }.sorted
+
+    /** Read `table` filtered to `column = value`, scanning ONLY
+      * partitions whose manifest stats (range AND Bloom) may hold the
+      * value — semantically identical to `read(table)` plus the filter.
+      * None if the table is absent. */
+    def readWhereEq(table: String, column: String,
+        value: Any): Option[DataFrame] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val whole = entries.contains((table, Whole))
+      val keep =
+        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        else partitionsWhereEq(table, column, value)
+      val paths = keep.map(p => entryPath(root, table, p,
+        entries((table, p)).dir)).sorted
+      val pred = col(column) === lit(value)
+      readPaths(paths).map(_.filter(pred)).orElse {
+        read(table).map(_.filter(lit(false)).filter(pred))
+      }
+    }
+
     /** Read `table` filtered to `column` in [lo, hi] (inclusive),
       * scanning ONLY partitions whose manifest stats may overlap the
       * bound — semantically identical to `read(table)` plus the filter,
@@ -264,6 +311,20 @@ object TxnCatalog {
     }
     x.length < y.length
   }
+
+  /** Bloom probe: false ONLY when a Bloom was recorded and it rules the
+    * value out. The filter was built over the column CAST TO STRING
+    * (Spark's rendering), so the probe hashes the same rendering —
+    * `value.toString` matches it for the string/integral/decimal values
+    * point lookups use. A deserialization failure keeps the entry
+    * (conservative), it never prunes. */
+  private def bloomMayContain(st: ColStat, value: Any): Boolean =
+    st.bloom.isEmpty || (try {
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(st.bloom)))
+        .mightContainString(String.valueOf(value))
+    } catch { case _: Exception => true })
 
   /** Can a value in [lo, hi] exist in an entry whose `column` spans
     * [st.min, st.max]? Kind-mismatched bounds never prune. */
@@ -390,8 +451,10 @@ object TxnCatalog {
   def commitPartitions(spark: SparkSession, root: String,
       updates: Seq[(String, String, DataFrame)],
       statsColumns: Seq[String] = Nil,
-      drops: Seq[(String, String)] = Nil): Long =
-    commitPartitionsHooked(spark, root, updates, statsColumns, drops)(() => ())
+      drops: Seq[(String, String)] = Nil,
+      bloomColumns: Seq[String] = Nil): Long =
+    commitPartitionsHooked(spark, root, updates, statsColumns, drops,
+      bloomColumns = bloomColumns)(() => ())
 
   /** [[commitPartitions]] with the test-only pre-publish seam and the
     * optimistic-concurrency guard [[compactPartitions]] needs:
@@ -403,7 +466,8 @@ object TxnCatalog {
       updates: Seq[(String, String, DataFrame)],
       statsColumns: Seq[String] = Nil,
       drops: Seq[(String, String)] = Nil,
-      expectedTxn: Option[Long] = None)(
+      expectedTxn: Option[Long] = None,
+      bloomColumns: Seq[String] = Nil)(
       beforePublish: () => Unit): Long = {
     require(updates.nonEmpty || drops.nonEmpty,
       "commit needs at least one partition update or drop")
@@ -418,6 +482,7 @@ object TxnCatalog {
     require(!drops.exists(updatedKeys), "a (table, partition) cannot be " +
       "both updated and dropped in one commit")
     publish(spark, root, updates, statsColumns, drops, expectedTxn,
+      bloomColumns = bloomColumns,
       reconcile = carried => {
         updates.map(_._1).distinct.foreach { t =>
           require(!carried.contains((t, Whole)),
@@ -573,19 +638,32 @@ object TxnCatalog {
     } finally withZ.unpersist()
   }
 
+  /** Per-partition Bloom sizing: sized for ~4k distinct values at 3%
+    * FPP (~3.5 KB base64 on the manifest line). More distinct values
+    * only raise the false-positive rate — pruning weakens, never
+    * breaks. Kept module-private constants: the knob that matters at
+    * scale is WHICH columns get blooms (point-lookup keys), not their
+    * size. */
+  private val BloomCapacity = 4096L
+  private val BloomFpp = 0.03
+
   /** Min/max of each requested stat column, measured on the STAGED data
     * files (read-back, so the stats describe exactly the bytes a reader
     * will scan — a columnar read of just the stat columns, cheap next to
     * the write that preceded it). Columns absent from the schema, of
     * un-stat-able types, or all-null record nothing — readers treat a
-    * missing stat as "may contain anything". */
+    * missing stat as "may contain anything". `bloomCols` (a subset
+    * constraint is not required — they're unioned into the stat set)
+    * additionally get a Bloom filter over the column's values rendered
+    * as strings (Spark's cast-to-string), one distributed aggregate per
+    * bloom column. */
   private def measureStats(spark: SparkSession, path: String,
-      cols: Seq[String]): Map[String, ColStat] = {
+      cols: Seq[String], bloomCols: Seq[String] = Nil): Map[String, ColStat] = {
     import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types.{NumericType, StringType}
-    if (cols.isEmpty) return Map.empty
+    if (cols.isEmpty && bloomCols.isEmpty) return Map.empty
     val df = spark.read.parquet(path)
-    val kinds: Map[String, String] = cols.distinct
+    val kinds: Map[String, String] = (cols ++ bloomCols).distinct
       .filter(df.schema.fieldNames.contains)
       .map(c => c -> (df.schema(c).dataType match {
         case _: NumericType => "n"
@@ -597,10 +675,20 @@ object TxnCatalog {
       Seq(min(col(c)).cast("string").as(s"min:$c"),
           max(col(c)).cast("string").as(s"max:$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val blooms: Map[String, String] = bloomCols.distinct
+      .filter(kinds.contains).map { c =>
+        val bf = df.select(col(c).cast("string").as(c))
+          .filter(col(c).isNotNull)
+          .stat.bloomFilter(c, BloomCapacity, BloomFpp)
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        c -> java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+      }.toMap
     kinds.flatMap { case (c, kind) =>
       (Option(row.getAs[String](s"min:$c")), Option(row.getAs[String](s"max:$c"))) match {
-        case (Some(mi), Some(ma)) => Some(c -> ColStat(kind, mi, ma))
-        case _                    => None
+        case (Some(mi), Some(ma)) =>
+          Some(c -> ColStat(kind, mi, ma, blooms.getOrElse(c, "")))
+        case _ => None
       }
     }
   }
@@ -615,7 +703,8 @@ object TxnCatalog {
       statsColumns: Seq[String],
       drops: Seq[(String, String)],
       expectedTxn: Option[Long],
-      reconcile: Map[(String, String), Entry] => Map[(String, String), Entry])(
+      reconcile: Map[(String, String), Entry] => Map[(String, String), Entry],
+      bloomColumns: Seq[String] = Nil)(
       beforePublish: () => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentTxn(spark, root)
@@ -630,7 +719,8 @@ object TxnCatalog {
       val dirName = s"v=$next.$nonce"
       val path = entryPath(root, t, p, dirName)
       df.write.mode("errorifexists").parquet(path)
-      (t, p) -> Entry(dirName, measureStats(spark, path, statsColumns))
+      (t, p) -> Entry(dirName,
+        measureStats(spark, path, statsColumns, bloomColumns))
     }.toMap
     val carried = reconcile(prev.map(manifest(f, root, _)).getOrElse(Map.empty))
     val entries = (carried ++ staged).toSeq.sortBy(_._1)

@@ -694,6 +694,47 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
   }
 
+  test("TxnCatalog bloom stats: point lookups prune where min/max cannot") {
+    val root = tmp("txnbloom")
+    val T = graft.storage.TxnCatalog
+    // three batches of hash-like keys, every batch spanning the full
+    // lexical/numeric range: range stats keep ALL partitions for any
+    // point probe, the recorded Blooms rule out the two non-owners
+    def batch(k: Int) = (0 until 200)
+      .map(i => (f"h$i%03d-b$k", (i * 3 + k).toLong)).toDF("KEY", "ID")
+    T.commitPartitions(spark, root,
+      (0 until 3).map(k => ("facts", s"batch=$k", batch(k))),
+      statsColumns = Seq("KEY", "ID"), bloomColumns = Seq("KEY", "ID"))
+    val snap = T.snapshot(spark, root).get
+    assert(snap.stats("facts", "batch=0")("KEY").bloom.nonEmpty,
+      "bloom must survive the manifest round trip")
+    // range pruning alone is blind here (all ranges overlap)…
+    assert(snap.partitionsWhere("facts", "KEY", "h050-b1", "h050-b1").size === 3)
+    // …the bloom answers "definitely absent" for the two non-owners
+    assert(snap.partitionsWhereEq("facts", "KEY", "h050-b1") === Seq("batch=1"))
+    // numeric point probe goes through the same string rendering
+    assert(snap.partitionsWhereEq("facts", "ID", 7L) === Seq("batch=1"))
+    // pruned read ≡ full read + filter
+    val got = snap.readWhereEq("facts", "KEY", "h050-b1").get
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("h050-b1", 151L)))
+    // an absent key prunes everything yet still returns schema, empty
+    val none = snap.readWhereEq("facts", "KEY", "h050-b9").get
+    assert(none.columns.sorted.toSeq === Seq("ID", "KEY"))
+    assert(none.count() === 0)
+    // bloom-less stats fall back to range-only pruning: a probe inside
+    // the range is kept even though the value is absent (conservative)
+    T.commitPartitions(spark, root, Seq(
+      ("plain", "b=0", Seq(("a", 1L), ("c", 2L)).toDF("KEY", "ID")),
+      ("plain", "b=1", Seq(("x", 3L), ("z", 4L)).toDF("KEY", "ID"))),
+      statsColumns = Seq("KEY"))
+    val snap2 = T.snapshot(spark, root).get
+    assert(snap2.partitionsWhereEq("plain", "KEY", "b") === Seq("b=0"))
+    // blooms carry forward with untouched entries across commits
+    assert(snap2.stats("facts", "batch=2")("ID").bloom.nonEmpty)
+    assert(snap2.partitionsWhereEq("facts", "KEY", "h050-b1") === Seq("batch=1"))
+  }
+
   test("TxnCatalog Z-order clustering: readWhere prunes BOTH dimensions after rewrite") {
     val root = tmp("txnzorder")
     val T = graft.storage.TxnCatalog
