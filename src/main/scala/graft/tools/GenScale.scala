@@ -43,8 +43,6 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // the source events.ts is TIMESTAMP(NANOS): readable only as raw long
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def src(t: String): DataFrame = spark.read.parquet(s"$in/$t.parquet")
     // TESTDATA layout is one parquet FILE per table (the DuckDB oracle
@@ -104,11 +102,10 @@ object GenScale {
         .withColumn("l_partkey", col("l_partkey") + lit(r * nPart))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * nSupp))
     })
-    // emit ts as micros — the value every consumer (Spark via
-    // Tables.events and the DuckDB oracle via epoch_us) truncates to anyway
-    write("events", tiled(
-      src("events").withColumn("ts",
-        timestamp_micros(expr("ts div 1000")))) { (df, r) =>
+    // emit ts as session-zoned micros whatever the source layout (nanos,
+    // NTZ micros, or micros) — Tables.events does exactly that
+    // normalization, so reuse it rather than duplicating the type dispatch
+    write("events", tiled(graft.Tables.events(spark, in)) { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * nEvent))
         .withColumn("user_id", col("user_id") + lit(r * nUser))
     })
