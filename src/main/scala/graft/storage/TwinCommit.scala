@@ -38,15 +38,23 @@ object TwinCommit {
     * a lost race is retried (bounded) so both land. Throws (and publishes
     * nothing) if a write fails or retries exhaust. */
   def append(spark: SparkSession, root: String, batchId: String,
-      a: DataFrame, tableA: String, b: DataFrame, tableB: String): Unit =
-    appendHooked(spark, root, batchId, a, tableA, b, tableB)(() => ())
+      a: DataFrame, tableA: String, b: DataFrame, tableB: String,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Unit =
+    appendHooked(spark, root, batchId, a, tableA, b, tableB,
+      statsColumns, bloomColumns)(() => ())
 
   /** [[append]] with a test-only interleave seam before the FIRST
     * attempt's manifest publish (the window a concurrent append of a
-    * different batch can steal the txn number). */
+    * different batch can steal the txn number). `statsColumns` /
+    * `bloomColumns` apply to BOTH tables (columns absent from one
+    * table's schema are simply skipped for that table), so streamed-in
+    * batches are range- and point-prunable from day one instead of only
+    * after their first compaction. */
   private[graft] def appendHooked(spark: SparkSession, root: String,
       batchId: String, a: DataFrame, tableA: String, b: DataFrame,
-      tableB: String)(beforeFirstPublish: () => Unit): Unit = {
+      tableB: String, statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil)(beforeFirstPublish: () => Unit): Unit = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
     var attempts = 0
     while (true) {
@@ -58,7 +66,8 @@ object TwinCommit {
       try {
         val hook = if (attempts == 1) beforeFirstPublish else () => ()
         TxnCatalog.commitPartitionsHooked(spark, root, Seq(
-          (tableA, part(batchId), a), (tableB, part(batchId), b)))(hook)
+          (tableA, part(batchId), a), (tableB, part(batchId), b)),
+          statsColumns = statsColumns, bloomColumns = bloomColumns)(hook)
         return
       } catch {
         case _: java.io.IOException if attempts < 5 =>
@@ -83,7 +92,8 @@ object TwinCommit {
     * [[TxnCatalog.vacuum]] ages them out. */
   def compactBatches(spark: SparkSession, root: String, batchIds: Seq[String],
       into: String, tableA: String, tableB: String,
-      numFiles: Int = 1): Unit = {
+      numFiles: Int = 1, statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Unit = {
     require(batchIds.nonEmpty, "nothing to compact")
     require(!batchIds.contains(into), s"target batch '$into' is a source")
     val snap = TxnCatalog.snapshot(spark, root).getOrElse(
@@ -94,7 +104,8 @@ object TwinCommit {
     }
     val drops = for (t <- Seq(tableA, tableB); p <- parts) yield (t, p)
     TxnCatalog.commitPartitionsHooked(spark, root, updates,
-      drops = drops, expectedTxn = Some(snap.txn))(() => ())
+      statsColumns = statsColumns, drops = drops,
+      expectedTxn = Some(snap.txn), bloomColumns = bloomColumns)(() => ())
   }
 
   /** The maintenance entry point a streaming sink calls between batches:
@@ -108,20 +119,22 @@ object TwinCommit {
     * compaction landed. */
   def maintain(spark: SparkSession, root: String, tableA: String,
       tableB: String, maxBatches: Int, numFiles: Int = 1,
-      attempts: Int = 5): Option[String] = {
+      attempts: Int = 5, statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Option[String] = {
     require(maxBatches >= 2, "maxBatches must be >= 2")
     val ids = committedBatches(spark, root, tableA)
     if (ids.size < maxBatches) None
     else {
       val into = s"c${TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1}"
       try {
-        compactBatches(spark, root, ids, into, tableA, tableB, numFiles)
+        compactBatches(spark, root, ids, into, tableA, tableB, numFiles,
+          statsColumns, bloomColumns)
         Some(into)
       } catch {
         case _: java.io.IOException if attempts > 1 =>
           // a rival append moved the catalog between pin and publish
           maintain(spark, root, tableA, tableB, maxBatches, numFiles,
-            attempts - 1)
+            attempts - 1, statsColumns, bloomColumns)
       }
     }
   }

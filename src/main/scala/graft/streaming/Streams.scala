@@ -97,16 +97,19 @@ object Streams {
       split: DataFrame => (DataFrame, DataFrame),
       root: String, catalogTable: String, lineageTable: String,
       checkpointDir: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (cat, lin) = split(batch)
         graft.storage.TwinCommit.append(batch.sparkSession, root, s"b$id",
-          cat, catalogTable, lin, lineageTable)
+          cat, catalogTable, lin, lineageTable, statsColumns, bloomColumns)
         if (compactEvery > 0) {
           graft.storage.TwinCommit.maintain(batch.sparkSession, root,
-            catalogTable, lineageTable, maxBatches = compactEvery)
+            catalogTable, lineageTable, maxBatches = compactEvery,
+            statsColumns = statsColumns, bloomColumns = bloomColumns)
           ()
         }
       }

@@ -694,6 +694,38 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
   }
 
+  test("TwinCommit appends carry stats: streamed batches prunable from day one") {
+    val root = tmp("twinstats")
+    // two micro-batches of hash-like keys with overlapping lexical
+    // ranges; stats + blooms requested at append time, no compaction
+    def cat(ks: Seq[String]) = ks.map(k => (k, s"/lake/$k")).toDF("HASH", "RUTA")
+    def lin(ks: Seq[String]) = ks.map(k => (1L, k)).toDF("RUN", "HASH")
+    graft.storage.TwinCommit.append(spark, root, "b0",
+      cat(Seq("h0", "h2")), "catalog", lin(Seq("h0")), "lineage",
+      statsColumns = Seq("HASH", "RUN"), bloomColumns = Seq("HASH"))
+    graft.storage.TwinCommit.append(spark, root, "b1",
+      cat(Seq("h1", "h3")), "catalog", lin(Seq("h3")), "lineage",
+      statsColumns = Seq("HASH", "RUN"), bloomColumns = Seq("HASH"))
+    val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
+    // ranges overlap ([h0,h2] vs [h1,h3]) so min/max keeps both; the
+    // bloom routes the point probe to the owning batch on BOTH tables
+    assert(snap.partitionsWhereEq("catalog", "HASH", "h1") === Seq("batch=b1"))
+    assert(snap.partitionsWhereEq("lineage", "HASH", "h0") === Seq("batch=b0"))
+    // a stat column absent from one table's schema is skipped, not fatal:
+    // RUN stats exist on lineage, not on catalog
+    assert(snap.stats("lineage", "batch=b0").contains("RUN"))
+    assert(!snap.stats("catalog", "batch=b0").contains("RUN"))
+    // compaction preserves the skipping story when asked
+    graft.storage.TwinCommit.compactBatches(spark, root, Seq("b0", "b1"),
+      "c1", "catalog", "lineage",
+      statsColumns = Seq("HASH"), bloomColumns = Seq("HASH"))
+    val snap2 = graft.storage.TxnCatalog.snapshot(spark, root).get
+    assert(snap2.partitions("catalog") === Seq("batch=c1"))
+    assert(snap2.stats("catalog", "batch=c1")("HASH").bloom.nonEmpty)
+    assert(snap2.readWhereEq("catalog", "HASH", "h2").get
+      .as[(String, String)].collect().toSet === Set(("h2", "/lake/h2")))
+  }
+
   test("TxnCatalog bloom stats: point lookups prune where min/max cannot") {
     val root = tmp("txnbloom")
     val T = graft.storage.TxnCatalog
