@@ -74,6 +74,55 @@ object CatalogQueries extends QueryGroup {
              |       THEN 'X' ELSE o_orderstatus END AS STATUS
              |FROM orders ORDER BY ID""".stripMargin)),
 
+    // Storage round trip: commit append-order batches (each spanning the
+    // full range of both columns — neither dimension prunable), Z-order
+    // cluster them with TxnCatalog.clusterPartitions, then answer a range
+    // predicate through readWhere's manifest-stat skipping. The oracle is
+    // the plain filter over the source table: the whole
+    // commit→cluster→prune→read path must be value-lossless.
+    QueryDef(
+      "s_zorder_skipping",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_zorder").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val n = 6
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until n).map(k => ("cust", s"batch=$k",
+            cust.filter(pmod(col("c_custkey"), lit(n)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal"))
+        graft.storage.TxnCatalog.clusterPartitions(s, root, "cust",
+          (0 until n).map(k => s"batch=$k"), "z=",
+          "c_acctbal", "c_custkey", buckets = 8, bits = 6)
+        graft.storage.TxnCatalog.snapshot(s, root).get
+          .readWhere("cust", "c_acctbal", 1000.0, 3000.0).get
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Storage round trip: point lookup on a key whose per-batch ranges
+    // all overlap (pmod split), routed by the manifest Bloom recorded at
+    // commit — readWhereEq must return exactly the SQL equality filter.
+    QueryDef(
+      "s_bloom_point_lookup",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_bloom").toString
+        val parts = Tables.part(s, d).select("p_partkey", "p_name")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 4).map(k => ("parts", s"batch=$k",
+            parts.filter(pmod(col("p_partkey"), lit(4)) === k))),
+          statsColumns = Seq("p_partkey"),
+          bloomColumns = Seq("p_partkey"))
+        graft.storage.TxnCatalog.snapshot(s, root).get
+          .readWhereEq("parts", "p_partkey", 42L).get
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_partkey = 42 ORDER BY p_partkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(
