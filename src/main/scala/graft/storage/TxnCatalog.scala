@@ -92,10 +92,12 @@ object TxnCatalog {
     txns(spark, root).lastOption
 
   /** Per-column min/max a manifest entry records for data skipping.
-    * `kind` is "n" (numeric — compared as Double) or "s" (string —
-    * compared lexically); min/max are the column's non-null extremes in
-    * that entry's data files, rendered as strings. Entries or columns
-    * without stats are simply read (pruning is always conservative).
+    * `kind` is "n" (numeric — compared as Double), "s" (string —
+    * compared lexically), or "t" (timestamp — min/max carried as
+    * micros-since-epoch, compared against Timestamp/Instant bounds);
+    * min/max are the column's non-null extremes in that entry's data
+    * files, rendered as strings. Entries or columns without stats are
+    * simply read (pruning is always conservative).
     *
     * `bloom` (optional, base64) is a Bloom filter over the column's
     * values rendered as strings — the equality-predicate complement to
@@ -326,6 +328,18 @@ object TxnCatalog {
         .mightContainString(String.valueOf(value))
     } catch { case _: Exception => true })
 
+  /** A timestamp bound as micros-since-epoch; None for types that are
+    * not timestamps (kind-mismatch → never prune). */
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      // getTime repeats the integral-millis part of nanos: rebuild from
+      // whole seconds + the full fractional field
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
   /** Can a value in [lo, hi] exist in an entry whose `column` spans
     * [st.min, st.max]? Kind-mismatched bounds never prune. */
   private def mayOverlap(st: ColStat, lo: Any, hi: Any): Boolean =
@@ -334,6 +348,12 @@ object TxnCatalog {
         !(st.max.toDouble < l.doubleValue() || st.min.toDouble > h.doubleValue())
       case ("s", l: String, h: String) =>
         !(utf8Lt(st.max, l) || utf8Lt(h, st.min))
+      case ("t", l, h) =>
+        (tsMicros(l), tsMicros(h)) match {
+          case (Some(lm), Some(hm)) =>
+            !(st.max.toLong < lm || st.min.toLong > hm)
+          case _ => true
+        }
       case _ => true
     }
 
@@ -579,8 +599,8 @@ object TxnCatalog {
       root: String, table: String, parts: Seq[String], intoPrefix: String,
       aCol: String, bCol: String, buckets: Int, bits: Int,
       extraStatsColumns: Seq[String])(beforePublish: () => Unit): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, max, min}
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, max, min, unix_micros}
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
     require(parts.nonEmpty, "nothing to cluster")
     require(buckets >= 2, "buckets must be >= 2")
     val targets = (0 until buckets).map(i => s"$intoPrefix$i")
@@ -597,18 +617,22 @@ object TxnCatalog {
     for (c <- Seq(aCol, bCol)) {
       require(merged.schema.fieldNames.contains(c),
         s"no column '$c' in '$table'")
-      require(merged.schema(c).dataType.isInstanceOf[NumericType],
-        s"cluster column '$c' must be numeric, is ${merged.schema(c).dataType}")
+      require(merged.schema(c).dataType.isInstanceOf[NumericType] ||
+          merged.schema(c).dataType == TimestampType,
+        s"cluster column '$c' must be numeric or timestamp, " +
+          s"is ${merged.schema(c).dataType}")
     }
+    // timestamps cluster on their micros-since-epoch axis
+    def dim(c: String) =
+      (if (merged.schema(c).dataType == TimestampType) unix_micros(col(c))
+       else col(c)).cast("double")
     val Array(bounds) = merged.agg(
-      min(col(aCol)).cast("double").as("alo"),
-      max(col(aCol)).cast("double").as("ahi"),
-      min(col(bCol)).cast("double").as("blo"),
-      max(col(bCol)).cast("double").as("bhi")).collect()
+      min(dim(aCol)).as("alo"), max(dim(aCol)).as("ahi"),
+      min(dim(bCol)).as("blo"), max(dim(bCol)).as("bhi")).collect()
     val cells = (1L << bits) - 1
     def scaled(c: String, lo: Double, hi: Double) = {
       val s = if (hi > lo) cells / (hi - lo) else 0.0
-      coalesce(floor((col(c).cast("double") - lit(lo)) * lit(s)), lit(0L))
+      coalesce(floor((dim(c) - lit(lo)) * lit(s)), lit(0L))
     }
     val z = graft.ops.Layout.interleaveBits(
       scaled(aCol, bounds.getDouble(0), bounds.getDouble(1)),
@@ -659,8 +683,8 @@ object TxnCatalog {
     * bloom column. */
   private def measureStats(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil): Map[String, ColStat] = {
-    import org.apache.spark.sql.functions.{col, max, min}
-    import org.apache.spark.sql.types.{NumericType, StringType}
+    import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+    import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
     if (cols.isEmpty && bloomCols.isEmpty) return Map.empty
     val df = spark.read.parquet(path)
     val kinds: Map[String, String] = (cols ++ bloomCols).distinct
@@ -668,15 +692,23 @@ object TxnCatalog {
       .map(c => c -> (df.schema(c).dataType match {
         case _: NumericType => "n"
         case StringType     => "s"
+        case TimestampType  => "t"
         case _              => ""
       })).filter(_._2.nonEmpty).toMap
     if (kinds.isEmpty) return Map.empty
+    // timestamps are measured in micros-since-epoch: an integer min/max
+    // compares exactly, where the rendered-string form would be
+    // session-zone- and fraction-format-sensitive
+    def m(c: String) =
+      if (kinds(c) == "t") unix_micros(col(c)) else col(c)
     val aggs = kinds.keys.toSeq.sorted.flatMap(c =>
-      Seq(min(col(c)).cast("string").as(s"min:$c"),
-          max(col(c)).cast("string").as(s"max:$c")))
+      Seq(min(m(c)).cast("string").as(s"min:$c"),
+          max(m(c)).cast("string").as(s"max:$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // blooms stay n/s-only: a timestamp probe's string rendering is not
+    // canonical across callers, so membership would be unreliable
     val blooms: Map[String, String] = bloomCols.distinct
-      .filter(kinds.contains).map { c =>
+      .filter(c => kinds.get(c).exists(k => k == "n" || k == "s")).map { c =>
         val bf = df.select(col(c).cast("string").as(c))
           .filter(col(c).isNotNull)
           .stat.bloomFilter(c, BloomCapacity, BloomFpp)

@@ -694,6 +694,45 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
   }
 
+  test("TxnCatalog timestamp stats: time-range skipping and ts-axis clustering") {
+    val root = tmp("txnts")
+    val T = graft.storage.TxnCatalog
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // three hourly event batches; stats on the timestamp and the key
+    def batch(h: Int) =
+      (0 until 10).map(i => (i.toLong, ts(h, i))).toDF("UID", "TS")
+    T.commitPartitions(spark, root,
+      (0 until 3).map(h => ("ev", s"b=$h", batch(h))),
+      statsColumns = Seq("TS", "UID"))
+    val snap = T.snapshot(spark, root).get
+    assert(snap.stats("ev", "b=0")("TS").kind === "t")
+    // an in-hour bound prunes to its batch — Timestamp and Instant bounds
+    assert(snap.partitionsWhere("ev", "TS", ts(1), ts(1, 30)) === Seq("b=1"))
+    assert(snap.partitionsWhere("ev", "TS",
+      ts(1).toInstant, ts(1, 30).toInstant) === Seq("b=1"))
+    // a numeric bound on a timestamp stat never prunes (kind mismatch)
+    assert(snap.partitionsWhere("ev", "TS", 0.0, 1.0).size === 3)
+    // pruned read ≡ full read + filter
+    val full = snap.read("ev").get
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    val expect = full.filter(r => !r._2.before(ts(1)) && !r._2.after(ts(1, 30)))
+    val got = snap.readWhere("ev", "TS", ts(1), ts(1, 30)).get
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(got === expect)
+    // the canonical events layout: cluster on (key, time)
+    T.clusterPartitions(spark, root, "ev", Seq("b=0", "b=1", "b=2"), "z=",
+      "UID", "TS", buckets = 4, bits = 4)
+    val after = T.snapshot(spark, root).get
+    assert(after.partitions("ev").forall(_.startsWith("z=")))
+    assert(after.read("ev").get
+      .as[(Long, java.sql.Timestamp)].collect().toSet === full)
+    // time skipping stays live on the clustered tiles
+    val keep = after.partitionsWhere("ev", "TS", ts(0), ts(0, 30))
+    assert(keep.size < after.partitions("ev").size,
+      s"time bound kept all ${keep.size} tiles — ts stats lost in the rewrite")
+  }
+
   test("TwinCommit appends carry stats: streamed batches prunable from day one") {
     val root = tmp("twinstats")
     // two micro-batches of hash-like keys with overlapping lexical
