@@ -240,6 +240,42 @@ object TxnCatalog {
         e.stats.get(column).forall(mayOverlap(_, lo, hi)) => p
     }.sorted
 
+    /** The partitions of `table` that may satisfy EVERY (column, lo,
+      * hi) bound at once — conjunctive skipping, the natural probe
+      * after a [[TxnCatalog.clusterPartitions]] rewrite where several
+      * dimensions carry tight stats. Per-column semantics are exactly
+      * [[partitionsWhere]]'s (missing/kind-mismatched stats keep the
+      * entry). */
+    def partitionsWhereAll(table: String,
+        bounds: Seq[(String, Any, Any)]): Seq[String] = entries.toSeq.collect {
+      case ((t, p), e) if t == table && p != Whole &&
+        bounds.forall { case (c, lo, hi) =>
+          e.stats.get(c).forall(mayOverlap(_, lo, hi)) } => p
+    }.sorted
+
+    /** Read `table` filtered to EVERY (column, lo, hi) bound
+      * (inclusive), scanning only partitions that may satisfy ALL of
+      * them — a 2-D bound over a Z-ordered table prunes the tile grid
+      * on both axes, where chaining single-column [[readWhere]] calls
+      * could only prune on one. Semantically identical to
+      * `read(table)` plus the conjunctive filter. None if absent. */
+    def readWhereAll(table: String,
+        bounds: Seq[(String, Any, Any)]): Option[DataFrame] = {
+      import org.apache.spark.sql.functions.{col, lit}
+      require(bounds.nonEmpty, "readWhereAll needs at least one bound")
+      val whole = entries.contains((table, Whole))
+      val keep =
+        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        else partitionsWhereAll(table, bounds)
+      val paths = keep.map(p => entryPath(root, table, p,
+        entries((table, p)).dir)).sorted
+      val pred = bounds.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+      readPaths(paths).map(_.filter(pred)).orElse {
+        read(table).map(_.filter(lit(false)).filter(pred))
+      }
+    }
+
     /** The partitions of `table` that MAY contain `column = value`:
       * min/max range pruning plus, where a Bloom was recorded at commit
       * (`bloomColumns`), a "definitely absent" membership probe — the

@@ -847,6 +847,19 @@ class StorageSpec extends GraftSuite {
     val got = after.readWhere("events", "UID", 8.0, 15.0).get
       .as[(Long, Long, String)].collect().toSet
     assert(got === expect, "pruned read diverged from full filter")
+    // a conjunctive 2-D bound prunes the tile grid on BOTH axes at once:
+    // strictly fewer tiles than either single-column bound keeps
+    val both = after.partitionsWhereAll("events",
+      Seq(("UID", 8.0, 15.0), ("T", 0.0, 7.0)))
+    assert(both.size < math.min(uidKeep.size, tKeep.size),
+      s"2-D bound kept ${both.size} tiles, 1-D kept " +
+        s"${uidKeep.size}/${tKeep.size} — no conjunctive pruning")
+    val expect2 = rows.filter(r =>
+      r._1 >= 8L && r._1 <= 15L && r._2 >= 0L && r._2 <= 7L)
+    val got2 = after.readWhereAll("events",
+      Seq(("UID", 8.0, 15.0), ("T", 0.0, 7.0))).get
+      .as[(Long, Long, String)].collect().toSet
+    assert(got2 === expect2, "conjunctive pruned read diverged from filter")
   }
 
   test("TxnCatalog clustering is conditional: a rival commit in the window fails it") {
