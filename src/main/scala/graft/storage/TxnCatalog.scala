@@ -269,10 +269,10 @@ object TxnCatalog {
         else partitionsWhereAll(table, bounds)
       val paths = keep.map(p => entryPath(root, table, p,
         entries((table, p)).dir)).sorted
-      val pred = bounds.map { case (c, lo, hi) =>
-        col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
-      readPaths(paths).map(_.filter(pred)).orElse {
-        read(table).map(_.filter(lit(false)).filter(pred))
+      def pred(df: DataFrame) = bounds.map { case (c, lo, hi) =>
+        rangePredicate(df, c, lo, hi) }.reduce(_ && _)
+      readPaths(paths).map(df => df.filter(pred(df))).orElse {
+        read(table).map(df => df.filter(lit(false)).filter(pred(df)))
       }
     }
 
@@ -323,12 +323,12 @@ object TxnCatalog {
         else partitionsWhere(table, column, lo, hi)
       val paths = keep.map(p => entryPath(root, table, p,
         entries((table, p)).dir)).sorted
-      val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
-      readPaths(paths).map(_.filter(pred)).orElse {
+      def pred(df: DataFrame) = rangePredicate(df, column, lo, hi)
+      readPaths(paths).map(df => df.filter(pred(df))).orElse {
         // table exists but every partition pruned: an empty frame with
         // the table's schema (footer-only read; lit(false) folds the
         // scan away before any data is touched)
-        read(table).map(_.filter(lit(false)).filter(pred))
+        read(table).map(df => df.filter(lit(false)).filter(pred(df)))
       }
     }
   }
@@ -348,6 +348,44 @@ object TxnCatalog {
       i += 1
     }
     x.length < y.length
+  }
+
+  /** An inclusive [lo, hi] predicate on `c` that compares in the
+    * COLUMN's native type wherever that is lossless: `col >= lit(8.0)`
+    * on a BIGINT column makes Catalyst cast the column to double, which
+    * blocks parquet row-group pushdown (only IsNotNull reaches the
+    * scan) — so numeric bounds on integral columns are snapped with
+    * ceil/floor (exact same row set: x >= 8.5 ⇔ x >= 9 for integers)
+    * and kept as long literals. Anything not provably lossless falls
+    * back to the cast-the-column form: correct, just unpushed. */
+  private def rangePredicate(df: DataFrame, c: String,
+      lo: Any, hi: Any): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    def longs(l: Any, h: Any): Option[(Long, Long)] = (l, h) match {
+      // exact integral bounds stay exact; fractional bounds snap inward
+      case (a: Long, b: Long) => Some((a, b))
+      case (a: Int, b: Int)   => Some((a.toLong, b.toLong))
+      case (a: Number, b: Number) =>
+        val (cl, fh) = (math.ceil(a.doubleValue()), math.floor(b.doubleValue()))
+        if (cl.isNaN || fh.isNaN ||
+            cl < Long.MinValue.toDouble || fh > Long.MaxValue.toDouble) None
+        else Some((cl.toLong, fh.toLong))
+      case _ => None
+    }
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        longs(lo, hi) match {
+          case Some((l, h)) => col(c) >= lit(l) && col(c) <= lit(h)
+          case None => col(c) >= lit(lo) && col(c) <= lit(hi)
+        }
+      case DoubleType => (lo, hi) match {
+        case (a: Number, b: Number) =>
+          col(c) >= lit(a.doubleValue()) && col(c) <= lit(b.doubleValue())
+        case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
+      }
+      case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
+    }
   }
 
   /** Bloom probe: false ONLY when a Bloom was recorded and it rules the

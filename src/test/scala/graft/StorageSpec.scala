@@ -860,6 +860,15 @@ class StorageSpec extends GraftSuite {
       Seq(("UID", 8.0, 15.0), ("T", 0.0, 7.0))).get
       .as[(Long, Long, String)].collect().toSet
     assert(got2 === expect2, "conjunctive pruned read diverged from filter")
+    // two-level skipping: the residual predicate must also reach the
+    // parquet scan of the surviving tiles (row-group stats are tight
+    // because tiles are written Z-sorted), not sit in a post-scan Filter
+    val plan = after.readWhereAll("events",
+      Seq(("UID", 8.0, 15.0), ("T", 0.0, 7.0))).get
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(UID,8"),
+      s"readWhereAll predicate not pushed to the scan:\n$plan")
   }
 
   test("TxnCatalog clustering is conditional: a rival commit in the window fails it") {
