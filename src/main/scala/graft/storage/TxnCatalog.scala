@@ -302,9 +302,11 @@ object TxnCatalog {
         else partitionsWhereEq(table, column, value)
       val paths = keep.map(p => entryPath(root, table, p,
         entries((table, p)).dir)).sorted
-      val pred = col(column) === lit(value)
-      readPaths(paths).map(_.filter(pred)).orElse {
-        read(table).map(_.filter(lit(false)).filter(pred))
+      // an equality probe is a degenerate range: reuse the type-aligned
+      // bound construction so the predicate pushes to the parquet scan
+      def pred(df: DataFrame) = rangePredicate(df, column, value, value)
+      readPaths(paths).map(df => df.filter(pred(df))).orElse {
+        read(table).map(df => df.filter(lit(false)).filter(pred(df)))
       }
     }
 

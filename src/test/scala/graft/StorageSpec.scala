@@ -789,6 +789,11 @@ class StorageSpec extends GraftSuite {
     val got = snap.readWhereEq("facts", "KEY", "h050-b1").get
       .as[(String, Long)].collect().toSet
     assert(got === Set(("h050-b1", 151L)))
+    // the equality predicate reaches the surviving partition's scan
+    val plan = snap.readWhereEq("facts", "ID", 7L).get
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("(ID,7)"),
+      s"readWhereEq predicate not pushed to the scan:\n$plan")
     // an absent key prunes everything yet still returns schema, empty
     val none = snap.readWhereEq("facts", "KEY", "h050-b9").get
     assert(none.columns.sorted.toSeq === Seq("ID", "KEY"))
