@@ -360,7 +360,7 @@ object TxnCatalog {
     * ceil/floor (exact same row set: x >= 8.5 ⇔ x >= 9 for integers)
     * and kept as long literals. Anything not provably lossless falls
     * back to the cast-the-column form: correct, just unpushed. */
-  private def rangePredicate(df: DataFrame, c: String,
+  private[graft] def rangePredicate(df: DataFrame, c: String,
       lo: Any, hi: Any): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types._

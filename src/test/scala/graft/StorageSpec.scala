@@ -694,6 +694,32 @@ class StorageSpec extends GraftSuite {
     assert(graft.storage.TxnCatalog.read(spark, root, "docs").get.count() === 4)
   }
 
+  test("rangePredicate bound snapping is row-set-identical to the double compare") {
+    // the pushdown fix rewrites numeric bounds on integral columns as
+    // ceil/floor'd long literals — for EVERY bound shape the kept row
+    // set must equal the reference cast-to-double comparison
+    val longs = (-10L to 10L).map(Tuple1(_)).toDF("V")
+    val doubles = (-10L to 10L).map(v => Tuple1(v + 0.5)).toDF("V")
+    val bounds: Seq[(Any, Any)] = Seq(
+      (3L, 7L), (3, 7), (-10L, 10L),                  // exact integrals
+      (2.5, 7.5), (-2.5, 2.5), (3.0, 3.0),            // fractional / point
+      (7.9, 8.1), (4.2, 4.8),                          // narrow: 1 and 0 hits
+      (-0.5, 0.5), (11.0, 20.0), (-20.0, -11.0),       // edges / empty
+      (5.0, 4.0),                                      // inverted → empty
+      (Double.NaN, 5.0), (1.0e30, 2.0e30),             // NaN / beyond-Long
+      (-1.0e30, 1.0e30))                               // spans everything
+    for (df <- Seq(longs, doubles); (lo, hi) <- bounds) {
+      def d(v: Any): Double = v match { case n: Number => n.doubleValue() }
+      val expect = df.filter(col("V").cast("double") >= d(lo) &&
+        col("V").cast("double") <= d(hi)).collect().map(_.get(0)).toSet
+      val got = df.filter(
+        graft.storage.TxnCatalog.rangePredicate(df, "V", lo, hi))
+        .collect().map(_.get(0)).toSet
+      assert(got === expect,
+        s"bound ($lo, $hi) on ${df.schema("V").dataType} diverged")
+    }
+  }
+
   test("TxnCatalog timestamp stats: time-range skipping and ts-axis clustering") {
     val root = tmp("txnts")
     val T = graft.storage.TxnCatalog
