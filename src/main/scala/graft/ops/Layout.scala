@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of the low `bits` bits of two non-negative integer
-    * columns: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
-    * Plain shift/mask arithmetic — identical in any engine. */
-  def interleaveBits(a: Column, b: Column, bits: Int = 8): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits).map { i =>
-      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+  /** Morton interleave of the low `bits` bits of N ≥ 2 non-negative
+    * integer columns: bit i of column j lands at position N·i + j, so a
+    * range of Z-values bounds every dimension at once. Plain shift/mask
+    * arithmetic — identical in any engine. */
+  def interleaveBitsN(cols: Seq[Column], bits: Int = 8): Column = {
+    val n = cols.size
+    require(n >= 2, "interleave needs at least two columns")
+    require(bits >= 1 && n * bits <= 62,
+      s"$n × $bits interleaved bits must fit a positive long (≤ 62)")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (n * i + j))
+      }
     }.reduce(_ + _)
   }
+
+  /** Two-column [[interleaveBitsN]]: bit i of `a` at position 2i, bit i
+    * of `b` at 2i+1. */
+  def interleaveBits(a: Column, b: Column, bits: Int = 8): Column =
+    interleaveBitsN(Seq(a, b), bits)
 
   /** Repartition-by-range + sort on the Z-value of (aCol, bCol): the write
     * layout that keeps row-group min/max tight on both dimensions. The

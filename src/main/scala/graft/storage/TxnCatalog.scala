@@ -667,13 +667,29 @@ object TxnCatalog {
       parts: Seq[String], intoPrefix: String, aCol: String, bCol: String,
       buckets: Int = 16, bits: Int = 8,
       extraStatsColumns: Seq[String] = Nil): Long =
-    clusterPartitionsHooked(spark, root, table, parts, intoPrefix, aCol,
-      bCol, buckets, bits, extraStatsColumns)(() => ())
+    clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
+      Seq(aCol, bCol), buckets, bits, extraStatsColumns)(() => ())
 
-  /** [[clusterPartitions]] with the test-only pre-publish seam. */
+  /** [[clusterPartitions]] over N ≥ 2 dimensions (Delta's
+    * `ZORDER BY (c1, …, cN)`): bit i of dimension j lands at Z-bit
+    * N·i + j, so each tile bounds EVERY listed column and
+    * [[Snapshot.readWhere]]/[[Snapshot.readWhereAll]] prune on any of
+    * them. More dimensions dilute per-dimension tightness (each gets
+    * bits/N of the Z-range's resolution) — list only the columns
+    * queries actually filter on, and put the most-filtered column LAST:
+    * dimension j holds Z-bit N·i + j, so later dims carry the higher
+    * bits and prune tighter. */
+  def clusterPartitionsN(spark: SparkSession, root: String, table: String,
+      parts: Seq[String], intoPrefix: String, dims: Seq[String],
+      buckets: Int = 16, bits: Int = 8,
+      extraStatsColumns: Seq[String] = Nil): Long =
+    clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
+      dims, buckets, bits, extraStatsColumns)(() => ())
+
+  /** [[clusterPartitionsN]] with the test-only pre-publish seam. */
   private[graft] def clusterPartitionsHooked(spark: SparkSession,
       root: String, table: String, parts: Seq[String], intoPrefix: String,
-      aCol: String, bCol: String, buckets: Int, bits: Int,
+      dims: Seq[String], buckets: Int, bits: Int,
       extraStatsColumns: Seq[String])(beforePublish: () => Unit): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, max, min, unix_micros}
     import org.apache.spark.sql.types.{NumericType, TimestampType}
@@ -689,8 +705,10 @@ object TxnCatalog {
       (snap.partitions(table).toSet -- parts)
     require(clash.isEmpty, "target partitions collide with live " +
       s"partitions outside the sources: ${clash.toSeq.sorted.mkString(", ")}")
+    require(dims.size >= 2 && dims.distinct.size == dims.size,
+      s"need >= 2 distinct cluster dimensions, got ${dims.mkString(", ")}")
     val merged = snap.readPartitions(table, parts).get
-    for (c <- Seq(aCol, bCol)) {
+    for (c <- dims) {
       require(merged.schema.fieldNames.contains(c),
         s"no column '$c' in '$table'")
       require(merged.schema(c).dataType.isInstanceOf[NumericType] ||
@@ -702,17 +720,21 @@ object TxnCatalog {
     def dim(c: String) =
       (if (merged.schema(c).dataType == TimestampType) unix_micros(col(c))
        else col(c)).cast("double")
-    val Array(bounds) = merged.agg(
-      min(dim(aCol)).as("alo"), max(dim(aCol)).as("ahi"),
-      min(dim(bCol)).as("blo"), max(dim(bCol)).as("bhi")).collect()
+    val bounds = merged.agg(
+      min(dim(dims.head)).as("lo0"),
+      (Seq(max(dim(dims.head)).as("hi0")) ++
+        dims.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(dim(c)).as(s"lo${i + 1}"), max(dim(c)).as(s"hi${i + 1}"))
+        }): _*).collect()(0)
     val cells = (1L << bits) - 1
     def scaled(c: String, lo: Double, hi: Double) = {
       val s = if (hi > lo) cells / (hi - lo) else 0.0
       coalesce(floor((dim(c) - lit(lo)) * lit(s)), lit(0L))
     }
-    val z = graft.ops.Layout.interleaveBits(
-      scaled(aCol, bounds.getDouble(0), bounds.getDouble(1)),
-      scaled(bCol, bounds.getDouble(2), bounds.getDouble(3)), bits)
+    val z = graft.ops.Layout.interleaveBitsN(
+      dims.zipWithIndex.map { case (c, i) =>
+        scaled(c, bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1)) },
+      bits)
     val withZ = merged.withColumn("__z", z)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -732,7 +754,7 @@ object TxnCatalog {
           .coalesce(1).sortWithinPartitions("__z").drop("__z", "__b"))
       }
       commitPartitionsHooked(spark, root, updates,
-        statsColumns = (Seq(aCol, bCol) ++ extraStatsColumns).distinct,
+        statsColumns = (dims ++ extraStatsColumns).distinct,
         drops = parts.map((table, _)),
         expectedTxn = Some(snap.txn))(beforePublish)
     } finally withZ.unpersist()

@@ -902,6 +902,44 @@ class StorageSpec extends GraftSuite {
       s"readWhereAll predicate not pushed to the scan:\n$plan")
   }
 
+  test("TxnCatalog N-dim clustering: three-axis tiles prune on every dimension") {
+    val root = tmp("txnz3")
+    val T = graft.storage.TxnCatalog
+    // a 8×8×8 (A, B, C) cube committed as 4 C-slices: pre-cluster, only
+    // C carries usable stats; post-cluster every axis prunes
+    def slice(k: Int) = (for (a <- 0 until 8; b <- 0 until 8;
+      c <- k * 2 until (k + 1) * 2)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("A", "B", "C")
+    T.commitPartitions(spark, root,
+      (0 until 4).map(k => ("cube", s"batch=$k", slice(k))),
+      statsColumns = Seq("A", "B", "C"))
+    val rows = T.snapshot(spark, root).get.read("cube").get
+      .as[(Long, Long, Long)].collect().toSet
+    T.clusterPartitionsN(spark, root, "cube",
+      (0 until 4).map(k => s"batch=$k"), "z=", Seq("A", "B", "C"),
+      buckets = 16, bits = 2)
+    val after = T.snapshot(spark, root).get
+    val parts = after.partitions("cube")
+    assert(parts.forall(_.startsWith("z=")))
+    assert(after.read("cube").get
+      .as[(Long, Long, Long)].collect().toSet === rows)
+    for (axis <- Seq("A", "B", "C")) {
+      // pruning strength rises with the axis' Z-bit significance (the
+      // LAST dim holds the top bit): every axis must prune, the earlier
+      // ones just prune less
+      val keep = after.partitionsWhere("cube", axis, 0.0, 1.0)
+      assert(keep.size <= parts.size - 3,
+        s"$axis bound kept ${keep.size} of ${parts.size} tiles")
+      val expect = rows.filter { r =>
+        val v = axis match { case "A" => r._1; case "B" => r._2; case _ => r._3 }
+        v >= 0L && v <= 1L
+      }
+      val got = after.readWhere("cube", axis, 0.0, 1.0).get
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expect, s"pruned read on $axis diverged")
+    }
+  }
+
   test("TxnCatalog clustering is conditional: a rival commit in the window fails it") {
     val root = tmp("txnzaba")
     val T = graft.storage.TxnCatalog
@@ -910,7 +948,7 @@ class StorageSpec extends GraftSuite {
       Seq(("m", "batch=0", b(1)), ("m", "batch=1", b(2))))
     intercept[java.io.IOException] {
       T.clusterPartitionsHooked(spark, root, "m",
-        Seq("batch=0", "batch=1"), "z=", "A", "B", 4, 8, Nil) { () =>
+        Seq("batch=0", "batch=1"), "z=", Seq("A", "B"), 4, 8, Nil) { () =>
         // rival rewrites a SOURCE partition between pin and publish —
         // unconditional clustering would publish drops decided against a
         // stale view and silently discard this write
