@@ -123,6 +123,43 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT p_partkey, p_name FROM part
              |WHERE p_partkey = 42 ORDER BY p_partkey""".stripMargin)),
 
+    // Storage round trip on the TIMESTAMP axis — the most common fact-
+    // table predicate: commit events in hash-split batches (every batch
+    // spans the whole month, so arrival-order stats prune nothing),
+    // Z-cluster on (user_id, ts) with ts in the high Z-bits, then answer
+    // a time-window read through readWhere's kind-"t" (unix-micros)
+    // manifest stats. filesPerBucket=2 routes the write through the
+    // range-partitioned multi-file bucket path. The bounds are fixed
+    // UTC INSTANTS (not zone-local parses), matching the pinned-UTC
+    // session under which Tables.events normalizes every driver ts
+    // layout — this query keeps that normalization under the hash gate.
+    QueryDef(
+      "s_ts_skipping",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_tsskip").toString
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "value")
+        val n = 6
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until n).map(k => ("ev", s"batch=$k",
+            ev.filter(pmod(col("event_id"), lit(n)) === k))),
+          statsColumns = Seq("ts", "user_id"))
+        graft.storage.TxnCatalog.clusterPartitions(s, root, "ev",
+          (0 until n).map(k => s"batch=$k"), "z=",
+          "user_id", "ts", buckets = 8, bits = 6, filesPerBucket = 2)
+        def utc(iso: String) =
+          java.sql.Timestamp.from(java.time.Instant.parse(iso))
+        graft.storage.TxnCatalog.snapshot(s, root).get
+          .readWhere("ev", "ts",
+            utc("2024-01-10T00:00:00Z"), utc("2024-01-13T00:00:00Z")).get
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, ts, user_id, value FROM events
+             |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+             |              AND TIMESTAMP '2024-01-13 00:00:00'
+             |ORDER BY event_id""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

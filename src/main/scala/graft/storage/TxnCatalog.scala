@@ -51,6 +51,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partition-pruned reads ([[readPartition]]) touch exactly one entry's
   * files. Whole-table snapshots remain the right trade for catalog-sized
   * tables; fact tables commit at partition grain.
+  *
+  * Stats grain — a DECIDED design point, not an omission: manifests
+  * carry PER-PARTITION column stats where Delta/Iceberg carry per-FILE.
+  * Partition-grain is enough here because the two layers compose: the
+  * manifest prunes whole partitions at driver cost (zero file reads),
+  * and WITHIN a surviving partition the skipping predicate is built
+  * type-aligned (see [[rangePredicate]]) so it reaches the parquet scan
+  * as `PushedFilters` and the READER prunes row groups against each
+  * file's own footer stats — which is file-grain skipping, delegated to
+  * where the per-file metadata already lives instead of duplicated into
+  * the manifest. [[clusterPartitionsN]] keeps both layers tight (tiles
+  * bound the manifest stats; Z-sorted rows bound each row group), and
+  * `filesPerBucket` range-splits big tiles into files covering disjoint
+  * Z-ranges, so footer pruning stays sharp as files multiply. The cost
+  * of per-file manifest entries (file-count-proportional manifest lines,
+  * rewritten every commit) would buy only what footers already provide;
+  * if partitions ever grow to thousands of files each, the extension
+  * point is a per-file stats list on [[Entry]] behind the same parse.
   */
 object TxnCatalog {
 
@@ -99,13 +117,15 @@ object TxnCatalog {
     * files, rendered as strings. Entries or columns without stats are
     * simply read (pruning is always conservative).
     *
-    * `bloom` (optional, base64) is a Bloom filter over the column's
-    * values rendered as strings — the equality-predicate complement to
-    * min/max: a point lookup on a high-cardinality key (content hash,
-    * URL, uuid) prunes nothing by range when every partition spans the
-    * full lexical range, but a per-partition Bloom answers "definitely
-    * absent" at manifest cost. False positives only cost a read; false
-    * negatives cannot happen, so pruning stays conservative. */
+    * `bloom` (optional, version-prefixed base64 — see `BloomV2`) is a
+    * Bloom filter over the column's values under a canonical string
+    * rendering — the equality-predicate complement to min/max: a point
+    * lookup on a high-cardinality key (content hash, URL, uuid) prunes
+    * nothing by range when every partition spans the full lexical range,
+    * but a per-partition Bloom answers "definitely absent" at manifest
+    * cost. False positives only cost a read; false negatives cannot
+    * happen — probes that can't reproduce the build rendering exactly
+    * never prune — so pruning stays conservative. */
   final case class ColStat(kind: String, min: String, max: String,
       bloom: String = "")
 
@@ -364,17 +384,29 @@ object TxnCatalog {
       lo: Any, hi: Any): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types._
-    def longs(l: Any, h: Any): Option[(Long, Long)] = (l, h) match {
-      // exact integral bounds stay exact; fractional bounds snap inward
-      case (a: Long, b: Long) => Some((a, b))
-      case (a: Int, b: Int)   => Some((a.toLong, b.toLong))
-      case (a: Number, b: Number) =>
-        val (cl, fh) = (math.ceil(a.doubleValue()), math.floor(b.doubleValue()))
-        if (cl.isNaN || fh.isNaN ||
-            cl < Long.MinValue.toDouble || fh > Long.MaxValue.toDouble) None
-        else Some((cl.toLong, fh.toLong))
-      case _ => None
+    // exact integral bounds stay exact PER SIDE (any integral width —
+    // a mixed (Long, Int) pair must not round-trip through double, which
+    // shifts bounds past 2^53); fractional bounds snap inward
+    def asLong(v: Any): Option[Long] = v match {
+      case b: Byte  => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int   => Some(i.toLong)
+      case l: Long  => Some(l)
+      case _        => None
     }
+    def snap(v: Any, up: Boolean): Option[Long] = asLong(v).orElse(v match {
+      case n: Number =>
+        val d = if (up) math.ceil(n.doubleValue()) else math.floor(n.doubleValue())
+        if (d.isNaN || d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble)
+          None
+        else Some(d.toLong)
+      case _ => None
+    })
+    def longs(l: Any, h: Any): Option[(Long, Long)] =
+      (snap(l, up = true), snap(h, up = false)) match {
+        case (Some(a), Some(b)) => Some((a, b))
+        case _                  => None
+      }
     df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         longs(lo, hi) match {
@@ -390,19 +422,84 @@ object TxnCatalog {
     }
   }
 
-  /** Bloom probe: false ONLY when a Bloom was recorded and it rules the
-    * value out. The filter was built over the column CAST TO STRING
-    * (Spark's rendering), so the probe hashes the same rendering —
-    * `value.toString` matches it for the string/integral/decimal values
-    * point lookups use. A deserialization failure keeps the entry
-    * (conservative), it never prunes. */
-  private def bloomMayContain(st: ColStat, value: Any): Boolean =
-    st.bloom.isEmpty || (try {
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(
-          java.util.Base64.getDecoder.decode(st.bloom)))
-        .mightContainString(String.valueOf(value))
-    } catch { case _: Exception => true })
+  /** The one string rendering both the bloom BUILD (executor-side Spark
+    * cast) and the PROBE (driver-side JVM value) must agree on, per stat
+    * kind — a probe hashed under a different rendering than the build
+    * produces a false "definitely absent" and silently drops matching
+    * partitions. Kind "s" blooms are built over the raw string column, so
+    * only a String probe is exact (an Int 7 probe on a string column can
+    * equality-match "7" AND "07" under Spark's coercion — no single
+    * rendering covers that, so no pruning). Kind "n" blooms are built
+    * over `CAST(col AS DECIMAL(38,18)) AS STRING`, which collapses every
+    * numeric source type onto one rendering ("7", 7L, 7.0, 7.00 all hash
+    * as the scale-18 decimal string); the probe reproduces it with
+    * java.math.BigDecimal — same `Double.toString`-based construction,
+    * same setScale(18), same java toString — so build and probe agree by
+    * construction. None = no exact rendering exists (wrong runtime type,
+    * value outside DECIMAL(38,18) — those were null-ed out of the bloom
+    * at build time too, or fractional beyond scale 18, rounded at build):
+    * the caller keeps the partition, pruning stays range-only. */
+  private def bloomProbeRendering(kind: String, value: Any): Option[String] =
+    kind match {
+      case "s" => value match {
+        case s: String => Some(s)
+        case _         => None
+      }
+      case "n" =>
+        try {
+          val bd = value match {
+            case b: java.lang.Byte     => java.math.BigDecimal.valueOf(b.longValue())
+            case s: java.lang.Short    => java.math.BigDecimal.valueOf(s.longValue())
+            case i: java.lang.Integer  => java.math.BigDecimal.valueOf(i.longValue())
+            case l: java.lang.Long     => java.math.BigDecimal.valueOf(l)
+            case b: Byte               => java.math.BigDecimal.valueOf(b.toLong)
+            case s: Short              => java.math.BigDecimal.valueOf(s.toLong)
+            case i: Int                => java.math.BigDecimal.valueOf(i.toLong)
+            case l: Long               => java.math.BigDecimal.valueOf(l)
+            // Spark casts float→decimal through the double value; match it
+            case f: java.lang.Float    => java.math.BigDecimal.valueOf(f.doubleValue())
+            case d: java.lang.Double   => java.math.BigDecimal.valueOf(d)
+            case d: java.math.BigDecimal => d
+            case d: scala.math.BigDecimal => d.underlying
+            case _ => return None
+          }
+          val scaled = bd.setScale(18) // ArithmeticException if lossy
+          if (scaled.precision > 38) None else Some(scaled.toString)
+        } catch { case _: ArithmeticException | _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** Marks blooms built over the canonical renderings above; blooms
+    * recorded by earlier versions (raw base64, numeric values hashed
+    * under their source type's own rendering) are probed only where that
+    * rendering was already exact — string columns with String probes. */
+  private val BloomV2 = "2:"
+
+  /** Bloom probe: false ONLY when a Bloom was recorded, the probe value
+    * has an exact rendering for the column's stat kind, and the filter
+    * rules that rendering out. Type-mismatched probes (Int 7 against a
+    * DOUBLE column, non-String against a string column) and
+    * deserialization failures keep the entry — pruning never bets on a
+    * rendering the build side didn't use. */
+  private def bloomMayContain(st: ColStat, value: Any): Boolean = {
+    if (st.bloom.isEmpty) return true
+    val (payload, probe) =
+      if (st.bloom.startsWith(BloomV2))
+        (st.bloom.drop(BloomV2.length), bloomProbeRendering(st.kind, value))
+      else // legacy bloom: only the identity rendering is trustworthy
+        (st.bloom, value match {
+          case s: String if st.kind == "s" => Some(s)
+          case _                           => None
+        })
+    probe.forall { p =>
+      try {
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(payload)))
+          .mightContainString(p)
+      } catch { case _: Exception => true }
+    }
+  }
 
   /** A timestamp bound as micros-since-epoch; None for types that are
     * not timestamps (kind-mismatch → never prune). */
@@ -658,17 +755,28 @@ object TxnCatalog {
     * Cost: one min/max pass, one quantile + one count pass over the
     * Z-augmented frame (persisted MEMORY_AND_DISK), then one staged
     * write per non-empty bucket — the same data volume any sorted
-    * rewrite pays, each bucket write independent. Same optimistic
-    * concurrency as [[compactPartitions]]: conditional on the pinned
-    * txn, a rival commit in the window fails this commit cleanly
-    * (IOException) and the caller retries against the new snapshot.
-    * Returns the committed txn. */
+    * rewrite pays, each bucket write independent. `filesPerBucket`
+    * controls the write parallelism INSIDE a bucket: 1 (the right call
+    * for catalog-sized tables) writes each bucket as a single Z-sorted
+    * file through one task; at fact-table scale a bucket is GBs, so set
+    * filesPerBucket ≈ bucketBytes / targetFileSize and the bucket is
+    * range-partitioned on the Z-code into that many Z-sorted files —
+    * N parallel write tasks, N files whose row groups tile disjoint
+    * Z-ranges. Partition-grain stats and pruning are unaffected (stats
+    * are measured per partition, not per file), and parquet row-group
+    * pushdown inside each file stays as tight as the single-file form
+    * because each file still covers a contiguous Z-range. Same
+    * optimistic concurrency as [[compactPartitions]]: conditional on
+    * the pinned txn, a rival commit in the window fails this commit
+    * cleanly (IOException) and the caller retries against the new
+    * snapshot. Returns the committed txn. */
   def clusterPartitions(spark: SparkSession, root: String, table: String,
       parts: Seq[String], intoPrefix: String, aCol: String, bCol: String,
       buckets: Int = 16, bits: Int = 8,
-      extraStatsColumns: Seq[String] = Nil): Long =
+      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1): Long =
     clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
-      Seq(aCol, bCol), buckets, bits, extraStatsColumns)(() => ())
+      Seq(aCol, bCol), buckets, bits, extraStatsColumns,
+      filesPerBucket)(() => ())
 
   /** [[clusterPartitions]] over N ≥ 2 dimensions (Delta's
     * `ZORDER BY (c1, …, cN)`): bit i of dimension j lands at Z-bit
@@ -682,19 +790,21 @@ object TxnCatalog {
   def clusterPartitionsN(spark: SparkSession, root: String, table: String,
       parts: Seq[String], intoPrefix: String, dims: Seq[String],
       buckets: Int = 16, bits: Int = 8,
-      extraStatsColumns: Seq[String] = Nil): Long =
+      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1): Long =
     clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
-      dims, buckets, bits, extraStatsColumns)(() => ())
+      dims, buckets, bits, extraStatsColumns, filesPerBucket)(() => ())
 
   /** [[clusterPartitionsN]] with the test-only pre-publish seam. */
   private[graft] def clusterPartitionsHooked(spark: SparkSession,
       root: String, table: String, parts: Seq[String], intoPrefix: String,
       dims: Seq[String], buckets: Int, bits: Int,
-      extraStatsColumns: Seq[String])(beforePublish: () => Unit): Long = {
+      extraStatsColumns: Seq[String], filesPerBucket: Int = 1)(
+      beforePublish: () => Unit): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, max, min, unix_micros}
     import org.apache.spark.sql.types.{NumericType, TimestampType}
     require(parts.nonEmpty, "nothing to cluster")
     require(buckets >= 2, "buckets must be >= 2")
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     val targets = (0 until buckets).map(i => s"$intoPrefix$i")
     targets.foreach(checkPartitionName)
     require(!parts.exists(targets.contains),
@@ -726,6 +836,12 @@ object TxnCatalog {
         dims.tail.zipWithIndex.flatMap { case (c, i) =>
           Seq(min(dim(c)).as(s"lo${i + 1}"), max(dim(c)).as(s"hi${i + 1}"))
         }): _*).collect()(0)
+    dims.zipWithIndex.foreach { case (c, i) =>
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"cluster dimension '$c' has no non-null values in the source " +
+          "partitions (all-null column, or empty sources) — it cannot " +
+          "contribute a Z-axis; drop it from dims or fill it first")
+    }
     val cells = (1L << bits) - 1
     def scaled(c: String, lo: Double, hi: Double) = {
       val s = if (hi > lo) cells / (hi - lo) else 0.0
@@ -750,8 +866,15 @@ object TxnCatalog {
       val nonEmpty = withB.groupBy("__b").agg(count(lit(1)))
         .collect().map(_.getInt(0)).toSet
       val updates = (0 to splits.length).filter(nonEmpty).map { i =>
-        (table, targets(i), withB.filter(col("__b") === i)
-          .coalesce(1).sortWithinPartitions("__z").drop("__z", "__b"))
+        val slice = withB.filter(col("__b") === i)
+        // one Z-sorted file through one task for catalog-sized buckets;
+        // range-split on the Z-code into N parallel Z-sorted files when
+        // a bucket is bigger than one task should write
+        val laid =
+          if (filesPerBucket == 1) slice.coalesce(1)
+          else slice.repartitionByRange(filesPerBucket, col("__z"))
+        (table, targets(i),
+          laid.sortWithinPartitions("__z").drop("__z", "__b"))
       }
       commitPartitionsHooked(spark, root, updates,
         statsColumns = (dims ++ extraStatsColumns).distinct,
@@ -760,13 +883,73 @@ object TxnCatalog {
     } finally withZ.unpersist()
   }
 
-  /** Per-partition Bloom sizing: sized for ~4k distinct values at 3%
-    * FPP (~3.5 KB base64 on the manifest line). More distinct values
-    * only raise the false-positive rate — pruning weakens, never
-    * breaks. Kept module-private constants: the knob that matters at
-    * scale is WHICH columns get blooms (point-lookup keys), not their
-    * size. */
-  private val BloomCapacity = 4096L
+  /** Threshold-gated incremental clustering — the maintenance entry
+    * point a streaming sink calls between batches, the clustering
+    * counterpart of [[TwinCommit.maintain]]'s compaction: without it a
+    * streamed lake decays to append-order batches (every batch spans the
+    * full range of every non-arrival column, so [[Snapshot.readWhere]]
+    * prunes nothing) until someone runs [[clusterPartitionsN]] by hand.
+    *
+    * When `table` has accumulated at least `minBatches` partitions NOT
+    * produced by a previous clustering pass (any name not starting with
+    * `intoPrefix` — streamed `batch=*` appends and `c*` compaction folds
+    * alike), exactly those partitions are clustered into a fresh
+    * GENERATION of Z-tiles named `<intoPrefix><txn>-<i>`; otherwise
+    * no-op. Generations are INCREMENTAL: a pass rewrites only the new
+    * batches — O(new data), never O(table) — so a long-lived stream pays
+    * for each row's re-layout once. Earlier generations keep their own
+    * tight tiles, and [[Snapshot.readWhere]]/[[Snapshot.readWhereAll]]
+    * prune across all generations uniformly (stats are per-partition;
+    * nothing distinguishes tiles of different passes). The trade: K
+    * generations mean up to K tiles may overlap a given query box where
+    * a from-scratch rewrite would have one — a periodic full
+    * re-optimization (call [[clusterPartitionsN]] over ALL partitions
+    * with a fresh prefix) folds generations back to a single tiling;
+    * both coexist because generation tiles also start with `intoPrefix`
+    * and are therefore never re-consumed by the incremental path.
+    *
+    * Same CONDITIONAL-txn protection as [[clusterPartitionsN]]: a rival
+    * commit (a concurrent micro-batch append) between pin and publish
+    * fails the pass cleanly and it retries against the moved catalog, up
+    * to `attempts` times — appends are never blocked or lost, the next
+    * trigger simply sees one more pending batch. The generation name
+    * carries the pinned txn, so retries can never collide with a
+    * previous generation's tiles. Returns the committed txn when a
+    * clustering landed. */
+  def maintainClustered(spark: SparkSession, root: String, table: String,
+      dims: Seq[String], intoPrefix: String = "z", minBatches: Int = 8,
+      buckets: Int = 16, bits: Int = 8, filesPerBucket: Int = 1,
+      extraStatsColumns: Seq[String] = Nil, attempts: Int = 5): Option[Long] = {
+    require(minBatches >= 1, "minBatches must be >= 1")
+    snapshot(spark, root).flatMap { snap =>
+      val pending = snap.partitions(table).filterNot(_.startsWith(intoPrefix))
+      if (pending.size < minBatches) None
+      else {
+        try Some(clusterPartitionsN(spark, root, table, pending,
+          s"$intoPrefix${snap.txn}-", dims, buckets, bits,
+          extraStatsColumns, filesPerBucket))
+        catch {
+          case _: java.io.IOException if attempts > 1 =>
+            maintainClustered(spark, root, table, dims, intoPrefix,
+              minBatches, buckets, bits, filesPerBucket, extraStatsColumns,
+              attempts - 1)
+        }
+      }
+    }
+  }
+
+  /** Per-partition Bloom sizing: capacity tracks the partition's
+    * MEASURED non-null row count (an upper bound on distinct values —
+    * counted in the same pass as min/max, so sizing is free), floored at
+    * 4k so tiny partitions still get a useful filter and CAPPED at 64k
+    * items (~60 KB serialized, ~80 KB base64) so one manifest line stays
+    * KB-scale even for a 100M-row partition. Beyond the cap the filter
+    * saturates and the false-positive rate degrades toward 1 — equality
+    * skipping weakens to range-only, never breaks (false positives only
+    * cost a read). The knob that matters at scale is still WHICH columns
+    * get blooms (point-lookup keys), not their size. */
+  private val BloomMinCapacity = 4096L
+  private val BloomMaxCapacity = 65536L
   private val BloomFpp = 0.03
 
   /** Min/max of each requested stat column, measured on the STAGED data
@@ -801,18 +984,32 @@ object TxnCatalog {
       if (kinds(c) == "t") unix_micros(col(c)) else col(c)
     val aggs = kinds.keys.toSeq.sorted.flatMap(c =>
       Seq(min(m(c)).cast("string").as(s"min:$c"),
-          max(m(c)).cast("string").as(s"max:$c")))
+          max(m(c)).cast("string").as(s"max:$c"),
+          org.apache.spark.sql.functions.count(col(c)).as(s"cnt:$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // blooms stay n/s-only: a timestamp probe's string rendering is not
-    // canonical across callers, so membership would be unreliable
+    // canonical across callers, so membership would be unreliable.
+    // Numeric columns hash their DECIMAL(38,18) rendering — the one
+    // rendering a driver-side probe can reproduce exactly whatever the
+    // column's source type (see bloomProbeRendering); out-of-range
+    // values null out of the cast AND out of any exact probe, so both
+    // sides stay conservative together.
     val blooms: Map[String, String] = bloomCols.distinct
       .filter(c => kinds.get(c).exists(k => k == "n" || k == "s")).map { c =>
-        val bf = df.select(col(c).cast("string").as(c))
+        val rendered =
+          if (kinds(c) == "n")
+            col(c).cast(org.apache.spark.sql.types.DecimalType(38, 18))
+              .cast("string")
+          else col(c).cast("string")
+        val capacity = math.min(BloomMaxCapacity,
+          math.max(BloomMinCapacity, row.getAs[Long](s"cnt:$c")))
+        val bf = df.select(rendered.as(c))
           .filter(col(c).isNotNull)
-          .stat.bloomFilter(c, BloomCapacity, BloomFpp)
+          .stat.bloomFilter(c, capacity, BloomFpp)
         val out = new java.io.ByteArrayOutputStream()
         bf.writeTo(out)
-        c -> java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+        c -> (BloomV2 +
+          java.util.Base64.getEncoder.encodeToString(out.toByteArray))
       }.toMap
     kinds.flatMap { case (c, kind) =>
       (Option(row.getAs[String](s"min:$c")), Option(row.getAs[String](s"max:$c"))) match {

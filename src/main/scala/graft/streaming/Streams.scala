@@ -91,6 +91,27 @@ object Streams {
     * day of 10 s micro-batches stays a handful of data files instead of
     * 8 640 per table, with no pause in the stream and no extra process.
     *
+    * `clusterEvery` > 0 (with `clusterDims`) additionally turns on
+    * inline LAYOUT maintenance for the CATALOG table: once that many
+    * unclustered batches have accumulated,
+    * [[graft.storage.TxnCatalog.maintainClustered]] rewrites exactly
+    * those batches into a fresh generation of Z-tiles, so
+    * `readWhere`/`readWhereAll` range probes on `clusterDims` prune a
+    * streamed lake the way they prune a batch-built one — without it the
+    * lake decays to append-order batches whose stats are tight on
+    * arrival time only. Runs AFTER compaction in the same trigger, so a
+    * compaction fold (`batch=c*`) is itself picked up as a pending batch
+    * by the next clustering pass; both maintenance steps are conditional
+    * commits that simply skip a trigger if they lose a race. The lineage
+    * table keeps batch-grain partitions (its consumers join by batch, so
+    * arrival order IS its natural layout) but must not rot as clustering
+    * drains the catalog's batch list out from under
+    * [[graft.storage.TwinCommit.maintain]]: each clustering pass
+    * therefore folds the lineage partitions the catalog no longer
+    * mirrors (previous folds included) into one `lfold<txn>` partition —
+    * lineage file counts stay O(1) per generation, not one per
+    * micro-batch, with or without `compactEvery`.
+    *
     * Returns the started query; caller owns its lifecycle.
     */
   def twinCommitSink(stream: DataFrame,
@@ -99,7 +120,11 @@ object Streams {
       checkpointDir: String,
       compactEvery: Int = 0,
       statsColumns: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      bloomColumns: Seq[String] = Nil,
+      clusterEvery: Int = 0,
+      clusterDims: Seq[String] = Nil,
+      clusterBuckets: Int = 16,
+      clusterBits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -111,6 +136,29 @@ object Streams {
             catalogTable, lineageTable, maxBatches = compactEvery,
             statsColumns = statsColumns, bloomColumns = bloomColumns)
           ()
+        }
+        if (clusterEvery > 0 && clusterDims.nonEmpty) {
+          val s = batch.sparkSession
+          graft.storage.TxnCatalog.maintainClustered(s, root, catalogTable,
+            clusterDims, minBatches = clusterEvery,
+            buckets = clusterBuckets, bits = clusterBits,
+            extraStatsColumns = statsColumns).foreach { txn =>
+            // fold the lineage batches the clustering just consumed on
+            // the catalog side (plus any previous fold) — conditional
+            // like everything else; a lost race retries next generation
+            val catParts = graft.storage.TxnCatalog
+              .partitions(s, root, catalogTable).toSet
+            val orphan = graft.storage.TxnCatalog
+              .partitions(s, root, lineageTable)
+              .filterNot(catParts.contains)
+            if (orphan.size >= 2) {
+              try graft.storage.TxnCatalog.compactPartitions(s, root,
+                lineageTable, orphan, s"lfold$txn",
+                statsColumns = statsColumns)
+              catch { case _: java.io.IOException => () }
+              ()
+            }
+          }
         }
       }
       .start()

@@ -40,6 +40,10 @@ object GenScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.events' NTZ→TIMESTAMP normalization is session-zone
+      // dependent: pin UTC (as Verify/tests do) so the scaled corpus
+      // embeds the same instants on any machine
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -718,6 +718,19 @@ class StorageSpec extends GraftSuite {
       assert(got === expect,
         s"bound ($lo, $hi) on ${df.schema("V").dataType} diverged")
     }
+    // mixed integral pairs must stay EXACT per side: (Int, Long) used to
+    // fall into the double path, where |v| > 2^53 rounds and shifts the
+    // bound by a few units
+    val big = Seq(9007199254740993L, 9007199254740992L, 5L).toDF("V")
+    def rp(lo: Any, hi: Any) = big.filter(
+      graft.storage.TxnCatalog.rangePredicate(big, "V", lo, hi))
+      .as[Long].collect().toSet
+    assert(rp(6, 9007199254740993L) ===
+      Set(9007199254740992L, 9007199254740993L),
+      "mixed (Int, Long) hi bound rounded down through double")
+    assert(rp(9007199254740993L, Long.MaxValue) === Set(9007199254740993L))
+    assert(rp(5.toShort, 9007199254740992L) ===
+      Set(5L, 9007199254740992L))
   }
 
   test("TxnCatalog timestamp stats: time-range skipping and ts-axis clustering") {
@@ -938,6 +951,189 @@ class StorageSpec extends GraftSuite {
         .as[(Long, Long, Long)].collect().toSet
       assert(got === expect, s"pruned read on $axis diverged")
     }
+  }
+
+  test("TxnCatalog bloom probes are type-aligned: cross-type probes never false-prune") {
+    val root = tmp("txnbloomtype")
+    val T = graft.storage.TxnCatalog
+    // a DOUBLE key column, batches interleaved so ranges overlap and the
+    // bloom is the only thing that can prune. The regression this pins:
+    // the bloom hashes Spark's rendering of the column ("7.0"), and an
+    // integral probe for the same value used to hash "7" — a false
+    // "definitely absent" that silently dropped the OWNING partition.
+    def dbl(k: Int) = (0 until 100)
+      .map(i => Tuple1((i * 2 + k).toDouble)).toDF("K")
+    T.commitPartitions(spark, root,
+      (0 until 2).map(k => ("dbl", s"b=$k", dbl(k))),
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val snap = T.snapshot(spark, root).get
+    // value 7.0 lives in b=1; an Int/Long probe must route there, not
+    // prune it (Spark's equality coerces 7 to 7.0 and WOULD match rows)
+    assert(snap.partitionsWhereEq("dbl", "K", 7) === Seq("b=1"))
+    assert(snap.partitionsWhereEq("dbl", "K", 7L) === Seq("b=1"))
+    assert(snap.partitionsWhereEq("dbl", "K", 7.0) === Seq("b=1"))
+    assert(snap.readWhereEq("dbl", "K", 7L).get
+      .as[Double].collect().toSeq === Seq(7.0))
+    // the mirror case: BIGINT column, Double probe
+    def lng(k: Int) = (0 until 100)
+      .map(i => Tuple1((i * 2 + k).toLong)).toDF("K")
+    T.commitPartitions(spark, root,
+      (0 until 2).map(k => ("lng", s"b=$k", lng(k))),
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val snap2 = T.snapshot(spark, root).get
+    assert(snap2.partitionsWhereEq("lng", "K", 8.0) === Seq("b=0"))
+    assert(snap2.readWhereEq("lng", "K", 8.0).get
+      .as[Long].collect().toSeq === Seq(8L))
+    // DECIMAL column: integral and double probes share the canonical
+    // scale-18 rendering with the stored decimal values
+    def dcm(k: Int) = (0 until 100)
+      .map(i => Tuple1(BigDecimal(i * 2 + k).setScale(2))).toDF("K")
+    T.commitPartitions(spark, root,
+      (0 until 2).map(k => ("dcm", s"b=$k", dcm(k))),
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val snap3 = T.snapshot(spark, root).get
+    assert(snap3.partitionsWhereEq("dcm", "K", 7) === Seq("b=1"))
+    assert(snap3.partitionsWhereEq("dcm", "K", 8.0) === Seq("b=0"))
+    // a probe with NO exact rendering for the kind keeps everything:
+    // an Int probe on a STRING column can match "7" and "07" under
+    // Spark's coercion, so the bloom must not bet on one rendering
+    def str(k: Int) = (0 until 100)
+      .map(i => Tuple1(f"${i * 2 + k}%03d")).toDF("K")
+    T.commitPartitions(spark, root,
+      (0 until 2).map(k => ("str", s"b=$k", str(k))),
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val snap4 = T.snapshot(spark, root).get
+    assert(snap4.partitionsWhereEq("str", "K", 7).size === 2,
+      "numeric probe on a string bloom must stay conservative")
+    assert(snap4.partitionsWhereEq("str", "K", "007") === Seq("b=1"))
+    // fractional probe of a value no integral column can hold: range
+    // stats already say impossible — bloom mismatch must not matter
+    assert(snap2.readWhereEq("lng", "K", 8.5).get.count() === 0)
+  }
+
+  test("TxnCatalog bloom capacity scales with staged rows: 50k-distinct partitions still prune") {
+    val root = tmp("txnbloomcap")
+    val T = graft.storage.TxnCatalog
+    // 50k distinct even keys in one partition — a fixed 4k-capacity
+    // bloom saturates here (FPP ≈ 1, every probe a false positive) and
+    // equality skipping silently degrades to range-only; sized from the
+    // staged row count it keeps its design FPP. The small partition's
+    // odd keys sit INSIDE the big partition's [0, 99998] range, so range
+    // stats cannot do the work.
+    val big = spark.range(0, 50000).select((col("id") * 2).as("K"))
+    val small = Seq(1L, 50001L, 99001L).toDF("K")
+    T.commitPartitions(spark, root,
+      Seq(("facts", "p=big", big), ("facts", "p=small", small)),
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val snap = T.snapshot(spark, root).get
+    // range overlap: both partitions survive a range probe
+    assert(snap.partitionsWhere("facts", "K", 50000.0, 50002.0).size === 2)
+    // the point probe for an odd key must rule the 50k partition out
+    assert(snap.partitionsWhereEq("facts", "K", 50001L) === Seq("p=small"),
+      "a saturated bloom would keep p=big here")
+    assert(snap.readWhereEq("facts", "K", 50001L).get
+      .as[Long].collect().toSeq === Seq(50001L))
+    // …and an even key still routes to its owner (no false negatives)
+    assert(snap.partitionsWhereEq("facts", "K", 4242L) === Seq("p=big"))
+  }
+
+  test("TxnCatalog multi-file Z-buckets: filesPerBucket parallelizes the write, reads unchanged") {
+    val root = tmp("txnzmulti")
+    val T = graft.storage.TxnCatalog
+    def slice(k: Int) = (for (t <- k * 8 until (k + 1) * 8; u <- 0 until 64)
+      yield (u.toLong, t.toLong, s"e$u-$t")).toDF("UID", "T", "PAYLOAD")
+    T.commitPartitions(spark, root,
+      (0 until 8).map(k => ("events", s"batch=$k", slice(k))),
+      statsColumns = Seq("UID", "T"))
+    val rows = T.snapshot(spark, root).get.read("events").get
+      .as[(Long, Long, String)].collect().toSet
+    T.clusterPartitions(spark, root, "events",
+      (0 until 8).map(k => s"batch=$k"), "z=",
+      "UID", "T", buckets = 16, bits = 3, filesPerBucket = 3)
+    val after = T.snapshot(spark, root).get
+    val parts = after.partitions("events")
+    assert(parts.nonEmpty && parts.forall(_.startsWith("z=")))
+    // the scale fix this pins: each bucket is written by filesPerBucket
+    // range-partitioned tasks, not one coalesce(1) task — visible as N
+    // data files per tile instead of 1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileCounts = parts.map { p =>
+      val dir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/events/$p"))
+        .filter(_.isDirectory).map(_.getPath).head
+      fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(fileCounts.exists(_ > 1),
+      s"every tile still single-file ($fileCounts) — bucket write not parallelized")
+    assert(fileCounts.forall(_ <= 3), s"more files than filesPerBucket: $fileCounts")
+    // reads and skipping are unaffected by the intra-bucket split:
+    // row set invariant, per-partition stats still prune both axes
+    assert(after.read("events").get
+      .as[(Long, Long, String)].collect().toSet === rows)
+    val uidKeep = after.partitionsWhere("events", "UID", 8.0, 15.0)
+    assert(uidKeep.size <= parts.size / 2,
+      s"uid bound kept ${uidKeep.size} of ${parts.size} tiles")
+    val expect = rows.filter(r => r._1 >= 8L && r._1 <= 15L)
+    assert(after.readWhere("events", "UID", 8.0, 15.0).get
+      .as[(Long, Long, String)].collect().toSet === expect)
+  }
+
+  test("TxnCatalog all-null cluster dimension fails with the dimension's name") {
+    val root = tmp("txnznull")
+    val T = graft.storage.TxnCatalog
+    val df = (0 until 8).map(i => (i.toLong, i.toLong)).toDF("A", "B")
+      .withColumn("C", lit(null).cast("double"))
+    T.commitPartitions(spark, root, Seq(("t", "b=0", df)),
+      statsColumns = Seq("A"))
+    val e = intercept[IllegalArgumentException] {
+      T.clusterPartitionsN(spark, root, "t", Seq("b=0"), "z=",
+        Seq("A", "C"), buckets = 2, bits = 2)
+    }
+    assert(e.getMessage.contains("'C'"),
+      s"error must name the all-null dimension: ${e.getMessage}")
+  }
+
+  test("TxnCatalog maintainClustered: threshold-gated generational clustering") {
+    val root = tmp("txnmaint")
+    val T = graft.storage.TxnCatalog
+    def slice(k: Int) = (for (u <- 0 until 32)
+      yield (u.toLong, k.toLong)).toDF("UID", "T")
+    def append(k: Int): Unit = T.commitPartitions(spark, root,
+      Seq(("ev", s"batch=$k", slice(k))))
+    (0 until 3).foreach(append)
+    // below the threshold: no-op, batches untouched
+    assert(T.maintainClustered(spark, root, "ev", Seq("T", "UID"),
+      minBatches = 4, buckets = 4, bits = 3) === None)
+    assert(T.partitions(spark, root, "ev").forall(_.startsWith("batch=")))
+    // 4th batch arms the gate: exactly the pending batches are clustered
+    append(3)
+    val txn1 = T.maintainClustered(spark, root, "ev", Seq("T", "UID"),
+      minBatches = 4, buckets = 4, bits = 3)
+    assert(txn1.nonEmpty)
+    val gen1 = T.partitions(spark, root, "ev")
+    assert(gen1.nonEmpty && gen1.forall(_.startsWith("z")),
+      s"pending batches must fold into generation tiles: $gen1")
+    // next batches accumulate again; tiles are NOT re-consumed
+    (4 until 8).foreach(append)
+    assert(T.partitions(spark, root, "ev")
+      .count(_.startsWith("batch=")) === 4)
+    val txn2 = T.maintainClustered(spark, root, "ev", Seq("T", "UID"),
+      minBatches = 4, buckets = 4, bits = 3)
+    assert(txn2.nonEmpty && txn2 != txn1)
+    val parts = T.partitions(spark, root, "ev")
+    assert(parts.forall(_.startsWith("z")) && parts.toSet.size > gen1.size,
+      "second pass must add a NEW generation, not rewrite the first")
+    // the maintained lake answers exactly like the logical table…
+    val snap = T.snapshot(spark, root).get
+    val all = (0 until 8).flatMap(k => (0 until 32).map(u => (u.toLong, k.toLong))).toSet
+    assert(snap.read("ev").get.as[(Long, Long)].collect().toSet === all)
+    val got = snap.readWhere("ev", "UID", 0.0, 7.0).get
+      .as[(Long, Long)].collect().toSet
+    assert(got === all.filter(_._1 <= 7L))
+    // …and prunes across BOTH generations uniformly
+    val keep = snap.partitionsWhere("ev", "UID", 0.0, 7.0)
+    assert(keep.size < parts.size,
+      s"uid bound kept all ${parts.size} generation tiles")
   }
 
   test("TxnCatalog clustering is conditional: a rival commit in the window fails it") {

@@ -155,6 +155,70 @@ class StreamsSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("twinCommitSink clusterEvery: streamed lake prunes like a batch-built clustered one") {
+    implicit val sqlCtx = spark.sqlContext
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toFile.getAbsolutePath
+    val (root, ckDir, broot) = (tmp("szroot"), tmp("szck"), tmp("szbatch"))
+    val T = graft.storage.TxnCatalog
+    // 6 micro-batches; every batch spans the FULL user range (arrival
+    // stats prune nothing on ID) while VAL carries the batch index
+    def evs(k: Int) = (0 until 32).map(u =>
+      Ev(ts(k * 5), u.toLong, s"e$k", k.toDouble))
+    val split = (batch: org.apache.spark.sql.DataFrame) => (
+      batch.select(col("user_id").as("ID"), col("value").as("VAL")),
+      batch.select(col("user_id").as("ID_IMAGEN_FUENTE")))
+    val src = MemoryStream[Ev]
+    val q = Streams.twinCommitSink(src.toDF(), split,
+      root, "catalog", "lineage", ckDir,
+      clusterEvery = 3, clusterDims = Seq("VAL", "ID"),
+      clusterBuckets = 4, clusterBits = 3)
+    try {
+      (0 until 6).foreach { k => src.addData(evs(k)); q.processAllAvailable() }
+    } finally q.stop()
+    // the stream decayed into NOTHING append-shaped: every catalog
+    // partition is a generation tile (two passes fired: after b2, b5)
+    val parts = T.partitions(spark, root, "catalog")
+    assert(parts.nonEmpty && parts.forall(_.startsWith("z")),
+      s"unclustered batches left behind: $parts")
+    // lineage stayed bounded: each pass folds everything the catalog no
+    // longer mirrors, so one lfold partition remains
+    val lparts = T.partitions(spark, root, "lineage")
+    assert(lparts.size === 1 && lparts.head.startsWith("lfold"),
+      s"lineage not folded: $lparts")
+    assert(T.read(spark, root, "lineage").get.count() === 192L)
+    // reference: the same 6 slices committed and clustered in one batch
+    // pass, same tile granularity
+    T.commitPartitions(spark, broot, (0 until 6).map(k =>
+      ("catalog", s"batch=$k", evs(k).toDF()
+        .select(col("user_id").as("ID"), col("value").as("VAL")))))
+    T.clusterPartitionsN(spark, broot, "catalog",
+      (0 until 6).map(k => s"batch=$k"), "z=", Seq("VAL", "ID"),
+      buckets = 4, bits = 3)
+    val (ssnap, bsnap) =
+      (T.snapshot(spark, root).get, T.snapshot(spark, broot).get)
+    // row parity: maintained stream ≡ batch build, in full and windowed
+    val all = ssnap.read("catalog").get
+      .as[(Long, Double)].collect().toSet
+    assert(all === bsnap.read("catalog").get
+      .as[(Long, Double)].collect().toSet)
+    assert(all.size === 192)
+    val sGot = ssnap.readWhere("catalog", "ID", 0.0, 7.0).get
+      .as[(Long, Double)].collect().toSet
+    assert(sGot === all.filter(_._1 <= 7L))
+    assert(sGot === bsnap.readWhere("catalog", "ID", 0.0, 7.0).get
+      .as[(Long, Double)].collect().toSet)
+    // pruning parity: the maintained stream prunes at least as many
+    // partitions for the window as the batch-built lake
+    val sKeep = ssnap.partitionsWhere("catalog", "ID", 0.0, 7.0)
+    val bKeep = bsnap.partitionsWhere("catalog", "ID", 0.0, 7.0)
+    val sPruned = parts.size - sKeep.size
+    val bPruned = bsnap.partitions("catalog").size - bKeep.size
+    assert(sPruned >= bPruned && sPruned > 0,
+      s"streamed lake pruned $sPruned (kept $sKeep of $parts), " +
+        s"batch lake pruned $bPruned (kept $bKeep)")
+  }
+
   test("classifyCommitSink: streamed E1 classification equals the batch pipeline") {
     implicit val sqlCtx = spark.sqlContext
     def tmp(p: String) =
