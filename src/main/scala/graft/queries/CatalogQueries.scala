@@ -123,6 +123,31 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT p_partkey, p_name FROM part
              |WHERE p_partkey = 42 ORDER BY p_partkey""".stripMargin)),
 
+    // Storage round trip for ID-LIST fetches (the reference's
+    // `WHERE ID IN (...)` shape, P2): overlapping-range batches, each
+    // probe value routed by the manifest Bloom, the union of owners
+    // scanned — readWhereIn must return exactly the SQL IN filter. One
+    // value is absent at every SF (prunes everywhere), one exists only
+    // at sf >= 0.1: the result adapts to the lake like the oracle does.
+    QueryDef(
+      "s_in_skipping",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_inskip").toString
+        val parts = Tables.part(s, d).select("p_partkey", "p_name")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 4).map(k => ("parts", s"batch=$k",
+            parts.filter(pmod(col("p_partkey"), lit(4)) === k))),
+          statsColumns = Seq("p_partkey"),
+          bloomColumns = Seq("p_partkey"))
+        graft.storage.TxnCatalog.snapshot(s, root).get
+          .readWhereIn("parts", "p_partkey", Seq(42L, 77L, 4242L, -1L)).get
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_partkey IN (42, 77, 4242, -1)
+             |ORDER BY p_partkey""".stripMargin)),
+
     // Storage round trip on the TIMESTAMP axis — the most common fact-
     // table predicate: commit events in hash-split batches (every batch
     // spans the whole month, so arrival-order stats prune nothing),

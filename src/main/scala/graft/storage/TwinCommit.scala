@@ -103,9 +103,16 @@ object TwinCommit {
       (t, part(into), snap.readPartitions(t, parts).get.coalesce(numFiles))
     }
     val drops = for (t <- Seq(tableA, tableB); p <- parts) yield (t, p)
+    // a fold is a pure reorg per table: the merged batch carries its
+    // newest source's data txn, so diffData consumers skip it
+    val dataTxns = Seq(tableA, tableB).map { t =>
+      (t, part(into)) ->
+        parts.map(p => TxnCatalog.entryDataTxn(snap.entries((t, p)))).max
+    }.toMap
     TxnCatalog.commitPartitionsHooked(spark, root, updates,
       statsColumns = statsColumns, drops = drops,
-      expectedTxn = Some(snap.txn), bloomColumns = bloomColumns)(() => ())
+      expectedTxn = Some(snap.txn), bloomColumns = bloomColumns,
+      dataTxns = dataTxns)(() => ())
   }
 
   /** The maintenance entry point a streaming sink calls between batches:

@@ -133,8 +133,28 @@ object TxnCatalog {
     * stats. Stats ride the manifest line, so they carry forward with the
     * entry and cost nothing to consult at read time (driver-side text —
     * the manifest IS the stats index, the same trade Delta/Iceberg make
-    * with file-level stats in the log). */
-  final case class Entry(dir: String, stats: Map[String, ColStat] = Map.empty)
+    * with file-level stats in the log).
+    *
+    * `dataTxn` is the highest txn whose DATA this entry contains. For an
+    * ordinary commit it is the committing txn itself and is carried
+    * implicitly by the `v=<n>.<nonce>` dir name; pure REORGANIZATIONS
+    * (compaction, clustering) write it explicitly as the max over their
+    * source entries — the entry is new, its data is not. This is what
+    * lets [[TxnCatalog.diffData]] hand incremental consumers exactly the
+    * entries with unseen rows while OPTIMIZE rewrites pass through
+    * invisibly (Delta's `dataChange=false`, made precise: skippability is
+    * decided against the CONSUMER's own txn, not a per-commit flag). */
+  final case class Entry(dir: String, stats: Map[String, ColStat] = Map.empty,
+      dataTxn: Option[Long] = None)
+
+  /** The highest txn whose data `e` contains: the explicit reorg-carried
+    * value, else the creating txn parsed from the dir name; unparseable
+    * dirs answer Long.MaxValue so unknown entries always count as new
+    * (conservative for consumers — a spurious re-read, never a miss). */
+  private[storage] def entryDataTxn(e: Entry): Long =
+    e.dataTxn.getOrElse(
+      e.dir.stripPrefix("v=").takeWhile(_ != '.').toLongOption
+        .getOrElse(Long.MaxValue))
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -162,7 +182,9 @@ object TxnCatalog {
 
   /** The (table, partition)→[[Entry]] mapping a committed txn's manifest
     * records. Two-field lines (pre-partition manifests) parse as
-    * whole-table entries; three-field lines as stat-less entries. */
+    * whole-table entries; three-field lines as stat-less entries;
+    * five-field lines carry a reorg [[Entry.dataTxn]] after the (possibly
+    * empty) stats field. */
   private def manifest(
       f: org.apache.hadoop.fs.FileSystem, root: String,
       txn: Long): Map[(String, String), Entry] = {
@@ -174,6 +196,8 @@ object TxnCatalog {
         case Array(t, d)       => (t, Whole) -> Entry(d)
         case Array(t, p, d)    => (t, p) -> Entry(d)
         case Array(t, p, d, s) => (t, p) -> Entry(d, parseStats(s))
+        case Array(t, p, d, s, m) =>
+          (t, p) -> Entry(d, parseStats(s), Some(m.toLong))
         case _ => throw new java.io.IOException(
           s"corrupt manifest line in txn $txn: '$line'")
       }
@@ -330,6 +354,44 @@ object TxnCatalog {
       }
     }
 
+    /** The partitions of `table` that MAY contain ANY of `values` in
+      * `column` — the IN-list form of [[partitionsWhereEq]]: each value
+      * probes range stats and (where recorded) the Bloom, and a
+      * partition survives if at least one value may live there. An
+      * ID-list fetch against a 10 000-partition table touches only the
+      * partitions owning the listed keys. Conservative exactly like the
+      * single-value form. */
+    def partitionsWhereIn(table: String, column: String,
+        values: Seq[Any]): Seq[String] = {
+      require(values.nonEmpty, "partitionsWhereIn needs at least one value")
+      entries.toSeq.collect {
+        case ((t, p), e) if t == table && p != Whole &&
+          values.exists(v => e.stats.get(column).forall(st =>
+            mayOverlap(st, v, v) && bloomMayContain(st, v))) => p
+      }.sorted
+    }
+
+    /** Read `table` filtered to `column IN (values)`, scanning ONLY
+      * partitions whose manifest stats may hold at least one of the
+      * values — the reference's ID-list fetches (`WHERE ID IN (...)`,
+      * SURVEY P2) at manifest-pruned cost. Semantically identical to
+      * `read(table)` plus the IN filter. None if the table is absent. */
+    def readWhereIn(table: String, column: String,
+        values: Seq[Any]): Option[DataFrame] = {
+      import org.apache.spark.sql.functions.lit
+      require(values.nonEmpty, "readWhereIn needs at least one value")
+      val whole = entries.contains((table, Whole))
+      val keep =
+        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        else partitionsWhereIn(table, column, values)
+      val paths = keep.map(p => entryPath(root, table, p,
+        entries((table, p)).dir)).sorted
+      def pred(df: DataFrame) = inPredicate(df, column, values)
+      readPaths(paths).map(df => df.filter(pred(df))).orElse {
+        read(table).map(df => df.filter(lit(false)).filter(pred(df)))
+      }
+    }
+
     /** Read `table` filtered to `column` in [lo, hi] (inclusive),
       * scanning ONLY partitions whose manifest stats may overlap the
       * bound — semantically identical to `read(table)` plus the filter,
@@ -419,6 +481,51 @@ object TxnCatalog {
         case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
       }
       case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
+    }
+  }
+
+  /** An IN-list predicate on `c` in the COLUMN's native type wherever
+    * that is lossless — the [[rangePredicate]] discipline for equality
+    * lists: `col.isin(7.0)` on a BIGINT column would cast the column and
+    * block parquet pushdown, so integral columns get integral-valued
+    * Numbers as long literals, fractional values DROPPED (an integer can
+    * never equal 7.5 — same row set), and double columns get double
+    * literals. Any value that can't be losslessly aligned falls the
+    * whole list back to the plain isin: correct, just unpushed. */
+  private[graft] def inPredicate(df: DataFrame, c: String,
+      values: Seq[Any]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    def raw = col(c).isin(values: _*)
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        // Some(Some(l)) = exact long; Some(None) = provably no match,
+        // drop; None = not alignable, fall back
+        val aligned: Seq[Option[Option[Long]]] = values.map {
+          case b: Byte  => Some(Some(b.toLong))
+          case s: Short => Some(Some(s.toLong))
+          case i: Int   => Some(Some(i.toLong))
+          case l: Long  => Some(Some(l))
+          case n: Number =>
+            val d = n.doubleValue()
+            if (d.isNaN) Some(None)
+            else if (d != math.rint(d)) Some(None) // fractional: no int equals it
+            else if (d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble)
+              Some(None) // out of range: no long equals it
+            else Some(Some(d.toLong))
+          case _ => None
+        }
+        if (aligned.exists(_.isEmpty)) raw
+        else {
+          val longs = aligned.flatten.flatten
+          if (longs.isEmpty) lit(false)
+          else col(c).isin(longs: _*)
+        }
+      case DoubleType =>
+        if (values.forall(_.isInstanceOf[Number]))
+          col(c).isin(values.map(_.asInstanceOf[Number].doubleValue()): _*)
+        else raw
+      case _ => raw
     }
   }
 
@@ -582,6 +689,36 @@ object TxnCatalog {
     changes.toSeq.sortBy(c => (c.table, c.partition))
   }
 
+  /** [[diff]] for APPEND-ORIENTED incremental consumers: only the
+    * added/updated entries whose data is genuinely NEWER than `fromTxn`
+    * (per [[Entry.dataTxn]]) — pure reorganizations (compaction,
+    * clustering, [[maintainClustered]] generations) of data the consumer
+    * already saw are filtered out, so an OPTIMIZE pass between two
+    * consumption points costs the consumer ZERO reads instead of a full
+    * re-read of every rewritten partition. A tile mixing seen and unseen
+    * source batches is (correctly) included — generational clustering
+    * keeps that case rare by only ever folding NEW batches together.
+    * `removed` entries are omitted: data removal is out of scope for an
+    * append consumer (use [[diff]] for full change fidelity). Reading
+    * the answer is `snapshotAt(toTxn).readPartition` per entry, exactly
+    * as with [[diff]]. */
+  def diffData(spark: SparkSession, root: String, fromTxn: Long,
+      toTxn: Long): Seq[EntryChange] = {
+    require(fromTxn <= toTxn, s"diff range is reversed: $fromTxn > $toTxn")
+    val f = fs(spark, root)
+    for (t <- Seq(fromTxn, toTxn))
+      require(f.exists(new Path(txnsDir(root), t.toString)),
+        s"txn $t is not committed (or already vacuumed) under $root")
+    val (from, to) = (manifest(f, root, fromTxn), manifest(f, root, toTxn))
+    to.collect {
+      case (k, e) if !from.contains(k) && entryDataTxn(e) > fromTxn =>
+        EntryChange(k._1, k._2, "added")
+      case (k, e) if from.get(k).exists(_.dir != e.dir) &&
+          entryDataTxn(e) > fromTxn =>
+        EntryChange(k._1, k._2, "updated")
+    }.toSeq.sortBy(c => (c.table, c.partition))
+  }
+
   /** Tables present in the latest committed snapshot. */
   def tables(spark: SparkSession, root: String): Seq[String] =
     snapshot(spark, root).map(_.tables).getOrElse(Nil)
@@ -660,7 +797,8 @@ object TxnCatalog {
       statsColumns: Seq[String] = Nil,
       drops: Seq[(String, String)] = Nil,
       expectedTxn: Option[Long] = None,
-      bloomColumns: Seq[String] = Nil)(
+      bloomColumns: Seq[String] = Nil,
+      dataTxns: Map[(String, String), Long] = Map.empty)(
       beforePublish: () => Unit): Long = {
     require(updates.nonEmpty || drops.nonEmpty,
       "commit needs at least one partition update or drop")
@@ -675,7 +813,7 @@ object TxnCatalog {
     require(!drops.exists(updatedKeys), "a (table, partition) cannot be " +
       "both updated and dropped in one commit")
     publish(spark, root, updates, statsColumns, drops, expectedTxn,
-      bloomColumns = bloomColumns,
+      bloomColumns = bloomColumns, dataTxns = dataTxns,
       reconcile = carried => {
         updates.map(_._1).distinct.foreach { t =>
           require(!carried.contains((t, Whole)),
@@ -726,7 +864,12 @@ object TxnCatalog {
     val merged = snap.readPartitions(table, parts).get.coalesce(numFiles)
     commitPartitionsHooked(spark, root, Seq((table, into, merged)),
       statsColumns, drops = parts.map((table, _)),
-      expectedTxn = Some(snap.txn))(beforePublish)
+      expectedTxn = Some(snap.txn),
+      // a pure reorganization: the folded entry's DATA is no newer than
+      // its newest source, and diffData consumers may skip it as such
+      dataTxns = Map((table, into) ->
+        parts.map(p => entryDataTxn(snap.entries((table, p)))).max))(
+      beforePublish)
   }
 
   /** Re-cluster N partitions of `table` into up to `buckets` partitions
@@ -876,10 +1019,17 @@ object TxnCatalog {
         (table, targets(i),
           laid.sortWithinPartitions("__z").drop("__z", "__b"))
       }
+      // clustering is a pure reorganization too: every tile inherits
+      // the newest SOURCE data txn, so diffData-driven consumers who
+      // have already seen the sources skip the whole rewrite
+      val srcDataTxn =
+        parts.map(p => entryDataTxn(snap.entries((table, p)))).max
       commitPartitionsHooked(spark, root, updates,
         statsColumns = (dims ++ extraStatsColumns).distinct,
         drops = parts.map((table, _)),
-        expectedTxn = Some(snap.txn))(beforePublish)
+        expectedTxn = Some(snap.txn),
+        dataTxns = updates.map(u => (u._1, u._2) -> srcDataTxn).toMap)(
+        beforePublish)
     } finally withZ.unpersist()
   }
 
@@ -1031,7 +1181,8 @@ object TxnCatalog {
       drops: Seq[(String, String)],
       expectedTxn: Option[Long],
       reconcile: Map[(String, String), Entry] => Map[(String, String), Entry],
-      bloomColumns: Seq[String] = Nil)(
+      bloomColumns: Seq[String] = Nil,
+      dataTxns: Map[(String, String), Long] = Map.empty)(
       beforePublish: () => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentTxn(spark, root)
@@ -1047,13 +1198,17 @@ object TxnCatalog {
       val path = entryPath(root, t, p, dirName)
       df.write.mode("errorifexists").parquet(path)
       (t, p) -> Entry(dirName,
-        measureStats(spark, path, statsColumns, bloomColumns))
+        measureStats(spark, path, statsColumns, bloomColumns),
+        dataTxns.get((t, p)))
     }.toMap
     val carried = reconcile(prev.map(manifest(f, root, _)).getOrElse(Map.empty))
     val entries = (carried ++ staged).toSeq.sortBy(_._1)
       .map { case ((t, p), e) =>
-        if (e.stats.isEmpty) s"$t\t$p\t${e.dir}"
-        else s"$t\t$p\t${e.dir}\t${statsField(e.stats)}"
+        e.dataTxn match {
+          case Some(m) => s"$t\t$p\t${e.dir}\t${statsField(e.stats)}\t$m"
+          case None if e.stats.isEmpty => s"$t\t$p\t${e.dir}"
+          case None => s"$t\t$p\t${e.dir}\t${statsField(e.stats)}"
+        }
       }.mkString("", "\n", "\n")
     // 2. one rename commits every table and partition at once
     val tdir = new Path(txnsDir(root))

@@ -1037,6 +1037,87 @@ class StorageSpec extends GraftSuite {
     assert(snap.partitionsWhereEq("facts", "K", 4242L) === Seq("p=big"))
   }
 
+  test("TxnCatalog IN-list skipping: readWhereIn unions the per-value prunes") {
+    val root = tmp("txnin")
+    val T = graft.storage.TxnCatalog
+    // four pmod batches — overlapping ranges, bloom-routed points
+    def batch(k: Int) = (0 until 100)
+      .map(i => Tuple1((i * 4 + k).toLong)).toDF("K")
+    T.commitPartitions(spark, root,
+      (0 until 4).map(k => ("facts", s"b=$k", batch(k))),
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val snap = T.snapshot(spark, root).get
+    // values from two of the four batches: exactly those survive
+    assert(snap.partitionsWhereIn("facts", "K", Seq(41L, 42L))
+      === Seq("b=1", "b=2"))
+    assert(snap.readWhereIn("facts", "K", Seq(41L, 42L)).get
+      .as[Long].collect().toSet === Set(41L, 42L))
+    // cross-type probes behave like readWhereEq's: Int probes on a
+    // BIGINT column stay exact, fractional values match nothing and
+    // prune everything on their own
+    assert(snap.readWhereIn("facts", "K", Seq(41, 42.0)).get
+      .as[Long].collect().toSet === Set(41L, 42L))
+    assert(snap.readWhereIn("facts", "K", Seq(41.5, 42.5)).get.count() === 0)
+    // the IN filter pushes to the scan in the column's own type
+    val plan = snap.readWhereIn("facts", "K", Seq(41L, 42.0)).get
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("In(K, [41,42])"),
+      s"IN-list not pushed type-aligned:\n$plan")
+    // ≡ read + isin on the full table
+    val all = snap.read("facts").get.as[Long].collect().toSet
+    val probe = Seq(3L, 7L, 999999L)
+    assert(snap.readWhereIn("facts", "K", probe).get
+      .as[Long].collect().toSet === all.intersect(probe.toSet))
+  }
+
+  test("TxnCatalog diffData: incremental consumers skip pure reorganizations") {
+    val root = tmp("txndiffdata")
+    val T = graft.storage.TxnCatalog
+    def b(ids: Long*) = ids.map(i => (i, i * 10.0)).toDF("ID", "V")
+    T.commitPartitions(spark, root, Seq(("t", "batch=0", b(0L, 8L))))  // txn 1
+    T.commitPartitions(spark, root, Seq(("t", "batch=1", b(1L, 9L))))  // txn 2
+    // a consumer catches up fully at txn 2…
+    val seen = T.currentTxn(spark, root).get
+    assert(seen === 2L)
+    // …then an OPTIMIZE lands: generation 1 clusters both batches (txn 3)
+    assert(T.maintainClustered(spark, root, "t", Seq("V", "ID"),
+      minBatches = 2, buckets = 2, bits = 2).contains(3L))
+    // the full diff reports the reorg; diffData reports NOTHING new —
+    // the consumer pays zero reads for the rewrite
+    assert(T.diff(spark, root, seen, 3L).nonEmpty)
+    assert(T.diffData(spark, root, seen, 3L) === Nil,
+      "a pure clustering rewrite must be invisible to data consumers")
+    // compaction is equally invisible: fold fresh batches elsewhere
+    T.commitPartitions(spark, root, Seq(("u", "batch=0", b(0L))))    // txn 4
+    T.commitPartitions(spark, root, Seq(("u", "batch=1", b(1L))))    // txn 5
+    T.compactPartitions(spark, root, "u", Seq("batch=0", "batch=1"), "c=0")
+    assert(T.diffData(spark, root, 5L, 6L) === Nil)
+    assert(T.diffData(spark, root, 4L, 6L) ===
+      Seq(T.EntryChange("u", "c=0", "added")),
+      "the fold's data IS new to a txn-4 consumer (batch=1 landed at 5)")
+    // new data then generation 2: diffData hands the consumer exactly
+    // the new generation's tiles, never generation 1
+    T.commitPartitions(spark, root, Seq(("t", "batch=2", b(2L, 6L)))) // txn 7
+    T.commitPartitions(spark, root, Seq(("t", "batch=3", b(3L, 7L)))) // txn 8
+    assert(T.maintainClustered(spark, root, "t", Seq("V", "ID"),
+      minBatches = 2, buckets = 2, bits = 2).contains(9L))
+    val changes = T.diffData(spark, root, seen, 9L)
+    // u's fold IS new data to this consumer (its sources landed after
+    // txn 2); t contributes generation-2 tiles ONLY — generation 1 and
+    // every dropped batch stay invisible
+    assert(changes.filter(_.table == "u") ===
+      Seq(T.EntryChange("u", "c=0", "added")))
+    val tChanges = changes.filter(_.table == "t")
+    assert(tChanges.nonEmpty && tChanges.forall(c =>
+      c.partition.startsWith("z8-") && c.change == "added"),
+      s"expected only generation-2 tiles for t, got $changes")
+    // reading exactly those entries yields exactly the unseen rows
+    val snap = T.snapshotAt(spark, root, 9L)
+    val got = tChanges.map(c => snap.readPartition("t", c.partition).get)
+      .reduce(_ unionByName _).as[(Long, Double)].collect().toSet
+    assert(got === Set((2L, 20.0), (6L, 60.0), (3L, 30.0), (7L, 70.0)))
+  }
+
   test("TxnCatalog multi-file Z-buckets: filesPerBucket parallelizes the write, reads unchanged") {
     val root = tmp("txnzmulti")
     val T = graft.storage.TxnCatalog
