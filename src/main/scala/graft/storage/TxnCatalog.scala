@@ -143,9 +143,15 @@ object TxnCatalog {
     * lets [[TxnCatalog.diffData]] hand incremental consumers exactly the
     * entries with unseen rows while OPTIMIZE rewrites pass through
     * invisibly (Delta's `dataChange=false`, made precise: skippability is
-    * decided against the CONSUMER's own txn, not a per-commit flag). */
+    * decided against the CONSUMER's own txn, not a per-commit flag).
+    *
+    * `rows` is the entry's exact row count, recorded whenever stats were
+    * measured (it rides the same aggregate pass — free): COUNT(*) over a
+    * table whose entries all carry it is a manifest-cost metadata answer
+    * ([[Snapshot.rowCount]]), the same trade Delta/Iceberg make with
+    * per-file counts in the log. */
   final case class Entry(dir: String, stats: Map[String, ColStat] = Map.empty,
-      dataTxn: Option[Long] = None)
+      dataTxn: Option[Long] = None, rows: Option[Long] = None)
 
   /** The highest txn whose data `e` contains: the explicit reorg-carried
     * value, else the creating txn parsed from the dir name; unparseable
@@ -180,11 +186,29 @@ object TxnCatalog {
       }
     }.toMap
 
+  /** Entry properties beyond dir + stats ride a 5th `k=v,k=v` field:
+    * `d` = reorg [[Entry.dataTxn]], `n` = [[Entry.rows]]. Unknown keys
+    * are ignored on read (forward compatibility); the field is written
+    * only when at least one property is set. */
+  private def propsField(e: Entry): String =
+    (e.dataTxn.map(v => s"d=$v") ++ e.rows.map(v => s"n=$v"))
+      .mkString(",")
+
+  private def parseProps(field: String): (Option[Long], Option[Long]) = {
+    val kv = field.split(',').filter(_.nonEmpty).flatMap { item =>
+      item.split("=", 2) match {
+        case Array(k, v) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+    (kv.get("d").flatMap(_.toLongOption), kv.get("n").flatMap(_.toLongOption))
+  }
+
   /** The (table, partition)→[[Entry]] mapping a committed txn's manifest
     * records. Two-field lines (pre-partition manifests) parse as
     * whole-table entries; three-field lines as stat-less entries;
-    * five-field lines carry a reorg [[Entry.dataTxn]] after the (possibly
-    * empty) stats field. */
+    * five-field lines carry the entry props after the (possibly empty)
+    * stats field. */
   private def manifest(
       f: org.apache.hadoop.fs.FileSystem, root: String,
       txn: Long): Map[(String, String), Entry] = {
@@ -196,8 +220,9 @@ object TxnCatalog {
         case Array(t, d)       => (t, Whole) -> Entry(d)
         case Array(t, p, d)    => (t, p) -> Entry(d)
         case Array(t, p, d, s) => (t, p) -> Entry(d, parseStats(s))
-        case Array(t, p, d, s, m) =>
-          (t, p) -> Entry(d, parseStats(s), Some(m.toLong))
+        case Array(t, p, d, s, pr) =>
+          val (dataTxn, rows) = parseProps(pr)
+          (t, p) -> Entry(d, parseStats(s), dataTxn, rows)
         case _ => throw new java.io.IOException(
           s"corrupt manifest line in txn $txn: '$line'")
       }
@@ -271,6 +296,50 @@ object TxnCatalog {
     /** Column stats of one entry (empty when none were recorded). */
     def stats(table: String, partition: String): Map[String, ColStat] =
       entries.get((table, partition)).map(_.stats).getOrElse(Map.empty)
+
+    /** Exact COUNT(*) of `table` at manifest cost — zero file reads.
+      * Some only when EVERY live entry recorded its row count (counts
+      * ride the stats pass at commit time); one uncounted entry makes
+      * the answer unknowable without a scan, so None — never a guess.
+      * The metadata-only count Delta/Iceberg answer from their logs. */
+    def rowCount(table: String): Option[Long] = {
+      val counts = entries.collect { case ((t, _), e) if t == table => e.rows }
+      if (counts.isEmpty || counts.exists(_.isEmpty)) None
+      else Some(counts.flatten.sum)
+    }
+
+    /** Exact row count of one partition, when recorded at commit. */
+    def rowCount(table: String, partition: String): Option[Long] =
+      entries.get((table, partition)).flatMap(_.rows)
+
+    /** MIN/MAX of `column` across the whole table at manifest cost: the
+      * per-entry stats folded with kind-true comparison (numeric via
+      * BigDecimal — no double rounding past 2^53; strings by UTF-8
+      * bytes like Spark; timestamps by their micros). Some only when
+      * every live entry carries the column's stats under one kind and
+      * every bound parses (a NaN extreme answers None — a scan query
+      * would surface it, a metadata answer must not silently differ).
+      * Values keep the manifest's string rendering; bloom is empty. */
+    def columnBounds(table: String, column: String): Option[ColStat] = {
+      val sts = entries.collect {
+        case ((t, _), e) if t == table => e.stats.get(column) }
+      if (sts.isEmpty || sts.exists(_.isEmpty)) return None
+      val all = sts.flatten.toSeq
+      all.map(_.kind).distinct match {
+        case Seq("n") => try {
+          val ord = Ordering.by((s: String) => new java.math.BigDecimal(s))
+          Some(ColStat("n", all.map(_.min).min(ord), all.map(_.max).max(ord)))
+        } catch { case _: NumberFormatException => None }
+        case Seq("s") =>
+          val ord = Ordering.fromLessThan(utf8Lt)
+          Some(ColStat("s", all.map(_.min).min(ord), all.map(_.max).max(ord)))
+        case Seq("t") => try {
+          val ord = Ordering.by((s: String) => s.toLong)
+          Some(ColStat("t", all.map(_.min).min(ord), all.map(_.max).max(ord)))
+        } catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }
 
     /** The partitions of `table` whose recorded `column` stats MAY hold a
       * value in [lo, hi] — data skipping at manifest cost, zero file
@@ -1113,10 +1182,11 @@ object TxnCatalog {
     * as strings (Spark's cast-to-string), one distributed aggregate per
     * bloom column. */
   private def measureStats(spark: SparkSession, path: String,
-      cols: Seq[String], bloomCols: Seq[String] = Nil): Map[String, ColStat] = {
-    import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+      cols: Seq[String], bloomCols: Seq[String] = Nil)
+      : (Map[String, ColStat], Option[Long]) = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
-    if (cols.isEmpty && bloomCols.isEmpty) return Map.empty
+    if (cols.isEmpty && bloomCols.isEmpty) return (Map.empty, None)
     val df = spark.read.parquet(path)
     val kinds: Map[String, String] = (cols ++ bloomCols).distinct
       .filter(df.schema.fieldNames.contains)
@@ -1126,16 +1196,17 @@ object TxnCatalog {
         case TimestampType  => "t"
         case _              => ""
       })).filter(_._2.nonEmpty).toMap
-    if (kinds.isEmpty) return Map.empty
+    if (kinds.isEmpty) return (Map.empty, None)
     // timestamps are measured in micros-since-epoch: an integer min/max
     // compares exactly, where the rendered-string form would be
     // session-zone- and fraction-format-sensitive
     def m(c: String) =
       if (kinds(c) == "t") unix_micros(col(c)) else col(c)
-    val aggs = kinds.keys.toSeq.sorted.flatMap(c =>
-      Seq(min(m(c)).cast("string").as(s"min:$c"),
-          max(m(c)).cast("string").as(s"max:$c"),
-          org.apache.spark.sql.functions.count(col(c)).as(s"cnt:$c")))
+    val aggs = org.apache.spark.sql.functions.count(lit(1)).as("rows:") +:
+      kinds.keys.toSeq.sorted.flatMap(c =>
+        Seq(min(m(c)).cast("string").as(s"min:$c"),
+            max(m(c)).cast("string").as(s"max:$c"),
+            org.apache.spark.sql.functions.count(col(c)).as(s"cnt:$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // blooms stay n/s-only: a timestamp probe's string rendering is not
     // canonical across callers, so membership would be unreliable.
@@ -1161,13 +1232,14 @@ object TxnCatalog {
         c -> (BloomV2 +
           java.util.Base64.getEncoder.encodeToString(out.toByteArray))
       }.toMap
-    kinds.flatMap { case (c, kind) =>
+    val stats = kinds.flatMap { case (c, kind) =>
       (Option(row.getAs[String](s"min:$c")), Option(row.getAs[String](s"max:$c"))) match {
         case (Some(mi), Some(ma)) =>
           Some(c -> ColStat(kind, mi, ma, blooms.getOrElse(c, "")))
         case _ => None
       }
     }
+    (stats, Some(row.getAs[Long]("rows:")))
   }
 
   /** Shared commit path: stage every update into its own unique dir,
@@ -1197,18 +1269,16 @@ object TxnCatalog {
       val dirName = s"v=$next.$nonce"
       val path = entryPath(root, t, p, dirName)
       df.write.mode("errorifexists").parquet(path)
-      (t, p) -> Entry(dirName,
-        measureStats(spark, path, statsColumns, bloomColumns),
-        dataTxns.get((t, p)))
+      val (stats, rows) = measureStats(spark, path, statsColumns, bloomColumns)
+      (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows)
     }.toMap
     val carried = reconcile(prev.map(manifest(f, root, _)).getOrElse(Map.empty))
     val entries = (carried ++ staged).toSeq.sortBy(_._1)
       .map { case ((t, p), e) =>
-        e.dataTxn match {
-          case Some(m) => s"$t\t$p\t${e.dir}\t${statsField(e.stats)}\t$m"
-          case None if e.stats.isEmpty => s"$t\t$p\t${e.dir}"
-          case None => s"$t\t$p\t${e.dir}\t${statsField(e.stats)}"
-        }
+        val props = propsField(e)
+        if (props.nonEmpty) s"$t\t$p\t${e.dir}\t${statsField(e.stats)}\t$props"
+        else if (e.stats.isEmpty) s"$t\t$p\t${e.dir}"
+        else s"$t\t$p\t${e.dir}\t${statsField(e.stats)}"
       }.mkString("", "\n", "\n")
     // 2. one rename commits every table and partition at once
     val tdir = new Path(txnsDir(root))

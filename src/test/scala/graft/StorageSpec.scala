@@ -1118,6 +1118,43 @@ class StorageSpec extends GraftSuite {
     assert(got === Set((2L, 20.0), (6L, 60.0), (3L, 30.0), (7L, 70.0)))
   }
 
+  test("TxnCatalog metadata-only aggregates: rowCount and columnBounds at manifest cost") {
+    val root = tmp("txnmeta")
+    val T = graft.storage.TxnCatalog
+    def b(ids: Long*) = ids.map(i => (i, s"d$i")).toDF("ID", "NAME")
+    T.commitPartitions(spark, root, Seq(
+      ("t", "batch=0", b(3L, 9L, 9L)),
+      ("t", "batch=1", b(1L, 7L))),
+      statsColumns = Seq("ID", "NAME"))
+    val snap = T.snapshot(spark, root).get
+    // COUNT(*) answered from the manifest — exact, zero file reads
+    assert(snap.rowCount("t") === Some(5L))
+    assert(snap.rowCount("t", "batch=0") === Some(3L))
+    // MIN/MAX folded across entries, kind-true
+    val idB = snap.columnBounds("t", "ID").get
+    assert(idB.kind === "n" && idB.min.toDouble === 1.0 && idB.max.toDouble === 9.0)
+    val nmB = snap.columnBounds("t", "NAME").get
+    assert(nmB.min === "d1" && nmB.max === "d9")
+    // counts survive reorganizations (stats are re-measured on the fold)
+    T.compactPartitions(spark, root, "t", Seq("batch=0", "batch=1"), "c=0",
+      statsColumns = Seq("ID"))
+    val snap2 = T.snapshot(spark, root).get
+    assert(snap2.rowCount("t") === Some(5L))
+    // …but one stat-less entry makes both answers None, never a guess
+    T.commitPartitions(spark, root, Seq(("t", "batch=2", b(2L))))
+    val snap3 = T.snapshot(spark, root).get
+    assert(snap3.rowCount("t") === None)
+    assert(snap3.columnBounds("t", "ID") === None)
+    assert(snap3.rowCount("missing") === None)
+    // numeric fold is exact past 2^53 (BigDecimal, not double)
+    T.commitPartitions(spark, root, Seq(
+      ("big", "b=0", Seq(Tuple1(9007199254740993L)).toDF("V")),
+      ("big", "b=1", Seq(Tuple1(9007199254740992L)).toDF("V"))),
+      statsColumns = Seq("V"))
+    val vb = T.snapshot(spark, root).get.columnBounds("big", "V").get
+    assert(vb.min === "9007199254740992" && vb.max === "9007199254740993")
+  }
+
   test("TxnCatalog multi-file Z-buckets: filesPerBucket parallelizes the write, reads unchanged") {
     val root = tmp("txnzmulti")
     val T = graft.storage.TxnCatalog
