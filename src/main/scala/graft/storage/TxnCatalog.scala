@@ -1157,6 +1157,31 @@ object TxnCatalog {
     }
   }
 
+  /** Full re-optimization: re-cluster EVERY live partition of `table` —
+    * accumulated [[maintainClustered]] generations, compaction folds and
+    * raw batches alike — into one fresh tiling, so K generations' up-to-K
+    * overlapping tiles per query box fold back to one. O(table) by
+    * nature (it rewrites everything — run it off-peak at the cadence
+    * generation overlap warrants, the way Delta users schedule full
+    * OPTIMIZE); the generation counter in the target prefix keeps the
+    * rewrite collision-free with the tiles it consumes, and the commit
+    * is CONDITIONAL like every reorganization here. diffData consumers
+    * skip the result (it inherits the newest source data txn). Returns
+    * the committed txn; throws IOException on losing a commit race
+    * (retry against the moved catalog). */
+  def reclusterFull(spark: SparkSession, root: String, table: String,
+      dims: Seq[String], intoPrefix: String = "z", buckets: Int = 16,
+      bits: Int = 8, filesPerBucket: Int = 1,
+      extraStatsColumns: Seq[String] = Nil): Long = {
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val parts = snap.partitions(table)
+    require(parts.nonEmpty, s"no partitions to recluster in '$table'")
+    clusterPartitionsN(spark, root, table, parts,
+      s"$intoPrefix${snap.txn}-", dims, buckets, bits,
+      extraStatsColumns, filesPerBucket)
+  }
+
   /** Per-partition Bloom sizing: capacity tracks the partition's
     * MEASURED non-null row count (an upper bound on distinct values —
     * counted in the same pass as min/max, so sizing is free), floored at

@@ -1252,6 +1252,21 @@ class StorageSpec extends GraftSuite {
     val keep = snap.partitionsWhere("ev", "UID", 0.0, 7.0)
     assert(keep.size < parts.size,
       s"uid bound kept all ${parts.size} generation tiles")
+    // full re-optimization folds the generations back to ONE tiling:
+    // row set invariant, a window now overlaps at most one tile run
+    // instead of one per generation, and diffData consumers skip it
+    val seen = T.currentTxn(spark, root).get
+    T.reclusterFull(spark, root, "ev", Seq("T", "UID"),
+      buckets = 4, bits = 3)
+    val after = T.snapshot(spark, root).get
+    assert(after.partitions("ev").size <= 4 &&
+      after.partitions("ev").forall(_.startsWith(s"z$seen-")))
+    assert(after.read("ev").get.as[(Long, Long)].collect().toSet === all)
+    val keep2 = after.partitionsWhere("ev", "UID", 0.0, 7.0)
+    assert(keep2.size <= keep.size,
+      s"one tiling must not prune worse than two generations")
+    assert(T.diffData(spark, root, seen, after.txn) === Nil,
+      "a full recluster is a pure reorg — invisible to data consumers")
   }
 
   test("TxnCatalog clustering is conditional: a rival commit in the window fails it") {
