@@ -1118,6 +1118,56 @@ class StorageSpec extends GraftSuite {
     assert(got === Set((2L, 20.0), (6L, 60.0), (3L, 30.0), (7L, 70.0)))
   }
 
+  test("TxnCatalog manifest compatibility: legacy lines parse, legacy blooms stay conservative") {
+    val root = tmp("txncompat")
+    val T = graft.storage.TxnCatalog
+    def b(k: Int) = (0 until 50)
+      .map(i => Tuple1(f"h${i * 2 + k}%03d")).toDF("K")
+    T.commitPartitions(spark, root,
+      (0 until 2).map(k => ("t", s"b=$k", b(k))),
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val txn = T.currentTxn(spark, root).get
+    // simulate a manifest written by an OLDER library version: strip the
+    // bloom version prefix (legacy raw-base64 blooms) on b=0 and tack an
+    // UNKNOWN future property onto b=1's line
+    val p = new org.apache.hadoop.fs.Path(s"$root/_txns/$txn")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val rewritten = body.linesIterator.filter(_.nonEmpty).map { line =>
+      if (line.startsWith("t\tb=0")) line.replace("2%3A", "") // URL-enc "2:"
+      else if (line.split('\t').length >= 5) line + ",future=1"
+      else line + "\tfuture=1"
+    }.mkString("", "\n", "\n")
+    val out = fs.create(p, true)
+    out.write(rewritten.getBytes("UTF-8"))
+    out.close()
+    val snap = T.snapshot(spark, root).get
+    // legacy bloom: String probes on the string column are still exact
+    // and still prune; nothing was lost
+    assert(snap.stats("t", "b=0")("K").bloom.nonEmpty &&
+      !snap.stats("t", "b=0")("K").bloom.startsWith("2:"))
+    assert(snap.partitionsWhereEq("t", "K", "h050") === Seq("b=0"))
+    // unknown future props are ignored, the entry reads fine
+    assert(snap.readPartition("t", "b=1").get.count() === 50)
+    // pre-props lines (the round-6 3/4-field forms) still parse: strip
+    // every 5th field and re-read
+    val legacy = rewritten.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split('\t').take(4).mkString("\t")
+    }.mkString("", "\n", "\n")
+    val out2 = fs.create(p, true)
+    out2.write(legacy.getBytes("UTF-8"))
+    out2.close()
+    val snap2 = T.snapshot(spark, root).get
+    assert(snap2.partitions("t") === Seq("b=0", "b=1"))
+    assert(snap2.rowCount("t") === None,
+      "count-less legacy entries must answer None, not a guess")
+    assert(snap2.read("t").get.count() === 100)
+  }
+
   test("TxnCatalog metadata-only aggregates: rowCount and columnBounds at manifest cost") {
     val root = tmp("txnmeta")
     val T = graft.storage.TxnCatalog
