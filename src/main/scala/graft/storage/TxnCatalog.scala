@@ -914,14 +914,16 @@ object TxnCatalog {
     * vacuum. Returns the committed txn. */
   def compactPartitions(spark: SparkSession, root: String, table: String,
       parts: Seq[String], into: String, numFiles: Int = 1,
-      statsColumns: Seq[String] = Nil): Long =
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long =
     compactPartitionsHooked(spark, root, table, parts, into, numFiles,
-      statsColumns)(() => ())
+      statsColumns, bloomColumns)(() => ())
 
   /** [[compactPartitions]] with the test-only pre-publish seam. */
   private[graft] def compactPartitionsHooked(spark: SparkSession,
       root: String, table: String, parts: Seq[String], into: String,
-      numFiles: Int = 1, statsColumns: Seq[String] = Nil)(
+      numFiles: Int = 1, statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil)(
       beforePublish: () => Unit): Long = {
     require(parts.nonEmpty, "nothing to compact")
     require(numFiles >= 1, "numFiles must be >= 1")
@@ -933,7 +935,7 @@ object TxnCatalog {
     val merged = snap.readPartitions(table, parts).get.coalesce(numFiles)
     commitPartitionsHooked(spark, root, Seq((table, into, merged)),
       statsColumns, drops = parts.map((table, _)),
-      expectedTxn = Some(snap.txn),
+      expectedTxn = Some(snap.txn), bloomColumns = bloomColumns,
       // a pure reorganization: the folded entry's DATA is no newer than
       // its newest source, and diffData consumers may skip it as such
       dataTxns = Map((table, into) ->
@@ -985,10 +987,11 @@ object TxnCatalog {
   def clusterPartitions(spark: SparkSession, root: String, table: String,
       parts: Seq[String], intoPrefix: String, aCol: String, bCol: String,
       buckets: Int = 16, bits: Int = 8,
-      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1): Long =
+      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1,
+      bloomColumns: Seq[String] = Nil): Long =
     clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
       Seq(aCol, bCol), buckets, bits, extraStatsColumns,
-      filesPerBucket)(() => ())
+      filesPerBucket, bloomColumns)(() => ())
 
   /** [[clusterPartitions]] over N ≥ 2 dimensions (Delta's
     * `ZORDER BY (c1, …, cN)`): bit i of dimension j lands at Z-bit
@@ -1002,15 +1005,18 @@ object TxnCatalog {
   def clusterPartitionsN(spark: SparkSession, root: String, table: String,
       parts: Seq[String], intoPrefix: String, dims: Seq[String],
       buckets: Int = 16, bits: Int = 8,
-      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1): Long =
+      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1,
+      bloomColumns: Seq[String] = Nil): Long =
     clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
-      dims, buckets, bits, extraStatsColumns, filesPerBucket)(() => ())
+      dims, buckets, bits, extraStatsColumns, filesPerBucket,
+      bloomColumns)(() => ())
 
   /** [[clusterPartitionsN]] with the test-only pre-publish seam. */
   private[graft] def clusterPartitionsHooked(spark: SparkSession,
       root: String, table: String, parts: Seq[String], intoPrefix: String,
       dims: Seq[String], buckets: Int, bits: Int,
-      extraStatsColumns: Seq[String], filesPerBucket: Int = 1)(
+      extraStatsColumns: Seq[String], filesPerBucket: Int = 1,
+      bloomColumns: Seq[String] = Nil)(
       beforePublish: () => Unit): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, max, min, unix_micros}
     import org.apache.spark.sql.types.{NumericType, TimestampType}
@@ -1096,7 +1102,7 @@ object TxnCatalog {
       commitPartitionsHooked(spark, root, updates,
         statsColumns = (dims ++ extraStatsColumns).distinct,
         drops = parts.map((table, _)),
-        expectedTxn = Some(snap.txn),
+        expectedTxn = Some(snap.txn), bloomColumns = bloomColumns,
         dataTxns = updates.map(u => (u._1, u._2) -> srcDataTxn).toMap)(
         beforePublish)
     } finally withZ.unpersist()
@@ -1138,7 +1144,8 @@ object TxnCatalog {
   def maintainClustered(spark: SparkSession, root: String, table: String,
       dims: Seq[String], intoPrefix: String = "z", minBatches: Int = 8,
       buckets: Int = 16, bits: Int = 8, filesPerBucket: Int = 1,
-      extraStatsColumns: Seq[String] = Nil, attempts: Int = 5): Option[Long] = {
+      extraStatsColumns: Seq[String] = Nil, attempts: Int = 5,
+      bloomColumns: Seq[String] = Nil): Option[Long] = {
     require(minBatches >= 1, "minBatches must be >= 1")
     snapshot(spark, root).flatMap { snap =>
       val pending = snap.partitions(table).filterNot(_.startsWith(intoPrefix))
@@ -1146,12 +1153,12 @@ object TxnCatalog {
       else {
         try Some(clusterPartitionsN(spark, root, table, pending,
           s"$intoPrefix${snap.txn}-", dims, buckets, bits,
-          extraStatsColumns, filesPerBucket))
+          extraStatsColumns, filesPerBucket, bloomColumns))
         catch {
           case _: java.io.IOException if attempts > 1 =>
             maintainClustered(spark, root, table, dims, intoPrefix,
               minBatches, buckets, bits, filesPerBucket, extraStatsColumns,
-              attempts - 1)
+              attempts - 1, bloomColumns)
         }
       }
     }
@@ -1172,14 +1179,15 @@ object TxnCatalog {
   def reclusterFull(spark: SparkSession, root: String, table: String,
       dims: Seq[String], intoPrefix: String = "z", buckets: Int = 16,
       bits: Int = 8, filesPerBucket: Int = 1,
-      extraStatsColumns: Seq[String] = Nil): Long = {
+      extraStatsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, root).getOrElse(
       throw new IllegalArgumentException(s"empty catalog under $root"))
     val parts = snap.partitions(table)
     require(parts.nonEmpty, s"no partitions to recluster in '$table'")
     clusterPartitionsN(spark, root, table, parts,
       s"$intoPrefix${snap.txn}-", dims, buckets, bits,
-      extraStatsColumns, filesPerBucket)
+      extraStatsColumns, filesPerBucket, bloomColumns)
   }
 
   /** Per-partition Bloom sizing: capacity tracks the partition's

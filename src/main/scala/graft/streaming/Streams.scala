@@ -142,7 +142,8 @@ object Streams {
           graft.storage.TxnCatalog.maintainClustered(s, root, catalogTable,
             clusterDims, minBatches = clusterEvery,
             buckets = clusterBuckets, bits = clusterBits,
-            extraStatsColumns = statsColumns).foreach { txn =>
+            extraStatsColumns = statsColumns,
+            bloomColumns = bloomColumns).foreach { txn =>
             // fold the lineage batches the clustering just consumed on
             // the catalog side (plus any previous fold) — conditional
             // like everything else; a lost race retries next generation
@@ -154,7 +155,7 @@ object Streams {
             if (orphan.size >= 2) {
               try graft.storage.TxnCatalog.compactPartitions(s, root,
                 lineageTable, orphan, s"lfold$txn",
-                statsColumns = statsColumns)
+                statsColumns = statsColumns, bloomColumns = bloomColumns)
               catch { case _: java.io.IOException => () }
               ()
             }

@@ -1246,6 +1246,36 @@ class StorageSpec extends GraftSuite {
       .as[(Long, Long, String)].collect().toSet === expect)
   }
 
+  test("TxnCatalog clustering carries blooms: point-lookup skipping survives OPTIMIZE") {
+    val root = tmp("txnzbloom")
+    val T = graft.storage.TxnCatalog
+    // interleaved keys so every batch spans the key range; blooms at
+    // commit, and — the point of this test — blooms re-measured on the
+    // clustered tiles, so readWhereEq keeps pruning after the rewrite
+    def b(k: Int) = (0 until 200)
+      .map(i => ((i * 2 + k).toLong, (i % 7).toLong)).toDF("K", "V")
+    T.commitPartitions(spark, root,
+      (0 until 2).map(k => ("t", s"batch=$k", b(k))),
+      statsColumns = Seq("K", "V"), bloomColumns = Seq("K"))
+    T.clusterPartitionsN(spark, root, "t", Seq("batch=0", "batch=1"),
+      "z=", Seq("V", "K"), buckets = 4, bits = 4,
+      bloomColumns = Seq("K"))
+    val snap = T.snapshot(spark, root).get
+    val parts = snap.partitions("t")
+    assert(parts.forall(p => snap.stats("t", p).get("K")
+        .exists(_.bloom.nonEmpty)),
+      "tiles lost their blooms in the rewrite")
+    assert(snap.readWhereEq("t", "K", 41L).get
+      .as[(Long, Long)].collect().toSeq === Seq((41L, 6L)))
+    // compaction keeps them too (single-table path; the twin path is
+    // covered by the TwinCommit stats spec)
+    T.compactPartitions(spark, root, "t", parts, "c=0",
+      statsColumns = Seq("K"), bloomColumns = Seq("K"))
+    val snap2 = T.snapshot(spark, root).get
+    assert(snap2.stats("t", "c=0")("K").bloom.nonEmpty)
+    assert(snap2.readWhereEq("t", "K", 41L).get.count() === 1)
+  }
+
   test("TxnCatalog all-null cluster dimension fails with the dimension's name") {
     val root = tmp("txnznull")
     val T = graft.storage.TxnCatalog
