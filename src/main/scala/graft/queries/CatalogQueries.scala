@@ -185,6 +185,40 @@ object CatalogQueries extends QueryGroup {
              |              AND TIMESTAMP '2024-01-13 00:00:00'
              |ORDER BY event_id""".stripMargin)),
 
+    // Storage round trip through CATALYST-PLANNED skipping: the same
+    // commit→cluster lake as s_zorder_skipping, but read via
+    // GraftLake.table — an ordinary DataFrame whose FileSourceScanExec
+    // asks ManifestFileIndex for its file list, so the plain `.where`
+    // below prunes partitions through the manifest stats with NO
+    // special read API (readWhere's semantics, Delta-style wiring).
+    // The conjunct on c_mktsegment exercises the conservative path
+    // (string stats present, equality+bloomless → range-only) alongside
+    // the pruning range on c_acctbal.
+    QueryDef(
+      "s_catalyst_skipping",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_lakeidx").toString
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+        val n = 6
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until n).map(k => ("cust", s"batch=$k",
+            cust.filter(pmod(col("c_custkey"), lit(n)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal", "c_mktsegment"))
+        graft.storage.TxnCatalog.clusterPartitions(s, root, "cust",
+          (0 until n).map(k => s"batch=$k"), "z=",
+          "c_acctbal", "c_custkey", buckets = 8, bits = 6)
+        graft.storage.GraftLake.table(s, root, "cust").get
+          .where(col("c_acctbal").between(1000.0, 3000.0) &&
+            col("c_mktsegment") === "BUILDING")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+             |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
+             |  AND c_mktsegment = 'BUILDING'
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

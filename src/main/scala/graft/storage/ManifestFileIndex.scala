@@ -1,0 +1,216 @@
+package graft.storage
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+import scala.util.control.NonFatal
+
+/** Manifest-stat data skipping placed UNDER Catalyst: a Spark
+  * [[FileIndex]] whose `listFiles` evaluates the query's own pushed
+  * `dataFilters` against the per-partition column stats and Blooms a
+  * [[TxnCatalog]] commit recorded — so a plain `df.where(...)` (or any
+  * SQL over a registered view) prunes partitions automatically, with no
+  * special read API. This is the integration Delta makes with its
+  * TahoeFileIndex: the planner calls `listFiles(partitionFilters,
+  * dataFilters)` from `FileSourceScanExec`, and whatever this returns is
+  * the scan's input — everything downstream (vectorized parquet reader,
+  * row-group pushdown of the SAME filters, whole-stage codegen) is stock
+  * Spark, which is the point: one FileIndex implementation buys the
+  * whole existing scan stack.
+  *
+  * Pruning semantics are exactly [[TxnCatalog.Snapshot]]'s `readWhere*`
+  * family (shared helpers): conjuncts prune independently, `Or` keeps a
+  * partition if either side may match, equality and IN probes consult
+  * range stats AND Blooms, one-sided comparisons use the matching stat
+  * extreme, `StartsWith` prunes by UTF-8 prefix bounds, and ANY
+  * unrecognized expression shape, kind mismatch, or parse failure keeps
+  * the partition — pruning is always conservative, never a correctness
+  * bet. The index pins one snapshot: planning twice over the same frame
+  * can never mix txns (and `refresh` is deliberately a no-op).
+  *
+  * At 100 TB this is the difference between "skipping if you remembered
+  * to call readWhere" and "skipping, period": BI tools, SQL users, and
+  * composed DataFrames all hit the manifest index on every query.
+  */
+final class ManifestFileIndex(
+    spark: SparkSession, root: String, table: String,
+    snap: TxnCatalog.Snapshot) extends FileIndex {
+
+  import TxnCatalog.{ColStat, Whole}
+
+  /** (stats, files) per live entry, listed once at construction — the
+    * snapshot is immutable, so the file lists cannot drift under the
+    * index (ordered by partition name for plan determinism). */
+  private val parts: Seq[(Map[String, ColStat], Array[FileStatus])] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    snap.entries.toSeq
+      .collect { case ((t, p), e) if t == table => (p, e) }
+      .sortBy(_._1)
+      .map { case (p, e) =>
+        val dir = new Path(TxnCatalog.entryPath(root, table, p, e.dir))
+        val files = dir.getFileSystem(hconf).listStatus(dir)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        (e.stats, files)
+      }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(s"$root/$table"))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def refresh(): Unit = () // snapshot-pinned by design
+
+  override def sizeInBytes: Long =
+    parts.iterator.flatMap(_._2).map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    parts.flatMap(_._2).map(_.getPath.toString).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = parts.filter { case (stats, _) =>
+      stats.isEmpty || dataFilters.forall(f => keep(stats, f))
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_._2).toArray))
+  }
+
+  /** Files surviving `dataFilters` — the test- and tooling-facing probe
+    * (same path `listFiles` takes, minus the PartitionDirectory shape). */
+  def survivingFileCount(dataFilters: Seq[Expression]): Int =
+    listFiles(Nil, dataFilters).map(_.files.size).sum
+
+  def totalFileCount: Int = parts.map(_._2.length).sum
+
+  // ---- Catalyst literal -> the JVM shapes the stat helpers expect ----
+
+  /** Internal literal value -> the probe type [[TxnCatalog.mayOverlap]] /
+    * [[TxnCatalog.bloomMayContain]] understand; None = no lossless
+    * mapping (DATE, NTZ, binary, null literals...) -> never prune. */
+  private def jvm(v: Any, dt: DataType): Option[Any] =
+    if (v == null) None
+    else dt match {
+      case StringType => Some(v.toString) // UTF8String
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => Some(v)
+      case _: DecimalType =>
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal)
+      case TimestampType =>
+        val us = v.asInstanceOf[Long]
+        Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+      case _ => None
+    }
+
+  /** May any value of the column satisfy `op v`? (one-sided range
+    * probes; kind mismatch or unparseable stats keep the partition). */
+  private def mayCmp(st: ColStat, v: Any, ge: Boolean,
+      strict: Boolean): Boolean =
+    try {
+      (st.kind, v) match {
+        case ("n", n: Number) =>
+          val (bound, x) =
+            if (ge) (st.max.toDouble, n.doubleValue())
+            else (-st.min.toDouble, -n.doubleValue())
+          // NaN extremes: Spark sorts NaN greatest, so a NaN bound can
+          // satisfy any probe — keep (mirrors columnBounds' None)
+          if (bound.isNaN || x.isNaN) true
+          else if (strict) bound > x
+          else bound >= x
+        case ("s", s: String) =>
+          // ge: need max >= s (strict: max > s); le: need min <= s
+          if (ge) {
+            if (strict) TxnCatalog.utf8Lt(s, st.max)
+            else !TxnCatalog.utf8Lt(st.max, s)
+          } else {
+            if (strict) TxnCatalog.utf8Lt(st.min, s)
+            else !TxnCatalog.utf8Lt(s, st.min)
+          }
+        case ("t", x) => TxnCatalog.tsMicros(x).forall { m =>
+          val (bound, p) = if (ge) (st.max.toLong, m) else (-st.min.toLong, -m)
+          if (strict) bound > p else bound >= p
+        }
+        case _ => true
+      }
+    } catch { case NonFatal(_) => true }
+
+  private def mayEq(st: ColStat, v: Any): Boolean =
+    try TxnCatalog.mayOverlap(st, v, v) && TxnCatalog.bloomMayContain(st, v)
+    catch { case NonFatal(_) => true }
+
+  /** May any value start with `prefix`? Lower side: if max < prefix (in
+    * UTF-8 byte order) no value reaches the prefix. Upper side: the
+    * smallest byte string greater than EVERY prefixed string is the
+    * prefix with its last non-0xFF byte incremented (trailing 0xFF
+    * dropped); if min >= that successor, every value sorts past the
+    * prefix range. All-0xFF prefixes have no successor -> keep. */
+  private def mayPrefix(st: ColStat, prefix: String): Boolean = {
+    if (st.kind != "s") return true
+    if (TxnCatalog.utf8Lt(st.max, prefix)) return false
+    val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = p.length - 1
+    while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
+    if (i < 0) return true
+    val succ = java.util.Arrays.copyOf(p, i + 1)
+    succ(i) = (succ(i) + 1).toByte
+    val mn = st.min.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // keep iff min < succ (byte-wise unsigned)
+    var k = 0
+    while (k < mn.length && k < succ.length) {
+      val d = (mn(k) & 0xff) - (succ(k) & 0xff)
+      if (d != 0) return d < 0
+      k += 1
+    }
+    mn.length < succ.length
+  }
+
+  /** May this partition contain a row satisfying `e`? Conservative
+    * three-valued logic collapsed to "keep unless provably absent". */
+  private def keep(stats: Map[String, ColStat], e: Expression): Boolean =
+    e match {
+      case And(l, r) => keep(stats, l) && keep(stats, r)
+      case Or(l, r) => keep(stats, l) || keep(stats, r)
+      case EqualTo(a: AttributeReference, Literal(v, dt)) => eqKeep(stats, a.name, v, dt)
+      case EqualTo(Literal(v, dt), a: AttributeReference) => eqKeep(stats, a.name, v, dt)
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt)) if v != null =>
+        eqKeep(stats, a.name, v, dt)
+      case EqualNullSafe(Literal(v, dt), a: AttributeReference) if v != null =>
+        eqKeep(stats, a.name, v, dt)
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        cmpKeep(stats, a.name, v, dt, ge = true, strict = true)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        cmpKeep(stats, a.name, v, dt, ge = true, strict = false)
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        cmpKeep(stats, a.name, v, dt, ge = false, strict = true)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        cmpKeep(stats, a.name, v, dt, ge = false, strict = false)
+      // literal-on-the-left comparisons flip
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        cmpKeep(stats, a.name, v, dt, ge = false, strict = true)
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        cmpKeep(stats, a.name, v, dt, ge = false, strict = false)
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        cmpKeep(stats, a.name, v, dt, ge = true, strict = true)
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        cmpKeep(stats, a.name, v, dt, ge = true, strict = false)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, dt) => eqKeep(stats, a.name, v, dt) }
+      case InSet(a: AttributeReference, hset) =>
+        hset.exists(v => eqKeep(stats, a.name, v, a.dataType))
+      case StartsWith(a: AttributeReference, Literal(v, StringType)) if v != null =>
+        stats.get(a.name).forall(mayPrefix(_, v.toString))
+      case _ => true // IsNull/IsNotNull/casts/UDFs/...: no pruning claim
+    }
+
+  private def eqKeep(stats: Map[String, ColStat], name: String,
+      v: Any, dt: DataType): Boolean =
+    stats.get(name).forall(st => jvm(v, dt).forall(mayEq(st, _)))
+
+  private def cmpKeep(stats: Map[String, ColStat], name: String,
+      v: Any, dt: DataType, ge: Boolean, strict: Boolean): Boolean =
+    stats.get(name).forall(st => jvm(v, dt).forall(mayCmp(st, _, ge, strict)))
+}

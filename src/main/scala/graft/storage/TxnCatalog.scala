@@ -73,14 +73,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TxnCatalog {
 
   /** Reserved partition key for whole-table (unpartitioned) snapshots. */
-  private val Whole = "-"
+  private[storage] val Whole = "-"
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def txnsDir(root: String) = s"$root/_txns"
 
-  private def entryPath(root: String, tab: String, part: String, dir: String) =
+  private[storage] def entryPath(root: String, tab: String, part: String, dir: String) =
     if (part == Whole) s"$root/$tab/$dir" else s"$root/$tab/$part/$dir"
 
   private def checkTableName(t: String): Unit =
@@ -491,7 +491,7 @@ object TxnCatalog {
     * BMP (surrogates sort below [U+E000, U+FFFF]). Stats come from
     * Spark's min/max and pruning must match Spark's filter comparison,
     * so compare the way Spark does — unsigned UTF-8 bytes. */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[storage] def utf8Lt(a: String, b: String): Boolean = {
     val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var i = 0
@@ -657,7 +657,7 @@ object TxnCatalog {
     * DOUBLE column, non-String against a string column) and
     * deserialization failures keep the entry — pruning never bets on a
     * rendering the build side didn't use. */
-  private def bloomMayContain(st: ColStat, value: Any): Boolean = {
+  private[storage] def bloomMayContain(st: ColStat, value: Any): Boolean = {
     if (st.bloom.isEmpty) return true
     val (payload, probe) =
       if (st.bloom.startsWith(BloomV2))
@@ -679,7 +679,7 @@ object TxnCatalog {
 
   /** A timestamp bound as micros-since-epoch; None for types that are
     * not timestamps (kind-mismatch → never prune). */
-  private def tsMicros(v: Any): Option[Long] = v match {
+  private[storage] def tsMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp =>
       // getTime repeats the integral-millis part of nanos: rebuild from
       // whole seconds + the full fractional field
@@ -691,7 +691,7 @@ object TxnCatalog {
 
   /** Can a value in [lo, hi] exist in an entry whose `column` spans
     * [st.min, st.max]? Kind-mismatched bounds never prune. */
-  private def mayOverlap(st: ColStat, lo: Any, hi: Any): Boolean =
+  private[storage] def mayOverlap(st: ColStat, lo: Any, hi: Any): Boolean =
     (st.kind, lo, hi) match {
       case ("n", l: Number, h: Number) =>
         !(st.max.toDouble < l.doubleValue() || st.min.toDouble > h.doubleValue())

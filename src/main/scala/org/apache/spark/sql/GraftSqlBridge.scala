@@ -22,4 +22,17 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Wrap a [[org.apache.spark.sql.sources.BaseRelation]] (e.g. a
+    * `HadoopFsRelation` over a library-provided `FileIndex`) as a
+    * DataFrame. Spark 4's abstract SparkSession no longer exposes
+    * `baseRelationToDataFrame`; the classic session still does — this is
+    * the hook that lets graft's manifest-pruning FileIndex
+    * ([[graft.storage.ManifestFileIndex]]) plan through the standard
+    * `FileSourceScanExec` path (whole-stage codegen, vectorized parquet,
+    * row-group pushdown) instead of a custom scan node. */
+  def ofRelation(spark: SparkSession,
+      relation: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
 }
