@@ -219,6 +219,33 @@ object CatalogQueries extends QueryGroup {
              |  AND c_mktsegment = 'BUILDING'
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Storage round trip for skipping-aware DELETE: commit overlapping
+    // batches, deleteWhere a value range (only partitions whose stats
+    // may overlap are rewritten; null keys survive per SQL DELETE), read
+    // everything back — the survivors must be exactly the SQL
+    // complement. The range is interior on both sides (acctbal spans
+    // about [-999.99, 9999.99] at every SF), so rows survive below AND
+    // above it.
+    QueryDef(
+      "s_delete_where",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_delete").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val n = 4
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until n).map(k => ("cust", s"batch=$k",
+            cust.filter(pmod(col("c_custkey"), lit(n)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal"))
+        graft.storage.TxnCatalog.deleteWhere(s, root, "cust",
+          "c_acctbal", 0.0, 4000.0)
+        graft.storage.TxnCatalog.read(s, root, "cust").get
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE NOT (c_acctbal BETWEEN 0.0 AND 4000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

@@ -943,6 +943,69 @@ object TxnCatalog {
       beforePublish)
   }
 
+  /** `DELETE FROM table WHERE column BETWEEN lo AND hi` (inclusive, the
+    * [[Snapshot.readWhere]] probe form), rewriting ONLY the partitions
+    * whose manifest stats may overlap the range — the Delta/Iceberg
+    * "rewrite matching files" DELETE, at partition grain: on a
+    * 10 000-partition clustered table a narrow delete reads and
+    * rewrites the few overlapping tiles and never touches the rest
+    * (their manifest entries carry forward byte-identical). Rows where
+    * `column` is NULL survive, exactly like SQL DELETE (a null predicate
+    * is not TRUE); partitions with no recorded stats for `column` are
+    * rewritten (conservative — no stats, no skipping claim). Each
+    * rewritten partition re-measures the stats and Blooms its entry
+    * already carried, so skipping quality survives the delete.
+    *
+    * Same optimistic concurrency as [[compactPartitions]]: conditional
+    * on the pinned snapshot's txn, so a rival commit in the window fails
+    * this delete cleanly (IOException — retry against the new snapshot)
+    * instead of resurrecting rows a rival rewrote. Whole-table entries
+    * rewrite through the whole-table commit path. Returns the committed
+    * txn; a delete that provably touches nothing commits nothing and
+    * returns the pinned txn unchanged. */
+  def deleteWhere(spark: SparkSession, root: String, table: String,
+      column: String, lo: Any, hi: Any): Long =
+    deleteWhereHooked(spark, root, table, column, lo, hi)(() => ())
+
+  /** [[deleteWhere]] with the test-only pre-publish seam. */
+  private[graft] def deleteWhereHooked(spark: SparkSession, root: String,
+      table: String, column: String, lo: Any, hi: Any)(
+      beforePublish: () => Unit): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val all = snap.entries.toSeq.collect {
+      case ((t, p), e) if t == table => (p, e) }
+    require(all.nonEmpty, s"unknown table '$table'")
+    // candidates: entries whose stats MAY hold a row in [lo, hi]
+    // (stat-less or kind-mismatched entries are always candidates)
+    val touched = all.filter { case (_, e) =>
+      e.stats.get(column).forall(mayOverlap(_, lo, hi)) }
+    if (touched.isEmpty) return snap.txn
+    def survivors(p: String, e: Entry): DataFrame = {
+      val df = spark.read.parquet(entryPath(root, table, p, e.dir))
+      if (!df.columns.contains(column)) df // evolved partition: no match
+      else {
+        val pred = rangePredicate(df, column, lo, hi)
+        df.filter(!pred || col(column).isNull)
+      }
+    }
+    // re-measure exactly the stats/Blooms the touched entries carried
+    val statsCols = touched.flatMap(_._2.stats.keys).distinct
+    val bloomCols = touched.flatMap { case (_, e) =>
+      e.stats.collect { case (c, st) if st.bloom.nonEmpty => c } }.distinct
+    touched match {
+      case Seq((Whole, e)) =>
+        commitHooked(spark, root,
+          Seq(table -> survivors(Whole, e)))(beforePublish)
+      case _ =>
+        commitPartitionsHooked(spark, root,
+          touched.map { case (p, e) => (table, p, survivors(p, e)) },
+          statsCols, drops = Nil, expectedTxn = Some(snap.txn),
+          bloomColumns = bloomCols)(beforePublish)
+    }
+  }
+
   /** Re-cluster N partitions of `table` into up to `buckets` partitions
     * that are contiguous RANGES of the Morton (Z-order) code of
     * (`aCol`, `bCol`), in one atomic conditional commit — the lakehouse
