@@ -246,6 +246,38 @@ object CatalogQueries extends QueryGroup {
              |WHERE NOT (c_acctbal BETWEEN 0.0 AND 4000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Storage round trip for MERGE-ON-READ deletes: commit overlapping
+    // batches, deleteKeys (an O(keys) commit — no data rewritten), then
+    // RE-INSERT one deleted key in a newer batch: the delete masks only
+    // data that predates it, so the re-inserted row must come back while
+    // the other keys stay gone — Iceberg's equality-delete sequence
+    // semantics under the DuckDB hash gate. 4242 exists only at
+    // sf >= 0.1; both engines adapt identically.
+    QueryDef(
+      "s_delete_keys",
+      (s, d) => {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("q_delkeys").toString
+        val parts = Tables.part(s, d).select("p_partkey", "p_name")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 4).map(k => ("parts", s"batch=$k",
+            parts.filter(pmod(col("p_partkey"), lit(4)) === k))),
+          statsColumns = Seq("p_partkey"),
+          bloomColumns = Seq("p_partkey"))
+        graft.storage.TxnCatalog.deleteKeys(s, root, "parts",
+          "p_partkey", Seq(42L, 77L, 4242L).toDF("p_partkey"))
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("parts", "batch=re",
+            parts.filter(col("p_partkey") === 42L))),
+          statsColumns = Seq("p_partkey"))
+        graft.storage.TxnCatalog.read(s, root, "parts").get
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_partkey NOT IN (77, 4242)
+             |ORDER BY p_partkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

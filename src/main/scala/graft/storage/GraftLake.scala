@@ -30,15 +30,39 @@ object GraftLake {
     TxnCatalog.snapshot(spark, root).flatMap(tableAt(spark, root, table, _))
 
   /** `table` at a PINNED snapshot (time travel composes: pass a
-    * [[TxnCatalog.snapshotAt]] snapshot). */
+    * [[TxnCatalog.snapshotAt]] snapshot). Pending equality deletes
+    * ([[TxnCatalog.deleteKeys]]) apply here too: data entries group by
+    * their applicable-delete set, each group plans through its own
+    * manifest-pruned relation and anti-joins only the key lists that
+    * apply to it, and the groups union by name — filters over the
+    * result still reach each group's FileSourceScanExec (Catalyst
+    * pushes through union and anti-join), so skipping survives
+    * merge-on-read. */
   def tableAt(spark: SparkSession, root: String, table: String,
       snap: TxnCatalog.Snapshot): Option[DataFrame] = {
-    val index = new ManifestFileIndex(spark, root, table, snap)
+    val data = snap.dataEntries(table)
+    if (data.isEmpty) return None
+    // merged footer schema — identical to Snapshot.read's view of the
+    // table, so evolved partitions surface added columns as nulls
+    val schema = snap.read(table).get.schema
+    composeWithDeletes(spark, snap, table, data,
+      parts => relationFrame(spark, root, table, snap, parts, schema,
+        streaming = false))
+  }
+
+  /** A Catalyst-planned frame over a PARTITION SUBSET of `table`: one
+    * [[ManifestFileIndex]]-backed HadoopFsRelation (stock parquet scan
+    * stack, manifest pruning under `listFiles`). `streaming = true`
+    * marks the relation's plan streaming — the shape a v1 streaming
+    * Source's `getBatch` must return. None when the subset holds no
+    * files. */
+  private[storage] def relationFrame(spark: SparkSession, root: String,
+      table: String, snap: TxnCatalog.Snapshot, parts: Set[String],
+      schema: StructType, streaming: Boolean): Option[DataFrame] = {
+    val index = new ManifestFileIndex(spark, root, table, snap,
+      only = Some(parts))
     if (index.totalFileCount == 0) None
     else {
-      // merged footer schema — identical to Snapshot.read's view of the
-      // table, so evolved partitions surface added columns as nulls
-      val schema = snap.read(table).get.schema
       val relation = HadoopFsRelation(
         location = index,
         partitionSchema = StructType(Nil),
@@ -46,7 +70,45 @@ object GraftLake {
         bucketSpec = None,
         fileFormat = new ParquetFileFormat(),
         options = Map.empty)(spark)
-      Some(GraftSqlBridge.ofRelation(spark, relation))
+      Some(
+        if (streaming) GraftSqlBridge.ofStreamingRelation(spark, relation)
+        else GraftSqlBridge.ofRelation(spark, relation))
+    }
+  }
+
+  /** Merge-on-read composition shared by batch and streaming reads:
+    * group `data` entries by their applicable-delete set, build each
+    * group's frame via `frameFor`, anti-join exactly the key lists that
+    * apply to it, union the groups by name. Mirrors
+    * `Snapshot.readSelected`'s semantics on Catalyst-planned frames. */
+  private[storage] def composeWithDeletes(spark: SparkSession,
+      snap: TxnCatalog.Snapshot, table: String,
+      data: Seq[(String, TxnCatalog.Entry)],
+      frameFor: Set[String] => Option[DataFrame]): Option[DataFrame] = {
+    if (data.isEmpty) return None
+    val dels = snap.deleteEntries(table)
+    if (dels.isEmpty) frameFor(data.map(_._1).toSet)
+    else {
+      val groups = data.groupBy { case (_, e) =>
+        dels.collect { case (_, txn, _, _)
+          if txn > TxnCatalog.entryDataTxn(e) => txn }.toSet
+      }
+      val frames = groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+        .flatMap { case (applicable, es) =>
+          frameFor(es.map(_._1).toSet).map { df =>
+            dels.filter(d => applicable(d._2))
+              .foldLeft(df) { case (acc, (_, _, keyCol, delPath)) =>
+                if (!acc.columns.contains(keyCol)) acc
+                else {
+                  val keys = spark.read.parquet(delPath)
+                  acc.join(keys,
+                    acc(keyCol) === keys(TxnCatalog.DeleteKeyColumn),
+                    "left_anti")
+                }
+              }
+          }
+        }
+      frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
     }
   }
 

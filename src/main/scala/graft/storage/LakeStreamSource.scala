@@ -1,0 +1,115 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The lake as a Structured Streaming SOURCE — Delta's streaming reads
+  * for this catalog: `spark.readStream.format("graft-lake")
+  * .option("root", lakeRoot).option("table", t).load()` delivers each
+  * committed batch of `t` exactly once, with the catalog's own txn
+  * numbers as offsets.
+  *
+  * Semantics, all inherited from the manifest layer rather than
+  * re-invented:
+  *  - **Offset = txn.** `getOffset` is the current committed txn;
+  *    `getBatch((from, to])` reads the data entries with
+  *    `dataTxn ∈ (from, to]` out of `snapshotAt(to)` — deterministic
+  *    replay for as long as [[TxnCatalog.vacuum]] retention covers the
+  *    checkpoint (size the retention window to the longest stream
+  *    downtime, same rule as any pinned reader).
+  *  - **Reorganizations are invisible.** Compaction, clustering and
+  *    [[TxnCatalog.reclusterFull]] carry their sources' data txn, so an
+  *    OPTIMIZE between micro-batches delivers ZERO duplicate rows —
+  *    `dataTxn` is exactly the `diffData` skippability rule.
+  *  - **Merge-on-read deletes apply within the window.** A batch's
+  *    frame anti-joins the delete key lists applicable to the entries
+  *    it delivers, so rows deleted before they were ever delivered
+  *    never appear. Rows ALREADY delivered in an earlier micro-batch
+  *    are not retracted (append-mode streams cannot retract — consume
+  *    the `~d` entries via [[TxnCatalog.diff]] for CDC-style delete
+  *    propagation).
+  *  - **Updates re-deliver.** A rewritten partition (UPDATE/upsert) is
+  *    a new data txn; its entry re-emits in full — declare downstream
+  *    idempotence on a key, or keep update tables out of streaming
+  *    reads (Delta's default even errors here; re-delivery is the
+  *    documented permissive choice).
+  *
+  * Each batch frame plans through [[ManifestFileIndex]] +
+  * HadoopFsRelation (marked streaming), so filters a streaming query
+  * pushes below stateful operators still prune partitions at the
+  * manifest, and the scan is the stock vectorized parquet path.
+  */
+final class LakeStreamSource(
+    spark: SparkSession, root: String, table: String,
+    override val schema: StructType, startingTxn: Long) extends Source {
+
+  override def getOffset: Option[Offset] =
+    TxnCatalog.currentTxn(spark, root)
+      .filter(_ > startingTxn).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(_.json().toLong).getOrElse(startingTxn)
+    val to = end.json().toLong
+    val snap = TxnCatalog.snapshotAt(spark, root, to)
+    val fresh = snap.dataEntries(table)
+      .filter { case (_, e) => TxnCatalog.entryDataTxn(e) > from }
+    GraftLake.composeWithDeletes(spark, snap, table, fresh,
+      parts => GraftLake.relationFrame(spark, root, table, snap, parts,
+        schema, streaming = true))
+      .getOrElse(GraftSqlBridge.emptyStreaming(spark, schema))
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `format("graft-lake")` provider. Options: `root` (the catalog root;
+  * `path` is accepted as an alias), `table`, and optional
+  * `startingTxn` (deliver only data committed AFTER this txn — skip
+  * the initial load, Delta's `startingVersion`). The schema is the
+  * table's merged footer schema at stream start and stays fixed for
+  * the stream's lifetime (columns added later are dropped until
+  * restart; columns removed read as null). */
+final class LakeSourceProvider
+    extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def parse(params: Map[String, String]): (String, String, Long) = {
+    val root = params.get("root").orElse(params.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-lake source needs option 'root' (or 'path')"))
+    val table = params.getOrElse("table",
+      throw new IllegalArgumentException(
+        "graft-lake source needs option 'table'"))
+    val starting = params.get("startingtxn")
+      .orElse(params.get("startingTxn")).map(_.toLong).getOrElse(0L)
+    (root, table, starting)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (root, table, _) = parse(parameters)
+    val resolved = schema.getOrElse {
+      TxnCatalog.snapshot(sqlContext.sparkSession, root)
+        .flatMap(_.read(table)).map(_.schema).getOrElse(
+          throw new IllegalArgumentException(
+            s"table '$table' does not exist (yet) under $root — " +
+              "commit it first or pass an explicit schema"))
+    }
+    (shortName(), resolved)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (root, table, starting) = parse(parameters)
+    val (_, resolved) = sourceSchema(sqlContext, schema, providerName,
+      parameters)
+    new LakeStreamSource(sqlContext.sparkSession, root, table, resolved,
+      starting)
+  }
+}

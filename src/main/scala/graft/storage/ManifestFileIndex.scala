@@ -38,17 +38,20 @@ import scala.util.control.NonFatal
   */
 final class ManifestFileIndex(
     spark: SparkSession, root: String, table: String,
-    snap: TxnCatalog.Snapshot) extends FileIndex {
+    snap: TxnCatalog.Snapshot,
+    only: Option[Set[String]] = None) extends FileIndex {
 
-  import TxnCatalog.{ColStat, Whole}
+  import TxnCatalog.ColStat
 
-  /** (stats, files) per live entry, listed once at construction — the
-    * snapshot is immutable, so the file lists cannot drift under the
-    * index (ordered by partition name for plan determinism). */
+  /** (stats, files) per live DATA entry (equality-delete key lists are
+    * not data; `only` restricts to a partition subset for grouped
+    * merge-on-read reads), listed once at construction — the snapshot
+    * is immutable, so the file lists cannot drift under the index
+    * (ordered by partition name for plan determinism). */
   private val parts: Seq[(Map[String, ColStat], Array[FileStatus])] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    snap.entries.toSeq
-      .collect { case ((t, p), e) if t == table => (p, e) }
+    snap.dataEntries(table)
+      .filter { case (p, _) => only.forall(_(p)) }
       .sortBy(_._1)
       .map { case (p, e) =>
         val dir = new Path(TxnCatalog.entryPath(root, table, p, e.dir))

@@ -75,6 +75,12 @@ object TxnCatalog {
   /** Reserved partition key for whole-table (unpartitioned) snapshots. */
   private[storage] val Whole = "-"
 
+  /** Column name the key lists of equality-delete entries are stored
+    * under ([[deleteKeys]]) — fixed so readers can anti-join without
+    * per-entry schema discovery and without colliding with data
+    * columns. */
+  val DeleteKeyColumn = "__graft_delete_key"
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -89,7 +95,8 @@ object TxnCatalog {
 
   private def checkPartitionName(p: String): Unit =
     require(p.nonEmpty && p != Whole && !p.contains('/') && !p.contains('\t') &&
-      !p.startsWith("_") && !p.startsWith(".") && !p.startsWith("v="),
+      !p.startsWith("_") && !p.startsWith(".") && !p.startsWith("v=") &&
+      !p.startsWith("~"), // "~" is reserved for internal entries
       s"illegal partition name '$p'")
 
   /** Every committed txn whose manifest is still on disk, ascending —
@@ -151,7 +158,8 @@ object TxnCatalog {
     * ([[Snapshot.rowCount]]), the same trade Delta/Iceberg make with
     * per-file counts in the log. */
   final case class Entry(dir: String, stats: Map[String, ColStat] = Map.empty,
-      dataTxn: Option[Long] = None, rows: Option[Long] = None)
+      dataTxn: Option[Long] = None, rows: Option[Long] = None,
+      deleteKey: Option[String] = None)
 
   /** The highest txn whose data `e` contains: the explicit reorg-carried
     * value, else the creating txn parsed from the dir name; unparseable
@@ -187,21 +195,26 @@ object TxnCatalog {
     }.toMap
 
   /** Entry properties beyond dir + stats ride a 5th `k=v,k=v` field:
-    * `d` = reorg [[Entry.dataTxn]], `n` = [[Entry.rows]]. Unknown keys
-    * are ignored on read (forward compatibility); the field is written
-    * only when at least one property is set. */
+    * `d` = reorg [[Entry.dataTxn]], `n` = [[Entry.rows]], `e` = the
+    * URL-escaped key column of an EQUALITY-DELETE entry (the entry's
+    * parquet holds keys to subtract, not data — [[Entry.deleteKey]]).
+    * Unknown keys are ignored on read (forward compatibility); the
+    * field is written only when at least one property is set. */
   private def propsField(e: Entry): String =
-    (e.dataTxn.map(v => s"d=$v") ++ e.rows.map(v => s"n=$v"))
+    (e.dataTxn.map(v => s"d=$v") ++ e.rows.map(v => s"n=$v") ++
+      e.deleteKey.map(c => s"e=${enc(c)}"))
       .mkString(",")
 
-  private def parseProps(field: String): (Option[Long], Option[Long]) = {
+  private def parseProps(field: String)
+      : (Option[Long], Option[Long], Option[String]) = {
     val kv = field.split(',').filter(_.nonEmpty).flatMap { item =>
       item.split("=", 2) match {
         case Array(k, v) => Some(k -> v)
         case _ => None
       }
     }.toMap
-    (kv.get("d").flatMap(_.toLongOption), kv.get("n").flatMap(_.toLongOption))
+    (kv.get("d").flatMap(_.toLongOption), kv.get("n").flatMap(_.toLongOption),
+      kv.get("e").map(dec))
   }
 
   /** The (table, partition)→[[Entry]] mapping a committed txn's manifest
@@ -221,8 +234,8 @@ object TxnCatalog {
         case Array(t, p, d)    => (t, p) -> Entry(d)
         case Array(t, p, d, s) => (t, p) -> Entry(d, parseStats(s))
         case Array(t, p, d, s, pr) =>
-          val (dataTxn, rows) = parseProps(pr)
-          (t, p) -> Entry(d, parseStats(s), dataTxn, rows)
+          val (dataTxn, rows, delKey) = parseProps(pr)
+          (t, p) -> Entry(d, parseStats(s), dataTxn, rows, delKey)
         case _ => throw new java.io.IOException(
           s"corrupt manifest line in txn $txn: '$line'")
       }
@@ -245,15 +258,85 @@ object TxnCatalog {
     /** Tables present in this snapshot. */
     def tables: Seq[String] = entries.keys.map(_._1).toSeq.distinct.sorted
 
-    /** Partitions of `table` in this snapshot (empty for a whole-table
-      * snapshot or an absent table). */
+    /** DATA partitions of `table` in this snapshot (empty for a
+      * whole-table snapshot or an absent table). Internal entries —
+      * equality-delete key lists — are not data and are not listed;
+      * see [[deleteEntries]]. */
     def partitions(table: String): Seq[String] = entries.keys
-      .collect { case (t, p) if t == table && p != Whole => p }.toSeq.sorted
+      .collect { case (t, p) if t == table && p != Whole &&
+        entries((t, p)).deleteKey.isEmpty => p }.toSeq.sorted
+
+    /** The live DATA entries of `table` (delete entries excluded). */
+    private[storage] def dataEntries(table: String): Seq[(String, Entry)] =
+      entries.toSeq.collect {
+        case ((t, p), e) if t == table && e.deleteKey.isEmpty => (p, e) }
+
+    /** Pending equality-delete entries of `table`, oldest first:
+      * (partition, committing txn, key column, keys-parquet path). */
+    def deleteEntries(table: String): Seq[(String, Long, String, String)] =
+      entries.toSeq.collect {
+        case ((t, p), e) if t == table && e.deleteKey.isDefined =>
+          (p, entryDataTxn(e), e.deleteKey.get,
+            entryPath(root, t, p, e.dir))
+      }.sortBy(_._2)
+
+    /** The keys one equality-delete entry would subtract (column named
+      * [[DeleteKeyColumn]]) — the CDC surface for [[TxnCatalog.diff]]
+      * consumers that see a `~d` partition appear. */
+    def readDeleteKeys(table: String, partition: String): Option[DataFrame] =
+      entries.get((table, partition))
+        .filter(_.deleteKey.isDefined)
+        .map(e => spark.read.parquet(entryPath(root, table, partition, e.dir)))
 
     private def readPaths(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
       else if (paths.sizeIs == 1) Some(spark.read.parquet(paths.head))
       else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+
+    /** Read a set of DATA entries with every applicable equality delete
+      * subtracted — the merge-on-read funnel behind [[read]],
+      * [[readPartitions]], and the `readWhere*` family. A delete D
+      * applies to entry E iff D's txn is newer than E's data
+      * ([[TxnCatalog.entryDataTxn]]): data appended AFTER a delete is
+      * never masked by it (re-inserting a deleted key works), and a
+      * reorganization fold — which reads through THIS funnel, so its
+      * output already has applicable deletes physically applied —
+      * carries its sources' data txn, making re-application a no-op
+      * (anti-join against keys that no longer match). Entries are
+      * grouped by their applicable-delete set and each group anti-joins
+      * only the delete key lists that apply to it; groups union by name
+      * so evolved schemas keep surfacing missing columns as nulls. An
+      * entry whose schema lacks a delete's key column is untouched by
+      * that delete (its rows can't equal any key). */
+    private[storage] def readSelected(table: String,
+        sel: Seq[(String, Entry)]): Option[DataFrame] = {
+      if (sel.isEmpty) return None
+      val dels = deleteEntries(table)
+      def paths(es: Seq[(String, Entry)]) =
+        es.map { case (p, e) => entryPath(root, table, p, e.dir) }.sorted
+      if (dels.isEmpty) readPaths(paths(sel))
+      else {
+        val groups = sel.groupBy { case (_, e) =>
+          dels.collect { case (_, txn, _, _) if txn > entryDataTxn(e) => txn }
+            .toSet
+        }
+        val frames = groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
+          .flatMap { case (applicable, es) =>
+            readPaths(paths(es)).map { df =>
+              dels.filter(d => applicable(d._2))
+                .foldLeft(df) { case (acc, (_, _, keyCol, delPath)) =>
+                  if (!acc.columns.contains(keyCol)) acc
+                  else {
+                    val keys = spark.read.parquet(delPath)
+                    acc.join(keys,
+                      acc(keyCol) === keys(DeleteKeyColumn), "left_anti")
+                  }
+                }
+          }
+        }
+        frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      }
+    }
 
     /** Read `table` at this snapshot's txn. A partitioned table reads as
       * the union of its live partition snapshots (the partition key is a
@@ -264,16 +347,18 @@ object TxnCatalog {
       * new column as null and an incompatible type change fails loudly
       * instead of silently picking one footer's schema. None if absent. */
     def read(table: String): Option[DataFrame] =
-      readPaths(entries.toSeq
-        .collect { case ((t, p), e) if t == table => entryPath(root, t, p, e.dir) }
-        .sorted)
+      readSelected(table, dataEntries(table))
 
-    /** Read one partition of `table` at this snapshot's txn — touches
-      * ONLY that partition's files (manifest-level partition pruning). */
+    /** Read one DATA partition of `table` at this snapshot's txn —
+      * touches ONLY that partition's files (manifest-level partition
+      * pruning) plus any applicable delete key lists. None for an
+      * absent partition or an internal (delete) entry — those read via
+      * [[readDeleteKeys]]. */
     def readPartition(table: String, partition: String): Option[DataFrame] = {
-      checkPartitionName(partition)
+      if (!partition.startsWith("~")) checkPartitionName(partition)
       entries.get((table, partition))
-        .map(e => spark.read.parquet(entryPath(root, table, partition, e.dir)))
+        .filter(_.deleteKey.isEmpty)
+        .flatMap(e => readSelected(table, Seq((partition, e))))
     }
 
     /** Read a SUBSET of `table`'s partitions as one schema-merged frame —
@@ -285,11 +370,12 @@ object TxnCatalog {
       parts.foreach(checkPartitionName)
       if (parts.isEmpty) None
       else {
-        val missing = parts.filterNot(p => entries.contains((table, p)))
+        val missing = parts.filterNot(p => entries.get((table, p))
+          .exists(_.deleteKey.isEmpty))
         require(missing.isEmpty,
           s"partitions absent from txn $txn of '$table': ${missing.mkString(", ")}")
-        readPaths(parts.sorted.map(p =>
-          entryPath(root, table, p, entries((table, p)).dir)))
+        readSelected(table,
+          parts.sorted.map(p => (p, entries((table, p)))))
       }
     }
 
@@ -303,14 +389,30 @@ object TxnCatalog {
       * the answer unknowable without a scan, so None — never a guess.
       * The metadata-only count Delta/Iceberg answer from their logs. */
     def rowCount(table: String): Option[Long] = {
-      val counts = entries.collect { case ((t, _), e) if t == table => e.rows }
-      if (counts.isEmpty || counts.exists(_.isEmpty)) None
-      else Some(counts.flatten.sum)
+      val data = dataEntries(table)
+      if (data.isEmpty || hasApplicableDeletes(table, data)) None
+      else {
+        val counts = data.map(_._2.rows)
+        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      }
     }
 
-    /** Exact row count of one partition, when recorded at commit. */
+    /** Exact row count of one partition, when recorded at commit (None
+      * while an equality delete may still subtract from it — a metadata
+      * answer must never differ from a scan). */
     def rowCount(table: String, partition: String): Option[Long] =
-      entries.get((table, partition)).flatMap(_.rows)
+      entries.get((table, partition))
+        .filter(_.deleteKey.isEmpty)
+        .filterNot(e => hasApplicableDeletes(table, Seq((partition, e))))
+        .flatMap(_.rows)
+
+    /** Do any pending equality deletes apply to `sel`? (A delete
+      * applies to entries whose data predates it; masked rows make
+      * metadata-only counts/bounds unknowable without a scan.) */
+    private def hasApplicableDeletes(table: String,
+        sel: Seq[(String, Entry)]): Boolean =
+      deleteEntries(table).exists { case (_, txn, _, _) =>
+        sel.exists { case (_, e) => txn > entryDataTxn(e) } }
 
     /** MIN/MAX of `column` across the whole table at manifest cost: the
       * per-entry stats folded with kind-true comparison (numeric via
@@ -321,9 +423,10 @@ object TxnCatalog {
       * would surface it, a metadata answer must not silently differ).
       * Values keep the manifest's string rendering; bloom is empty. */
     def columnBounds(table: String, column: String): Option[ColStat] = {
-      val sts = entries.collect {
-        case ((t, _), e) if t == table => e.stats.get(column) }
-      if (sts.isEmpty || sts.exists(_.isEmpty)) return None
+      val data = dataEntries(table)
+      if (data.isEmpty || hasApplicableDeletes(table, data)) return None
+      val sts = data.map { case (_, e) => e.stats.get(column) }
+      if (sts.exists(_.isEmpty)) return None
       val all = sts.flatten.toSeq
       all.map(_.kind).distinct match {
         case Seq("n") => try {
@@ -349,7 +452,7 @@ object TxnCatalog {
       * for numeric columns, a String pair for string columns. */
     def partitionsWhere(table: String, column: String,
         lo: Any, hi: Any): Seq[String] = entries.toSeq.collect {
-      case ((t, p), e) if t == table && p != Whole &&
+      case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
         e.stats.get(column).forall(mayOverlap(_, lo, hi)) => p
     }.sorted
 
@@ -361,7 +464,7 @@ object TxnCatalog {
       * entry). */
     def partitionsWhereAll(table: String,
         bounds: Seq[(String, Any, Any)]): Seq[String] = entries.toSeq.collect {
-      case ((t, p), e) if t == table && p != Whole &&
+      case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
         bounds.forall { case (c, lo, hi) =>
           e.stats.get(c).forall(mayOverlap(_, lo, hi)) } => p
     }.sorted
@@ -378,13 +481,12 @@ object TxnCatalog {
       require(bounds.nonEmpty, "readWhereAll needs at least one bound")
       val whole = entries.contains((table, Whole))
       val keep =
-        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        if (whole) dataEntries(table).map(_._1)
         else partitionsWhereAll(table, bounds)
-      val paths = keep.map(p => entryPath(root, table, p,
-        entries((table, p)).dir)).sorted
+      val sel = keep.sorted.map(p => (p, entries((table, p))))
       def pred(df: DataFrame) = bounds.map { case (c, lo, hi) =>
         rangePredicate(df, c, lo, hi) }.reduce(_ && _)
-      readPaths(paths).map(df => df.filter(pred(df))).orElse {
+      readSelected(table, sel).map(df => df.filter(pred(df))).orElse {
         read(table).map(df => df.filter(lit(false)).filter(pred(df)))
       }
     }
@@ -397,7 +499,7 @@ object TxnCatalog {
       * entries are always kept (conservative, like [[partitionsWhere]]). */
     def partitionsWhereEq(table: String, column: String,
         value: Any): Seq[String] = entries.toSeq.collect {
-      case ((t, p), e) if t == table && p != Whole &&
+      case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
         e.stats.get(column).forall(st =>
           mayOverlap(st, value, value) && bloomMayContain(st, value)) => p
     }.sorted
@@ -411,14 +513,13 @@ object TxnCatalog {
       import org.apache.spark.sql.functions.{col, lit}
       val whole = entries.contains((table, Whole))
       val keep =
-        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        if (whole) dataEntries(table).map(_._1)
         else partitionsWhereEq(table, column, value)
-      val paths = keep.map(p => entryPath(root, table, p,
-        entries((table, p)).dir)).sorted
+      val sel = keep.sorted.map(p => (p, entries((table, p))))
       // an equality probe is a degenerate range: reuse the type-aligned
       // bound construction so the predicate pushes to the parquet scan
       def pred(df: DataFrame) = rangePredicate(df, column, value, value)
-      readPaths(paths).map(df => df.filter(pred(df))).orElse {
+      readSelected(table, sel).map(df => df.filter(pred(df))).orElse {
         read(table).map(df => df.filter(lit(false)).filter(pred(df)))
       }
     }
@@ -434,7 +535,7 @@ object TxnCatalog {
         values: Seq[Any]): Seq[String] = {
       require(values.nonEmpty, "partitionsWhereIn needs at least one value")
       entries.toSeq.collect {
-        case ((t, p), e) if t == table && p != Whole &&
+        case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
           values.exists(v => e.stats.get(column).forall(st =>
             mayOverlap(st, v, v) && bloomMayContain(st, v))) => p
       }.sorted
@@ -451,12 +552,11 @@ object TxnCatalog {
       require(values.nonEmpty, "readWhereIn needs at least one value")
       val whole = entries.contains((table, Whole))
       val keep =
-        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        if (whole) dataEntries(table).map(_._1)
         else partitionsWhereIn(table, column, values)
-      val paths = keep.map(p => entryPath(root, table, p,
-        entries((table, p)).dir)).sorted
+      val sel = keep.sorted.map(p => (p, entries((table, p))))
       def pred(df: DataFrame) = inPredicate(df, column, values)
-      readPaths(paths).map(df => df.filter(pred(df))).orElse {
+      readSelected(table, sel).map(df => df.filter(pred(df))).orElse {
         read(table).map(df => df.filter(lit(false)).filter(pred(df)))
       }
     }
@@ -472,12 +572,11 @@ object TxnCatalog {
       import org.apache.spark.sql.functions.{col, lit}
       val whole = entries.contains((table, Whole))
       val keep =
-        if (whole) entries.toSeq.collect { case ((t, p), _) if t == table => p }
+        if (whole) dataEntries(table).map(_._1)
         else partitionsWhere(table, column, lo, hi)
-      val paths = keep.map(p => entryPath(root, table, p,
-        entries((table, p)).dir)).sorted
+      val sel = keep.sorted.map(p => (p, entries((table, p))))
       def pred(df: DataFrame) = rangePredicate(df, column, lo, hi)
-      readPaths(paths).map(df => df.filter(pred(df))).orElse {
+      readSelected(table, sel).map(df => df.filter(pred(df))).orElse {
         // table exists but every partition pruned: an empty frame with
         // the table's schema (footer-only read; lit(false) folds the
         // scan away before any data is touched)
@@ -974,8 +1073,7 @@ object TxnCatalog {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, root).getOrElse(
       throw new IllegalArgumentException(s"empty catalog under $root"))
-    val all = snap.entries.toSeq.collect {
-      case ((t, p), e) if t == table => (p, e) }
+    val all = snap.dataEntries(table)
     require(all.nonEmpty, s"unknown table '$table'")
     // candidates: entries whose stats MAY hold a row in [lo, hi]
     // (stat-less or kind-mismatched entries are always candidates)
@@ -983,7 +1081,10 @@ object TxnCatalog {
       e.stats.get(column).forall(mayOverlap(_, lo, hi)) }
     if (touched.isEmpty) return snap.txn
     def survivors(p: String, e: Entry): DataFrame = {
-      val df = spark.read.parquet(entryPath(root, table, p, e.dir))
+      // read through the delete-applying funnel: the rewrite bumps the
+      // entry's data txn, so pending equality deletes would stop
+      // applying to it — they must be materialized into it here
+      val df = snap.readSelected(table, Seq((p, e))).get
       if (!df.columns.contains(column)) df // evolved partition: no match
       else {
         val pred = rangePredicate(df, column, lo, hi)
@@ -1004,6 +1105,89 @@ object TxnCatalog {
           statsCols, drops = Nil, expectedTxn = Some(snap.txn),
           bloomColumns = bloomCols)(beforePublish)
     }
+  }
+
+  /** MERGE-ON-READ delete: subtract every row of `table` whose
+    * `keyColumn` matches a key in `keys`, WITHOUT rewriting any data —
+    * the write costs O(distinct keys) regardless of table size
+    * (Iceberg's equality-delete files; Delta DV's cost profile at
+    * partition grain). The keys land as an internal `~d-*` entry in one
+    * atomic commit; every read path ([[Snapshot.read]],
+    * `readPartition(s)`, the `readWhere*` family, [[GraftLake]] frames)
+    * anti-joins applicable key lists automatically, and Spark's
+    * size-based planning broadcasts the (small) key list under the
+    * anti-join. A delete applies only to data committed BEFORE it:
+    * re-inserting a deleted key later works, exactly like
+    * Iceberg sequence numbers. Reorganizations (compaction,
+    * clustering) read through the delete-applying funnel, so an
+    * OPTIMIZE pass physically applies pending deletes to what it
+    * rewrites for free; [[applyDeletes]] is the explicit
+    * materialize-and-purge pass. Metadata-only answers
+    * ([[Snapshot.rowCount]], [[Snapshot.columnBounds]]) return None
+    * while a delete may still mask rows — never a stale guess.
+    *
+    * `keys` must contain `keyColumn`; null and duplicate keys are
+    * dropped (a null key matches no row under SQL equality). Tables
+    * holding a whole-table snapshot don't take merge-on-read deletes
+    * (they're catalog-sized — rewrite via [[deleteWhere]] or
+    * [[commit]]). Returns the committed txn; an empty key set commits
+    * nothing and returns the current txn. */
+  def deleteKeys(spark: SparkSession, root: String, table: String,
+      keyColumn: String, keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    checkTableName(table)
+    require(keys.columns.contains(keyColumn),
+      s"keys frame lacks column '$keyColumn'")
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    require(snap.dataEntries(table).nonEmpty, s"unknown table '$table'")
+    require(!snap.entries.contains((table, Whole)),
+      s"table '$table' holds a whole-table snapshot; merge-on-read " +
+        "deletes need a partitioned table (use deleteWhere or commit)")
+    val keyList = keys.select(col(keyColumn).as(DeleteKeyColumn))
+      .filter(col(DeleteKeyColumn).isNotNull).distinct()
+    if (keyList.isEmpty) return snap.txn
+    val part = s"~d-${java.util.UUID.randomUUID().toString.take(8)}"
+    publish(spark, root, Seq((table, part, keyList)),
+      statsColumns = Nil, drops = Nil, expectedTxn = None,
+      reconcile = identity,
+      deleteKeyCols = Map((table, part) -> keyColumn))(() => ())
+  }
+
+  /** Materialize pending equality deletes: rewrite every data entry an
+    * applicable delete may mask (reading through the delete-applying
+    * funnel, so the staged data is already subtracted), drop ALL of the
+    * table's delete entries, in one conditional commit — after this,
+    * reads pay no anti-join and metadata answers come back. Entries no
+    * delete applies to carry forward untouched (the usual skipping
+    * trade: only data committed before the oldest pending delete is
+    * rewritten). Stats and Blooms re-measure per rewritten entry.
+    * Returns the committed txn (the pinned one when nothing is
+    * pending); IOException on losing the commit race — retry. */
+  def applyDeletes(spark: SparkSession, root: String,
+      table: String): Long = {
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val dels = snap.deleteEntries(table)
+    if (dels.isEmpty) return snap.txn
+    val data = snap.dataEntries(table)
+    val affected = data.filter { case (_, e) =>
+      dels.exists { case (_, txn, _, _) => txn > entryDataTxn(e) } }
+    val statsCols = affected.flatMap(_._2.stats.keys).distinct
+    val bloomCols = affected.flatMap { case (_, e) =>
+      e.stats.collect { case (c, st) if st.bloom.nonEmpty => c } }.distinct
+    val updates = affected.map { case (p, e) =>
+      (table, p, snap.readSelected(table, Seq((p, e))).get) }
+    val dropKeys = dels.map { case (p, _, _, _) => (table, p) }
+    publish(spark, root, updates, statsCols, drops = Nil,
+      expectedTxn = Some(snap.txn),
+      reconcile = carried => {
+        val missing = dropKeys.filterNot(carried.contains)
+        require(missing.isEmpty, "delete entries vanished under " +
+          s"applyDeletes: ${missing.mkString(", ")}")
+        carried -- dropKeys
+      },
+      bloomColumns = bloomCols)(() => ())
   }
 
   /** Re-cluster N partitions of `table` into up to `buckets` partitions
@@ -1350,7 +1534,8 @@ object TxnCatalog {
       expectedTxn: Option[Long],
       reconcile: Map[(String, String), Entry] => Map[(String, String), Entry],
       bloomColumns: Seq[String] = Nil,
-      dataTxns: Map[(String, String), Long] = Map.empty)(
+      dataTxns: Map[(String, String), Long] = Map.empty,
+      deleteKeyCols: Map[(String, String), String] = Map.empty)(
       beforePublish: () => Unit): Long = {
     val f = fs(spark, root)
     val prev = currentTxn(spark, root)
@@ -1366,7 +1551,8 @@ object TxnCatalog {
       val path = entryPath(root, t, p, dirName)
       df.write.mode("errorifexists").parquet(path)
       val (stats, rows) = measureStats(spark, path, statsColumns, bloomColumns)
-      (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows)
+      (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows,
+        deleteKeyCols.get((t, p)))
     }.toMap
     val carried = reconcile(prev.map(manifest(f, root, _)).getOrElse(Map.empty))
     val entries = (carried ++ staged).toSeq.sortBy(_._1)

@@ -35,4 +35,27 @@ object GraftSqlBridge {
       relation: org.apache.spark.sql.sources.BaseRelation): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(relation)
+
+  /** [[ofRelation]] with the plan's `isStreaming` bit set — what a v1
+    * streaming [[org.apache.spark.sql.execution.streaming.Source]]'s
+    * `getBatch` must return (MicroBatchExecution asserts the spliced
+    * plan is streaming). Only the DATA relation is marked; frames
+    * joined against it (delete key lists) stay batch, so stream-static
+    * joins plan as such. */
+  def ofStreamingRelation(spark: SparkSession,
+      relation: org.apache.spark.sql.sources.BaseRelation): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        relation, isStreaming = true))
+
+  /** An empty STREAMING frame of `schema` — the zero-rows `getBatch`
+    * answer for a window in which no data txn landed. */
+  def emptyStreaming(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        Seq.empty, isStreaming = true))
 }

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+import graft.storage.TxnCatalog
+
+/** [[graft.storage.LakeSourceProvider]]: the TxnCatalog lake as a
+  * Structured Streaming source — txn offsets, exactly-once delivery,
+  * OPTIMIZE invisibility, merge-on-read deletes, checkpoint restart.
+  */
+class LakeStreamSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  private def commitBatch(root: String, part: String, lo: Int, hi: Int): Unit =
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("ev", part, (lo until hi).map(i => (i.toLong, s"e$i")).toDF("id", "name"))),
+      statsColumns = Seq("id"))
+
+  private def lakeStream(root: String, extra: (String, String)*): DataFrame = {
+    val r = spark.readStream.format("graft-lake")
+      .option("root", root).option("table", "ev")
+    extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("initial load + per-commit micro-batches deliver each row exactly once") {
+    val root = tmp("lssrc")
+    commitBatch(root, "b0", 0, 100) // pre-existing data: the initial load
+    val q = lakeStream(root).writeStream.format("memory")
+      .queryName("ls_basic").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ls_basic").count() === 100L)
+      commitBatch(root, "b1", 100, 150)
+      q.processAllAvailable()
+      commitBatch(root, "b2", 150, 200)
+      q.processAllAvailable()
+      val got = spark.table("ls_basic").select("id").as[Long].collect().sorted
+      assert(got === (0L until 200L).toArray,
+        "every committed row exactly once, no duplicates across batches")
+    } finally q.stop()
+  }
+
+  test("OPTIMIZE between micro-batches delivers zero duplicate rows") {
+    val root = tmp("lsopt")
+    commitBatch(root, "b0", 0, 50)
+    commitBatch(root, "b1", 50, 100)
+    val q = lakeStream(root).writeStream.format("memory")
+      .queryName("ls_opt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ls_opt").count() === 100L)
+      // reorganize: fold both batches into one partition (a new entry,
+      // but dataTxn carries the max source txn — nothing new to deliver)
+      TxnCatalog.compactPartitions(spark, root, "ev", Seq("b0", "b1"),
+        "fold0", statsColumns = Seq("id"))
+      q.processAllAvailable()
+      assert(spark.table("ls_opt").count() === 100L,
+        "compaction must be invisible to the stream")
+      commitBatch(root, "b2", 100, 120)
+      q.processAllAvailable()
+      assert(spark.table("ls_opt").count() === 120L)
+    } finally q.stop()
+  }
+
+  test("startingTxn skips the initial load (Delta's startingVersion)") {
+    val root = tmp("lsstart")
+    commitBatch(root, "b0", 0, 100)
+    val startAt = TxnCatalog.currentTxn(spark, root).get
+    val q = lakeStream(root, "startingTxn" -> startAt.toString)
+      .writeStream.format("memory")
+      .queryName("ls_start").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ls_start").count() === 0L)
+      commitBatch(root, "b1", 100, 130)
+      q.processAllAvailable()
+      assert(spark.table("ls_start").select("id").as[Long].collect().sorted
+        === (100L until 130L).toArray)
+    } finally q.stop()
+  }
+
+  test("merge-on-read delete masks undelivered rows in the same window") {
+    val root = tmp("lsdel")
+    commitBatch(root, "b0", 0, 100)
+    TxnCatalog.deleteKeys(spark, root, "ev", "id", Seq(7L, 42L).toDF("id"))
+    val q = lakeStream(root).writeStream.format("memory")
+      .queryName("ls_del").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ls_del").select("id").as[Long].collect().sorted
+      assert(got === (0L until 100L).filterNot(Set(7L, 42L)).toArray,
+        "rows deleted before delivery must never appear")
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes from the committed txn offset") {
+    val root = tmp("lsckpt")
+    val ckpt = tmp("lsckptdir")
+    commitBatch(root, "b0", 0, 60)
+    val q1 = lakeStream(root).writeStream.format("memory")
+      .queryName("ls_ck1").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("ls_ck1").count() === 60L)
+    } finally q1.stop()
+    // commits while the stream is DOWN
+    commitBatch(root, "b1", 60, 90)
+    commitBatch(root, "b2", 90, 100)
+    val q2 = lakeStream(root).writeStream.format("memory")
+      .queryName("ls_ck2").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q2.processAllAvailable()
+      // the restarted query's memory sink holds ONLY post-restart batches:
+      // exactly the rows committed during downtime, nothing re-delivered
+      val got = spark.table("ls_ck2").select("id").as[Long].collect().sorted
+      assert(got === (60L until 100L).toArray,
+        "restart must resume at the checkpointed txn — no replay, no loss")
+    } finally q2.stop()
+  }
+
+  test("streaming aggregation over the lake source stays correct across commits") {
+    val root = tmp("lsagg")
+    commitBatch(root, "b0", 0, 100)
+    val counts = lakeStream(root)
+      .withColumn("bucket", pmod($"id", lit(3)))
+      .groupBy("bucket").count()
+    val q = counts.writeStream.format("memory")
+      .queryName("ls_agg").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      commitBatch(root, "b1", 100, 200)
+      q.processAllAvailable()
+      val got = spark.table("ls_agg").as[(Long, Long)].collect().toMap
+      assert(got === Map(0L -> 67L, 1L -> 67L, 2L -> 66L),
+        "stateful aggregation must fold both micro-batches")
+    } finally q.stop()
+  }
+}
