@@ -14,6 +14,40 @@ object StreamingQueries extends QueryGroup {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // An ACTUAL micro-batch stream under the oracle gate: events land in
+    // the lake over three commits, a graft-lake streaming source
+    // (txn-offset exactly-once, LakeStreamSpec) consumes them — one
+    // initial load plus two incremental micro-batches — into a memory
+    // sink, and the union of the delivered batches must equal the plain
+    // batch SQL over the same rows. This pins the source's no-loss,
+    // no-duplicate delivery to the DuckDB hash compare, not just specs.
+    QueryDef(
+      "st_lake_source",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_lakesrc").toString
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        def commit(k: Int): Unit =
+          graft.storage.TxnCatalog.commitPartitions(s, root,
+            Seq(("ev", s"b$k", ev.filter(pmod(col("event_id"), lit(3)) === k))),
+            statsColumns = Seq("event_id"))
+        commit(0)
+        val name = "q_st_lake_source_sink"
+        s.catalog.dropTempView(name)
+        val q = s.readStream.format("graft-lake")
+          .option("root", root).option("table", "ev").load()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          commit(1); q.processAllAvailable()
+          commit(2); q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).orderBy("event_id", "user_id", "value")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |ORDER BY event_id, user_id, value""".stripMargin)),
+
     // Tumbling event-time windows over the events table (10-minute buckets,
     // epoch-aligned in both engines).
     QueryDef(

@@ -103,28 +103,25 @@ class LakeStreamSpec extends GraftSuite {
   test("checkpoint restart resumes from the committed txn offset") {
     val root = tmp("lsckpt")
     val ckpt = tmp("lsckptdir")
+    val out = tmp("lsckptout")
     commitBatch(root, "b0", 0, 60)
-    val q1 = lakeStream(root).writeStream.format("memory")
-      .queryName("ls_ck1").outputMode("append")
-      .option("checkpointLocation", ckpt).start()
-    try {
-      q1.processAllAvailable()
-      assert(spark.table("ls_ck1").count() === 60L)
-    } finally q1.stop()
+    def run(): Unit = {
+      val q = lakeStream(root).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 60L)
     // commits while the stream is DOWN
     commitBatch(root, "b1", 60, 90)
     commitBatch(root, "b2", 90, 100)
-    val q2 = lakeStream(root).writeStream.format("memory")
-      .queryName("ls_ck2").outputMode("append")
-      .option("checkpointLocation", ckpt).start()
-    try {
-      q2.processAllAvailable()
-      // the restarted query's memory sink holds ONLY post-restart batches:
-      // exactly the rows committed during downtime, nothing re-delivered
-      val got = spark.table("ls_ck2").select("id").as[Long].collect().sorted
-      assert(got === (60L until 100L).toArray,
-        "restart must resume at the checkpointed txn — no replay, no loss")
-    } finally q2.stop()
+    run()
+    // the recovered query resumes at the checkpointed txn: the sink ends
+    // with every committed row exactly once — no replay, no loss
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(got === (0L until 100L).toArray,
+      "restart must resume at the checkpointed txn — no replay, no loss")
   }
 
   test("streaming aggregation over the lake source stays correct across commits") {
