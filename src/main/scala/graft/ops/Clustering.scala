@@ -46,7 +46,25 @@ object Clustering {
     */
   def kmeansAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    lloyd(corpus, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansAssign]] plus the CENTROIDS the final assignment was made
+    * against, as `(assignments, centroids (cid, ce))` — the pair an IVF
+    * index needs: cells to partition by and the probe table to route
+    * queries with ([[VectorLake]]). Centroids are the 6-dp-pinned
+    * vectors after `iters - 1` update passes, so `assignments` is
+    * EXACTLY the nearest-centroid rule over `centroids` (same d, same
+    * (d, cid) tie-break) — re-deriving the assignment from the returned
+    * centroids reproduces it. */
+  def kmeansFit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) =
+    lloyd(corpus, idCol, vecCol, k, iters)
+
+  private def lloyd(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val v = corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("e"))
       .withColumn("en", dot(col("e"), col("e")))
@@ -55,7 +73,9 @@ object Clustering {
       .select(col("id").as("cid"), col("e").as("ce"))
 
     var assigned: DataFrame = null
+    var used: DataFrame = cents
     for (_ <- 1 to iters) {
+      used = cents
       val centsRow = cents
         .withColumn("cn", dot(col("ce"), col("ce")))
         .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cs"))
@@ -78,7 +98,8 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
           s => s.getField("m")).as("ce"))
     }
-    assigned.select(col("id"), col("cid").as("cluster"), r6(col("d")).as("dist"))
+    (assigned.select(col("id"), col("cid").as("cluster"),
+      r6(col("d")).as("dist")), used)
   }
 
   /** SemDeDup: k-means the corpus, then within each cluster mark every

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.storage.TxnCatalog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** An IVF-partitioned vector index ON the lake: k-means cells become
+  * [[TxnCatalog]] partitions, the centroid table becomes the router, and
+  * an ANN query is a manifest-pruned read of `nProbe` partitions plus an
+  * exact cosine rerank — FAISS's IVF flat layout re-expressed as table
+  * layout, so the "index" inherits every storage property for free
+  * (atomic rebuild via one commit, time travel, vacuum, incremental
+  * `diffData` consumption, Catalyst-planned reads).
+  *
+  * 100 TB shape: the corpus writes once, clustered by cell; centroids are
+  * k rows (driver/broadcast-sized BY DESIGN — k ~ √n even at billions of
+  * vectors keeps the router in MBs); a query touches `nProbe / k` of the
+  * data and the pruning decision costs one manifest read, no file IO.
+  * Contrast the brute-force tier ([[Similarity.bruteForceTopK]]): same
+  * answer on the probed subset, but every query scans the corpus.
+  *
+  * Determinism: cells come from [[Clustering.kmeansFit]] (smallest-id
+  * seeds, 6-dp-pinned centroids), probe routing uses the same
+  * d = q·q − 2·q·c + c·c expansion with the same sequential-fold dot
+  * product ([[graft.expressions.DotProduct]] semantics) and (d, cid)
+  * tie-break, and reranks round cosine to 6 dp before ordering — the
+  * whole build→route→rerank path replays identically cross-engine
+  * (oracle query `s_ann_lake`).
+  */
+object VectorLake {
+
+  /** Vector-table column names (`id`, `cluster`, `vec`). */
+  val IdCol = "id"
+  val CellCol = "cluster"
+  val VecCol = "vec"
+
+  /** The centroid router table that [[build]] writes beside `table`. */
+  def centroidsTable(table: String): String = s"${table}_centroids"
+
+  /** Cluster `corpus` into k cells and commit the index atomically: one
+    * `cell=<cid>` partition per non-empty cell (columns (id, cluster,
+    * vec), range stats on `cluster` — each partition's min = max = cid,
+    * so probes prune exactly) plus the k-row centroid router
+    * `<table>_centroids` (cid, ce), all in ONE txn — readers see the
+    * whole index or none of it, and a rebuild replaces it atomically.
+    * Ids must be numeric (cell dirs + probe ordering key off them).
+    * Returns the committed txn. */
+  def build(spark: SparkSession, root: String, table: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Long = {
+    val (assigned, cents) = Clustering.kmeansFit(corpus, idCol, vecCol,
+      k, iters)
+    val v = corpus.select(col(idCol).as(IdCol),
+      Similarity.toDouble(col(vecCol)).as(VecCol))
+    // pin the Lloyd result once: each cell partition stages its own
+    // filter of this frame, and without the checkpoint every stage
+    // would replay the full k-means
+    val cells = v.join(assigned.select(col("id"), col("cluster").as(CellCol)),
+      Seq(IdCol)).localCheckpoint()
+    val cids = cells.select(CellCol).distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).sorted
+    val parts = cids.toSeq.map(c =>
+      (table, s"cell=$c", cells.filter(col(CellCol) === c)))
+    TxnCatalog.commitPartitions(spark, root,
+      parts :+ ((centroidsTable(table), "all",
+        cents.select(col("cid"), col("ce")))),
+      statsColumns = Seq(CellCol))
+  }
+
+  /** The `nProbe` cells nearest to `q`, in (distance, cid) order — the
+    * router step alone, for callers that want the pruning decision
+    * (tests assert `partitionsWhereIn` keeps exactly these). Distances
+    * use the same sequential-fold dot product as the SQL side, so the
+    * ranking is bit-identical to `list_dot_product` arithmetic. */
+  def probeCells(spark: SparkSession, root: String, table: String,
+      q: Seq[Double], nProbe: Int): Seq[Long] = {
+    require(nProbe > 0, "nProbe must be positive")
+    val snap = TxnCatalog.snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no catalog at $root"))
+    val cents = snap.read(centroidsTable(table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no centroid table for '$table' — build the index first"))
+      .select("cid", "ce").collect()
+    val qn = fold(q, q)
+    cents.toSeq.map { r =>
+      val cid = r.get(0).asInstanceOf[Number].longValue()
+      val ce = r.getSeq[Double](1)
+      (qn - 2.0 * fold(q, ce) + fold(ce, ce), cid)
+    }.sorted.take(nProbe).map(_._2)
+  }
+
+  /** ANN top-k: route `q` to its `nProbe` nearest cells, read ONLY those
+    * partitions (manifest-pruned `readWhereIn` on the cell column), and
+    * exact-rerank by cosine — (id, cluster, sim, rank), best first.
+    * The global sort is a TakeOrderedAndProject (top-k per partition,
+    * k-row merge on the driver), never a full sort. */
+  def query(spark: SparkSession, root: String, table: String,
+      q: Seq[Double], nProbe: Int, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val probes = probeCells(spark, root, table, q, nProbe)
+    val snap = TxnCatalog.snapshot(spark, root).get
+    val cand = snap.readWhereIn(table, CellCol, probes).getOrElse(
+      throw new IllegalArgumentException(s"no vector table '$table'"))
+    val qArr: Column = array(q.map(lit): _*)
+    val qNorm = math.sqrt(fold(q, q))
+    cand
+      .withColumn("sim", round(
+        Similarity.dot(col(VecCol), qArr) /
+          (lit(qNorm) * sqrt(Similarity.dot(col(VecCol), col(VecCol)))), 6))
+      .orderBy(col("sim").desc, col(IdCol))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("sim").desc, col(IdCol))))
+      .select(col(IdCol), col(CellCol), col("sim"), col("rank"))
+  }
+
+  /** Sequential-fold dot product — the iteration order
+    * [[graft.expressions.DotProduct]] and DuckDB's `list_dot_product`
+    * share, so driver-side routing reproduces their doubles exactly. */
+  private def fold(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ops.{Clustering, Retrieval}
+import graft.ops.{Clustering, Retrieval, VectorLake}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation extensions: BM25 ranked retrieval, embedding-space
@@ -233,6 +233,47 @@ object CurationQueries extends QueryGroup {
           |            AS DOUBLE) >= 0.95)
           |SELECT a2.vec_id AS id, cid AS cluster,
           |  a2.vec_id NOT IN (SELECT id FROM p) AS keep
-          |FROM a2 ORDER BY id""".stripMargin))
+          |FROM a2 ORDER BY id""".stripMargin)),
+
+    // IVF-on-the-lake ANN round trip: k-means cells become TxnCatalog
+    // partitions (one atomic commit with the centroid router), the query
+    // vector routes to its 2 nearest centroids driver-side, readWhereIn
+    // prunes the read to exactly those cells at manifest cost, and the
+    // exact cosine rerank returns top-10. The oracle replays the same
+    // Lloyd trajectory (kmeansSql), the same (d, cid) probe routing
+    // against the iteration-1 centroids, and the same rounded rerank —
+    // the whole build→route→prune→rerank path is value-locked.
+    QueryDef(
+      "s_ann_lake",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_annlake").toString
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        VectorLake.build(s, root, "vecs", emb, "vec_id", "embedding",
+          k = 8, iters = 2)
+        val q = emb.orderBy("vec_id").limit(1)
+          .select(graft.ops.Similarity.toDouble(col("embedding")))
+          .collect()(0).getSeq[Double](0)
+        VectorLake.query(s, root, "vecs", q, nProbe = 2, topK = 10)
+          .orderBy("rank")
+      },
+      Some(kmeansSql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings") +
+        """,
+          |qv AS (SELECT e, en FROM vn ORDER BY vec_id LIMIT 1),
+          |pd AS (SELECT c1.cid,
+          |         qv.en - 2 * list_dot_product(qv.e, c1.ce)
+          |           + list_dot_product(c1.ce, c1.ce) AS d
+          |       FROM c1, qv),
+          |pc AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 2),
+          |cand AS (SELECT a2.vec_id, a2.cid FROM a2 SEMI JOIN pc USING (cid)),
+          |sims AS (SELECT cand.vec_id, cand.cid,
+          |           round(list_dot_product(qv.e, vn.e)
+          |             / (sqrt(qv.en) * sqrt(vn.en)), 6) AS sim
+          |         FROM cand JOIN vn USING (vec_id), qv)
+          |SELECT vec_id AS id, cid AS cluster, sim, rank FROM (
+          |  SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+          |  FROM sims)
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin))
   )
 }
