@@ -278,6 +278,42 @@ object CatalogQueries extends QueryGroup {
              |WHERE p_partkey NOT IN (77, 4242)
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Row-level CDC feed derived from the manifest alone: txn 1 commits
+    // two overlapping batches, txn 2 records equality-delete keys (one
+    // key absent at every SF — a delete EVENT regardless), txn 3
+    // re-inserts a deleted key. The feed must emit each insert at its
+    // data txn, each delete key as a null-payload event at the delete
+    // txn, and nothing for reorganizations — the oracle is the same
+    // history written out as plain SQL unions.
+    QueryDef(
+      "s_change_feed",
+      (s, d) => {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("q_cdc").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 2).map(k => ("cust", s"batch=$k",
+            cust.filter(pmod(col("c_custkey"), lit(2)) === k))))
+        graft.storage.TxnCatalog.deleteKeys(s, root, "cust",
+          "c_custkey", Seq(7L, 21L, 4242L).toDF("c_custkey"))
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", "batch=re",
+            cust.filter(col("c_custkey").isin(7L, 42L)))))
+        graft.storage.TxnCatalog.changeFeed(s, root, "cust", 0L, 3L).get
+          .orderBy("_txn", "_change_type", "c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, _change_type, _txn FROM (
+             |  SELECT c_custkey, c_acctbal, 'insert' AS _change_type,
+             |         CAST(1 AS BIGINT) AS _txn FROM customer
+             |  UNION ALL
+             |  SELECT k, NULL, 'delete', 2
+             |  FROM (VALUES (7), (21), (4242)) t(k)
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal, 'insert', 3 FROM customer
+             |  WHERE c_custkey IN (7, 42))
+             |ORDER BY _txn, _change_type, c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

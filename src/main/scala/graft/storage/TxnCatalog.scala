@@ -887,6 +887,79 @@ object TxnCatalog {
     }.toSeq.sortBy(c => (c.table, c.partition))
   }
 
+  /** Column names [[changeFeed]] appends to the table schema. */
+  val ChangeTypeColumn = "_change_type"
+  val ChangeTxnColumn = "_txn"
+
+  /** Row-level CDC feed for `table` over `(fromTxn, toTxn]`: the table's
+    * columns plus [[ChangeTypeColumn]] (`insert` | `delete`) and
+    * [[ChangeTxnColumn]] (the committing txn) — Delta's change data feed
+    * shape, derived ENTIRELY from the manifest layer (no write-time CDC
+    * files):
+    *  - data entries with `dataTxn ∈ (from, to]` emit their rows as
+    *    `insert` events at their data txn — reorganizations (compaction,
+    *    clustering, folds) carry their sources' data txn, so an OPTIMIZE
+    *    inside the window emits NOTHING;
+    *  - equality-delete entries committed in the window emit one
+    *    `delete` event per key, the key column populated and every other
+    *    column null (keys are events, not row lookups — a key that never
+    *    matched data still emits, exactly as it would mask a future
+    *    reader);
+    *  - a partition REWRITE (UPDATE / deleteWhere) is a new data txn and
+    *    re-emits its surviving rows as inserts — upsert semantics on a
+    *    key, same rule as [[LakeStreamSource]]; row-precise update pairs
+    *    would need write-time CDC files, deliberately not kept.
+    * Events are unordered across txns — consumers order by
+    * [[ChangeTxnColumn]] (deletes in txn t apply to inserts with txn <
+    * t, never to later re-inserts). Replaying the feed left-folds to
+    * exactly `snapshotAt(toTxn).read(table)` for append+delete
+    * histories. None when `table` has no data entries at `toTxn`;
+    * `toTxn` must be a committed, unvacuumed txn while `fromTxn` is just
+    * a watermark (0 = since the beginning). */
+  def changeFeed(spark: SparkSession, root: String, table: String,
+      fromTxn: Long, toTxn: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromTxn <= toTxn,
+      s"changeFeed range is reversed: $fromTxn > $toTxn")
+    val snap = snapshotAt(spark, root, toTxn)
+    val data = snap.dataEntries(table)
+    if (data.isEmpty) return None
+    val schema = snap.read(table).get.schema
+    def conform(df: DataFrame): DataFrame =
+      df.select(schema.fields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+    val inserts = data
+      .filter { case (_, e) => entryDataTxn(e) > fromTxn }
+      .groupBy { case (_, e) => entryDataTxn(e) }
+      .toSeq.sortBy(_._1)
+      .map { case (txn, es) =>
+        val paths = es.map { case (p, e) =>
+          entryPath(root, table, p, e.dir) }.sorted
+        val df =
+          if (paths.sizeIs == 1) spark.read.parquet(paths.head)
+          else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        conform(df)
+          .withColumn(ChangeTypeColumn, lit("insert"))
+          .withColumn(ChangeTxnColumn, lit(txn))
+      }
+    val deletes = snap.deleteEntries(table)
+      .filter { case (_, txn, _, _) => txn > fromTxn }
+      .map { case (_, txn, keyCol, path) =>
+        conform(spark.read.parquet(path)
+            .withColumnRenamed(DeleteKeyColumn, keyCol))
+          .withColumn(ChangeTypeColumn, lit("delete"))
+          .withColumn(ChangeTxnColumn, lit(txn))
+      }
+    Some((inserts ++ deletes).reduceOption(_.unionByName(_)).getOrElse {
+      // empty window: the feed schema with zero rows
+      conform(snap.read(table).get)
+        .withColumn(ChangeTypeColumn, lit("insert"))
+        .withColumn(ChangeTxnColumn, lit(0L))
+        .filter(lit(false))
+    })
+  }
+
   /** Tables present in the latest committed snapshot. */
   def tables(spark: SparkSession, root: String): Seq[String] =
     snapshot(spark, root).map(_.tables).getOrElse(Nil)
