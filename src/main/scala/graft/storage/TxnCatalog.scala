@@ -264,12 +264,15 @@ object TxnCatalog {
       * see [[deleteEntries]]. */
     def partitions(table: String): Seq[String] = entries.keys
       .collect { case (t, p) if t == table && p != Whole &&
-        entries((t, p)).deleteKey.isEmpty => p }.toSeq.sorted
+        !p.startsWith("~") && entries((t, p)).deleteKey.isEmpty => p }
+      .toSeq.sorted
 
-    /** The live DATA entries of `table` (delete entries excluded). */
+    /** The live DATA entries of `table` (internal entries — equality-
+      * delete key lists, the `~p` properties entry — excluded). */
     private[storage] def dataEntries(table: String): Seq[(String, Entry)] =
       entries.toSeq.collect {
-        case ((t, p), e) if t == table && e.deleteKey.isEmpty => (p, e) }
+        case ((t, p), e) if t == table && !p.startsWith("~") &&
+          e.deleteKey.isEmpty => (p, e) }
 
     /** Pending equality-delete entries of `table`, oldest first:
       * (partition, committing txn, key column, keys-parquet path). */
@@ -287,6 +290,16 @@ object TxnCatalog {
       entries.get((table, partition))
         .filter(_.deleteKey.isDefined)
         .map(e => spark.read.parquet(entryPath(root, table, partition, e.dir)))
+
+    /** `table`'s properties at this snapshot — the (key, value) parquet
+      * behind its internal `~p` entry; empty when none were ever set.
+      * Keys under [[TxnCatalog.ConstraintPrefix]] are enforced CHECK
+      * constraints (see [[TxnCatalog.setTableProperties]]). */
+    def properties(table: String): Map[String, String] =
+      entries.get((table, "~p")).map { e =>
+        spark.read.parquet(entryPath(root, table, "~p", e.dir))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      }.getOrElse(Map.empty)
 
     private def readPaths(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
@@ -879,10 +892,13 @@ object TxnCatalog {
         s"txn $t is not committed (or already vacuumed) under $root")
     val (from, to) = (manifest(f, root, fromTxn), manifest(f, root, toTxn))
     to.collect {
-      case (k, e) if !from.contains(k) && entryDataTxn(e) > fromTxn =>
+      // internal entries (delete key lists, `~p` properties) are not
+      // data — an append consumer never reads them as rows
+      case (k, e) if !k._2.startsWith("~") && e.deleteKey.isEmpty &&
+          !from.contains(k) && entryDataTxn(e) > fromTxn =>
         EntryChange(k._1, k._2, "added")
-      case (k, e) if from.get(k).exists(_.dir != e.dir) &&
-          entryDataTxn(e) > fromTxn =>
+      case (k, e) if !k._2.startsWith("~") && e.deleteKey.isEmpty &&
+          from.get(k).exists(_.dir != e.dir) && entryDataTxn(e) > fromTxn =>
         EntryChange(k._1, k._2, "updated")
     }.toSeq.sortBy(c => (c.table, c.partition))
   }
@@ -960,6 +976,62 @@ object TxnCatalog {
     })
   }
 
+  /** The reserved internal partition holding a table's properties. */
+  private val PropsPartition = "~p"
+  /** Property-key prefix marking an enforced CHECK constraint. */
+  val ConstraintPrefix = "constraint."
+
+  /** Table properties at the latest committed txn. */
+  def tableProperties(spark: SparkSession, root: String,
+      table: String): Map[String, String] =
+    snapshot(spark, root)
+      .map(_.properties(table)).getOrElse(Map.empty)
+
+  /** Merge `props` into `table`'s properties (an empty-string value
+    * REMOVES the key), committing the merged set as one txn. Keys under
+    * [[ConstraintPrefix]] declare CHECK constraints — the value is a
+    * Spark SQL boolean expression over the table's columns, enforced
+    * from this txn on: every future commit staging data for `table`
+    * fails (atomically, staging cleaned up) if any staged row evaluates
+    * the expression to FALSE (NULL passes, SQL CHECK semantics — write
+    * `col IS NOT NULL` for NOT NULL). Adding a constraint validates the
+    * EXISTING table data first and throws without committing when
+    * violated (Delta's ADD CONSTRAINT rule), so readers can trust a
+    * declared constraint over the whole table, not just post-hoc
+    * appends. The properties entry is internal: it never surfaces in
+    * [[Snapshot.read]] / [[partitions]] / [[diffData]], and it carries
+    * forward through reorganizations and whole-table overwrites alike.
+    * Returns the committed txn. */
+  def setTableProperties(spark: SparkSession, root: String, table: String,
+      props: Map[String, String]): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    checkTableName(table)
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    require(snap.tables.contains(table), s"unknown table '$table'")
+    val merged = (snap.properties(table) ++ props).filter(_._2.nonEmpty)
+    // validate NEW constraints against the data already in the table
+    val added = props.filter { case (k, v) =>
+      k.startsWith(ConstraintPrefix) && v.nonEmpty }
+    if (added.nonEmpty) snap.read(table).foreach { df =>
+      added.foreach { case (k, v) =>
+        val bad = df.filter(not(coalesce(expr(v), lit(true)))).limit(1)
+        if (!bad.isEmpty) throw new IllegalArgumentException(
+          s"cannot add $k: existing rows of '$table' violate ($v)")
+      }
+    }
+    val kv = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merged.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))))
+    publish(spark, root, Seq((table, PropsPartition, kv)),
+      statsColumns = Nil, drops = Nil, expectedTxn = Some(snap.txn),
+      reconcile = identity)(() => ())
+  }
+
   /** Tables present in the latest committed snapshot. */
   def tables(spark: SparkSession, root: String): Seq[String] =
     snapshot(spark, root).map(_.tables).getOrElse(Nil)
@@ -1005,9 +1077,10 @@ object TxnCatalog {
     publish(spark, root,
       updates.map { case (t, df) => (t, Whole, df) },
       statsColumns = Nil, drops = Nil, expectedTxn = None,
-      // a whole-table snapshot supersedes every entry of that table
-      reconcile = carried => carried.filterNot { case ((t, _), _) =>
-        updates.exists(_._1 == t) })(beforePublish)
+      // a whole-table snapshot supersedes every entry of that table —
+      // except its properties, which describe the table, not a snapshot
+      reconcile = carried => carried.filterNot { case ((t, p), _) =>
+        p != "~p" && updates.exists(_._1 == t) })(beforePublish)
   }
 
   /** Atomically publish new snapshots for a set of PARTITIONS
@@ -1616,6 +1689,7 @@ object TxnCatalog {
       if (prev.getOrElse(0L) != e) throw new java.io.IOException(
         s"catalog moved to txn ${prev.getOrElse(0L)} since snapshot $e; retry")
     }
+    val prevManifest = prev.map(manifest(f, root, _)).getOrElse(Map.empty)
     val next = prev.getOrElse(0L) + 1L
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // 1. all staging writes finish before anything is published
@@ -1627,7 +1701,43 @@ object TxnCatalog {
       (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows,
         deleteKeyCols.get((t, p)))
     }.toMap
-    val carried = reconcile(prev.map(manifest(f, root, _)).getOrElse(Map.empty))
+    // CHECK-constraint enforcement over freshly staged DATA: internal
+    // entries (delete key lists, `~p`) are not rows, and reorganizations
+    // (explicit dataTxns) re-stage data that was validated when first
+    // committed. A violation unstages everything and throws — the
+    // catalog never moves.
+    val checked = staged.keys.filter { case (t, p) =>
+      !p.startsWith("~") && !deleteKeyCols.contains((t, p)) &&
+        !dataTxns.contains((t, p))
+    }.toSeq.sorted
+    if (checked.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val byTable = checked.groupBy(_._1)
+      val violation = byTable.keys.toSeq.sorted.iterator.flatMap { t =>
+        val cons = prevManifest.get((t, "~p")).toSeq.flatMap { e =>
+          spark.read.parquet(entryPath(root, t, "~p", e.dir)).collect()
+            .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
+              r.getString(0) -> r.getString(1) }
+        }.sorted
+        if (cons.isEmpty) Iterator.empty
+        else byTable(t).iterator.flatMap { case (_, p) =>
+          val df = spark.read.parquet(
+            entryPath(root, t, p, staged((t, p)).dir))
+          cons.iterator.collect { case (k, v)
+            if !df.filter(not(coalesce(expr(v), lit(true)))).limit(1)
+              .isEmpty => (t, k, v)
+          }
+        }
+      }.nextOption()
+      violation.foreach { case (t, k, v) =>
+        staged.foreach { case ((st, sp), e) =>
+          f.delete(new Path(entryPath(root, st, sp, e.dir)), true)
+        }
+        throw new IllegalArgumentException(
+          s"commit to '$t' violates $k ($v); nothing was published")
+      }
+    }
+    val carried = reconcile(prevManifest)
     val entries = (carried ++ staged).toSeq.sortBy(_._1)
       .map { case ((t, p), e) =>
         val props = propsField(e)
