@@ -976,6 +976,34 @@ object TxnCatalog {
     })
   }
 
+  /** Append `df` to `table` as partition `batch=<batchId>`, idempotent
+    * on replay — the single-table exactly-once building block a
+    * streaming foreachBatch sink needs ([[TwinCommit.append]] minus the
+    * twin): an already-committed batch id is a no-op, a torn attempt's
+    * staging dirs are invisible by construction and reclaimed by
+    * [[vacuum]], and a lost txn-number race against a concurrent append
+    * of a DIFFERENT batch retries (bounded) so both land. */
+  def appendBatch(spark: SparkSession, root: String, table: String,
+      batchId: String, df: DataFrame,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Unit = {
+    require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
+    val part = s"batch=$batchId"
+    var attempts = 0
+    while (true) {
+      if (partitions(spark, root, table).contains(part)) return
+      attempts += 1
+      try {
+        commitPartitions(spark, root, Seq((table, part, df)),
+          statsColumns = statsColumns, bloomColumns = bloomColumns)
+        return
+      } catch {
+        case _: java.io.IOException if attempts < 5 =>
+        // lost the race to another batch's append — re-check and retry
+      }
+    }
+  }
+
   /** The reserved internal partition holding a table's properties. */
   private val PropsPartition = "~p"
   /** Property-key prefix marking an enforced CHECK constraint. */

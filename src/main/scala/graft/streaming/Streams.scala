@@ -164,6 +164,63 @@ object Streams {
       }
       .start()
 
+  /** Generic exactly-once SINGLE-TABLE lake sink: each micro-batch lands
+    * as one atomic `batch=<id>` partition of `table` through
+    * [[graft.storage.TxnCatalog.appendBatch]] (idempotent on replay, so
+    * foreachBatch's at-least-once redelivery is exactly-once), with the
+    * same inline maintenance options as [[twinCommitSink]] —
+    * threshold-gated compaction and generational Z-clustering.
+    *
+    * This is the medallion building block: read a lake with
+    * `spark.readStream.format("graft-lake")` (bronze), transform, land
+    * in another lake with this sink (silver), repeat. Every hop is
+    * INCREMENTAL (txn offsets deliver only new data — a 1-of-10 000
+    * partition commit upstream costs one partition of reprocessing
+    * downstream), exactly-once end to end (txn-offset checkpoints
+    * upstream, idempotent batch ids downstream), and OPTIMIZE-tolerant
+    * on both sides (reorganizations carry their sources' data txn). */
+  def lakeSink(stream: DataFrame, root: String, table: String,
+      checkpointDir: String,
+      compactEvery: Int = 0,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil,
+      clusterEvery: Int = 0,
+      clusterDims: Seq[String] = Nil,
+      clusterBuckets: Int = 16,
+      clusterBits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        graft.storage.TxnCatalog.appendBatch(s, root, table, s"b$id", batch,
+          statsColumns, bloomColumns)
+        if (compactEvery > 1) {
+          val batches = graft.storage.TxnCatalog.partitions(s, root, table)
+            .filter(_.startsWith("batch="))
+          if (batches.size >= compactEvery) {
+            val into = "c" +
+              (graft.storage.TxnCatalog.currentTxn(s, root).getOrElse(0L) + 1)
+            // conditional like every maintenance step: a rival commit
+            // between pin and publish skips this trigger's fold
+            try {
+              graft.storage.TxnCatalog.compactPartitions(s, root, table,
+                batches, into, statsColumns = statsColumns,
+                bloomColumns = bloomColumns)
+              ()
+            } catch { case _: java.io.IOException => () }
+          }
+        }
+        if (clusterEvery > 0 && clusterDims.nonEmpty) {
+          graft.storage.TxnCatalog.maintainClustered(s, root, table,
+            clusterDims, minBatches = clusterEvery,
+            buckets = clusterBuckets, bits = clusterBits,
+            extraStatsColumns = statsColumns,
+            bloomColumns = bloomColumns)
+          ()
+        }
+      }
+      .start()
+
   /** E1 as a continuous ingest: a stream of image rows is classified
     * against the STATIC parcel table (centroid → containment-first spatial
     * join with 1-NN fallback, [[graft.pipelines.Pipelines.ingestClassify]])

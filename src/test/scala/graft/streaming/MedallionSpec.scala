@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+import graft.storage.TxnCatalog
+
+/** Lake→lake incremental pipelines (medallion): graft-lake source →
+  * transform → [[Streams.lakeSink]] — exactly-once per hop, parity with
+  * the batch transform, OPTIMIZE-tolerance on the bronze side, and
+  * inline maintenance on the silver side. */
+class MedallionSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toFile.getAbsolutePath
+
+  private def commitBronze(root: String, part: String, lo: Int, hi: Int): Unit =
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("ev", part, (lo until hi)
+        .map(i => (i.toLong, i % 7, i * 1.5)).toDF("id", "grp", "v"))),
+      statsColumns = Seq("id"))
+
+  /** The silver transform, one shape for batch and streaming. */
+  private def refine(df: DataFrame): DataFrame =
+    df.filter($"grp" =!= 3).withColumn("v2", $"v" * 2.0)
+
+  private def silverStream(bronze: String, silver: String, ckpt: String,
+      compactEvery: Int = 0) = {
+    val in = spark.readStream.format("graft-lake")
+      .option("root", bronze).option("table", "ev").load()
+    Streams.lakeSink(refine(in), silver, "ev2", ckpt,
+      compactEvery = compactEvery, statsColumns = Seq("id"))
+  }
+
+  test("bronze commits flow to silver exactly once, equal to the batch transform") {
+    val bronze = tmp("medb")
+    val silver = tmp("meds")
+    val ckpt = tmp("medc")
+    commitBronze(bronze, "b0", 0, 100)
+    val q = silverStream(bronze, silver, ckpt)
+    try {
+      q.processAllAvailable()
+      commitBronze(bronze, "b1", 100, 180)
+      q.processAllAvailable()
+      commitBronze(bronze, "b2", 180, 200)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = TxnCatalog.read(spark, silver, "ev2").get
+    val want = refine(TxnCatalog.read(spark, bronze, "ev").get)
+    assert(got.count() === want.count())
+    assert(got.collect().toSet === want.collect().toSet,
+      "streamed silver must equal the batch transform of bronze")
+  }
+
+  test("an OPTIMIZE on bronze mid-stream adds zero duplicate silver rows") {
+    val bronze = tmp("medob")
+    val silver = tmp("medos")
+    val ckpt = tmp("medoc")
+    commitBronze(bronze, "b0", 0, 50)
+    commitBronze(bronze, "b1", 50, 100)
+    val q = silverStream(bronze, silver, ckpt)
+    try {
+      q.processAllAvailable()
+      TxnCatalog.compactPartitions(spark, bronze, "ev", Seq("b0", "b1"),
+        "fold0", statsColumns = Seq("id"))
+      q.processAllAvailable()
+      commitBronze(bronze, "b2", 100, 120)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = TxnCatalog.read(spark, silver, "ev2").get
+      .select("id").as[Long].collect().sorted
+    assert(got === (0L until 120L).filterNot(_ % 7 == 3).toArray,
+      "bronze reorganization must be invisible downstream")
+  }
+
+  test("checkpoint restart resumes the pipeline with no replay and no loss") {
+    val bronze = tmp("medrb")
+    val silver = tmp("medrs")
+    val ckpt = tmp("medrc")
+    commitBronze(bronze, "b0", 0, 60)
+    def run(): Unit = {
+      val q = silverStream(bronze, silver, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // bronze moves while the pipeline is down
+    commitBronze(bronze, "b1", 60, 90)
+    commitBronze(bronze, "b2", 90, 100)
+    run()
+    val got = TxnCatalog.read(spark, silver, "ev2").get
+      .select("id").as[Long].collect().sorted
+    assert(got === (0L until 100L).filterNot(_ % 7 == 3).toArray)
+  }
+
+  test("silver-side inline compaction keeps the batch count bounded") {
+    val bronze = tmp("medfb")
+    val silver = tmp("medfs")
+    val ckpt = tmp("medfc")
+    commitBronze(bronze, "b0", 0, 10)
+    val q = silverStream(bronze, silver, ckpt, compactEvery = 3)
+    try {
+      q.processAllAvailable()
+      for (k <- 1 to 5) {
+        commitBronze(bronze, s"b$k", k * 10, k * 10 + 10)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val parts = TxnCatalog.partitions(spark, silver, "ev2")
+    assert(parts.count(_.startsWith("batch=")) < 3,
+      s"compaction must keep pending batches under the threshold: $parts")
+    val got = TxnCatalog.read(spark, silver, "ev2").get
+      .select("id").as[Long].collect().sorted
+    assert(got === (0L until 60L).filterNot(_ % 7 == 3).toArray,
+      "maintenance must never change the data")
+  }
+}
