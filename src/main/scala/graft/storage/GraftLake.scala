@@ -60,8 +60,10 @@ object GraftLake {
       table: String, snap: TxnCatalog.Snapshot, parts: Set[String],
       schema: StructType, streaming: Boolean): Option[DataFrame] = {
     val index = new ManifestFileIndex(spark, root, table, snap,
-      only = Some(parts))
-    if (index.totalFileCount == 0) None
+      only = Some(parts), dataSchema = Some(schema))
+    // manifest-level emptiness check — file listing stays lazy; an
+    // entry whose dir holds no parquet files simply scans empty
+    if (index.partitionCount == 0) None
     else {
       val relation = HadoopFsRelation(
         location = index,

@@ -39,28 +39,69 @@ import scala.util.control.NonFatal
 final class ManifestFileIndex(
     spark: SparkSession, root: String, table: String,
     snap: TxnCatalog.Snapshot,
-    only: Option[Set[String]] = None) extends FileIndex {
+    only: Option[Set[String]] = None,
+    dataSchema: Option[StructType] = None) extends FileIndex {
 
   import TxnCatalog.ColStat
 
-  /** (stats, files) per live DATA entry (equality-delete key lists are
-    * not data; `only` restricts to a partition subset for grouped
-    * merge-on-read reads), listed once at construction — the snapshot
-    * is immutable, so the file lists cannot drift under the index
-    * (ordered by partition name for plan determinism). */
-  private val parts: Seq[(Map[String, ColStat], Array[FileStatus])] = {
-    val hconf = spark.sparkContext.hadoopConfiguration
+  /** (partition, stats, rows, dir) per live DATA entry, straight off the
+    * manifest — NO filesystem access at construction (equality-delete
+    * key lists are not data; `only` restricts to a partition subset for
+    * grouped merge-on-read reads). File listing happens lazily, per
+    * partition, only for partitions a query actually keeps: at 10 000
+    * partitions a fully-pruned query costs a handful of list calls, not
+    * 10 000 — the snapshot is immutable, so a memoized list can never
+    * drift (ordered by partition name for plan determinism). */
+  private val parts: Seq[(String, Map[String, ColStat], Option[Long], Path)] =
     snap.dataEntries(table)
       .filter { case (p, _) => only.forall(_(p)) }
       .sortBy(_._1)
       .map { case (p, e) =>
-        val dir = new Path(TxnCatalog.entryPath(root, table, p, e.dir))
-        val files = dir.getFileSystem(hconf).listStatus(dir)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .sortBy(_.getPath.getName)
-        (e.stats, files)
+        (p, e.stats, e.rows,
+          new Path(TxnCatalog.entryPath(root, table, p, e.dir)))
       }
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+
+  private val listed =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[FileStatus]]()
+
+  private def listOne(dir: Path): Array[FileStatus] =
+    dir.getFileSystem(hconf).listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+
+  /** Memoized listings for a kept subset; the not-yet-listed remainder
+    * lists on a bounded thread pool (driver-side fan-out — at scale the
+    * survivors of a pruned query are few, but a full scan over many
+    * partitions shouldn't serialize thousands of round trips either). */
+  private def filesOf(
+      sel: Seq[(String, Path)]): Seq[Array[FileStatus]] = {
+    val missing = sel.filter { case (p, _) => !listed.containsKey(p) }
+    if (missing.sizeIs > 4) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, missing.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = missing.map { case (p, d) =>
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              listed.computeIfAbsent(p, _ => listOne(d))
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    sel.map { case (p, d) => listed.computeIfAbsent(p, _ => listOne(d)) }
   }
+
+  /** Partitions (manifest entries) behind this index — a pure-metadata
+    * count, unlike [[totalFileCount]]. */
+  def partitionCount: Int = parts.size
+
+  /** How many partitions have had their files listed so far — the
+    * laziness probe for tests. */
+  private[graft] def listedPartitionCount: Int = listed.size()
 
   override def rootPaths: Seq[Path] = Seq(new Path(s"$root/$table"))
 
@@ -68,18 +109,33 @@ final class ManifestFileIndex(
 
   override def refresh(): Unit = () // snapshot-pinned by design
 
-  override def sizeInBytes: Long =
-    parts.iterator.flatMap(_._2).map(_.getLen).sum
+  /** Estimated, per the FileIndex contract — answered from manifest row
+    * counts × the schema's estimated row width when every entry carries
+    * a count (zero IO, the common case for TxnCatalog-written data);
+    * exact from file sizes when everything is already listed; a forced
+    * full listing only as the last resort. */
+  override def sizeInBytes: Long = {
+    val rowWidth = dataSchema.map(s => math.max(s.defaultSize, 1))
+    if (parts.forall { case (p, _, _, _) => listed.containsKey(p) })
+      parts.iterator.flatMap(e => listed.get(e._1)).map(_.getLen).sum
+    else if (rowWidth.isDefined && parts.forall(_._3.isDefined))
+      parts.iterator.map(_._3.get).sum * rowWidth.get
+    else
+      filesOf(parts.map(e => (e._1, e._4))).iterator.flatten
+        .map(_.getLen).sum
+  }
 
   override def inputFiles: Array[String] =
-    parts.flatMap(_._2).map(_.getPath.toString).toArray
+    filesOf(parts.map(e => (e._1, e._4)))
+      .flatten.map(_.getPath.toString).toArray
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = parts.filter { case (stats, _) =>
+    val kept = parts.filter { case (_, stats, _, _) =>
       stats.isEmpty || dataFilters.forall(f => keep(stats, f))
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_._2).toArray))
+    val files = filesOf(kept.map(e => (e._1, e._4))).flatten
+    Seq(PartitionDirectory(InternalRow.empty, files.toArray))
   }
 
   /** Files surviving `dataFilters` — the test- and tooling-facing probe
@@ -87,7 +143,10 @@ final class ManifestFileIndex(
   def survivingFileCount(dataFilters: Seq[Expression]): Int =
     listFiles(Nil, dataFilters).map(_.files.size).sum
 
-  def totalFileCount: Int = parts.map(_._2.length).sum
+  /** Exact file count — forces a full listing; tests and tooling only
+    * (the planner never calls this). */
+  def totalFileCount: Int =
+    filesOf(parts.map(e => (e._1, e._4))).map(_.length).sum
 
   // ---- Catalyst literal -> the JVM shapes the stat helpers expect ----
 

@@ -158,6 +158,28 @@ class LakeIndexSpec extends GraftSuite {
     assert(GraftLake.table(spark, root, "t").get.count() === 401L)
   }
 
+  test("listing is lazy: a pruned probe lists only the survivors") {
+    val root = tmp("lakelazy"); rangeLake(root)
+    val snap = TxnCatalog.snapshot(spark, root).get
+    val idx = GraftLake.index(spark, root, "t", snap)
+    assert(idx.partitionCount === 4)
+    assert(idx.listedPartitionCount === 0,
+      "construction must touch the manifest only, never the filesystem")
+    // a 1-batch range probe lists exactly that batch's dir
+    val n = idx.survivingFileCount(Seq(And(
+      GreaterThanOrEqual(kAttr, Literal(150L)),
+      LessThanOrEqual(kAttr, Literal(180L)))))
+    assert(n >= 1)
+    assert(idx.listedPartitionCount === 1,
+      "only the surviving partition may be listed")
+    // sizeInBytes answers from manifest row counts — still no listing
+    val withSchema = new graft.storage.ManifestFileIndex(spark, root, "t",
+      snap, dataSchema = Some(GraftLake.table(spark, root, "t").get.schema))
+    assert(withSchema.sizeInBytes > 0L)
+    assert(withSchema.listedPartitionCount === 0,
+      "manifest row counts must answer sizeInBytes with zero IO")
+  }
+
   test("evolved schema: added column surfaces as null on old partitions") {
     val root = tmp("lakeevo")
     TxnCatalog.commitPartitions(spark, root,
