@@ -7,10 +7,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** Session-extension injection point: registers graft's native expressions
   * permanently for a session built with
   * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster-wide,
-  * no per-session register() call needed), plus one optimizer rule:
+  * no per-session register() call needed), plus two optimizer rules:
   * [[graft.plans.SpatialJoinRewrite]], which turns the naive
   * cross-join + graft_contains formulation into the J4 grid-bucketed
-  * equi-join. Catalyst's stock optimizations cover every other plan shape
+  * equi-join, and [[graft.plans.MetadataOnlyCount]], which answers
+  * unfiltered count(*) over a lake frame from the manifest's recorded
+  * row counts. Catalyst's stock optimizations cover every other plan shape
   * this engine produces (SURVEY §4) — rules are injected only where the
   * stock optimizer provably can't get there (a CartesianProduct is
   * semantically opaque to it).
@@ -43,5 +45,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_contains", "graft_contains(ring, x, y) - ray-casting point in polygon"),
       (exprs: Seq[Expression]) => geo.PointInPolygon(exprs.head, exprs(1), exprs(2))))
     ext.injectOptimizerRule(_ => plans.SpatialJoinRewrite)
+    ext.injectOptimizerRule(_ => plans.MetadataOnlyCount)
   }
 }

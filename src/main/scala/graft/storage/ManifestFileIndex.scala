@@ -99,6 +99,15 @@ final class ManifestFileIndex(
     * count, unlike [[totalFileCount]]. */
   def partitionCount: Int = parts.size
 
+  /** Exact total rows behind this index, from manifest counts alone —
+    * Some only when EVERY entry recorded one (the
+    * [[graft.plans.MetadataOnlyCount]] contract: exact or absent). */
+  def exactRowCount: Option[Long] = {
+    val counts = parts.map(_._3)
+    if (parts.isEmpty || counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum)
+  }
+
   /** How many partitions have had their files listed so far — the
     * laziness probe for tests. */
   private[graft] def listedPartitionCount: Int = listed.size()
