@@ -278,6 +278,31 @@ object CatalogQueries extends QueryGroup {
              |WHERE p_partkey NOT IN (77, 4242)
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Bulk-load round trip: ONE partitionBy write job + ONE grouped
+    // stats job land every market segment as its own partition in one
+    // txn (commitPartitioned — the O(1)-jobs path a 10 000-partition
+    // initial load needs), then an equality read prunes to the single
+    // owning partition via the grouped min=max stats. The oracle is the
+    // plain filter: the bulk staging, hive-escaped renames, and grouped
+    // stats must be value-lossless end to end.
+    QueryDef(
+      "s_bulk_partitioned",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_bulk").toString
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitioned(s, root, "cust",
+          cust, "c_mktsegment",
+          statsColumns = Seq("c_custkey", "c_mktsegment", "c_acctbal"))
+        graft.storage.TxnCatalog.snapshot(s, root).get
+          .readWhereEq("cust", "c_mktsegment", "BUILDING").get
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             |WHERE c_mktsegment = 'BUILDING'
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Row-level CDC feed derived from the manifest alone: txn 1 commits
     // two overlapping batches, txn 2 records equality-delete keys (one
     // key absent at every SF — a delete EVENT regardless), txn 3

@@ -1169,6 +1169,116 @@ object TxnCatalog {
       })(beforePublish)
   }
 
+  /** Commit EVERY distinct value of `keyCol` as its own partition of
+    * `table` in one atomic txn, with O(1) SPARK JOBS — the bulk loading
+    * path: [[commitPartitions]] stages one write job per partition (the
+    * right shape for a handful of targeted updates; a 10 000-partition
+    * initial load would schedule 10 000 jobs), while this runs
+    *  1. ONE `partitionBy` write job staging every partition's files,
+    *  2. ONE grouped aggregate measuring per-partition stats + row
+    *     counts (the grouped form of the staged-stats pass — identical
+    *     rendering: min/max cast to string, timestamps as unix micros),
+    *  3. driver-side renames moving each staged dir into place, and
+    *  4. one manifest CAS publishing everything.
+    * Partitions are named `<keyCol>=<value>` with Hive path escaping;
+    * `keyCol` stays a data column in the files (the write partitions by
+    * an internal copy), so reads union losslessly like any other commit.
+    * Null keys land in `<keyCol>=__HIVE_DEFAULT_PARTITION__`. CHECK
+    * constraints enforce in one pass over the input. Existing partitions
+    * with colliding names are REPLACED (same merge rule as
+    * [[commitPartitions]]); Blooms are not measured here — thread
+    * `bloomColumns` through a later compaction/clustering pass if point
+    * skipping is needed on bulk-loaded data. Returns the committed txn;
+    * throws IOException on a lost commit race (staging cleaned up). */
+  def commitPartitioned(spark: SparkSession, root: String, table: String,
+      df: DataFrame, keyCol: String,
+      statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
+      max, min, not, unix_micros}
+    import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
+    checkTableName(table)
+    require(df.columns.contains(keyCol), s"no key column '$keyCol'")
+    val f = fs(spark, root)
+    val prev = currentTxn(spark, root)
+    val prevManifest = prev.map(manifest(f, root, _)).getOrElse(Map.empty)
+    require(!prevManifest.contains((table, Whole)),
+      s"table '$table' holds a whole-table snapshot; partition commits " +
+        "need a partitioned table (or a whole-table commit to replace it)")
+    // constraints: one pass over the INPUT (the bulk path never re-reads
+    // staged files, so enforcement happens before any write)
+    prevManifest.get((table, "~p")).foreach { e =>
+      val cons = spark.read.parquet(entryPath(root, table, "~p", e.dir))
+        .collect()
+        .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
+          r.getString(0) -> r.getString(1) }.sorted
+      cons.foreach { case (k, v) =>
+        if (!df.filter(not(coalesce(expr(v), lit(true)))).limit(1).isEmpty)
+          throw new IllegalArgumentException(
+            s"commit to '$table' violates $k ($v); nothing was published")
+      }
+    }
+    val next = prev.getOrElse(0L) + 1L
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"v=$next.$nonce"
+    val bulkKey = "__graft_bulk_key"
+    val stagingDir = new Path(s"$root/$table/.bulk.$next.$nonce")
+    // 1. one write job for every partition
+    df.withColumn(bulkKey, col(keyCol).cast("string"))
+      .write.partitionBy(bulkKey).parquet(stagingDir.toString)
+    // 2. one grouped stats job (same rendering as the staged-stats pass)
+    val kinds: Map[String, String] = statsColumns.distinct
+      .filter(df.schema.fieldNames.contains)
+      .map(c => c -> (df.schema(c).dataType match {
+        case _: NumericType => "n"
+        case StringType     => "s"
+        case TimestampType  => "t"
+        case _              => ""
+      })).filter(_._2.nonEmpty).toMap
+    def m(c: String) =
+      if (kinds(c) == "t") unix_micros(col(c)) else col(c)
+    val aggs = count(lit(1)).as("rows:") +:
+      kinds.keys.toSeq.sorted.flatMap(c =>
+        Seq(min(m(c)).cast("string").as(s"min:$c"),
+            max(m(c)).cast("string").as(s"max:$c")))
+    val grouped: Map[Option[String], (Map[String, ColStat], Long)] =
+      df.groupBy(col(keyCol).cast("string").as(bulkKey))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { row =>
+          val stats = kinds.flatMap { case (c, kind) =>
+            (Option(row.getAs[String](s"min:$c")),
+              Option(row.getAs[String](s"max:$c"))) match {
+              case (Some(mi), Some(ma)) => Some(c -> ColStat(kind, mi, ma))
+              case _ => None
+            }
+          }
+          Option(row.getAs[String](bulkKey)) ->
+            ((stats, row.getAs[Long]("rows:")))
+        }.toMap
+    // 3. move each staged key dir into its partition slot
+    val unescape =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName _
+    val staged: Map[(String, String), Entry] =
+      f.listStatus(stagingDir).filter(_.isDirectory).map { d =>
+        val hive = d.getPath.getName // __graft_bulk_key=<escaped value>
+        val escaped = hive.substring(bulkKey.length + 1)
+        val part = s"$keyCol=$escaped"
+        checkPartitionName(part)
+        val raw = unescape(escaped)
+        val key =
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+        val target = new Path(entryPath(root, table, part, dirName))
+        f.mkdirs(target.getParent)
+        require(f.rename(d.getPath, target), s"staging move failed: $part")
+        val (stats, rows) = grouped.getOrElse(key, (Map.empty[String, ColStat], 0L))
+        (table, part) -> Entry(dirName, stats, None, Some(rows))
+      }.toMap
+    f.delete(stagingDir, true) // _SUCCESS and empty shell
+    // 4. one manifest CAS for everything
+    casPublish(f, root, next, nonce, prevManifest, staged)(() => ())
+    next
+  }
+
   /** Compact N small partitions of `table` into ONE (`into`), atomically:
     * the merged data is staged, then a single manifest commit publishes
     * the new partition and drops the old ones — readers see either all
@@ -1766,6 +1876,19 @@ object TxnCatalog {
       }
     }
     val carried = reconcile(prevManifest)
+    casPublish(f, root, next, nonce, carried, staged)(beforePublish)
+    next
+  }
+
+  /** Serialize `carried ++ staged` as txn `next`'s manifest and publish
+    * it via the rename CAS — one rename commits every table and
+    * partition at once. A lost race deletes the tmp manifest AND every
+    * staged dir, then throws. */
+  private def casPublish(f: org.apache.hadoop.fs.FileSystem, root: String,
+      next: Long, nonce: String,
+      carried: Map[(String, String), Entry],
+      staged: Map[(String, String), Entry])(
+      beforePublish: () => Unit): Unit = {
     val entries = (carried ++ staged).toSeq.sortBy(_._1)
       .map { case ((t, p), e) =>
         val props = propsField(e)
@@ -1773,7 +1896,6 @@ object TxnCatalog {
         else if (e.stats.isEmpty) s"$t\t$p\t${e.dir}"
         else s"$t\t$p\t${e.dir}\t${statsField(e.stats)}"
       }.mkString("", "\n", "\n")
-    // 2. one rename commits every table and partition at once
     val tdir = new Path(txnsDir(root))
     f.mkdirs(tdir)
     val tmp = new Path(tdir, s".$next.inprogress.$nonce")
@@ -1792,7 +1914,6 @@ object TxnCatalog {
       throw new java.io.IOException(
         s"lost the commit race publishing txn manifest $marker")
     }
-    next
   }
 
   /** Drop snapshots referenced only by txns older than the `keep` most

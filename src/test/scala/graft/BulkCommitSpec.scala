@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.storage.TxnCatalog
+
+/** [[TxnCatalog.commitPartitioned]]: every distinct key as a partition
+  * in ONE txn with O(1) Spark jobs — equivalent to the per-partition
+  * loop in rows, stats rendering, and pruning. */
+class BulkCommitSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("bulk").toString
+
+  private def sample = (0 until 200)
+    .map(i => (i.toLong, i % 8, s"name$i", i * 1.5))
+    .toDF("id", "grp", "nm", "score")
+
+  test("bulk commit equals the per-partition loop: rows, partitions, stats") {
+    val bulk = tmp()
+    val loop = tmp()
+    TxnCatalog.commitPartitioned(spark, bulk, "t", sample, "grp",
+      statsColumns = Seq("id", "nm"))
+    TxnCatalog.commitPartitions(spark, loop,
+      (0 until 8).map(g => ("t", s"grp=$g", sample.filter($"grp" === g))),
+      statsColumns = Seq("id", "nm"))
+    val sb = TxnCatalog.snapshot(spark, bulk).get
+    val sl = TxnCatalog.snapshot(spark, loop).get
+    assert(sb.partitions("t") === sl.partitions("t"))
+    assert(sb.read("t").get.collect().toSet === sl.read("t").get.collect().toSet)
+    // the key column survived as a DATA column
+    assert(sb.read("t").get.columns.sorted === Array("grp", "id", "nm", "score"))
+    // grouped stats render identically to the staged-file stats pass
+    sl.partitions("t").foreach { p =>
+      assert(sb.stats("t", p) === sl.stats("t", p), s"stats mismatch in $p")
+      assert(sb.rowCount("t", p) === sl.rowCount("t", p))
+    }
+    // and pruning behaves identically (id ranges differ per group here
+    // only via the bloom-less range stats, same on both sides)
+    assert(sb.partitionsWhere("t", "id", 0L, 10L)
+      === sl.partitionsWhere("t", "id", 0L, 10L))
+  }
+
+  test("one txn, O(1) jobs for N partitions") {
+    val root = tmp()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val wide = (0 until 400).map(i => (i.toLong, i % 40)).toDF("id", "grp")
+      TxnCatalog.commitPartitioned(spark, root, "t", wide, "grp",
+        statsColumns = Seq("id"))
+      // listener delivery is async: poll briefly for the last job event
+      val deadline = System.currentTimeMillis() + 10000L
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      Thread.sleep(500L)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(TxnCatalog.currentTxn(spark, root).get === 1L)
+    assert(TxnCatalog.partitions(spark, root, "t").size === 40)
+    assert(jobs.get() <= 4,
+      s"bulk commit of 40 partitions must stay O(1) jobs, ran ${jobs.get()}")
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 400L)
+  }
+
+  test("string keys with spaces and slashes escape, round trip, and prune") {
+    val root = tmp()
+    val df = Seq(
+      (1L, "plain"), (2L, "with space"), (3L, "a/b=c%d"), (4L, "plain")
+    ).toDF("id", "cat")
+    TxnCatalog.commitPartitioned(spark, root, "t", df, "cat",
+      statsColumns = Seq("id"))
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.partitions("t").size === 3)
+    assert(snap.read("t").get.count() === 4L)
+    assert(snap.read("t").get.filter($"cat" === "a/b=c%d")
+      .select("id").as[Long].collect() === Array(3L))
+    // rowCount per partition came from the grouped pass
+    assert(snap.rowCount("t") === Some(4L))
+  }
+
+  test("null keys land in the hive default partition and read back") {
+    val root = tmp()
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("x")))
+      .toDF("id", "cat")
+    TxnCatalog.commitPartitioned(spark, root, "t", df, "cat",
+      statsColumns = Seq("id"))
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.partitions("t")
+      === Seq("cat=__HIVE_DEFAULT_PARTITION__", "cat=x"))
+    assert(snap.read("t").get.filter($"cat".isNull)
+      .select("id").as[Long].collect() === Array(2L))
+    assert(snap.rowCount("t", "cat=__HIVE_DEFAULT_PARTITION__") === Some(1L))
+  }
+
+  test("constraints enforce in one pass; whole-table tables refuse") {
+    val root = tmp()
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("t", "grp=0", Seq((1L, 0)).toDF("id", "grp"))))
+    TxnCatalog.setTableProperties(spark, root, "t",
+      Map("constraint.pos" -> "id > 0"))
+    intercept[IllegalArgumentException] {
+      TxnCatalog.commitPartitioned(spark, root, "t",
+        Seq((-5L, 1), (2L, 2)).toDF("id", "grp"), "grp")
+    }
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 1L)
+    // whole-table snapshot blocks partition commits, bulk included
+    val root2 = tmp()
+    TxnCatalog.commit(spark, root2, Seq(("w", Seq((1L, 1)).toDF("id", "grp"))))
+    intercept[IllegalArgumentException] {
+      TxnCatalog.commitPartitioned(spark, root2, "w",
+        Seq((2L, 2)).toDF("id", "grp"), "grp")
+    }
+  }
+
+  test("bulk-loaded lake supports the full downstream lifecycle") {
+    val root = tmp()
+    TxnCatalog.commitPartitioned(spark, root, "t", sample, "grp",
+      statsColumns = Seq("id", "score"))
+    // readWhere prunes on the grouped stats
+    val got = TxnCatalog.snapshot(spark, root).get
+      .readWhere("t", "id", 0L, 20L).get
+    assert(got.select("id").as[Long].collect().sorted === (0L to 20L).toArray)
+    // cluster the bulk partitions — the usual OPTIMIZE path applies
+    TxnCatalog.clusterPartitions(spark, root, "t",
+      TxnCatalog.partitions(spark, root, "t"), "z=", "score", "id",
+      buckets = 4, bits = 4)
+    val clustered = TxnCatalog.snapshot(spark, root).get
+    assert(clustered.read("t").get.collect().toSet
+      === sample.collect().toSet)
+  }
+}
