@@ -1970,11 +1970,25 @@ object TxnCatalog {
         // loser's staging dir inside the window
         .filter(s => minAgeMs <= 0L || now - s.getModificationTime >= minAgeMs)
         .foreach(s => f.delete(s.getPath, true))
+    // crashed bulk-load staging dirs (.bulk.<n>.<nonce>): nothing ever
+    // references them once <n> is committed — same retention window as
+    // other orphans (the writer may still be mid-job after losing)
+    def reclaimBulkStaging(parent: Path): Unit =
+      f.listStatus(parent).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".bulk."))
+        .filter { s =>
+          val base = s.getPath.getName.stripPrefix(".bulk.")
+            .takeWhile(_ != '.')
+          scala.util.Try(base.toLong).toOption.exists(_ <= maxCommitted)
+        }
+        .filter(s => minAgeMs <= 0L || now - s.getModificationTime >= minAgeMs)
+        .foreach(s => f.delete(s.getPath, true))
     f.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
       .foreach { tdirStatus =>
         val tab = tdirStatus.getPath.getName
         reclaimOrphans(tdirStatus.getPath, d => s"$root/$tab/$d")
+        reclaimBulkStaging(tdirStatus.getPath)
         f.listStatus(tdirStatus.getPath).toSeq
           .filter(s => s.isDirectory && !s.getPath.getName.startsWith("v=") &&
             !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))

@@ -120,6 +120,25 @@ class BulkCommitSpec extends GraftSuite {
     }
   }
 
+  test("vacuum reclaims crashed bulk staging dirs outside the retention window") {
+    val root = tmp()
+    TxnCatalog.commitPartitioned(spark, root, "t",
+      Seq((1L, 0)).toDF("id", "grp"), "grp", statsColumns = Seq("id"))
+    // simulate a crashed bulk attempt at the committed txn number
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val crashed = new org.apache.hadoop.fs.Path(s"$root/t/.bulk.1.deadbeef")
+    fs.mkdirs(crashed)
+    TxnCatalog.vacuum(spark, root)
+    assert(!fs.exists(crashed), "committed-txn bulk staging must be reclaimed")
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 1L)
+    // a FUTURE-txn staging dir (an in-flight bulk load) is never touched
+    val inflight = new org.apache.hadoop.fs.Path(s"$root/t/.bulk.99.cafe0000")
+    fs.mkdirs(inflight)
+    TxnCatalog.vacuum(spark, root)
+    assert(fs.exists(inflight), "in-flight bulk staging must survive vacuum")
+  }
+
   test("bulk-loaded lake supports the full downstream lifecycle") {
     val root = tmp()
     TxnCatalog.commitPartitioned(spark, root, "t", sample, "grp",
