@@ -39,11 +39,14 @@ object VectorLake {
   def centroidsTable(table: String): String = s"${table}_centroids"
 
   /** Cluster `corpus` into k cells and commit the index atomically: one
-    * `cell=<cid>` partition per non-empty cell (columns (id, cluster,
+    * `cluster=<cid>` partition per non-empty cell (columns (id, cluster,
     * vec), range stats on `cluster` — each partition's min = max = cid,
     * so probes prune exactly) plus the k-row centroid router
     * `<table>_centroids` (cid, ce), all in ONE txn — readers see the
     * whole index or none of it, and a rebuild replaces it atomically.
+    * The cells land through [[TxnCatalog.commitPartitioned]]: ONE
+    * partitionBy write job and ONE grouped stats job regardless of k,
+    * with the router staged beside them in the same manifest CAS.
     * Ids must be numeric (cell dirs + probe ordering key off them).
     * Returns the committed txn. */
   def build(spark: SparkSession, root: String, table: String,
@@ -53,19 +56,15 @@ object VectorLake {
       k, iters)
     val v = corpus.select(col(idCol).as(IdCol),
       Similarity.toDouble(col(vecCol)).as(VecCol))
-    // pin the Lloyd result once: each cell partition stages its own
-    // filter of this frame, and without the checkpoint every stage
-    // would replay the full k-means
+    // pin the Lloyd result once: the bulk write and the grouped stats
+    // pass both read this frame — without the checkpoint each would
+    // replay the full k-means
     val cells = v.join(assigned.select(col("id"), col("cluster").as(CellCol)),
       Seq(IdCol)).localCheckpoint()
-    val cids = cells.select(CellCol).distinct().collect()
-      .map(_.get(0).asInstanceOf[Number].longValue()).sorted
-    val parts = cids.toSeq.map(c =>
-      (table, s"cell=$c", cells.filter(col(CellCol) === c)))
-    TxnCatalog.commitPartitions(spark, root,
-      parts :+ ((centroidsTable(table), "all",
-        cents.select(col("cid"), col("ce")))),
-      statsColumns = Seq(CellCol))
+    TxnCatalog.commitPartitioned(spark, root, table, cells, CellCol,
+      statsColumns = Seq(CellCol),
+      extraUpdates = Seq((centroidsTable(table), "all",
+        cents.select(col("cid"), col("ce")))))
   }
 
   /** The `nProbe` cells nearest to `q`, in (distance, cid) order — the

@@ -1192,7 +1192,8 @@ object TxnCatalog {
     * throws IOException on a lost commit race (staging cleaned up). */
   def commitPartitioned(spark: SparkSession, root: String, table: String,
       df: DataFrame, keyCol: String,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      extraUpdates: Seq[(String, String, DataFrame)] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
@@ -1274,8 +1275,50 @@ object TxnCatalog {
         (table, part) -> Entry(dirName, stats, None, Some(rows))
       }.toMap
     f.delete(stagingDir, true) // _SUCCESS and empty shell
+    // extra entries ride the SAME txn, staged the classic per-entry way
+    // (an index build commits its data cells in bulk and its small
+    // router table atomically beside them — see [[graft.ops.VectorLake]]);
+    // any failure here unwinds everything staged so far
+    def unstageAll(extras: Map[(String, String), Entry]): Unit =
+      (staged ++ extras).foreach { case ((st2, sp2), en) =>
+        f.delete(new Path(entryPath(root, st2, sp2, en.dir)), true)
+      }
+    val extraStaged: Map[(String, String), Entry] =
+      try extraUpdates.map { case (t, p, edf) =>
+        checkTableName(t)
+        checkPartitionName(p)
+        require(!prevManifest.contains((t, Whole)),
+          s"table '$t' holds a whole-table snapshot")
+        require(!staged.contains((t, p)),
+          s"extra update collides with a bulk partition: ($t, $p)")
+        val path = entryPath(root, t, p, dirName)
+        edf.write.mode("errorifexists").parquet(path)
+        // enforce the extra table's constraints like the shared path does
+        prevManifest.get((t, "~p")).foreach { e =>
+          val cons = spark.read.parquet(entryPath(root, t, "~p", e.dir))
+            .collect()
+            .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
+              r.getString(0) -> r.getString(1) }.sorted
+          cons.foreach { case (k, v) =>
+            if (!spark.read.parquet(path)
+                .filter(not(coalesce(expr(v), lit(true)))).limit(1).isEmpty)
+              throw new IllegalArgumentException(
+                s"commit to '$t' violates $k ($v); nothing was published")
+          }
+        }
+        val (st, rows) = measureStats(spark, path, statsColumns, Nil)
+        (t, p) -> Entry(dirName, st, None, rows)
+      }.toMap
+      catch {
+        case scala.util.control.NonFatal(ex) =>
+          unstageAll(
+            extraUpdates.map { case (t, p, _) =>
+              (t, p) -> Entry(dirName) }.toMap)
+          throw ex
+      }
     // 4. one manifest CAS for everything
-    casPublish(f, root, next, nonce, prevManifest, staged)(() => ())
+    casPublish(f, root, next, nonce, prevManifest, staged ++ extraStaged)(
+      () => ())
     next
   }
 

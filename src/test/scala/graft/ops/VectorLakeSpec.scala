@@ -36,7 +36,7 @@ class VectorLakeSpec extends GraftSuite {
     val snap = TxnCatalog.snapshot(spark, root).get
     val cells = snap.partitions("v")
     assert(cells.size === 3)
-    assert(cells.forall(_.startsWith("cell=")))
+    assert(cells.forall(_.startsWith("cluster=")))
     // the router holds exactly k centroids, dim 4
     val cents = snap.read(VectorLake.centroidsTable("v")).get.collect()
     assert(cents.length === 3)
@@ -57,7 +57,7 @@ class VectorLakeSpec extends GraftSuite {
     assert(probes.size === 1)
     val snap = TxnCatalog.snapshot(spark, root).get
     val kept = snap.partitionsWhereIn("v", VectorLake.CellCol, probes)
-    assert(kept === probes.map(c => s"cell=$c").sorted)
+    assert(kept === probes.map(c => s"cluster=$c").sorted)
     // the 1-probe read returns exactly that cell's 6 members
     val got = VectorLake.query(spark, root, "v", q, nProbe = 1, topK = 10)
     assert(got.count() === 6L)
