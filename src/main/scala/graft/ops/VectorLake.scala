@@ -67,6 +67,39 @@ object VectorLake {
         cents.select(col("cid"), col("ce")))))
   }
 
+  /** Incrementally index NEW vectors: route each to the EXISTING
+    * router's nearest centroid (one broadcast argmin over the corpus —
+    * the same distance expansion and (d, cid) tie-break the build and
+    * the query side use) and land them as a fresh GENERATION of cell
+    * partitions, `g<txn>-cluster=<cid>`, via one bulk commit. Pruning
+    * reads stats, never names, so a probe scans every generation of its
+    * cells and nothing else; centroids do not move (classic IVF add —
+    * rebuild when drift warrants, the generational-clustering trade).
+    * Returns the committed txn. */
+  def append(spark: SparkSession, root: String, table: String,
+      corpus: DataFrame, idCol: String, vecCol: String): Long = {
+    val snap = TxnCatalog.snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no catalog at $root"))
+    val cents = snap.read(centroidsTable(table)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no centroid table for '$table' — build the index first"))
+    val v = corpus.select(col(idCol).as(IdCol),
+        Similarity.toDouble(col(vecCol)).as(VecCol))
+      .withColumn("en", Similarity.dot(col(VecCol), col(VecCol)))
+    val centsRow = cents
+      .withColumn("cn", Similarity.dot(col("ce"), col("ce")))
+      .agg(collect_list(struct(col("cid"), col("ce"), col("cn"))).as("cs"))
+    val assigned = v.crossJoin(broadcast(centsRow))
+      .withColumn("best", array_min(transform(col("cs"), c =>
+        struct(
+          (col("en") - lit(2.0) * Similarity.dot(col(VecCol), c.getField("ce"))
+            + c.getField("cn")).as("d"),
+          c.getField("cid").as("cid")))))
+      .select(col(IdCol), col(VecCol), col("best.cid").as(CellCol))
+    TxnCatalog.commitPartitioned(spark, root, table, assigned, CellCol,
+      statsColumns = Seq(CellCol), partPrefix = s"g${snap.txn + 1}-")
+  }
+
   /** The `nProbe` cells nearest to `q`, in (distance, cid) order — the
     * router step alone, for callers that want the pruning decision
     * (tests assert `partitionsWhereIn` keeps exactly these). Distances

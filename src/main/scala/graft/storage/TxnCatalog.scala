@@ -1183,6 +1183,11 @@ object TxnCatalog {
     * Partitions are named `<keyCol>=<value>` with Hive path escaping;
     * `keyCol` stays a data column in the files (the write partitions by
     * an internal copy), so reads union losslessly like any other commit.
+    * `partPrefix` prepends to every partition name — a bulk APPEND to an
+    * already-loaded table uses a generation prefix (`"g<txn>-"`) so new
+    * batches land BESIDE the existing `<keyCol>=<v>` partitions instead
+    * of replacing them; pruning is unaffected (it reads stats, never
+    * names), and a later compaction/clustering folds generations.
     * Null keys land in `<keyCol>=__HIVE_DEFAULT_PARTITION__`. CHECK
     * constraints enforce in one pass over the input. Existing partitions
     * with colliding names are REPLACED (same merge rule as
@@ -1193,7 +1198,8 @@ object TxnCatalog {
   def commitPartitioned(spark: SparkSession, root: String, table: String,
       df: DataFrame, keyCol: String,
       statsColumns: Seq[String] = Nil,
-      extraUpdates: Seq[(String, String, DataFrame)] = Nil): Long = {
+      extraUpdates: Seq[(String, String, DataFrame)] = Nil,
+      partPrefix: String = ""): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
@@ -1263,7 +1269,7 @@ object TxnCatalog {
       f.listStatus(stagingDir).filter(_.isDirectory).map { d =>
         val hive = d.getPath.getName // __graft_bulk_key=<escaped value>
         val escaped = hive.substring(bulkKey.length + 1)
-        val part = s"$keyCol=$escaped"
+        val part = s"$partPrefix$keyCol=$escaped"
         checkPartitionName(part)
         val raw = unescape(escaped)
         val key =

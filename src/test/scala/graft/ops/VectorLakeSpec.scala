@@ -102,6 +102,37 @@ class VectorLakeSpec extends GraftSuite {
     assert(got.map(_.getAs[Long]("id")).toSeq === all.toSeq)
   }
 
+  test("append lands a new generation per cell; queries span generations") {
+    val root = tmp()
+    VectorLake.build(spark, root, "v", corpus, "vid", "emb",
+      k = 3, iters = 2)
+    // two new vectors, one clearly in each of two different cells
+    val fresh = Seq(
+      (100L, Seq(10.05, 0.05, 0.0, 0.0)),  // corner (10,0,0,0)
+      (101L, Seq(0.0, 10.05, 0.05, 0.0))   // corner (0,10,0,0)
+    ).toDF("vid", "emb")
+    VectorLake.append(spark, root, "v", fresh, "vid", "emb")
+    val snap = TxnCatalog.snapshot(spark, root).get
+    val parts = snap.partitions("v")
+    assert(parts.count(_.startsWith("cluster=")) === 3,
+      "original cells untouched")
+    assert(parts.count(_.startsWith("g2-cluster=")) === 2,
+      s"one generation partition per touched cell: $parts")
+    // the appended vector is findable and ranks first for a near-query
+    val q = Seq(10.05, 0.05, 0.0, 0.0)
+    val got = VectorLake.query(spark, root, "v", q, nProbe = 1, topK = 3)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("id") === 100L)
+    // pruning spans generations: a 1-probe read touches exactly the
+    // probed cell's partitions (both generations), nothing else
+    val probes = VectorLake.probeCells(spark, root, "v", q, nProbe = 1)
+    val kept = snap.partitionsWhereIn("v", VectorLake.CellCol, probes)
+    assert(kept.size === 2 && kept.forall(_.endsWith(s"=${probes.head}")),
+      s"probe must keep exactly the cell's generations: $kept")
+    // and the full index still holds every row exactly once
+    assert(snap.read("v").get.select("id").distinct().count() === 20L)
+  }
+
   test("rebuild replaces the index atomically; old snapshot still queryable") {
     val root = tmp()
     VectorLake.build(spark, root, "v", corpus, "vid", "emb",
