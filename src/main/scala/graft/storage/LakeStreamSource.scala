@@ -65,17 +65,84 @@ final class LakeStreamSource(
   override def stop(): Unit = ()
 }
 
-/** `format("graft-lake")` provider. Options: `root` (the catalog root;
-  * `path` is accepted as an alias), `table`, and optional
-  * `startingTxn` (deliver only data committed AFTER this txn — skip
-  * the initial load, Delta's `startingVersion`). The schema is the
-  * table's merged footer schema at stream start and stays fixed for
-  * the stream's lifetime (columns added later are dropped until
-  * restart; columns removed read as null). */
+/** `format("graft-lake")` provider — streaming READS and batch WRITES
+  * under one format name.
+  *
+  * Streaming read options: `root` (the catalog root; `path` is accepted
+  * as an alias), `table`, and optional `startingTxn` (deliver only data
+  * committed AFTER this txn — skip the initial load, Delta's
+  * `startingVersion`). The schema is the table's merged footer schema at
+  * stream start and stays fixed for the stream's lifetime (columns added
+  * later are dropped until restart; columns removed read as null).
+  *
+  * Batch write (`df.write.format("graft-lake").option("root", r)
+  * .option("table", t).mode(m).save()`):
+  *  - `Append` — one atomic `batch=<uuid>` partition commit
+  *    ([[TxnCatalog.appendBatch]]); with option `keyColumn`, a BULK
+  *    partitioned append instead ([[TxnCatalog.commitPartitioned]], one
+  *    write job for every key, generation-prefixed when the table
+  *    already exists so nothing is replaced);
+  *  - `Overwrite` — one whole-table snapshot commit (replaces every
+  *    entry; table properties survive); `keyColumn` + Overwrite is
+  *    rejected — drop-and-bulk-load through the TxnCatalog API instead;
+  *  - `ErrorIfExists` / `Ignore` — SQL semantics against the table's
+  *    existence in the current manifest.
+  * Optional `statsColumns`/`bloomColumns` (comma-separated) thread into
+  * the commit so written data is prunable from day one. Batch READS stay
+  * on [[GraftLake.table]] (merge-on-read deletes need plan composition a
+  * v1 relation cannot express).
+  */
 final class LakeSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft-lake"
+
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val (root, table, _) = parse(parameters)
+    val spark = sqlContext.sparkSession
+    def cols(key: String): Seq[String] = parameters.get(key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val stats = cols("statsColumns") ++ cols("statscolumns")
+    val blooms = cols("bloomColumns") ++ cols("bloomcolumns")
+    val keyCol = parameters.get("keyColumn").orElse(parameters.get("keycolumn"))
+    val exists = TxnCatalog.snapshot(spark, root).exists(_.tables.contains(table))
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"table '$table' already exists under $root (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => () // no-op
+      case SaveMode.Overwrite =>
+        require(keyCol.isEmpty, "Overwrite with keyColumn is not supported " +
+          "through the format — drop and bulk-load via TxnCatalog instead")
+        TxnCatalog.commit(spark, root, Seq((table, data)))
+        ()
+      case _ => // Append, or first write under ErrorIfExists/Ignore
+        keyCol match {
+          case Some(k) =>
+            val prefix =
+              if (exists)
+                s"g${TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1}-"
+              else ""
+            TxnCatalog.commitPartitioned(spark, root, table, data, k,
+              statsColumns = stats, partPrefix = prefix)
+            ()
+          case None =>
+            TxnCatalog.appendBatch(spark, root, table,
+              java.util.UUID.randomUUID().toString.take(8), data,
+              statsColumns = stats, bloomColumns = blooms)
+        }
+    }
+    val ctx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 
   private def parse(params: Map[String, String]): (String, String, Long) = {
     val root = params.get("root").orElse(params.get("path")).getOrElse(
