@@ -48,6 +48,46 @@ object StreamingQueries extends QueryGroup {
       Some("""SELECT event_id, user_id, value FROM events
              |ORDER BY event_id, user_id, value""".stripMargin)),
 
+    // End-to-end MEDALLION hop under the gate: a bronze lake committed in
+    // three batches streams through the graft-lake source, transforms,
+    // and lands exactly-once in a SILVER lake via Streams.lakeSink (with
+    // inline compaction folding mid-stream) — then the silver TABLE
+    // itself must hash-equal the plain batch SQL transform. Pins the
+    // whole incremental lake->lake path: txn offsets, idempotent batch
+    // landing, and maintenance-under-traffic.
+    QueryDef(
+      "st_medallion",
+      (s, d) => {
+        val bronze = java.nio.file.Files
+          .createTempDirectory("q_medb").toString
+        val silver = java.nio.file.Files
+          .createTempDirectory("q_meds").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q_medc").toString
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        def commit(k: Int): Unit =
+          graft.storage.TxnCatalog.commitPartitions(s, bronze,
+            Seq(("ev", s"b$k", ev.filter(pmod(col("event_id"), lit(3)) === k))),
+            statsColumns = Seq("event_id"))
+        commit(0)
+        val in = s.readStream.format("graft-lake")
+          .option("root", bronze).option("table", "ev").load()
+        val refined = in.filter(col("value") >= 0.0)
+          .withColumn("value2", col("value") * 2.0)
+        val q = Streams.lakeSink(refined, silver, "ev2", ckpt,
+          compactEvery = 2, statsColumns = Seq("event_id"))
+        try {
+          q.processAllAvailable()
+          commit(1); q.processAllAvailable()
+          commit(2); q.processAllAvailable()
+        } finally q.stop()
+        graft.storage.TxnCatalog.read(s, silver, "ev2").get
+          .orderBy("event_id", "user_id", "value", "value2")
+      },
+      Some("""SELECT event_id, user_id, value, value * 2.0 AS value2
+             |FROM events WHERE value >= 0.0
+             |ORDER BY event_id, user_id, value, value2""".stripMargin)),
+
     // Tumbling event-time windows over the events table (10-minute buckets,
     // epoch-aligned in both engines).
     QueryDef(

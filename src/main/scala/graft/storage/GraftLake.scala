@@ -114,6 +114,28 @@ object GraftLake {
     }
   }
 
+  /** `table` pinned at committed txn `txn` — time travel composed with
+    * the Catalyst-planned read (skipping, merge-on-read, the works). */
+  def tableAsOf(spark: SparkSession, root: String, table: String,
+      txn: Long): Option[DataFrame] =
+    tableAt(spark, root, table, TxnCatalog.snapshotAt(spark, root, txn))
+
+  /** Register every table of the CURRENT snapshot as a temp view
+    * `<prefix><table>`, all pinned at ONE txn — plain `spark.sql` over
+    * the whole lake, consistent across tables, with manifest skipping
+    * under every scan. Returns the registered view names. */
+  def registerViews(spark: SparkSession, root: String,
+      prefix: String = ""): Seq[String] =
+    TxnCatalog.snapshot(spark, root).toSeq.flatMap { snap =>
+      snap.tables.flatMap { t =>
+        tableAt(spark, root, t, snap).map { df =>
+          val name = prefix + t
+          df.createOrReplaceTempView(name)
+          name
+        }
+      }
+    }
+
   /** The [[ManifestFileIndex]] behind a `table` read — the pruning
     * probe surface for tests and tooling (file counts under a filter). */
   def index(spark: SparkSession, root: String, table: String,

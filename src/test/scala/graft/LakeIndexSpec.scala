@@ -158,6 +158,29 @@ class LakeIndexSpec extends GraftSuite {
     assert(GraftLake.table(spark, root, "t").get.count() === 401L)
   }
 
+  test("tableAsOf time-travels; registerViews pins one txn for plain SQL") {
+    val root = tmp("lakeasof"); rangeLake(root)
+    val txn1 = TxnCatalog.currentTxn(spark, root).get
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("t", "batch=9",
+        Seq((900L, 0L, "xdoc900")).toDF("k", "v", "name"))),
+      statsColumns = Seq("k"))
+    assert(GraftLake.tableAsOf(spark, root, "t", txn1).get.count() === 400L)
+    assert(GraftLake.table(spark, root, "t").get.count() === 401L)
+    // views: one consistent txn, SQL sees the lake
+    val names = GraftLake.registerViews(spark, root, prefix = "lake_")
+    assert(names === Seq("lake_t"))
+    assert(spark.sql("SELECT count(*) AS n FROM lake_t WHERE k >= 150 AND k <= 180")
+      .collect().head.getLong(0) === 31L)
+    // a commit after registration must not shift the registered view
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("t", "batch=10",
+        Seq((901L, 0L, "xdoc901")).toDF("k", "v", "name"))),
+      statsColumns = Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM lake_t").collect().head.getLong(0)
+      === 401L, "registered views are snapshot-pinned")
+  }
+
   test("listing is lazy: a pruned probe lists only the survivors") {
     val root = tmp("lakelazy"); rangeLake(root)
     val snap = TxnCatalog.snapshot(spark, root).get
