@@ -10,9 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * no per-session register() call needed), plus two optimizer rules:
   * [[graft.plans.SpatialJoinRewrite]], which turns the naive
   * cross-join + graft_contains formulation into the J4 grid-bucketed
-  * equi-join, and [[graft.plans.MetadataOnlyCount]], which answers
-  * unfiltered count(*) over a lake frame from the manifest's recorded
-  * row counts. Catalyst's stock optimizations cover every other plan shape
+  * equi-join, and [[graft.plans.MetadataOnlyAgg]], which answers
+  * unfiltered count(*)/min/max over a lake frame from the manifest's
+  * recorded row counts and column stats. Catalyst's stock optimizations cover every other plan shape
   * this engine produces (SURVEY §4) — rules are injected only where the
   * stock optimizer provably can't get there (a CartesianProduct is
   * semantically opaque to it).
@@ -45,6 +45,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_contains", "graft_contains(ring, x, y) - ray-casting point in polygon"),
       (exprs: Seq[Expression]) => geo.PointInPolygon(exprs.head, exprs(1), exprs(2))))
     ext.injectOptimizerRule(_ => plans.SpatialJoinRewrite)
-    ext.injectOptimizerRule(_ => plans.MetadataOnlyCount)
+    ext.injectOptimizerRule(_ => plans.MetadataOnlyAgg)
   }
 }

@@ -101,11 +101,49 @@ final class ManifestFileIndex(
 
   /** Exact total rows behind this index, from manifest counts alone —
     * Some only when EVERY entry recorded one (the
-    * [[graft.plans.MetadataOnlyCount]] contract: exact or absent). */
+    * [[graft.plans.MetadataOnlyAgg]] contract: exact or absent). */
   def exactRowCount: Option[Long] = {
     val counts = parts.map(_._3)
     if (parts.isEmpty || counts.exists(_.isEmpty)) None
     else Some(counts.flatten.sum)
+  }
+
+  /** Exact (min, max) of `column` across every entry, folded kind-true
+    * from the manifest stats — as the RENDERED stat values: strings for
+    * kinds "n"/"s" (the recorded cast-to-string, which round-trips the
+    * source value exactly), micros-since-epoch Longs for kind "t". Some
+    * only when EVERY entry carries the stat with one consistent kind
+    * and every numeric stat parses (NaN/Infinity refuse — orderings
+    * diverge). Stats record NON-NULL extremes, matching SQL MIN/MAX
+    * null semantics; an all-null or empty column has no stat → None. */
+  def exactBounds(column: String): Option[(String, Any, Any)] = {
+    if (parts.isEmpty) return None
+    val sts = parts.map(_._2.get(column))
+    if (sts.exists(_.isEmpty)) return None
+    val all = sts.flatten
+    val kinds = all.map(_.kind).distinct
+    if (kinds.sizeIs != 1) return None
+    kinds.head match {
+      case "n" =>
+        try {
+          val mins = all.map(s => (scala.math.BigDecimal(s.min), s.min))
+          val maxs = all.map(s => (scala.math.BigDecimal(s.max), s.max))
+          Some(("n", mins.minBy(_._1)._2, maxs.maxBy(_._1)._2))
+        } catch { case _: NumberFormatException => None }
+      case "s" =>
+        val ord = new Ordering[String] {
+          override def compare(a: String, b: String): Int =
+            if (TxnCatalog.utf8Lt(a, b)) -1
+            else if (TxnCatalog.utf8Lt(b, a)) 1 else 0
+        }
+        Some(("s", all.map(_.min).min(ord), all.map(_.max).max(ord)))
+      case "t" =>
+        val lo = all.map(_.min.toLongOption)
+        val hi = all.map(_.max.toLongOption)
+        if (lo.exists(_.isEmpty) || hi.exists(_.isEmpty)) None
+        else Some(("t", lo.flatten.min, hi.flatten.max))
+      case _ => None
+    }
   }
 
   /** How many partitions have had their files listed so far — the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 import graft.storage.{GraftLake, TxnCatalog}
 
-/** [[graft.plans.MetadataOnlyCount]]: unfiltered count(*) over a lake
+/** [[graft.plans.MetadataOnlyAgg]]: unfiltered count(*)/min/max over a lake
   * frame collapses to the manifest's recorded row counts — and never
   * fires where a scan could answer differently. */
 class MetadataCountSpec extends GraftSuite {
@@ -62,6 +62,51 @@ class MetadataCountSpec extends GraftSuite {
       val sqlCnt = s2.sql("SELECT count(*) AS n, count(1) AS m FROM lake_t")
       assert(sqlCnt.collect().head.toSeq === Seq(300L, 300L))
       assert(!hasScan(sqlCnt))
+    }
+  }
+
+  test("min/max over stat columns fold to metadata, exactly, per type") {
+    val root = tmp("metamm")
+    withExtSession { s2 =>
+      import s2.implicits._
+      val base = java.time.Instant.parse("2024-05-01T00:00:00Z")
+      val df = (0 until 300).map { i =>
+        (i.toLong, i * 0.25 - 7.5, s"doc${"%03d".format(i)}",
+          java.sql.Timestamp.from(base.plusSeconds(i * 60L)), i % 7)
+      }.toDF("k", "x", "nm", "ts", "w")
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 3).map(b => ("t", s"b=$b",
+          df.filter($"k" % 3 === b))),
+        statsColumns = Seq("k", "x", "nm", "ts"))
+      val lake = GraftLake.table(s2, root, "t").get
+      lake.createOrReplaceTempView("mm_t")
+      val q = s2.sql(
+        """SELECT min(k) AS k0, max(k) AS k1, min(x) AS x0, max(x) AS x1,
+          |       min(nm) AS n0, max(nm) AS n1, min(ts) AS t0, max(ts) AS t1,
+          |       count(*) AS n
+          |FROM mm_t""".stripMargin)
+      val row = q.collect().head
+      assert(!hasScan(q), "stat-backed min/max must fold:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(row.getLong(0) === 0L && row.getLong(1) === 299L)
+      assert(row.getDouble(2) === -7.5 && row.getDouble(3) === 299 * 0.25 - 7.5)
+      assert(row.getString(4) === "doc000" && row.getString(5) === "doc299")
+      assert(row.getTimestamp(6) === java.sql.Timestamp.from(base))
+      assert(row.getTimestamp(7)
+        === java.sql.Timestamp.from(base.plusSeconds(299 * 60L)))
+      assert(row.getLong(8) === 300L)
+      // the folded values equal the real scan's, bit for bit
+      val scan = lake.groupBy().agg(
+        org.apache.spark.sql.functions.min("x"),
+        org.apache.spark.sql.functions.max("x")).collect().head
+      assert(scan.getDouble(0) === row.getDouble(2))
+      assert(scan.getDouble(1) === row.getDouble(3))
+      // a column WITHOUT recorded stats keeps the scan (and the answer)
+      val noStat = lake.selectExpr("min(w)", "max(w)")
+      assert(hasScan(noStat), "stat-less column must keep the scan")
+      assert(noStat.collect().head.toSeq === Seq(0, 6))
+      val mixed = lake.selectExpr("min(k)", "avg(x)")
+      assert(hasScan(mixed), "avg cannot fold — whole rewrite must refuse")
     }
   }
 
