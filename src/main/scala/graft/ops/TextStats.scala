@@ -261,6 +261,56 @@ object Sampling {
       .drop("__pid", "__cum")
   }
 
+  /** GPT-style sequence packing: documents concatenate in `idCol` order
+    * into one global token stream, which cuts into fixed context windows
+    * of `ctxLen` tokens; the output maps every document to every window
+    * it covers — one row per (doc, window) span with `doc_offset`
+    * (where in the doc the span starts), `win_offset` (where in the
+    * window it lands), and `span_len`. Windows are completely full by
+    * construction (a doc straddling a boundary contributes spans to both
+    * sides), which is exactly the training-loader contract: window w =
+    * the spans with `window = w`, ordered by `win_offset`. A zero-length
+    * doc contributes nothing. Deterministic — a pure function of
+    * (id order, lengths) — so any engine and any retry cuts identical
+    * windows.
+    *
+    * Scale: the global exclusive prefix sum uses the [[packShards]]
+    * two-pass shape (range partition, per-partition totals to the
+    * driver, broadcast offsets, within-partition running sum — never a
+    * single-partition window); the window fan-out is a row-local
+    * bounded explode (a doc spans ⌈len/ctx⌉+1 windows at most). */
+  def packSequences(df: DataFrame, idCol: String, tokenLenCol: String,
+      ctxLen: Long): DataFrame = {
+    require(ctxLen > 0, "ctxLen must be positive")
+    val withPart = df.repartitionByRange(col(idCol))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(false)
+    val partSums = withPart.groupBy("__pid")
+      .agg(sum(col(tokenLenCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partSums.scanLeft(0L)(_ + _._2).zip(partSums.map(_._1))
+      .map { case (off, pid) => pid -> off }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    val wp = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val len = col(tokenLenCol).cast("long")
+    withPart
+      .withColumn("__start",
+        offCol + sum(len).over(wp) - len) // exclusive prefix sum
+      .filter(len > 0)
+      .withColumn("window",
+        explode(sequence(floor(col("__start") / ctxLen),
+          floor((col("__start") + len - lit(1)) / ctxLen))))
+      .withColumn("__wlo", greatest(col("__start"), col("window") * ctxLen))
+      .withColumn("__whi",
+        least(col("__start") + len, (col("window") + 1) * ctxLen))
+      .select(col(idCol), col("window").cast("long").as("window"),
+        (col("__wlo") - col("__start")).cast("long").as("doc_offset"),
+        (col("__wlo") - col("window") * ctxLen).cast("long").as("win_offset"),
+        (col("__whi") - col("__wlo")).cast("long").as("span_len"))
+  }
+
   /** Disjoint, exhaustive, deterministic dataset split (train/val/test…):
     * every row gets exactly one label, decided by which cumulative-weight
     * hash band its key falls in. Reproducible on any engine and any retry;

@@ -356,6 +356,41 @@ object TextStatsQueries extends QueryGroup {
              |  CAST(floor((SUM(n_chars) OVER (ORDER BY doc_id
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |       - n_chars) / 20000.0) AS BIGINT) AS shard
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // GPT-style sequence packing: docs concatenate in id order into one
+    // token stream cut into 512-token context windows; one row per
+    // (doc, window) span — windows completely full by construction, docs
+    // straddling boundaries contribute to both sides. The prefix sum is
+    // the distributed two-pass shape (never a single-partition window);
+    // the oracle is the same arithmetic over a SQL running sum.
+    QueryDef(
+      "x_seq_pack",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          size(graft.ops.TextAnalysis.regexTokens(col("text")))
+            .cast("long").as("ntok"))
+        Sampling.packSequences(toks, "doc_id", "ntok", ctxLen = 512L)
+          .orderBy("doc_id", "window")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                    x -> len(x) > 0)) AS n
+             |  FROM documents),
+             |s AS (SELECT doc_id, n,
+             |        SUM(n) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |          - n AS st
+             |      FROM toks),
+             |w AS (SELECT doc_id, n, st,
+             |        unnest(range(CAST(st // 512 AS BIGINT),
+             |                     CAST((st + n - 1) // 512 + 1 AS BIGINT))) AS win
+             |      FROM s WHERE n > 0)
+             |SELECT doc_id, win AS "window",
+             |  greatest(st, win * 512) - st AS doc_offset,
+             |  greatest(st, win * 512) - win * 512 AS win_offset,
+             |  least(st + n, (win + 1) * 512)
+             |    - greatest(st, win * 512) AS span_len
+             |FROM w ORDER BY doc_id, win""".stripMargin))
   )
 }

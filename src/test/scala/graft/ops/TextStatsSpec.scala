@@ -190,6 +190,33 @@ class TextStatsSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("packSequences: windows completely full, docs fully covered, boundaries split") {
+    // lengths 300, 300, 100, 500 with ctx 512: doc 2 straddles the first
+    // boundary, doc 4 straddles the second
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 500L))
+      .toDF("id", "n").repartition(3)
+    val got = Sampling.packSequences(df, "id", "n", ctxLen = 512L)
+      .orderBy("id", "window")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 0L, 0L, 0L, 300L),           // [0, 300)
+      (2L, 0L, 0L, 300L, 212L),         // first 212 fill window 0
+      (2L, 1L, 212L, 0L, 88L),          // remaining 88 open window 1
+      (3L, 1L, 0L, 88L, 100L),
+      (4L, 1L, 0L, 188L, 324L),         // fills window 1 to 512
+      (4L, 2L, 324L, 0L, 176L)))        // tail opens window 2
+    // invariants: every non-final window exactly full; docs fully covered
+    val byWin = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    assert(byWin(0L) === 512L && byWin(1L) === 512L && byWin(2L) === 176L)
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc === Map(1L -> 300L, 2L -> 300L, 3L -> 100L, 4L -> 500L))
+    // zero-length docs contribute nothing
+    val withEmpty = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("id", "n")
+    val ids = Sampling.packSequences(withEmpty, "id", "n", 512L)
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L))
+  }
+
   test("weightedSample: k distinct rows, deterministic, and weight-dominant keys win") {
     // 5 ids carry 1000x the weight of the other 200: virtually certain to
     // be drawn into a k=20 sample; the rest fill by their own race
