@@ -44,15 +44,34 @@ import org.apache.spark.sql.types.StructType
   */
 final class LakeStreamSource(
     spark: SparkSession, root: String, table: String,
-    override val schema: StructType, startingTxn: Long) extends Source {
+    override val schema: StructType, startingTxn: Long,
+    maxTxnsPerBatch: Long = Long.MaxValue) extends Source {
+
+  /** Highest txn this source has delivered (admission-control floor).
+    * After a checkpoint restart the true floor lives in the checkpoint,
+    * not here; until the first getBatch updates it, a capped getOffset
+    * can lag the committed offset — the engine then runs one empty
+    * (from > to ⇒ zero-row) batch and the cap climbs forward, so
+    * delivery stays no-loss/no-duplicate, just a trigger or two late. */
+  @volatile private var delivered: Long = startingTxn
 
   override def getOffset: Option[Offset] =
     TxnCatalog.currentTxn(spark, root)
-      .filter(_ > startingTxn).map(LongOffset(_))
+      .filter(_ > startingTxn)
+      .map { c =>
+        val base = math.max(delivered, startingTxn)
+        // saturating add: the unlimited default must never wrap
+        val cap =
+          if (maxTxnsPerBatch > Long.MaxValue - base) Long.MaxValue
+          else base + maxTxnsPerBatch
+        LongOffset(math.min(c, cap))
+      }
+      .filter(_.offset > startingTxn)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json().toLong).getOrElse(startingTxn)
     val to = end.json().toLong
+    delivered = math.max(delivered, to)
     val snap = TxnCatalog.snapshotAt(spark, root, to)
     val fresh = snap.dataEntries(table)
       .filter { case (_, e) => TxnCatalog.entryDataTxn(e) > from }
@@ -156,6 +175,15 @@ final class LakeSourceProvider
     (root, table, starting)
   }
 
+  /** Admission control: at most this many txns per micro-batch (option
+    * `maxTxnsPerBatch` — Delta's maxFilesPerTrigger at this catalog's
+    * granularity). Default unlimited. */
+  private def maxTxns(params: Map[String, String]): Long =
+    params.get("maxtxnsperbatch").orElse(params.get("maxTxnsPerBatch"))
+      .map(_.toLong).map { n =>
+        require(n >= 1, "maxTxnsPerBatch must be >= 1"); n
+      }.getOrElse(Long.MaxValue)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -177,6 +205,6 @@ final class LakeSourceProvider
     val (_, resolved) = sourceSchema(sqlContext, schema, providerName,
       parameters)
     new LakeStreamSource(sqlContext.sparkSession, root, table, resolved,
-      starting)
+      starting, maxTxns(parameters))
   }
 }

@@ -86,6 +86,28 @@ class LakeStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("maxTxnsPerBatch paces a backlog into bounded micro-batches") {
+    val root = tmp("lspace")
+    commitBatch(root, "b0", 0, 30)
+    commitBatch(root, "b1", 30, 60)
+    commitBatch(root, "b2", 60, 90) // 3-txn backlog before the stream starts
+    val q = lakeStream(root, "maxTxnsPerBatch" -> "1")
+      .writeStream.format("memory")
+      .queryName("ls_pace").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ls_pace").select("id").as[Long].collect().sorted
+        === (0L until 90L).toArray, "the full backlog must drain")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 3,
+        s"a 3-txn backlog under cap 1 must take >= 3 data batches, " +
+          s"took $dataBatches")
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+        .forall(_.numInputRows <= 30L),
+        "no micro-batch may exceed one txn's rows")
+    } finally q.stop()
+  }
+
   test("merge-on-read delete masks undelivered rows in the same window") {
     val root = tmp("lsdel")
     commitBatch(root, "b0", 0, 100)
