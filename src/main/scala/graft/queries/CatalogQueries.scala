@@ -303,6 +303,39 @@ object CatalogQueries extends QueryGroup {
              |WHERE c_mktsegment = 'BUILDING'
              |ORDER BY c_custkey""".stripMargin)),
 
+    // The lake as a Spark SQL CATALOG (DSv2 TableCatalog + V1 bridges):
+    // commit batches, mount the root as a catalog, and answer plain SQL
+    // BY IDENTIFIER — INSERT INTO lands an atomic batch partition, the
+    // SELECT's pushed filter prunes through the manifest inside the
+    // bridge, and the result must hash-equal the oracle's filter over
+    // source ∪ inserted rows. A unique catalog name per run keeps
+    // Spark's per-name plugin cache from pinning a stale root.
+    QueryDef(
+      "s_sql_catalog",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_sqlcat").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 3).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal"))
+        val cat = s"qlake${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"INSERT INTO $cat.default.cust VALUES " +
+          "(10000001, 1500.50), (10000002, 9999.99)")
+        s.sql(
+          s"""SELECT c_custkey, c_acctbal FROM $cat.default.cust
+             |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
+             |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM (
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  UNION ALL VALUES (10000001, 1500.50), (10000002, 9999.99))
+             |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Row-level CDC feed derived from the manifest alone: txn 1 commits
     // two overlapping batches, txn 2 records equality-delete keys (one
     // key absent at every SF — a delete EVENT regardless), txn 3

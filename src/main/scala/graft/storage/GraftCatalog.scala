@@ -1,0 +1,275 @@
+package graft.storage
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The lake as a Spark SQL CATALOG: register
+  * `spark.sql.catalog.<name> = graft.storage.GraftCatalog` with
+  * `spark.sql.catalog.<name>.root = <lake root>` and plain SQL works
+  * against TxnCatalog tables by identifier —
+  * `SELECT ... FROM <name>.default.<table> WHERE ...`,
+  * `INSERT INTO/OVERWRITE`, `CREATE TABLE`, `DROP TABLE` — no
+  * DataFrame code and no view registration.
+  *
+  * Reads bridge through [[V1Scan]] to a [[GraftLake.table]] frame, so
+  * the pushed-down SQL filters land on the [[ManifestFileIndex]]-backed
+  * relation inside and prune partitions at the manifest exactly like
+  * the DataFrame path (every pushed filter is ALSO declared residual,
+  * so Spark re-applies them post-scan — pruning is an optimization,
+  * never a correctness bet, and shapes the bridge cannot translate are
+  * simply not pushed). Writes bridge through [[V1Write]]:
+  * `INSERT INTO` is one atomic idempotent batch append
+  * ([[TxnCatalog.appendBatch]]), `INSERT OVERWRITE` one whole-table
+  * snapshot commit. CREATE TABLE commits a zero-row schema-bearing
+  * snapshot; DROP TABLE is [[TxnCatalog.dropTable]] (older snapshots
+  * still time-travel to it). Each scan pins the snapshot current at
+  * planning time.
+  *
+  * One flat namespace (`default`) — TxnCatalog roots are already the
+  * namespace unit; mount several roots as several catalogs.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.root must point at a TxnCatalog root"))
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def checkNs(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNs(namespace)
+    TxnCatalog.tables(spark, root)
+      .map(t => Identifier.of(Array("default"), t)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNs(ident.namespace())
+    val t = ident.name()
+    val schema = TxnCatalog.snapshot(spark, root)
+      .flatMap(_.read(t)).map(_.schema)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftSqlTable(root, t, schema)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    checkNs(ident.namespace())
+    require(partitions.isEmpty,
+      "partition transforms are not supported — commit partitions " +
+        "through TxnCatalog.commitPartitions/commitPartitioned")
+    val t = ident.name()
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    val schema = StructType(columns.toSeq.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    // a zero-row PARTITION commit: the schema rides the parquet footer
+    // and the table is partitioned from birth, so INSERT INTO appends
+    // batch partitions instead of colliding with a whole-table snapshot
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema).repartition(1)
+    TxnCatalog.commitPartitions(spark, root, Seq((t, "batch=init", empty)))
+    new GraftSqlTable(root, t, schema)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    (ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("default"))) &&
+      TxnCatalog.tables(spark, root).contains(ident.name())
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && {
+      TxnCatalog.dropTable(spark, root, ident.name())
+      true
+    }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; use TxnCatalog.setTableProperties")
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+
+  // --- SupportsNamespaces (the single flat namespace) ---
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    checkNs(ns)
+    if (ns.isEmpty) listNamespaces() else Array.empty
+  }
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] = {
+    checkNs(ns)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("namespaces are fixed")
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespaces are fixed")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("namespaces are fixed")
+}
+
+/** One lake table behind the SQL catalog: V1-bridged read and write. */
+private[storage] final class GraftSqlTable(root: String, table: String,
+    tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
+
+  override def name(): String = table
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var filters: Array[Filter] = Array.empty
+      private var required: StructType = tableSchema
+
+      // every filter stays residual (Spark re-applies post-scan); the
+      // bridge uses them only to PRUNE inside the v1 frame
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        filters = fs; fs
+      }
+      override def pushedFilters(): Array[Filter] = filters
+
+      override def pruneColumns(s: StructType): Unit =
+        required = if (s.isEmpty) StructType(tableSchema.take(1)) else s
+
+      override def build(): Scan =
+        new GraftV1Scan(root, table, required, filters)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(df: DataFrame, ow: Boolean): Unit = {
+              val s = df.sparkSession
+              val snap = TxnCatalog.snapshot(s, root)
+              // tables created/filled through the catalog stay
+              // PARTITIONED; a whole-table snapshot (external
+              // TxnCatalog.commit) takes the whole-table fallbacks
+              val isWhole = snap.exists(
+                _.entries.contains((table, TxnCatalog.Whole)))
+              if (overwrite || ow) {
+                if (isWhole || snap.isEmpty)
+                  TxnCatalog.commit(s, root, Seq((table, df)))
+                else
+                  // atomic replace: the new batch lands and every live
+                  // data partition drops in ONE manifest commit; `~p`
+                  // properties survive (internal entries aren't data)
+                  TxnCatalog.commitPartitions(s, root,
+                    Seq((table,
+                      s"batch=${java.util.UUID.randomUUID().toString.take(8)}",
+                      df)),
+                    drops = snap.get.partitions(table).map((table, _)))
+              } else {
+                if (isWhole)
+                  TxnCatalog.commit(s, root, Seq((table,
+                    snap.get.read(table).get.unionByName(df))))
+                else
+                  TxnCatalog.appendBatch(s, root, table,
+                    java.util.UUID.randomUUID().toString.take(8), df)
+              }
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** The read bridge: a [[V1Scan]] whose v1 relation wraps the
+  * Catalyst-planned [[GraftLake.table]] frame — filters translate back
+  * to Columns and land ON the manifest-indexed frame, so partition
+  * pruning happens inside exactly as on the DataFrame path. */
+private[storage] final class GraftV1Scan(root: String, table: String,
+    required: StructType, filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val rel = new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+        val spark = context.sparkSession
+        val base = GraftLake.table(spark, root, table).getOrElse(
+          throw new NoSuchTableException(Seq(table)))
+        val pruned = filters.flatMap(GraftV1Scan.toColumn)
+          .foldLeft(base)(_ filter _)
+        pruned.select(required.fieldNames.map(col).toSeq: _*).rdd
+      }
+    }
+    rel.asInstanceOf[T]
+  }
+}
+
+private[storage] object GraftV1Scan {
+  /** sources.Filter -> Column, best effort: an untranslatable shape
+    * just isn't pushed (Spark re-applies every filter post-scan). */
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case sources.StringContains(a, p) => Some(col(a).contains(p))
+    case sources.And(l, r) =>
+      for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case sources.Or(l, r) =>
+      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

@@ -1004,6 +1004,19 @@ object TxnCatalog {
     }
   }
 
+  /** Drop `table` entirely — every data, delete, and properties entry —
+    * in one conditional commit. Older snapshots still read it (time
+    * travel); [[vacuum]] reclaims the data once nothing references it.
+    * Throws IOException if a rival commit moves the catalog first. */
+  def dropTable(spark: SparkSession, root: String, table: String): Long = {
+    checkTableName(table)
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    require(snap.tables.contains(table), s"unknown table '$table'")
+    publish(spark, root, Nil, Nil, Nil, expectedTxn = Some(snap.txn),
+      reconcile = carried => carried.filterNot(_._1._1 == table))(() => ())
+  }
+
   /** The reserved internal partition holding a table's properties. */
   private val PropsPartition = "~p"
   /** Property-key prefix marking an enforced CHECK constraint. */

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.storage.TxnCatalog
+
+/** [[graft.storage.GraftCatalog]]: the lake as a Spark SQL catalog —
+  * SELECT/INSERT/CREATE/DROP by identifier, filters pruning through the
+  * manifest inside the V1 bridge. */
+class SqlCatalogSpec extends GraftSuite {
+
+  /** A fresh session (shared context) with the catalog mounted at a
+    * fresh root. Restores the shared session afterwards. */
+  private def withCatalog[A](f: (SparkSession, String) => A): A = {
+    val root = Files.createTempDirectory("sqlcat").toFile.getAbsolutePath
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-sqlcat-test")
+      .config("spark.sql.catalog.lake", "graft.storage.GraftCatalog")
+      .config("spark.sql.catalog.lake.root", root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(s2, root)
+    finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("SELECT by identifier reads committed tables with filters applied") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 4).map(b => ("ev", s"b=$b",
+          (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"n$i"))
+            .toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 400L)
+      val got = s2.sql(
+        "SELECT k FROM lake.default.ev WHERE k >= 150 AND k <= 155 ORDER BY k")
+        .as[Long].collect()
+      assert(got === (150L to 155L).toArray)
+      assert(s2.sql("SHOW TABLES IN lake.default").collect()
+        .map(_.getString(1)).toSet === Set("ev"))
+    }
+  }
+
+  test("INSERT INTO appends atomically; INSERT OVERWRITE replaces") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b=0", Seq((1L, "a")).toDF("k", "v"))))
+      s2.sql("INSERT INTO lake.default.t VALUES (2, 'b'), (3, 'c')")
+      assert(s2.sql("SELECT k FROM lake.default.t ORDER BY k")
+        .as[Long].collect() === Array(1L, 2L, 3L))
+      // the append landed as one batch partition
+      assert(TxnCatalog.partitions(s2, root, "t")
+        .count(_.startsWith("batch=")) === 1)
+      s2.sql("INSERT OVERWRITE lake.default.t VALUES (9, 'z')")
+      assert(s2.sql("SELECT k, v FROM lake.default.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))) === Array((9L, "z")))
+    }
+  }
+
+  test("CREATE TABLE then INSERT; DROP TABLE removes it, time travel keeps it") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      s2.sql("CREATE TABLE lake.default.fresh (k BIGINT, v STRING)")
+      assert(s2.sql("SELECT count(*) FROM lake.default.fresh")
+        .collect().head.getLong(0) === 0L)
+      s2.sql("INSERT INTO lake.default.fresh VALUES (1, 'x')")
+      assert(s2.sql("SELECT v FROM lake.default.fresh WHERE k = 1")
+        .collect().head.getString(0) === "x")
+      intercept[Exception] {
+        s2.sql("CREATE TABLE lake.default.fresh (k BIGINT)")
+      }
+      val atDrop = TxnCatalog.currentTxn(s2, root).get
+      s2.sql("DROP TABLE lake.default.fresh")
+      assert(!TxnCatalog.tables(s2, root).contains("fresh"))
+      intercept[Exception] {
+        s2.sql("SELECT * FROM lake.default.fresh").collect()
+      }
+      // older snapshots still read the dropped table
+      assert(TxnCatalog.snapshotAt(s2, root, atDrop)
+        .read("fresh").get.count() === 1L)
+    }
+  }
+
+  test("merge-on-read deletes apply through the SQL read path") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b=0",
+          (0 until 50).map(i => (i.toLong, s"r$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      TxnCatalog.deleteKeys(s2, root, "t", "k", Seq(7L, 13L).toDF("k"))
+      val got = s2.sql("SELECT k FROM lake.default.t ORDER BY k")
+        .as[Long].collect()
+      assert(got === (0L until 50L).filterNot(Set(7L, 13L)).toArray)
+    }
+  }
+}
