@@ -77,6 +77,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(root, t, schema)
   }
 
+  /** `VERSION AS OF <txn>` — the table pinned at a committed txn. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkNs(ident.namespace())
+    val txn = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft versions are txn numbers, got '$version'"))
+    val t = ident.name()
+    val snap = TxnCatalog.snapshotAt(spark, root, txn)
+    val schema = snap.read(t).map(_.schema)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftSqlTable(root, t, schema, asOfTxn = Some(txn))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — resolved to the LAST txn whose manifest
+    * was committed at or before the instant (manifest file mtimes are
+    * the commit clock: the rename that publishes a txn stamps it). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    checkNs(ident.namespace())
+    // DSv2 hands micros-since-epoch
+    val cutoffMs = timestamp / 1000L
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tdir = new org.apache.hadoop.fs.Path(s"$root/_txns")
+    val fs = tdir.getFileSystem(hconf)
+    val txns = TxnCatalog.txns(spark, root)
+    val at = txns.filter { t =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(tdir, t.toString))
+        .getModificationTime <= cutoffMs
+    }.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"no txn committed at or before timestamp $cutoffMs ms"))
+    loadTable(ident, at.toString)
+  }
+
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -148,10 +180,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 /** One lake table behind the SQL catalog: V1-bridged read and write. */
 private[storage] final class GraftSqlTable(root: String, table: String,
-    tableSchema: StructType) extends Table
+    tableSchema: StructType, asOfTxn: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite {
 
   override def name(): String = table
+
+  override def version(): String = asOfTxn.map(_.toString).orNull
 
   override def schema(): StructType = tableSchema
 
@@ -177,7 +211,7 @@ private[storage] final class GraftSqlTable(root: String, table: String,
         required = if (s.isEmpty) StructType(tableSchema.take(1)) else s
 
       override def build(): Scan =
-        new GraftV1Scan(root, table, required, filters)
+        new GraftV1Scan(root, table, required, filters, asOfTxn)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -227,7 +261,8 @@ private[storage] final class GraftSqlTable(root: String, table: String,
   * to Columns and land ON the manifest-indexed frame, so partition
   * pruning happens inside exactly as on the DataFrame path. */
 private[storage] final class GraftV1Scan(root: String, table: String,
-    required: StructType, filters: Array[Filter]) extends V1Scan {
+    required: StructType, filters: Array[Filter],
+    asOfTxn: Option[Long] = None) extends V1Scan {
 
   override def readSchema(): StructType = required
 
@@ -238,8 +273,10 @@ private[storage] final class GraftV1Scan(root: String, table: String,
       override def schema: StructType = required
       override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
         val spark = context.sparkSession
-        val base = GraftLake.table(spark, root, table).getOrElse(
-          throw new NoSuchTableException(Seq(table)))
+        val base = asOfTxn
+          .map(GraftLake.tableAsOf(spark, root, table, _))
+          .getOrElse(GraftLake.table(spark, root, table))
+          .getOrElse(throw new NoSuchTableException(Seq(table)))
         val pruned = filters.flatMap(GraftV1Scan.toColumn)
           .foldLeft(base)(_ filter _)
         pruned.select(required.fieldNames.map(col).toSeq: _*).rdd

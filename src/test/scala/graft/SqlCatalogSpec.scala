@@ -92,6 +92,29 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("VERSION AS OF and TIMESTAMP AS OF time-travel through SQL") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b=0", Seq((1L, "a")).toDF("k", "v"))))
+      val txn1 = TxnCatalog.currentTxn(s2, root).get
+      Thread.sleep(1100L) // mtime clock granularity
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(1100L)
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b=1", Seq((2L, "b")).toDF("k", "v"))))
+      assert(s2.sql("SELECT count(*) FROM lake.default.t")
+        .collect().head.getLong(0) === 2L)
+      assert(s2.sql(s"SELECT count(*) FROM lake.default.t VERSION AS OF $txn1")
+        .collect().head.getLong(0) === 1L)
+      val ts = new java.sql.Timestamp(betweenMs)
+      assert(s2.sql(
+        s"SELECT count(*) FROM lake.default.t TIMESTAMP AS OF '$ts'")
+        .collect().head.getLong(0) === 1L,
+        "a timestamp between the commits must resolve to txn 1")
+    }
+  }
+
   test("merge-on-read deletes apply through the SQL read path") {
     withCatalog { (s2, root) =>
       import s2.implicits._
