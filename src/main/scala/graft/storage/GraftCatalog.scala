@@ -181,11 +181,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 /** One lake table behind the SQL catalog: V1-bridged read and write. */
 private[storage] final class GraftSqlTable(root: String, table: String,
     tableSchema: StructType, asOfTxn: Option[Long] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = table
 
   override def version(): String = asOfTxn.map(_.toString).orNull
+
+  /** `DELETE FROM ... WHERE` shapes with an exact storage-level
+    * equivalent: no filter (truncate — drop every data partition),
+    * a single-column equality or IN list (merge-on-read
+    * [[TxnCatalog.deleteKeys]] — an O(keys) commit, no data rewritten),
+    * or a closed single-column range `c >= lo AND c <= hi`
+    * (skipping-aware [[TxnCatalog.deleteWhere]] rewrite). Everything
+    * else is refused via canDeleteWhere, so Spark reports the shape
+    * unsupported instead of silently deleting wrong rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val s = SparkSession.active
+    deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
+      s"unsupported DELETE shape: ${filters.mkString(", ")}"))(s)
+    ()
+  }
+
+  private def deletePlan(
+      filters: Array[Filter]): Option[SparkSession => Unit] =
+    filters.toSeq match {
+      case Nil | Seq(sources.AlwaysTrue()) => Some { s =>
+        // truncate leaves an EMPTY table (schema preserved), never a
+        // missing one: one commit swaps every data partition for a
+        // zero-row batch
+        val empty = s.createDataFrame(
+          s.sparkContext.emptyRDD[Row], tableSchema).repartition(1)
+        TxnCatalog.snapshot(s, root).foreach { snap =>
+          if (snap.entries.contains((table, TxnCatalog.Whole)))
+            TxnCatalog.commit(s, root, Seq((table, empty)))
+          else
+            TxnCatalog.commitPartitions(s, root,
+              Seq((table, s"batch=trunc${snap.txn + 1}", empty)),
+              drops = snap.partitions(table).map((table, _)))
+        }
+        ()
+      }
+      case Seq(sources.EqualTo(c, v)) if v != null => Some { s =>
+        TxnCatalog.deleteKeys(s, root, table, c, keysDf(s, c, Seq(v)))
+        ()
+      }
+      case Seq(sources.In(c, vs)) if vs.nonEmpty && vs.forall(_ != null) =>
+        Some { s =>
+          TxnCatalog.deleteKeys(s, root, table, c, keysDf(s, c, vs.toSeq))
+          ()
+        }
+      case Seq(sources.GreaterThanOrEqual(c1, lo),
+          sources.LessThanOrEqual(c2, hi)) if c1 == c2 => Some { s =>
+        TxnCatalog.deleteWhere(s, root, table, c1, lo, hi)
+        ()
+      }
+      case Seq(sources.LessThanOrEqual(c2, hi),
+          sources.GreaterThanOrEqual(c1, lo)) if c1 == c2 => Some { s =>
+        TxnCatalog.deleteWhere(s, root, table, c1, lo, hi)
+        ()
+      }
+      case _ => None
+    }
+
+  /** The typed key-list frame an equality DELETE subtracts (the
+    * filter's JVM values already carry the column's external type). */
+  private def keysDf(s: SparkSession, c: String, vs: Seq[Any]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(vs.map(Row(_)), 1),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField(c, tableSchema(c).dataType))))
 
   override def schema(): StructType = tableSchema
 

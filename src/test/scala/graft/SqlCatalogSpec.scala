@@ -115,6 +115,35 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("DELETE FROM supports equality, IN, closed ranges, and truncate") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 2).map(b => ("t", s"b=$b",
+          (b * 50 until (b + 1) * 50).map(i => (i.toLong, i * 1.0))
+            .toDF("k", "v"))),
+        statsColumns = Seq("k", "v"))
+      s2.sql("DELETE FROM lake.default.t WHERE k = 7")
+      s2.sql("DELETE FROM lake.default.t WHERE k IN (11, 13, 999)")
+      s2.sql("DELETE FROM lake.default.t WHERE k >= 90 AND k <= 94")
+      val got = s2.sql("SELECT k FROM lake.default.t ORDER BY k")
+        .as[Long].collect()
+      assert(got === (0L until 100L)
+        .filterNot(Set(7L, 11L, 13L)).filterNot(k => k >= 90L && k <= 94L)
+        .toArray)
+      // an untranslatable shape is refused, not mis-deleted
+      intercept[Exception] {
+        s2.sql("DELETE FROM lake.default.t WHERE k % 2 = 0")
+      }
+      assert(s2.sql("SELECT count(*) FROM lake.default.t")
+        .collect().head.getLong(0) === 92L)
+      // truncate
+      s2.sql("DELETE FROM lake.default.t")
+      assert(s2.sql("SELECT count(*) FROM lake.default.t")
+        .collect().head.getLong(0) === 0L)
+    }
+  }
+
   test("merge-on-read deletes apply through the SQL read path") {
     withCatalog { (s2, root) =>
       import s2.implicits._
