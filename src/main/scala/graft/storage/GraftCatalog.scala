@@ -257,6 +257,15 @@ private[storage] final class GraftSqlTable(root: String, table: String,
 
   override def schema(): StructType = tableSchema
 
+  /** [[TxnCatalog.tableProperties]] surfaced to SQL —
+    * `SHOW TBLPROPERTIES` lists owner tags and `constraint.*` CHECKs. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    TxnCatalog.tableProperties(SparkSession.active, root, table)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)

@@ -115,6 +115,21 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("SHOW TBLPROPERTIES surfaces TxnCatalog properties and constraints") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b=0", Seq((1L, 5.0)).toDF("k", "v"))))
+      TxnCatalog.setTableProperties(s2, root, "t",
+        Map("team" -> "etl", "constraint.pos" -> "v > 0"))
+      // note: RESERVED Spark property names (owner, comment, ...) are
+      // filtered from SHOW TBLPROPERTIES by the engine
+      val props = s2.sql("SHOW TBLPROPERTIES lake.default.t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props === Map("team" -> "etl", "constraint.pos" -> "v > 0"))
+    }
+  }
+
   test("DELETE FROM supports equality, IN, closed ranges, and truncate") {
     withCatalog { (s2, root) =>
       import s2.implicits._
