@@ -70,9 +70,10 @@ object TwinCommit {
           statsColumns = statsColumns, bloomColumns = bloomColumns)(hook)
         return
       } catch {
-        case _: java.io.IOException if attempts < 5 =>
-        // lost the txn-number race to a concurrent append of another
-        // batch — re-resolve the manifest and retry this batch
+        case _: java.io.IOException if attempts < 20 =>
+          // lost the txn-number race to a concurrent append of another
+          // batch — back off a beat, re-resolve the manifest, retry
+          Thread.sleep(math.min(200L, attempts * 20L))
       }
     }
   }

@@ -998,8 +998,10 @@ object TxnCatalog {
           statsColumns = statsColumns, bloomColumns = bloomColumns)
         return
       } catch {
-        case _: java.io.IOException if attempts < 5 =>
-        // lost the race to another batch's append — re-check and retry
+        case _: java.io.IOException if attempts < 20 =>
+          // lost the txn-number race to another batch's append: back off
+          // a beat (un-herds N writers racing the same number) and retry
+          Thread.sleep(math.min(200L, attempts * 20L))
       }
     }
   }

@@ -120,6 +120,37 @@ class BulkCommitSpec extends GraftSuite {
     }
   }
 
+  test("concurrent appendBatch writers all land exactly once") {
+    val root = tmp()
+    TxnCatalog.commitPartitions(spark, root, Seq(
+      ("t", "batch=seed", Seq((0L, 0)).toDF("id", "grp"))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (1 to 8).map { w =>
+        new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            TxnCatalog.appendBatch(spark, root, "t", s"w$w",
+              Seq((w.toLong, w)).toDF("id", "grp"),
+              statsColumns = Seq("id"))
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    } finally pool.shutdown()
+    // every writer's batch landed exactly once, behind distinct txns
+    val parts = TxnCatalog.partitions(spark, root, "t")
+    assert(parts.toSet === (1 to 8).map(w => s"batch=w$w").toSet + "batch=seed")
+    assert(TxnCatalog.read(spark, root, "t").get
+      .select("id").distinct().count() === 9L)
+    assert(TxnCatalog.currentTxn(spark, root).get === 9L,
+      "8 racing appends must serialize into 8 txns")
+    // replay of an already-committed id is a no-op
+    TxnCatalog.appendBatch(spark, root, "t", "w3",
+      Seq((99L, 99)).toDF("id", "grp"))
+    assert(TxnCatalog.currentTxn(spark, root).get === 9L)
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 9L)
+  }
+
   test("vacuum reclaims crashed bulk staging dirs outside the retention window") {
     val root = tmp()
     TxnCatalog.commitPartitioned(spark, root, "t",
