@@ -142,10 +142,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       true
     }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` — schema evolution the manifest
+    * way: commit one zero-row batch carrying the WIDENED schema; the
+    * merged-footer read surfaces the new columns as null on every older
+    * partition, exactly like an evolved append would. `SET/UNSET
+    * TBLPROPERTIES` maps to [[TxnCatalog.setTableProperties]] (CHECK
+    * constraints included — adding `constraint.*` validates existing
+    * rows first). Other changes are refused. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; use TxnCatalog.setTableProperties")
+      changes: TableChange*): Table = {
+    checkNs(ident.namespace())
+    val t = ident.name()
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val setProps = changes.collect {
+      case p: TableChange.SetProperty => p.property -> p.value
+      case p: TableChange.RemoveProperty => p.property -> ""
+    }
+    require(adds.size + setProps.size == changes.size,
+      "only ADD COLUMN(S) and SET/UNSET TBLPROPERTIES are supported; " +
+        s"got: ${changes.mkString(", ")}")
+    if (setProps.nonEmpty)
+      TxnCatalog.setTableProperties(spark, root, t, setProps.toMap)
+    val base = TxnCatalog.snapshot(spark, root)
+      .flatMap(_.read(t)).map(_.schema)
+      .getOrElse(throw new NoSuchTableException(ident))
+    if (adds.isEmpty) return new GraftSqlTable(root, t, base)
+    require(!TxnCatalog.snapshot(spark, root)
+        .exists(_.entries.contains((t, TxnCatalog.Whole))),
+      "ADD COLUMN needs a partitioned table (whole-table snapshots " +
+        "rewrite through TxnCatalog.commit)")
+    val fresh = adds.map { a =>
+      require(a.fieldNames().length == 1,
+        s"nested column adds are not supported: ${a.fieldNames().mkString(".")}")
+      require(a.isNullable,
+        s"added column ${a.fieldNames()(0)} must be nullable " +
+          "(existing rows have no value for it)")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType(), nullable = true)
+    }
+    fresh.foreach(f => require(!base.fieldNames.contains(f.name),
+      s"column ${f.name} already exists"))
+    val widened = StructType(base.fields.toSeq ++ fresh)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], widened).repartition(1)
+    val txn = TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1
+    TxnCatalog.commitPartitions(spark, root,
+      Seq((t, s"batch=schema$txn", empty)))
+    new GraftSqlTable(root, t, widened)
+  }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported")

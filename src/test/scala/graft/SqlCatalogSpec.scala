@@ -159,6 +159,32 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN evolves the schema; old rows read null") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b=0", Seq((1L, "a")).toDF("k", "v"))))
+      s2.sql("ALTER TABLE lake.default.t ADD COLUMN score DOUBLE")
+      val rows = s2.sql("SELECT k, v, score FROM lake.default.t").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))) === Array((1L, "a")))
+      assert(rows.head.isNullAt(2), "pre-evolution rows read null")
+      s2.sql("INSERT INTO lake.default.t VALUES (2, 'b', 4.5)")
+      assert(s2.sql(
+        "SELECT score FROM lake.default.t WHERE k = 2")
+        .collect().head.getDouble(0) === 4.5)
+      // properties through ALTER ... SET TBLPROPERTIES
+      s2.sql("ALTER TABLE lake.default.t SET TBLPROPERTIES ('team' = 'ml')")
+      assert(TxnCatalog.tableProperties(s2, root, "t")("team") === "ml")
+      // unsupported change shapes are refused
+      intercept[Exception] {
+        s2.sql("ALTER TABLE lake.default.t DROP COLUMN v")
+      }
+      intercept[Exception] {
+        s2.sql("ALTER TABLE lake.default.t ADD COLUMN nn BIGINT NOT NULL")
+      }
+    }
+  }
+
   test("merge-on-read deletes apply through the SQL read path") {
     withCatalog { (s2, root) =>
       import s2.implicits._
