@@ -61,10 +61,23 @@ object VectorLake {
     // replay the full k-means
     val cells = v.join(assigned.select(col("id"), col("cluster").as(CellCol)),
       Seq(IdCol)).localCheckpoint()
+    // a REBUILD swaps out every live index partition — cells of any
+    // previous build, append generations, and the old router — in the
+    // SAME txn, so stale cells from a different k or appended
+    // generations can never linger beside the fresh tiling
+    val stale = TxnCatalog.snapshot(spark, root).map { snap =>
+      snap.partitions(table).map((table, _)) ++
+        snap.partitions(centroidsTable(table))
+          .map((centroidsTable(table), _))
+    }.getOrElse(Nil)
     TxnCatalog.commitPartitioned(spark, root, table, cells, CellCol,
       statsColumns = Seq(CellCol),
       extraUpdates = Seq((centroidsTable(table), "all",
-        cents.select(col("cid"), col("ce")))))
+        cents.select(col("cid"), col("ce")))),
+      drops = stale.filterNot { case (t, p) =>
+        // entries this commit replaces by name drop implicitly
+        t == centroidsTable(table) && p == "all"
+      })
   }
 
   /** Incrementally index NEW vectors: route each to the EXISTING
@@ -96,8 +109,13 @@ object VectorLake {
             + c.getField("cn")).as("d"),
           c.getField("cid").as("cid")))))
       .select(col(IdCol), col(VecCol), col("best.cid").as(CellCol))
+    // the generation name carries a nonce beside the txn: two appends
+    // racing from the same pinned snapshot then land DISTINCT
+    // partitions instead of the later one silently replacing the
+    // earlier one's same-named entries
+    val nonce = java.util.UUID.randomUUID().toString.take(4)
     TxnCatalog.commitPartitioned(spark, root, table, assigned, CellCol,
-      statsColumns = Seq(CellCol), partPrefix = s"g${snap.txn + 1}-")
+      statsColumns = Seq(CellCol), partPrefix = s"g${snap.txn + 1}$nonce-")
   }
 
   /** The `nProbe` cells nearest to `q`, in (distance, cid) order — the
@@ -106,10 +124,16 @@ object VectorLake {
     * use the same sequential-fold dot product as the SQL side, so the
     * ranking is bit-identical to `list_dot_product` arithmetic. */
   def probeCells(spark: SparkSession, root: String, table: String,
+      q: Seq[Double], nProbe: Int): Seq[Long] =
+    probeCells(snapshotOf(spark, root), table, q, nProbe)
+
+  /** [[probeCells]] against a PINNED snapshot — [[query]] threads one
+    * snapshot through routing AND reading, so a rebuild committed
+    * between the two steps can never mix one generation's centroids
+    * with another's cells. */
+  def probeCells(snap: TxnCatalog.Snapshot, table: String,
       q: Seq[Double], nProbe: Int): Seq[Long] = {
     require(nProbe > 0, "nProbe must be positive")
-    val snap = TxnCatalog.snapshot(spark, root).getOrElse(
-      throw new IllegalArgumentException(s"no catalog at $root"))
     val cents = snap.read(centroidsTable(table)).getOrElse(
       throw new IllegalArgumentException(
         s"no centroid table for '$table' — build the index first"))
@@ -122,6 +146,10 @@ object VectorLake {
     }.sorted.take(nProbe).map(_._2)
   }
 
+  private def snapshotOf(spark: SparkSession, root: String) =
+    TxnCatalog.snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no catalog at $root"))
+
   /** ANN top-k: route `q` to its `nProbe` nearest cells, read ONLY those
     * partitions (manifest-pruned `readWhereIn` on the cell column), and
     * exact-rerank by cosine — (id, cluster, sim, rank), best first.
@@ -130,8 +158,9 @@ object VectorLake {
   def query(spark: SparkSession, root: String, table: String,
       q: Seq[Double], nProbe: Int, topK: Int): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val probes = probeCells(spark, root, table, q, nProbe)
-    val snap = TxnCatalog.snapshot(spark, root).get
+    // ONE snapshot for routing and reading (atomic-rebuild safety)
+    val snap = snapshotOf(spark, root)
+    val probes = probeCells(snap, table, q, nProbe)
     val cand = snap.readWhereIn(table, CellCol, probes).getOrElse(
       throw new IllegalArgumentException(s"no vector table '$table'"))
     val qArr: Column = array(q.map(lit): _*)

@@ -222,14 +222,16 @@ final class ManifestFileIndex(
     try {
       (st.kind, v) match {
         case ("n", n: Number) =>
-          val (bound, x) =
-            if (ge) (st.max.toDouble, n.doubleValue())
-            else (-st.min.toDouble, -n.doubleValue())
-          // NaN extremes: Spark sorts NaN greatest, so a NaN bound can
-          // satisfy any probe — keep (mirrors columnBounds' None)
-          if (bound.isNaN || x.isNaN) true
-          else if (strict) bound > x
-          else bound >= x
+          // exact decimal compare: double rounding would let a strict
+          // probe wrongly prune near 2^53 (stat "9007199254740993" vs
+          // probe 9007199254740992L both round to the same double);
+          // NaN/Infinity renderings throw -> conservative keep, which
+          // also matches Spark sorting NaN greatest
+          val probe = exactDecimal(n).getOrElse(return true)
+          val cmp =
+            if (ge) new java.math.BigDecimal(st.max).compareTo(probe)
+            else probe.compareTo(new java.math.BigDecimal(st.min))
+          if (strict) cmp > 0 else cmp >= 0
         case ("s", s: String) =>
           // ge: need max >= s (strict: max > s); le: need min <= s
           if (ge) {
@@ -246,6 +248,20 @@ final class ManifestFileIndex(
         case _ => true
       }
     } catch { case NonFatal(_) => true }
+
+  /** A Number probe as an exact BigDecimal; None for NaN/Infinity (no
+    * decimal form — keep the partition). */
+  private def exactDecimal(n: Number): Option[java.math.BigDecimal] =
+    n match {
+      case d: java.lang.Double if d.isNaN || d.isInfinite => None
+      case f: java.lang.Float if f.isNaN || f.isInfinite => None
+      case d: java.lang.Double =>
+        Some(new java.math.BigDecimal(java.lang.Double.toString(d)))
+      case f: java.lang.Float =>
+        Some(new java.math.BigDecimal(java.lang.Float.toString(f)))
+      case b: java.math.BigDecimal => Some(b)
+      case other => Some(java.math.BigDecimal.valueOf(other.longValue()))
+    }
 
   private def mayEq(st: ColStat, v: Any): Boolean =
     try TxnCatalog.mayOverlap(st, v, v) && TxnCatalog.bloomMayContain(st, v)

