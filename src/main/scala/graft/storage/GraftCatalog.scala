@@ -71,10 +71,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     checkNs(ident.namespace())
     val t = ident.name()
-    val schema = TxnCatalog.snapshot(spark, root)
-      .flatMap(_.read(t)).map(_.schema)
+    // pin the snapshot HERE: every scan this statement plans reads one
+    // txn (a self-join can never mix table versions), and the merged
+    // schema is computed once per (root, table, txn) via the cache
+    val snap = TxnCatalog.snapshot(spark, root)
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftSqlTable(root, t, schema)
+    val schema = GraftLake.schemaOf(spark, root, t, snap)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftSqlTable(root, t, schema, asOfTxn = Some(snap.txn))
   }
 
   /** `VERSION AS OF <txn>` — the table pinned at a committed txn. */
@@ -85,7 +89,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft versions are txn numbers, got '$version'"))
     val t = ident.name()
     val snap = TxnCatalog.snapshotAt(spark, root, txn)
-    val schema = snap.read(t).map(_.schema)
+    val schema = GraftLake.schemaOf(spark, root, t, snap)
       .getOrElse(throw new NoSuchTableException(ident))
     new GraftSqlTable(root, t, schema, asOfTxn = Some(txn))
   }
@@ -95,17 +99,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * the commit clock: the rename that publishes a txn stamps it). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     checkNs(ident.namespace())
-    // DSv2 hands micros-since-epoch
+    // DSv2 hands micros-since-epoch; ONE listStatus yields every
+    // (txn, mtime) pair — never a stat call per committed txn
     val cutoffMs = timestamp / 1000L
     val hconf = spark.sparkContext.hadoopConfiguration
     val tdir = new org.apache.hadoop.fs.Path(s"$root/_txns")
     val fs = tdir.getFileSystem(hconf)
-    val txns = TxnCatalog.txns(spark, root)
-    val at = txns.filter { t =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(tdir, t.toString))
-        .getModificationTime <= cutoffMs
-    }.lastOption.getOrElse(throw new IllegalArgumentException(
-      s"no txn committed at or before timestamp $cutoffMs ms"))
+    val at = fs.listStatus(tdir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .flatMap(st => st.getPath.getName.toLongOption
+        .map(_ -> st.getModificationTime))
+      .filter(_._2 <= cutoffMs).map(_._1).sorted.lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no txn committed at or before timestamp $cutoffMs ms"))
     loadTable(ident, at.toString)
   }
 
@@ -128,6 +134,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema).repartition(1)
     TxnCatalog.commitPartitions(spark, root, Seq((t, "batch=init", empty)))
+    // user TBLPROPERTIES (constraints included) must not be silently
+    // dropped; Spark's reserved/engine-supplied keys are not ours to keep
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+    val user = properties.asScala.toMap
+      .filterNot { case (k, _) =>
+        reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+    if (user.nonEmpty) TxnCatalog.setTableProperties(spark, root, t, user)
     new GraftSqlTable(root, t, schema)
   }
 
@@ -162,14 +179,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(adds.size + setProps.size == changes.size,
       "only ADD COLUMN(S) and SET/UNSET TBLPROPERTIES are supported; " +
         s"got: ${changes.mkString(", ")}")
-    if (setProps.nonEmpty)
-      TxnCatalog.setTableProperties(spark, root, t, setProps.toMap)
-    val base = TxnCatalog.snapshot(spark, root)
-      .flatMap(_.read(t)).map(_.schema)
+    val snap0 = TxnCatalog.snapshot(spark, root)
       .getOrElse(throw new NoSuchTableException(ident))
-    if (adds.isEmpty) return new GraftSqlTable(root, t, base)
-    require(!TxnCatalog.snapshot(spark, root)
-        .exists(_.entries.contains((t, TxnCatalog.Whole))),
+    val base = GraftLake.schemaOf(spark, root, t, snap0)
+      .getOrElse(throw new NoSuchTableException(ident))
+    // validate EVERY change before applying ANY (no partial ALTER)
+    require(adds.isEmpty || !snap0.entries.contains((t, TxnCatalog.Whole)),
       "ADD COLUMN needs a partitioned table (whole-table snapshots " +
         "rewrite through TxnCatalog.commit)")
     val fresh = adds.map { a =>
@@ -183,6 +198,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     fresh.foreach(f => require(!base.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))
+    if (setProps.nonEmpty)
+      TxnCatalog.setTableProperties(spark, root, t, setProps.toMap)
+    if (adds.isEmpty) return new GraftSqlTable(root, t, base)
     val widened = StructType(base.fields.toSeq ++ fresh)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], widened).repartition(1)
@@ -270,11 +288,15 @@ private[storage] final class GraftSqlTable(root: String, table: String,
         }
         ()
       }
-      case Seq(sources.EqualTo(c, v)) if v != null => Some { s =>
+      // equality shapes ride merge-on-read deleteKeys, which refuses
+      // whole-table snapshots — report those UNSUPPORTED up front so
+      // Spark errors at planning, not mid-execution
+      case Seq(sources.EqualTo(c, v)) if v != null && !holdsWhole => Some { s =>
         TxnCatalog.deleteKeys(s, root, table, c, keysDf(s, c, Seq(v)))
         ()
       }
-      case Seq(sources.In(c, vs)) if vs.nonEmpty && vs.forall(_ != null) =>
+      case Seq(sources.In(c, vs)) if vs.nonEmpty && vs.forall(_ != null) &&
+          !holdsWhole =>
         Some { s =>
           TxnCatalog.deleteKeys(s, root, table, c, keysDf(s, c, vs.toSeq))
           ()
@@ -291,6 +313,10 @@ private[storage] final class GraftSqlTable(root: String, table: String,
       }
       case _ => None
     }
+
+  private def holdsWhole: Boolean =
+    TxnCatalog.snapshot(SparkSession.active, root)
+      .exists(_.entries.contains((table, TxnCatalog.Whole)))
 
   /** The typed key-list frame an equality DELETE subtracts (the
     * filter's JVM values already carry the column's external type). */
@@ -364,10 +390,26 @@ private[storage] final class GraftSqlTable(root: String, table: String,
                       df)),
                     drops = snap.get.partitions(table).map((table, _)))
               } else {
-                if (isWhole)
-                  TxnCatalog.commit(s, root, Seq((table,
-                    snap.get.read(table).get.unionByName(df))))
-                else
+                if (isWhole) {
+                  // read-union-commit is a read-modify-write: make it
+                  // CONDITIONAL on the read snapshot and retry on a
+                  // rival commit, or two INSERTs silently lose one
+                  var attempts = 0
+                  var done = false
+                  while (!done) {
+                    val cur = TxnCatalog.snapshot(s, root).get
+                    attempts += 1
+                    try {
+                      TxnCatalog.commit(s, root, Seq((table,
+                        cur.read(table).get.unionByName(df))),
+                        expectedTxn = Some(cur.txn))
+                      done = true
+                    } catch {
+                      case _: java.io.IOException if attempts < 20 =>
+                        Thread.sleep(math.min(200L, attempts * 20L))
+                    }
+                  }
+                } else
                   TxnCatalog.appendBatch(s, root, table,
                     java.util.UUID.randomUUID().toString.take(8), df)
               }

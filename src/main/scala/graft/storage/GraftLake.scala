@@ -38,13 +38,34 @@ object GraftLake {
     * result still reach each group's FileSourceScanExec (Catalyst
     * pushes through union and anti-join), so skipping survives
     * merge-on-read. */
+  /** Merged footer schema of `table` at `snap`, CACHED per
+    * (root, table, txn): a committed txn's schema is immutable, and the
+    * merge otherwise opens every partition's footers — paying that once
+    * per txn instead of twice per SQL statement (analysis + scan) is
+    * the difference at 10k partitions. None if the table is absent. */
+  def schemaOf(spark: SparkSession, root: String, table: String,
+      snap: TxnCatalog.Snapshot): Option[StructType] = {
+    val key = (root, table, snap.txn)
+    Option(schemaCache.get(key)).orElse {
+      val s = snap.read(table).map(_.schema)
+      s.foreach { st =>
+        if (schemaCache.size > 4096) schemaCache.clear() // bounded
+        schemaCache.put(key, st)
+      }
+      s
+    }
+  }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), StructType]()
+
   def tableAt(spark: SparkSession, root: String, table: String,
       snap: TxnCatalog.Snapshot): Option[DataFrame] = {
     val data = snap.dataEntries(table)
     if (data.isEmpty) return None
     // merged footer schema — identical to Snapshot.read's view of the
     // table, so evolved partitions surface added columns as nulls
-    val schema = snap.read(table).get.schema
+    val schema = schemaOf(spark, root, table, snap).get
     composeWithDeletes(spark, snap, table, data,
       parts => relationFrame(spark, root, table, snap, parts, schema,
         streaming = false))

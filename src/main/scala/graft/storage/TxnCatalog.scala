@@ -1106,20 +1106,25 @@ object TxnCatalog {
     * loser deletes only its own staging dirs and throws. A crash before
     * the rename leaves invisible orphans that [[vacuum]] clears. */
   def commit(spark: SparkSession, root: String,
-      updates: Seq[(String, DataFrame)]): Long =
-    commitHooked(spark, root, updates)(() => ())
+      updates: Seq[(String, DataFrame)],
+      expectedTxn: Option[Long] = None): Long =
+    commitHooked(spark, root, updates, expectedTxn)(() => ())
 
   /** [[commit]] with a test-only interleave seam before the manifest
-    * publish (the window a concurrent writer can win the txn number). */
+    * publish (the window a concurrent writer can win the txn number).
+    * `expectedTxn` makes the commit CONDITIONAL on the catalog still
+    * standing at that txn — the read-modify-write guard a
+    * read-union-commit append needs against lost updates. */
   private[graft] def commitHooked(spark: SparkSession, root: String,
-      updates: Seq[(String, DataFrame)])(beforePublish: () => Unit): Long = {
+      updates: Seq[(String, DataFrame)],
+      expectedTxn: Option[Long] = None)(beforePublish: () => Unit): Long = {
     require(updates.nonEmpty, "commit needs at least one table update")
     require(updates.map(_._1).distinct.size == updates.size,
       "duplicate table in one commit")
     updates.foreach { case (t, _) => checkTableName(t) }
     publish(spark, root,
       updates.map { case (t, df) => (t, Whole, df) },
-      statsColumns = Nil, drops = Nil, expectedTxn = None,
+      statsColumns = Nil, drops = Nil, expectedTxn = expectedTxn,
       // a whole-table snapshot supersedes every entry of that table —
       // except its properties, which describe the table, not a snapshot
       reconcile = carried => carried.filterNot { case ((t, p), _) =>

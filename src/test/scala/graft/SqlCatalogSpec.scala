@@ -185,6 +185,44 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("CREATE TABLE keeps its TBLPROPERTIES; constraints enforce from birth") {
+    withCatalog { (s2, root) =>
+      s2.sql("""CREATE TABLE lake.default.c (k BIGINT, v DOUBLE)
+               |TBLPROPERTIES ('constraint.pos' = 'v > 0', 'team' = 'ml')
+               |""".stripMargin)
+      assert(TxnCatalog.tableProperties(s2, root, "c")
+        === Map("constraint.pos" -> "v > 0", "team" -> "ml"))
+      s2.sql("INSERT INTO lake.default.c VALUES (1, 2.5)")
+      intercept[Exception] {
+        s2.sql("INSERT INTO lake.default.c VALUES (2, -1.0)")
+      }
+      assert(s2.sql("SELECT count(*) FROM lake.default.c")
+        .collect().head.getLong(0) === 1L)
+    }
+  }
+
+  test("whole-table tables: INSERT unions without lost rows; equality DELETE refused") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commit(s2, root,
+        Seq(("w", Seq((1L, "a")).toDF("k", "v"))))
+      s2.sql("INSERT INTO lake.default.w VALUES (2, 'b')")
+      s2.sql("INSERT INTO lake.default.w VALUES (3, 'c')")
+      assert(s2.sql("SELECT k FROM lake.default.w ORDER BY k")
+        .as[Long].collect() === Array(1L, 2L, 3L))
+      // equality DELETE would need merge-on-read: refused at planning
+      intercept[Exception] {
+        s2.sql("DELETE FROM lake.default.w WHERE k = 2")
+      }
+      assert(s2.sql("SELECT count(*) FROM lake.default.w")
+        .collect().head.getLong(0) === 3L)
+      // truncate still works on whole-table tables
+      s2.sql("DELETE FROM lake.default.w")
+      assert(s2.sql("SELECT count(*) FROM lake.default.w")
+        .collect().head.getLong(0) === 0L)
+    }
+  }
+
   test("merge-on-read deletes apply through the SQL read path") {
     withCatalog { (s2, root) =>
       import s2.implicits._
