@@ -17,24 +17,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** The lake as a Spark SQL CATALOG: register
   * `spark.sql.catalog.<name> = graft.storage.GraftCatalog` with
   * `spark.sql.catalog.<name>.root = <lake root>` and plain SQL works
-  * against TxnCatalog tables by identifier —
-  * `SELECT ... FROM <name>.default.<table> WHERE ...`,
-  * `INSERT INTO/OVERWRITE`, `CREATE TABLE`, `DROP TABLE` — no
-  * DataFrame code and no view registration.
+  * against TxnCatalog tables by identifier — SELECT (with `VERSION AS
+  * OF <txn>` / `TIMESTAMP AS OF` time travel), INSERT INTO/OVERWRITE,
+  * CREATE/DROP TABLE, DELETE FROM, ALTER TABLE ADD COLUMN and
+  * SET/UNSET TBLPROPERTIES, SHOW TABLES/TBLPROPERTIES — no DataFrame
+  * code and no view registration.
   *
-  * Reads bridge through [[V1Scan]] to a [[GraftLake.table]] frame, so
-  * the pushed-down SQL filters land on the [[ManifestFileIndex]]-backed
-  * relation inside and prune partitions at the manifest exactly like
-  * the DataFrame path (every pushed filter is ALSO declared residual,
-  * so Spark re-applies them post-scan — pruning is an optimization,
-  * never a correctness bet, and shapes the bridge cannot translate are
-  * simply not pushed). Writes bridge through [[V1Write]]:
-  * `INSERT INTO` is one atomic idempotent batch append
-  * ([[TxnCatalog.appendBatch]]), `INSERT OVERWRITE` one whole-table
-  * snapshot commit. CREATE TABLE commits a zero-row schema-bearing
-  * snapshot; DROP TABLE is [[TxnCatalog.dropTable]] (older snapshots
-  * still time-travel to it). Each scan pins the snapshot current at
-  * planning time.
+  * Reads bridge through [[V1Scan]] to a [[GraftLake.tableAsOf]] frame
+  * pinned at the txn `loadTable` resolved (two scans in one statement
+  * can never mix table versions), so the pushed-down SQL filters land
+  * on the [[ManifestFileIndex]]-backed relation inside and prune
+  * partitions at the manifest exactly like the DataFrame path (every
+  * pushed filter is ALSO declared residual, so Spark re-applies them
+  * post-scan — pruning is an optimization, never a correctness bet, and
+  * shapes the bridge cannot translate are simply not pushed). Writes
+  * bridge through [[V1Write]]: `INSERT INTO` is one atomic idempotent
+  * batch append ([[TxnCatalog.appendBatch]]; whole-table tables take a
+  * CONDITIONAL read-union-commit with retry), `INSERT OVERWRITE` an
+  * atomic replace-all-partitions commit (whole-table fallback;
+  * properties survive). CREATE TABLE commits a zero-row schema-bearing
+  * partition and applies its TBLPROPERTIES (CHECK constraints enforce
+  * from birth); DROP TABLE is [[TxnCatalog.dropTable]] (older snapshots
+  * still time-travel to it); DELETE FROM maps equality/IN to
+  * merge-on-read keys, closed ranges to the skipping-aware rewrite, and
+  * no-filter to truncate-to-empty, refusing every other shape at
+  * planning.
   *
   * One flat namespace (`default`) — TxnCatalog roots are already the
   * namespace unit; mount several roots as several catalogs.
