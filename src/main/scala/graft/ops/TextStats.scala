@@ -293,7 +293,10 @@ object Sampling {
     val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
       when(col("__pid") === pid, lit(off)).otherwise(acc)
     }
+    // ROWS frame, explicitly: the default RANGE frame is identical only
+    // while idCol is unique; a duplicate id would silently sum peers.
     val wp = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val len = col(tokenLenCol).cast("long")
     withPart
       .withColumn("__start",

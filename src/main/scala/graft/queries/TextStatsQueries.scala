@@ -387,10 +387,10 @@ object TextStatsQueries extends QueryGroup {
              |                     CAST((st + n - 1) // 512 + 1 AS BIGINT))) AS win
              |      FROM s WHERE n > 0)
              |SELECT doc_id, win AS "window",
-             |  greatest(st, win * 512) - st AS doc_offset,
-             |  greatest(st, win * 512) - win * 512 AS win_offset,
-             |  least(st + n, (win + 1) * 512)
-             |    - greatest(st, win * 512) AS span_len
+             |  CAST(greatest(st, win * 512) - st AS BIGINT) AS doc_offset,
+             |  CAST(greatest(st, win * 512) - win * 512 AS BIGINT) AS win_offset,
+             |  CAST(least(st + n, (win + 1) * 512)
+             |    - greatest(st, win * 512) AS BIGINT) AS span_len
              |FROM w ORDER BY doc_id, win""".stripMargin))
   )
 }

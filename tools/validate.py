@@ -50,6 +50,60 @@ def rows_of(table):
     return cols, [tuple(canon(x) for x in row) for row in zip(*data)]
 
 
+def type_class(t):
+    """Coarse arrow-type class for hash-sensitivity comparison.
+
+    The driver's hash is type/encoding sensitive: DuckDB HUGEINT
+    (decimal128/int128 in arrow) vs Spark INT64 hash-mismatches even when
+    every cell is equal (round-7 x_seq_pack).  canon() reduces both to
+    Python ints, which masked it — so compare coarse type classes too.
+    Classes chosen so that pairs the driver is known to accept (int32 vs
+    int64 widths, float32/64, tz-naive vs tz-aware timestamps) collapse,
+    while int-vs-hugeint/decimal/string splits stay visible.
+    """
+    import pyarrow as pa
+    if pa.types.is_decimal(t):
+        # Decimal canonicalizes to float driver-side (g_reproject_utm18s:
+        # double vs decimal(24,1) is driver-green), so decimal and float
+        # share a class; int-vs-decimal (HUGEINT) does NOT ("1024" vs
+        # "1024.0") — that is the x_seq_pack failure shape.
+        return "float"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", type_class(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct",) + tuple(
+            (f.name, type_class(f.type)) for f in t)
+    if pa.types.is_map(t):
+        return ("map", type_class(t.key_type), type_class(t.item_type))
+    return str(t)
+
+
+def type_mismatches(got_tbl, exp_tbl):
+    """Columns whose coarse type class differs spark-vs-duck."""
+    gs = {f.name: f.type for f in got_tbl.schema}
+    es = {f.name: f.type for f in exp_tbl.schema}
+    out = []
+    for c in sorted(set(gs) & set(es)):
+        a, b = type_class(gs[c]), type_class(es[c])
+        if a != b:
+            out.append((c, str(gs[c]), str(es[c])))
+    return out
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -79,6 +133,13 @@ def main():
         ec, er = rows_of(exp_tbl)
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} duck={ec}")
+            failures += 1
+            continue
+        tm = type_mismatches(got_tbl, exp_tbl)
+        if tm:
+            print(f"FAIL {name}: result-type class mismatch "
+                  f"(driver hash is type-sensitive): " +
+                  "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in tm))
             failures += 1
             continue
         if len(gr) != len(er):
