@@ -40,9 +40,10 @@ object TwinCommit {
   def append(spark: SparkSession, root: String, batchId: String,
       a: DataFrame, tableA: String, b: DataFrame, tableB: String,
       statsColumns: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil): Unit =
+      bloomColumns: Seq[String] = Nil,
+      ledger: Option[(String, Long)] = None): Unit =
     appendHooked(spark, root, batchId, a, tableA, b, tableB,
-      statsColumns, bloomColumns)(() => ())
+      statsColumns, bloomColumns, ledger)(() => ())
 
   /** [[append]] with a test-only interleave seam before the FIRST
     * attempt's manifest publish (the window a concurrent append of a
@@ -54,20 +55,35 @@ object TwinCommit {
   private[graft] def appendHooked(spark: SparkSession, root: String,
       batchId: String, a: DataFrame, tableA: String, b: DataFrame,
       tableB: String, statsColumns: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil)(beforeFirstPublish: () => Unit): Unit = {
+      bloomColumns: Seq[String] = Nil,
+      ledger: Option[(String, Long)] = None)(
+      beforeFirstPublish: () => Unit): Unit = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
     var attempts = 0
     while (true) {
-      // committed replay — exactly-once no-op (manifest publish was
-      // all-or-nothing, so presence in tableA implies presence in tableB)
-      if (TxnCatalog.partitions(spark, root, tableA).contains(part(batchId)))
-        return
       attempts += 1
       try {
         val hook = if (attempts == 1) beforeFirstPublish else () => ()
-        TxnCatalog.commitPartitionsHooked(spark, root, Seq(
-          (tableA, part(batchId), a), (tableB, part(batchId), b)),
-          statsColumns = statsColumns, bloomColumns = bloomColumns)(hook)
+        ledger match {
+          case None =>
+            // committed replay — exactly-once no-op (manifest publish was
+            // all-or-nothing: presence in tableA implies presence in
+            // tableB). Partition-name evidence is only safe while no
+            // maintenance renames batch partitions — a sink running
+            // inline compaction/clustering must pass `ledger`.
+            if (TxnCatalog.partitions(spark, root, tableA)
+                .contains(part(batchId))) return
+            TxnCatalog.commitPartitionsHooked(spark, root, Seq(
+              (tableA, part(batchId), a), (tableB, part(batchId), b)),
+              statsColumns = statsColumns, bloomColumns = bloomColumns)(hook)
+          case Some((appId, version)) =>
+            // durable replay evidence: the (appId → version) ledger on
+            // tableA rides the same manifest CAS as both tables' data,
+            // so it survives compaction/clustering renaming `batch=*`
+            TxnCatalog.appendLedgered(spark, root, Seq(
+              (tableA, part(batchId), a), (tableB, part(batchId), b)),
+              tableA, appId, version, statsColumns, bloomColumns)(hook)
+        }
         return
       } catch {
         case _: java.io.IOException if attempts < 20 =>

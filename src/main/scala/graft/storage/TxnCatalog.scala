@@ -465,7 +465,11 @@ object TxnCatalog {
       * for numeric columns, a String pair for string columns. */
     def partitionsWhere(table: String, column: String,
         lo: Any, hi: Any): Seq[String] = entries.toSeq.collect {
-      case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
+      // internal entries (`~p` properties, delete key lists) are not
+      // data: stat-less, they would otherwise be conservatively KEPT
+      // and pollute the merged read schema with their key/value columns
+      case ((t, p), e) if t == table && p != Whole && !p.startsWith("~") &&
+        e.deleteKey.isEmpty &&
         e.stats.get(column).forall(mayOverlap(_, lo, hi)) => p
     }.sorted
 
@@ -477,7 +481,8 @@ object TxnCatalog {
       * entry). */
     def partitionsWhereAll(table: String,
         bounds: Seq[(String, Any, Any)]): Seq[String] = entries.toSeq.collect {
-      case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
+      case ((t, p), e) if t == table && p != Whole && !p.startsWith("~") &&
+        e.deleteKey.isEmpty &&
         bounds.forall { case (c, lo, hi) =>
           e.stats.get(c).forall(mayOverlap(_, lo, hi)) } => p
     }.sorted
@@ -512,7 +517,8 @@ object TxnCatalog {
       * entries are always kept (conservative, like [[partitionsWhere]]). */
     def partitionsWhereEq(table: String, column: String,
         value: Any): Seq[String] = entries.toSeq.collect {
-      case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
+      case ((t, p), e) if t == table && p != Whole && !p.startsWith("~") &&
+        e.deleteKey.isEmpty &&
         e.stats.get(column).forall(st =>
           mayOverlap(st, value, value) && bloomMayContain(st, value)) => p
     }.sorted
@@ -548,7 +554,8 @@ object TxnCatalog {
         values: Seq[Any]): Seq[String] = {
       require(values.nonEmpty, "partitionsWhereIn needs at least one value")
       entries.toSeq.collect {
-        case ((t, p), e) if t == table && p != Whole && e.deleteKey.isEmpty &&
+        case ((t, p), e) if t == table && p != Whole && !p.startsWith("~") &&
+          e.deleteKey.isEmpty &&
           values.exists(v => e.stats.get(column).forall(st =>
             mayOverlap(st, v, v) && bloomMayContain(st, v))) => p
       }.sorted
@@ -857,15 +864,19 @@ object TxnCatalog {
       require(f.exists(new Path(txnsDir(root), t.toString)),
         s"txn $t is not committed (or already vacuumed) under $root")
     val (from, to) = (manifest(f, root, fromTxn), manifest(f, root, toTxn))
+    // `~p` properties churn is metadata, not a change a consumer reads
+    // back (ledgered streaming appends update it every batch); delete
+    // entries (`~d*`) stay visible — they ARE the CDC surface
     val changes =
       to.collect {
-        case (k, _) if !from.contains(k) =>
+        case (k, _) if k._2 != PropsPartition && !from.contains(k) =>
           EntryChange(k._1, k._2, "added")
-        case (k, e) if from(k).dir != e.dir =>
+        case (k, e) if k._2 != PropsPartition && from(k).dir != e.dir =>
           EntryChange(k._1, k._2, "updated")
       } ++
-      from.collect { case (k, _) if !to.contains(k) =>
-        EntryChange(k._1, k._2, "removed")
+      from.collect {
+        case (k, _) if k._2 != PropsPartition && !to.contains(k) =>
+          EntryChange(k._1, k._2, "removed")
       }
     changes.toSeq.sortBy(c => (c.table, c.partition))
   }
@@ -986,16 +997,23 @@ object TxnCatalog {
   def appendBatch(spark: SparkSession, root: String, table: String,
       batchId: String, df: DataFrame,
       statsColumns: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil): Unit = {
+      bloomColumns: Seq[String] = Nil,
+      ledger: Option[(String, Long)] = None): Unit = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
     val part = s"batch=$batchId"
     var attempts = 0
     while (true) {
-      if (partitions(spark, root, table).contains(part)) return
       attempts += 1
       try {
-        commitPartitions(spark, root, Seq((table, part, df)),
-          statsColumns = statsColumns, bloomColumns = bloomColumns)
+        ledger match {
+          case None =>
+            if (partitions(spark, root, table).contains(part)) return
+            commitPartitions(spark, root, Seq((table, part, df)),
+              statsColumns = statsColumns, bloomColumns = bloomColumns)
+          case Some((appId, version)) =>
+            appendLedgered(spark, root, Seq((table, part, df)),
+              table, appId, version, statsColumns, bloomColumns)(() => ())
+        }
         return
       } catch {
         case _: java.io.IOException if attempts < 20 =>
@@ -1004,6 +1022,66 @@ object TxnCatalog {
           Thread.sleep(math.min(200L, attempts * 20L))
       }
     }
+  }
+
+  /** Property-key prefix of streaming-sink idempotence ledger entries:
+    * `graft.stream.<appId>` → the highest batch version that app has
+    * applied to the table — Delta's txn appId/version pattern. The
+    * ledger is the replay evidence that SURVIVES reorganization:
+    * partition-existence (`batch=<id>` in the manifest) breaks the
+    * moment inline compaction/clustering folds batch partitions into
+    * `c*`/`z*` names, so a post-crash foreachBatch redelivery would
+    * re-append already-folded rows. The ledger rides the SAME manifest
+    * CAS as the data, so data-landed and version-recorded are one
+    * atomic fact. */
+  val LedgerPrefix = "graft.stream."
+  private def ledgerKey(appId: String) = LedgerPrefix + appId
+
+  /** Highest batch version `appId` has applied to `table`, if any. */
+  def lastLedgerVersion(spark: SparkSession, root: String, table: String,
+      appId: String): Option[Long] =
+    snapshot(spark, root)
+      .flatMap(_.properties(table).get(ledgerKey(appId)))
+      .map(_.toLong)
+
+  /** Commit `updates` and the ledger fact "`appId` has applied
+    * `version` to `ledgerTable`" in ONE atomic manifest publish,
+    * conditional on the pinned snapshot (rivals force an IOException;
+    * callers retry). Returns false — committing nothing — when the
+    * ledger already records `version` (or later): the replayed batch
+    * was applied before, whatever names its partitions carry NOW. */
+  private[graft] def appendLedgered(spark: SparkSession, root: String,
+      updates: Seq[(String, String, DataFrame)],
+      ledgerTable: String, appId: String, version: Long,
+      statsColumns: Seq[String], bloomColumns: Seq[String])(
+      beforePublish: () => Unit): Boolean = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    updates.foreach { case (t, p, _) =>
+      checkTableName(t); checkPartitionName(p)
+    }
+    checkTableName(ledgerTable)
+    val snap = snapshot(spark, root)
+    val props = snap.map(_.properties(ledgerTable)).getOrElse(Map.empty)
+    if (props.get(ledgerKey(appId)).exists(_.toLong >= version)) return false
+    val merged = props + (ledgerKey(appId) -> version.toString)
+    val kv = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merged.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))))
+    publish(spark, root, updates :+ ((ledgerTable, PropsPartition, kv)),
+      statsColumns, drops = Nil,
+      expectedTxn = Some(snap.map(_.txn).getOrElse(0L)),
+      reconcile = carried => {
+        updates.map(_._1).distinct.foreach { t =>
+          require(!carried.contains((t, Whole)),
+            s"table '$t' holds a whole-table snapshot; partition commits " +
+              "need a partitioned table (or a whole-table commit to replace it)")
+        }
+        carried
+      }, bloomColumns = bloomColumns)(beforePublish)
+    true
   }
 
   /** Drop `table` entirely — every data, delete, and properties entry —

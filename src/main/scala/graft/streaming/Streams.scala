@@ -129,8 +129,11 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val (cat, lin) = split(batch)
+        // ledgered like lakeSink: maintain/maintainClustered below rename
+        // batch partitions, so replay evidence must outlive the names
         graft.storage.TwinCommit.append(batch.sparkSession, root, s"b$id",
-          cat, catalogTable, lin, lineageTable, statsColumns, bloomColumns)
+          cat, catalogTable, lin, lineageTable, statsColumns, bloomColumns,
+          ledger = Some((checkpointDir, id)))
         if (compactEvery > 0) {
           graft.storage.TwinCommit.maintain(batch.sparkSession, root,
             catalogTable, lineageTable, maxBatches = compactEvery,
@@ -192,8 +195,13 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
+        // the ledger (appId = this stream's checkpoint identity) keeps
+        // replay evidence durable across the inline maintenance below —
+        // partition-existence alone breaks once compaction/clustering
+        // folds batch=* partitions into c*/z* names, and a post-crash
+        // redelivery would then re-append already-folded rows
         graft.storage.TxnCatalog.appendBatch(s, root, table, s"b$id", batch,
-          statsColumns, bloomColumns)
+          statsColumns, bloomColumns, ledger = Some((checkpointDir, id)))
         if (compactEvery > 1) {
           val batches = graft.storage.TxnCatalog.partitions(s, root, table)
             .filter(_.startsWith("batch="))
