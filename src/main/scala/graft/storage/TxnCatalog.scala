@@ -1153,6 +1153,46 @@ object TxnCatalog {
       reconcile = identity)(() => ())
   }
 
+  /** Create `table` — its first data partition AND its properties
+    * (CHECK constraints included) — in ONE atomic txn: a crash or rival
+    * commit can never observe the table without its declared
+    * constraints, so "constraints enforce from birth" is a manifest
+    * fact, not a two-txn hope. Constraint expressions are validated
+    * (parsed + resolved against the schema) before anything is staged.
+    * Conditional on the catalog's current txn: a racing CREATE (or any
+    * rival commit) throws IOException — retry against the moved
+    * catalog; a pre-existing `table` throws IllegalArgumentException. */
+  private[graft] def createTableWithProperties(spark: SparkSession,
+      root: String, table: String, partition: String, df: DataFrame,
+      props: Map[String, String]): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    checkTableName(table)
+    checkPartitionName(partition)
+    val snap = snapshot(spark, root)
+    require(!snap.exists(_.tables.contains(table)),
+      s"table '$table' already exists under $root")
+    val clean = props.filter(_._2.nonEmpty)
+    // constraint expressions must parse AND resolve against the birth
+    // schema — analysis only, no job (the frame is typically empty)
+    clean.foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix))
+        df.filter(not(coalesce(expr(v), lit(true))))
+          .queryExecution.analyzed
+    }
+    val kv = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        clean.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))))
+    publish(spark, root, Seq((table, partition, df),
+        (table, PropsPartition, kv)),
+      statsColumns = Nil, drops = Nil,
+      expectedTxn = Some(snap.map(_.txn).getOrElse(0L)),
+      reconcile = identity)(() => ())
+  }
+
   /** Tables present in the latest committed snapshot. */
   def tables(spark: SparkSession, root: String): Seq[String] =
     snapshot(spark, root).map(_.tables).getOrElse(Nil)
@@ -1273,9 +1313,12 @@ object TxnCatalog {
     * right shape for a handful of targeted updates; a 10 000-partition
     * initial load would schedule 10 000 jobs), while this runs
     *  1. ONE `partitionBy` write job staging every partition's files,
-    *  2. ONE grouped aggregate measuring per-partition stats + row
-    *     counts (the grouped form of the staged-stats pass — identical
-    *     rendering: min/max cast to string, timestamps as unix micros),
+    *  2. ONE grouped aggregate over the STAGED files measuring
+    *     per-partition stats + row counts (the grouped form of the
+    *     staged-stats pass — identical rendering: min/max cast to
+    *     string, timestamps as unix micros; measuring staged bytes, not
+    *     a re-evaluation of the input, so a nondeterministic input
+    *     cannot publish stats that disagree with the written data),
     *  3. driver-side renames moving each staged dir into place, and
     *  4. one manifest CAS publishing everything.
     * Partitions are named `<keyCol>=<value>` with Hive path escaping;
@@ -1287,7 +1330,8 @@ object TxnCatalog {
     * of replacing them; pruning is unaffected (it reads stats, never
     * names), and a later compaction/clustering folds generations.
     * Null keys land in `<keyCol>=__HIVE_DEFAULT_PARTITION__`. CHECK
-    * constraints enforce in one pass over the input. Existing partitions
+    * constraints enforce in one pass over the staged files (a violation
+    * unstages and throws before the CAS). Existing partitions
     * with colliding names are REPLACED (same merge rule as
     * [[commitPartitions]]); Blooms are not measured here — thread
     * `bloomColumns` through a later compaction/clustering pass if point
@@ -1316,19 +1360,6 @@ object TxnCatalog {
       require(prevManifest.contains((t, p)),
         s"dropping an entry absent from the manifest: ($t, $p)")
     }
-    // constraints: one pass over the INPUT (the bulk path never re-reads
-    // staged files, so enforcement happens before any write)
-    prevManifest.get((table, "~p")).foreach { e =>
-      val cons = spark.read.parquet(entryPath(root, table, "~p", e.dir))
-        .collect()
-        .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
-          r.getString(0) -> r.getString(1) }.sorted
-      cons.foreach { case (k, v) =>
-        if (!df.filter(not(coalesce(expr(v), lit(true)))).limit(1).isEmpty)
-          throw new IllegalArgumentException(
-            s"commit to '$table' violates $k ($v); nothing was published")
-      }
-    }
     val next = prev.getOrElse(0L) + 1L
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"v=$next.$nonce"
@@ -1337,10 +1368,36 @@ object TxnCatalog {
     // 1. one write job for every partition
     df.withColumn(bulkKey, col(keyCol).cast("string"))
       .write.partitionBy(bulkKey).parquet(stagingDir.toString)
+    // Everything below measures the STAGED files, never the input frame
+    // again: a nondeterministic (or concurrently-changing) input would
+    // otherwise publish stats/row counts/constraint verdicts describing
+    // a DIFFERENT evaluation than the bytes written — and
+    // MetadataOnlyAgg answers count/min/max from these counts as exact.
+    // recursiveFileLookup skips Hive partition discovery (no type
+    // re-inference on the key); keyCol is a data column by contract, so
+    // the staged read carries it at its original type.
+    val stagedDf = spark.read.option("recursiveFileLookup", "true")
+      .parquet(stagingDir.toString)
+    // constraints enforce on the staged bytes; a violation unstages
+    // everything and throws before the catalog can move
+    prevManifest.get((table, "~p")).foreach { e =>
+      val cons = spark.read.parquet(entryPath(root, table, "~p", e.dir))
+        .collect()
+        .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
+          r.getString(0) -> r.getString(1) }.sorted
+      cons.foreach { case (k, v) =>
+        if (!stagedDf.filter(not(coalesce(expr(v), lit(true))))
+            .limit(1).isEmpty) {
+          f.delete(stagingDir, true)
+          throw new IllegalArgumentException(
+            s"commit to '$table' violates $k ($v); nothing was published")
+        }
+      }
+    }
     // 2. one grouped stats job (same rendering as the staged-stats pass)
     val kinds: Map[String, String] = statsColumns.distinct
-      .filter(df.schema.fieldNames.contains)
-      .map(c => c -> (df.schema(c).dataType match {
+      .filter(stagedDf.schema.fieldNames.contains)
+      .map(c => c -> (stagedDf.schema(c).dataType match {
         case _: NumericType => "n"
         case StringType     => "s"
         case TimestampType  => "t"
@@ -1353,7 +1410,7 @@ object TxnCatalog {
         Seq(min(m(c)).cast("string").as(s"min:$c"),
             max(m(c)).cast("string").as(s"max:$c")))
     val grouped: Map[Option[String], (Map[String, ColStat], Long)] =
-      df.groupBy(col(keyCol).cast("string").as(bulkKey))
+      stagedDf.groupBy(col(keyCol).cast("string").as(bulkKey))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { row =>
           val stats = kinds.flatMap { case (c, kind) =>

@@ -188,4 +188,32 @@ class BulkCommitSpec extends GraftSuite {
     assert(clustered.read("t").get.collect().toSet
       === sample.collect().toSet)
   }
+
+  test("nondeterministic input publishes stats describing the written bytes") {
+    import org.apache.spark.sql.functions.{col, rand}
+    val root = tmp()
+    // every evaluation of this frame yields different values: stats
+    // measured by re-running the plan would describe data that was
+    // never written — and MetadataOnlyAgg would then serve those counts
+    // and bounds as exact answers
+    val nondet = spark.range(0, 2000, 1, 4)
+      .select((col("id") % 5).as("grp"),
+        (rand(seed = 7) * rand() * 1e6).cast("long").as("v"))
+    TxnCatalog.commitPartitioned(spark, root, "t", nondet, "grp",
+      statsColumns = Seq("v"))
+    val snap = TxnCatalog.snapshot(spark, root).get
+    snap.partitions("t").foreach { p =>
+      val actual = snap.readPartition("t", p).get
+        .agg(org.apache.spark.sql.functions.min("v").cast("string"),
+          org.apache.spark.sql.functions.max("v").cast("string"),
+          org.apache.spark.sql.functions.count("*")).head()
+      val st = snap.stats("t", p)("v")
+      assert(st.min === actual.getString(0) && st.max === actual.getString(1),
+        s"$p: manifest stats must equal the written data's bounds")
+      assert(snap.rowCount("t", p) === Some(actual.getLong(2)),
+        s"$p: manifest row count must equal the written rows")
+    }
+    // the metadata-only count over all partitions is exact too
+    assert(snap.rowCount("t") === Some(2000L))
+  }
 }
