@@ -140,7 +140,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // batch partitions instead of colliding with a whole-table snapshot
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema).repartition(1)
-    TxnCatalog.commitPartitions(spark, root, Seq((t, "batch=init", empty)))
     // user TBLPROPERTIES (constraints included) must not be silently
     // dropped; Spark's reserved/engine-supplied keys are not ours to keep
     import scala.jdk.CollectionConverters._
@@ -151,7 +150,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val user = properties.asScala.toMap
       .filterNot { case (k, _) =>
         reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
-    if (user.nonEmpty) TxnCatalog.setTableProperties(spark, root, t, user)
+    // init partition + properties in ONE txn: no observer — crash,
+    // rival commit, concurrent writer — can see the table without its
+    // declared constraints ("constraints enforce from birth")
+    TxnCatalog.createTableWithProperties(spark, root, t, "batch=init",
+      empty, user)
     new GraftSqlTable(root, t, schema)
   }
 
@@ -208,13 +211,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (setProps.nonEmpty)
       TxnCatalog.setTableProperties(spark, root, t, setProps.toMap)
     if (adds.isEmpty) return new GraftSqlTable(root, t, base)
-    val widened = StructType(base.fields.toSeq ++ fresh)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], widened).repartition(1)
-    val txn = TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1
-    TxnCatalog.commitPartitions(spark, root,
-      Seq((t, s"batch=schema$txn", empty)))
-    new GraftSqlTable(root, t, widened)
+    // CONDITIONAL commit, re-validated per attempt: two concurrent
+    // ALTERs race the same deterministic batch=schema<txn+1> name, and
+    // an unconditional commit would let the loser silently replace the
+    // winner's schema entry (dropping its added column). The guard
+    // makes the loser re-read — it then either fails cleanly ("column
+    // already exists") or lands BESIDE the rival under the moved txn's
+    // name. Rival non-ALTER commits (appends) just retry through.
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val snap = TxnCatalog.snapshot(spark, root)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val cur = GraftLake.schemaOf(spark, root, t, snap)
+        .getOrElse(throw new NoSuchTableException(ident))
+      fresh.foreach(f => require(!cur.fieldNames.contains(f.name),
+        s"column ${f.name} already exists"))
+      val widened = StructType(cur.fields.toSeq ++ fresh)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], widened).repartition(1)
+      try {
+        TxnCatalog.commitPartitionsHooked(spark, root,
+          Seq((t, s"batch=schema${snap.txn + 1}", empty)),
+          expectedTxn = Some(snap.txn))(() => ())
+        return new GraftSqlTable(root, t, widened)
+      } catch {
+        case _: java.io.IOException if attempts < 20 =>
+          Thread.sleep(math.min(200L, attempts * 20L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =

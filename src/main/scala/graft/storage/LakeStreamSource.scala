@@ -49,10 +49,10 @@ final class LakeStreamSource(
 
   /** Highest txn this source has delivered (admission-control floor).
     * After a checkpoint restart the true floor lives in the checkpoint,
-    * not here; until the first getBatch updates it, a capped getOffset
-    * can lag the committed offset — the engine then runs one empty
-    * (from > to ⇒ zero-row) batch and the cap climbs forward, so
-    * delivery stays no-loss/no-duplicate, just a trigger or two late. */
+    * not here; the engine's recovery replay (getBatch over the
+    * committed range) re-floors it at the checkpoint's `from` before
+    * any capped getOffset is acted on, so the cap resumes from the
+    * checkpoint rather than re-proposing long-vacuumed txns. */
   @volatile private var delivered: Long = startingTxn
 
   override def getOffset: Option[Offset] =
@@ -71,7 +71,14 @@ final class LakeStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json().toLong).getOrElse(startingTxn)
     val to = end.json().toLong
-    delivered = math.max(delivered, to)
+    // floor at `from` too: on a checkpoint restart the recovery replay
+    // hands the committed range here, and `from` IS the committed
+    // offset — without it a capped getOffset would propose offsets
+    // BELOW the checkpoint until `delivered` climbed batch by batch,
+    // and snapshotAt on those stale txns throws once vacuum has
+    // trimmed their manifests (a permanent stream failure, not a
+    // catch-up)
+    delivered = math.max(delivered, math.max(from, to))
     val snap = TxnCatalog.snapshotAt(spark, root, to)
     val fresh = snap.dataEntries(table)
       .filter { case (_, e) => TxnCatalog.entryDataTxn(e) > from }

@@ -201,6 +201,48 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("CREATE TABLE with TBLPROPERTIES is one txn — no constraint-less window") {
+    withCatalog { (s2, root) =>
+      s2.sql("""CREATE TABLE lake.default.a (k BIGINT)
+               |TBLPROPERTIES ('constraint.pos' = 'k > 0')""".stripMargin)
+      // the creating txn already carries the properties: any snapshot
+      // that can see the table sees its constraints
+      val txn = TxnCatalog.currentTxn(s2, root).get
+      val born = TxnCatalog.snapshotAt(s2, root, txn)
+      assert(born.tables.contains("a"))
+      assert(born.properties("a") === Map("constraint.pos" -> "k > 0"))
+      // an unresolvable constraint expression refuses the CREATE whole
+      intercept[Exception] {
+        s2.sql("""CREATE TABLE lake.default.bad (k BIGINT)
+                 |TBLPROPERTIES ('constraint.x' = 'no_such_col > 0')""".stripMargin)
+      }
+      assert(!TxnCatalog.tables(s2, root).contains("bad"),
+        "a refused CREATE must not leave a half-made table")
+    }
+  }
+
+  test("concurrent ALTER ADD COLUMN never silently drops a column") {
+    withCatalog { (s2, root) =>
+      s2.sql("CREATE TABLE lake.default.r (k BIGINT)")
+      // two ALTERs racing: the deterministic batch=schema<txn+1> name
+      // collides unless the commit is conditional — the loser must
+      // re-read and land beside the winner, not replace it
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq("c1", "c2").map { c =>
+        new Thread(() => {
+          try s2.sql(s"ALTER TABLE lake.default.r ADD COLUMN $c DOUBLE")
+          catch { case e: Throwable => errs.add(e); () }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"unexpected ALTER failures: ${errs}")
+      val cols = graft.storage.GraftLake.table(s2, root, "r").get
+        .schema.fieldNames.toSet
+      assert(cols === Set("k", "c1", "c2"),
+        "both concurrently added columns must survive")
+    }
+  }
+
   test("whole-table tables: INSERT unions without lost rows; equality DELETE refused") {
     withCatalog { (s2, root) =>
       import s2.implicits._

@@ -146,6 +146,22 @@ class LakeStreamSpec extends GraftSuite {
       "restart must resume at the checkpointed txn — no replay, no loss")
   }
 
+  test("capped source resumes the admission cap from the recovery replay, not startingTxn") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = tmp("lsfloor")
+    (0 until 10).foreach(k => commitBatch(root, s"b$k", k * 10, k * 10 + 10))
+    val schema = TxnCatalog.read(spark, root, "ev").get.schema
+    val src = new graft.storage.LakeStreamSource(spark, root, "ev",
+      schema, startingTxn = 0L, maxTxnsPerBatch = 1L)
+    // checkpoint restart: the engine replays the committed range first —
+    // here (8, 9]. getOffset must then propose (9+1]=10, NOT 0+1=1:
+    // proposing pre-checkpoint txns re-reads snapshots that vacuum may
+    // have trimmed, failing the stream permanently instead of catching up
+    src.getBatch(Some(LongOffset(8L)), LongOffset(9L)) // recovery replay
+    assert(src.getOffset === Some(LongOffset(10L)),
+      "the cap must resume from the committed offset after restart")
+  }
+
   test("streaming aggregation over the lake source stays correct across commits") {
     val root = tmp("lsagg")
     commitBatch(root, "b0", 0, 100)
