@@ -1651,6 +1651,51 @@ object TxnCatalog {
       deleteKeyCols = Map((table, part) -> keyColumn))(() => ())
   }
 
+  /** The storage half of a keyed MERGE, in ONE atomic txn: an equality
+    * delete masking `deleteKeys[keyColumn]` AND the replacement/insert
+    * batch `append` — the merge-on-read upsert. The delete applies only
+    * to entries whose data PREDATES this txn (the standard rule), so
+    * the appended batch — same txn — is never masked by its own
+    * delete: rows with masked keys are replaced by their appended
+    * versions, keys absent from the append are deleted, keys absent
+    * from the table just insert. O(source): no table rewrite, no scan
+    * of unaffected partitions — a small MERGE against a 10 000-partition
+    * fact table costs one key list and one batch partition. Readers pay
+    * the usual merge-on-read anti-join until [[applyDeletes]]/
+    * compaction folds it. Stats/Blooms measure on the appended batch so
+    * it prunes from birth. Returns the committed txn. */
+  private[graft] def mergeKeyed(spark: SparkSession, root: String,
+      table: String, keyColumn: String,
+      deleteKeys: Option[DataFrame], append: Option[DataFrame],
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    checkTableName(table)
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    require(snap.dataEntries(table).nonEmpty, s"unknown table '$table'")
+    require(!snap.entries.contains((table, Whole)),
+      s"table '$table' holds a whole-table snapshot; merge-on-read " +
+        "MERGE needs a partitioned table")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val delEntry = deleteKeys.map { k =>
+      require(k.columns.contains(keyColumn),
+        s"delete keys frame lacks column '$keyColumn'")
+      (table, s"~d-$nonce",
+        k.select(col(keyColumn).as(DeleteKeyColumn))
+          .filter(col(DeleteKeyColumn).isNotNull).distinct())
+    }
+    val appEntry = append.map(df => (table, s"batch=m$nonce", df))
+    val updates = delEntry.toSeq ++ appEntry.toSeq
+    if (updates.isEmpty) return snap.txn
+    publish(spark, root, updates,
+      statsColumns = statsColumns, drops = Nil, expectedTxn = None,
+      reconcile = identity,
+      deleteKeyCols = delEntry
+        .map(e => (e._1, e._2) -> keyColumn).toMap,
+      bloomColumns = bloomColumns)(() => ())
+  }
+
   /** Materialize pending equality deletes: rewrite every data entry an
     * applicable delete may mask (reading through the delete-applying
     * funnel, so the staged data is already subtracted), drop ALL of the
@@ -1714,10 +1759,12 @@ object TxnCatalog {
     * Z-augmented frame (persisted MEMORY_AND_DISK), then one staged
     * write per non-empty bucket — the same data volume any sorted
     * rewrite pays, each bucket write independent. `filesPerBucket`
-    * controls the write parallelism INSIDE a bucket: 1 (the right call
-    * for catalog-sized tables) writes each bucket as a single Z-sorted
-    * file through one task; at fact-table scale a bucket is GBs, so set
-    * filesPerBucket ≈ bucketBytes / targetFileSize and the bucket is
+    * controls the write parallelism INSIDE a bucket: the default 0
+    * AUTO-SIZES it as sourceBytes / buckets / the session's
+    * `spark.sql.files.maxPartitionBytes` (measured from the source
+    * entries' file sizes, driver-side manifest-scale work) — one file
+    * per reader split, so a catalog-sized table still gets one Z-sorted
+    * file per bucket while a fact-table bucket of GBs is
     * range-partitioned on the Z-code into that many Z-sorted files —
     * N parallel write tasks, N files whose row groups tile disjoint
     * Z-ranges. Partition-grain stats and pruning are unaffected (stats
@@ -1731,7 +1778,7 @@ object TxnCatalog {
   def clusterPartitions(spark: SparkSession, root: String, table: String,
       parts: Seq[String], intoPrefix: String, aCol: String, bCol: String,
       buckets: Int = 16, bits: Int = 8,
-      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1,
+      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 0,
       bloomColumns: Seq[String] = Nil): Long =
     clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
       Seq(aCol, bCol), buckets, bits, extraStatsColumns,
@@ -1749,7 +1796,7 @@ object TxnCatalog {
   def clusterPartitionsN(spark: SparkSession, root: String, table: String,
       parts: Seq[String], intoPrefix: String, dims: Seq[String],
       buckets: Int = 16, bits: Int = 8,
-      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 1,
+      extraStatsColumns: Seq[String] = Nil, filesPerBucket: Int = 0,
       bloomColumns: Seq[String] = Nil): Long =
     clusterPartitionsHooked(spark, root, table, parts, intoPrefix,
       dims, buckets, bits, extraStatsColumns, filesPerBucket,
@@ -1759,14 +1806,15 @@ object TxnCatalog {
   private[graft] def clusterPartitionsHooked(spark: SparkSession,
       root: String, table: String, parts: Seq[String], intoPrefix: String,
       dims: Seq[String], buckets: Int, bits: Int,
-      extraStatsColumns: Seq[String], filesPerBucket: Int = 1,
+      extraStatsColumns: Seq[String], filesPerBucket: Int = 0,
       bloomColumns: Seq[String] = Nil)(
       beforePublish: () => Unit): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit, max, min, unix_micros}
     import org.apache.spark.sql.types.{NumericType, TimestampType}
     require(parts.nonEmpty, "nothing to cluster")
     require(buckets >= 2, "buckets must be >= 2")
-    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    require(filesPerBucket >= 0,
+      "filesPerBucket must be >= 1, or 0 for auto-sizing")
     val targets = (0 until buckets).map(i => s"$intoPrefix$i")
     targets.foreach(checkPartitionName)
     require(!parts.exists(targets.contains),
@@ -1780,6 +1828,27 @@ object TxnCatalog {
     require(dims.size >= 2 && dims.distinct.size == dims.size,
       s"need >= 2 distinct cluster dimensions, got ${dims.mkString(", ")}")
     val merged = snap.readPartitions(table, parts).get
+    // AUTO file sizing (filesPerBucket = 0, the default): a caller who
+    // doesn't pass the knob must not get a 100 GB coalesce(1) at
+    // fact-table scale. Sum the SOURCE entries' bytes (driver-side
+    // manifest-scale listing — these are exactly the bytes the rewrite
+    // re-lays-out) and target one output file per reader split
+    // (spark.sql.files.maxPartitionBytes), capped so a degenerate
+    // session conf cannot explode the file count. Explicit values win.
+    val fpb =
+      if (filesPerBucket >= 1) filesPerBucket
+      else {
+        val f = fs(spark, root)
+        val srcBytes = parts.map { p =>
+          f.getContentSummary(new Path(
+            entryPath(root, table, p, snap.entries((table, p)).dir)))
+            .getLength
+        }.sum
+        val target = math.max(1L << 20,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        math.max(1L, math.min(1024L,
+          (srcBytes + target * buckets - 1) / (target * buckets))).toInt
+      }
     for (c <- dims) {
       require(merged.schema.fieldNames.contains(c),
         s"no column '$c' in '$table'")
@@ -1833,8 +1902,8 @@ object TxnCatalog {
         // range-split on the Z-code into N parallel Z-sorted files when
         // a bucket is bigger than one task should write
         val laid =
-          if (filesPerBucket == 1) slice.coalesce(1)
-          else slice.repartitionByRange(filesPerBucket, col("__z"))
+          if (fpb == 1) slice.coalesce(1)
+          else slice.repartitionByRange(fpb, col("__z"))
         (table, targets(i),
           laid.sortWithinPartitions("__z").drop("__z", "__b"))
       }
@@ -1887,7 +1956,7 @@ object TxnCatalog {
     * clustering landed. */
   def maintainClustered(spark: SparkSession, root: String, table: String,
       dims: Seq[String], intoPrefix: String = "z", minBatches: Int = 8,
-      buckets: Int = 16, bits: Int = 8, filesPerBucket: Int = 1,
+      buckets: Int = 16, bits: Int = 8, filesPerBucket: Int = 0,
       extraStatsColumns: Seq[String] = Nil, attempts: Int = 5,
       bloomColumns: Seq[String] = Nil): Option[Long] = {
     require(minBatches >= 1, "minBatches must be >= 1")
@@ -1922,7 +1991,7 @@ object TxnCatalog {
     * (retry against the moved catalog). */
   def reclusterFull(spark: SparkSession, root: String, table: String,
       dims: Seq[String], intoPrefix: String = "z", buckets: Int = 16,
-      bits: Int = 8, filesPerBucket: Int = 1,
+      bits: Int = 8, filesPerBucket: Int = 0,
       extraStatsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long = {
     val snap = snapshot(spark, root).getOrElse(

@@ -1246,6 +1246,54 @@ class StorageSpec extends GraftSuite {
       .as[(Long, Long, String)].collect().toSet === expect)
   }
 
+  test("TxnCatalog auto filesPerBucket: a big bucket lands >1 file with no caller knob") {
+    val root = tmp("txnzauto")
+    val T = graft.storage.TxnCatalog
+    // high-entropy payload so parquet can't compress the bytes away —
+    // the auto-sizing reads SOURCE bytes, and the r6 scale-killer this
+    // pins is a caller who passes no knob getting coalesce(1) on GBs
+    def slice(k: Int) = spark.range(k * 30000, (k + 1) * 30000)
+      .select(col("id").as("UID"), (col("id") % 100).as("T"),
+        sha2(concat_ws("-", col("id"), lit(k)), 256).as("PAYLOAD"))
+    T.commitPartitions(spark, root,
+      (0 until 2).map(k => ("events", s"batch=$k", slice(k))),
+      statsColumns = Seq("UID", "T"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // tiny reader splits stand in for fact-table scale: ~6 MB of
+      // source over 2 buckets at the 1 MB target floor must auto-split
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+      T.clusterPartitions(spark, root, "events",
+        Seq("batch=0", "batch=1"), "z=", "UID", "T",
+        buckets = 2, bits = 3) // no filesPerBucket argument
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    val after = T.snapshot(spark, root).get
+    val parts = after.partitions("events")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileCounts = parts.map { p =>
+      val dir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/events/$p"))
+        .filter(_.isDirectory).map(_.getPath).head
+      fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(fileCounts.exists(_ > 1),
+      s"auto sizing still wrote single files: $fileCounts")
+    assert(after.read("events").get.count() === 60000L)
+    // and a SMALL table keeps the single-file-per-bucket layout
+    val root2 = tmp("txnzauto2")
+    T.commitPartitions(spark, root2, Seq(
+      ("t", "batch=0", (0 until 64).map(i => (i.toLong, i.toLong)).toDF("A", "B"))))
+    T.clusterPartitions(spark, root2, "t", Seq("batch=0"), "z=", "A", "B",
+      buckets = 2, bits = 3)
+    val smallCounts = T.snapshot(spark, root2).get.partitions("t").map { p =>
+      val dir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root2/t/$p"))
+        .filter(_.isDirectory).map(_.getPath).head
+      fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(smallCounts.forall(_ === 1),
+      s"small buckets must stay single-file: $smallCounts")
+  }
+
   test("TxnCatalog clustering carries blooms: point-lookup skipping survives OPTIMIZE") {
     val root = tmp("txnzbloom")
     val T = graft.storage.TxnCatalog
