@@ -336,6 +336,50 @@ object CatalogQueries extends QueryGroup {
              |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // SQL MERGE INTO over the lake catalog (GraftMergeStrategy): the
+    // canonical upsert — matched keys take the source row, new keys
+    // insert — lands as ONE txn of equality-delete keys + one batch
+    // (merge-on-read, O(source), no table rewrite). The oracle is the
+    // classic UPDATE+INSERT expansion over the same rows.
+    QueryDef(
+      "s_sql_merge",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_sqlmerge").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 3).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+          statsColumns = Seq("c_custkey"))
+        val cat = s"qmrg${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.storage.GraftMerge.install(s)
+        cust.filter(col("c_custkey") < 50)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + 1000.0).as("c_acctbal"))
+          .union(s.sql("SELECT CAST(90000001 AS BIGINT), CAST(111.25 AS DOUBLE) " +
+            "UNION ALL SELECT CAST(90000002 AS BIGINT), CAST(222.5 AS DOUBLE)"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"""MERGE INTO $cat.default.cust USING ${cat}_src src
+                 |ON cust.c_custkey = src.c_custkey
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM $cat.default.cust ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal
+             |  FROM customer WHERE c_custkey < 50
+             |  UNION ALL VALUES (90000001, 111.25), (90000002, 222.5)),
+             |merged AS (
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+             |  UNION ALL SELECT c_custkey, c_acctbal FROM src)
+             |SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+             |FROM merged ORDER BY c_custkey""".stripMargin)),
+
     // Row-level CDC feed derived from the manifest alone: txn 1 commits
     // two overlapping batches, txn 2 records equality-delete keys (one
     // key absent at every SF — a delete EVENT regardless), txn 3

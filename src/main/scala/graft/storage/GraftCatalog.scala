@@ -275,8 +275,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 /** One lake table behind the SQL catalog: V1-bridged read and write. */
-private[storage] final class GraftSqlTable(root: String, table: String,
-    tableSchema: StructType, asOfTxn: Option[Long] = None) extends Table
+private[storage] final class GraftSqlTable(
+    private[storage] val root: String, private[storage] val table: String,
+    tableSchema: StructType,
+    private[storage] val asOfTxn: Option[Long] = None) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 

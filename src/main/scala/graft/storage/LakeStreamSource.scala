@@ -114,15 +114,42 @@ final class LakeStreamSource(
   *  - `ErrorIfExists` / `Ignore` — SQL semantics against the table's
   *    existence in the current manifest.
   * Optional `statsColumns`/`bloomColumns` (comma-separated) thread into
-  * the commit so written data is prunable from day one. Batch READS stay
-  * on [[GraftLake.table]] (merge-on-read deletes need plan composition a
-  * v1 relation cannot express).
+  * the commit so written data is prunable from day one. Batch READS go
+  * through [[GraftLakeRelation]] (delegating to [[GraftLake.table]]'s
+  * delete-composed plan, optional `versionAsOf` for time travel).
   */
 final class LakeSourceProvider
     extends StreamSourceProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.RelationProvider {
 
   override def shortName(): String = "graft-lake"
+
+  /** Batch READ: `spark.read.format("graft-lake").option("root", r)
+    * .option("table", t).load()` — closes the r7 asymmetry where the
+    * format wrote and stream-read but batch reads needed the
+    * [[GraftLake]] API. The relation delegates its pruned/filtered scan
+    * to the lake DataFrame (one snapshot pinned at load), so
+    * merge-on-read deletes apply and pushed filters reach the manifest
+    * index inside; filters this v1 surface can't translate are simply
+    * re-applied by Spark above (conservative, never wrong). Optional
+    * `versionAsOf` time-travels like SQL `VERSION AS OF`. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val (root, table, _) = parse(parameters)
+    val spark = sqlContext.sparkSession
+    val df = parameters.get("versionAsOf").orElse(parameters.get("versionasof"))
+      .map(_.toLong) match {
+      case Some(v) => GraftLake.tableAsOf(spark, root, table, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$table' does not exist at txn $v under $root"))
+      case None => GraftLake.table(spark, root, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$table' does not exist under $root"))
+    }
+    new GraftLakeRelation(sqlContext, df)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       mode: org.apache.spark.sql.SaveMode,
@@ -213,5 +240,52 @@ final class LakeSourceProvider
       parameters)
     new LakeStreamSource(sqlContext.sparkSession, root, table, resolved,
       starting, maxTxns(parameters))
+  }
+}
+
+/** v1 relation over a pinned lake frame: column pruning and the
+  * translatable filters push into the inner DataFrame plan (whose scan
+  * prunes at the manifest); whatever doesn't translate is re-applied by
+  * Spark above the scan — the conservative v1 contract. */
+private[storage] final class GraftLakeRelation(ctx: SQLContext,
+    df: org.apache.spark.sql.DataFrame)
+    extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{sources => f}
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.Column
+
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = df.schema
+
+  private def translate(filter: f.Filter): Option[Column] = filter match {
+    case f.EqualTo(a, v) => Some(col(a) === lit(v))
+    case f.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case f.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case f.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case f.LessThan(a, v) => Some(col(a) < lit(v))
+    case f.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case f.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case f.IsNull(a) => Some(col(a).isNull)
+    case f.IsNotNull(a) => Some(col(a).isNotNull)
+    case f.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case f.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case f.StringContains(a, v) => Some(col(a).contains(v))
+    case f.And(l, r) =>
+      // partial conjunctions are sound: each conjunct narrows
+      (translate(l), translate(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) => one.orElse(other)
+      }
+    case f.Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case f.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[f.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.toSeq.flatMap(translate(_))
+      .reduceOption(_ && _).map(df.filter).getOrElse(df)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 }

@@ -49,6 +49,16 @@ object GraftSqlBridge {
       org.apache.spark.sql.execution.datasources.LogicalRelation(
         relation, isStreaming = true))
 
+  /** Wrap an already-ANALYZED logical plan as a DataFrame — what a
+    * planner strategy needs to evaluate a command's child plans (e.g.
+    * the source and target relations of a MERGE) with their resolved
+    * attribute ids intact, so resolved expressions lifted via
+    * [[column]] keep referring to the same attributes. */
+  def ofPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** An empty STREAMING frame of `schema` — the zero-rows `getBatch`
     * answer for a window in which no data txn landed. */
   def emptyStreaming(spark: SparkSession,

@@ -75,4 +75,32 @@ class LakeWriteSpec extends GraftSuite {
     write(root, Seq((3L, "c")).toDF("k", "v"), SaveMode.Ignore) // no-op
     assert(TxnCatalog.read(spark, root, "t").get.count() === 1L)
   }
+
+  test("batch read through the format: filters, deletes, time travel") {
+    val root = tmp()
+    TxnCatalog.commitPartitions(spark, root,
+      (0 until 4).map(k => ("t", s"b=$k",
+        (k * 25 until (k + 1) * 25).map(i => (i.toLong, s"v$i")).toDF("k", "v"))),
+      statsColumns = Seq("k"))
+    val v1 = TxnCatalog.currentTxn(spark, root).get
+    TxnCatalog.deleteKeys(spark, root, "t",
+      "k", Seq(Tuple1(10L), Tuple1(77L)).toDF("k"))
+    def read(extra: (String, String)*) = extra.foldLeft(
+      spark.read.format("graft-lake").option("root", root).option("table", "t")
+    ) { case (r, (k2, v2)) => r.option(k2, v2) }.load()
+    // merge-on-read deletes apply to the format read
+    assert(read().count() === 98L)
+    assert(read().filter($"k" === 10L).count() === 0L)
+    // pushed filters stay correct (re-applied above the delegate scan)
+    assert(read().filter($"k" >= 90L).select("v").as[String].collect().sorted
+      === (90 until 100).map(i => s"v$i").toArray)
+    // column pruning survives the v1 bridge
+    assert(read().select("v").columns === Array("v"))
+    // versionAsOf reads the pre-delete snapshot
+    assert(read("versionAsOf" -> v1.toString).count() === 100L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("root", root)
+        .option("table", "absent").load()
+    }
+  }
 }

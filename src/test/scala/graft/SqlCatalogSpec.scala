@@ -201,6 +201,88 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("MERGE INTO: upsert, expression SET, matched DELETE, refusals") {
+    withCatalog { (s2, root) =>
+      graft.storage.GraftMerge.install(s2)
+      TxnCatalog.commitPartitions(s2, root, Seq(("t", "batch=0",
+        s2.range(0, 3).selectExpr("id AS k", "concat('v', id) AS v"))))
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(2 AS BIGINT), 'B'), (CAST(5 AS BIGINT), 'E') AS s(k, v)
+               |""".stripMargin)
+      // the canonical upsert: matched rows replaced, new keys inserted
+      s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      def rows() = s2.sql("SELECT k, v FROM lake.default.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows() === Seq((0L, "v0"), (1L, "v1"), (2L, "B"), (5L, "E")))
+      // O(source) posture: the merge landed ONE key list + ONE batch —
+      // no pre-merge partition was rewritten
+      val parts = TxnCatalog.partitions(s2, root, "t")
+      assert(parts.contains("batch=0") && parts.exists(_.startsWith("batch=m")),
+        s"merge must append beside the original batch, got $parts")
+      // expression SET reading both sides
+      s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+               |WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+', src.v)
+               |""".stripMargin)
+      assert(rows() === Seq((0L, "v0"), (1L, "v1"), (2L, "B+B"), (5L, "E+E")))
+      // matched DELETE
+      s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+               |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(rows() === Seq((0L, "v0"), (1L, "v1")))
+      // cardinality violation: duplicate source keys with a matched action
+      s2.sql("""CREATE OR REPLACE TEMP VIEW dup AS SELECT * FROM VALUES
+               |(CAST(1 AS BIGINT), 'x'), (CAST(1 AS BIGINT), 'y') AS s(k, v)
+               |""".stripMargin)
+      val err = intercept[Exception] {
+        s2.sql("""MERGE INTO lake.default.t USING dup ON t.k = dup.k
+                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      }
+      assert(err.getMessage.contains("MERGE_CARDINALITY_VIOLATION"))
+      // non-key shapes are refused at planning with a clear error
+      val refusal = intercept[Exception] {
+        s2.sql("""MERGE INTO lake.default.t USING src
+                 |ON t.k = src.k AND t.v = src.v
+                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      }
+      assert(refusal.getMessage.contains("keyed shape"))
+      val refusal2 = intercept[Exception] {
+        s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+                 |WHEN MATCHED AND src.v = 'B' THEN UPDATE SET *
+                 |""".stripMargin)
+      }
+      assert(refusal2.getMessage.contains("conditional WHEN MATCHED"))
+      assert(rows() === Seq((0L, "v0"), (1L, "v1")),
+        "refused merges must not change the table")
+    }
+  }
+
+  test("MERGE INTO: insert-only and update-only shapes") {
+    withCatalog { (s2, root) =>
+      graft.storage.GraftMerge.install(s2)
+      TxnCatalog.commitPartitions(s2, root, Seq(("t", "batch=0",
+        s2.range(0, 3).selectExpr("id AS k", "id * 10 AS v"))))
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(2 AS BIGINT), CAST(99 AS BIGINT)),
+               |(CAST(7 AS BIGINT), CAST(70 AS BIGINT)) AS s(k, v)
+               |""".stripMargin)
+      def rows() = s2.sql("SELECT k, v FROM lake.default.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // insert-only: matched keys untouched
+      s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(rows() === Seq((0L, 0L), (1L, 10L), (2L, 20L), (7L, 70L)))
+      // update-only: unmatched source keys must NOT insert
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src2 AS SELECT * FROM VALUES
+               |(CAST(1 AS BIGINT), CAST(111 AS BIGINT)),
+               |(CAST(404 AS BIGINT), CAST(4 AS BIGINT)) AS s(k, v)
+               |""".stripMargin)
+      s2.sql("""MERGE INTO lake.default.t USING src2 ON t.k = src2.k
+               |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      assert(rows() === Seq((0L, 0L), (1L, 111L), (2L, 20L), (7L, 70L)))
+    }
+  }
+
   test("CREATE TABLE with TBLPROPERTIES is one txn — no constraint-less window") {
     withCatalog { (s2, root) =>
       s2.sql("""CREATE TABLE lake.default.a (k BIGINT)
