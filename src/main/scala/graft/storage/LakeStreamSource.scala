@@ -45,7 +45,8 @@ import org.apache.spark.sql.types.StructType
 final class LakeStreamSource(
     spark: SparkSession, root: String, table: String,
     override val schema: StructType, startingTxn: Long,
-    maxTxnsPerBatch: Long = Long.MaxValue) extends Source {
+    maxTxnsPerBatch: Long = Long.MaxValue,
+    changeFeed: Boolean = false) extends Source {
 
   /** Highest txn this source has delivered (admission-control floor).
     * After a checkpoint restart the true floor lives in the checkpoint,
@@ -79,6 +80,13 @@ final class LakeStreamSource(
     // trimmed their manifests (a permanent stream failure, not a
     // catch-up)
     delivered = math.max(delivered, math.max(from, to))
+    if (changeFeed)
+      // the manifest-derived CDC feed over exactly this offset window —
+      // same incremental contract as the data path (reorgs silent,
+      // deletes as null-payload events), leaves re-marked streaming
+      return TxnCatalog.changeFeed(spark, root, table, from, to)
+        .map(GraftSqlBridge.asStreaming)
+        .getOrElse(GraftSqlBridge.emptyStreaming(spark, schema))
     val snap = TxnCatalog.snapshotAt(spark, root, to)
     val fresh = snap.dataEntries(table)
       .filter { case (_, e) => TxnCatalog.entryDataTxn(e) > from }
@@ -218,6 +226,16 @@ final class LakeSourceProvider
         require(n >= 1, "maxTxnsPerBatch must be >= 1"); n
       }.getOrElse(Long.MaxValue)
 
+  /** Streaming CDC reads: option `readChangeFeed=true` turns the source
+    * into an incremental change feed (Delta's `readChangeData`) — each
+    * micro-batch is [[TxnCatalog.changeFeed]] over the delivered txn
+    * window, so consumers see inserts at their data txn, deletes as
+    * null-payload key events, and nothing for reorganizations. The
+    * schema gains `_change_type` (string) and `_txn` (long). */
+  private def isChangeFeed(params: Map[String, String]): Boolean =
+    params.get("readchangefeed").orElse(params.get("readChangeFeed"))
+      .exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -229,7 +247,17 @@ final class LakeSourceProvider
             s"table '$table' does not exist (yet) under $root — " +
               "commit it first or pass an explicit schema"))
     }
-    (shortName(), resolved)
+    val out =
+      if (isChangeFeed(parameters))
+        StructType(resolved.fields.toSeq ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            TxnCatalog.ChangeTypeColumn,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            TxnCatalog.ChangeTxnColumn,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      else resolved
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -239,7 +267,7 @@ final class LakeSourceProvider
     val (_, resolved) = sourceSchema(sqlContext, schema, providerName,
       parameters)
     new LakeStreamSource(sqlContext.sparkSession, root, table, resolved,
-      starting, maxTxns(parameters))
+      starting, maxTxns(parameters), isChangeFeed(parameters))
   }
 }
 

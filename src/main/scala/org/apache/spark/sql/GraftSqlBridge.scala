@@ -59,6 +59,33 @@ object GraftSqlBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The physical plan of a streaming query's LAST executed micro-batch
+    * — the plan-shape probe tests need to assert that pushed filters
+    * reach the per-batch relation (e.g. that a micro-batch scan pruned
+    * partitions through [[graft.storage.ManifestFileIndex]]). */
+  def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.execution.SparkPlan =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime
+        .StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan
+
+  /** Re-mark every leaf relation of an already-built BATCH frame as
+    * streaming — how a v1 `Source.getBatch` can serve a frame COMPOSED
+    * by batch-side machinery (e.g. the manifest-derived change feed's
+    * unions of parquet reads and literal columns) to
+    * MicroBatchExecution, which asserts the spliced plan is streaming.
+    * Marking every leaf (not just one) keeps unions homogeneous. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if !lr.isStreaming => lr.copy(isStreaming = true)
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if !l.isStreaming => l.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(cs, plan)
+  }
+
   /** An empty STREAMING frame of `schema` — the zero-rows `getBatch`
     * answer for a window in which no data txn landed. */
   def emptyStreaming(spark: SparkSession,

@@ -146,6 +146,72 @@ class LakeStreamSpec extends GraftSuite {
       "restart must resume at the checkpointed txn — no replay, no loss")
   }
 
+  test("pushed filters reach the per-batch relation: micro-batch scans prune at the manifest") {
+    val root = tmp("lsplan")
+    // ten disjoint-keyed partitions in ONE commit — a single micro-batch
+    // delivers all ten entries, and a filter touching one key range must
+    // list only the overlapping partitions, not all ten
+    TxnCatalog.commitPartitions(spark, root,
+      (0 until 10).map(k => ("ev", s"b=$k",
+        (k * 10 until (k + 1) * 10).map(i => (i.toLong, s"e$i")).toDF("id", "name"))),
+      statsColumns = Seq("id"))
+    val q = lakeStream(root)
+      .filter($"id" >= 95L) // overlaps only b=9
+      .writeStream.format("memory").queryName("planq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("planq").count() === 5L)
+      val scans = org.apache.spark.sql.GraftSqlBridge.lastExecutedPlan(q)
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location
+        }
+        .collect { case idx: graft.storage.ManifestFileIndex => idx }
+      assert(scans.nonEmpty, "micro-batch scan must plan through the manifest index")
+      val idx = scans.head
+      assert(idx.partitionCount === 10)
+      assert(idx.listedPartitionCount === 1,
+        s"filter should prune to 1 of 10 partitions at the manifest, " +
+          s"listed ${idx.listedPartitionCount}")
+    } finally q.stop()
+  }
+
+  test("readChangeFeed streams CDC equal to the batch change feed, incrementally") {
+    val root = tmp("lscdc")
+    import org.apache.spark.sql.Row
+    // a history with all three event kinds: inserts, equality deletes,
+    // a re-insert — then an OPTIMIZE that must stay silent
+    commitBatch(root, "b0", 0, 40)                                  // txn 1
+    commitBatch(root, "b1", 40, 60)                                 // txn 2
+    TxnCatalog.deleteKeys(spark, root, "ev", "id",
+      (0 until 5).map(i => Tuple1(i.toLong)).toDF("id"))            // txn 3
+    commitBatch(root, "re", 0, 2)                                   // txn 4
+    TxnCatalog.compactPartitions(spark, root, "ev",
+      TxnCatalog.partitions(spark, root, "ev"), "cX")               // txn 5
+    def batchFeed(): Set[Row] =
+      TxnCatalog.changeFeed(spark, root, "ev", 0,
+        TxnCatalog.currentTxn(spark, root).get).get.collect().toSet
+    val q = lakeStream(root, "readChangeFeed" -> "true")
+      .writeStream.format("memory").queryName("cdcq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdcq").collect().toSet === batchFeed(),
+        "streamed CDC must equal the batch change feed over the same range")
+      // stream stays incremental: a new delete + insert arrive as events
+      TxnCatalog.deleteKeys(spark, root, "ev", "id",
+        Seq(Tuple1(50L)).toDF("id"))                                // txn 6
+      commitBatch(root, "b2", 60, 70)                               // txn 7
+      q.processAllAvailable()
+      assert(spark.table("cdcq").collect().toSet === batchFeed(),
+        "incremental CDC micro-batches must extend to the same feed")
+      val types = spark.table("cdcq").select("_change_type")
+        .distinct().as[String].collect().toSet
+      assert(types === Set("insert", "delete"))
+    } finally q.stop()
+  }
+
   test("capped source resumes the admission cap from the recovery replay, not startingTxn") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val root = tmp("lsfloor")
