@@ -331,6 +331,37 @@ object CatalogQueries extends QueryGroup {
              |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
              |FROM merged ORDER BY c_custkey""".stripMargin)),
 
+    // SQL UPDATE over the lake catalog: a range WHERE prunes the rewrite
+    // to the partitions whose manifest stats may match (skipping-aware,
+    // one conditional txn), the SET is an expression over the row's own
+    // columns. The oracle is the plain CASE projection.
+    QueryDef(
+      "s_sql_update",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_sqlupd").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 4).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(4)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal"))
+        val cat = s"qupd${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.storage.GraftMerge.install(s)
+        s.sql(s"""UPDATE $cat.default.cust
+                 |SET c_acctbal = c_acctbal + 10000.0
+                 |WHERE c_acctbal >= 1000.0 AND c_acctbal <= 3000.0
+                 |""".stripMargin)
+        s.sql(s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM $cat.default.cust ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(CASE WHEN c_acctbal BETWEEN 1000.0 AND 3000.0
+             |       THEN c_acctbal + 10000.0 ELSE c_acctbal END AS DOUBLE)
+             |    AS c_acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // Row-level CDC feed derived from the manifest alone: txn 1 commits
     // two overlapping batches, txn 2 records equality-delete keys (one
     // key absent at every SF — a delete EVENT regardless), txn 3

@@ -202,9 +202,95 @@ object GraftMerge {
   }
 }
 
-/** Planner strategy: claims `MergeIntoTable` over a graft lake target
-  * (built-ins would refuse it), validates the keyed shape AT PLANNING,
-  * and emits a driver-side command node. */
+/** SQL `UPDATE t SET ... WHERE ...` for lake tables — the same planner
+  * seam as MERGE (the statement survives analysis and dies at physical
+  * planning without `SupportsRowLevelOperations`), routed through
+  * [[TxnCatalog.updateWhere]]'s skipping-aware partition rewrite: only
+  * partitions whose manifest stats MAY match the WHERE are rewritten,
+  * in one conditional txn. Per-column equality and closed-range
+  * conjuncts prune at the manifest; any other deterministic condition
+  * still executes correctly (every partition rewritten — pruning is an
+  * optimization, never a gate). Subqueries are refused at planning. */
+object GraftUpdate {
+  import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, LessThanOrEqual, Literal, PlanExpression}
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+
+  private def refuse(why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"graft-lake UPDATE does not support $why")
+
+  /** Best-effort per-column pruning bounds from the WHERE conjuncts:
+    * equality and closed ranges (BETWEEN desugars to >= AND <=) on a
+    * column vs a literal. Everything else contributes no bound. */
+  private def bounds(e: Expression): Seq[(String, Any, Any)] = {
+    def scala0(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = conjuncts(e)
+    val eqs = cs.collect {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        (a.name, scala0(l), scala0(l))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        (a.name, scala0(l), scala0(l))
+    }
+    // closed range: a >= lo and a <= hi on the same column
+    val los = cs.collect {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        a.name -> scala0(l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        a.name -> scala0(l)
+    }.toMap
+    val his = cs.collect {
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        a.name -> scala0(l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        a.name -> scala0(l)
+    }.toMap
+    eqs ++ (los.keySet intersect his.keySet).toSeq.sorted
+      .map(c => (c, los(c), his(c)))
+  }
+
+  /** Render an expression as re-parseable SQL over bare column names:
+    * resolved attribute refs carry the full `catalog.ns.table.col`
+    * qualifier in `.sql`, which cannot resolve against a per-partition
+    * parquet read — strip qualifiers first. */
+  private def bareSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql
+
+  private[storage] def run(spark: SparkSession, target: GraftSqlTable,
+      u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable): Unit = {
+    def noSubquery(e: Expression): Unit =
+      if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+        refuse(s"subqueries: ${e.sql}")
+    u.condition.foreach(noSubquery)
+    val assigns = u.assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => refuse(s"assignment key ${other.sql}")
+      }
+      noSubquery(a.value)
+      name -> bareSql(a.value)
+    }
+    val condSql = u.condition.map(bareSql).getOrElse("true")
+    val condRefs = u.condition.toSeq
+      .flatMap(_.references.toSeq.map(_.name)).distinct
+    TxnCatalog.updateWhere(spark, target.root, target.table,
+      condSql, assigns,
+      bounds = u.condition.toSeq.flatMap(bounds),
+      condRefs = condRefs)
+    ()
+  }
+}
+
+/** Planner strategy: claims the row-level DML statements (`MERGE INTO`,
+  * `UPDATE`) over a graft lake target — built-ins would refuse them —
+  * validating shapes AT PLANNING and emitting driver-side command
+  * nodes. */
 final class GraftMergeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case m: MergeIntoTable =>
@@ -212,7 +298,23 @@ final class GraftMergeStrategy extends SparkStrategy {
         case Some(t) => GraftMergeExec(t, m) :: Nil
         case None => Nil
       }
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+      GraftMerge.lakeTarget(u.table) match {
+        case Some(t) => GraftUpdateExec(t, u) :: Nil
+        case None => Nil
+      }
     case _ => Nil
+  }
+}
+
+/** Driver-side UPDATE command execution. */
+final case class GraftUpdateExec(target: GraftSqlTable,
+    u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable)
+    extends LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    GraftUpdate.run(session, target, u)
+    sparkContext.emptyRDD[InternalRow]
   }
 }
 

@@ -1604,6 +1604,79 @@ object TxnCatalog {
     }
   }
 
+  /** Skipping-aware UPDATE — the lake-level `UPDATE t SET ... WHERE ...`:
+    * rewrite ONLY the partitions whose manifest stats MAY hold a row
+    * matching `condSql` (candidates pruned by `bounds`, per-column
+    * conjuncts the caller extracted from the condition — empty bounds
+    * keep every partition: pruning is an optimization, never a
+    * correctness bet), applying each assignment to matching rows and
+    * leaving the rest byte-stable. `condSql`/assignment values are SQL
+    * expression strings over the table's columns, re-resolved per
+    * partition (evolved partitions lacking a referenced condition
+    * column can't match — NULL condition per SQL — and skip the
+    * rewrite; a partition lacking an ASSIGNED column gains it, null for
+    * unmatched rows). One conditional txn; stats and Blooms re-measure
+    * on the rewritten entries; the rewrite is a NEW data txn, so CDC
+    * and streaming consumers see the surviving rows re-emitted —
+    * documented upsert-on-key semantics. Returns the committed txn. */
+  def updateWhere(spark: SparkSession, root: String, table: String,
+      condSql: String, assignments: Seq[(String, String)],
+      bounds: Seq[(String, Any, Any)] = Nil,
+      condRefs: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val all = snap.dataEntries(table)
+    require(all.nonEmpty, s"unknown table '$table'")
+    val tableSchema = snap.read(table).get.schema
+    val touched = all.filter { case (_, e) =>
+      bounds.forall { case (c, lo, hi) =>
+        e.stats.get(c).forall(mayOverlap(_, lo, hi)) } }
+    if (touched.isEmpty) return snap.txn
+    def rewritten(p: String, e: Entry): Option[DataFrame] = {
+      // through the delete-applying funnel: the rewrite bumps the data
+      // txn, so pending equality deletes must be materialized here
+      val df = snap.readSelected(table, Seq((p, e))).get
+      if (!condRefs.forall(df.columns.contains)) None // NULL cond: no match
+      else {
+        val cond = coalesce(expr(condSql), lit(false))
+        val assigned = assignments.toMap
+        val base = df.select(df.columns.toSeq.map { c0 =>
+          assigned.get(c0) match {
+            case Some(v) => when(cond, expr(v))
+              .otherwise(col(c0)).cast(df.schema(c0).dataType).as(c0)
+            case None => col(c0)
+          }
+        }: _*)
+        // assigned columns this partition never had (schema evolution):
+        // matched rows take the value, the rest stay null
+        Some(assignments.collect {
+          case (c0, v) if !df.columns.contains(c0) &&
+              tableSchema.fieldNames.contains(c0) => (c0, v)
+        }.foldLeft(base) { case (acc, (c0, v)) =>
+          acc.withColumn(c0, when(cond, expr(v))
+            .otherwise(lit(null)).cast(tableSchema(c0).dataType))
+        })
+      }
+    }
+    val updates = touched.flatMap { case (p, e) =>
+      rewritten(p, e).map(df => (table, p, df)) }
+    if (updates.isEmpty) return snap.txn
+    val statsCols = touched.flatMap(_._2.stats.keys).distinct
+    val bloomCols = touched.flatMap { case (_, e) =>
+      e.stats.collect { case (c, st) if st.bloom.nonEmpty => c } }.distinct
+    touched match {
+      case Seq((Whole, e)) =>
+        commitHooked(spark, root,
+          Seq(table -> rewritten(Whole, e).get))(() => ())
+      case _ =>
+        commitPartitionsHooked(spark, root, updates,
+          statsCols, drops = Nil, expectedTxn = Some(snap.txn),
+          bloomColumns = bloomCols)(() => ())
+    }
+  }
+
   /** MERGE-ON-READ delete: subtract every row of `table` whose
     * `keyColumn` matches a key in `keys`, WITHOUT rewriting any data —
     * the write costs O(distinct keys) regardless of table size

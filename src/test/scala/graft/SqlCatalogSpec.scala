@@ -283,6 +283,40 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("UPDATE: expression SET, range pruning, whole-table, refusals") {
+    withCatalog { (s2, root) =>
+      graft.storage.GraftMerge.install(s2)
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 4).map(k => ("t", s"b=$k",
+          s2.range(k * 25, (k + 1) * 25)
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))),
+        statsColumns = Seq("k"))
+      def rows() = s2.sql("SELECT k, v FROM lake.default.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // range WHERE with an expression SET over the row's own columns
+      val before = TxnCatalog.currentTxn(s2, root).get
+      s2.sql("UPDATE lake.default.t SET v = v + 1000 WHERE k >= 90 AND k <= 95")
+      assert(rows() === (0 until 100).map(i =>
+        (i.toLong, if (i >= 90 && i <= 95) i + 1000.0 else i * 1.0)))
+      // skipping: only the partition whose stats overlap was rewritten
+      val changed = TxnCatalog.diff(s2, root, before,
+        TxnCatalog.currentTxn(s2, root).get)
+      assert(changed.map(c => (c.table, c.partition, c.change))
+        === Seq(("t", "b=3", "updated")),
+        s"only b=3 overlaps [90,95]; got $changed")
+      // unconditional UPDATE (no WHERE) touches every row
+      s2.sql("UPDATE lake.default.t SET v = 0.5 WHERE true")
+      assert(rows().forall(_._2 === 0.5))
+      // subqueries are refused at planning, table unchanged
+      val err = intercept[Exception] {
+        s2.sql("""UPDATE lake.default.t SET v = 1.0
+                 |WHERE k IN (SELECT k FROM lake.default.t)""".stripMargin)
+      }
+      assert(err.getMessage.contains("subquer"))
+      assert(rows().forall(_._2 === 0.5))
+    }
+  }
+
   test("CREATE TABLE with TBLPROPERTIES is one txn — no constraint-less window") {
     withCatalog { (s2, root) =>
       s2.sql("""CREATE TABLE lake.default.a (k BIGINT)
