@@ -129,8 +129,10 @@ object GraftMerge {
     // an error — with matched actions present, duplicate source keys
     // would otherwise append twice (one source-sized aggregate)
     if ((update.isDefined || delete.isDefined) &&
-        !srcDf.groupBy(sKeyCol).count()
-          .filter(col("count") > 1).limit(1).isEmpty)
+        !srcDf.groupBy(sKeyCol.as("__mkey"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__mcnt"))
+          .filter(col("__mcnt") > 1).limit(1).isEmpty)
       throw new IllegalStateException(
         "MERGE_CARDINALITY_VIOLATION: the ON search condition matches " +
           "a single target row with multiple source rows; deduplicate " +

@@ -109,15 +109,33 @@ object TwinCommit {
     * [[TxnCatalog.vacuum]] ages them out. */
   def compactBatches(spark: SparkSession, root: String, batchIds: Seq[String],
       into: String, tableA: String, tableB: String,
-      numFiles: Int = 1, statsColumns: Seq[String] = Nil,
+      numFiles: Int = 0, statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Unit = {
     require(batchIds.nonEmpty, "nothing to compact")
+    require(numFiles >= 0, "numFiles must be >= 1, or 0 for auto-sizing")
     require(!batchIds.contains(into), s"target batch '$into' is a source")
     val snap = TxnCatalog.snapshot(spark, root).getOrElse(
       throw new IllegalArgumentException(s"empty catalog under $root"))
     val parts = batchIds.map(part)
+    // numFiles 0 auto-sizes per table from its own source bytes, the
+    // same rule as TxnCatalog.compactPartitionsHooked — the two twin
+    // tables usually differ in width by orders of magnitude
+    def nf(t: String): Int =
+      if (numFiles >= 1) numFiles
+      else {
+        val f = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val srcBytes = parts.map { p =>
+          f.getContentSummary(new org.apache.hadoop.fs.Path(
+            TxnCatalog.entryPath(root, t, p, snap.entries((t, p)).dir)))
+            .getLength
+        }.sum
+        val target = math.max(1L << 20,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        math.max(1L, math.min(1024L, (srcBytes + target - 1) / target)).toInt
+      }
     val updates = Seq(tableA, tableB).map { t =>
-      (t, part(into), snap.readPartitions(t, parts).get.coalesce(numFiles))
+      (t, part(into), snap.readPartitions(t, parts).get.coalesce(nf(t)))
     }
     val drops = for (t <- Seq(tableA, tableB); p <- parts) yield (t, p)
     // a fold is a pure reorg per table: the merged batch carries its
@@ -142,7 +160,7 @@ object TwinCommit {
     * against the moved catalog. Returns the new batch id when a
     * compaction landed. */
   def maintain(spark: SparkSession, root: String, tableA: String,
-      tableB: String, maxBatches: Int, numFiles: Int = 1,
+      tableB: String, maxBatches: Int, numFiles: Int = 0,
       attempts: Int = 5, statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Option[String] = {
     require(maxBatches >= 2, "maxBatches must be >= 2")

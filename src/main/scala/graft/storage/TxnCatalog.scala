@@ -1509,26 +1509,43 @@ object TxnCatalog {
     * partition. Source partitions' data files are untouched until
     * vacuum. Returns the committed txn. */
   def compactPartitions(spark: SparkSession, root: String, table: String,
-      parts: Seq[String], into: String, numFiles: Int = 1,
+      parts: Seq[String], into: String, numFiles: Int = 0,
       statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil): Long =
     compactPartitionsHooked(spark, root, table, parts, into, numFiles,
       statsColumns, bloomColumns)(() => ())
 
-  /** [[compactPartitions]] with the test-only pre-publish seam. */
+  /** [[compactPartitions]] with the test-only pre-publish seam.
+    * `numFiles` 0 (the default) AUTO-SIZES the fold like clustering
+    * does: source bytes / `spark.sql.files.maxPartitionBytes` (1 MB
+    * floor, 1024 cap) — micro-batch folds stay one file, a fold of GBs
+    * is written by that many parallel tasks instead of coalesce(1). */
   private[graft] def compactPartitionsHooked(spark: SparkSession,
       root: String, table: String, parts: Seq[String], into: String,
-      numFiles: Int = 1, statsColumns: Seq[String] = Nil,
+      numFiles: Int = 0, statsColumns: Seq[String] = Nil,
       bloomColumns: Seq[String] = Nil)(
       beforePublish: () => Unit): Long = {
     require(parts.nonEmpty, "nothing to compact")
-    require(numFiles >= 1, "numFiles must be >= 1")
+    require(numFiles >= 0, "numFiles must be >= 1, or 0 for auto-sizing")
     checkPartitionName(into)
     require(!parts.contains(into),
       s"target partition '$into' is among the sources")
     val snap = snapshot(spark, root).getOrElse(
       throw new IllegalArgumentException(s"empty catalog under $root"))
-    val merged = snap.readPartitions(table, parts).get.coalesce(numFiles)
+    val nf =
+      if (numFiles >= 1) numFiles
+      else {
+        val f = fs(spark, root)
+        val srcBytes = parts.map { p =>
+          f.getContentSummary(new Path(
+            entryPath(root, table, p, snap.entries((table, p)).dir)))
+            .getLength
+        }.sum
+        val target = math.max(1L << 20,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        math.max(1L, math.min(1024L, (srcBytes + target - 1) / target)).toInt
+      }
+    val merged = snap.readPartitions(table, parts).get.coalesce(nf)
     commitPartitionsHooked(spark, root, Seq((table, into, merged)),
       statsColumns, drops = parts.map((table, _)),
       expectedTxn = Some(snap.txn), bloomColumns = bloomColumns,
