@@ -129,9 +129,45 @@ final class LakeStreamSource(
 final class LakeSourceProvider
     extends StreamSourceProvider with DataSourceRegister
     with org.apache.spark.sql.sources.CreatableRelationProvider
-    with org.apache.spark.sql.sources.RelationProvider {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-lake"
+
+  /** Streaming WRITE: `df.writeStream.format("graft-lake")
+    * .option("root", r).option("table", t).option("checkpointLocation",
+    * ck).start()` — the declarative form of [[graft.streaming.Streams]]'
+    * lakeSink helper. Append mode lands each micro-batch as one atomic
+    * `batch=b<id>` partition, exactly-once via the (appId → version)
+    * ledger keyed on the checkpoint location (so replay evidence
+    * survives any later compaction/clustering of the table); Complete
+    * mode (aggregate streams) publishes each trigger as a whole-table
+    * snapshot — naturally idempotent on replay. Update mode is refused
+    * (no key contract at this surface). `statsColumns`/`bloomColumns`
+    * thread into every commit. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val (root, table, _) = parse(parameters)
+    require(partitionColumns.isEmpty,
+      "partitionBy is not supported — bulk-partition via the batch " +
+        "writer's keyColumn, or cluster with maintainClustered")
+    require(outputMode != OutputMode.Update(),
+      "graft-lake sink supports Append and Complete output modes")
+    def cols(key: String): Seq[String] = parameters.get(key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    // the checkpoint location IS the stream's replay identity; without
+    // one there is nothing to replay from, so a per-sink nonce is safe
+    val appId = parameters.get("checkpointLocation")
+      .orElse(parameters.get("checkpointlocation"))
+      .getOrElse(s"nock-${java.util.UUID.randomUUID()}")
+    new LakeSink(root, table,
+      cols("statsColumns") ++ cols("statscolumns"),
+      cols("bloomColumns") ++ cols("bloomcolumns"),
+      appId, complete = outputMode == OutputMode.Complete())
+  }
 
   /** Batch READ: `spark.read.format("graft-lake").option("root", r)
     * .option("table", t).load()` — closes the r7 asymmetry where the
@@ -269,6 +305,29 @@ final class LakeSourceProvider
     new LakeStreamSource(sqlContext.sparkSession, root, table, resolved,
       starting, maxTxns(parameters), isChangeFeed(parameters))
   }
+}
+
+/** v1 streaming sink over the txn lake (see
+  * [[LakeSourceProvider.createSink]]). The micro-batch frame is
+  * re-wrapped over its physical rows (ofInternalRows) so the plan runs
+  * exactly once, inside the sink's single staged write. */
+private[storage] final class LakeSink(root: String, table: String,
+    statsColumns: Seq[String], bloomColumns: Seq[String],
+    appId: String, complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val fresh = GraftSqlBridge.ofInternalRows(data)
+    if (complete)
+      // whole-table snapshot per trigger: replays overwrite with the
+      // same content, so no ledger is needed
+      TxnCatalog.commit(spark, root, Seq((table, fresh)))
+    else
+      TxnCatalog.appendBatch(spark, root, table, s"b$batchId", fresh,
+        statsColumns, bloomColumns, ledger = Some((appId, batchId)))
+    ()
+  }
+  override def toString: String = s"GraftLakeSink[$root/$table]"
 }
 
 /** v1 relation over a pinned lake frame: column pruning and the

@@ -69,6 +69,17 @@ object GraftSqlBridge {
         .StreamingQueryWrapper]
       .streamingQuery.lastExecution.executedPlan
 
+  /** Re-wrap a streaming micro-batch frame (a v1 `Sink.addBatch`
+    * argument) as a BATCH frame over the SAME physical rows — the plan
+    * executes exactly once when the sink's single write action runs,
+    * and batch-side writers stop refusing the streaming flag. Delta's
+    * sink does the same internalCreateDataFrame(toRdd) dance. */
+  def ofInternalRows(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Re-mark every leaf relation of an already-built BATCH frame as
     * streaming — how a v1 `Source.getBatch` can serve a frame COMPOSED
     * by batch-side machinery (e.g. the manifest-derived change feed's

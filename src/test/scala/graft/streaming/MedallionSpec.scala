@@ -36,6 +36,59 @@ class MedallionSpec extends GraftSuite {
       compactEvery = compactEvery, statsColumns = Seq("id"))
   }
 
+  test("writeStream.format(graft-lake): declarative medallion hop, exactly-once across restart") {
+    val bronze = tmp("fmtb")
+    val silver = tmp("fmts")
+    val ckpt = tmp("fmtc")
+    commitBronze(bronze, "b0", 0, 100)
+    def run(): Unit = {
+      val q = refine(spark.readStream.format("graft-lake")
+          .option("root", bronze).option("table", "ev").load())
+        .writeStream.format("graft-lake")
+        .option("root", silver).option("table", "ev2")
+        .option("statsColumns", "id")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(TxnCatalog.read(spark, silver, "ev2").get.count() ===
+      refine(TxnCatalog.read(spark, bronze, "ev").get).count())
+    // commits while the stream is down; restart resumes with no replay
+    commitBronze(bronze, "b1", 100, 160)
+    run()
+    val got = TxnCatalog.read(spark, silver, "ev2").get
+    val want = refine(TxnCatalog.read(spark, bronze, "ev").get)
+    assert(got.collect().toSet === want.collect().toSet,
+      "format-sink restart must be exactly-once (ledgered batch ids)")
+    // stats threaded: the silver batches carry id stats for pruning
+    val snap = TxnCatalog.snapshot(spark, silver).get
+    assert(snap.partitions("ev2").exists(p =>
+      snap.stats("ev2", p).contains("id")))
+  }
+
+  test("writeStream.format(graft-lake) Complete mode publishes whole-table aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val lake = tmp("fmtagg")
+    val ckpt = tmp("fmtaggc")
+    val src = MemoryStream[(Long, Double)]
+    val q = src.toDF().toDF("k", "v")
+      .groupBy($"k").agg(sum($"v").as("total"))
+      .writeStream.format("graft-lake")
+      .option("root", lake).option("table", "agg")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      src.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
+      src.addData((1L, 10.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = TxnCatalog.read(spark, lake, "agg").get.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 11.0), (2L, 2.0)),
+      "Complete mode must hold exactly the latest aggregate snapshot")
+  }
+
   test("bronze commits flow to silver exactly once, equal to the batch transform") {
     val bronze = tmp("medb")
     val silver = tmp("meds")
