@@ -398,6 +398,47 @@ object CatalogQueries extends QueryGroup {
              |  WHERE c_custkey IN (7, 42))
              |ORDER BY _txn, _change_type, c_custkey""".stripMargin)),
 
+    // The maintenance surface as SQL stored procedures (DSv2
+    // ProcedureCatalog): CALL system.optimize folds the 4 batch
+    // partitions into one compacted partition, CALL system.vacuum
+    // reclaims every superseded txn — and the read back must still
+    // hash-equal the plain source. The CALL results themselves ride
+    // along as constant columns (compacted partition count from
+    // optimize's result row, live partitions re-listed, txns kept from
+    // vacuum's), so the oracle pins the maintenance OUTCOME, not just
+    // row survival.
+    QueryDef(
+      "s_sql_call",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_sqlcall").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        (0 until 4).foreach { k =>
+          graft.storage.TxnCatalog.commitPartitions(s, root,
+            Seq(("cust", s"batch=$k",
+              cust.filter(pmod(col("c_custkey"), lit(4)) === k))),
+            statsColumns = Seq("c_custkey"))
+        }
+        val cat = s"qcall${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val folded = s.sql(s"CALL $cat.system.optimize(table => 'cust', " +
+          "stats_columns => 'c_custkey')").collect().head.getInt(1)
+        val kept = s.sql(s"CALL $cat.system.vacuum(keep => 1)")
+          .collect().head.getInt(1)
+        val live = graft.storage.TxnCatalog.partitions(s, root, "cust").size
+        s.sql(s"""SELECT c_custkey, c_acctbal FROM $cat.default.cust
+                 |WHERE c_custkey <= 200""".stripMargin)
+          .withColumn("compacted", lit(folded))
+          .withColumn("live_partitions", lit(live))
+          .withColumn("kept_txns", lit(kept))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, 4 AS compacted,
+             |  1 AS live_partitions, 1 AS kept_txns
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * One flat namespace (`default`) — TxnCatalog roots are already the
   * namespace unit; mount several roots as several catalogs.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -68,6 +69,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def checkNs(ns: Array[String]): Unit =
     if (!(ns.isEmpty || ns.sameElements(Array("default"))))
       throw new NoSuchNamespaceException(ns)
+
+  /** `CALL <cat>.system.<proc>(...)` — the maintenance surface
+    * (optimize / cluster / vacuum / history) as DSv2 stored procedures;
+    * see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident).getOrElse(
+      throw new RuntimeException(
+        s"procedure not found: ${ident.namespace().mkString(".")}" +
+          s".${ident.name()} — known: ${GraftProcedures.Names.mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty && !namespace.sameElements(Array("system")) &&
+      !namespace.sameElements(Array("default"))) Array.empty
+    else GraftProcedures.Names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     checkNs(namespace)

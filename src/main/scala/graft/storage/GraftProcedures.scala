@@ -1,0 +1,281 @@
+package graft.storage
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The lake's MAINTENANCE surface as DSv2 stored procedures — plain SQL
+  * `CALL <cat>.system.<proc>(...)` drives the same [[TxnCatalog]]
+  * entry points the Scala API exposes (Iceberg's `system` procedures,
+  * Delta's `OPTIMIZE`/`VACUUM` statements — same operational shape,
+  * Spark 4's `ProcedureCatalog` plumbing):
+  *
+  *  - `optimize(table, prefix => 'batch=')` — fold the matching
+  *    small-commit partitions into one auto-sized compacted partition
+  *    ([[TxnCatalog.compactPartitions]]); stats/Bloom columns carry.
+  *  - `cluster(table, dims, ...)` — Z-order the table's pending
+  *    partitions ([[TxnCatalog.maintainClustered]]); `min_batches => 1`
+  *    makes CALL mean "now" while the streaming sink's inline
+  *    maintenance keeps its own threshold.
+  *  - `vacuum(keep, min_age_ms)` — reclaim txns/data no survivor
+  *    references ([[TxnCatalog.vacuum]]).
+  *  - `history(lim)` — the commit log, newest first: txn, commit time,
+  *    tables touched, live partitions, exact row count when the
+  *    manifest carries it.
+  *
+  * Every procedure returns its outcome as ROWS (a [[LocalScan]] —
+  * the only result shape Spark's `InvokeProcedures` executes), so
+  * `CALL` composes with the SQL shell the way `DESCRIBE` does. All args
+  * are scalars evaluated BEFORE the call; maintenance concurrency is
+  * the engine's own (conditional commits, bounded retry), never the
+  * procedure's.
+  */
+private[storage] object GraftProcedures {
+
+  /** Idents under the conventional `system` namespace. */
+  val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history")
+
+  def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
+    val ns = ident.namespace()
+    val ok = ns.isEmpty || ns.sameElements(Array("system")) ||
+      ns.sameElements(Array("default"))
+    if (!ok) None
+    else ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "optimize" => Some(new OptimizeProcedure(root))
+      case "cluster"  => Some(new ClusterProcedure(root))
+      case "vacuum"   => Some(new VacuumProcedure(root))
+      case "history"  => Some(new HistoryProcedure(root))
+      case _          => None
+    }
+  }
+
+  private[storage] def spark: SparkSession = SparkSession.active
+
+  private[storage] def str(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+
+  private[storage] def csv(row: InternalRow, i: Int): Seq[String] =
+    str(row, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private[storage] def oneRow(schema: StructType, values: Any*): Scan = {
+    val row = new GenericInternalRow(values.toArray)
+    new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }
+  }
+
+  private[storage] def manyRows(schema: StructType,
+      rs: Seq[InternalRow]): Scan = new LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = rs.toArray
+  }
+
+  private[storage] def one(scan: Scan): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(scan).iterator()
+
+  private[storage] def param(name: String, dt: DataType,
+      default: String = null, comment: String = null): ProcedureParameter = {
+    var b = ProcedureParameter.in(name, dt)
+    if (default != null) b = b.defaultValue(default)
+    if (comment != null) b = b.comment(comment)
+    b.build()
+  }
+}
+
+/** `CALL cat.system.optimize(table => 't', prefix => 'batch=')`:
+  * compact every partition whose name starts with `prefix` into ONE
+  * auto-sized partition named `c<txn>` (the streaming sink's inline
+  * fold, callable on demand). Conditional-commit races with live
+  * writers are retried a bounded number of times; fewer than two
+  * matching partitions is a no-op (nothing to fold). Returns
+  * `(txn, compacted_partitions)` — txn NULL when nothing ran. */
+private[storage] final class OptimizeProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "optimize"
+  override def description(): String =
+    "fold small-commit partitions into one compacted partition"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("prefix", StringType, "'batch='",
+      "only partitions with this name prefix are folded"),
+    param("stats_columns", StringType, "''", "comma-separated"),
+    param("bloom_columns", StringType, "''", "comma-separated"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = true),
+    StructField("compacted_partitions", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    val prefix = str(input, 1)
+    require(table.nonEmpty, "optimize: table is required")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val parts = TxnCatalog.partitions(s, root, table)
+        .filter(_.startsWith(prefix))
+      if (parts.size < 2)
+        return one(oneRow(out, null, Integer.valueOf(0)))
+      val into = "c" + (TxnCatalog.currentTxn(s, root).getOrElse(0L) + 1)
+      try {
+        val txn = TxnCatalog.compactPartitions(s, root, table, parts, into,
+          statsColumns = csv(input, 2), bloomColumns = csv(input, 3))
+        return one(oneRow(out, java.lang.Long.valueOf(txn),
+          Integer.valueOf(parts.size)))
+      } catch {
+        // a rival commit moved the catalog between pin and publish —
+        // re-list against the new snapshot and retry
+        case _: java.io.IOException if attempts < 5 =>
+          Thread.sleep(attempts * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** `CALL cat.system.cluster(table => 't', dims => 'a,b')`: Z-order the
+  * table's pending (not-yet-clustered) partitions into generation
+  * tiles — [[TxnCatalog.maintainClustered]] with `min_batches`
+  * defaulting to 1 so CALL means "cluster now". Returns
+  * `(txn, clustered)` — txn NULL when below the threshold. */
+private[storage] final class ClusterProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "cluster"
+  override def description(): String =
+    "Z-order pending partitions into generation tiles"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("dims", StringType, null,
+      "comma-separated Z-order columns, most-filtered LAST"),
+    param("buckets", IntegerType, "16"),
+    param("min_batches", IntegerType, "1",
+      "cluster only when at least this many pending partitions"),
+    param("files_per_bucket", IntegerType, "0", "0 = auto-size"),
+    param("stats_columns", StringType, "''"),
+    param("bloom_columns", StringType, "''"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = true),
+    StructField("clustered", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    val dims = csv(input, 1)
+    require(table.nonEmpty, "cluster: table is required")
+    require(dims.nonEmpty, "cluster: dims is required (comma-separated)")
+    val txn = TxnCatalog.maintainClustered(s, root, table, dims,
+      minBatches = math.max(1, input.getInt(3)),
+      buckets = input.getInt(2),
+      filesPerBucket = input.getInt(4),
+      extraStatsColumns = csv(input, 5), bloomColumns = csv(input, 6))
+    one(oneRow(out,
+      txn.map(java.lang.Long.valueOf).orNull,
+      java.lang.Boolean.valueOf(txn.isDefined)))
+  }
+}
+
+/** `CALL cat.system.vacuum(keep => 3, min_age_ms => 3600000)`: reclaim
+  * manifests and data files no surviving txn references
+  * ([[TxnCatalog.vacuum]] — retention semantics documented there).
+  * Returns `(reclaimed_txns, kept_txns)`. */
+private[storage] final class VacuumProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "reclaim unreferenced txn manifests and data files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("keep", IntegerType, "1", "txns to retain, newest first"),
+    param("min_age_ms", LongType, "0",
+      "reclaim only txns whose successor is at least this old"))
+
+  private val out = StructType(Seq(
+    StructField("reclaimed_txns", IntegerType, nullable = false),
+    StructField("kept_txns", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val before = TxnCatalog.txns(s, root).size
+    TxnCatalog.vacuum(s, root, keep = input.getInt(0),
+      minAgeMs = input.getLong(1))
+    val after = TxnCatalog.txns(s, root).size
+    one(oneRow(out, Integer.valueOf(before - after), Integer.valueOf(after)))
+  }
+}
+
+/** `CALL cat.system.history(lim => 20)`: the commit log, newest first —
+  * one row per still-on-disk txn: commit time (manifest mtime, the
+  * rename that published it), tables touched, live data partitions,
+  * and the exact row count when every entry carries one. Reads one
+  * manifest per returned row — cap with `lim`. */
+private[storage] final class HistoryProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "history"
+  override def description(): String = "the lake's commit log, newest first"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("lim", IntegerType, "20", "most recent txns to return"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
+    StructField("tables", StringType, nullable = false),
+    StructField("partitions", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = true)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val hconf = s.sparkContext.hadoopConfiguration
+    val tdir = new org.apache.hadoop.fs.Path(s"$root/_txns")
+    val fs = tdir.getFileSystem(hconf)
+    val mtimes: Map[Long, Long] =
+      if (!fs.exists(tdir)) Map.empty
+      else fs.listStatus(tdir).toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+        .flatMap(st => st.getPath.getName.toLongOption
+          .map(_ -> st.getModificationTime)).toMap
+    val picked = TxnCatalog.txns(s, root).sorted.reverse
+      .take(math.max(0, input.getInt(0)))
+    val rs = picked.map { t =>
+      val snap = TxnCatalog.snapshotAt(s, root, t)
+      val tables = snap.tables
+      val parts = tables.map(snap.partitions(_).size).sum
+      val rows = {
+        val counts = tables.map(snap.rowCount(_))
+        if (counts.nonEmpty && counts.forall(_.isDefined))
+          java.lang.Long.valueOf(counts.flatten.sum)
+        else null
+      }
+      new GenericInternalRow(Array[Any](t, mtimes.getOrElse(t, 0L),
+        UTF8String.fromString(tables.mkString(",")),
+        parts, rows)): InternalRow
+    }
+    one(manyRows(out, rs))
+  }
+}

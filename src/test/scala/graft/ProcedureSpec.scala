@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.storage.TxnCatalog
+
+/** [[graft.storage.GraftProcedures]]: the maintenance surface as DSv2
+  * stored procedures — `CALL lake.system.optimize/cluster/vacuum/
+  * history(...)` from plain SQL, results returned as rows. */
+class ProcedureSpec extends GraftSuite {
+
+  private def withCatalog[A](f: (SparkSession, String) => A): A = {
+    val root = Files.createTempDirectory("proc").toFile.getAbsolutePath
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-proc-test")
+      .config("spark.sql.catalog.lake", "graft.storage.GraftCatalog")
+      .config("spark.sql.catalog.lake.root", root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(s2, root)
+    finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  private def commitBatches(s2: SparkSession, root: String, n: Int): Unit = {
+    import s2.implicits._
+    (0 until n).foreach { b =>
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", s"batch=$b",
+          (b * 100 until (b + 1) * 100).map(i => (i.toLong, i * 2L, s"n$i"))
+            .toDF("k", "v", "nm"))),
+        statsColumns = Seq("k"))
+    }
+  }
+
+  test("CALL system.optimize folds batch partitions; rows survive") {
+    withCatalog { (s2, root) =>
+      commitBatches(s2, root, 4)
+      val r = s2.sql(
+        "CALL lake.system.optimize(table => 'ev', stats_columns => 'k')")
+        .collect().head
+      assert(r.getInt(1) === 4, "4 batch partitions folded")
+      assert(!r.isNullAt(0), "a compaction txn committed")
+      val parts = TxnCatalog.partitions(s2, root, "ev")
+      assert(parts.size === 1 && parts.head.startsWith("c"),
+        s"one compacted partition, got $parts")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 400L)
+      // idempotent: a second CALL has < 2 partitions to fold → no-op
+      val r2 = s2.sql("CALL lake.system.optimize(table => 'ev')")
+        .collect().head
+      assert(r2.isNullAt(0) && r2.getInt(1) === 0)
+    }
+  }
+
+  test("CALL system.cluster Z-orders pending partitions and prunes") {
+    withCatalog { (s2, root) =>
+      commitBatches(s2, root, 4)
+      val r = s2.sql(
+        "CALL lake.system.cluster(table => 'ev', dims => 'v,k', " +
+          "buckets => 4)").collect().head
+      assert(r.getBoolean(1), "clustering ran")
+      val parts = TxnCatalog.partitions(s2, root, "ev")
+      assert(parts.forall(_.startsWith("z")), s"generation tiles, got $parts")
+      // manifest stats prune: a point lookup reads a strict subset
+      val snap = TxnCatalog.snapshot(s2, root).get
+      val hit = snap.partitionsWhere("ev", "k", 5.0, 5.0)
+      assert(hit.size < parts.size, "Z-tiles must bound k")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 400L)
+      // below min_batches → no-op (one generation pending)
+      val r2 = s2.sql(
+        "CALL lake.system.cluster(table => 'ev', dims => 'v,k', " +
+          "min_batches => 99)").collect().head
+      assert(!r2.getBoolean(1) && r2.isNullAt(0))
+    }
+  }
+
+  test("CALL system.vacuum reclaims superseded txns; reads still work") {
+    withCatalog { (s2, root) =>
+      commitBatches(s2, root, 4)
+      s2.sql("CALL lake.system.optimize(table => 'ev')")
+      val before = TxnCatalog.txns(s2, root).size
+      val r = s2.sql("CALL lake.system.vacuum(keep => 1)").collect().head
+      assert(r.getInt(0) === before - 1 && r.getInt(1) === 1)
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 400L)
+    }
+  }
+
+  test("CALL system.history lists the commit log newest first with rows") {
+    withCatalog { (s2, root) =>
+      commitBatches(s2, root, 3)
+      val rows = s2.sql("CALL lake.system.history(lim => 2)").collect()
+      assert(rows.length === 2)
+      assert(rows.map(_.getLong(0)).toSeq === Seq(3L, 2L), "newest first")
+      assert(rows.head.getString(2) === "ev")
+      assert(rows.head.getInt(3) === 3, "3 live partitions at txn 3")
+      assert(rows.head.getLong(4) === 300L,
+        "manifest row counts sum to the exact table count")
+      assert(rows.forall(_.getLong(1) > 0L), "commit mtimes recorded")
+      // positional args work too
+      assert(s2.sql("CALL lake.system.history(1)").collect().length === 1)
+    }
+  }
+
+  test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
+    withCatalog { (s2, _) =>
+      val listed = s2.sql("SHOW PROCEDURES IN lake.system")
+      val nameIdx = listed.columns
+        .indexWhere(_.toLowerCase(java.util.Locale.ROOT).endsWith("name"))
+      val names = listed.collect().map(_.getString(nameIdx)).toSet
+      assert(names === Set("optimize", "cluster", "vacuum", "history"))
+      val e = intercept[Exception] {
+        s2.sql("CALL lake.system.nope()").collect()
+      }
+      assert(e.getMessage.contains("nope"))
+    }
+  }
+}
