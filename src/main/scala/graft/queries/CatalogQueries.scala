@@ -97,6 +97,29 @@ object CatalogQueries extends QueryGroup {
              |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // DYNAMIC file pruning (Databricks DFP at partition grain): the
+    // fact side's pruning keys exist only at RUNTIME — a dimension
+    // frame's filter output — not in any literal predicate.
+    // readSemiJoin runs the dim job first, pulls its distinct keys
+    // (driver-sized, broadcast-threshold bet), probes them against the
+    // Z-tiles' c_custkey stats, and reads only the surviving
+    // partitions; the oracle is the plain IN-subquery semi join.
+    QueryDef(
+      "s_dfp_semi_join",
+      (s, d) => {
+        val root = QueryFixtures.custZLake(s, d) // shared cached lake
+        val dim = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000.0).select("o_custkey")
+        graft.storage.TxnCatalog.snapshot(s, root).get
+          .readSemiJoin("cust", "c_custkey", dim, "o_custkey").get
+          .select("c_custkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_custkey IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Storage round trip: point lookup on a key whose per-batch ranges
     // all overlap (pmod split), routed by the manifest Bloom recorded at
     // commit — readWhereEq must return exactly the SQL equality filter.

@@ -603,6 +603,38 @@ object TxnCatalog {
         read(table).map(df => df.filter(lit(false)).filter(pred(df)))
       }
     }
+
+    /** DYNAMIC file pruning (Databricks DFP / Delta's dynamic file
+      * skipping, at partition grain): semi-join `table` against a
+      * DIMENSION FRAME whose keys are only known at runtime —
+      * `fact WHERE col IN (SELECT dimCol FROM dim)` — pruning the fact
+      * scan at the MANIFEST before any fact file is opened. The dim
+      * side runs first as its own (distributed) job; its distinct keys
+      * are pulled to the driver only when they number ≤ `maxKeys`
+      * (the same driver-sized-build-side bet Spark's broadcast
+      * threshold makes), probed against per-partition min/max AND
+      * Blooms, and re-applied as an exact IN predicate — so a
+      * selective dim touches 1 of 10 000 fact partitions and the
+      * result is the plain semi join's, always. Over the cap (or with
+      * a whole-table snapshot) it degrades to the unpruned exact
+      * LEFT SEMI join — never wrong results, just no skipping.
+      * Driver stat-probe cost is O(partitions × keys): size `maxKeys`
+      * like a broadcast threshold, not like a shuffle.
+      * None if the table is absent. */
+    def readSemiJoin(table: String, column: String, dim: DataFrame,
+        dimCol: String, maxKeys: Int = 10000): Option[DataFrame] = {
+      require(maxKeys >= 1, "maxKeys must be >= 1")
+      val keys = dim.select(dimCol).na.drop().distinct()
+        .limit(maxKeys + 1).collect().map(_.get(0)).toSeq
+      if (keys.isEmpty)
+        return read(table).map(df =>
+          df.filter(org.apache.spark.sql.functions.lit(false)))
+      if (keys.size > maxKeys)
+        return read(table).map(_.join(
+          dim.select(dim(dimCol).as(column)).distinct(),
+          Seq(column), "left_semi"))
+      readWhereIn(table, column, keys)
+    }
   }
 
   /** Spark compares strings by UTF-8 bytes (code-point order); Java's

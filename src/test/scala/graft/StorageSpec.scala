@@ -1560,4 +1560,51 @@ class StorageSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
     }
   }
+
+  test("readSemiJoin: dim keys prune fact partitions at the manifest; result is the exact semi join") {
+    import graft.storage.TxnCatalog
+    val root = tmp("dfp")
+    // 8 range-split partitions: tight k stats per partition
+    TxnCatalog.commitPartitions(spark, root,
+      (0 until 8).map(b => ("fact", s"r=$b",
+        (b * 100 until (b + 1) * 100).map(i => (i.toLong, i * 2L))
+          .toDF("k", "v"))),
+      statsColumns = Seq("k"))
+    val dim = Seq(5L, 7L, 205L).toDF("fk")
+    val snap = TxnCatalog.snapshot(spark, root).get
+    val got = snap.readSemiJoin("fact", "k", dim, "fk").get
+    // exact semi-join result
+    assert(got.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(5L, 7L, 205L))
+    // and the scan touched ONLY the partitions whose stats may hold a key
+    val kept = snap.partitionsWhereIn("fact", "k", Seq(5L, 7L, 205L))
+    assert(kept.toSet === Set("r=0", "r=2"), s"expected 2 of 8, got $kept")
+    val files = got.inputFiles
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("/r=0/") || f.contains("/r=2/")),
+      s"scan must touch only the surviving partitions' files:\n" +
+        files.mkString("\n"))
+    // null dim keys never match (semi-join semantics), empty dim = empty
+    val withNull = Seq(Some(5L), None).toDF("fk")
+    assert(snap.readSemiJoin("fact", "k", withNull, "fk").get
+      .count() === 1L)
+    assert(snap.readSemiJoin("fact", "k",
+      dim.filter($"fk" < 0), "fk").get.count() === 0L)
+  }
+
+  test("readSemiJoin over the key cap degrades to the unpruned exact semi join") {
+    import graft.storage.TxnCatalog
+    val root = tmp("dfpcap")
+    TxnCatalog.commitPartitions(spark, root,
+      (0 until 4).map(b => ("fact", s"r=$b",
+        (b * 50 until (b + 1) * 50).map(i => (i.toLong, i.toString))
+          .toDF("k", "nm"))),
+      statsColumns = Seq("k"))
+    val dim = (0L until 150L).map(i => i * 2).toDF("fk") // 150 > cap 100
+    val got = TxnCatalog.snapshot(spark, root).get
+      .readSemiJoin("fact", "k", dim, "fk", maxKeys = 100).get
+    // evens in [0, 200): 100 of them exist in fact's [0, 200) keys
+    assert(got.count() === 100L)
+    assert(got.select("k").as[Long].collect().forall(_ % 2 == 0))
+  }
 }
