@@ -45,6 +45,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * One flat namespace (`default`) — TxnCatalog roots are already the
   * namespace unit; mount several roots as several catalogs.
+  *
+  * TBLPROPERTIES `graft.stats-columns` / `graft.bloom-columns`
+  * (comma-separated) make skipping a TABLE fact instead of a writer
+  * fact: every commit to the table — SQL INSERT, the streaming sink,
+  * compaction, clustering — measures those columns' manifest stats
+  * without any per-call knob ([[TxnCatalog.StatsColumnsProp]]).
+  * Maintenance is SQL too: `CALL <cat>.system.optimize/cluster/
+  * vacuum/history(...)` ([[GraftProcedures]]).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {

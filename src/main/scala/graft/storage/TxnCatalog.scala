@@ -1133,6 +1133,15 @@ object TxnCatalog {
   private val PropsPartition = "~p"
   /** Property-key prefix marking an enforced CHECK constraint. */
   val ConstraintPrefix = "constraint."
+  /** Table property naming the columns EVERY commit measures min/max
+    * stats for (comma-separated) — the table-resident form of the
+    * per-call `statsColumns` knob, merged in by the publish path so
+    * SQL INSERT, the streaming sink, compaction, and clustering all
+    * record skippable stats without each writer passing the list
+    * (Delta's `dataSkippingNumIndexedCols`, by name instead of count). */
+  val StatsColumnsProp = "graft.stats-columns"
+  /** [[StatsColumnsProp]]'s Bloom-filter counterpart. */
+  val BloomColumnsProp = "graft.bloom-columns"
 
   /** Table properties at the latest committed txn. */
   def tableProperties(spark: SparkSession, root: String,
@@ -1410,14 +1419,18 @@ object TxnCatalog {
     // the staged read carries it at its original type.
     val stagedDf = spark.read.option("recursiveFileLookup", "true")
       .parquet(stagingDir.toString)
+    // table properties, read once: constraints below AND the
+    // table-configured stats columns both come from here
+    val tblProps: Map[String, String] =
+      prevManifest.get((table, "~p")).map { e =>
+        spark.read.parquet(entryPath(root, table, "~p", e.dir)).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      }.getOrElse(Map.empty)
     // constraints enforce on the staged bytes; a violation unstages
     // everything and throws before the catalog can move
-    prevManifest.get((table, "~p")).foreach { e =>
-      val cons = spark.read.parquet(entryPath(root, table, "~p", e.dir))
-        .collect()
-        .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
-          r.getString(0) -> r.getString(1) }.sorted
-      cons.foreach { case (k, v) =>
+    tblProps.toSeq
+      .filter { case (k, _) => k.startsWith(ConstraintPrefix) }.sorted
+      .foreach { case (k, v) =>
         if (!stagedDf.filter(not(coalesce(expr(v), lit(true))))
             .limit(1).isEmpty) {
           f.delete(stagingDir, true)
@@ -1425,9 +1438,12 @@ object TxnCatalog {
             s"commit to '$table' violates $k ($v); nothing was published")
         }
       }
-    }
-    // 2. one grouped stats job (same rendering as the staged-stats pass)
-    val kinds: Map[String, String] = statsColumns.distinct
+    // 2. one grouped stats job (same rendering as the staged-stats
+    // pass); TBLPROPERTIES-configured stats columns merge in exactly
+    // as on the publish path
+    val kinds: Map[String, String] =
+      (statsColumns ++ tblProps.get(StatsColumnsProp).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)).distinct
       .filter(stagedDf.schema.fieldNames.contains)
       .map(c => c -> (stagedDf.schema(c).dataType match {
         case _: NumericType => "n"
@@ -2234,12 +2250,35 @@ object TxnCatalog {
     val prevManifest = prev.map(manifest(f, root, _)).getOrElse(Map.empty)
     val next = prev.getOrElse(0L) + 1L
     val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // table properties, read once per table per publish (KB-scale
+    // driver parquet; absent for propless tables at zero cost) — both
+    // the stats-column merge below and the CHECK-constraint pass
+    // consult the same map
+    val propsCache = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    def tableProps(t: String): Map[String, String] =
+      propsCache.getOrElseUpdate(t, prevManifest.get((t, "~p")).map { e =>
+        spark.read.parquet(entryPath(root, t, "~p", e.dir)).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      }.getOrElse(Map.empty))
+    def cfgCols(t: String, key: String): Seq[String] =
+      tableProps(t).get(key).toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty)
+    // TABLE-configured stats/Bloom columns (TBLPROPERTIES
+    // `graft.stats-columns` / `graft.bloom-columns`) merge into EVERY
+    // commit to that table — SQL INSERT, streaming sink, compaction,
+    // clustering — so skipping doesn't depend on each writer
+    // remembering the knob; the config lives with the table, the way
+    // Delta's dataSkippingNumIndexedCols does. Explicit caller columns
+    // always measure too (union). Internal entries (`~p`, delete-key
+    // lists) and missing columns are skipped by measureStats itself.
+    def statsFor(t: String) = (statsColumns ++ cfgCols(t, StatsColumnsProp)).distinct
+    def bloomFor(t: String) = (bloomColumns ++ cfgCols(t, BloomColumnsProp)).distinct
     // 1. all staging writes finish before anything is published
     val staged: Map[(String, String), Entry] = updates.map { case (t, p, df) =>
       val dirName = s"v=$next.$nonce"
       val path = entryPath(root, t, p, dirName)
       df.write.mode("errorifexists").parquet(path)
-      val (stats, rows) = measureStats(spark, path, statsColumns, bloomColumns)
+      val (stats, rows) = measureStats(spark, path, statsFor(t), bloomFor(t))
       (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows,
         deleteKeyCols.get((t, p)))
     }.toMap
@@ -2256,11 +2295,8 @@ object TxnCatalog {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       val byTable = checked.groupBy(_._1)
       val violation = byTable.keys.toSeq.sorted.iterator.flatMap { t =>
-        val cons = prevManifest.get((t, "~p")).toSeq.flatMap { e =>
-          spark.read.parquet(entryPath(root, t, "~p", e.dir)).collect()
-            .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
-              r.getString(0) -> r.getString(1) }
-        }.sorted
+        val cons = tableProps(t).toSeq
+          .filter { case (k, _) => k.startsWith(ConstraintPrefix) }.sorted
         if (cons.isEmpty) Iterator.empty
         else byTable(t).iterator.flatMap { case (_, p) =>
           val df = spark.read.parquet(

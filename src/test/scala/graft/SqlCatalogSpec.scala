@@ -394,4 +394,41 @@ class SqlCatalogSpec extends GraftSuite {
       assert(got === (0L until 50L).filterNot(Set(7L, 13L)).toArray)
     }
   }
+
+  test("TBLPROPERTIES graft.stats-columns: every writer's commits carry skippable stats") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      s2.sql("""CREATE TABLE lake.default.ev (k BIGINT, nm STRING)
+               |TBLPROPERTIES ('graft.stats-columns' = 'k',
+               |               'graft.bloom-columns' = 'k')""".stripMargin)
+      // SQL INSERT: no per-call stats knob anywhere in the statement
+      s2.sql("INSERT INTO lake.default.ev VALUES (5, 'a'), (9, 'b')")
+      // DataFrame primitive: caller passes NO statsColumns either
+      TxnCatalog.appendBatch(s2, root, "ev", "df1",
+        (100L until 200L).map(i => (i, s"r$i")).toDF("k", "nm"))
+      val snap = TxnCatalog.snapshot(s2, root).get
+      val dataParts = snap.partitions("ev")
+        .filter(p => snap.rowCount("ev", p).exists(_ > 0))
+      assert(dataParts.nonEmpty)
+      dataParts.foreach { p =>
+        val st = snap.stats("ev", p)
+        assert(st.contains("k"), s"partition $p must carry k stats")
+        assert(st("k").bloom.nonEmpty, s"partition $p must carry a k Bloom")
+      }
+      // and the stats actually skip: a probe outside [100, 200) prunes
+      // the appendBatch partition (the stat-less zero-row init
+      // partition stays conservatively kept — that's the contract)
+      val hit = snap.partitionsWhereEq("ev", "k", 5L)
+      assert(!hit.contains("batch=df1"), s"expected df1 pruned, kept $hit")
+      // compaction (no stats args) inherits the config too
+      s2.sql("CALL lake.system.optimize(table => 'ev', prefix => '')")
+      val snap2 = TxnCatalog.snapshot(s2, root).get
+      val parts2 = snap2.partitions("ev")
+        .filter(p => snap2.rowCount("ev", p).exists(_ > 0))
+      assert(parts2.forall(p => snap2.stats("ev", p).contains("k")),
+        "compacted partition must inherit the configured stats")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 102L)
+    }
+  }
 }
