@@ -27,6 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `history(lim)` — the commit log, newest first: txn, commit time,
   *    tables touched, live partitions, exact row count when the
   *    manifest carries it.
+  *  - `analyze(table, stats_columns, ...)` — backfill manifest
+  *    stats/Blooms for existing partitions without rewriting data
+  *    ([[TxnCatalog.analyzeTable]]).
   *
   * Every procedure returns its outcome as ROWS (a [[LocalScan]] —
   * the only result shape Spark's `InvokeProcedures` executes), so
@@ -38,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[storage] object GraftProcedures {
 
   /** Idents under the conventional `system` namespace. */
-  val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history")
+  val Names: Seq[String] =
+    Seq("optimize", "cluster", "vacuum", "history", "analyze")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -50,6 +54,7 @@ private[storage] object GraftProcedures {
       case "cluster"  => Some(new ClusterProcedure(root))
       case "vacuum"   => Some(new VacuumProcedure(root))
       case "history"  => Some(new HistoryProcedure(root))
+      case "analyze"  => Some(new AnalyzeProcedure(root))
       case _          => None
     }
   }
@@ -222,6 +227,55 @@ private[storage] final class VacuumProcedure(root: String)
       minAgeMs = input.getLong(1))
     val after = TxnCatalog.txns(s, root).size
     one(oneRow(out, Integer.valueOf(before - after), Integer.valueOf(after)))
+  }
+}
+
+/** `CALL cat.system.analyze(table => 't', stats_columns => 'k')`:
+  * backfill manifest stats/Blooms for existing partitions WITHOUT
+  * rewriting data ([[TxnCatalog.analyzeTable]] — one measure pass, one
+  * manifest-only CAS; incremental consumers see no new data). Returns
+  * `(txn, analyzed_partitions)` — txn NULL when nothing was missing. */
+private[storage] final class AnalyzeProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "analyze"
+  override def description(): String =
+    "backfill manifest stats for existing partitions, no data rewrite"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("stats_columns", StringType, "''", "comma-separated"),
+    param("bloom_columns", StringType, "''", "comma-separated"),
+    param("only_missing", BooleanType, "true",
+      "false re-measures every partition"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = true),
+    StructField("analyzed_partitions", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    require(table.nonEmpty, "analyze: table is required")
+    val stats = csv(input, 1)
+    val blooms = csv(input, 2)
+    val onlyMissing = input.getBoolean(3)
+    // count what needs measuring BEFORE the pass (cosmetic only — the
+    // pass re-derives its own target set under its CAS retry)
+    val missing = TxnCatalog.snapshot(s, root).map { snap =>
+      snap.partitions(table).count { p =>
+        val st = snap.stats(table, p)
+        !onlyMissing || stats.exists(c => !st.contains(c)) ||
+          blooms.exists(c => st.get(c).forall(_.bloom.isEmpty))
+      }
+    }.getOrElse(0)
+    val txn = TxnCatalog.analyzeTable(s, root, table, stats, blooms,
+      onlyMissing = onlyMissing)
+    one(oneRow(out, txn.map(java.lang.Long.valueOf).orNull,
+      Integer.valueOf(if (txn.isDefined) missing else 0)))
   }
 }
 

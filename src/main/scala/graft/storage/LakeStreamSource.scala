@@ -162,7 +162,7 @@ final class LakeSourceProvider
     // one there is nothing to replay from, so a per-sink nonce is safe
     val appId = parameters.get("checkpointLocation")
       .orElse(parameters.get("checkpointlocation"))
-      .getOrElse(s"nock-${java.util.UUID.randomUUID()}")
+      .getOrElse(s"nonce-${java.util.UUID.randomUUID()}")
     new LakeSink(root, table,
       cols("statsColumns") ++ cols("statscolumns"),
       cols("bloomColumns") ++ cols("bloomcolumns"),

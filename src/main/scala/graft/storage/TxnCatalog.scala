@@ -2356,6 +2356,63 @@ object TxnCatalog {
     }
   }
 
+  /** ANALYZE: backfill per-partition manifest stats (and Blooms) for
+    * EXISTING entries without rewriting a single data file — stats ride
+    * the manifest, so this is a measure pass plus one manifest-only CAS
+    * (Delta's `ANALYZE ... COMPUTE DELTA STATISTICS`, same trade). The
+    * path for tables whose partitions were committed before skipping
+    * columns were configured (or before [[StatsColumnsProp]] was set):
+    * afterwards every existing partition prunes like a fresh commit's.
+    *
+    * `onlyMissing` (default) measures only entries lacking a requested
+    * stat (or, for `bloomColumns`, lacking the Bloom) — re-running is a
+    * cheap no-op; pass false to force re-measurement. Entries keep
+    * their dirs and dataTxns: incremental consumers (streams, CDC) see
+    * NO new data — the same invisibility OPTIMIZE reorganizations get,
+    * here for free because nothing moves. Concurrency is the usual
+    * conditional CAS: a rival commit in the measure window loses us the
+    * rename and the pass retries against the moved catalog (bounded),
+    * re-measuring only what still needs it. Returns the committed txn,
+    * or None when nothing needed measuring (or the table is absent). */
+  def analyzeTable(spark: SparkSession, root: String, table: String,
+      statsColumns: Seq[String], bloomColumns: Seq[String] = Nil,
+      onlyMissing: Boolean = true, attempts: Int = 5): Option[Long] = {
+    require(statsColumns.nonEmpty || bloomColumns.nonEmpty,
+      "analyze needs at least one stats or bloom column")
+    checkTableName(table)
+    val f = fs(spark, root)
+    var attempt = 0
+    while (attempt < attempts) {
+      attempt += 1
+      val snap = snapshot(spark, root).getOrElse(return None)
+      val targets = snap.dataEntries(table).filter { case (_, e) =>
+        !onlyMissing ||
+          statsColumns.exists(c => !e.stats.contains(c)) ||
+          bloomColumns.exists(c => e.stats.get(c).forall(_.bloom.isEmpty))
+      }
+      if (targets.isEmpty) return None
+      val measured: Map[(String, String), Entry] = targets.map {
+        case (p, e) =>
+          val (st, rows) = measureStats(spark,
+            entryPath(root, table, p, e.dir), statsColumns, bloomColumns)
+          (table, p) -> e.copy(stats = e.stats ++ st,
+            rows = rows.orElse(e.rows))
+      }.toMap
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      try {
+        // staged is EMPTY: a lost race deletes nothing but the tmp
+        // manifest — the measured entries' dirs are live data
+        casPublish(f, root, snap.txn + 1, nonce,
+          manifest(f, root, snap.txn) ++ measured, Map.empty)(() => ())
+        return Some(snap.txn + 1)
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    None
+  }
+
   /** Drop snapshots referenced only by txns older than the `keep` most
     * recent ones, plus orphan staging dirs of crashed or race-losing
     * attempts at already-committed txn numbers. Data still referenced by

@@ -112,13 +112,54 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("CALL system.analyze backfills stats with no data rewrite; streams see no new data") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      // commit WITHOUT stats: nothing prunes
+      (0 until 3).foreach { b =>
+        TxnCatalog.commitPartitions(s2, root,
+          Seq(("ev", s"r=$b",
+            (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"n$i"))
+              .toDF("k", "nm"))))
+      }
+      val snap0 = TxnCatalog.snapshot(s2, root).get
+      assert(snap0.partitionsWhereEq("ev", "k", 5L).size === 3,
+        "stat-less partitions are conservatively kept")
+      val dirsBefore = snap0.partitions("ev")
+        .map(p => p -> snap0.stats("ev", p)).toMap
+      val r = s2.sql("CALL lake.system.analyze(table => 'ev', " +
+        "stats_columns => 'k', bloom_columns => 'k')").collect().head
+      assert(!r.isNullAt(0) && r.getInt(1) === 3)
+      val snap1 = TxnCatalog.snapshot(s2, root).get
+      // stats now prune; Blooms recorded; rows measured
+      assert(snap1.partitionsWhereEq("ev", "k", 5L) === Seq("r=0"))
+      snap1.partitions("ev").foreach { p =>
+        assert(snap1.stats("ev", p)("k").bloom.nonEmpty)
+        assert(snap1.rowCount("ev", p) === Some(100L))
+      }
+      // NO data rewrite: every entry keeps its dir, so incremental
+      // consumers (diffData semantics) see nothing new
+      val entriesAfter = snap1.partitions("ev")
+      assert(entriesAfter.toSet === dirsBefore.keySet)
+      assert(TxnCatalog.diffData(s2, root, snap0.txn, snap1.txn).isEmpty,
+        "analyze must be invisible to incremental reads")
+      // idempotent: nothing missing → no txn
+      val r2 = s2.sql("CALL lake.system.analyze(table => 'ev', " +
+        "stats_columns => 'k', bloom_columns => 'k')").collect().head
+      assert(r2.isNullAt(0) && r2.getInt(1) === 0)
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 300L)
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
     withCatalog { (s2, _) =>
       val listed = s2.sql("SHOW PROCEDURES IN lake.system")
       val nameIdx = listed.columns
         .indexWhere(_.toLowerCase(java.util.Locale.ROOT).endsWith("name"))
       val names = listed.collect().map(_.getString(nameIdx)).toSet
-      assert(names === Set("optimize", "cluster", "vacuum", "history"))
+      assert(names ===
+        Set("optimize", "cluster", "vacuum", "history", "analyze"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
