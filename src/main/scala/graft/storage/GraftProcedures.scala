@@ -316,8 +316,12 @@ private[storage] final class HistoryProcedure(root: String)
           .map(_ -> st.getModificationTime)).toMap
     val picked = TxnCatalog.txns(s, root).sorted.reverse
       .take(math.max(0, input.getInt(0)))
-    val rs = picked.map { t =>
-      val snap = TxnCatalog.snapshotAt(s, root, t)
+    // a concurrent vacuum can reclaim a listed txn between the listing
+    // and the manifest read — skip it rather than failing the whole CALL
+    val rs = picked.flatMap { t =>
+      scala.util.Try(TxnCatalog.snapshotAt(s, root, t)).toOption
+    }.map { snap =>
+      val t = snap.txn
       val tables = snap.tables
       val parts = tables.map(snap.partitions(_).size).sum
       val rows = {
