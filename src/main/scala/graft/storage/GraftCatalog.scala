@@ -486,9 +486,37 @@ private[storage] final class GraftSqlTable(
   * pruning happens inside exactly as on the DataFrame path. */
 private[storage] final class GraftV1Scan(root: String, table: String,
     required: StructType, filters: Array[Filter],
-    asOfTxn: Option[Long] = None) extends V1Scan {
+    asOfTxn: Option[Long] = None) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Join-planning statistics from the MANIFEST (zero file reads):
+    * row count when every live entry carries one (any stats-measured
+    * commit does), size = rows × the PRUNED schema's width — so a SQL
+    * join against a small lake table auto-broadcasts instead of
+    * defaulting to `defaultSizeInBytes` (= never broadcast). Row counts
+    * ignore pending merge-on-read delete keys — an overestimate, which
+    * for broadcast decisions errs safe. Absent counts report empty and
+    * Spark falls back to its default (conservative: no broadcast). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    val rows: Option[Long] = scala.util.Try {
+      val spark = SparkSession.active
+      asOfTxn.map(TxnCatalog.snapshotAt(spark, root, _))
+        .orElse(TxnCatalog.snapshot(spark, root))
+        .flatMap(_.rowCount(table))
+    }.toOption.flatten
+    val width = math.max(8L,
+      required.map(_.dataType.defaultSize.toLong).sum + 8L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong = rows
+        .map(r => OptionalLong.of(r * width)).getOrElse(OptionalLong.empty())
+      override def numRows(): OptionalLong = rows
+        .map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

@@ -395,6 +395,34 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("manifest row counts drive join planning: a small lake table auto-broadcasts") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("dim", "b=0",
+          (0L until 100L).map(i => (i, s"d$i")).toDF("k", "dn"))),
+        statsColumns = Seq("k")) // stats ⇒ rows recorded in the manifest
+      (0L until 5000L).map(i => (i % 100, i)).toDF("k", "v")
+        .createOrReplaceTempView("facts")
+      // AQE off: only STATIC planning can choose the broadcast, and
+      // static planning sees exactly the scan's manifest statistics —
+      // without them the v2 relation defaults to defaultSizeInBytes
+      // (= never broadcast) and this would plan a sort-merge join
+      val aqe = s2.conf.get("spark.sql.adaptive.enabled")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = s2.sql(
+          """SELECT f.k, f.v, d.dn FROM facts f
+            |JOIN lake.default.dim d ON f.k = d.k""".stripMargin)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"small lake table should broadcast statically:\n$plan")
+        assert(!plan.contains("SortMergeJoin"), s"no SMJ expected:\n$plan")
+        assert(joined.count() === 5000L)
+      } finally s2.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("TBLPROPERTIES graft.stats-columns: every writer's commits carry skippable stats") {
     withCatalog { (s2, root) =>
       import s2.implicits._
