@@ -2376,7 +2376,17 @@ object TxnCatalog {
     * or None when nothing needed measuring (or the table is absent). */
   def analyzeTable(spark: SparkSession, root: String, table: String,
       statsColumns: Seq[String], bloomColumns: Seq[String] = Nil,
-      onlyMissing: Boolean = true, attempts: Int = 5): Option[Long] = {
+      onlyMissing: Boolean = true, attempts: Int = 5): Option[Long] =
+    analyzeTableHooked(spark, root, table, statsColumns, bloomColumns,
+      onlyMissing, attempts)(() => ())
+
+  /** [[analyzeTable]] with the test-only pre-publish seam (races a
+    * rival commit into the measure window). */
+  private[graft] def analyzeTableHooked(spark: SparkSession, root: String,
+      table: String, statsColumns: Seq[String],
+      bloomColumns: Seq[String] = Nil,
+      onlyMissing: Boolean = true, attempts: Int = 5)(
+      beforePublish: () => Unit): Option[Long] = {
     require(statsColumns.nonEmpty || bloomColumns.nonEmpty,
       "analyze needs at least one stats or bloom column")
     checkTableName(table)
@@ -2403,7 +2413,7 @@ object TxnCatalog {
         // staged is EMPTY: a lost race deletes nothing but the tmp
         // manifest — the measured entries' dirs are live data
         casPublish(f, root, snap.txn + 1, nonce,
-          manifest(f, root, snap.txn) ++ measured, Map.empty)(() => ())
+          manifest(f, root, snap.txn) ++ measured, Map.empty)(beforePublish)
         return Some(snap.txn + 1)
       } catch {
         case _: java.io.IOException if attempt < attempts =>

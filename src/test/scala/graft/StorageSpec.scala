@@ -1592,6 +1592,27 @@ class StorageSpec extends GraftSuite {
       dim.filter($"fk" < 0), "fk").get.count() === 0L)
   }
 
+  test("analyze retries cleanly when a rival commit lands in the measure window") {
+    import graft.storage.TxnCatalog
+    val root = tmp("anlrace")
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("t", "b=0", Seq((1L, "a"), (2L, "b")).toDF("k", "nm"))))
+    var raced = false
+    val txn = TxnCatalog.analyzeTableHooked(spark, root, "t", Seq("k"))(
+      () => if (!raced) {
+        raced = true
+        // a rival append takes the txn number analyze had pinned
+        TxnCatalog.commitPartitions(spark, root,
+          Seq(("t", "b=1", Seq((50L, "z")).toDF("k", "nm"))))
+      })
+    assert(raced && txn.isDefined, "analyze must retry past the rival")
+    val snap = TxnCatalog.snapshot(spark, root).get
+    // BOTH partitions measured on the retry (b=1 was missing stats too)
+    assert(snap.partitions("t").forall(p =>
+      snap.stats("t", p).contains("k")))
+    assert(snap.read("t").get.count() === 3L, "no rows lost to the race")
+  }
+
   test("readSemiJoin over the key cap degrades to the unpruned exact semi join") {
     import graft.storage.TxnCatalog
     val root = tmp("dfpcap")
