@@ -395,6 +395,30 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("concurrent SQL INSERTs all land: the append path's txn-race retry holds") {
+    withCatalog { (s2, _) =>
+      s2.sql("CREATE TABLE lake.default.ev (k BIGINT, nm STRING)")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writes = (0 until 6).map { w =>
+        scala.concurrent.Future {
+          SparkSession.setActiveSession(s2)
+          s2.sql(s"INSERT INTO lake.default.ev VALUES ($w, 'w$w')")
+        }
+      }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration(120, "s"))
+      finally pool.shutdown()
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 6L,
+        "every racing INSERT must land exactly once")
+      assert(s2.sql("SELECT k FROM lake.default.ev ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === (0L until 6L))
+    }
+  }
+
   test("manifest row counts drive join planning: a small lake table auto-broadcasts") {
     withCatalog { (s2, root) =>
       import s2.implicits._
