@@ -52,7 +52,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * compaction, clustering — measures those columns' manifest stats
   * without any per-call knob ([[TxnCatalog.StatsColumnsProp]]).
   * Maintenance is SQL too: `CALL <cat>.system.optimize/cluster/
-  * vacuum/history(...)` ([[GraftProcedures]]).
+  * vacuum/history/analyze(...)` ([[GraftProcedures]]), and Iceberg-
+  * style metadata tables resolve one level below each data table —
+  * `<cat>.default.<t>.history` / `.partitions` / `.changes`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
@@ -100,7 +102,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(t => Identifier.of(Array("default"), t)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  /** Iceberg-style METADATA TABLES, addressed one level below the data
+    * table — `SELECT * FROM <cat>.default.<t>.history` (commit log for
+    * `t`), `.partitions` (live manifest entries: data txn, rows, which
+    * columns carry stats/Blooms), `.changes` (the full CDC feed,
+    * [[TxnCatalog.changeFeed]] over every committed txn). All three
+    * are built from the MANIFEST driver-side (KB-scale; `.changes`
+    * reads data files only when actually scanned). Read-only. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val ns = ident.namespace()
+    if (ns.length != 2 || ns(0) != "default") return None
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!Seq("history", "partitions", "changes").contains(kind)) return None
+    val s = spark
+    val t = ns(1)
+    val snap = TxnCatalog.snapshot(s, root)
+      .filter(_.tables.contains(t)).getOrElse(return None)
+    val df = kind match {
+      case "history" =>
+        val hconf = s.sparkContext.hadoopConfiguration
+        val tdir = new org.apache.hadoop.fs.Path(s"$root/_txns")
+        val fsys = tdir.getFileSystem(hconf)
+        val mtimes: Map[Long, Long] = fsys.listStatus(tdir).toSeq
+          .filterNot(_.getPath.getName.startsWith("."))
+          .flatMap(st => st.getPath.getName.toLongOption
+            .map(_ -> st.getModificationTime)).toMap
+        val rows = TxnCatalog.txns(s, root).sorted.flatMap { txn =>
+          scala.util.Try(TxnCatalog.snapshotAt(s, root, txn)).toOption
+            .filter(_.tables.contains(t)).map { sn =>
+              (txn, mtimes.getOrElse(txn, 0L),
+                sn.partitions(t).size, sn.rowCount(t))
+            }
+        }
+        s.createDataFrame(rows)
+          .toDF("txn", "committed_at_ms", "partitions", "row_count")
+      case "partitions" =>
+        val rows = snap.dataEntries(t).map { case (p, e) =>
+          (p, TxnCatalog.entryDataTxn(e), e.rows,
+            e.stats.keys.toSeq.sorted.mkString(","),
+            e.stats.collect { case (c, st) if st.bloom.nonEmpty => c }
+              .toSeq.sorted.mkString(","))
+        }.sortBy(_._1)
+        s.createDataFrame(rows).toDF("partition", "data_txn", "rows",
+          "stat_columns", "bloom_columns")
+      case _ =>
+        TxnCatalog.changeFeed(s, root, t, 0L, snap.txn)
+          .getOrElse(return None)
+    }
+    Some(new GraftMetaTable(s"$t.$kind", df))
+  }
+
+  override def loadTable(ident: Identifier): Table = metaTable(ident)
+      .getOrElse {
     checkNs(ident.namespace())
     val t = ident.name()
     // pin the snapshot HERE: every scan this statement plans reads one
@@ -536,6 +589,52 @@ private[storage] final class GraftV1Scan(root: String, table: String,
     }
     rel.asInstanceOf[T]
   }
+}
+
+/** A read-only metadata table over a driver-built frame (see
+  * [[GraftCatalog.loadTable]]'s `metaTable`): pruning and translatable
+  * filters push into the inner plan; everything stays residual so
+  * Spark re-applies it — the same conservative bridge the data tables
+  * use. */
+private[storage] final class GraftMetaTable(tname: String, df: DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = tname
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var filters: Array[Filter] = Array.empty
+      private var required: StructType = df.schema
+
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        filters = fs; fs
+      }
+      override def pushedFilters(): Array[Filter] = filters
+      override def pruneColumns(s: StructType): Unit =
+        required = if (s.isEmpty) StructType(df.schema.take(1)) else s
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel = new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+              val pruned = filters.flatMap(GraftV1Scan.toColumn)
+                .foldLeft(df)(_ filter _)
+              pruned.select(required.fieldNames.map(col).toSeq: _*).rdd
+            }
+          }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
 }
 
 private[storage] object GraftV1Scan {

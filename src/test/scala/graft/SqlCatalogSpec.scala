@@ -395,6 +395,45 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("metadata tables: history / partitions / changes resolve under the data table") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0",
+          (0L until 50L).map(i => (i, s"r$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"), bloomColumns = Seq("k"))
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=1",
+          (50L until 80L).map(i => (i, s"r$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      TxnCatalog.deleteKeys(s2, root, "ev", "k", Seq(7L).toDF("k"))
+      // history: one row per txn the table exists in, rows tracked
+      val hist = s2.sql(
+        "SELECT txn, partitions, row_count FROM lake.default.ev.history " +
+          "ORDER BY txn").collect()
+      assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      assert(hist.map(_.getInt(1)).toSeq === Seq(1, 2, 2))
+      assert(hist.head.getLong(2) === 50L && hist(1).getLong(2) === 80L)
+      // partitions: manifest entries with their stats inventory
+      val parts = s2.sql(
+        "SELECT partition, rows, stat_columns, bloom_columns " +
+          "FROM lake.default.ev.partitions ORDER BY partition").collect()
+      assert(parts.map(_.getString(0)).toSeq === Seq("b=0", "b=1"))
+      assert(parts.map(_.getLong(1)).toSeq === Seq(50L, 30L))
+      assert(parts.forall(_.getString(2) === "k"))
+      assert(parts.map(_.getString(3)).toSeq === Seq("k", ""))
+      // changes: the full CDC feed — 80 inserts + 1 delete event
+      val ch = s2.sql(
+        "SELECT _change_type, count(*) AS n FROM lake.default.ev.changes " +
+          "GROUP BY 1 ORDER BY 1").collect()
+      assert(ch.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("delete", 1L), ("insert", 80L)))
+      // filters push into the metadata frame
+      assert(s2.sql("SELECT k FROM lake.default.ev.changes " +
+        "WHERE _change_type = 'delete'").collect().head.getLong(0) === 7L)
+    }
+  }
+
   test("concurrent SQL INSERTs all land: the append path's txn-race retry holds") {
     withCatalog { (s2, _) =>
       s2.sql("CREATE TABLE lake.default.ev (k BIGINT, nm STRING)")
