@@ -1567,7 +1567,9 @@ object TxnCatalog {
     * `numFiles` 0 (the default) AUTO-SIZES the fold like clustering
     * does: source bytes / `spark.sql.files.maxPartitionBytes` (1 MB
     * floor, 1024 cap) — micro-batch folds stay one file, a fold of GBs
-    * is written by that many parallel tasks instead of coalesce(1). */
+    * is written by that many parallel tasks instead of coalesce(1).
+    * With no explicit stats/Bloom columns the fold re-measures whatever
+    * the SOURCE entries tracked (stats-preserving by default). */
   private[graft] def compactPartitionsHooked(spark: SparkSession,
       root: String, table: String, parts: Seq[String], into: String,
       numFiles: Int = 0, statsColumns: Seq[String] = Nil,
@@ -1594,9 +1596,20 @@ object TxnCatalog {
         math.max(1L, math.min(1024L, (srcBytes + target - 1) / target)).toInt
       }
     val merged = snap.readPartitions(table, parts).get.coalesce(nf)
+    // stats-PRESERVING by default: with no explicit columns, re-measure
+    // whatever the source entries already tracked — a compaction must
+    // never silently downgrade a skipping-ready table to unprunable
+    // (table-configured columns still merge in at publish)
+    val srcStats = parts.flatMap(p =>
+      snap.entries((table, p)).stats.keys).distinct.sorted
+    val srcBlooms = parts.flatMap(p =>
+      snap.entries((table, p)).stats.collect {
+        case (c, st) if st.bloom.nonEmpty => c }).distinct.sorted
     commitPartitionsHooked(spark, root, Seq((table, into, merged)),
-      statsColumns, drops = parts.map((table, _)),
-      expectedTxn = Some(snap.txn), bloomColumns = bloomColumns,
+      if (statsColumns.nonEmpty) statsColumns else srcStats,
+      drops = parts.map((table, _)),
+      expectedTxn = Some(snap.txn),
+      bloomColumns = if (bloomColumns.nonEmpty) bloomColumns else srcBlooms,
       // a pure reorganization: the folded entry's DATA is no newer than
       // its newest source, and diffData consumers may skip it as such
       dataTxns = Map((table, into) ->

@@ -1592,6 +1592,26 @@ class StorageSpec extends GraftSuite {
       dim.filter($"fk" < 0), "fk").get.count() === 0L)
   }
 
+  test("compaction with no stats args preserves the source entries' stats inventory") {
+    import graft.storage.TxnCatalog
+    val root = tmp("cmpstats")
+    (0 until 3).foreach { b =>
+      TxnCatalog.commitPartitions(spark, root,
+        Seq(("t", s"batch=$b",
+          (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"n$i"))
+            .toDF("k", "nm"))),
+        statsColumns = Seq("k"), bloomColumns = Seq("k"))
+    }
+    TxnCatalog.compactPartitions(spark, root, "t",
+      (0 until 3).map(b => s"batch=$b"), "c1") // NO stats args
+    val snap = TxnCatalog.snapshot(spark, root).get
+    val st = snap.stats("t", "c1")
+    assert(st.contains("k") && st("k").bloom.nonEmpty,
+      "fold must re-measure what the sources tracked")
+    assert(snap.partitionsWhereEq("t", "k", 5L) === Seq("c1"))
+    assert(snap.rowCount("t") === Some(30L))
+  }
+
   test("analyze retries cleanly when a rival commit lands in the measure window") {
     import graft.storage.TxnCatalog
     val root = tmp("anlrace")
