@@ -177,11 +177,24 @@ object GraftMerge {
         // join on the key — the scan under tgtDf prunes by manifest)
         projected(srcDf.join(tgtDf.select(tKeyCol.as("__mk")).distinct(),
           sKeyCol === col("__mk"), "left_semi"), u.assignments, _ => None)
-      else
+      else {
         // general SET: assignments may read BOTH sides — evaluate on
-        // the matched join (attribute ids from both plans are in scope)
-        projected(tgtDf.join(srcDf, tKeyCol === sKeyCol, "inner"),
+        // the matched join (attribute ids from both plans are in scope).
+        // Matched target rows all carry a source key, so a driver-sized
+        // source-key IN filter on the target side is exact — and it
+        // pushes through the bridge to the MANIFEST (dynamic file
+        // pruning: a 1 000-row MERGE against a 10 000-partition table
+        // scans the few owning partitions, not the table). Over the cap
+        // the unpruned join is still exact, just unskipped.
+        val keys = srcDf.select(sKeyCol).na.drop().distinct()
+          .limit(10001).collect().map(_.get(0))
+        val prunedTgt =
+          if (keys.nonEmpty && keys.length <= 10000)
+            tgtDf.filter(tKeyCol.isin(keys.toIndexedSeq: _*))
+          else tgtDf
+        projected(prunedTgt.join(srcDf, tKeyCol === sKeyCol, "inner"),
           u.assignments, attr => Some(attr))
+      }
     }
     val insertedNew: Option[DataFrame] = insert.map { i =>
       projected(srcDf.join(tgtDf.select(tKeyCol.as("__mk")).distinct(),
