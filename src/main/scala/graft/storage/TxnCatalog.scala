@@ -1746,8 +1746,12 @@ object TxnCatalog {
       e.stats.collect { case (c, st) if st.bloom.nonEmpty => c } }.distinct
     touched match {
       case Seq((Whole, e)) =>
+        // a read-modify-write like the partitioned branch: conditional
+        // on the pinned txn, or a rival INSERT landing in the rewrite
+        // window would be silently overwritten by stale content
         commitHooked(spark, root,
-          Seq(table -> rewritten(Whole, e).get))(() => ())
+          Seq(table -> rewritten(Whole, e).get),
+          expectedTxn = Some(snap.txn))(() => ())
       case _ =>
         commitPartitionsHooked(spark, root, updates,
           statsCols, drops = Nil, expectedTxn = Some(snap.txn),
