@@ -52,7 +52,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * compaction, clustering — measures those columns' manifest stats
   * without any per-call knob ([[TxnCatalog.StatsColumnsProp]]).
   * Maintenance is SQL too: `CALL <cat>.system.optimize/cluster/
-  * vacuum/history/analyze(...)` ([[GraftProcedures]]), and Iceberg-
+  * vacuum/history/analyze/apply_deletes(...)` ([[GraftProcedures]]), and Iceberg-
   * style metadata tables resolve one level below each data table —
   * `<cat>.default.<t>.history` / `.partitions` / `.changes`.
   */
@@ -81,7 +81,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(ns)
 
   /** `CALL <cat>.system.<proc>(...)` — the maintenance surface
-    * (optimize / cluster / vacuum / history) as DSv2 stored procedures;
+    * (optimize / cluster / vacuum / history / analyze / apply_deletes)
+    * as DSv2 stored procedures;
     * see [[GraftProcedures]]. */
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =

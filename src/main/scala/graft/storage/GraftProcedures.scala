@@ -30,6 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `analyze(table, stats_columns, ...)` — backfill manifest
   *    stats/Blooms for existing partitions without rewriting data
   *    ([[TxnCatalog.analyzeTable]]).
+  *  - `apply_deletes(table)` — materialize pending merge-on-read
+  *    equality deletes and purge the key lists
+  *    ([[TxnCatalog.applyDeletes]]): reads stop paying the anti-join,
+  *    metadata-only answers come back.
   *
   * Every procedure returns its outcome as ROWS (a [[LocalScan]] —
   * the only result shape Spark's `InvokeProcedures` executes), so
@@ -41,8 +45,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[storage] object GraftProcedures {
 
   /** Idents under the conventional `system` namespace. */
-  val Names: Seq[String] =
-    Seq("optimize", "cluster", "vacuum", "history", "analyze")
+  val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
+    "analyze", "apply_deletes")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -55,6 +59,7 @@ private[storage] object GraftProcedures {
       case "vacuum"   => Some(new VacuumProcedure(root))
       case "history"  => Some(new HistoryProcedure(root))
       case "analyze"  => Some(new AnalyzeProcedure(root))
+      case "apply_deletes" => Some(new ApplyDeletesProcedure(root))
       case _          => None
     }
   }
@@ -276,6 +281,51 @@ private[storage] final class AnalyzeProcedure(root: String)
       onlyMissing = onlyMissing)
     one(oneRow(out, txn.map(java.lang.Long.valueOf).orNull,
       Integer.valueOf(if (txn.isDefined) missing else 0)))
+  }
+}
+
+/** `CALL cat.system.apply_deletes(table => 't')`: materialize pending
+  * merge-on-read equality deletes — rewrite only the data entries an
+  * applicable delete may mask, drop the key lists, one conditional txn
+  * ([[TxnCatalog.applyDeletes]], bounded retry here like optimize).
+  * Returns `(txn, pending_deletes)` — txn NULL when nothing pended. */
+private[storage] final class ApplyDeletesProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "apply_deletes"
+  override def description(): String =
+    "materialize pending equality deletes and purge the key lists"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array(param("table", StringType))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = true),
+    StructField("pending_deletes", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    require(table.nonEmpty, "apply_deletes: table is required")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val pending = TxnCatalog.snapshot(s, root)
+        .map(_.deleteEntries(table).size).getOrElse(0)
+      if (pending == 0) return one(oneRow(out, null, Integer.valueOf(0)))
+      try {
+        val txn = TxnCatalog.applyDeletes(s, root, table)
+        return one(oneRow(out, java.lang.Long.valueOf(txn),
+          Integer.valueOf(pending)))
+      } catch {
+        case _: java.io.IOException if attempts < 5 =>
+          Thread.sleep(attempts * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 

@@ -152,14 +152,37 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("CALL system.apply_deletes materializes pending merge-on-read deletes") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      commitBatches(s2, root, 2)
+      TxnCatalog.deleteKeys(s2, root, "ev", "k", Seq(5L, 105L).toDF("k"))
+      assert(TxnCatalog.snapshot(s2, root).get
+        .deleteEntries("ev").size === 1)
+      val r = s2.sql("CALL lake.system.apply_deletes(table => 'ev')")
+        .collect().head
+      assert(!r.isNullAt(0) && r.getInt(1) === 1)
+      val snap = TxnCatalog.snapshot(s2, root).get
+      assert(snap.deleteEntries("ev").isEmpty, "key lists purged")
+      assert(snap.rowCount("ev") === Some(198L),
+        "metadata-only count returns once deletes are materialized")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 198L)
+      // idempotent
+      val r2 = s2.sql("CALL lake.system.apply_deletes(table => 'ev')")
+        .collect().head
+      assert(r2.isNullAt(0) && r2.getInt(1) === 0)
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
     withCatalog { (s2, _) =>
       val listed = s2.sql("SHOW PROCEDURES IN lake.system")
       val nameIdx = listed.columns
         .indexWhere(_.toLowerCase(java.util.Locale.ROOT).endsWith("name"))
       val names = listed.collect().map(_.getString(nameIdx)).toSet
-      assert(names ===
-        Set("optimize", "cluster", "vacuum", "history", "analyze"))
+      assert(names === Set("optimize", "cluster", "vacuum", "history",
+        "analyze", "apply_deletes"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
