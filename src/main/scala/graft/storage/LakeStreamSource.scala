@@ -144,7 +144,10 @@ final class LakeSourceProvider
     * mode (aggregate streams) publishes each trigger as a whole-table
     * snapshot — naturally idempotent on replay. Update mode is refused
     * (no key contract at this surface). `statsColumns`/`bloomColumns`
-    * thread into every commit. */
+    * thread into every commit; `compactEvery`/`clusterEvery`+
+    * `clusterDims` turn on the same inline maintenance as
+    * [[graft.streaming.Streams.lakeSink]] (option parity — the ledger
+    * keeps exactly-once honest across those reorganizations). */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
@@ -163,10 +166,16 @@ final class LakeSourceProvider
     val appId = parameters.get("checkpointLocation")
       .orElse(parameters.get("checkpointlocation"))
       .getOrElse(s"nonce-${java.util.UUID.randomUUID()}")
+    def int(key: String): Int = parameters.get(key)
+      .orElse(parameters.get(key.toLowerCase(java.util.Locale.ROOT)))
+      .map(_.toInt).getOrElse(0)
     new LakeSink(root, table,
       cols("statsColumns") ++ cols("statscolumns"),
       cols("bloomColumns") ++ cols("bloomcolumns"),
-      appId, complete = outputMode == OutputMode.Complete())
+      appId, complete = outputMode == OutputMode.Complete(),
+      compactEvery = int("compactEvery"),
+      clusterEvery = int("clusterEvery"),
+      clusterDims = cols("clusterDims") ++ cols("clusterdims"))
   }
 
   /** Batch READ: `spark.read.format("graft-lake").option("root", r)
@@ -313,19 +322,40 @@ final class LakeSourceProvider
   * exactly once, inside the sink's single staged write. */
 private[storage] final class LakeSink(root: String, table: String,
     statsColumns: Seq[String], bloomColumns: Seq[String],
-    appId: String, complete: Boolean)
+    appId: String, complete: Boolean,
+    compactEvery: Int = 0, clusterEvery: Int = 0,
+    clusterDims: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val fresh = GraftSqlBridge.ofInternalRows(data)
-    if (complete)
+    if (complete) {
       // whole-table snapshot per trigger: replays overwrite with the
       // same content, so no ledger is needed
       TxnCatalog.commit(spark, root, Seq((table, fresh)))
-    else
-      TxnCatalog.appendBatch(spark, root, table, s"b$batchId", fresh,
-        statsColumns, bloomColumns, ledger = Some((appId, batchId)))
-    ()
+      return
+    }
+    TxnCatalog.appendBatch(spark, root, table, s"b$batchId", fresh,
+      statsColumns, bloomColumns, ledger = Some((appId, batchId)))
+    // inline maintenance, exactly [[graft.streaming.Streams.lakeSink]]'s
+    // (option parity for the declarative form): the txn LEDGER above is
+    // what keeps replay evidence durable across these reorganizations
+    if (compactEvery > 1) {
+      val batches = TxnCatalog.partitions(spark, root, table)
+        .filter(_.startsWith("batch="))
+      if (batches.size >= compactEvery) {
+        val into = "c" + (TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1)
+        try { TxnCatalog.compactPartitions(spark, root, table, batches, into,
+          statsColumns = statsColumns, bloomColumns = bloomColumns); () }
+        catch { case _: java.io.IOException => () } // rival won; next trigger
+      }
+    }
+    if (clusterEvery > 0 && clusterDims.nonEmpty) {
+      TxnCatalog.maintainClustered(spark, root, table, clusterDims,
+        minBatches = clusterEvery, extraStatsColumns = statsColumns,
+        bloomColumns = bloomColumns)
+      ()
+    }
   }
   override def toString: String = s"GraftLakeSink[$root/$table]"
 }

@@ -67,6 +67,38 @@ class MedallionSpec extends GraftSuite {
       snap.stats("ev2", p).contains("id")))
   }
 
+  test("format sink inline compaction bounds batches; ledger keeps restart exactly-once") {
+    val bronze = tmp("fmtcb")
+    val silver = tmp("fmtcs")
+    val ckpt = tmp("fmtcc")
+    (0 until 5).foreach(i => commitBronze(bronze, s"b$i", i * 20, (i + 1) * 20))
+    def run(): Unit = {
+      val q = refine(spark.readStream.format("graft-lake")
+          .option("root", bronze).option("table", "ev")
+          .option("maxTxnsPerBatch", "1").load())
+        .writeStream.format("graft-lake")
+        .option("root", silver).option("table", "ev2")
+        .option("statsColumns", "id")
+        .option("compactEvery", "3")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val parts = TxnCatalog.partitions(spark, silver, "ev2")
+    assert(parts.count(_.startsWith("batch=")) < 5,
+      s"inline compaction must fold batches, got $parts")
+    // restart after compaction folded the batch partitions: the LEDGER
+    // is the replay evidence now — no duplicate silver rows
+    commitBronze(bronze, "b5", 100, 120)
+    run()
+    val got = TxnCatalog.read(spark, silver, "ev2").get
+    val want = refine(TxnCatalog.read(spark, bronze, "ev").get)
+    assert(got.count() === want.count(),
+      "exactly-once across restart + compaction (ledgered batch ids)")
+    assert(got.collect().toSet === want.collect().toSet)
+  }
+
   test("writeStream.format(graft-lake) Complete mode publishes whole-table aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
