@@ -1592,6 +1592,37 @@ class StorageSpec extends GraftSuite {
       dim.filter($"fk" < 0), "fk").get.count() === 0L)
   }
 
+  test("readSemiJoin ≡ plain semi join over randomized layouts and key sets") {
+    import graft.storage.TxnCatalog
+    val rnd = new scala.util.Random(42) // deterministic
+    (0 until 5).foreach { trial =>
+      val root = tmp(s"dfpfuzz$trial")
+      val nParts = 2 + rnd.nextInt(5)
+      val span = 50 + rnd.nextInt(100)
+      TxnCatalog.commitPartitions(spark, root,
+        (0 until nParts).map { b =>
+          // random half-overlapping ranges: stats prune some, not all
+          val lo = b * span / 2
+          ("t", s"p=$b", (lo until lo + span)
+            .map(i => (i.toLong, i % 7)).toDF("k", "v"))
+        },
+        statsColumns = Seq("k"),
+        bloomColumns = if (rnd.nextBoolean()) Seq("k") else Nil)
+      val keys = Seq.fill(1 + rnd.nextInt(20))(
+        rnd.nextInt(nParts * span).toLong).distinct
+      val dim = keys.toDF("fk")
+      val got = TxnCatalog.snapshot(spark, root).get
+        .readSemiJoin("t", "k", dim, "fk").get
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1)))
+        .sorted.toSeq
+      val want = TxnCatalog.read(spark, root, "t").get
+        .filter(col("k").isin(keys: _*))
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1)))
+        .sorted.toSeq
+      assert(got === want, s"trial $trial: parts=$nParts keys=$keys")
+    }
+  }
+
   test("compaction with no stats args preserves the source entries' stats inventory") {
     import graft.storage.TxnCatalog
     val root = tmp("cmpstats")
