@@ -19,7 +19,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.sql.catalog.<name>.root = <lake root>` and plain SQL works
   * against TxnCatalog tables by identifier — SELECT (with `VERSION AS
   * OF <txn>` / `TIMESTAMP AS OF` time travel), INSERT INTO/OVERWRITE,
-  * CREATE/DROP TABLE, DELETE FROM, ALTER TABLE ADD COLUMN and
+  * CREATE/DROP/TRUNCATE TABLE, DELETE FROM, ALTER TABLE ADD COLUMN and
   * SET/UNSET TBLPROPERTIES, SHOW TABLES/TBLPROPERTIES — no DataFrame
   * code and no view registration.
   *

@@ -395,6 +395,22 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("TRUNCATE TABLE empties a lake table through the delete bridge") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0", (0L until 40L).map(i => (i, s"r$i"))
+          .toDF("k", "nm"))))
+      s2.sql("TRUNCATE TABLE lake.default.ev")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 0L)
+      // still a live (empty) table: INSERT works after truncate
+      s2.sql("INSERT INTO lake.default.ev VALUES (7, 'x')")
+      assert(s2.sql("SELECT k FROM lake.default.ev").collect()
+        .map(_.getLong(0)).toSeq === Seq(7L))
+    }
+  }
+
   test("metadata tables: history / partitions / changes resolve under the data table") {
     withCatalog { (s2, root) =>
       import s2.implicits._
