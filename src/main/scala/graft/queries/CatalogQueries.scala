@@ -462,6 +462,43 @@ object CatalogQueries extends QueryGroup {
              |FROM customer WHERE c_custkey <= 200
              |ORDER BY c_custkey""".stripMargin)),
 
+    // RESTORE round trip (Delta's RESTORE TABLE ... TO VERSION AS OF,
+    // manifest-only): commit two batches, destructively deleteWhere
+    // almost every row, then CALL system.restore back to the pre-delete
+    // txn — the read must hash-equal the UNDELETED source, proving the
+    // rollback reinstated the old entries verbatim with zero data
+    // copied. The procedure's `restored` outcome rides along as a
+    // pinned constant column.
+    QueryDef(
+      "s_restore",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_restore").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        (0 until 2).foreach { k =>
+          graft.storage.TxnCatalog.commitPartitions(s, root,
+            Seq(("cust", s"b=$k",
+              cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+            statsColumns = Seq("c_custkey", "c_acctbal"))
+        }
+        val t1 = graft.storage.TxnCatalog.currentTxn(s, root).get
+        // destroy: acctbal spans about [-999.99, 9999.99] at every SF,
+        // so this rewrites or drops nearly every partition
+        graft.storage.TxnCatalog.deleteWhere(s, root, "cust",
+          "c_acctbal", 0.0, 10000.0)
+        val cat = s"qrst${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        val restored = s.sql(
+          s"CALL $cat.system.restore(table => 'cust', txn => $t1)")
+          .collect().head.getBoolean(1)
+        graft.storage.TxnCatalog.read(s, root, "cust").get
+          .withColumn("restored", lit(restored))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, TRUE AS restored
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

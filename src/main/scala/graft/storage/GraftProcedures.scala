@@ -34,6 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    equality deletes and purge the key lists
   *    ([[TxnCatalog.applyDeletes]]): reads stop paying the anti-join,
   *    metadata-only answers come back.
+  *  - `restore(table, txn)` — revert the table to its state at a
+  *    committed txn as one manifest-only commit
+  *    ([[TxnCatalog.restoreTable]]).
   *
   * Every procedure returns its outcome as ROWS (a [[LocalScan]] —
   * the only result shape Spark's `InvokeProcedures` executes), so
@@ -46,7 +49,7 @@ private[storage] object GraftProcedures {
 
   /** Idents under the conventional `system` namespace. */
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
-    "analyze", "apply_deletes")
+    "analyze", "apply_deletes", "restore")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -60,6 +63,7 @@ private[storage] object GraftProcedures {
       case "history"  => Some(new HistoryProcedure(root))
       case "analyze"  => Some(new AnalyzeProcedure(root))
       case "apply_deletes" => Some(new ApplyDeletesProcedure(root))
+      case "restore"  => Some(new RestoreProcedure(root))
       case _          => None
     }
   }
@@ -385,5 +389,43 @@ private[storage] final class HistoryProcedure(root: String)
         parts, rows)): InternalRow
     }
     one(manyRows(out, rs))
+  }
+}
+
+/** `CALL cat.system.restore(table => 't', txn => 3)`: revert the table
+  * to its exact state at the given committed txn — data, delete lists,
+  * and properties — as one new conditional commit, copying no data
+  * ([[TxnCatalog.restoreTable]]; Delta's `RESTORE TABLE ... TO VERSION
+  * AS OF`). Older snapshots still time-travel; vacuum retention bounds
+  * how far back a restore can reach. Returns `(txn, restored)` —
+  * `restored` false (txn = the current txn) when the table already
+  * matched the target state. */
+private[storage] final class RestoreProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "restore"
+  override def description(): String =
+    "revert a table to its state at a committed txn (manifest-only)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("txn", LongType, null, "the committed txn to revert to"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("restored", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    require(table.nonEmpty, "restore: table is required")
+    val toTxn = input.getLong(1)
+    val before = TxnCatalog.currentTxn(s, root).getOrElse(0L)
+    val txn = TxnCatalog.restoreTable(s, root, table, toTxn)
+    one(oneRow(out, java.lang.Long.valueOf(txn),
+      java.lang.Boolean.valueOf(txn != before)))
   }
 }

@@ -46,7 +46,8 @@ final class LakeStreamSource(
     spark: SparkSession, root: String, table: String,
     override val schema: StructType, startingTxn: Long,
     maxTxnsPerBatch: Long = Long.MaxValue,
-    changeFeed: Boolean = false) extends Source {
+    changeFeed: Boolean = false,
+    ignoreRestores: Boolean = false) extends Source {
 
   /** Highest txn this source has delivered (admission-control floor).
     * After a checkpoint restart the true floor lives in the checkpoint,
@@ -80,6 +81,25 @@ final class LakeStreamSource(
     // trimmed their manifests (a permanent stream failure, not a
     // catch-up)
     delivered = math.max(delivered, math.max(from, to))
+    val snap = TxnCatalog.snapshotAt(spark, root, to)
+    // A RESTORE reinstates entries with their ORIGINAL dataTxns — the
+    // reversion is invisible to the incremental rules both branches
+    // below rely on. Delivering past it would silently diverge from
+    // the table, so fail fast (Delta's source behavior on a non-append
+    // change) unless the stream explicitly opted out.
+    if (!ignoreRestores)
+      snap.properties(table).get(TxnCatalog.RestoreTxnProp)
+        .map(_.split(':').head.toLong)
+        .filter(r => r > from && r <= to)
+        .foreach { r =>
+          throw new IllegalStateException(
+            s"table '$table' was RESTORED at txn $r, inside this " +
+              s"batch's offset window ($from, $to]: a rollback is not " +
+              "an append and this stream would silently miss it. " +
+              "Restart the stream from a fresh checkpoint (full " +
+              "re-read), or set option ignoreRestores=true to skip " +
+              "reverted history knowingly.")
+        }
     if (changeFeed)
       // the manifest-derived CDC feed over exactly this offset window —
       // same incremental contract as the data path (reorgs silent,
@@ -87,7 +107,6 @@ final class LakeStreamSource(
       return TxnCatalog.changeFeed(spark, root, table, from, to)
         .map(GraftSqlBridge.asStreaming)
         .getOrElse(GraftSqlBridge.emptyStreaming(spark, schema))
-    val snap = TxnCatalog.snapshotAt(spark, root, to)
     val fresh = snap.dataEntries(table)
       .filter { case (_, e) => TxnCatalog.entryDataTxn(e) > from }
     GraftLake.composeWithDeletes(spark, snap, table, fresh,
@@ -312,7 +331,9 @@ final class LakeSourceProvider
     val (_, resolved) = sourceSchema(sqlContext, schema, providerName,
       parameters)
     new LakeStreamSource(sqlContext.sparkSession, root, table, resolved,
-      starting, maxTxns(parameters), isChangeFeed(parameters))
+      starting, maxTxns(parameters), isChangeFeed(parameters),
+      ignoreRestores = parameters.get("ignorerestores")
+        .orElse(parameters.get("ignoreRestores")).exists(_.toBoolean))
   }
 }
 

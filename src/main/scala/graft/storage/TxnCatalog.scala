@@ -2440,6 +2440,99 @@ object TxnCatalog {
     None
   }
 
+  /** Table property recording the most recent RESTORE of the table:
+    * `<restoreCommitTxn>:<restoredToTxn>`. Restored entries carry
+    * their ORIGINAL dataTxns (that is what makes the restored read
+    * state provably identical to the target snapshot, delete-vs-data
+    * ordering included), so incremental consumers cannot see the
+    * reversion through `diffData` — this marker is how
+    * [[LakeStreamSource]] detects that a restore landed inside an
+    * offset window and fails the stream instead of silently diverging
+    * (Delta's streaming-source behavior on a non-append change). */
+  val RestoreTxnProp = "graft.restore.last"
+
+  /** RESTORE: revert `table` to its exact state at committed txn
+    * `toTxn` — data entries, equality-delete lists, AND table
+    * properties — as ONE new conditional commit, copying no data
+    * (Delta's `RESTORE TABLE ... TO VERSION AS OF`, same trade: the
+    * old txn's files are still on disk inside [[vacuum]]'s retention
+    * window, so rollback is a manifest-only CAS).
+    *
+    * Entries are reinstated VERBATIM, original `dataTxn`s included:
+    * `snapshotAt(restoreTxn).read(table)` is byte-identical to
+    * `snapshotAt(toTxn).read(table)` by construction, and merge-on-read
+    * delete sequencing (a delete masks only data that predates it) is
+    * preserved exactly. The flip side is that the reversion is
+    * INVISIBLE to `diffData`/`changeFeed` consumers — a rollback is not
+    * an append — so the commit also stamps [[RestoreTxnProp]] into the
+    * restored properties; streaming reads crossing it fail fast with a
+    * restart-from-scratch message rather than silently missing the
+    * reversion (set `ignoreRestores` on the stream to opt out).
+    *
+    * No-op (returns the CURRENT txn, committing nothing) when the
+    * table's entries and properties already match the target snapshot.
+    * Throws if `toTxn` was never committed or has been vacuumed, or if
+    * the table did not exist at `toTxn`. Concurrency is the usual
+    * conditional CAS with bounded retry: a rival commit landing between
+    * pin and publish fails the attempt cleanly and the restore re-pins
+    * against the moved catalog. Returns the committed (or current,
+    * when no-op) txn. */
+  def restoreTable(spark: SparkSession, root: String, table: String,
+      toTxn: Long, attempts: Int = 5): Long =
+    restoreTableHooked(spark, root, table, toTxn, attempts)(() => ())
+
+  /** [[restoreTable]] with the test-only pre-publish seam. */
+  private[graft] def restoreTableHooked(spark: SparkSession, root: String,
+      table: String, toTxn: Long, attempts: Int = 5)(
+      beforePublish: () => Unit): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    checkTableName(table)
+    val f = fs(spark, root)
+    val old = snapshotAt(spark, root, toTxn)
+    val oldT: Map[(String, String), Entry] =
+      old.entries.filter(_._1._1 == table)
+    require(oldT.nonEmpty, s"table '$table' does not exist at txn $toTxn")
+    // vacuum keeps data referenced by any surviving manifest, so a
+    // readable snapshotAt implies live dirs — but verify anyway: a
+    // clear error here beats a manifest pointing at missing data
+    oldT.foreach { case ((t, p), e) =>
+      require(f.exists(new Path(entryPath(root, t, p, e.dir))),
+        s"data for '$t'/$p at txn $toTxn is gone (vacuumed?); cannot restore")
+    }
+    val oldProps = old.properties(table) - RestoreTxnProp
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val curNonProps = cur.entries.filter { case ((t, p), _) =>
+        t == table && p != PropsPartition }
+      val oldNonProps = oldT.filter(_._1._2 != PropsPartition)
+      if (curNonProps == oldNonProps &&
+          (cur.properties(table) - RestoreTxnProp) == oldProps)
+        return cur.txn // already in the target state — idempotent
+      val marker = s"${cur.txn + 1}:$toTxn"
+      val merged = (oldProps + (RestoreTxnProp -> marker))
+        .filter(_._2.nonEmpty)
+      val kv = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          merged.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+        StructType(Seq(StructField("key", StringType, nullable = false),
+          StructField("value", StringType, nullable = false))))
+      try {
+        return publish(spark, root, Seq((table, PropsPartition, kv)),
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried => carried.filterNot(_._1._1 == table) ++
+            oldNonProps)(beforePublish)
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Drop snapshots referenced only by txns older than the `keep` most
     * recent ones, plus orphan staging dirs of crashed or race-losing
     * attempts at already-committed txn numbers. Data still referenced by
