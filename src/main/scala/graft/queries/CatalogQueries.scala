@@ -499,6 +499,52 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT c_custkey, c_acctbal, TRUE AS restored
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // BUCKETED layout round trip (Spark bucketBy / Iceberg bucket(n)
+    // re-expressed as a manifest commit): rewrite customer AND orders
+    // into 16 hash buckets on the join key, then join + aggregate —
+    // the values must hash-equal the plain join, AND the physical plan
+    // must contain ZERO hash exchanges (the shuffle was paid once at
+    // layout time; both scans report the same HashPartitioning). The
+    // exchange count rides along as a pinned constant column, so the
+    // driver gate itself asserts the no-shuffle property.
+    QueryDef(
+      "s_bucket_join",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_bucket").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        val ords = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", "b=0", cust)), statsColumns = Seq("c_custkey"))
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("ord", "b=0", ords)), statsColumns = Seq("o_custkey"))
+        graft.storage.TxnCatalog.bucketTable(s, root, "cust",
+          "c_custkey", 16)
+        graft.storage.TxnCatalog.bucketTable(s, root, "ord",
+          "o_custkey", 16)
+        val c = graft.storage.GraftLake.table(s, root, "cust").get
+        val o = graft.storage.GraftLake.table(s, root, "ord").get
+        val joined = c.hint("merge")
+          .join(o, c("c_custkey") === o("o_custkey"))
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(count(lit(1)).as("order_cnt"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("total_price"))
+        // EnsureRequirements runs statically: co-partitioned inputs
+        // need no exchange even before AQE — count them in the plan
+        val shuffles = "(?i)Exchange hashpartitioning".r
+          .findAllIn(joined.queryExecution.executedPlan.toString).length
+        joined.withColumn("bucket_shuffles", lit(shuffles))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c.c_custkey, c.c_mktsegment,
+             |  CAST(COUNT(*) AS BIGINT) AS order_cnt,
+             |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_price,
+             |  0 AS bucket_shuffles
+             |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+             |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

@@ -59,6 +59,41 @@ object GraftLake {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Long), StructType]()
 
+  /** The `BucketSpec` `table`'s CURRENT layout supports, or None. A
+    * bucketed layout ([[TxnCatalog.bucketTable]]) is claimed only while
+    * EVERY live data entry still comes from the bucketing rewrite's own
+    * txn — one later append or partition rewrite and the claim is
+    * dropped (plans regain their shuffle, stay correct) until the next
+    * rewrite. Cached per (root, table, txn): a committed txn's layout
+    * is immutable. */
+  private[storage] def bucketSpecOf(spark: SparkSession, root: String,
+      table: String, snap: TxnCatalog.Snapshot, schema: StructType)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    val key = (root, table, snap.txn)
+    Option(bucketCache.get(key)).getOrElse {
+      val props = snap.properties(table)
+      val spec = for {
+        c <- props.get(TxnCatalog.BucketColumnProp)
+        n <- props.get(TxnCatalog.BucketCountProp).flatMap(_.toIntOption)
+        bt <- props.get(TxnCatalog.BucketTxnProp).flatMap(_.toLongOption)
+        if schema.fieldNames.contains(c)
+        entries = snap.dataEntries(table)
+        if entries.nonEmpty && entries.forall { case (_, e) =>
+          e.dir.stripPrefix("v=").takeWhile(_ != '.').toLongOption
+            .contains(bt)
+        }
+      } yield org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        n, Seq(c), Nil)
+      if (bucketCache.size > 4096) bucketCache.clear() // bounded
+      bucketCache.put(key, spec)
+      spec
+    }
+  }
+
+  private val bucketCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long),
+    Option[org.apache.spark.sql.catalyst.catalog.BucketSpec]]()
+
   def tableAt(spark: SparkSession, root: String, table: String,
       snap: TxnCatalog.Snapshot): Option[DataFrame] = {
     val data = snap.dataEntries(table)
@@ -66,9 +101,10 @@ object GraftLake {
     // merged footer schema — identical to Snapshot.read's view of the
     // table, so evolved partitions surface added columns as nulls
     val schema = schemaOf(spark, root, table, snap).get
+    val bucket = bucketSpecOf(spark, root, table, snap, schema)
     composeWithDeletes(spark, snap, table, data,
       parts => relationFrame(spark, root, table, snap, parts, schema,
-        streaming = false))
+        streaming = false, bucket = bucket))
   }
 
   /** A Catalyst-planned frame over a PARTITION SUBSET of `table`: one
@@ -79,7 +115,9 @@ object GraftLake {
     * files. */
   private[storage] def relationFrame(spark: SparkSession, root: String,
       table: String, snap: TxnCatalog.Snapshot, parts: Set[String],
-      schema: StructType, streaming: Boolean): Option[DataFrame] = {
+      schema: StructType, streaming: Boolean,
+      bucket: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+        None): Option[DataFrame] = {
     val index = new ManifestFileIndex(spark, root, table, snap,
       only = Some(parts), dataSchema = Some(schema))
     // manifest-level emptiness check — file listing stays lazy; an
@@ -90,7 +128,7 @@ object GraftLake {
         location = index,
         partitionSchema = StructType(Nil),
         dataSchema = schema,
-        bucketSpec = None,
+        bucketSpec = bucket,
         fileFormat = new ParquetFileFormat(),
         options = Map.empty)(spark)
       Some(

@@ -37,6 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `restore(table, txn)` — revert the table to its state at a
   *    committed txn as one manifest-only commit
   *    ([[TxnCatalog.restoreTable]]).
+  *  - `bucket(table, key, buckets)` — rewrite the table into a
+  *    hash-bucketed layout; joins/aggs on the key then plan with no
+  *    exchange ([[TxnCatalog.bucketTable]]).
   *
   * Every procedure returns its outcome as ROWS (a [[LocalScan]] —
   * the only result shape Spark's `InvokeProcedures` executes), so
@@ -49,7 +52,7 @@ private[storage] object GraftProcedures {
 
   /** Idents under the conventional `system` namespace. */
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
-    "analyze", "apply_deletes", "restore")
+    "analyze", "apply_deletes", "restore", "bucket")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -64,6 +67,7 @@ private[storage] object GraftProcedures {
       case "analyze"  => Some(new AnalyzeProcedure(root))
       case "apply_deletes" => Some(new ApplyDeletesProcedure(root))
       case "restore"  => Some(new RestoreProcedure(root))
+      case "bucket"   => Some(new BucketProcedure(root))
       case _          => None
     }
   }
@@ -427,5 +431,58 @@ private[storage] final class RestoreProcedure(root: String)
     val txn = TxnCatalog.restoreTable(s, root, table, toTxn)
     one(oneRow(out, java.lang.Long.valueOf(txn),
       java.lang.Boolean.valueOf(txn != before)))
+  }
+}
+
+/** `CALL cat.system.bucket(table => 't', key => 'k', buckets => 64)`:
+  * rewrite the table into a hash-bucketed layout on `key`
+  * ([[TxnCatalog.bucketTable]]) — afterwards joins and aggregations on
+  * that key over [[GraftLake.table]] frames plan with NO exchange (the
+  * shuffle is paid once here, not per query). A pure reorganization:
+  * streams and CDC consumers see nothing. Retries the conditional
+  * commit past rival writers a bounded number of times. Returns
+  * `(txn, buckets)`. */
+private[storage] final class BucketProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "rewrite a table into a hash-bucketed layout (shuffle-free joins)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("key", StringType, null, "the hash-bucket column"),
+    param("buckets", IntegerType, "64"),
+    param("stats_columns", StringType, "''", "comma-separated"),
+    param("bloom_columns", StringType, "''", "comma-separated"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("buckets", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    val key = str(input, 1)
+    require(table.nonEmpty, "bucket: table is required")
+    require(key.nonEmpty, "bucket: key is required")
+    val n = input.getInt(2)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        val txn = TxnCatalog.bucketTable(s, root, table, key, n,
+          statsColumns = csv(input, 3), bloomColumns = csv(input, 4))
+        return one(oneRow(out, java.lang.Long.valueOf(txn),
+          Integer.valueOf(n)))
+      } catch {
+        case _: java.io.IOException if attempts < 5 =>
+          Thread.sleep(attempts * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

@@ -2533,6 +2533,135 @@ object TxnCatalog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Table properties recording a BUCKETED layout: the hash-bucket
+    * column, the bucket count, and the txn whose rewrite produced the
+    * layout. The read path surfaces a Spark `BucketSpec` (shuffle-free
+    * co-located joins and aggregations on the bucket key) ONLY while
+    * every live data entry still belongs to [[BucketTxnProp]]'s
+    * rewrite — any later append or partition rewrite drops the claim
+    * conservatively (correct plans, just with the shuffle back) until
+    * [[bucketTable]] runs again. */
+  val BucketColumnProp = "graft.bucket.column"
+  val BucketCountProp = "graft.bucket.count"
+  val BucketTxnProp = "graft.bucket.txn"
+
+  /** Rewrite `table` into a HASH-BUCKETED layout on `keyCol`: one
+    * shuffle into exactly `numBuckets` write tasks — task `k` holds the
+    * rows with `pmod(murmur3(key), n) = k`, the SAME partition-id
+    * expression Spark's own bucketed write uses — and each staged file
+    * is renamed to carry its bucket id in the suffix Spark's bucketed
+    * scan parses. [[GraftLake.tableAt]] then declares the layout as a
+    * `BucketSpec`, and a join (or aggregation) of two such tables on
+    * the bucket key plans with NO exchange on either side: at fact
+    * scale that shuffle is the dominant cost of every key join, and
+    * bucketing pays it ONCE at layout time instead of per-query —
+    * Spark's `bucketBy` tables and Iceberg's `bucket(n, col)` partition
+    * transform, re-expressed as a manifest commit.
+    *
+    * A pure REORGANIZATION: content is byte-identical to the pre-rewrite
+    * table (the new entry carries the max source dataTxn, so streams and
+    * CDC consumers skip it exactly like a compaction). Pending equality
+    * deletes must be applied first ([[applyDeletes]]) — folding them in
+    * here would change content and break reorg semantics. Size
+    * `numBuckets` to target parallelism (each bucket is one read split
+    * when the bucketed scan is used; Spark's auto-bucketed-scan rule
+    * restores split-based parallelism for scans that don't need the
+    * bucketing). Conditional on the pinned txn like every
+    * reorganization: a rival commit fails this cleanly (IOException)
+    * and the caller retries. Returns the committed txn. */
+  def bucketTable(spark: SparkSession, root: String, table: String,
+      keyCol: String, numBuckets: Int,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.{GraftSqlBridge, Row}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    checkTableName(table)
+    require(numBuckets >= 1 && numBuckets <= 100000,
+      s"numBuckets out of range: $numBuckets")
+    val f = fs(spark, root)
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val data = snap.dataEntries(table)
+    require(data.nonEmpty, s"unknown or empty table '$table'")
+    require(snap.deleteEntries(table).isEmpty,
+      s"table '$table' has pending equality deletes; run applyDeletes " +
+        "first — bucketing is a pure reorganization and cannot fold them in")
+    val df = snap.read(table).get
+    require(df.columns.contains(keyCol), s"no bucket column '$keyCol'")
+    val next = snap.txn + 1
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"v=$next.$nonce"
+    val part = "bk"
+    val stagingDir = new Path(s"$root/$table/.bucket.$next.$nonce")
+    df.repartition(numBuckets, col(keyCol))
+      .write.parquet(stagingDir.toString)
+    // brand each staged file with its bucket id: the write task index
+    // (the leading part-NNNNN) IS the bucket id, because repartition's
+    // HashPartitioning and BucketSpec's bucket-id expression are the
+    // same Pmod(Murmur3Hash(key), n)
+    val target = new Path(entryPath(root, table, part, dirName))
+    f.mkdirs(target)
+    try {
+      f.listStatus(stagingDir)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          val name = st.getPath.getName
+          val idx = name.stripPrefix("part-").takeWhile(_.isDigit)
+          require(idx.nonEmpty, s"unexpected staged file name '$name'")
+          val dot = name.indexOf('.')
+          val (base, ext) =
+            if (dot >= 0) name.splitAt(dot) else (name, "")
+          val renamed = f"${base}_${idx.toInt}%05d$ext"
+          // provably in sync with the reader: Spark's own parser must
+          // recover the id we just branded
+          require(GraftSqlBridge.bucketIdOf(renamed).contains(idx.toInt),
+            s"bucket branding '$renamed' unreadable by Spark's parser")
+          require(f.rename(st.getPath, new Path(target, renamed)),
+            s"staging move failed for '$name'")
+        }
+      f.delete(stagingDir, true) // _SUCCESS and empty shell
+      val tblProps = snap.properties(table)
+      def cfg(key: String): Seq[String] = tblProps.get(key).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val (stats, rows) = measureStats(spark, target.toString,
+        (statsColumns ++ cfg(StatsColumnsProp) :+ keyCol).distinct,
+        (bloomColumns ++ cfg(BloomColumnsProp)).distinct)
+      val dataTxn = data.map { case (_, e) => entryDataTxn(e) }.max
+      val mergedProps = tblProps ++ Map(
+        BucketColumnProp -> keyCol,
+        BucketCountProp -> numBuckets.toString,
+        BucketTxnProp -> next.toString)
+      val kv = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          mergedProps.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+        StructType(Seq(StructField("key", StringType, nullable = false),
+          StructField("value", StringType, nullable = false))))
+      kv.write.mode("errorifexists")
+        .parquet(entryPath(root, table, PropsPartition, dirName))
+      casPublish(f, root, next, nonce,
+        carried = manifest(f, root, snap.txn)
+          .filterNot(_._1._1 == table),
+        staged = Map(
+          (table, part) -> Entry(dirName, stats, Some(dataTxn), rows),
+          (table, PropsPartition) -> Entry(dirName)))(() => ())
+      next
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        // casPublish cleans its own staged dirs on a lost race; cover
+        // the windows before it (rename/measure/props-write failures)
+        f.delete(stagingDir, true)
+        ex match {
+          case _: java.io.IOException => // lost the race: already clean
+          case _ =>
+            f.delete(target, true)
+            f.delete(new Path(
+              entryPath(root, table, PropsPartition, dirName)), true)
+        }
+        throw ex
+    }
+  }
+
   /** Drop snapshots referenced only by txns older than the `keep` most
     * recent ones, plus orphan staging dirs of crashed or race-losing
     * attempts at already-committed txn numbers. Data still referenced by

@@ -106,4 +106,15 @@ object GraftSqlBridge {
       org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
         org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
         Seq.empty, isStreaming = true))
+
+  /** Spark's OWN bucket-file name parser — the branding a bucketed
+    * layout rewrite ([[graft.storage.TxnCatalog]] `bucketTable`) must
+    * reproduce exactly: a file whose name this parses to bucket `k` is
+    * read by the bucketed scan as bucket `k`'s data, and a file it
+    * cannot parse fails the scan. Exposing the real parser (instead of
+    * re-deriving the regex) keeps the rename provably in sync with the
+    * reader. */
+  def bucketIdOf(fileName: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils
+      .getBucketId(fileName)
 }

@@ -182,7 +182,7 @@ class ProcedureSpec extends GraftSuite {
         .indexWhere(_.toLowerCase(java.util.Locale.ROOT).endsWith("name"))
       val names = listed.collect().map(_.getString(nameIdx)).toSet
       assert(names === Set("optimize", "cluster", "vacuum", "history",
-        "analyze", "apply_deletes", "restore"))
+        "analyze", "apply_deletes", "restore", "bucket"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
