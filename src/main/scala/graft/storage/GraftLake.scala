@@ -83,7 +83,11 @@ object GraftLake {
             .contains(bt)
         }
       } yield org.apache.spark.sql.catalyst.catalog.BucketSpec(
-        n, Seq(c), Nil)
+        n, Seq(c),
+        // declare per-bucket sort order only when the rewrite recorded
+        // it (one file per bucket — the shape Spark requires)
+        if (props.get(TxnCatalog.BucketSortedProp).contains("true")) Seq(c)
+        else Nil)
       if (bucketCache.size > 4096) bucketCache.clear() // bounded
       bucketCache.put(key, spec)
       spec

@@ -2544,6 +2544,12 @@ object TxnCatalog {
   val BucketColumnProp = "graft.bucket.column"
   val BucketCountProp = "graft.bucket.count"
   val BucketTxnProp = "graft.bucket.txn"
+  /** "true" when each bucket file is SORTED by the bucket column —
+    * written by [[bucketTable]] (always sorts; one file per bucket, the
+    * shape Spark requires to use a declared sort order). The read path
+    * then declares `sortColumnNames` too, and a sort-merge join of two
+    * such tables skips BOTH its sorts on top of both its shuffles. */
+  val BucketSortedProp = "graft.bucket.sorted"
 
   /** Rewrite `table` into a HASH-BUCKETED layout on `keyCol`: one
     * shuffle into exactly `numBuckets` write tasks — task `k` holds the
@@ -2594,7 +2600,11 @@ object TxnCatalog {
     val dirName = s"v=$next.$nonce"
     val part = "bk"
     val stagingDir = new Path(s"$root/$table/.bucket.$next.$nonce")
+    // sorted within each bucket: one file per bucket (one write task
+    // each), so the read can declare the sort order and a sort-merge
+    // join skips its sorts as well as its shuffles
     df.repartition(numBuckets, col(keyCol))
+      .sortWithinPartitions(keyCol)
       .write.parquet(stagingDir.toString)
     // brand each staged file with its bucket id: the write task index
     // (the leading part-NNNNN) IS the bucket id, because repartition's
@@ -2631,7 +2641,8 @@ object TxnCatalog {
       val mergedProps = tblProps ++ Map(
         BucketColumnProp -> keyCol,
         BucketCountProp -> numBuckets.toString,
-        BucketTxnProp -> next.toString)
+        BucketTxnProp -> next.toString,
+        BucketSortedProp -> "true")
       val kv = spark.createDataFrame(
         spark.sparkContext.parallelize(
           mergedProps.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),

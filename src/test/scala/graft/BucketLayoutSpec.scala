@@ -73,6 +73,21 @@ class BucketLayoutSpec extends GraftSuite {
         joined.queryExecution.executedPlan)
     // and the result is the plain join's
     assert(joined.count() === 400L)
+    // buckets are sorted (one file each): under Spark's opt-in conf
+    // the scan reports the per-bucket order and the merge join skips
+    // its sorts too (off by default since Spark 3.0 — file order is
+    // only trustworthy when the layout guarantees it, which ours does)
+    val conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(conf, "true")
+    try {
+      val sorted = ev.hint("merge").join(dim, "k")
+        .select(ev("k"), col("name"), col("label"))
+      sorted.collect()
+      val plan = sorted.queryExecution.executedPlan.toString
+      assert(!plan.contains("Sort "),
+        s"sorted buckets must satisfy the merge join's ordering:\n$plan")
+      assert(sorted.count() === 400L)
+    } finally spark.conf.unset(conf)
   }
 
   test("groupBy on the bucket key aggregates without an exchange") {
