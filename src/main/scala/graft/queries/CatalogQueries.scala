@@ -545,6 +545,49 @@ object CatalogQueries extends QueryGroup {
              |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
              |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin)),
 
+    // Incrementally-maintained MATERIALIZED VIEW round trip: build the
+    // per-segment rollup over the first two customer batches, append a
+    // third, refresh — the refresh must classify as INCREMENTAL (one
+    // partition read, pinned as a constant column) and the folded
+    // aggregate must hash-equal DuckDB's full GROUP BY over ALL rows.
+    // Decimal-cast sums keep incremental == full == oracle bit-exact.
+    QueryDef(
+      "s_mv_incremental",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_mv").toString
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        (0 until 3).foreach { k =>
+          graft.storage.TxnCatalog.commitPartitions(s, root,
+            Seq(("cust", s"b=$k",
+              cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+            statsColumns = Seq("c_custkey"))
+          if (k == 1) graft.storage.MaterializedAgg.create(s, root,
+            "seg_agg", "cust", Seq("c_mktsegment"),
+            Seq(graft.storage.MaterializedAgg.AggSpec("count"),
+              graft.storage.MaterializedAgg.AggSpec("sum", "bal"),
+              graft.storage.MaterializedAgg.AggSpec("min", "bal"),
+              graft.storage.MaterializedAgg.AggSpec("max", "bal")))
+        }
+        val r = graft.storage.MaterializedAgg.refresh(s, root, "seg_agg")
+        graft.storage.TxnCatalog.read(s, root, "seg_agg").get
+          .withColumn("refresh_mode", lit(r.mode))
+          .withColumn("partitions_read", lit(r.partitionsRead))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             |    AS DECIMAL(38,2)) AS sum_bal,
+             |  CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2)))
+             |    AS DECIMAL(18,2)) AS min_bal,
+             |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2)))
+             |    AS DECIMAL(18,2)) AS max_bal,
+             |  'incremental' AS refresh_mode, 1 AS partitions_read
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

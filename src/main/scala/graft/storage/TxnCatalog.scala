@@ -1116,6 +1116,34 @@ object TxnCatalog {
     true
   }
 
+  /** Commit a WHOLE-TABLE snapshot of `table` AND its properties in ONE
+    * txn — the shape a derived table (e.g. a materialized view) needs:
+    * its data and the metadata describing how far that data is current
+    * (a source-txn watermark) must never be observable out of sync, or
+    * a crash between two commits double-counts the next delta. `props`
+    * MERGE into the existing properties (empty value removes a key),
+    * conditional on `expectedTxn` like every read-modify-write. */
+  private[storage] def commitWholeWithProperties(spark: SparkSession,
+      root: String, table: String, df: DataFrame,
+      props: Map[String, String],
+      expectedTxn: Option[Long]): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    checkTableName(table)
+    val existing = snapshot(spark, root)
+      .map(_.properties(table)).getOrElse(Map.empty)
+    val merged = (existing ++ props).filter(_._2.nonEmpty)
+    val kv = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merged.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))))
+    publish(spark, root,
+      Seq((table, Whole, df), (table, PropsPartition, kv)),
+      statsColumns = Nil, drops = Nil, expectedTxn = expectedTxn,
+      reconcile = carried => carried.filterNot(_._1._1 == table))(() => ())
+  }
+
   /** Drop `table` entirely — every data, delete, and properties entry —
     * in one conditional commit. Older snapshots still read it (time
     * travel); [[vacuum]] reclaims the data once nothing references it.
