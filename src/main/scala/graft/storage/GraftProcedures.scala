@@ -40,6 +40,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `bucket(table, key, buckets)` — rewrite the table into a
   *    hash-bucketed layout; joins/aggs on the key then plan with no
   *    exchange ([[TxnCatalog.bucketTable]]).
+  *  - `create_mv(view, source, group_by, aggs)` / `refresh_mv(view)` —
+  *    materialized aggregate views with incremental refresh
+  *    ([[MaterializedAgg]]).
   *
   * Every procedure returns its outcome as ROWS (a [[LocalScan]] —
   * the only result shape Spark's `InvokeProcedures` executes), so
@@ -52,7 +55,8 @@ private[storage] object GraftProcedures {
 
   /** Idents under the conventional `system` namespace. */
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
-    "analyze", "apply_deletes", "restore", "bucket")
+    "analyze", "apply_deletes", "restore", "bucket", "create_mv",
+    "refresh_mv")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -68,6 +72,8 @@ private[storage] object GraftProcedures {
       case "apply_deletes" => Some(new ApplyDeletesProcedure(root))
       case "restore"  => Some(new RestoreProcedure(root))
       case "bucket"   => Some(new BucketProcedure(root))
+      case "create_mv" => Some(new CreateMvProcedure(root))
+      case "refresh_mv" => Some(new RefreshMvProcedure(root))
       case _          => None
     }
   }
@@ -484,5 +490,83 @@ private[storage] final class BucketProcedure(root: String)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+}
+
+/** `CALL cat.system.create_mv(view => 'seg_agg', source => 'cust',
+  * group_by => 'seg', aggs => 'count,sum:bal')`: materialize a GROUP BY
+  * rollup with its source-txn watermark ([[MaterializedAgg.create]]).
+  * `aggs` is comma-separated `count` / `sum:col` / `min:col` /
+  * `max:col`. Returns `(txn, rows)` — the view's committed txn and
+  * group count. */
+private[storage] final class CreateMvProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "create_mv"
+  override def description(): String =
+    "materialize a GROUP BY rollup with incremental-refresh metadata"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("view", StringType),
+    param("source", StringType),
+    param("group_by", StringType, null, "comma-separated group columns"),
+    param("aggs", StringType, null,
+      "comma-separated count|sum:col|min:col|max:col"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val view = str(input, 0)
+    val source = str(input, 1)
+    require(view.nonEmpty && source.nonEmpty,
+      "create_mv: view and source are required")
+    val groupCols = csv(input, 2)
+    val aggs = csv(input, 3).map { a =>
+      a.split(":", 2) match {
+        case Array(op) => MaterializedAgg.AggSpec(op)
+        case Array(op, c) => MaterializedAgg.AggSpec(op, c)
+      }
+    }
+    val txn = MaterializedAgg.create(s, root, view, source, groupCols, aggs)
+    val rows = TxnCatalog.read(s, root, view).map(_.count()).getOrElse(0L)
+    one(oneRow(out, java.lang.Long.valueOf(txn), java.lang.Long.valueOf(rows)))
+  }
+}
+
+/** `CALL cat.system.refresh_mv(view => 'seg_agg')`: bring the view up
+  * to the current txn ([[MaterializedAgg.refresh]]) — incremental when
+  * the window is additive, full otherwise. Returns
+  * `(txn, mode, partitions_read)`. */
+private[storage] final class RefreshMvProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "refresh_mv"
+  override def description(): String =
+    "refresh a materialized view (incremental when the window is additive)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("view", StringType))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("mode", StringType, nullable = false),
+    StructField("partitions_read", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val view = str(input, 0)
+    require(view.nonEmpty, "refresh_mv: view is required")
+    val r = MaterializedAgg.refresh(s, root, view)
+    one(oneRow(out, java.lang.Long.valueOf(r.txn),
+      UTF8String.fromString(r.mode), Integer.valueOf(r.partitionsRead)))
   }
 }

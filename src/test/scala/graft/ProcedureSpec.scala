@@ -175,6 +175,28 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("CALL create_mv + refresh_mv maintain a rollup through plain SQL") {
+    withCatalog { (s2, root) =>
+      commitBatches(s2, root, 2)
+      val c = s2.sql("CALL lake.system.create_mv(view => 'ev_agg', " +
+        "source => 'ev', group_by => 'nm', aggs => 'count,sum:v')")
+        .collect().head
+      assert(c.getLong(1) === 200L, "one group per distinct nm")
+      commitBatches(s2, root, 3) // replaces b0/b1, adds b2 → next
+      // refresh: the two replaced partitions force a FULL recompute
+      // (rewrites are not additive), the result still exact
+      val r = s2.sql("CALL lake.system.refresh_mv(view => 'ev_agg')")
+        .collect().head
+      assert(r.getString(1) === "full")
+      assert(s2.sql(
+        "SELECT count(*) FROM lake.default.ev_agg").collect()
+        .head.getLong(0) === 300L)
+      val r2 = s2.sql("CALL lake.system.refresh_mv(view => 'ev_agg')")
+        .collect().head
+      assert(r2.getString(1) === "noop")
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
     withCatalog { (s2, _) =>
       val listed = s2.sql("SHOW PROCEDURES IN lake.system")
@@ -182,7 +204,8 @@ class ProcedureSpec extends GraftSuite {
         .indexWhere(_.toLowerCase(java.util.Locale.ROOT).endsWith("name"))
       val names = listed.collect().map(_.getString(nameIdx)).toSet
       assert(names === Set("optimize", "cluster", "vacuum", "history",
-        "analyze", "apply_deletes", "restore", "bucket"))
+        "analyze", "apply_deletes", "restore", "bucket", "create_mv",
+        "refresh_mv"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
