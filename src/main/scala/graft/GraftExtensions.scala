@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => geo.PointInPolygon(exprs.head, exprs(1), exprs(2))))
     ext.injectOptimizerRule(_ => plans.SpatialJoinRewrite)
     ext.injectOptimizerRule(_ => plans.MetadataOnlyAgg)
+    ext.injectOptimizerRule(_ => plans.MvRewrite)
     // SQL MERGE INTO over graft-lake catalog tables (keyed shapes via
     // merge-on-read; see graft.storage.GraftMerge). Sessions built
     // without extensions install it at runtime via GraftMerge.install.

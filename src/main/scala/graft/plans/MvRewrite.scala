@@ -1,0 +1,128 @@
+package graft.plans
+
+import graft.storage.{GraftLake, ManifestFileIndex, MaterializedAgg}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Transparent MATERIALIZED-VIEW rewrite: a `GROUP BY` aggregation over
+  * a lake table is answered from a [[MaterializedAgg]] view of that
+  * table when one exists, matches the query's exact group/aggregate
+  * shape, and is provably CURRENT for the scan's pinned snapshot — the
+  * k-groups view read replaces the full-table scan + shuffle +
+  * aggregation, turning a fact-table rollup into a KB-scale read
+  * (Databricks/Calcite materialized-view rewriting, scoped to this
+  * catalog's additive views).
+  *
+  * Soundness gates, every one conservative:
+  *  - the aggregate must sit DIRECTLY over the bare
+  *    [[ManifestFileIndex]] relation (or an attribute-only projection)
+  *    — any Filter, join, or expression in between keeps the scan;
+  *  - grouping keys must be plain column references matching the
+  *    view's group columns exactly (same set);
+  *  - every output must map: a grouping column, `count(*)`,
+  *    `sum/min/max(col)` (non-distinct, unfiltered) over a column the
+  *    view stores — anything else keeps the scan;
+  *  - the view must be CURRENT at the scan's own pinned snapshot
+  *    ([[MaterializedAgg.currentViews]]: every source entry at or
+  *    before the watermark, no newer deletes, no restore in between) —
+  *    a stale view never answers;
+  *  - merge-on-read deletes compose above the relation as anti-joins,
+  *    so a masked read never presents the bare relation and cannot be
+  *    rewritten (the same structural guarantee [[MetadataOnlyAgg]]
+  *    relies on).
+  *
+  * Output attributes keep the aggregate's exprIds (aliased one-to-one),
+  * so parent operators resolve unchanged; `sum` columns cast from the
+  * view's pinned storage width back to the plan's aggregate type, and
+  * non-nullable outputs (count) are re-asserted with [[KnownNotNull]].
+  * Injected by [[graft.GraftExtensions]].
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** Post-hoc hook for sessions not built with
+    * `spark.sql.extensions=graft.GraftExtensions` (the
+    * [[GraftLake]]-level twin of [[graft.storage.GraftMerge.install]]).
+    * Idempotent. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
+
+  private def indexOf(plan: LogicalPlan): Option[ManifestFileIndex] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case m: ManifestFileIndex => Some(m)
+          case _ => None
+        }
+        case _ => None
+      }
+      case Project(projList, child)
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        indexOf(child)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupExprs, _, child, _)
+        if groupExprs.nonEmpty &&
+          groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+      indexOf(child).flatMap(rewrite(agg, _)).getOrElse(agg)
+  }
+
+  private def rewrite(agg: Aggregate,
+      idx: ManifestFileIndex): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val views = MaterializedAgg.currentViews(spark, idx.lakeRoot,
+      idx.snapshot, idx.lakeTable)
+    if (views.isEmpty) return None
+    val groupNames = agg.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference].name)
+    views.iterator.flatMap { case (view, gcols, aggSpecs) =>
+      if (gcols.sorted != groupNames.sorted.distinct) None
+      else GraftLake.tableAt(spark, idx.lakeRoot, view, idx.snapshot)
+        .flatMap { mvDf =>
+          val mvPlan = mvDf.queryExecution.analyzed
+          val byName = mvPlan.output.map(a => a.name -> a).toMap
+          val stored = aggSpecs.map(_.alias).toSet
+          def storedCol(alias: String): Option[Attribute] =
+            if (stored(alias)) byName.get(alias) else None
+          def exprFor(ne: NamedExpression): Option[Expression] = ne match {
+            case a: AttributeReference if groupNames.contains(a.name) =>
+              byName.get(a.name)
+            case Alias(AggregateExpression(fn, _, false, None, _), _) =>
+              fn match {
+                case Count(Seq(Literal(v, _))) if v != null =>
+                  storedCol("cnt")
+                case Sum(a: AttributeReference, _) =>
+                  storedCol(s"sum_${a.name}").map { c =>
+                    if (c.dataType == ne.dataType) c
+                    else Cast(c, ne.dataType)
+                  }
+                case Min(a: AttributeReference) =>
+                  storedCol(s"min_${a.name}")
+                case Max(a: AttributeReference) =>
+                  storedCol(s"max_${a.name}")
+                case _ => None
+              }
+            case _ => None
+          }
+          val mapped = agg.aggregateExpressions.map { ne =>
+            exprFor(ne).map { e =>
+              val out = ne.toAttribute
+              val e2 =
+                if (!out.nullable && e.nullable) KnownNotNull(e) else e
+              Alias(e2, ne.name)(exprId = ne.exprId)
+            }
+          }
+          if (mapped.forall(_.isDefined))
+            Some(Project(mapped.map(_.get), mvPlan))
+          else None
+        }
+    }.nextOption()
+  }
+}

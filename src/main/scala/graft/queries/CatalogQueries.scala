@@ -588,6 +588,54 @@ object CatalogQueries extends QueryGroup {
              |FROM customer GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
 
+    // Transparent MV REWRITE (Calcite/Databricks materialized-view
+    // rewriting): the same GROUP BY, issued as an ordinary aggregation
+    // over the lake frame, must be silently answered from the CURRENT
+    // view — the optimized plan scans ev_agg, not the source — and the
+    // values must still hash-equal DuckDB's direct aggregate. Which
+    // table the plan scans rides along as a pinned constant column, so
+    // the driver gate asserts the rewrite itself.
+    QueryDef(
+      "s_mv_rewrite",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_mvrw").toString
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 2).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+          statsColumns = Seq("c_custkey"))
+        graft.storage.MaterializedAgg.create(s, root, "seg_agg", "cust",
+          Seq("c_mktsegment"),
+          Seq(graft.storage.MaterializedAgg.AggSpec("count"),
+            graft.storage.MaterializedAgg.AggSpec("sum", "bal")))
+        graft.plans.MvRewrite.install(s)
+        val q = graft.storage.GraftLake.table(s, root, "cust").get
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), sum(col("bal")).as("sum_bal"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location match {
+              case m: graft.storage.ManifestFileIndex => m.lakeTable
+              case _ => "?"
+            }
+            case _ => "?"
+          }
+        }.toSet
+        q.withColumn("answered_from", lit(scanned.mkString(",")))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             |    AS DECIMAL(28,2)) AS sum_bal,
+             |  'seg_agg' AS answered_from
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

@@ -44,6 +44,13 @@ final class ManifestFileIndex(
 
   import TxnCatalog.ColStat
 
+  /** The lake coordinates this index scans — what a plan-level rewrite
+    * (e.g. [[graft.plans.MvRewrite]]) needs to look up derived tables
+    * of the SAME pinned snapshot. */
+  private[graft] def lakeRoot: String = root
+  private[graft] def lakeTable: String = table
+  private[graft] def snapshot: TxnCatalog.Snapshot = snap
+
   /** (partition, stats, rows, dir) per live DATA entry, straight off the
     * manifest — NO filesystem access at construction (equality-delete
     * key lists are not data; `only` restricts to a partition subset for

@@ -158,6 +158,49 @@ object MaterializedAgg {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The views of `source` whose stored rows are EXACTLY the aggregate
+    * of `snap`'s source state — the candidates a transparent query
+    * rewrite ([[graft.plans.MvRewrite]]) may substitute for the
+    * aggregation. Current means: every source data entry was created at
+    * or before the view's watermark (reorgs after it disable the claim
+    * conservatively), no equality delete and no RESTORE landed after
+    * it. Derived from the pinned snapshot alone — no extra manifest IO
+    * — and cached per (root, txn, source): a committed txn is
+    * immutable. */
+  private[graft] def currentViews(spark: SparkSession, root: String,
+      snap: TxnCatalog.Snapshot, source: String)
+      : Seq[(String, Seq[String], Seq[AggSpec])] = {
+    val key = (root, snap.txn, source)
+    Option(viewCache.get(key)).getOrElse {
+      val found = snap.tables.filter(_ != source).flatMap { t =>
+        val props = snap.properties(t)
+        if (!props.get(SourceProp).contains(source)) None
+        else props.get(WatermarkProp).map(_.toLong).filter { wm =>
+          snap.dataEntries(source).forall { case (_, e) =>
+            e.dir.stripPrefix("v=").takeWhile(_ != '.').toLongOption
+              .exists(_ <= wm)
+          } &&
+            !snap.deleteEntries(source)
+              .exists { case (_, txn, _, _) => txn > wm } &&
+            !snap.properties(source).get(TxnCatalog.RestoreTxnProp)
+              .map(_.split(':').head.toLong)
+              .exists(r => r > wm && r <= snap.txn)
+        }.map { _ =>
+          (t, props(GroupProp).split(',').toSeq,
+            props(AggsProp).split(',').toSeq.map { s =>
+              val Array(op, c) = s.split(":", 2); AggSpec(op, c)
+            })
+        }
+      }
+      if (viewCache.size > 4096) viewCache.clear() // bounded
+      viewCache.put(key, found)
+      found
+    }
+  }
+
+  private val viewCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), Seq[(String, Seq[String], Seq[AggSpec])]]()
+
   /** The partitions whose rows are NEW since `wm` — or None when the
     * window is not additively refreshable (see classification above). */
   private def incrementalDelta(spark: SparkSession, root: String,
