@@ -83,7 +83,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     val groupNames = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference].name)
     views.iterator.flatMap { case (view, gcols, aggSpecs) =>
-      if (gcols.sorted != groupNames.sorted.distinct) None
+      val exact = gcols.sorted == groupNames.sorted.distinct
+      // ROLLUP: grouping by a strict SUBSET of the view's group columns
+      // re-aggregates the k-row view (counts/sums re-sum, min/max
+      // re-combine) — one view serves every coarser rollup of itself
+      val subset = !exact && groupNames.toSet.subsetOf(gcols.toSet)
+      if (!exact && !subset) None
       else GraftLake.tableAt(spark, idx.lakeRoot, view, idx.snapshot)
         .flatMap { mvDf =>
           val mvPlan = mvDf.queryExecution.analyzed
@@ -91,22 +96,32 @@ object MvRewrite extends Rule[LogicalPlan] {
           val stored = aggSpecs.map(_.alias).toSet
           def storedCol(alias: String): Option[Attribute] =
             if (stored(alias)) byName.get(alias) else None
+          // the view-side expression for one output; for the rollup
+          // path the aggregate re-aggregates instead of projecting
           def exprFor(ne: NamedExpression): Option[Expression] = ne match {
             case a: AttributeReference if groupNames.contains(a.name) =>
               byName.get(a.name)
             case Alias(AggregateExpression(fn, _, false, None, _), _) =>
+              def agg2(f: AggregateFunction): Expression =
+                f.toAggregateExpression()
               fn match {
                 case Count(Seq(Literal(v, _))) if v != null =>
-                  storedCol("cnt")
+                  storedCol("cnt").map { c =>
+                    if (exact) c: Expression
+                    else Cast(agg2(Sum(c)), c.dataType)
+                  }
                 case Sum(a: AttributeReference, _) =>
                   storedCol(s"sum_${a.name}").map { c =>
-                    if (c.dataType == ne.dataType) c
-                    else Cast(c, ne.dataType)
+                    val e = if (exact) c: Expression else agg2(Sum(c))
+                    if (e.dataType == ne.dataType) e
+                    else Cast(e, ne.dataType)
                   }
                 case Min(a: AttributeReference) =>
                   storedCol(s"min_${a.name}")
+                    .map(c => if (exact) c: Expression else agg2(Min(c)))
                 case Max(a: AttributeReference) =>
                   storedCol(s"max_${a.name}")
+                    .map(c => if (exact) c: Expression else agg2(Max(c)))
                 case _ => None
               }
             case _ => None
@@ -119,9 +134,10 @@ object MvRewrite extends Rule[LogicalPlan] {
               Alias(e2, ne.name)(exprId = ne.exprId)
             }
           }
-          if (mapped.forall(_.isDefined))
-            Some(Project(mapped.map(_.get), mvPlan))
-          else None
+          if (!mapped.forall(_.isDefined)) None
+          else if (exact) Some(Project(mapped.map(_.get), mvPlan))
+          else Some(Aggregate(
+            groupNames.distinct.map(byName(_)), mapped.map(_.get), mvPlan))
         }
     }.nextOption()
   }

@@ -135,6 +135,40 @@ class MvRewriteSpec extends GraftSuite {
     }
   }
 
+  test("a SUBSET grouping re-aggregates the view (rollup rewrite)") {
+    val root = tmp("mvrwroll")
+    withExtSession { s2 =>
+      import s2.implicits._
+      (0 until 2).foreach { b =>
+        TxnCatalog.commitPartitions(s2, root,
+          Seq(("ev", s"b=$b",
+            (b * 100 until (b + 1) * 100)
+              .map(i => (i.toLong, s"g${i % 3}", s"n${i % 2}", i * 10L))
+              .toDF("k", "grp", "nat", "v"))),
+          statsColumns = Seq("k"))
+      }
+      MaterializedAgg.create(s2, root, "ev_agg", "ev", Seq("grp", "nat"),
+        Seq(AggSpec("count"), AggSpec("sum", "v"), AggSpec("min", "v"),
+          AggSpec("max", "v")))
+      // group by ONE of the view's two dimensions: the rollup path
+      val q = GraftLake.table(s2, root, "ev").get
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+      assert(scannedTables(q) === Set("ev_agg"),
+        s"rollup must re-aggregate the view:\n${q.queryExecution.optimizedPlan}")
+      val direct = TxnCatalog.read(s2, root, "ev").get
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy("grp").collect()
+      assert(q.orderBy("grp").collect() === direct)
+      // a grouping NOT covered by the view keeps the source scan
+      assert(scannedTables(GraftLake.table(s2, root, "ev").get
+        .groupBy("k").agg(count(lit(1)))) === Set("ev"))
+    }
+  }
+
   test("deletes newer than the watermark disable the rewrite") {
     val root = tmp("mvrwdel")
     withExtSession { s2 =>
