@@ -2369,6 +2369,38 @@ object TxnCatalog {
     * it via the rename CAS — one rename commits every table and
     * partition at once. A lost race deletes the tmp manifest AND every
     * staged dir, then throws. */
+  /** Place `tmp` at `marker` ATOMICALLY, failing (false) if `marker`
+    * already exists — the win arbitration every marker-file CAS in this
+    * package rides on. On HDFS, exists+rename is sound: the NameNode
+    * rejects a rename onto an existing path atomically. On the LOCAL
+    * filesystem it is NOT — Hadoop's local rename is POSIX rename(2),
+    * which silently REPLACES an existing destination, so two writers
+    * both passing the exists() check before either renames would both
+    * "win", the second overwriting the first's marker: a silent lost
+    * update (observed as 5-of-6 racing SQL INSERTs landing under
+    * load). On file:// the hardlink syscall is the atomic no-overwrite
+    * primitive: link(2) fails with EEXIST when the marker exists, and
+    * a successful link exposes the COMPLETE tmp content instantly
+    * (same inode). Filesystems without link support fall back to
+    * exists+rename (their rename semantics are their contract). */
+  private[storage] def atomicPlace(f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, marker: Path): Boolean =
+    if (f.getScheme == "file") {
+      val linked =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(marker.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            !f.exists(marker) && f.rename(tmp, marker)
+        }
+      if (linked) f.delete(tmp, false)
+      linked
+    } else !f.exists(marker) && f.rename(tmp, marker)
+
   private def casPublish(f: org.apache.hadoop.fs.FileSystem, root: String,
       next: Long, nonce: String,
       carried: Map[(String, String), Entry],
@@ -2389,7 +2421,7 @@ object TxnCatalog {
     out.close()
     val marker = new Path(tdir, next.toString)
     beforePublish()
-    val won = !f.exists(marker) && f.rename(tmp, marker) &&
+    val won = atomicPlace(f, tmp, marker) &&
       manifest(f, root, next) == (carried ++ staged)
     if (!won) {
       if (f.exists(tmp)) f.delete(tmp, false)

@@ -115,11 +115,11 @@ object VersionedTable {
     out.close()
     val marker = new Path(vdir, next.toString)
     beforePublish()
-    // commit CAS: on HDFS rename-to-existing fails atomically; local FS
-    // overwrites, so read back the published marker and keep only the
-    // attempt whose dataName actually landed — the loser never deletes
-    // anything but its own staging dir either way
-    val won = !f.exists(marker) && f.rename(tmp, marker) &&
+    // commit CAS: atomic no-overwrite placement (hardlink on local FS,
+    // where plain rename REPLACES an existing marker and could lose the
+    // first winner silently — see [[TxnCatalog.atomicPlace]]); the
+    // read-back stays as belt and braces
+    val won = TxnCatalog.atomicPlace(f, tmp, marker) &&
       committedDataDir(f, tableDir, next) == dataName
     if (!won) {
       if (f.exists(tmp)) f.delete(tmp, false)
