@@ -190,7 +190,8 @@ object Streams {
       clusterEvery: Int = 0,
       clusterDims: Seq[String] = Nil,
       clusterBuckets: Int = 16,
-      clusterBits: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      clusterBits: Int = 8,
+      refreshViews: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -225,6 +226,27 @@ object Streams {
             extraStatsColumns = statsColumns,
             bloomColumns = bloomColumns)
           ()
+        }
+        // keep this table's materialized views current as part of the
+        // trigger: each refresh folds just the batch that landed
+        // (incremental by classification) and is idempotent on replay —
+        // a redelivered batch was already appended, so the view's
+        // watermark already covers it and refresh settles to noop.
+        // Maintenance above may force a full recompute on the trigger
+        // that reorganized; every other trigger stays delta-priced.
+        if (refreshViews) {
+          graft.storage.TxnCatalog.snapshot(s, root).foreach { snap =>
+            snap.tables.filter { v =>
+              snap.properties(v)
+                .get(graft.storage.MaterializedAgg.SourceProp)
+                .contains(table)
+            }.foreach { v =>
+              try {
+                graft.storage.MaterializedAgg.refresh(s, root, v)
+                ()
+              } catch { case _: java.io.IOException => () }
+            }
+          }
         }
       }
       .start()

@@ -141,6 +141,45 @@ class MedallionSpec extends GraftSuite {
       "streamed silver must equal the batch transform of bronze")
   }
 
+  test("refreshViews keeps a silver materialized view current per trigger") {
+    val bronze = tmp("mvb")
+    val silver = tmp("mvs")
+    val ckpt = tmp("mvc")
+    commitBronze(bronze, "b0", 0, 100)
+    // bootstrap the silver table + its view before the stream starts
+    TxnCatalog.commitPartitions(spark, silver,
+      Seq(("ev2", "batch=boot",
+        refine(TxnCatalog.read(spark, bronze, "ev").get).limit(0))),
+      statsColumns = Seq("id"))
+    graft.storage.MaterializedAgg.create(spark, silver, "grp_agg", "ev2",
+      Seq("grp"), Seq(graft.storage.MaterializedAgg.AggSpec("count"),
+        graft.storage.MaterializedAgg.AggSpec("sum", "v2")))
+    val in = spark.readStream.format("graft-lake")
+      .option("root", bronze).option("table", "ev").load()
+    val q = Streams.lakeSink(refine(in), silver, "ev2", ckpt,
+      statsColumns = Seq("id"), refreshViews = true)
+    def viewMatches(): Unit = {
+      val got = TxnCatalog.read(spark, silver, "grp_agg").get
+        .orderBy("grp").collect()
+      val want = TxnCatalog.read(spark, silver, "ev2").get
+        .groupBy("grp").agg(count(lit(1)).as("cnt"),
+          sum($"v2").as("sum_v2"))
+        .orderBy("grp").collect()
+      assert(got === want, "the view must track the silver table")
+    }
+    try {
+      q.processAllAvailable()
+      viewMatches()
+      commitBronze(bronze, "b1", 100, 150)
+      q.processAllAvailable()
+      viewMatches()
+      // the per-trigger refresh is the delta fold, not a recompute
+      assert(graft.storage.MaterializedAgg
+        .refresh(spark, silver, "grp_agg").mode === "noop",
+        "the sink already refreshed — nothing left to fold")
+    } finally q.stop()
+  }
+
   test("an OPTIMIZE on bronze mid-stream adds zero duplicate silver rows") {
     val bronze = tmp("medob")
     val silver = tmp("medos")
