@@ -636,6 +636,35 @@ object CatalogQueries extends QueryGroup {
              |FROM customer GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
 
+    // ALTER TABLE RENAME/DROP COLUMN round trip: commit batches, SQL-
+    // rename the balance column and drop the segment, read back — the
+    // renamed values must hash-equal the source under the new name and
+    // the dropped column must be gone (the projection IS the schema).
+    // The rewrite preserves partition layout; an equality read after it
+    // still prunes by the re-measured stats.
+    QueryDef(
+      "s_sql_alter_col",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_alter").toString
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 2).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal"))
+        val cat = s"qalt${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"ALTER TABLE $cat.default.cust RENAME COLUMN " +
+          "c_acctbal TO balance")
+        s.sql(s"ALTER TABLE $cat.default.cust DROP COLUMN c_mktsegment")
+        s.sql(s"""SELECT c_custkey, balance FROM $cat.default.cust
+                 |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal AS balance FROM customer
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

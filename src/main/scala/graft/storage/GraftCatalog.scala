@@ -253,8 +253,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * merged-footer read surfaces the new columns as null on every older
     * partition, exactly like an evolved append would. `SET/UNSET
     * TBLPROPERTIES` maps to [[TxnCatalog.setTableProperties]] (CHECK
-    * constraints included — adding `constraint.*` validates existing
-    * rows first). Other changes are refused. */
+    * constraints included — adding `constraint.*` validates constraint
+    * rows first). `RENAME COLUMN` / `DROP COLUMN` are explicit
+    * full-rewrite txns ([[TxnCatalog.renameColumn]] /
+    * [[TxnCatalog.dropColumn]] — partition layout preserved,
+    * conservative refusals for constraints/views/pending deletes that
+    * reference the column). Other changes are refused. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     checkNs(ident.namespace())
@@ -265,9 +269,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case p: TableChange.SetProperty => p.property -> p.value
       case p: TableChange.RemoveProperty => p.property -> ""
     }
-    require(adds.size + setProps.size == changes.size,
-      "only ADD COLUMN(S) and SET/UNSET TBLPROPERTIES are supported; " +
-        s"got: ${changes.mkString(", ")}")
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + setProps.size + renames.size + drops.size ==
+      changes.size,
+      "only ADD/RENAME/DROP COLUMN(S) and SET/UNSET TBLPROPERTIES are " +
+        s"supported; got: ${changes.mkString(", ")}")
+    // RENAME/DROP are full-rewrite txns ([[TxnCatalog.renameColumn]])
+    // with their own guards; keep them single-change so a refusal can
+    // never leave a half-applied multi-change ALTER
+    if (renames.nonEmpty || drops.nonEmpty) {
+      require(changes.size == 1,
+        "RENAME/DROP COLUMN must be the only change in the ALTER")
+      renames.foreach { r =>
+        require(r.fieldNames().length == 1,
+          s"nested renames are not supported: ${r.fieldNames().mkString(".")}")
+        TxnCatalog.renameColumn(spark, root, t, r.fieldNames()(0),
+          r.newName())
+      }
+      drops.foreach { d =>
+        require(d.fieldNames().length == 1,
+          s"nested drops are not supported: ${d.fieldNames().mkString(".")}")
+        TxnCatalog.dropColumn(spark, root, t, d.fieldNames()(0))
+      }
+      val snapR = TxnCatalog.snapshot(spark, root)
+        .getOrElse(throw new NoSuchTableException(ident))
+      return new GraftSqlTable(root, t,
+        GraftLake.schemaOf(spark, root, t, snapR)
+          .getOrElse(throw new NoSuchTableException(ident)))
+    }
     val snap0 = TxnCatalog.snapshot(spark, root)
       .getOrElse(throw new NoSuchTableException(ident))
     val base = GraftLake.schemaOf(spark, root, t, snap0)

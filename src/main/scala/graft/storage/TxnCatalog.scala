@@ -2369,6 +2369,122 @@ object TxnCatalog {
     * it via the rename CAS — one rename commits every table and
     * partition at once. A lost race deletes the tmp manifest AND every
     * staged dir, then throws. */
+  /** RENAME a column across every live partition of `table` — a full
+    * data rewrite committed as ONE conditional txn, partition layout
+    * preserved (each entry rewrites under its own partition name, so
+    * grain and pruning shape survive; stats re-measure under the new
+    * name). Delta without column-mapping refuses RENAME outright; this
+    * catalog makes the rewrite explicit instead — at fact scale, run
+    * OPTIMIZE first so the rewrite streams partition-sized jobs.
+    *
+    * Refused (IllegalArgumentException, nothing committed) when the
+    * column is missing, the target name exists, equality deletes are
+    * pending (apply_deletes first — their key lists name columns), a
+    * CHECK constraint references the column (alter the constraint
+    * first), or a materialized view aggregates it (drop the view
+    * first). Skipping/Bloom config follows the rename; a bucketed
+    * layout claim is dropped (the rewrite re-stages files unbranded —
+    * re-run bucketTable). A rewrite is a DATA change: the new entries
+    * carry this txn, and incremental consumers re-receive the rows
+    * under the new schema. Returns the committed txn. */
+  def renameColumn(spark: SparkSession, root: String, table: String,
+      from: String, to: String): Long = {
+    import org.apache.spark.sql.functions.col
+    rewriteColumns(spark, root, table, from,
+      df => df.withColumnRenamed(from, to),
+      cols => cols.map(c => if (c == from) to else c),
+      beforeCheck = (schema: Seq[String]) =>
+        require(!schema.contains(to),
+          s"column '$to' already exists in '$table'"))
+  }
+
+  /** DROP a column across every live partition of `table` — same
+    * mechanics, guards, and trade as [[renameColumn]] (Delta requires
+    * column-mapping for a zero-rewrite drop; here the rewrite is the
+    * contract). Returns the committed txn. */
+  def dropColumn(spark: SparkSession, root: String, table: String,
+      colName: String): Long =
+    rewriteColumns(spark, root, table, colName,
+      df => df.drop(colName),
+      cols => cols.filterNot(_ == colName),
+      beforeCheck = (schema: Seq[String]) =>
+        require(schema.size > 1,
+          s"cannot drop the only column of '$table'"))
+
+  private def rewriteColumns(spark: SparkSession, root: String,
+      table: String, target: String,
+      transform: DataFrame => DataFrame,
+      mapCols: Seq[String] => Seq[String],
+      beforeCheck: Seq[String] => Unit): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    checkTableName(table)
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val data = snap.dataEntries(table)
+    require(data.nonEmpty, s"unknown or empty table '$table'")
+    require(snap.deleteEntries(table).isEmpty,
+      s"table '$table' has pending equality deletes; run applyDeletes " +
+        "first — their key lists are named by column")
+    val schema = snap.read(table).get.columns.toSeq
+    require(schema.contains(target), s"no column '$target' in '$table'")
+    beforeCheck(schema)
+    val props = snap.properties(table)
+    // CHECK constraints referencing the column would silently stop
+    // matching (or fail analysis) after the change — make the caller
+    // resolve the conflict explicitly
+    props.foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix)) {
+        val refs =
+          try spark.sessionState.sqlParser.parseExpression(v).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.name
+          } catch { case scala.util.control.NonFatal(_) => Seq(target) }
+        require(!refs.contains(target),
+          s"constraint $k references column '$target'; drop or rewrite " +
+            "the constraint first")
+      }
+    }
+    // materialized views aggregating the column would refresh against a
+    // schema that no longer has it
+    snap.tables.foreach { v =>
+      val p = snap.properties(v)
+      if (p.get(MaterializedAgg.SourceProp).contains(table)) {
+        val used = p.getOrElse(MaterializedAgg.GroupProp, "").split(',') ++
+          p.getOrElse(MaterializedAgg.AggsProp, "")
+            .split(',').map(_.split(":", 2).last)
+        require(!used.contains(target),
+          s"materialized view '$v' uses column '$target'; drop the view first")
+      }
+    }
+    def mapList(key: String): Option[(String, String)] =
+      props.get(key).map(s => key ->
+        mapCols(s.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .mkString(","))
+    val newProps = (props
+      ++ mapList(StatsColumnsProp) ++ mapList(BloomColumnsProp))
+      .removedAll(Seq(BucketColumnProp, BucketCountProp, BucketTxnProp,
+        BucketSortedProp)) // rewritten files are unbranded: claim drops
+      .filter(_._2.nonEmpty)
+    val kv = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        newProps.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))))
+    val updates = data.map { case (p, e) =>
+      (table, p, transform(snap.readSelected(table, Seq((p, e))).get))
+    } :+ ((table, PropsPartition, kv))
+    // measure under the POST-change column names (the publish path's
+    // table-config merge still reads the pre-change properties)
+    val newStats = newProps.get(StatsColumnsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val newBlooms = newProps.get(BloomColumnsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    publish(spark, root, updates, statsColumns = newStats, drops = Nil,
+      expectedTxn = Some(snap.txn), reconcile = identity,
+      bloomColumns = newBlooms)(() => ())
+  }
+
   /** Place `tmp` at `marker` ATOMICALLY, failing (false) if `marker`
     * already exists — the win arbitration every marker-file CAS in this
     * package rides on. On HDFS, exists+rename is sound: the NameNode
