@@ -665,6 +665,41 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT c_custkey, c_acctbal AS balance FROM customer
              |ORDER BY c_custkey""".stripMargin)),
 
+    // TAGS round trip (Iceberg tags on the txn axis): commit the full
+    // customer set, CALL tag it, destructively overwrite the table,
+    // vacuum with keep=1 — the tagged txn is EXEMPT, so reading
+    // `VERSION AS OF 'stable'` afterwards must hash-equal the original
+    // source even though every untagged old txn was reclaimed. The
+    // kept-txn count rides along pinned, proving the vacuum actually
+    // ran hard.
+    QueryDef(
+      "s_tag_read",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_tag").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 2).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+          statsColumns = Seq("c_custkey"))
+        val cat = s"qtag${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"CALL $cat.system.tag(name => 'stable')")
+        // destroy: shrink the live table to one row, then vacuum hard
+        graft.storage.TxnCatalog.commit(s, root,
+          Seq(("cust", cust.limit(1))))
+        graft.storage.TxnCatalog.vacuum(s, root, keep = 1)
+        val kept = graft.storage.TxnCatalog.txns(s, root).size
+        s.sql(s"""SELECT c_custkey, c_acctbal
+                 |FROM $cat.default.cust VERSION AS OF 'stable'
+                 |""".stripMargin)
+          .withColumn("kept_txns", lit(kept))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, 2 AS kept_txns FROM customer
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

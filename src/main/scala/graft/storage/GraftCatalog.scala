@@ -167,12 +167,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftSqlTable(root, t, schema, asOfTxn = Some(snap.txn))
   }
 
-  /** `VERSION AS OF <txn>` — the table pinned at a committed txn. */
+  /** `VERSION AS OF <txn | 'tag'>` — the table pinned at a committed
+    * txn, named either by number or by a [[TxnCatalog.createTag]] tag
+    * (tag names are non-numeric by construction, so resolution is
+    * unambiguous). */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkNs(ident.namespace())
-    val txn = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft versions are txn numbers, got '$version'"))
+    val txn = version.toLongOption
+      .orElse(TxnCatalog.tags(spark, root).get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a committed txn number nor a tag"))
     val t = ident.name()
     val snap = TxnCatalog.snapshotAt(spark, root, txn)
     val schema = GraftLake.schemaOf(spark, root, t, snap)

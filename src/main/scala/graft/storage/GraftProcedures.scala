@@ -43,6 +43,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `create_mv(view, source, group_by, aggs)` / `refresh_mv(view)` —
   *    materialized aggregate views with incremental refresh
   *    ([[MaterializedAgg]]).
+  *  - `tag(name, txn)` / `drop_tag(name)` / `tags()` — named txn
+  *    references, vacuum-pinned, readable as `VERSION AS OF 'name'`
+  *    ([[TxnCatalog.createTag]]).
   *
   * Every procedure returns its outcome as ROWS (a [[LocalScan]] —
   * the only result shape Spark's `InvokeProcedures` executes), so
@@ -56,7 +59,7 @@ private[storage] object GraftProcedures {
   /** Idents under the conventional `system` namespace. */
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
-    "refresh_mv")
+    "refresh_mv", "tag", "drop_tag", "tags")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -74,6 +77,9 @@ private[storage] object GraftProcedures {
       case "bucket"   => Some(new BucketProcedure(root))
       case "create_mv" => Some(new CreateMvProcedure(root))
       case "refresh_mv" => Some(new RefreshMvProcedure(root))
+      case "tag"      => Some(new TagProcedure(root))
+      case "drop_tag" => Some(new DropTagProcedure(root))
+      case "tags"     => Some(new TagsProcedure(root))
       case _          => None
     }
   }
@@ -568,5 +574,92 @@ private[storage] final class RefreshMvProcedure(root: String)
     val r = MaterializedAgg.refresh(s, root, view)
     one(oneRow(out, java.lang.Long.valueOf(r.txn),
       UTF8String.fromString(r.mode), Integer.valueOf(r.partitionsRead)))
+  }
+}
+
+/** `CALL cat.system.tag(name => 'release', txn => 7)`: pin a committed
+  * txn under a durable name ([[TxnCatalog.createTag]]) — exempt from
+  * vacuum until dropped, readable as `VERSION AS OF 'release'`. `txn`
+  * defaults to the current txn. Returns `(name, txn)`. */
+private[storage] final class TagProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "tag"
+  override def description(): String =
+    "pin a committed txn under a durable, vacuum-exempt name"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("name", StringType),
+    param("txn", LongType, "-1", "-1 = the current txn"))
+
+  private val out = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val name = str(input, 0)
+    require(name.nonEmpty, "tag: name is required")
+    val txn = input.getLong(1) match {
+      case -1L => TxnCatalog.currentTxn(s, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      case t => t
+    }
+    TxnCatalog.createTag(s, root, name, txn)
+    one(oneRow(out, UTF8String.fromString(name), java.lang.Long.valueOf(txn)))
+  }
+}
+
+/** `CALL cat.system.drop_tag(name => 'release')`: drop the tag; its
+  * txn re-enters vacuum's ordinary retention. Returns `(dropped)`. */
+private[storage] final class DropTagProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "drop_tag"
+  override def description(): String = "drop a named txn reference"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("name", StringType))
+
+  private val out = StructType(Seq(
+    StructField("dropped", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val name = str(input, 0)
+    require(name.nonEmpty, "drop_tag: name is required")
+    one(oneRow(out, java.lang.Boolean.valueOf(
+      TxnCatalog.dropTag(spark, root, name))))
+  }
+}
+
+/** `CALL cat.system.tags()`: every tag, name → pinned txn. */
+private[storage] final class TagsProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "tags"
+  override def description(): String = "list named txn references"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    Array.empty[ProcedureParameter]
+
+  private val out = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val rs = TxnCatalog.tags(spark, root).toSeq.sorted.map { case (n, t) =>
+      new GenericInternalRow(
+        Array[Any](UTF8String.fromString(n), t)): InternalRow
+    }
+    one(manyRows(out, rs))
   }
 }

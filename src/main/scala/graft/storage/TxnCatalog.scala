@@ -2369,6 +2369,73 @@ object TxnCatalog {
     * it via the rename CAS — one rename commits every table and
     * partition at once. A lost race deletes the tmp manifest AND every
     * staged dir, then throws. */
+  /** Named TAGS: durable references pinning a committed txn by name
+    * (Iceberg's tags on this catalog's txn axis) — `release-2026-08`,
+    * `pre-migration`, a training-run's exact input state. A tagged txn
+    * and everything it references are EXEMPT from [[vacuum]]'s
+    * retention window until the tag is dropped, and SQL reads resolve
+    * tags through time travel: `VERSION AS OF 'name'`. One file per
+    * tag under `_refs/`, placed by the same atomic no-overwrite
+    * primitive as txn manifests — concurrent creates of one name get
+    * exactly one winner. */
+  private def refsDir(root: String) = s"$root/_refs"
+
+  private def checkTagName(n: String): Unit =
+    require(n.nonEmpty && !n.contains('/') && !n.contains('\t') &&
+      !n.startsWith(".") && n.toLongOption.isEmpty,
+      s"illegal tag name '$n' (path-safe, non-numeric)")
+
+  /** Tag `txn` as `name`. Throws if the txn is not committed (or
+    * vacuumed) or the tag already exists. */
+  def createTag(spark: SparkSession, root: String, name: String,
+      txn: Long): Unit = {
+    checkTagName(name)
+    val f = fs(spark, root)
+    require(f.exists(new Path(txnsDir(root), txn.toString)),
+      s"txn $txn is not committed (or already vacuumed) under $root")
+    val dir = new Path(refsDir(root))
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    out.write(s"$txn\n".getBytes("UTF-8"))
+    out.close()
+    if (!atomicPlace(f, tmp, new Path(dir, name))) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(s"tag '$name' already exists")
+    }
+  }
+
+  /** Drop tag `name`; false when it did not exist. The txn it pinned
+    * re-enters vacuum's ordinary retention. */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    checkTagName(name)
+    fs(spark, root).delete(new Path(refsDir(root), name), false)
+  }
+
+  /** Every tag, name → pinned txn. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(spark, root)
+    val dir = new Path(refsDir(root))
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        body.toLongOption.map(st.getPath.getName -> _)
+      }.toMap
+  }
+
+  /** Pin the snapshot a tag names — time travel by name. */
+  def snapshotAtTag(spark: SparkSession, root: String,
+      name: String): Snapshot = {
+    val txn = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown tag '$name'"))
+    snapshotAt(spark, root, txn)
+  }
+
   /** RENAME a column across every live partition of `table` — a full
     * data rewrite committed as ONE conditional txn, partition layout
     * preserved (each entry rewrites under its own partition name, so
@@ -2873,7 +2940,11 @@ object TxnCatalog {
       val next = committed.find(_ > t).get
       now - f.getFileStatus(new Path(tdir, next.toString)).getModificationTime
     }
+    // tagged txns are pinned outright: a tag is a durable promise that
+    // this exact state stays readable until the tag is dropped
+    val tagged = tags(spark, root).values.toSet
     val dropped = committed.dropRight(keep)
+      .filterNot(tagged)
       .filter(t => minAgeMs <= 0L || successorAge(t) >= minAgeMs)
     val survivors = committed.filterNot(dropped.contains)
     val keptRefs: Set[(String, String, String)] = survivors

@@ -205,7 +205,7 @@ class ProcedureSpec extends GraftSuite {
       val names = listed.collect().map(_.getString(nameIdx)).toSet
       assert(names === Set("optimize", "cluster", "vacuum", "history",
         "analyze", "apply_deletes", "restore", "bucket", "create_mv",
-        "refresh_mv"))
+        "refresh_mv", "tag", "drop_tag", "tags"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
