@@ -428,7 +428,9 @@ private[storage] final class RestoreProcedure(root: String)
 
   override def parameters(): Array[ProcedureParameter] = Array(
     param("table", StringType),
-    param("txn", LongType, null, "the committed txn to revert to"))
+    param("txn", LongType, "-1", "the committed txn to revert to"),
+    param("tag", StringType, "''",
+      "alternatively, a tag naming the txn to revert to"))
 
   private val out = StructType(Seq(
     StructField("txn", LongType, nullable = false),
@@ -438,7 +440,16 @@ private[storage] final class RestoreProcedure(root: String)
     val s = spark
     val table = str(input, 0)
     require(table.nonEmpty, "restore: table is required")
-    val toTxn = input.getLong(1)
+    val tag = str(input, 2)
+    val toTxn = (input.getLong(1), tag) match {
+      case (-1L, "") => throw new IllegalArgumentException(
+        "restore: pass txn => <n> or tag => 'name'")
+      case (-1L, t) => TxnCatalog.tags(s, root).getOrElse(t,
+        throw new IllegalArgumentException(s"unknown tag '$t'"))
+      case (n, "") => n
+      case _ => throw new IllegalArgumentException(
+        "restore: pass txn OR tag, not both")
+    }
     val before = TxnCatalog.currentTxn(s, root).getOrElse(0L)
     val txn = TxnCatalog.restoreTable(s, root, table, toTxn)
     one(oneRow(out, java.lang.Long.valueOf(txn),

@@ -97,6 +97,14 @@ class TagSpec extends GraftSuite {
       assert(s2.sql("CALL lake.system.tags()").collect()
         .map(r2 => (r2.getString(0), r2.getLong(1))).toSeq ===
         Seq(("v1", t1)))
+      // RESTORE by tag: revert the table to the tagged state by name
+      val rr = s2.sql(
+        "CALL lake.system.restore(table => 'ev', tag => 'v1')")
+        .collect().head
+      assert(rr.getBoolean(1))
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 10L,
+        "restore-by-tag reverts to the tagged state")
       assert(s2.sql("CALL lake.system.drop_tag(name => 'v1')")
         .collect().head.getBoolean(0))
       val e = intercept[Exception] {
