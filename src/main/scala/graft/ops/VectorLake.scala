@@ -51,11 +51,17 @@ object VectorLake {
     * Returns the committed txn. */
   def build(spark: SparkSession, root: String, table: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Long = {
+      k: Int, iters: Int, metaCols: Seq[String] = Nil): Long = {
+    metaCols.foreach(c => require(corpus.columns.contains(c),
+      s"no metadata column '$c' in the corpus"))
     val (assigned, cents) = Clustering.kmeansFit(corpus, idCol, vecCol,
       k, iters)
-    val v = corpus.select(col(idCol).as(IdCol),
-      Similarity.toDouble(col(vecCol)).as(VecCol))
+    // metadata columns ride each cell row (FILTERED vector search:
+    // a query predicate applies before the rerank, and their min/max
+    // stats let a selective filter prune whole cells at manifest cost)
+    val v = corpus.select(col(idCol).as(IdCol) +:
+      Similarity.toDouble(col(vecCol)).as(VecCol) +:
+      metaCols.map(col): _*)
     // pin the Lloyd result once: the bulk write and the grouped stats
     // pass both read this frame — without the checkpoint each would
     // replay the full k-means
@@ -71,7 +77,7 @@ object VectorLake {
           .map((centroidsTable(table), _))
     }.getOrElse(Nil)
     TxnCatalog.commitPartitioned(spark, root, table, cells, CellCol,
-      statsColumns = Seq(CellCol),
+      statsColumns = CellCol +: metaCols,
       extraUpdates = Seq((centroidsTable(table), "all",
         cents.select(col("cid"), col("ce")))),
       drops = stale.filterNot { case (t, p) =>
@@ -90,14 +96,16 @@ object VectorLake {
     * rebuild when drift warrants, the generational-clustering trade).
     * Returns the committed txn. */
   def append(spark: SparkSession, root: String, table: String,
-      corpus: DataFrame, idCol: String, vecCol: String): Long = {
+      corpus: DataFrame, idCol: String, vecCol: String,
+      metaCols: Seq[String] = Nil): Long = {
     val snap = TxnCatalog.snapshot(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no catalog at $root"))
     val cents = snap.read(centroidsTable(table)).getOrElse(
       throw new IllegalArgumentException(
         s"no centroid table for '$table' — build the index first"))
-    val v = corpus.select(col(idCol).as(IdCol),
-        Similarity.toDouble(col(vecCol)).as(VecCol))
+    val v = corpus.select(col(idCol).as(IdCol) +:
+        Similarity.toDouble(col(vecCol)).as(VecCol) +:
+        metaCols.map(col): _*)
       .withColumn("en", Similarity.dot(col(VecCol), col(VecCol)))
     val centsRow = cents
       .withColumn("cn", Similarity.dot(col("ce"), col("ce")))
@@ -108,14 +116,16 @@ object VectorLake {
           (col("en") - lit(2.0) * Similarity.dot(col(VecCol), c.getField("ce"))
             + c.getField("cn")).as("d"),
           c.getField("cid").as("cid")))))
-      .select(col(IdCol), col(VecCol), col("best.cid").as(CellCol))
+      .select(col(IdCol) +: col(VecCol) +: col("best.cid").as(CellCol) +:
+        metaCols.map(col): _*)
     // the generation name carries a nonce beside the txn: two appends
     // racing from the same pinned snapshot then land DISTINCT
     // partitions instead of the later one silently replacing the
     // earlier one's same-named entries
     val nonce = java.util.UUID.randomUUID().toString.take(4)
     TxnCatalog.commitPartitioned(spark, root, table, assigned, CellCol,
-      statsColumns = Seq(CellCol), partPrefix = s"g${snap.txn + 1}$nonce-")
+      statsColumns = CellCol +: metaCols,
+      partPrefix = s"g${snap.txn + 1}$nonce-")
   }
 
   /** The `nProbe` cells nearest to `q`, in (distance, cid) order — the
@@ -156,13 +166,26 @@ object VectorLake {
     * The global sort is a TakeOrderedAndProject (top-k per partition,
     * k-row merge on the driver), never a full sort. */
   def query(spark: SparkSession, root: String, table: String,
-      q: Seq[Double], nProbe: Int, topK: Int): DataFrame = {
+      q: Seq[Double], nProbe: Int, topK: Int): DataFrame =
+    query(spark, root, table, q, nProbe, topK, where = None)
+
+  /** FILTERED ANN: [[query]] with an attribute predicate over the
+    * indexed metadata columns ([[build]]'s `metaCols`), applied to the
+    * probed cells BEFORE the rerank — hybrid search (`label = 3 AND
+    * cosine top-k`) at one scan of the probe set. Selective filters
+    * can return fewer than `topK` rows from the probed cells (the
+    * classic IVF-filter recall trade) — raise `nProbe` when the
+    * predicate is narrow. */
+  def query(spark: SparkSession, root: String, table: String,
+      q: Seq[Double], nProbe: Int, topK: Int,
+      where: Option[Column]): DataFrame = {
     require(topK > 0, "topK must be positive")
     // ONE snapshot for routing and reading (atomic-rebuild safety)
     val snap = snapshotOf(spark, root)
     val probes = probeCells(snap, table, q, nProbe)
-    val cand = snap.readWhereIn(table, CellCol, probes).getOrElse(
+    val cand0 = snap.readWhereIn(table, CellCol, probes).getOrElse(
       throw new IllegalArgumentException(s"no vector table '$table'"))
+    val cand = where.foldLeft(cand0)(_.filter(_))
     val qArr: Column = array(q.map(lit): _*)
     val qNorm = math.sqrt(fold(q, q))
     cand

@@ -274,6 +274,49 @@ object CurationQueries extends QueryGroup {
           |SELECT vec_id AS id, cid AS cluster, sim, rank FROM (
           |  SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
           |  FROM sims)
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // FILTERED vector search (hybrid attribute + ANN): the index stores
+    // the label column beside each vector, the query routes to 3 cells,
+    // and the predicate applies to the probed candidates BEFORE the
+    // cosine rerank — the oracle replays the identical probe set and
+    // filters the same candidates, so ranks are value-locked end to
+    // end.
+    QueryDef(
+      "s_ann_filtered",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_annfilt").toString
+        val emb = Tables.embeddings(s, d)
+          .select("vec_id", "embedding", "label")
+        VectorLake.build(s, root, "vecs", emb, "vec_id", "embedding",
+          k = 8, iters = 2, metaCols = Seq("label"))
+        val q = emb.orderBy("vec_id").limit(1)
+          .select(graft.ops.Similarity.toDouble(col("embedding")))
+          .collect()(0).getSeq[Double](0)
+        VectorLake.query(s, root, "vecs", q, nProbe = 3, topK = 10,
+            where = Some(col("label") === 1))
+          .orderBy("rank")
+      },
+      Some(kmeansSql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings") +
+        """,
+          |qv AS (SELECT e, en FROM vn ORDER BY vec_id LIMIT 1),
+          |pd AS (SELECT c1.cid,
+          |         qv.en - 2 * list_dot_product(qv.e, c1.ce)
+          |           + list_dot_product(c1.ce, c1.ce) AS d
+          |       FROM c1, qv),
+          |pc AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 3),
+          |cand AS (SELECT a2.vec_id, a2.cid FROM a2 SEMI JOIN pc USING (cid)
+          |         JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+          |         WHERE e2.label = 1),
+          |sims AS (SELECT cand.vec_id, cand.cid,
+          |           round(list_dot_product(qv.e, vn.e)
+          |             / (sqrt(qv.en) * sqrt(vn.en)), 6) AS sim
+          |         FROM cand JOIN vn USING (vec_id), qv)
+          |SELECT vec_id AS id, cid AS cluster, sim, rank FROM (
+          |  SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+          |  FROM sims)
           |WHERE rank <= 10 ORDER BY rank""".stripMargin))
   )
 }

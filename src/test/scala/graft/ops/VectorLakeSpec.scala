@@ -133,6 +133,26 @@ class VectorLakeSpec extends GraftSuite {
     assert(snap.read("v").get.select("id").distinct().count() === 20L)
   }
 
+  test("filtered query: the predicate applies before the rerank") {
+    val root = tmp()
+    val labeled = corpus.withColumn("lab", (col("vid") % 2).cast("int"))
+    VectorLake.build(spark, root, "v", labeled, "vid", "emb",
+      k = 3, iters = 2, metaCols = Seq("lab"))
+    val q = Seq(10.0, 0.0, 0.0, 0.0)
+    val filtered = VectorLake.query(spark, root, "v", q,
+        nProbe = 3, topK = 5, where = Some(col("lab") === 0))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // reference: unfiltered over ALL cells, filter even ids, re-rank
+    val all = VectorLake.query(spark, root, "v", q, nProbe = 3, topK = 18)
+      .filter(col("id") % 2 === 0)
+      .limit(5).collect().map(_.getLong(0))
+    assert(filtered.map(_._1).toSeq === all.toSeq,
+      "filter-then-rank must equal rank-then-filter on the same probes")
+    assert(filtered.map(_._2).toSeq === (1 to filtered.length),
+      "ranks are dense over the filtered candidates")
+    assert(filtered.forall(_._1 % 2 == 0), "the predicate held")
+  }
+
   test("rebuild replaces the index atomically; old snapshot still queryable") {
     val root = tmp()
     VectorLake.build(spark, root, "v", corpus, "vid", "emb",
