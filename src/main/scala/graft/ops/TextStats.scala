@@ -389,4 +389,52 @@ object Sampling {
       .filter(col("neg_id") =!= col("__id"))
       .select(col("__id").as(idCol), col("j"), col("neg_id"))
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"),
+    * re-expressed over the corpus-LM machinery: each raw document gets
+    * the log importance weight
+    *
+    *   log w(x) = Σ_{tokens} [ log p_target(w) − log p_raw(w) ]
+    *
+    * under add-α smoothed unigram models of the TARGET corpus (the
+    * domain you want more of) and the RAW corpus, both smoothed over
+    * the UNION vocabulary so raw-only tokens get finite negative
+    * evidence instead of −∞. Selection is then just a ranking:
+    * `orderBy(log_weight desc)` and take n — the paper's Gumbel-top-k
+    * resampling made deterministic for reproducible pipelines (add
+    * seeded Gumbel noise to `log_weight` for the sampled variant).
+    *
+    * Scale: both "models" are vocabulary-sized count tables (≪ corpus;
+    * AQE broadcasts the joins back), the three scalars (totals, |V|)
+    * ride a 1-row broadcast cross join, and scoring is one hash
+    * aggregate over the exploded raw tokens — the same 2-shuffle
+    * dataflow as [[TextStats.unigramCrossEntropy]], run once for any target.
+    * Output: (doc, n_tokens, log_weight round-6), one row per raw doc
+    * with at least one token. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    val rawToks = raw.select(col(idCol).as("doc"),
+      explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+    val tgtToks = target.select(
+      explode(TextAnalysis.regexTokens(col(textCol))).as("term"))
+    val cr = rawToks.groupBy("term").agg(count(lit(1)).as("cr"))
+    val ct = tgtToks.groupBy("term").agg(count(lit(1)).as("ct"))
+    // union vocabulary + the three model scalars in ONE small frame
+    val vocab = cr.select("term").union(ct.select("term")).distinct()
+    val scalars = vocab.agg(count(lit(1)).as("v"))
+      .crossJoin(cr.agg(sum("cr").as("tr")))
+      .crossJoin(ct.agg(coalesce(sum("ct"), lit(0L)).as("tt")))
+    rawToks
+      .join(cr, Seq("term")) // every raw token is in the raw counts
+      .join(ct, Seq("term"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("__lw",
+        log((coalesce(col("ct"), lit(0L)) + alpha) /
+          (col("tt") + lit(alpha) * col("v"))) -
+        log((col("cr") + alpha) / (col("tr") + lit(alpha) * col("v"))))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lw")), 6).as("log_weight"))
+  }
 }

@@ -315,6 +315,39 @@ object TextStatsQueries extends QueryGroup {
              |  round(exp(avg(nll)), 6) AS ppl
              |FROM j GROUP BY doc ORDER BY doc""".stripMargin)),
 
+    // DSIR data selection (importance resampling): per-doc log
+    // importance weight under add-0.5-smoothed target-vs-raw unigram
+    // models over the union vocabulary; the target domain is the
+    // deterministic doc_id%7=0 sample. Selection = rank by weight —
+    // the oracle value-locks the weights themselves.
+    QueryDef(
+      "x_dsir_weights",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sampling.dsirWeights(docs,
+            docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+            "doc_id", "text")
+          .orderBy("doc")
+      },
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                       x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |tt AS (SELECT term FROM toks WHERE doc % 7 = 0),
+             |cr AS (SELECT term, COUNT(*) AS cr FROM toks GROUP BY 1),
+             |ct AS (SELECT term, COUNT(*) AS ct FROM tt GROUP BY 1),
+             |sc AS (SELECT (SELECT COUNT(*) FROM cr) AS v,
+             |              (SELECT SUM(cr) FROM cr) AS tr,
+             |              (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt),
+             |j AS (SELECT doc,
+             |        ln((COALESCE(ct.ct, 0) + 0.5) / (sc.tt + 0.5 * sc.v))
+             |        - ln((cr.cr + 0.5) / (sc.tr + 0.5 * sc.v)) AS lw
+             |      FROM toks JOIN cr USING (term)
+             |      LEFT JOIN ct USING (term), sc)
+             |SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |  round(SUM(lw), 6) AS log_weight
+             |FROM j GROUP BY doc ORDER BY doc""".stripMargin)),
+
     // Order-2 LM quality filter: add-k-smoothed corpus bigram model,
     // per-doc cross-entropy/perplexity — the KenLM/CCNet filter shape
     // (two vocabulary-sized count tables joined back, nothing global).

@@ -263,4 +263,27 @@ class TextStatsSpec extends GraftSuite {
       .select("id").as[Long].collect()
     assert(out.sorted.toSeq === (1L to 100L)) // k = n returns everything
   }
+  test("dsirWeights favors target-domain documents; weights are finite") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "quantum entanglement decoherence qubit quantum"),
+      (2L, "football goalkeeper penalty stadium referee"),
+      (3L, "qubit superposition quantum gate entanglement"),
+      (4L, "recipe butter flour oven sugar")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "quantum qubit entanglement superposition quantum gate"),
+      (11L, "decoherence qubit quantum measurement")
+    ).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+    assert(w(1L) > w(2L) && w(3L) > w(4L),
+      s"physics docs must outweigh sports/cooking: $w")
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite),
+      "smoothing keeps every weight finite")
+    // selection = ranking: the top-2 are exactly the in-domain docs
+    assert(w.toSeq.sortBy(-_._2).take(2).map(_._1).toSet === Set(1L, 3L))
+  }
+
 }
