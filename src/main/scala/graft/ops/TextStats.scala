@@ -437,4 +437,30 @@ object Sampling {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("__lw")), 6).as("log_weight"))
   }
+
+  /** DSIR's actual resampling step, made deterministic: Gumbel-top-k
+    * over [[dsirWeights]] — key = log_weight + Gumbel(0,1) noise, the
+    * classic trick that makes top-k by perturbed weight EQUAL sampling
+    * without replacement ∝ softmax(weights). The noise is a pure
+    * function of (seed, doc): a 16-bit md5-prefix uniform mapped to
+    * (0, 1) (the +0.5/65536 midpoint keeps both logs finite), so any
+    * engine — and any retry — draws the SAME sample; no RNG state.
+    * Top-n is `orderBy.limit` (TakeOrderedAndProject — per-partition
+    * top-n, k-row driver merge, never a global sort). */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, n: Int, seed: String = "dsir",
+      alpha: Double = 0.5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val hex = substring(
+      md5(concat(lit(seed), col("doc").cast("string")).cast("binary")),
+      1, 4)
+    val u = (conv(hex, 16, 10).cast("double") + 0.5) / 65536.0
+    val keyed = dsirWeights(raw, target, idCol, textCol, alpha)
+      .withColumn("gumbel_key",
+        round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col("doc"))
+      .limit(n)
+    keyed.withColumn("rank", row_number().over(
+      Window.orderBy(col("gumbel_key").desc, col("doc"))))
+  }
 }

@@ -348,6 +348,56 @@ object TextStatsQueries extends QueryGroup {
              |  round(SUM(lw), 6) AS log_weight
              |FROM j GROUP BY doc ORDER BY doc""".stripMargin)),
 
+    // DSIR's resampling step, deterministic: Gumbel-top-50 over the
+    // importance weights — the perturbed-weight top-k that equals
+    // sampling-without-replacement ∝ softmax(w). The Gumbel noise is a
+    // pure function of (seed, doc) via a 16-bit md5-prefix uniform, so
+    // DuckDB draws the IDENTICAL sample (nibbles recovered with
+    // position() — no hex-parse builtin needed).
+    QueryDef(
+      "x_dsir_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sampling.dsirResample(docs,
+            docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+            "doc_id", "text", n = 50)
+          .orderBy("rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                       x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |tt AS (SELECT term FROM toks WHERE doc % 7 = 0),
+             |cr AS (SELECT term, COUNT(*) AS cr FROM toks GROUP BY 1),
+             |ct AS (SELECT term, COUNT(*) AS ct FROM tt GROUP BY 1),
+             |sc AS (SELECT (SELECT COUNT(*) FROM cr) AS v,
+             |              (SELECT SUM(cr) FROM cr) AS tr,
+             |              (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt),
+             |j AS (SELECT doc,
+             |        ln((COALESCE(ct.ct, 0) + 0.5) / (sc.tt + 0.5 * sc.v))
+             |        - ln((cr.cr + 0.5) / (sc.tr + 0.5 * sc.v)) AS lw
+             |      FROM toks JOIN cr USING (term)
+             |      LEFT JOIN ct USING (term), sc),
+             |w AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             |        round(SUM(lw), 6) AS log_weight
+             |      FROM j GROUP BY doc),
+             |g AS (SELECT *,
+             |        (SELECT SUM((position(substr(h, i, 1)
+             |                     IN '0123456789abcdef') - 1)
+             |                    * power(16, 4 - i))
+             |         FROM range(1, 5) t(i)) AS u16
+             |      FROM (SELECT w.*,
+             |              md5('dsir' || CAST(doc AS VARCHAR)) AS h
+             |            FROM w)),
+             |k AS (SELECT doc, n_tokens, log_weight,
+             |        round(log_weight
+             |          - ln(-ln((u16 + 0.5) / 65536.0)), 6) AS gumbel_key
+             |      FROM g)
+             |SELECT doc, n_tokens, log_weight, gumbel_key, rank FROM (
+             |  SELECT *, row_number()
+             |    OVER (ORDER BY gumbel_key DESC, doc) AS rank FROM k)
+             |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
+
     // Order-2 LM quality filter: add-k-smoothed corpus bigram model,
     // per-doc cross-entropy/perplexity — the KenLM/CCNet filter shape
     // (two vocabulary-sized count tables joined back, nothing global).

@@ -286,4 +286,21 @@ class TextStatsSpec extends GraftSuite {
     assert(w.toSeq.sortBy(-_._2).take(2).map(_._1).toSet === Set(1L, 3L))
   }
 
+  test("dsirResample: seeded Gumbel top-k is retry-stable and seed-sensitive") {
+    import spark.implicits._
+    val raw = (0L until 40L)
+      .map(i => (i, if (i % 4 == 0) "quantum qubit gate" else "misc word soup " + i))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "quantum qubit gate entanglement")).toDF("doc_id", "text")
+    def ids(seed: String) = Sampling
+      .dsirResample(raw, target, "doc_id", "text", n = 10, seed = seed)
+      .orderBy("rank").select("doc").as[Long].collect().toSeq
+    assert(ids("a") === ids("a"), "same seed → same sample, any retry")
+    assert(ids("a") !== ids("b"), "different seed → different perturbation")
+    // weights still dominate: in-domain docs are overrepresented
+    val picked = ids("a")
+    assert(picked.count(_ % 4 == 0) >= 5,
+      s"importance weights must bias the draw, got $picked")
+  }
+
 }
