@@ -175,9 +175,10 @@ class SqlCatalogSpec extends GraftSuite {
       // properties through ALTER ... SET TBLPROPERTIES
       s2.sql("ALTER TABLE lake.default.t SET TBLPROPERTIES ('team' = 'ml')")
       assert(TxnCatalog.tableProperties(s2, root, "t")("team") === "ml")
-      // unsupported change shapes are refused
+      // unsupported change shapes are refused (DROP/RENAME COLUMN are
+      // supported since the rewrite path — see AlterColumnSpec)
       intercept[Exception] {
-        s2.sql("ALTER TABLE lake.default.t DROP COLUMN v")
+        s2.sql("ALTER TABLE lake.default.t ALTER COLUMN k TYPE STRING")
       }
       intercept[Exception] {
         s2.sql("ALTER TABLE lake.default.t ADD COLUMN nn BIGINT NOT NULL")
