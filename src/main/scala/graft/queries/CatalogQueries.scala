@@ -700,6 +700,46 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT c_custkey, c_acctbal, 2 AS kept_txns FROM customer
              |ORDER BY c_custkey""".stripMargin)),
 
+    // BRANCH write-audit-publish round trip (Iceberg table branches +
+    // the WAP pattern, zero-copy on this catalog): commit the even keys
+    // to main, fork branch 'wap', stage the odd keys ON THE BRANCH,
+    // audit (main must still hold only the even rows — pinned as a
+    // constant column), then publish. The published read must
+    // hash-equal the full source, the publish must classify as
+    // APPEND-SHAPED (no restore marker — streams keep running), and
+    // main's pre-publish isolation count rides the result.
+    QueryDef(
+      "s_branch_wap",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_branch").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", "b=0",
+            cust.filter(pmod(col("c_custkey"), lit(2)) === 0))),
+          statsColumns = Seq("c_custkey"))
+        graft.storage.Branch.create(s, root, "cust", "wap")
+        val shadow = graft.storage.Branch.shadowName("cust", "wap")
+        graft.storage.TxnCatalog.appendBatch(s, root, shadow, "odd",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 1),
+          statsColumns = Seq("c_custkey"))
+        val mainBefore = graft.storage.TxnCatalog
+          .read(s, root, "cust").get.count()
+        graft.storage.Branch.publish(s, root, "cust", "wap")
+        val appendShaped = !graft.storage.TxnCatalog
+          .tableProperties(s, root, "cust")
+          .contains(graft.storage.TxnCatalog.RestoreTxnProp)
+        graft.storage.TxnCatalog.read(s, root, "cust").get
+          .withColumn("main_before", lit(mainBefore))
+          .withColumn("append_shaped", lit(appendShaped))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             |   WHERE c_custkey % 2 = 0) AS main_before,
+             |  TRUE AS append_shaped
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

@@ -1,0 +1,242 @@
+package graft.storage
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import TxnCatalog.{Entry, PropsPartition, RefPrefix, Whole}
+
+/** BRANCHES: writable named forks of a lake table, and the
+  * write-audit-publish (WAP) workflow they exist for — Iceberg's table
+  * branches re-expressed on this catalog's txn axis.
+  *
+  * A branch is an ordinary table named `<table>~br~<branch>` whose
+  * entries are created by [[create]] as ZERO-COPY references
+  * ([[TxnCatalog.RefPrefix]] dirs) to the source table's physical data:
+  * forking a 10 000-partition fact table is one manifest CAS, no bytes
+  * move. Because the branch IS a table, the ENTIRE engine surface works
+  * on it unchanged — appends, MERGE/DELETE/UPDATE, OPTIMIZE, CHECK
+  * constraints (copied at fork, so branch writes validate from birth),
+  * SQL by identifier, time travel — which is exactly what an audit
+  * needs: stage tomorrow's training data on the branch, run the quality
+  * gates against it, and only then [[publish]].
+  *
+  * [[publish]] fast-forwards the source table to the branch's state as
+  * ONE conditional commit, again zero-copy (main's new entries
+  * reference the branch's staged files). Two shapes:
+  *
+  *  - **append-shaped** (every pre-fork entry untouched on the branch,
+  *    only new data entries added — the common WAP case): the new
+  *    entries land on main stamped with the PUBLISH txn as their data
+  *    txn, so incremental consumers (streams, CDC, [[TxnCatalog.diffData]])
+  *    see exactly the appended rows, exactly once; untouched partitions
+  *    keep main's existing entries VERBATIM (zero churn in
+  *    [[TxnCatalog.diff]]).
+  *  - **anything else** (branch rewrote, deleted, or dropped pre-fork
+  *    data): main's entries are replaced by the branch's with their
+  *    ORIGINAL data txns (preserving merge-on-read delete sequencing,
+  *    like RESTORE), and the commit stamps
+  *    [[TxnCatalog.RestoreTxnProp]] so a live stream on main fails fast
+  *    instead of silently missing the rewrite.
+  *
+  * Publishing REFUSES (unless `force`) when main advanced since the
+  * fork — the fast-forward condition, checked against the branch's
+  * recorded base txn — so a rival writer's commits can never be
+  * silently clobbered; rebase by re-creating the branch. Vacuum safety:
+  * liveness is path-based ([[TxnCatalog.vacuum]]), so shared physical
+  * dirs survive as long as any surviving manifest references them under
+  * any name, and dropping a branch ([[drop]]) is just a table drop.
+  */
+object Branch {
+
+  /** Reserved infix joining table and branch in the shadow name. */
+  val BranchInfix = "~br~"
+  /** Branch-table property: the source table this branch forked from. */
+  val BranchOfProp = "graft.branch.of"
+  /** Branch-table property: the main txn the branch last forked from or
+    * was published at — the fast-forward base. */
+  val BranchBaseProp = "graft.branch.base"
+  /** Main-table property: `<publishTxn>:<branch>` of the most recent
+    * branch publish into it. */
+  val BranchPublishedProp = "graft.branch.published"
+
+  /** The shadow-table name a branch lives under. */
+  def shadowName(table: String, branch: String): String = {
+    checkBranchName(branch)
+    s"$table$BranchInfix$branch"
+  }
+
+  private def checkBranchName(n: String): Unit =
+    require(n.nonEmpty && !n.contains('/') && !n.contains('\t') &&
+      !n.contains('~') && !n.startsWith(".") && !n.startsWith("_"),
+      s"illegal branch name '$n' (path-safe, no '~')")
+
+  private def propsDf(spark: SparkSession, props: Map[String, String]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        props.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+      StructType(Seq(StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))))
+
+  /** `e` re-addressed as a reference entry readable under another table
+    * name: already-ref dirs stay verbatim (still naming the original
+    * physical location); real dirs pick up their owning table/partition
+    * as a `~ref:` prefix. The data txn pins explicitly — a ref dir
+    * cannot carry it implicitly — preserving delete sequencing and
+    * incremental-consumer skipping exactly. */
+  private def refEntry(ownTable: String, part: String, e: Entry): Entry = {
+    val dir =
+      if (e.dir.startsWith(RefPrefix)) e.dir
+      else if (part == Whole) s"$RefPrefix$ownTable/${e.dir}"
+      else s"$RefPrefix$ownTable/$part/${e.dir}"
+    e.copy(dir = dir, dataTxn = Some(TxnCatalog.entryDataTxn(e)))
+  }
+
+  /** Fork `table` into branch `branch` at the current snapshot: one
+    * conditional manifest commit, zero data copied. The branch starts
+    * as an exact replica — data entries, pending equality deletes, and
+    * table properties (CHECK constraints included, so branch writes
+    * validate from birth) — plus [[BranchOfProp]]/[[BranchBaseProp]]
+    * recording the fork point. Throws if the table is unknown or the
+    * branch already exists. Returns the committed txn. */
+  def create(spark: SparkSession, root: String, table: String,
+      branch: String, attempts: Int = 5): Long = {
+    val shadow = shadowName(table, branch)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val src = cur.entries.filter(_._1._1 == table)
+      require(src.nonEmpty, s"unknown table '$table'")
+      require(!cur.entries.keys.exists(_._1 == shadow),
+        s"branch '$branch' of '$table' already exists")
+      val copied: Map[(String, String), Entry] = src.collect {
+        case ((_, p), e) if p != PropsPartition =>
+          (shadow, p) -> refEntry(table, p, e)
+      }
+      val props = cur.properties(table) -
+        TxnCatalog.RestoreTxnProp - BranchPublishedProp +
+        (BranchOfProp -> table) + (BranchBaseProp -> cur.txn.toString)
+      try {
+        return TxnCatalog.publish(spark, root,
+          Seq((shadow, PropsPartition, propsDf(spark, props))),
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried => carried ++ copied)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Branch names of `table` in the latest snapshot (direct branches
+    * only — a branch of a branch belongs to the branch). */
+  def branches(spark: SparkSession, root: String, table: String): Seq[String] =
+    TxnCatalog.tables(spark, root)
+      .collect { case t if t.startsWith(table + BranchInfix) =>
+        t.stripPrefix(table + BranchInfix) }
+      .filterNot(_.contains(BranchInfix)).sorted
+
+  /** Publish (fast-forward) `branch` into `table` — the WAP publish:
+    * one conditional zero-copy commit making main's state the branch's
+    * state (see the object doc for the append-shaped vs rewrite-shaped
+    * contract). Refuses when main advanced past the branch's base txn
+    * (pass `force = true` to clobber knowingly, e.g. after an external
+    * audit decided the branch wins), or when the base manifest has been
+    * vacuumed (re-create the branch). The branch survives, rebased to
+    * the publish txn — audit→publish cycles repeat on the same branch.
+    * Returns the committed txn. */
+  def publish(spark: SparkSession, root: String, table: String,
+      branch: String, force: Boolean = false, attempts: Int = 5): Long = {
+    val shadow = shadowName(table, branch)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val shadowAll = cur.entries.filter(_._1._1 == shadow)
+      require(shadowAll.nonEmpty, s"unknown branch '$branch' of '$table'")
+      val shadowProps = cur.properties(shadow)
+      require(shadowProps.get(BranchOfProp).contains(table),
+        s"'$shadow' is not a branch of '$table'")
+      val curMain: Map[(String, String), Entry] = cur.entries.filter {
+        case ((t, p), _) => t == table && p != PropsPartition }
+      if (!force) {
+        val base = shadowProps.get(BranchBaseProp).flatMap(_.toLongOption)
+          .getOrElse(throw new IllegalStateException(
+            s"branch '$branch' carries no base txn"))
+        val baseSnap =
+          try TxnCatalog.snapshotAt(spark, root, base)
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalStateException(
+              s"branch '$branch' base txn $base has been vacuumed; " +
+                "re-create the branch or publish with force = true")
+          }
+        val baseMain = baseSnap.entries.filter {
+          case ((t, p), _) => t == table && p != PropsPartition }
+        val markers = Seq(TxnCatalog.RestoreTxnProp, BranchPublishedProp)
+        if (curMain != baseMain ||
+            (cur.properties(table) -- markers) !=
+              (baseSnap.properties(table) -- markers))
+          throw new IllegalStateException(
+            s"table '$table' advanced since branch '$branch' forked at " +
+              s"txn ${base}: publishing would clobber those commits. " +
+              "Re-create the branch from the current state (rebase) or " +
+              "publish with force = true to overwrite knowingly.")
+      }
+      val shadowData = shadowAll.filter(_._1._2 != PropsPartition)
+      // per-partition classification against main's CURRENT entry: a
+      // shadow entry resolving to the same physical path is the same
+      // content — keep main's entry verbatim (zero diff churn)
+      def resolved(t: String, p: String, e: Entry) =
+        TxnCatalog.entryPath(root, t, p, e.dir)
+      val unchanged: Set[String] = shadowData.collect {
+        case ((_, p), e) if curMain.get((table, p)).exists(me =>
+          resolved(table, p, me) == resolved(shadow, p, e) &&
+            me.deleteKey == e.deleteKey) => p
+      }.toSet
+      val newOnes = shadowData.filter { case ((_, p), _) => !unchanged(p) }
+      // append-shaped iff every main entry survives untouched and every
+      // branch addition is plain data (no delete keys, no drops)
+      val fastAppend =
+        curMain.keys.forall { case (_, p) => unchanged(p) } &&
+          newOnes.values.forall(_.deleteKey.isEmpty)
+      val publishTxn = cur.txn + 1
+      val newMain: Map[(String, String), Entry] = shadowData.map {
+        case ((_, p), e) =>
+          if (unchanged(p)) (table, p) -> curMain((table, p))
+          else (table, p) -> refEntry(shadow, p, e).copy(dataTxn =
+            Some(if (fastAppend) publishTxn else TxnCatalog.entryDataTxn(e)))
+      }
+      val marker = s"$publishTxn:$branch"
+      val mainProps = shadowProps -
+        BranchOfProp - BranchBaseProp - TxnCatalog.RestoreTxnProp -
+        BranchPublishedProp +
+        (BranchPublishedProp -> marker) ++
+        (if (fastAppend) Map.empty[String, String]
+         else Map(TxnCatalog.RestoreTxnProp -> marker))
+      val rebased = shadowProps + (BranchBaseProp -> publishTxn.toString)
+      try {
+        return TxnCatalog.publish(spark, root,
+          Seq((table, PropsPartition, propsDf(spark, mainProps)),
+            (shadow, PropsPartition, propsDf(spark, rebased))),
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried =>
+            carried.filterNot(_._1._1 == table) ++ newMain)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Drop branch `branch` of `table` (a plain table drop — the branch's
+    * own staged files become vacuum-reclaimable once unreferenced;
+    * physical data shared with main is path-protected). Returns the
+    * committed txn. */
+  def drop(spark: SparkSession, root: String, table: String,
+      branch: String): Long =
+    TxnCatalog.dropTable(spark, root, shadowName(table, branch))
+}

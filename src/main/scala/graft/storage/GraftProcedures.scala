@@ -59,7 +59,8 @@ private[storage] object GraftProcedures {
   /** Idents under the conventional `system` namespace. */
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
-    "refresh_mv", "tag", "drop_tag", "tags")
+    "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
+    "drop_branch")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -78,6 +79,9 @@ private[storage] object GraftProcedures {
       case "create_mv" => Some(new CreateMvProcedure(root))
       case "refresh_mv" => Some(new RefreshMvProcedure(root))
       case "tag"      => Some(new TagProcedure(root))
+      case "branch"   => Some(new BranchProcedure(root))
+      case "publish_branch" => Some(new PublishBranchProcedure(root))
+      case "drop_branch" => Some(new DropBranchProcedure(root))
       case "drop_tag" => Some(new DropTagProcedure(root))
       case "tags"     => Some(new TagsProcedure(root))
       case _          => None
@@ -672,5 +676,99 @@ private[storage] final class TagsProcedure(root: String)
         Array[Any](UTF8String.fromString(n), t)): InternalRow
     }
     one(manyRows(out, rs))
+  }
+}
+
+/** `CALL cat.system.branch(table => 't', name => 'wap')`: fork a
+  * zero-copy writable branch of `table` at the current snapshot
+  * ([[Branch.create]]) — the write-audit-publish entry point. Returns
+  * `(shadow_table, txn)`. */
+private[storage] final class BranchProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "branch"
+  override def description(): String =
+    "fork a zero-copy writable branch of a lake table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("name", StringType))
+
+  private val out = StructType(Seq(
+    StructField("shadow_table", StringType, nullable = false),
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val (table, nm) = (str(input, 0), str(input, 1))
+    require(table.nonEmpty && nm.nonEmpty, "branch: table and name required")
+    val txn = Branch.create(spark, root, table, nm)
+    one(oneRow(out, UTF8String.fromString(Branch.shadowName(table, nm)),
+      java.lang.Long.valueOf(txn)))
+  }
+}
+
+/** `CALL cat.system.publish_branch(table => 't', name => 'wap')`:
+  * fast-forward `table` to the branch's state, zero-copy
+  * ([[Branch.publish]]); refuses when main advanced since the fork
+  * unless `force => true`. Returns `(txn, append_shaped)`. */
+private[storage] final class PublishBranchProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "publish_branch"
+  override def description(): String =
+    "fast-forward a lake table to a branch's state (WAP publish)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("name", StringType),
+    param("force", BooleanType, "false", "overwrite a diverged main"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("append_shaped", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val (table, nm) = (str(input, 0), str(input, 1))
+    require(table.nonEmpty && nm.nonEmpty,
+      "publish_branch: table and name required")
+    val txn = Branch.publish(spark, root, table, nm,
+      force = input.getBoolean(2))
+    val appendShaped = !TxnCatalog.tableProperties(spark, root, table)
+      .contains(TxnCatalog.RestoreTxnProp)
+    one(oneRow(out, java.lang.Long.valueOf(txn),
+      java.lang.Boolean.valueOf(appendShaped)))
+  }
+}
+
+/** `CALL cat.system.drop_branch(table => 't', name => 'wap')`: drop the
+  * branch (shared bytes stay path-protected). Returns `(txn)`. */
+private[storage] final class DropBranchProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "drop_branch"
+  override def description(): String = "drop a branch of a lake table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("name", StringType))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val (table, nm) = (str(input, 0), str(input, 1))
+    require(table.nonEmpty && nm.nonEmpty,
+      "drop_branch: table and name required")
+    one(oneRow(out,
+      java.lang.Long.valueOf(Branch.drop(spark, root, table, nm))))
   }
 }

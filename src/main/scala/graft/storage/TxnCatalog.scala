@@ -81,15 +81,27 @@ object TxnCatalog {
     * columns. */
   val DeleteKeyColumn = "__graft_delete_key"
 
-  private def fs(spark: SparkSession, p: String) =
+  private[storage] def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def txnsDir(root: String) = s"$root/_txns"
 
-  private[storage] def entryPath(root: String, tab: String, part: String, dir: String) =
-    if (part == Whole) s"$root/$tab/$dir" else s"$root/$tab/$part/$dir"
+  /** Dir-field prefix marking a REFERENCE entry: the entry's data lives
+    * at another table's physical location (`~ref:<tab>/[<part>/]<dir>`,
+    * root-relative). How [[graft.storage.Branch]] forks and publishes
+    * tables with ZERO data movement — a manifest line under one table
+    * name pointing at bytes staged under another. Resolution happens
+    * here, the single path-resolution point every reader, stats pass,
+    * and [[vacuum]] goes through; [[vacuum]]'s liveness set is
+    * path-based, so a physical dir stays alive while ANY surviving
+    * manifest references it under ANY name. */
+  private[storage] val RefPrefix = "~ref:"
 
-  private def checkTableName(t: String): Unit =
+  private[storage] def entryPath(root: String, tab: String, part: String, dir: String) =
+    if (dir.startsWith(RefPrefix)) s"$root/${dir.stripPrefix(RefPrefix)}"
+    else if (part == Whole) s"$root/$tab/$dir" else s"$root/$tab/$part/$dir"
+
+  private[storage] def checkTableName(t: String): Unit =
     require(t.nonEmpty && !t.contains('/') && !t.contains('\t') &&
       !t.startsWith("_") && !t.startsWith("."), s"illegal table name '$t'")
 
@@ -1158,7 +1170,7 @@ object TxnCatalog {
   }
 
   /** The reserved internal partition holding a table's properties. */
-  private val PropsPartition = "~p"
+  private[storage] val PropsPartition = "~p"
   /** Property-key prefix marking an enforced CHECK constraint. */
   val ConstraintPrefix = "constraint."
   /** Table property naming the columns EVERY commit measures min/max
@@ -2276,7 +2288,7 @@ object TxnCatalog {
     * the carried-forward manifest (after `reconcile` drops superseded
     * entries), publish via the rename CAS — conditional on `expectedTxn`
     * when given. */
-  private def publish(spark: SparkSession, root: String,
+  private[storage] def publish(spark: SparkSession, root: String,
       updates: Seq[(String, String, DataFrame)],
       statsColumns: Seq[String],
       drops: Seq[(String, String)],
@@ -2947,12 +2959,17 @@ object TxnCatalog {
       .filterNot(tagged)
       .filter(t => minAgeMs <= 0L || successorAge(t) >= minAgeMs)
     val survivors = committed.filterNot(dropped.contains)
-    val keptRefs: Set[(String, String, String)] = survivors
+    // liveness is PATH-based, not (table, partition, dir)-based: a
+    // branch fork/publish references the same physical dir under a
+    // DIFFERENT table name (`~ref:` entries — see [[RefPrefix]]), and
+    // the bytes must survive as long as any surviving manifest resolves
+    // to them, whatever name it uses
+    val live: Set[String] = survivors
       .flatMap(t => manifest(f, root, t).toSeq.map { case ((tab, p), e) =>
-        (tab, p, e.dir) }).toSet
+        entryPath(root, tab, p, e.dir) }).toSet
     dropped.foreach { t =>
       manifest(f, root, t).foreach { case ((tab, p), e) =>
-        if (!keptRefs.contains((tab, p, e.dir)))
+        if (!live.contains(entryPath(root, tab, p, e.dir)))
           f.delete(new Path(entryPath(root, tab, p, e.dir)), true)
       }
       f.delete(new Path(tdir, t.toString), false)
@@ -2960,7 +2977,6 @@ object TxnCatalog {
     // orphans: unreferenced v=<n>.<nonce> dirs at committed txn numbers,
     // at both grains (whole-table dirs and per-partition dirs)
     val maxCommitted = committed.last
-    val live = keptRefs.map { case (tab, p, dir) => entryPath(root, tab, p, dir) }
     def reclaimOrphans(parent: Path, mkPath: String => String): Unit =
       f.listStatus(parent).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))

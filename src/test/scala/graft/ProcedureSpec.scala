@@ -205,7 +205,8 @@ class ProcedureSpec extends GraftSuite {
       val names = listed.collect().map(_.getString(nameIdx)).toSet
       assert(names === Set("optimize", "cluster", "vacuum", "history",
         "analyze", "apply_deletes", "restore", "bucket", "create_mv",
-        "refresh_mv", "tag", "drop_tag", "tags"))
+        "refresh_mv", "tag", "drop_tag", "tags", "branch",
+        "publish_branch", "drop_branch"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
