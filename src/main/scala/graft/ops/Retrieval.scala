@@ -117,4 +117,39 @@ object Retrieval {
     round((lit(1.0) / (lit(1.0) + exp(lit(-slope) * meanW)))
       .cast("decimal(18,12)"), 6).cast("double")
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    * retrieval lists — the standard way to combine lexical (BM25) and
+    * vector (ANN cosine) retrieval into one hybrid ranking without score
+    * calibration: each list contributes 1/(c + rank) for the documents
+    * it ranked, fused score = the sum, and c = 60 (the paper's constant)
+    * damps the head so no single list dominates.
+    *
+    * Inputs are (doc, rank) frames — any ranker's top-k output. Lists
+    * join full-outer on doc (a doc missing from a list contributes 0),
+    * contributions chain in list order (each is 1/(c+rank), an exact
+    * IEEE division both engines reproduce bit-identically), and the
+    * fused score rounds through DECIMAL(18,12) to 6 dp before ranking so
+    * the cross-engine ordering is stable; ties break on doc id.
+    *
+    * Scale shape: the inputs are already top-k lists (driver-small by
+    * construction — k rows per ranker, not the corpus), so the fusion
+    * join and the final single-partition rank window cost nothing; the
+    * heavy lifting happened inside each ranker, which is where the
+    * 100 TB design lives ([[bm25TopK]]'s candidate-postings pushdown,
+    * [[graft.ops.VectorLake]]'s manifest-pruned probes). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contribs = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("doc"), (lit(1.0) / (lit(c.toDouble) + col("rank")))
+        .as(s"__rrf$i"))
+    }
+    val joined = contribs.reduce((a, b) => a.join(b, Seq("doc"), "full_outer"))
+    val total = contribs.indices
+      .map(i => coalesce(col(s"__rrf$i"), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.orderBy(col("rrf").desc, col("doc"))
+    joined.select(col("doc"), r6(total).as("rrf"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

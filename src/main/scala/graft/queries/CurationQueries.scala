@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ops.{Clustering, Retrieval, VectorLake}
+import graft.ops.{Clustering, Retrieval, Similarity, VectorLake}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation extensions: BM25 ranked retrieval, embedding-space
@@ -78,6 +78,65 @@ object CurationQueries extends QueryGroup {
              |SELECT doc, score, rank FROM (
              |  SELECT *, row_number() OVER (ORDER BY score DESC, doc) AS rank
              |  FROM r)
+             |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 top-50 and
+    // the cosine top-50 for embedding query 0 — the calibration-free
+    // lexical+vector combiner every RAG/retrieval stack ships. Each
+    // list contributes 1/(60+rank); the fused top-20 must match
+    // DuckDB's replay of both rankings and the fusion exactly.
+    QueryDef(
+      "x_hybrid_rrf",
+      (s, d) => {
+        val bm = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id",
+            "text", queryTerms = Seq("spark", "hash", "join"), k = 50)
+          .select(col("doc"), col("rank"))
+        val emb = Tables.embeddings(s, d)
+        val cos = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding",
+            k = 50)
+          .select(col("c_id").as("doc"), col("rn").as("rank"))
+        Retrieval.rrfFuse(Seq(bm, cos), k = 20).orderBy("rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+             |                       x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc, COUNT(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT COUNT(*) AS n, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks
+             |       WHERE term IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc,
+             |         sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+             |             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc), stats
+             |       GROUP BY 1),
+             |bm AS (SELECT doc, rank FROM (
+             |         SELECT doc, row_number() OVER (
+             |           ORDER BY CAST(round(CAST(s AS DECIMAL(18,12)), 6)
+             |             AS DOUBLE) DESC, doc) AS rank
+             |         FROM sc)
+             |       WHERE rank <= 50),
+             |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |p AS (SELECT c.vec_id AS doc,
+             |        round(list_dot_product(q.e, c.e)
+             |          / (sqrt(list_dot_product(q.e, q.e))
+             |             * sqrt(list_dot_product(c.e, c.e))), 6) AS sim
+             |      FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id != 0),
+             |cs AS (SELECT doc, rank FROM (
+             |         SELECT doc, row_number() OVER (
+             |           ORDER BY sim DESC, doc) AS rank FROM p)
+             |       WHERE rank <= 50),
+             |f AS (SELECT COALESCE(bm.doc, cs.doc) AS doc,
+             |        CAST(round(CAST(
+             |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm.rank), 0)
+             |          + COALESCE(CAST(1.0 AS DOUBLE) / (60 + cs.rank), 0)
+             |          AS DECIMAL(18,12)), 6) AS DOUBLE) AS rrf
+             |      FROM bm FULL OUTER JOIN cs ON bm.doc = cs.doc)
+             |SELECT doc, rrf, rank FROM (
+             |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc) AS rank
+             |  FROM f)
              |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
     // Exact phrase search on a fly-built positional index: per-term
