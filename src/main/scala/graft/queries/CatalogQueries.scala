@@ -354,6 +354,57 @@ object CatalogQueries extends QueryGroup {
              |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
              |FROM merged ORDER BY c_custkey""".stripMargin)),
 
+    // SQL MERGE with the full clause surface: a CONDITIONAL matched
+    // UPDATE (rows failing the condition stay untouched — their keys
+    // are never masked), a CONDITIONAL insert, and the sync shape
+    // `WHEN NOT MATCHED BY SOURCE THEN DELETE` (target keys absent
+    // from the source are dropped via one anti-join key list — never a
+    // partition rewrite). Oracle: join-survivors + qualifying inserts.
+    QueryDef(
+      "s_sql_merge_sync",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_sqlmsync").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 3).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+          statsColumns = Seq("c_custkey"))
+        val cat = s"qmsy${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.storage.GraftMerge.install(s)
+        cust.filter(col("c_custkey") < 100)
+          .union(s.sql("SELECT CAST(90000001 AS BIGINT), CAST(9000.0 AS DOUBLE) " +
+            "UNION ALL SELECT CAST(90000002 AS BIGINT), CAST(100.0 AS DOUBLE)"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"""MERGE INTO $cat.default.cust USING ${cat}_src src
+                 |ON cust.c_custkey = src.c_custkey
+                 |WHEN MATCHED AND src.c_acctbal >= 0
+                 |  THEN UPDATE SET c_acctbal = src.c_acctbal + 10000.0
+                 |WHEN NOT MATCHED AND src.c_acctbal > 5000 THEN INSERT *
+                 |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        s.sql(s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM $cat.default.cust ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  WHERE c_custkey < 100
+             |  UNION ALL VALUES (90000001, 9000.0), (90000002, 100.0)),
+             |kept AS (
+             |  SELECT t.c_custkey,
+             |    CASE WHEN s.c_acctbal >= 0 THEN s.c_acctbal + 10000.0
+             |         ELSE t.c_acctbal END AS c_acctbal
+             |  FROM customer t JOIN src s USING (c_custkey)),
+             |ins AS (
+             |  SELECT c_custkey, c_acctbal FROM src
+             |  WHERE c_custkey NOT IN (SELECT c_custkey FROM customer)
+             |    AND c_acctbal > 5000)
+             |SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+             |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // SQL UPDATE over the lake catalog: a range WHERE prunes the rewrite
     // to the partitions whose manifest stats may match (skipping-aware,
     // one conditional txn), the SET is an expression over the row's own

@@ -26,13 +26,18 @@ import org.apache.spark.sql.functions.col
   * Supported (after Spark's own resolution/alignment):
   *  - `ON t.key = s.key` — one equality between a target and a source
   *    column (the key);
-  *  - unconditional `WHEN MATCHED THEN UPDATE SET ...` or
-  *    `WHEN MATCHED THEN DELETE` (not both);
-  *  - unconditional `WHEN NOT MATCHED THEN INSERT ...`;
-  * arbitrary assignment expressions are allowed — `SET *`/`INSERT *`
-  * take a no-join fast path. Conditional actions,
-  * `WHEN NOT MATCHED BY SOURCE`, multi-column ON, and schema evolution
-  * are refused with a clear error.
+  *  - `WHEN MATCHED [AND cond] THEN UPDATE SET ...` or
+  *    `WHEN MATCHED [AND cond] THEN DELETE` (not both) — a matched row
+  *    failing the condition stays untouched (its key is not masked);
+  *  - `WHEN NOT MATCHED [AND cond] THEN INSERT ...`;
+  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — the sync
+  *    shape (O(target) by semantics: one anti-join building the key
+  *    list, never a partition rewrite); target rows with a NULL merge
+  *    key are never deleted (an equality key list cannot address them).
+  * Arbitrary assignment expressions are allowed — `SET *`/`INSERT *`
+  * take a no-join fast path when unconditional. `WHEN NOT MATCHED BY
+  * SOURCE THEN UPDATE`, multi-column ON, and schema evolution are
+  * refused with a clear error.
   *
   * Execution is O(source), never a table rewrite: ONE txn carrying an
   * equality-delete of the source keys plus the replacement/insert batch
@@ -85,8 +90,6 @@ object GraftMerge {
   private[storage] def run(spark: SparkSession, target: GraftSqlTable,
       m: MergeIntoTable): Unit = {
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not supported")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
     val (tKey, sKey) = m.mergeCondition match {
@@ -98,25 +101,31 @@ object GraftMerge {
         s"equality, got: ${other.sql}")
     }
     m.matchedActions.foreach {
-      case UpdateAction(Some(_), _, _) | DeleteAction(Some(_)) =>
-        refuse("conditional WHEN MATCHED is not supported")
       case _: UpdateAction | _: DeleteAction => ()
       case other => refuse(s"unsupported MATCHED action: $other")
     }
     m.notMatchedActions.foreach {
-      case InsertAction(Some(_), _) =>
-        refuse("conditional WHEN NOT MATCHED is not supported")
       case _: InsertAction => ()
       case other => refuse(s"unsupported NOT MATCHED action: $other")
+    }
+    m.notMatchedBySourceActions.foreach {
+      case _: DeleteAction => ()
+      case other => refuse("only WHEN NOT MATCHED BY SOURCE THEN DELETE " +
+        s"is supported, got: $other")
     }
     if (m.matchedActions.size > 1)
       refuse("at most one WHEN MATCHED action is supported")
     if (m.notMatchedActions.size > 1)
       refuse("at most one WHEN NOT MATCHED action is supported")
+    if (m.notMatchedBySourceActions.size > 1)
+      refuse("at most one WHEN NOT MATCHED BY SOURCE action is supported")
     val update = m.matchedActions.collectFirst { case u: UpdateAction => u }
     val delete = m.matchedActions.collectFirst { case d: DeleteAction => d }
     val insert = m.notMatchedActions.collectFirst { case i: InsertAction => i }
-    if (update.isEmpty && delete.isEmpty && insert.isEmpty)
+    val nbsDelete = m.notMatchedBySourceActions
+      .collectFirst { case d: DeleteAction => d }
+    if (update.isEmpty && delete.isEmpty && insert.isEmpty &&
+        nbsDelete.isEmpty)
       refuse("MERGE needs at least one action")
 
     val srcDf = GraftSqlBridge.ofPlan(spark, m.sourceTable)
@@ -171,46 +180,84 @@ object GraftMerge {
         }
       }
 
+    // the single matched action's optional condition (SQL: a matched
+    // row NOT satisfying it stays untouched — with merge-on-read key
+    // masking that means its key must NOT be masked, so conditional
+    // shapes evaluate the condition on the matched join and mask
+    // exactly the qualifying keys)
+    val matchedCond: Option[Expression] =
+      update.flatMap(_.condition).orElse(delete.flatMap(_.condition))
+
+    /** Matched target rows all carry a source key, so a driver-sized
+      * source-key IN filter on the target side is exact — and it pushes
+      * through the bridge to the MANIFEST (dynamic file pruning: a
+      * 1 000-row MERGE against a 10 000-partition table scans the few
+      * owning partitions, not the table). Over the cap the unpruned
+      * join is still exact, just unskipped. */
+    lazy val prunedTgt: DataFrame = {
+      val keys = srcDf.select(sKeyCol).na.drop().distinct()
+        .limit(10001).collect().map(_.get(0))
+      if (keys.nonEmpty && keys.length <= 10000)
+        tgtDf.filter(tKeyCol.isin(keys.toIndexedSeq: _*))
+      else tgtDf
+    }
+    // the matched join: attribute ids from BOTH plans are in scope, so
+    // assignment and condition expressions evaluate directly
+    lazy val matchedJoin: DataFrame =
+      prunedTgt.join(srcDf, tKeyCol === sKeyCol, "inner")
+    def condCol(e: Expression) = GraftSqlBridge.column(e)
+
     val matchedNew: Option[DataFrame] = update.map { u =>
-      if (isStarShape(u.assignments))
+      if (matchedCond.isEmpty && isStarShape(u.assignments))
         // SET *: replacement rows are the MATCHED source rows (semi
         // join on the key — the scan under tgtDf prunes by manifest)
         projected(srcDf.join(tgtDf.select(tKeyCol.as("__mk")).distinct(),
           sKeyCol === col("__mk"), "left_semi"), u.assignments, _ => None)
       else {
-        // general SET: assignments may read BOTH sides — evaluate on
-        // the matched join (attribute ids from both plans are in scope).
-        // Matched target rows all carry a source key, so a driver-sized
-        // source-key IN filter on the target side is exact — and it
-        // pushes through the bridge to the MANIFEST (dynamic file
-        // pruning: a 1 000-row MERGE against a 10 000-partition table
-        // scans the few owning partitions, not the table). Over the cap
-        // the unpruned join is still exact, just unskipped.
-        val keys = srcDf.select(sKeyCol).na.drop().distinct()
-          .limit(10001).collect().map(_.get(0))
-        val prunedTgt =
-          if (keys.nonEmpty && keys.length <= 10000)
-            tgtDf.filter(tKeyCol.isin(keys.toIndexedSeq: _*))
-          else tgtDf
-        projected(prunedTgt.join(srcDf, tKeyCol === sKeyCol, "inner"),
-          u.assignments, attr => Some(attr))
+        // general SET: assignments may read BOTH sides; a condition
+        // narrows the rewrite to qualifying matched rows
+        val base = matchedCond.map(e => matchedJoin.filter(condCol(e)))
+          .getOrElse(matchedJoin)
+        projected(base, u.assignments, attr => Some(attr))
       }
     }
     val insertedNew: Option[DataFrame] = insert.map { i =>
-      projected(srcDf.join(tgtDf.select(tKeyCol.as("__mk")).distinct(),
-        sKeyCol === col("__mk"), "left_anti"), i.assignments, _ => None)
+      val anti = srcDf.join(tgtDf.select(tKeyCol.as("__mk")).distinct(),
+        sKeyCol === col("__mk"), "left_anti")
+      projected(i.condition.map(e => anti.filter(condCol(e))).getOrElse(anti),
+        i.assignments, _ => None)
     }
     val append = (matchedNew, insertedNew) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)
     }
-    // keys to mask: matched updates/deletes mask the OLD rows; inserts
-    // mask nothing. Masking ALL source keys is equivalent (keys absent
-    // from the table mask nothing) and costs no target scan.
+    // keys to mask. Unconditional matched updates/deletes mask ALL
+    // source keys (equivalent — keys absent from the table mask
+    // nothing — and costs no target scan); conditional ones mask
+    // exactly the matched keys satisfying the condition. NOT MATCHED BY
+    // SOURCE DELETE masks the target keys with no source match —
+    // O(target-scan) by semantics (it asks about every target row), one
+    // anti-join, never a partition rewrite. Target rows whose merge key
+    // is NULL are never masked (an equality key list cannot address
+    // them — documented deviation from engines that rewrite files).
+    val tKeyOut = GraftSqlBridge.column(tKey).cast(tKey.dataType).as(tKey.name)
+    val keyFrames = Seq.newBuilder[DataFrame]
+    if (update.isDefined || delete.isDefined) keyFrames += (matchedCond match {
+      case None =>
+        srcDf.select(sKeyCol.cast(tKey.dataType).as(tKey.name))
+      case Some(c) =>
+        matchedJoin.filter(condCol(c)).select(tKeyOut)
+    })
+    nbsDelete.foreach { d =>
+      val anti = tgtDf.join(
+        srcDf.select(sKeyCol.as("__sk")).na.drop().distinct(),
+        tKeyCol === col("__sk"), "left_anti")
+      keyFrames += d.condition.map(e => anti.filter(condCol(e)))
+        .getOrElse(anti).select(tKeyOut).na.drop()
+    }
+    val frames = keyFrames.result()
     val delKeys =
-      if (update.isDefined || delete.isDefined)
-        Some(srcDf.select(sKeyCol.cast(tKey.dataType).as(tKey.name)))
-      else None
+      if (frames.isEmpty) None else Some(frames.reduce(_.unionByName(_)))
     TxnCatalog.mergeKeyed(spark, target.root, target.table, tKey.name,
       delKeys, append, statsColumns = Seq(tKey.name))
     ()

@@ -249,12 +249,56 @@ class SqlCatalogSpec extends GraftSuite {
       assert(refusal.getMessage.contains("keyed shape"))
       val refusal2 = intercept[Exception] {
         s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
-                 |WHEN MATCHED AND src.v = 'B' THEN UPDATE SET *
+                 |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'x'
                  |""".stripMargin)
       }
-      assert(refusal2.getMessage.contains("conditional WHEN MATCHED"))
+      assert(refusal2.getMessage.contains("NOT MATCHED BY SOURCE"))
       assert(rows() === Seq((0L, "v0"), (1L, "v1")),
         "refused merges must not change the table")
+    }
+  }
+
+  test("MERGE INTO: conditional actions and NOT MATCHED BY SOURCE DELETE") {
+    withCatalog { (s2, root) =>
+      graft.storage.GraftMerge.install(s2)
+      TxnCatalog.commitPartitions(s2, root, Seq(("t", "batch=0",
+        s2.range(0, 5).selectExpr("id AS k", "id * 10 AS v"))))
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+               |(CAST(2 AS BIGINT), CAST(5 AS BIGINT)),
+               |(CAST(9 AS BIGINT), CAST(90 AS BIGINT)),
+               |(CAST(10 AS BIGINT), CAST(3 AS BIGINT)) AS s(k, v)
+               |""".stripMargin)
+      def rows() = s2.sql("SELECT k, v FROM lake.default.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // conditional UPDATE + conditional INSERT: rows failing the
+      // condition stay untouched / uninserted
+      s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+               |WHEN MATCHED AND src.v > 50 THEN UPDATE SET v = src.v
+               |WHEN NOT MATCHED AND src.v > 50 THEN INSERT *
+               |""".stripMargin)
+      assert(rows() === Seq((0L, 0L), (1L, 100L), (2L, 20L), (3L, 30L),
+        (4L, 40L), (9L, 90L)),
+        "k=2 fails the matched condition; k=10 fails the insert condition")
+      // conditional matched DELETE: only qualifying matched keys masked
+      s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+               |WHEN MATCHED AND src.v < 50 THEN DELETE""".stripMargin)
+      assert(rows() === Seq((0L, 0L), (1L, 100L), (3L, 30L), (4L, 40L),
+        (9L, 90L)), "only k=2 (src.v=5) qualifies for the delete")
+      // the sync shape: target keys absent from the source are deleted
+      s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
+               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(rows() === Seq((1L, 100L), (9L, 90L)),
+        "0, 3, 4 have no source match and are deleted")
+      // conditional NOT MATCHED BY SOURCE: only qualifying rows deleted
+      TxnCatalog.commitPartitions(s2, root, Seq(("u", "batch=0",
+        s2.range(0, 4).selectExpr("id AS k", "id * 10 AS v"))))
+      s2.sql("""MERGE INTO lake.default.u USING src ON u.k = src.k
+               |WHEN NOT MATCHED BY SOURCE AND u.v >= 30 THEN DELETE
+               |""".stripMargin)
+      assert(s2.sql("SELECT k FROM lake.default.u ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L),
+        "k=3 is unmatched AND v>=30; k=0 is unmatched but v<30 survives")
     }
   }
 
