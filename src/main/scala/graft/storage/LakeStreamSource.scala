@@ -194,7 +194,9 @@ final class LakeSourceProvider
       appId, complete = outputMode == OutputMode.Complete(),
       compactEvery = int("compactEvery"),
       clusterEvery = int("clusterEvery"),
-      clusterDims = cols("clusterDims") ++ cols("clusterdims"))
+      clusterDims = cols("clusterDims") ++ cols("clusterdims"),
+      mergeSchema = parameters.get("mergeSchema")
+        .orElse(parameters.get("mergeschema")).exists(_.toBoolean))
   }
 
   /** Batch READ: `spark.read.format("graft-lake").option("root", r)
@@ -247,18 +249,27 @@ final class LakeSourceProvider
         TxnCatalog.commit(spark, root, Seq((table, data)))
         ()
       case _ => // Append, or first write under ErrorIfExists/Ignore
+        // writer-side schema enforcement (Delta's write contract): a
+        // mismatched append fails here, not as silent read-side drift;
+        // option mergeSchema=true opts into widening instead
+        val mergeSchema = parameters.get("mergeSchema")
+          .orElse(parameters.get("mergeschema")).exists(_.toBoolean)
+        val conformed =
+          if (exists) SchemaConform.conform(spark, root, table, data,
+            mergeSchema)
+          else data
         keyCol match {
           case Some(k) =>
             val prefix =
               if (exists)
                 s"g${TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1}-"
               else ""
-            TxnCatalog.commitPartitioned(spark, root, table, data, k,
+            TxnCatalog.commitPartitioned(spark, root, table, conformed, k,
               statsColumns = stats, partPrefix = prefix)
             ()
           case None =>
             TxnCatalog.appendBatch(spark, root, table,
-              java.util.UUID.randomUUID().toString.take(8), data,
+              java.util.UUID.randomUUID().toString.take(8), conformed,
               statsColumns = stats, bloomColumns = blooms)
         }
     }
@@ -345,11 +356,14 @@ private[storage] final class LakeSink(root: String, table: String,
     statsColumns: Seq[String], bloomColumns: Seq[String],
     appId: String, complete: Boolean,
     compactEvery: Int = 0, clusterEvery: Int = 0,
-    clusterDims: Seq[String] = Nil)
+    clusterDims: Seq[String] = Nil, mergeSchema: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val fresh = GraftSqlBridge.ofInternalRows(data)
+    val raw = GraftSqlBridge.ofInternalRows(data)
+    // same write contract as the batch path: enforce the table schema
+    // (or widen under mergeSchema=true) before anything is staged
+    val fresh = SchemaConform.conform(spark, root, table, raw, mergeSchema)
     if (complete) {
       // whole-table snapshot per trigger: replays overwrite with the
       // same content, so no ledger is needed

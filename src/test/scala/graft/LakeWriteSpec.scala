@@ -103,4 +103,69 @@ class LakeWriteSpec extends GraftSuite {
         .option("table", "absent").load()
     }
   }
+
+  test("schema enforcement: a mismatched append fails, not silent drift") {
+    val root = tmp()
+    write(root, Seq((1L, "a")).toDF("k", "v"), SaveMode.Append)
+    // typo'd column name: refused with the offending column named
+    val ex = intercept[IllegalArgumentException] {
+      write(root, Seq((2L, "b")).toDF("k", "vv"), SaveMode.Append)
+    }
+    assert(ex.getMessage.contains("vv") &&
+      ex.getMessage.contains("mergeSchema"))
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 1L,
+      "refused appends commit nothing")
+    // missing column: null-filled at the table's type
+    write(root, Seq(Tuple1(3L)).toDF("k"), SaveMode.Append)
+    val rows = TxnCatalog.read(spark, root, "t").get
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet === Set((1L, "a"), (3L, null)))
+    // lossless upcast (int -> long) conforms silently
+    write(root, Seq((4, "d")).toDF("k", "v"), SaveMode.Append)
+    assert(TxnCatalog.read(spark, root, "t").get
+      .filter("k = 4").select("v").collect().head.getString(0) === "d")
+    // any-type-to-string IS a lossless upcast (Spark's canUpCast):
+    // a long fed to the string column conforms as its rendering
+    write(root, Seq((5L, 9L)).toDF("k", "v"), SaveMode.Append)
+    assert(TxnCatalog.read(spark, root, "t").get
+      .filter("k = 5").select("v").collect().head.getString(0) === "9")
+    // lossy narrowing (long column fed a double) is refused
+    val ex2 = intercept[IllegalArgumentException] {
+      write(root, Seq((5.5, "e")).toDF("k", "v"), SaveMode.Append)
+    }
+    assert(ex2.getMessage.contains("not lossless"))
+  }
+
+  test("mergeSchema=true widens the table; old rows read null") {
+    val root = tmp()
+    write(root, Seq((1L, "a")).toDF("k", "v"), SaveMode.Append)
+    write(root, Seq((2L, "b", 7.5)).toDF("k", "v", "score"),
+      SaveMode.Append, "mergeSchema" -> "true")
+    val df = TxnCatalog.read(spark, root, "t").get
+    assert(df.columns.toSet === Set("k", "v", "score"))
+    val byK = df.collect().map(r =>
+      r.getLong(r.fieldIndex("k")) ->
+        (if (r.isNullAt(r.fieldIndex("score"))) None
+         else Some(r.getDouble(r.fieldIndex("score"))))).toMap
+    assert(byK === Map(1L -> None, 2L -> Some(7.5)))
+  }
+
+  test("streaming sink enforces the table schema per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp()
+    write(root, Seq((1L, "a")).toDF("k", "v"), SaveMode.Append)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Double, String)]
+    in.addData((2.5, "b")) // k arrives as DOUBLE against a LONG column
+    val ckpt = Files.createTempDirectory("sinkconform").toString
+    val q = in.toDF().toDF("k", "v").writeStream
+      .format("graft-lake").option("root", root).option("table", "t")
+      .option("checkpointLocation", ckpt).start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(ex.getCause.getMessage.contains("not lossless"))
+    q.stop()
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 1L)
+  }
 }
