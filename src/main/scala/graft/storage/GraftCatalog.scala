@@ -173,11 +173,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * unambiguous). */
   override def loadTable(ident: Identifier, version: String): Table = {
     checkNs(ident.namespace())
+    val t = ident.name()
+    // a BRANCH name resolves to the branch's current state (Iceberg's
+    // `VERSION AS OF 'branch'`): the shadow table, pinned like any load
+    if (version.toLongOption.isEmpty &&
+        Branch.branches(spark, root, t).contains(version))
+      return loadTable(Identifier.of(ident.namespace(),
+        Branch.shadowName(t, version)))
     val txn = version.toLongOption
       .orElse(TxnCatalog.tags(spark, root).get(version))
       .getOrElse(throw new IllegalArgumentException(
-        s"'$version' is neither a committed txn number nor a tag"))
-    val t = ident.name()
+        s"'$version' is neither a committed txn number, a tag, nor a " +
+          s"branch of '$t'"))
     val snap = TxnCatalog.snapshotAt(spark, root, txn)
     val schema = GraftLake.schemaOf(spark, root, t, snap)
       .getOrElse(throw new NoSuchTableException(ident))

@@ -174,6 +174,33 @@ class BranchSpec extends GraftSuite {
     assert(Branch.branches(spark, root, "ev").isEmpty)
   }
 
+  test("SQL: CALL branch procedures; VERSION AS OF resolves branch names") {
+    val root = tmp("brsql")
+    commitBatch(root, "ev", "b0", 0, 10)
+    val cat = s"brc${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val forked = spark.sql(
+      s"CALL $cat.system.branch(table => 'ev', name => 'wap')")
+      .collect().head.getString(0)
+    assert(forked === Branch.shadowName("ev", "wap"))
+    TxnCatalog.appendBatch(spark, root, forked, "b1",
+      Seq((10L, "e10")).toDF("id", "name"))
+    // VERSION AS OF 'wap' reads the branch; the plain read stays main
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.ev " +
+      "VERSION AS OF 'wap'").collect().head.getLong(0) === 11L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.ev")
+      .collect().head.getLong(0) === 10L)
+    val pub = spark.sql(
+      s"CALL $cat.system.publish_branch(table => 'ev', name => 'wap')")
+      .collect().head
+    assert(pub.getBoolean(1), "append-shaped publish")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.ev")
+      .collect().head.getLong(0) === 11L)
+    spark.sql(s"CALL $cat.system.drop_branch(table => 'ev', name => 'wap')")
+    assert(Branch.branches(spark, root, "ev").isEmpty)
+  }
+
   test("branch OPTIMIZE localizes refs; publish of the fold is a rewrite") {
     val root = tmp("bropt")
     commitBatch(root, "ev", "b0", 0, 20)
