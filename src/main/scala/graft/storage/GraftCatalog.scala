@@ -107,14 +107,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * table — `SELECT * FROM <cat>.default.<t>.history` (commit log for
     * `t`), `.partitions` (live manifest entries: data txn, rows, which
     * columns carry stats/Blooms), `.changes` (the full CDC feed,
-    * [[TxnCatalog.changeFeed]] over every committed txn). All three
+    * [[TxnCatalog.changeFeed]] over every committed txn), `.refs`
+    * (named references: tags and branches with their txn/base). All
     * are built from the MANIFEST driver-side (KB-scale; `.changes`
     * reads data files only when actually scanned). Read-only. */
   private def metaTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
     if (ns.length != 2 || ns(0) != "default") return None
     val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
-    if (!Seq("history", "partitions", "changes").contains(kind)) return None
+    if (!Seq("history", "partitions", "changes", "refs").contains(kind))
+      return None
     val s = spark
     val t = ns(1)
     val snap = TxnCatalog.snapshot(s, root)
@@ -146,6 +148,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.sortBy(_._1)
         s.createDataFrame(rows).toDF("partition", "data_txn", "rows",
           "stat_columns", "bloom_columns")
+      case "refs" =>
+        // Iceberg's refs table: every named reference to this table's
+        // state — tags (a pinned txn, vacuum-exempt) and branches (a
+        // writable fork, shown with its fast-forward base txn)
+        val tagRows = TxnCatalog.tags(s, root).toSeq.sorted
+          .map { case (n, txn) => (n, "tag", txn) }
+        val branchRows = Branch.branches(s, root, t).map { b =>
+          (b, "branch", TxnCatalog.tableProperties(s, root,
+            Branch.shadowName(t, b)).get(Branch.BranchBaseProp)
+            .flatMap(_.toLongOption).getOrElse(-1L))
+        }
+        s.createDataFrame(tagRows ++ branchRows)
+          .toDF("name", "type", "txn")
       case _ =>
         TxnCatalog.changeFeed(s, root, t, 0L, snap.txn)
           .getOrElse(return None)

@@ -197,6 +197,11 @@ class BranchSpec extends GraftSuite {
     assert(pub.getBoolean(1), "append-shaped publish")
     assert(spark.sql(s"SELECT count(*) FROM $cat.default.ev")
       .collect().head.getLong(0) === 11L)
+    // the refs metadata table lists tags and branches with their base
+    spark.sql(s"CALL $cat.system.tag(name => 'stable')")
+    val refs = spark.sql(s"SELECT name, type, txn FROM $cat.default.ev.refs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs === Set(("stable", "tag"), ("wap", "branch")))
     spark.sql(s"CALL $cat.system.drop_branch(table => 'ev', name => 'wap')")
     assert(Branch.branches(spark, root, "ev").isEmpty)
   }
