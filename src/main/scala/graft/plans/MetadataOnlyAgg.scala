@@ -66,6 +66,10 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
           if v != null =>
         idx.exactRowCount
+      // count(col) = Σ(rows − null count) when every entry recorded both
+      case AggregateExpression(Count(Seq(a: AttributeReference)), _, false,
+          None, _) =>
+        idx.exactNonNullCount(a.name)
       case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
         idx.exactBounds(a.name).flatMap { case (kind, lo, _) =>
           convert(kind, lo, a.dataType)

@@ -212,6 +212,39 @@ object CatalogQueries extends QueryGroup {
              |  AND c_mktsegment = 'BUILDING'
              |ORDER BY c_custkey""".stripMargin)),
 
+    // NULL-count skipping round trip: partition a nullable derived
+    // column so one partition is null-free (its manifest stat records
+    // nulls = 0), then `IS NULL` must prune that partition at manifest
+    // cost while returning exactly SQL's null rows. The pruning fact
+    // rides as a pinned boolean (file counts vary with writer
+    // parallelism; the inequality does not).
+    QueryDef(
+      "s_null_skipping",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_nullskip").toString
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          when(col("c_acctbal") >= 0, col("c_acctbal")).as("bal_pos"))
+        graft.storage.TxnCatalog.commitPartitions(s, root, Seq(
+          ("cust", "b=0", cust.filter(col("bal_pos").isNotNull)),
+          ("cust", "b=1", cust.filter(col("bal_pos").isNull))),
+          statsColumns = Seq("c_custkey", "bal_pos"))
+        val snap = graft.storage.TxnCatalog.snapshot(s, root).get
+        val idx = graft.storage.GraftLake.index(s, root, "cust", snap)
+        val surviving = idx.survivingFileCount(Seq(
+          org.apache.spark.sql.catalyst.expressions.IsNull(
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(
+              "bal_pos", org.apache.spark.sql.types.DoubleType)())))
+        val pruned = surviving < idx.totalFileCount
+        graft.storage.GraftLake.table(s, root, "cust").get
+          .where(col("bal_pos").isNull)
+          .select("c_custkey")
+          .withColumn("pruned", lit(pruned))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, TRUE AS pruned FROM customer
+             |WHERE c_acctbal < 0 ORDER BY c_custkey""".stripMargin)),
+
     // Storage round trip for skipping-aware DELETE: commit overlapping
     // batches, deleteWhere a value range (only partitions whose stats
     // may overlap are rewritten; null keys survive per SQL DELETE), read

@@ -153,6 +153,19 @@ final class ManifestFileIndex(
     }
   }
 
+  /** Exact NON-NULL count of `column` from manifest stats alone — Some
+    * only when EVERY entry records both its row count and the column's
+    * null count (exact-or-absent; entries written before null counts
+    * were recorded, or whose column is all-null/absent and so carries
+    * no stat, disable the answer). */
+  def exactNonNullCount(column: String): Option[Long] = {
+    if (parts.isEmpty) return None
+    val per = parts.map { case (_, stats, rows, _) =>
+      for { r <- rows; st <- stats.get(column); n <- st.nulls } yield r - n
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
   /** How many partitions have had their files listed so far — the
     * laziness probe for tests. */
   private[graft] def listedPartitionCount: Int = listed.size()
@@ -335,7 +348,16 @@ final class ManifestFileIndex(
         hset.exists(v => eqKeep(stats, a.name, v, a.dataType))
       case StartsWith(a: AttributeReference, Literal(v, StringType)) if v != null =>
         stats.get(a.name).forall(mayPrefix(_, v.toString))
-      case _ => true // IsNull/IsNotNull/casts/UDFs/...: no pruning claim
+      // IS NULL prunes partitions whose recorded null count is zero
+      // (legacy stats without a count keep the partition); IS NOT NULL
+      // never prunes — a recorded stat implies non-null values exist,
+      // and all-null partitions carry no stat at all
+      case IsNull(a: AttributeReference) => nullKeep(stats, a.name)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v == null =>
+        nullKeep(stats, a.name)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v == null =>
+        nullKeep(stats, a.name)
+      case _ => true // IsNotNull/casts/UDFs/...: no pruning claim
     }
 
   private def eqKeep(stats: Map[String, ColStat], name: String,
@@ -345,4 +367,7 @@ final class ManifestFileIndex(
   private def cmpKeep(stats: Map[String, ColStat], name: String,
       v: Any, dt: DataType, ge: Boolean, strict: Boolean): Boolean =
     stats.get(name).forall(st => jvm(v, dt).forall(mayCmp(st, _, ge, strict)))
+
+  private def nullKeep(stats: Map[String, ColStat], name: String): Boolean =
+    stats.get(name).forall(st => st.nulls.forall(_ > 0))
 }

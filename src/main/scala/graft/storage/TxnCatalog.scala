@@ -146,7 +146,7 @@ object TxnCatalog {
     * happen — probes that can't reproduce the build rendering exactly
     * never prune — so pruning stays conservative. */
   final case class ColStat(kind: String, min: String, max: String,
-      bloom: String = "")
+      bloom: String = "", nulls: Option[Long] = None)
 
   /** One live manifest entry: the snapshot dir plus optional column
     * stats. Stats ride the manifest line, so they carry forward with the
@@ -192,16 +192,24 @@ object TxnCatalog {
   private def statsField(stats: Map[String, ColStat]): String =
     stats.toSeq.sortBy(_._1).map { case (c, st) =>
       val base = s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
-      if (st.bloom.isEmpty) base else s"$base:${enc(st.bloom)}"
+      // the null count rides as a 5th component; it forces the (possibly
+      // empty) bloom component so positions stay fixed
+      st.nulls match {
+        case Some(n) => s"$base:${enc(st.bloom)}:$n"
+        case None =>
+          if (st.bloom.isEmpty) base else s"$base:${enc(st.bloom)}"
+      }
     }.mkString(";")
 
   private def parseStats(field: String): Map[String, ColStat] =
     field.split(';').filter(_.nonEmpty).map { item =>
       // bounded splits: an empty-string min/max must survive the parse
       val Array(name, rest) = item.split("=", 2)
-      rest.split(":", 4) match {
+      rest.split(":", 5) match {
         case Array(kind, mi, ma)     => dec(name) -> ColStat(kind, dec(mi), dec(ma))
         case Array(kind, mi, ma, bl) => dec(name) -> ColStat(kind, dec(mi), dec(ma), dec(bl))
+        case Array(kind, mi, ma, bl, nn) =>
+          dec(name) -> ColStat(kind, dec(mi), dec(ma), dec(bl), nn.toLongOption)
         case _ => throw new java.io.IOException(s"corrupt stats item '$item'")
       }
     }.toMap
@@ -467,6 +475,20 @@ object TxnCatalog {
         } catch { case _: NumberFormatException => None }
         case _ => None
       }
+    }
+
+    /** Non-null count of `column` across the whole table at manifest
+      * cost — [[columnBounds]]'s count(col) counterpart, Some only when
+      * every live entry records both its row count and the column's
+      * null count and no equality delete applies (exact-or-absent). */
+    def columnNonNullCount(table: String, column: String): Option[Long] = {
+      val data = dataEntries(table)
+      if (data.isEmpty || hasApplicableDeletes(table, data)) return None
+      val per = data.map { case (_, e) =>
+        for { r <- e.rows; st <- e.stats.get(column); n <- st.nulls }
+          yield r - n
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
 
     /** The partitions of `table` whose recorded `column` stats MAY hold a
@@ -1496,7 +1518,8 @@ object TxnCatalog {
     val aggs = count(lit(1)).as("rows:") +:
       kinds.keys.toSeq.sorted.flatMap(c =>
         Seq(min(m(c)).cast("string").as(s"min:$c"),
-            max(m(c)).cast("string").as(s"max:$c")))
+            max(m(c)).cast("string").as(s"max:$c"),
+            count(col(c)).as(s"cnt:$c")))
     val grouped: Map[Option[String], (Map[String, ColStat], Long)] =
       stagedDf.groupBy(col(keyCol).cast("string").as(bulkKey))
         .agg(aggs.head, aggs.tail: _*)
@@ -1504,7 +1527,9 @@ object TxnCatalog {
           val stats = kinds.flatMap { case (c, kind) =>
             (Option(row.getAs[String](s"min:$c")),
               Option(row.getAs[String](s"max:$c"))) match {
-              case (Some(mi), Some(ma)) => Some(c -> ColStat(kind, mi, ma))
+              case (Some(mi), Some(ma)) => Some(c -> ColStat(kind, mi, ma,
+                "", Some(row.getAs[Long]("rows:") -
+                  row.getAs[Long](s"cnt:$c"))))
               case _ => None
             }
           }
@@ -2276,7 +2301,11 @@ object TxnCatalog {
     val stats = kinds.flatMap { case (c, kind) =>
       (Option(row.getAs[String](s"min:$c")), Option(row.getAs[String](s"max:$c"))) match {
         case (Some(mi), Some(ma)) =>
-          Some(c -> ColStat(kind, mi, ma, blooms.getOrElse(c, "")))
+          // null count = rows - non-null count, free off the same agg
+          // pass: lets IS NULL prune (nulls = 0) and count(col) fold to
+          // metadata (see ManifestFileIndex / MetadataOnlyAgg)
+          Some(c -> ColStat(kind, mi, ma, blooms.getOrElse(c, ""),
+            Some(row.getAs[Long]("rows:") - row.getAs[Long](s"cnt:$c"))))
         case _ => None
       }
     }

@@ -104,6 +104,33 @@ class LakeIndexSpec extends GraftSuite {
     assert(idx.survivingFileCount(Seq(Or(lo.head, IsNotNull(kAttr)))) === total)
   }
 
+  test("IS NULL prunes partitions whose recorded null count is zero") {
+    val root = tmp("lakenull")
+    // batch 0: no nulls in v; batch 1: some nulls
+    TxnCatalog.commitPartitions(spark, root, Seq(
+      ("t", "b=0", (0 until 50).map(i => (i.toLong, Some(i.toLong)))
+        .toDF("k", "v")),
+      ("t", "b=1", (50 until 100).map(i => (i.toLong,
+        if (i % 5 == 0) None else Some(i.toLong))).toDF("k", "v"))),
+      statsColumns = Seq("k", "v"))
+    val idx = GraftLake.index(spark, root, "t",
+      TxnCatalog.snapshot(spark, root).get)
+    val total = idx.totalFileCount
+    val vAttr = AttributeReference("v", LongType)()
+    val isNull = idx.survivingFileCount(Seq(IsNull(vAttr)))
+    assert(isNull < total, "all-non-null partition must prune for IS NULL")
+    assert(isNull > 0, "the null-carrying partition must survive")
+    // null-safe-equals null is IS NULL
+    assert(idx.survivingFileCount(
+      Seq(EqualNullSafe(vAttr, Literal(null, LongType)))) === isNull)
+    // IS NOT NULL never prunes (a recorded stat implies non-null values)
+    assert(idx.survivingFileCount(Seq(IsNotNull(vAttr))) === total)
+    // end-to-end: the answer is right AND the scan pruned
+    val lake = GraftLake.table(spark, root, "t").get
+    assert(lake.where($"v".isNull).count() === 10L)
+    assert(lake.where($"v".isNotNull).count() === 90L)
+  }
+
   test("StartsWith prunes by UTF-8 prefix bounds") {
     val root = tmp("lakesw"); rangeLake(root)
     val idx = GraftLake.index(spark, root, "t",

@@ -125,9 +125,36 @@ class MetadataCountSpec extends GraftSuite {
       val grouped = lake.groupBy("g").count()
       assert(grouped.count() === 5L)
       assert(hasScan(grouped), "a grouped count must scan")
+      // count(col) now folds when every entry records rows AND the
+      // column's null count (both ride the stats pass)
       val nonNull = lake.selectExpr("count(k)")
       assert(nonNull.collect().head.getLong(0) === 50L)
-      assert(hasScan(nonNull), "count(col) must scan (null semantics)")
+      assert(!hasScan(nonNull), "count(stat column) folds to metadata")
+      // a stat-less column's null count is unknown: keep the scan
+      val statless = lake.selectExpr("count(g)")
+      assert(statless.collect().head.getLong(0) === 50L)
+      assert(hasScan(statless), "count of a stat-less column must scan")
+      // distinct counts never fold
+      val dist = lake.selectExpr("count(DISTINCT k)")
+      assert(dist.collect().head.getLong(0) === 50L)
+      assert(hasScan(dist), "count(DISTINCT) must scan")
+    }
+  }
+
+  test("count(col) folds to the NON-NULL count when nulls are present") {
+    val root = tmp("metacntnull")
+    withExtSession { s2 =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b=0",
+          (0 until 30).map(i => (i.toLong,
+            if (i % 3 == 0) None else Some(i.toLong))).toDF("k", "v"))),
+        statsColumns = Seq("k", "v"))
+      val lake = GraftLake.table(s2, root, "t").get
+      val c = lake.selectExpr("count(v)")
+      assert(c.collect().head.getLong(0) === 20L,
+        "folded answer must match SQL null-skipping semantics")
+      assert(!hasScan(c), "count(col) with recorded null counts folds")
     }
   }
 

@@ -559,7 +559,7 @@ class StorageSpec extends GraftSuite {
       statsColumns = Seq("ID", "INDICE"))
     val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
     assert(snap.stats("facts", "b=0")("ID") ===
-      graft.storage.TxnCatalog.ColStat("n", "1", "10"))
+      graft.storage.TxnCatalog.ColStat("n", "1", "10", "", Some(0L)))
     assert(snap.stats("facts", "b=2")("INDICE").kind === "s")
     // numeric bound touching one batch prunes the other two
     assert(snap.partitionsWhere("facts", "ID", 12.0, 15.0) === Seq("b=1"))
@@ -664,7 +664,7 @@ class StorageSpec extends GraftSuite {
       .as[(Long, String)].collect().toSet === before)
     val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
     assert(snap.stats("docs", "compact=1")("ID") ===
-      graft.storage.TxnCatalog.ColStat("n", "0", "2"))
+      graft.storage.TxnCatalog.ColStat("n", "0", "2", "", Some(0L)))
     val dataDir = new java.io.File(s"$root/docs/compact=1").listFiles()
       .filter(_.getName.startsWith("v=")).head
     assert(dataDir.listFiles().count(_.getName.startsWith("part-")) === 1)
