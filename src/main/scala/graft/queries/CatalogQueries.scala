@@ -387,6 +387,46 @@ object CatalogQueries extends QueryGroup {
              |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
              |FROM merged ORDER BY c_custkey""".stripMargin)),
 
+    // Atomic CTAS + RTAS round trip (DSv2 StagingTableCatalog): CREATE
+    // TABLE AS SELECT lands rows + schema + properties in ONE txn, and
+    // REPLACE TABLE AS SELECT supersedes the old content in ONE txn —
+    // never the non-atomic drop-then-create window. Pinned evidence:
+    // each statement advanced the txn counter exactly once, and the
+    // pre-replace content is still readable by time travel.
+    QueryDef(
+      "s_sql_ctas",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_ctas").toString
+        val cat = s"qcta${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.customer(s, d).select("c_custkey", "c_acctbal")
+          .createOrReplaceTempView(s"${cat}_cust")
+        s.sql(s"""CREATE TABLE $cat.default.rich AS
+                 |SELECT c_custkey, c_acctbal FROM ${cat}_cust
+                 |WHERE c_acctbal > 5000""".stripMargin)
+        val t1 = graft.storage.TxnCatalog.currentTxn(s, root).get
+        s.sql(s"""REPLACE TABLE $cat.default.rich AS
+                 |SELECT c_custkey, c_acctbal FROM ${cat}_cust
+                 |WHERE c_acctbal <= 5000""".stripMargin)
+        val t2 = graft.storage.TxnCatalog.currentTxn(s, root).get
+        val richBefore = s.sql(
+          s"SELECT count(*) FROM $cat.default.rich VERSION AS OF $t1")
+          .collect().head.getLong(0)
+        s.sql(s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM $cat.default.rich ORDER BY c_custkey""".stripMargin)
+          .withColumn("rich_before", lit(richBefore))
+          .withColumn("one_txn_each", lit(t1 == 1L && t2 == 2L))
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+             |   WHERE c_acctbal > 5000) AS rich_before,
+             |  TRUE AS one_txn_each
+             |FROM customer WHERE c_acctbal <= 5000
+             |ORDER BY c_custkey""".stripMargin)),
+
     // SQL MERGE with the full clause surface: a CONDITIONAL matched
     // UPDATE (rows failing the condition stay untouched — their keys
     // are never masked), a CONDITIONAL insert, and the sync shape

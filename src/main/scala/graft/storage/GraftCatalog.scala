@@ -57,7 +57,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `<cat>.default.<t>.history` / `.partitions` / `.changes`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -262,6 +262,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       empty, user)
     new GraftSqlTable(root, t, schema)
   }
+
+  /** User TBLPROPERTIES minus Spark's reserved/engine keys. */
+  private def userProps(properties: util.Map[String, String])
+      : Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+  }
+
+  /** Atomic `CREATE/REPLACE TABLE ... AS SELECT` (DSv2 staging): the
+    * query's rows, the schema-bearing init partition, and the
+    * TBLPROPERTIES all land in ONE manifest txn when
+    * `commitStagedChanges` fires — no observer sees a schema-only
+    * table mid-CTAS, and RTAS never exposes the drop-then-create
+    * window Spark's non-atomic fallback has (a reader between the two
+    * statements would find the table missing). Nothing is written to
+    * the catalog until commit; abort discards the buffered plan. */
+  private def stage(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String],
+      mode: GraftStagedTable.Mode): StagedTable = {
+    checkNs(ident.namespace())
+    require(partitions.isEmpty,
+      "partition transforms are not supported — commit partitions " +
+        "through TxnCatalog.commitPartitions/commitPartitioned")
+    val schema = StructType(columns.toSeq.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    new GraftStagedTable(root, ident.name(), schema,
+      userProps(properties), mode)
+  }
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    stage(ident, columns, partitions, properties, GraftStagedTable.Create)
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident)
+    stage(ident, columns, partitions, properties, GraftStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, properties,
+      GraftStagedTable.CreateOrReplace)
 
   override def tableExists(ident: Identifier): Boolean =
     (ident.namespace().isEmpty ||
@@ -717,4 +773,65 @@ private[storage] object GraftV1Scan {
     case sources.Not(c) => toColumn(c).map(!_)
     case _ => None
   }
+}
+
+private[storage] object GraftStagedTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
+/** The staged side of atomic CTAS/RTAS: buffers the SELECT's DataFrame
+  * at write time (nothing executes until commit), then
+  * `commitStagedChanges` publishes data + schema + properties as ONE
+  * conditional manifest txn via
+  * [[TxnCatalog.createTableWithProperties]] — Create refuses a table
+  * that appeared since staging (CAS-raced), Replace/CreateOrReplace
+  * supersede every old entry in the same txn. */
+private[storage] final class GraftStagedTable(
+    root: String, table: String, tableSchema: StructType,
+    props: Map[String, String], mode: GraftStagedTable.Mode)
+    extends Table with SupportsWrite with StagedTable {
+
+  @volatile private var pending: Option[DataFrame] = None
+
+  override def name(): String = table
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // CTAS first write
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(df: DataFrame, ow: Boolean): Unit = {
+              pending = Some(df)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    // an empty frame must still write one file: the schema rides the
+    // parquet footer (same trick as CREATE TABLE's init partition)
+    val df = pending.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tableSchema)
+        .repartition(1))
+    val replace = mode match {
+      case GraftStagedTable.Create => false
+      case GraftStagedTable.Replace => true
+      case GraftStagedTable.CreateOrReplace => true
+    }
+    TxnCatalog.createTableWithProperties(spark, root, table,
+      s"batch=ctas${java.util.UUID.randomUUID().toString.take(8)}",
+      df, props, replace = replace)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = pending = None
 }

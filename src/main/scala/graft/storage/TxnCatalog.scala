@@ -1267,14 +1267,14 @@ object TxnCatalog {
     * catalog; a pre-existing `table` throws IllegalArgumentException. */
   private[graft] def createTableWithProperties(spark: SparkSession,
       root: String, table: String, partition: String, df: DataFrame,
-      props: Map[String, String]): Long = {
+      props: Map[String, String], replace: Boolean = false): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     checkTableName(table)
     checkPartitionName(partition)
     val snap = snapshot(spark, root)
-    require(!snap.exists(_.tables.contains(table)),
+    require(replace || !snap.exists(_.tables.contains(table)),
       s"table '$table' already exists under $root")
     val clean = props.filter(_._2.nonEmpty)
     // constraint expressions must parse AND resolve against the birth
@@ -1289,11 +1289,17 @@ object TxnCatalog {
         clean.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
       StructType(Seq(StructField("key", StringType, nullable = false),
         StructField("value", StringType, nullable = false))))
+    // `replace` = atomic RTAS: the old table's every entry (data,
+    // delete lists, properties) is superseded in the SAME txn the new
+    // content lands — no observer ever sees the table absent or empty,
+    // unlike a drop-then-create sequence
     publish(spark, root, Seq((table, partition, df),
         (table, PropsPartition, kv)),
       statsColumns = Nil, drops = Nil,
       expectedTxn = Some(snap.map(_.txn).getOrElse(0L)),
-      reconcile = identity)(() => ())
+      reconcile = carried =>
+        if (replace) carried.filterNot(_._1._1 == table) else carried
+      )(() => ())
   }
 
   /** Tables present in the latest committed snapshot. */

@@ -202,6 +202,47 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("CTAS and RTAS are ATOMIC: one txn, no drop-then-create window") {
+    withCatalog { (s2, root) =>
+      val before = TxnCatalog.currentTxn(s2, root).getOrElse(0L)
+      s2.sql("""CREATE TABLE lake.default.c TBLPROPERTIES('team'='ml')
+               |AS SELECT id AS k, id * 2 AS v FROM range(5)""".stripMargin)
+      val afterCreate = TxnCatalog.currentTxn(s2, root).get
+      assert(afterCreate === before + 1,
+        "CTAS = exactly ONE txn (schema + rows + properties together)")
+      assert(s2.sql("SELECT k, v FROM lake.default.c ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        (0L until 5L).map(i => (i, i * 2)))
+      assert(TxnCatalog.tableProperties(s2, root, "c").get("team")
+        .contains("ml"))
+      // CTAS into an existing table refuses before anything runs
+      intercept[Exception] {
+        s2.sql("CREATE TABLE lake.default.c AS SELECT 1 AS x")
+      }
+      // RTAS: one txn replaces content, schema, and properties; the
+      // pre-replace state stays time-travelable
+      s2.sql("REPLACE TABLE lake.default.c AS SELECT id AS k FROM range(3)")
+      val afterReplace = TxnCatalog.currentTxn(s2, root).get
+      assert(afterReplace === afterCreate + 1, "RTAS = exactly ONE txn")
+      assert(s2.sql("SELECT * FROM lake.default.c").columns.toSeq === Seq("k"))
+      assert(s2.sql("SELECT count(*) FROM lake.default.c")
+        .collect().head.getLong(0) === 3L)
+      assert(s2.sql(
+        s"SELECT count(*) FROM lake.default.c VERSION AS OF $afterCreate")
+        .collect().head.getLong(0) === 5L)
+      // REPLACE of a missing table errors; CREATE OR REPLACE creates
+      intercept[Exception] {
+        s2.sql("REPLACE TABLE lake.default.nope AS SELECT 1 AS x")
+      }
+      s2.sql("CREATE OR REPLACE TABLE lake.default.cor AS SELECT 7 AS x")
+      assert(s2.sql("SELECT x FROM lake.default.cor")
+        .collect().head.getInt(0) === 7)
+      s2.sql("CREATE OR REPLACE TABLE lake.default.cor AS SELECT 8 AS x")
+      assert(s2.sql("SELECT x FROM lake.default.cor")
+        .collect().head.getInt(0) === 8)
+    }
+  }
+
   test("MERGE INTO: upsert, expression SET, matched DELETE, refusals") {
     withCatalog { (s2, root) =>
       graft.storage.GraftMerge.install(s2)
