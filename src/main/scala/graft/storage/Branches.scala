@@ -99,8 +99,36 @@ object Branch {
     * recording the fork point. Throws if the table is unknown or the
     * branch already exists. Returns the committed txn. */
   def create(spark: SparkSession, root: String, table: String,
-      branch: String, attempts: Int = 5): Long = {
-    val shadow = shadowName(table, branch)
+      branch: String, attempts: Int = 5): Long =
+    cloneInto(spark, root, table, shadowName(table, branch),
+      cur => Map(BranchOfProp -> table, BranchBaseProp -> cur.toString),
+      attempts)
+
+  /** SHALLOW CLONE: replicate `src` under the independent table name
+    * `dst` at the current snapshot — one conditional manifest commit,
+    * zero data copied (Delta's `CREATE TABLE dst SHALLOW CLONE src`).
+    * The clone carries src's data entries, pending equality deletes,
+    * and properties (constraints enforce on the clone from birth), and
+    * diverges freely afterwards: writes to either table never affect
+    * the other, and vacuum's path-based liveness keeps the shared
+    * bytes alive as long as either still references them. Unlike a
+    * branch, a clone records no fast-forward base and cannot be
+    * published back. Returns the committed txn. */
+  def cloneTable(spark: SparkSession, root: String, src: String,
+      dst: String, attempts: Int = 5): Long = {
+    TxnCatalog.checkTableName(dst)
+    require(!dst.contains(BranchInfix),
+      s"'$dst' is a branch name; use Branch.create for branches")
+    cloneInto(spark, root, src, dst,
+      _ => Map(CloneOfProp -> src), attempts)
+  }
+
+  /** Table property recording the source a clone was taken from. */
+  val CloneOfProp = "graft.clone.of"
+
+  private def cloneInto(spark: SparkSession, root: String, table: String,
+      dst: String, extraProps: Long => Map[String, String],
+      attempts: Int): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -108,18 +136,19 @@ object Branch {
         throw new IllegalArgumentException(s"empty catalog under $root"))
       val src = cur.entries.filter(_._1._1 == table)
       require(src.nonEmpty, s"unknown table '$table'")
-      require(!cur.entries.keys.exists(_._1 == shadow),
-        s"branch '$branch' of '$table' already exists")
+      require(!cur.entries.keys.exists(_._1 == dst),
+        s"table '$dst' already exists")
       val copied: Map[(String, String), Entry] = src.collect {
         case ((_, p), e) if p != PropsPartition =>
-          (shadow, p) -> refEntry(table, p, e)
+          (dst, p) -> refEntry(table, p, e)
       }
       val props = cur.properties(table) -
-        TxnCatalog.RestoreTxnProp - BranchPublishedProp +
-        (BranchOfProp -> table) + (BranchBaseProp -> cur.txn.toString)
+        TxnCatalog.RestoreTxnProp - BranchPublishedProp - CloneOfProp -
+        BranchOfProp - BranchBaseProp ++
+        extraProps(cur.txn)
       try {
         return TxnCatalog.publish(spark, root,
-          Seq((shadow, PropsPartition, propsDf(spark, props))),
+          Seq((dst, PropsPartition, propsDf(spark, props))),
           statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
           reconcile = carried => carried ++ copied)(() => ())
       } catch {

@@ -60,7 +60,7 @@ private[storage] object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
     "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
-    "drop_branch")
+    "drop_branch", "clone")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -82,6 +82,7 @@ private[storage] object GraftProcedures {
       case "branch"   => Some(new BranchProcedure(root))
       case "publish_branch" => Some(new PublishBranchProcedure(root))
       case "drop_branch" => Some(new DropBranchProcedure(root))
+      case "clone"    => Some(new CloneProcedure(root))
       case "drop_tag" => Some(new DropTagProcedure(root))
       case "tags"     => Some(new TagsProcedure(root))
       case _          => None
@@ -770,5 +771,35 @@ private[storage] final class DropBranchProcedure(root: String)
       "drop_branch: table and name required")
     one(oneRow(out,
       java.lang.Long.valueOf(Branch.drop(spark, root, table, nm))))
+  }
+}
+
+/** `CALL cat.system.clone(source => 's', target => 't')`: shallow-clone
+  * a table under an independent name, zero-copy ([[Branch.cloneTable]]).
+  * Returns `(target, txn)`. */
+private[storage] final class CloneProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "clone"
+  override def description(): String =
+    "shallow-clone a lake table under a new name (zero-copy)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("source", StringType),
+    param("target", StringType))
+
+  private val out = StructType(Seq(
+    StructField("target", StringType, nullable = false),
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val (src, dst) = (str(input, 0), str(input, 1))
+    require(src.nonEmpty && dst.nonEmpty,
+      "clone: source and target required")
+    val txn = Branch.cloneTable(spark, root, src, dst)
+    one(oneRow(out, UTF8String.fromString(dst), java.lang.Long.valueOf(txn)))
   }
 }

@@ -206,6 +206,36 @@ class BranchSpec extends GraftSuite {
     assert(Branch.branches(spark, root, "ev").isEmpty)
   }
 
+  test("shallow clone replicates zero-copy and diverges independently") {
+    val root = tmp("brclone")
+    commitBatch(root, "ev", "b0", 0, 50)
+    TxnCatalog.setTableProperties(spark, root, "ev",
+      Map(TxnCatalog.ConstraintPrefix + "pos" -> "id >= 0"))
+    Branch.cloneTable(spark, root, "ev", "ev2")
+    assert(ids(root, "ev2") === (0L until 50L), "clone replicates content")
+    // constraints copied: the clone validates from birth
+    intercept[IllegalArgumentException] {
+      TxnCatalog.appendBatch(spark, root, "ev2", "bad",
+        Seq((-1L, "boom")).toDF("id", "name"))
+    }
+    // divergence: writes to either side never affect the other
+    TxnCatalog.appendBatch(spark, root, "ev2", "b1",
+      Seq((50L, "e50")).toDF("id", "name"))
+    commitBatch(root, "ev", "bx", 100, 105)
+    assert(ids(root, "ev2") === (0L until 51L))
+    assert(ids(root, "ev") === ((0L until 50L) ++ (100L until 105L)))
+    // hard vacuum: the shared b0 bytes survive via path-based liveness
+    TxnCatalog.vacuum(spark, root, keep = 1)
+    assert(ids(root, "ev2") === (0L until 51L))
+    // dropping the source keeps the clone readable
+    TxnCatalog.dropTable(spark, root, "ev")
+    TxnCatalog.vacuum(spark, root, keep = 1)
+    assert(ids(root, "ev2") === (0L until 51L),
+      "clone survives source drop + vacuum")
+    assert(TxnCatalog.tableProperties(spark, root, "ev2")
+      .get(Branch.CloneOfProp).contains("ev"))
+  }
+
   test("branch OPTIMIZE localizes refs; publish of the fold is a rewrite") {
     val root = tmp("bropt")
     commitBatch(root, "ev", "b0", 0, 20)
