@@ -138,6 +138,76 @@ object Retrieval {
     * heavy lifting happened inside each ranker, which is where the
     * 100 TB design lives ([[bm25TopK]]'s candidate-postings pushdown,
     * [[graft.ops.VectorLake]]'s manifest-pruned probes). */
+  /** Maximal-marginal-relevance re-ranking (Carbonell/Goldstein 1998):
+    * greedily pick `k` results balancing relevance against redundancy —
+    * each pick maximizes `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` over
+    * the not-yet-selected candidates, so near-duplicate hits stop
+    * crowding out diverse ones. The standard diversity pass RAG stacks
+    * run over their retriever's top-N.
+    *
+    * Input: a CANDIDATE list `(doc, rel, vec)` — some retriever's
+    * top-N (N ~ tens), with 6-dp relevance scores and the embedding
+    * used for redundancy. The greedy loop is inherently sequential and
+    * N-sized, so it runs on the driver over the collected candidates
+    * (the distributed work — scoring the corpus down to N — happened in
+    * the retriever; this is the same driver-sized tail as
+    * [[graft.ops.VectorLake]]'s centroid routing). Pairwise cosines
+    * accumulate in candidate order (matching DuckDB's
+    * `list_dot_product` fold) and every score rounds to 6 dp through
+    * the plain-double BigDecimal path before comparison; ties break on
+    * doc id — the selection is bit-reproducible cross-engine.
+    *
+    * Output: `(doc, mmr, rank)` for the `k` selected, in pick order. */
+  def mmrRerank(candidates: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand: Array[(Long, Double, Array[Float])] = candidates
+      .select(col("doc").cast("long"), col("rel").cast("double"),
+        col("vec"))
+      .as[(Long, Double, Array[Float])].collect().sortBy(_._1)
+    def r6d(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else r6d(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val n = cand.length
+    val sim = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 1.0 else cos(cand(i)._3, cand(j)._3))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val picked = Array.fill(n)(false)
+    while (selected.length < math.min(k, n)) {
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val redundancy =
+            if (selected.isEmpty) 0.0
+            else cand.indices.filter(picked).map(sim(i)(_)).max
+          val score = r6d(lambda * cand(i)._2 - (1.0 - lambda) * redundancy)
+          // strict > with ascending doc order = smallest doc id wins ties
+          if (score > bestScore) { bestScore = score; bestIdx = i }
+        }
+        i += 1
+      }
+      picked(bestIdx) = true
+      selected += ((cand(bestIdx)._1, bestScore))
+    }
+    selected.zipWithIndex
+      .map { case ((doc, s), r) => (doc, s, r + 1) }.toSeq
+      .toDF("doc", "mmr", "rank")
+  }
+
   def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     val contribs = lists.zipWithIndex.map { case (df, i) =>

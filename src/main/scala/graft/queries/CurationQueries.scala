@@ -139,6 +139,71 @@ object CurationQueries extends QueryGroup {
              |  FROM f)
              |WHERE rank <= 20 ORDER BY rank""".stripMargin)),
 
+    // MMR diversity re-ranking over the cosine top-10 (Carbonell/
+    // Goldstein): greedy picks maximize λ·rel − (1−λ)·max-sim-to-
+    // selected. The oracle unrolls the 4 greedy steps as chained CTEs;
+    // (1−λ) is computed as a double SUBTRACTION on both engines
+    // (1.0 − 0.7 ≠ the literal 0.3 in binary). Every score rounds to
+    // 6 dp before comparison, ties break on doc — bit-reproducible.
+    QueryDef(
+      "x_mmr_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val top = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding",
+            k = 10)
+          .select(col("c_id").as("doc"), col("sim").as("rel"))
+        val cands = top.join(
+          emb.select(col("vec_id").as("doc"), col("embedding").as("vec")),
+          Seq("doc"))
+        Retrieval.mmrRerank(cands, k = 4, lambda = 0.7).orderBy("rank")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             |p AS (SELECT c.vec_id AS doc,
+             |        round(list_dot_product(q.e, c.e)
+             |          / (sqrt(list_dot_product(q.e, q.e))
+             |             * sqrt(list_dot_product(c.e, c.e))), 6) AS rel
+             |      FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id != 0),
+             |cand AS (SELECT doc, rel FROM (
+             |    SELECT *, row_number() OVER (ORDER BY rel DESC, doc) rn
+             |    FROM p) WHERE rn <= 10),
+             |ps AS (SELECT a.doc da, b.doc db,
+             |         round(list_dot_product(va.e, vb.e)
+             |           / (sqrt(list_dot_product(va.e, va.e))
+             |              * sqrt(list_dot_product(vb.e, vb.e))), 6) AS s
+             |       FROM cand a JOIN cand b ON a.doc != b.doc
+             |       JOIN v va ON va.vec_id = a.doc
+             |       JOIN v vb ON vb.vec_id = b.doc),
+             |lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
+             |               CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE) AS il),
+             |m1 AS (SELECT doc, round(l * rel, 6) AS sc FROM cand, lam),
+             |p1 AS (SELECT doc, sc FROM m1 ORDER BY sc DESC, doc LIMIT 1),
+             |m2 AS (SELECT c.doc, round(l * c.rel - il * (
+             |         SELECT max(s) FROM ps
+             |         WHERE da = c.doc AND db IN (SELECT doc FROM p1)), 6) sc
+             |       FROM cand c, lam WHERE c.doc NOT IN (SELECT doc FROM p1)),
+             |p2 AS (SELECT doc, sc FROM m2 ORDER BY sc DESC, doc LIMIT 1),
+             |s2 AS (SELECT doc FROM p1 UNION ALL SELECT doc FROM p2),
+             |m3 AS (SELECT c.doc, round(l * c.rel - il * (
+             |         SELECT max(s) FROM ps
+             |         WHERE da = c.doc AND db IN (SELECT doc FROM s2)), 6) sc
+             |       FROM cand c, lam WHERE c.doc NOT IN (SELECT doc FROM s2)),
+             |p3 AS (SELECT doc, sc FROM m3 ORDER BY sc DESC, doc LIMIT 1),
+             |s3 AS (SELECT doc FROM s2 UNION ALL SELECT doc FROM p3),
+             |m4 AS (SELECT c.doc, round(l * c.rel - il * (
+             |         SELECT max(s) FROM ps
+             |         WHERE da = c.doc AND db IN (SELECT doc FROM s3)), 6) sc
+             |       FROM cand c, lam WHERE c.doc NOT IN (SELECT doc FROM s3)),
+             |p4 AS (SELECT doc, sc FROM m4 ORDER BY sc DESC, doc LIMIT 1),
+             |sel AS (
+             |  SELECT doc, sc, 1 AS rank FROM p1
+             |  UNION ALL SELECT doc, sc, 2 FROM p2
+             |  UNION ALL SELECT doc, sc, 3 FROM p3
+             |  UNION ALL SELECT doc, sc, 4 FROM p4)
+             |SELECT CAST(doc AS BIGINT) AS doc, CAST(sc AS DOUBLE) AS mmr,
+             |  CAST(rank AS INT) AS rank
+             |FROM sel ORDER BY rank""".stripMargin)),
+
     // Exact phrase search on a fly-built positional index: per-term
     // postings filtered before the position-intersect join; shuffle
     // volume is the phrase terms' postings, never the corpus.
