@@ -285,6 +285,27 @@ object CatalogQueries extends QueryGroup {
              |WHERE p_partkey NOT IN (77, 4242)
              |ORDER BY p_partkey""".stripMargin)),
 
+    // Storage round trip for POSITIONAL merge-on-read deletes (deletion
+    // vectors): commit hash-split batches, deletePositions with a
+    // multi-column OR predicate — a shape equality keys and single-axis
+    // range rewrites cannot address — and read back. No data file is
+    // rewritten: matching rows are masked by their (file path, row
+    // index) coordinates through the same anti-join funnel equality
+    // deletes ride, so the survivors must be exactly the SQL complement
+    // of the predicate. Delta DVs / Iceberg position deletes on this
+    // catalog's txn axis.
+    QueryDef(
+      "s_dv_delete",
+      (s, d) => {
+        val root = QueryFixtures.custDvDeleteLake(s, d)
+        graft.storage.TxnCatalog.read(s, root, "cust").get
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+             |WHERE NOT ((c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING')
+             |        OR (c_acctbal < 0.0 AND c_mktsegment = 'AUTOMOBILE'))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Bulk-load round trip: ONE partitionBy write job + ONE grouped
     // stats job land every market segment as its own partition in one
     // txn (commitPartitioned — the O(1)-jobs path a 10 000-partition

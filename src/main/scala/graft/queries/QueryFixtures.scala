@@ -91,6 +91,26 @@ object QueryFixtures {
       ()
     }
 
+  /** Customer lake after a POSITIONAL delete (deletion vector): 3
+    * hash-split batches, then one `deletePositions` with a multi-column
+    * OR predicate — the DELETE shape neither equality keys nor a
+    * single-axis range rewrite can address. No data file is rewritten;
+    * the vector is pending, so every read replays the (file, row)
+    * anti-join merge-on-read. */
+  def custDvDeleteLake(s: SparkSession, sfDir: String): String =
+    fixture("custdv-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 3).map(k => ("cust", s"batch=$k",
+          cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+        statsColumns = Seq("c_custkey", "c_acctbal"))
+      TxnCatalog.deletePositions(s, root, "cust",
+        (col("c_acctbal") > 5000.0 && col("c_mktsegment") === "BUILDING") ||
+          (col("c_acctbal") < 0.0 && col("c_mktsegment") === "AUTOMOBILE"))
+      ()
+    }
+
   /** Customer lake after a skipping-aware `deleteWhere` — the rewrite
     * happened once at build; reads assert the surviving complement. */
   def custDeleteWhereLake(s: SparkSession, sfDir: String): String =

@@ -2,6 +2,7 @@ package graft.storage
 
 import java.util
 
+import org.apache.spark.sql.{Column => SqlColumn}
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
@@ -481,10 +482,15 @@ private[storage] final class GraftSqlTable(
     * equivalent: no filter (truncate — drop every data partition),
     * a single-column equality or IN list (merge-on-read
     * [[TxnCatalog.deleteKeys]] — an O(keys) commit, no data rewritten),
-    * or a closed single-column range `c >= lo AND c <= hi`
-    * (skipping-aware [[TxnCatalog.deleteWhere]] rewrite). Everything
-    * else is refused via canDeleteWhere, so Spark reports the shape
-    * unsupported instead of silently deleting wrong rows. */
+    * a closed single-column range `c >= lo AND c <= hi`
+    * (skipping-aware [[TxnCatalog.deleteWhere]] rewrite), and — for
+    * every OTHER translatable predicate (multi-column, OR, NOT, LIKE
+    * prefixes, null tests, open ranges, arbitrary conjunctions) — a
+    * merge-on-read POSITIONAL delete ([[TxnCatalog.deletePositions]]:
+    * one funnel scan marks (file, row) coordinates, no data rewritten).
+    * Only predicates Spark could not push down as filters at all are
+    * refused via canDeleteWhere, so Spark reports the shape unsupported
+    * instead of silently deleting wrong rows. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     deletePlan(filters).isDefined
 
@@ -537,8 +543,44 @@ private[storage] final class GraftSqlTable(
         TxnCatalog.deleteWhere(s, root, table, c1, lo, hi)
         ()
       }
+      // any other translatable predicate: positional merge-on-read
+      // delete (deletion vector) — the filters array is a conjunction
+      case conj if conj.nonEmpty && !holdsWhole =>
+        conj.map(filterColumn).reduceLeftOption[Option[SqlColumn]] {
+          case (Some(a), Some(b)) => Some(a && b)
+          case _ => None
+        }.flatten.map { cond => (s: SparkSession) =>
+          TxnCatalog.deletePositions(s, root, table, cond)
+          ()
+        }
       case _ => None
     }
+
+  /** A V1 pushed [[sources.Filter]] as the [[Column]] predicate it
+    * promises — exact SQL semantics (null-safe where the filter is),
+    * None for shapes without a faithful Column rendering. */
+  private def filterColumn(f: sources.Filter): Option[SqlColumn] = f match {
+    case sources.EqualTo(c, v)            => Some(col(c) === lit(v))
+    case sources.EqualNullSafe(c, v)      => Some(col(c) <=> lit(v))
+    case sources.GreaterThan(c, v)        => Some(col(c) > lit(v))
+    case sources.GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case sources.LessThan(c, v)           => Some(col(c) < lit(v))
+    case sources.LessThanOrEqual(c, v)    => Some(col(c) <= lit(v))
+    case sources.In(c, vs)                => Some(col(c).isin(vs.toSeq: _*))
+    case sources.IsNull(c)                => Some(col(c).isNull)
+    case sources.IsNotNull(c)             => Some(col(c).isNotNull)
+    case sources.StringStartsWith(c, v)   => Some(col(c).startsWith(v))
+    case sources.StringEndsWith(c, v)     => Some(col(c).endsWith(v))
+    case sources.StringContains(c, v)     => Some(col(c).contains(v))
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
+    case sources.And(l, r) =>
+      for (a <- filterColumn(l); b <- filterColumn(r)) yield a && b
+    case sources.Or(l, r) =>
+      for (a <- filterColumn(l); b <- filterColumn(r)) yield a || b
+    case sources.Not(inner) => filterColumn(inner).map(!_)
+    case _ => None
+  }
 
   private def holdsWhole: Boolean =
     TxnCatalog.snapshot(SparkSession.active, root)

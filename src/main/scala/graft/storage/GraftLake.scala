@@ -161,16 +161,8 @@ object GraftLake {
       val frames = groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
         .flatMap { case (applicable, es) =>
           frameFor(es.map(_._1).toSet).map { df =>
-            dels.filter(d => applicable(d._2))
-              .foldLeft(df) { case (acc, (_, _, keyCol, delPath)) =>
-                if (!acc.columns.contains(keyCol)) acc
-                else {
-                  val keys = spark.read.parquet(delPath)
-                  acc.join(keys,
-                    acc(keyCol) === keys(TxnCatalog.DeleteKeyColumn),
-                    "left_anti")
-                }
-              }
+            TxnCatalog.applyDeleteEntries(spark, df,
+              dels.filter(d => applicable(d._2)))
           }
         }
       frames.reduceOption(_.unionByName(_, allowMissingColumns = true))

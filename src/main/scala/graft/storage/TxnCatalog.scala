@@ -81,6 +81,21 @@ object TxnCatalog {
     * columns. */
   val DeleteKeyColumn = "__graft_delete_key"
 
+  /** Sentinel stored in [[Entry.deleteKey]] marking a POSITIONAL delete
+    * entry (a deletion vector — [[deletePositions]]): the entry's
+    * parquet holds (file path, row index) pairs to subtract instead of
+    * equality keys. `~` is illegal in column names by partition/table
+    * checks, so the marker can never collide with a real key column. */
+  val DeletePosMarker = "~pos"
+
+  /** Column names a deletion-vector entry stores its positions under:
+    * the absolute file path exactly as Spark's `_metadata.file_path`
+    * renders it, and the row's ordinal within that file
+    * (`_metadata.row_index`). Both sides of the read-time anti-join come
+    * from the same `_metadata` rendering, so membership is exact. */
+  val DvPathColumn = "__graft_dv_path"
+  val DvPosColumn = "__graft_dv_pos"
+
   private[storage] def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -181,6 +196,45 @@ object TxnCatalog {
     e.dataTxn.getOrElse(
       e.dir.stripPrefix("v=").takeWhile(_ != '.').toLongOption
         .getOrElse(Long.MaxValue))
+
+  /** Subtract a list of applicable delete entries — `(partition, txn,
+    * key column | [[DeletePosMarker]], keys path)` — from `df`, the
+    * one anti-join funnel BOTH read stacks share
+    * ([[Snapshot.readSelected]] on direct parquet frames,
+    * [[GraftLake.composeWithDeletes]] on Catalyst-planned relations).
+    * Equality entries anti-join their key list on the key column; an
+    * entry whose schema lacks the column is untouched (its rows can't
+    * equal any key). Positional entries (deletion vectors) anti-join on
+    * (`_metadata.file_path`, `_metadata.row_index`) — projected onto
+    * the frame only when a DV actually applies (or `keepPos` asks for
+    * them), so the common no-DV path plans unchanged — and the
+    * projection is dropped again unless `keepPos`. */
+  private[storage] def applyDeleteEntries(spark: SparkSession,
+      df: DataFrame, dels: Seq[(String, Long, String, String)],
+      keepPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val needPos = keepPos || dels.exists(_._3 == DeletePosMarker)
+    val base =
+      if (!needPos) df
+      else df.select(col("*"),
+        col("_metadata.file_path").as(DvPathColumn),
+        col("_metadata.row_index").as(DvPosColumn))
+    val out = dels.foldLeft(base) { case (acc, (_, _, keyCol, delPath)) =>
+      if (keyCol == DeletePosMarker) {
+        val dv = spark.read.parquet(delPath)
+          .select(col(DvPathColumn).as("__graft_dv_path_r"),
+            col(DvPosColumn).as("__graft_dv_pos_r"))
+        acc.join(dv,
+          acc(DvPathColumn) === dv("__graft_dv_path_r") &&
+            acc(DvPosColumn) === dv("__graft_dv_pos_r"), "left_anti")
+      } else if (!acc.columns.contains(keyCol)) acc
+      else {
+        val keys = spark.read.parquet(delPath)
+        acc.join(keys, acc(keyCol) === keys(DeleteKeyColumn), "left_anti")
+      }
+    }
+    if (needPos && !keepPos) out.drop(DvPathColumn, DvPosColumn) else out
+  }
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -342,12 +396,26 @@ object TxnCatalog {
       * entry whose schema lacks a delete's key column is untouched by
       * that delete (its rows can't equal any key). */
     private[storage] def readSelected(table: String,
-        sel: Seq[(String, Entry)]): Option[DataFrame] = {
+        sel: Seq[(String, Entry)]): Option[DataFrame] =
+      readSelectedImpl(table, sel, keepPos = false)
+
+    /** [[readSelected]] with the physical position columns
+      * ([[DvPathColumn]], [[DvPosColumn]]) KEPT on the result — the
+      * scan [[TxnCatalog.deletePositions]] computes a new deletion
+      * vector over: rows already masked by applicable deletes (equality
+      * or positional) are absent, so a position is never re-marked and
+      * a DV's payload is exactly the rows it deletes. */
+    private[storage] def readSelectedWithPos(table: String,
+        sel: Seq[(String, Entry)]): Option[DataFrame] =
+      readSelectedImpl(table, sel, keepPos = true)
+
+    private def readSelectedImpl(table: String, sel: Seq[(String, Entry)],
+        keepPos: Boolean): Option[DataFrame] = {
       if (sel.isEmpty) return None
       val dels = deleteEntries(table)
       def paths(es: Seq[(String, Entry)]) =
         es.map { case (p, e) => entryPath(root, table, p, e.dir) }.sorted
-      if (dels.isEmpty) readPaths(paths(sel))
+      if (dels.isEmpty && !keepPos) readPaths(paths(sel))
       else {
         val groups = sel.groupBy { case (_, e) =>
           dels.collect { case (_, txn, _, _) if txn > entryDataTxn(e) => txn }
@@ -356,15 +424,8 @@ object TxnCatalog {
         val frames = groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
           .flatMap { case (applicable, es) =>
             readPaths(paths(es)).map { df =>
-              dels.filter(d => applicable(d._2))
-                .foldLeft(df) { case (acc, (_, _, keyCol, delPath)) =>
-                  if (!acc.columns.contains(keyCol)) acc
-                  else {
-                    val keys = spark.read.parquet(delPath)
-                    acc.join(keys,
-                      acc(keyCol) === keys(DeleteKeyColumn), "left_anti")
-                  }
-                }
+              applyDeleteEntries(spark, df,
+                dels.filter(d => applicable(d._2)), keepPos)
           }
         }
         frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -1039,8 +1100,15 @@ object TxnCatalog {
     val deletes = snap.deleteEntries(table)
       .filter { case (_, txn, _, _) => txn > fromTxn }
       .map { case (_, txn, keyCol, path) =>
-        conform(spark.read.parquet(path)
-            .withColumnRenamed(DeleteKeyColumn, keyCol))
+        // a positional entry (deletion vector) carries the FULL payload
+        // of the rows it deleted — the delete events are row-precise;
+        // an equality entry has only its key column populated
+        val payload =
+          if (keyCol == DeletePosMarker)
+            spark.read.parquet(path).drop(DvPathColumn, DvPosColumn)
+          else spark.read.parquet(path)
+            .withColumnRenamed(DeleteKeyColumn, keyCol)
+        conform(payload)
           .withColumn(ChangeTypeColumn, lit("delete"))
           .withColumn(ChangeTxnColumn, lit(txn))
       }
@@ -1877,6 +1945,63 @@ object TxnCatalog {
       deleteKeyCols = Map((table, part) -> keyColumn))(() => ())
   }
 
+  /** Merge-on-read POSITIONAL delete — a deletion vector (Delta DVs /
+    * Iceberg position deletes, at this catalog's entry grain): mark
+    * every current row matching `cond` by its physical coordinate
+    * (`_metadata.file_path`, `_metadata.row_index`) and commit the
+    * (path, pos, full row payload) list as an internal `~v-*` entry; no
+    * data file is rewritten. This is the DELETE shape for ARBITRARY
+    * predicates — anything a [[org.apache.spark.sql.Column]] can say,
+    * including multi-column and OR shapes equality keys and single-axis
+    * range rewrites can't address. Every read path applies DVs through
+    * the same funnel as equality deletes ([[applyDeleteEntries]]);
+    * [[applyDeletes]] materializes and purges them; compaction/
+    * clustering read through the funnel, so a reorganization physically
+    * applies the DV and the stale vector no-ops against the new file
+    * names (exactly the equality-delete carry rule). The payload
+    * columns make [[changeFeed]] emit FULL-ROW delete events for DV
+    * deletes — row-precise CDC the null-payload equality shape can't
+    * give.
+    *
+    * Positions are only meaningful against the file layout they were
+    * computed on, so the commit is CONDITIONAL on the pinned snapshot
+    * (any concurrent commit — especially a compaction renaming files —
+    * fails the CAS) and retries by recomputing against the new
+    * snapshot, bounded. Cost: one funnel scan of the table with `cond`
+    * pushed toward the parquet readers + O(matching rows) written.
+    * A predicate matching nothing commits nothing. Whole-table-snapshot
+    * tables are refused (catalog-sized — rewrite via [[commit]]). */
+  def deletePositions(spark: SparkSession, root: String, table: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    checkTableName(table)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val snap = snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      require(snap.dataEntries(table).nonEmpty, s"unknown table '$table'")
+      require(!snap.entries.contains((table, Whole)),
+        s"table '$table' holds a whole-table snapshot; positional " +
+          "deletes need a partitioned table (use commit)")
+      val marked = snap.readSelectedWithPos(table, snap.dataEntries(table))
+        .get.filter(cond)
+      if (marked.isEmpty) return snap.txn
+      val part = s"~v-${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        return publish(spark, root, Seq((table, part, marked)),
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(snap.txn),
+          reconcile = identity,
+          deleteKeyCols = Map((table, part) -> DeletePosMarker))(() => ())
+      } catch {
+        // lost the commit race: the positions may be stale against the
+        // winner's layout — recompute against the fresh snapshot
+        case _: java.io.IOException if attempts < 5 => ()
+      }
+    }
+    throw new java.io.IOException(
+      s"deletePositions on '$table' lost the commit race 5 times; retry")
+  }
+
   /** The storage half of a keyed MERGE, in ONE atomic txn: an equality
     * delete masking `deleteKeys[keyColumn]` AND the replacement/insert
     * batch `append` — the merge-on-read upsert. The delete applies only
@@ -2370,7 +2495,13 @@ object TxnCatalog {
       val dirName = s"v=$next.$nonce"
       val path = entryPath(root, t, p, dirName)
       df.write.mode("errorifexists").parquet(path)
-      val (stats, rows) = measureStats(spark, path, statsFor(t), bloomFor(t))
+      // delete entries (equality key lists, deletion vectors) are not
+      // data: never measure table stats/Blooms on them — a DV's row
+      // payload would otherwise leak DELETED values into skipping
+      // metadata that pruning paths must never consult
+      val (stats, rows) =
+        if (deleteKeyCols.contains((t, p))) measureStats(spark, path, Nil)
+        else measureStats(spark, path, statsFor(t), bloomFor(t))
       (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows,
         deleteKeyCols.get((t, p)))
     }.toMap
