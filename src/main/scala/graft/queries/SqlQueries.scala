@@ -91,6 +91,72 @@ object SqlQueries extends QueryGroup {
              |FROM big JOIN seg ON big.o_custkey = seg.c_custkey
              |GROUP BY seg.c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // RECURSIVE CTE (SQL:1999 WITH RECURSIVE, Spark 4's UnionLoop
+    // execution): iterative ancestor-chain traversal — each selected
+    // order walks its orderkey through repeated integer halving until 0,
+    // the textbook hierarchy-walk shape (parent = floor(key/2)) with a
+    // data-dependent, per-row recursion depth no static unrolling could
+    // express. Depth is O(log2 key) so the recursion terminates at ~23
+    // levels even at sf1; the deterministic orderkey % 97 sample keeps
+    // the root set SF-proportional but bounded (a full-corpus walk would
+    // trip Spark's recursion row-limit guard by design, not by accident).
+    // FLOOR(cur/2.0) instead of integer division: Spark's BIGINT `/`
+    // truncates while DuckDB's `/` is a DOUBLE divide — floor-of-double
+    // is the one rendering both engines agree on exactly (keys < 2^52).
+    QueryDef(
+      "q_recursive_cte",
+      (s, d) => {
+        view(s, d, "orders")
+        s.sql("""WITH RECURSIVE chain AS (
+                |  SELECT o_orderkey AS root, o_orderkey AS cur, 0 AS depth
+                |  FROM orders
+                |  WHERE o_totalprice > 300000.0 AND o_orderkey % 97 = 1
+                |  UNION ALL
+                |  SELECT root, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+                |  FROM chain WHERE cur > 0
+                |)
+                |SELECT root, CAST(MAX(depth) AS BIGINT) AS chain_len,
+                |       CAST(SUM(cur) AS BIGINT) AS key_path_sum
+                |FROM chain GROUP BY root ORDER BY root""".stripMargin)
+      },
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT o_orderkey AS root, o_orderkey AS cur, 0 AS depth
+             |  FROM orders
+             |  WHERE o_totalprice > 300000.0 AND o_orderkey % 97 = 1
+             |  UNION ALL
+             |  SELECT root, CAST(FLOOR(cur / 2.0) AS BIGINT), depth + 1
+             |  FROM chain WHERE cur > 0
+             |)
+             |SELECT root, CAST(MAX(depth) AS BIGINT) AS chain_len,
+             |       CAST(SUM(cur) AS BIGINT) AS key_path_sum
+             |FROM chain GROUP BY root ORDER BY root""".stripMargin)),
+
+    // LATERAL correlated subquery (per-group top-N without a window
+    // function): for every nation, the top-2 customers by balance — the
+    // lateral subquery re-executes per outer row with its correlation
+    // pushed into the inner sort+limit. Catalyst decorrelates this into
+    // a ranked join; DuckDB runs the same SQL natively. Ties break on
+    // the unique c_name so the result is total-ordered on both engines.
+    QueryDef(
+      "q_lateral_topn",
+      (s, d) => {
+        view(s, d, "nation"); view(s, d, "customer")
+        s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+                |FROM nation n, LATERAL (
+                |  SELECT c_name, c_acctbal FROM customer c
+                |  WHERE c.c_nationkey = n.n_nationkey
+                |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+                |) t
+                |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_name, t.c_acctbal
+             |FROM nation n, LATERAL (
+             |  SELECT c_name, c_acctbal FROM customer c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+             |) t
+             |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)),
+
     // Pivot: priority columns per status (fixed value list → stable schema;
     // coalesce(0) because pivot yields null for empty cells).
     QueryDef(
