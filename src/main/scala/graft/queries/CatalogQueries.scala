@@ -530,6 +530,46 @@ object CatalogQueries extends QueryGroup {
              |    AS c_acctbal
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // SQL UPDATE with an UNPRUNABLE WHERE (OR across two columns — no
+    // manifest bounds): the planner routes it to the DV-backed
+    // positional update (one funnel scan, (file,row) vector + appended
+    // batch in ONE txn) instead of rewriting every partition. The
+    // dv_path flag pins the route: a pending positional delete entry
+    // proves no partition rewrite happened. Oracle: CASE projection.
+    QueryDef(
+      "s_sql_update_dv",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_sqlupdv").toString
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 3).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal"))
+        val cat = s"qudv${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.storage.GraftMerge.install(s)
+        s.sql(s"""UPDATE $cat.default.cust
+                 |SET c_acctbal = c_acctbal + 50000.0
+                 |WHERE c_mktsegment = 'MACHINERY' OR c_acctbal < 0.0
+                 |""".stripMargin)
+        val dvPath = graft.storage.TxnCatalog.snapshot(s, root).get
+          .deleteEntries("cust")
+          .exists(_._3 == graft.storage.TxnCatalog.DeletePosMarker)
+        s.sql(s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+                 |  c_mktsegment FROM $cat.default.cust
+                 |ORDER BY c_custkey""".stripMargin)
+          .withColumn("dv_path", lit(dvPath))
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(CASE WHEN c_mktsegment = 'MACHINERY' OR c_acctbal < 0.0
+             |       THEN c_acctbal + 50000.0 ELSE c_acctbal END AS DOUBLE)
+             |    AS c_acctbal,
+             |  c_mktsegment, TRUE AS dv_path
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // Row-level CDC feed derived from the manifest alone: txn 1 commits
     // two overlapping batches, txn 2 records equality-delete keys (one
     // key absent at every SF — a delete EVENT regardless), txn 3

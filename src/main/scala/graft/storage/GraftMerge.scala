@@ -341,10 +341,20 @@ object GraftUpdate {
     val condSql = u.condition.map(bareSql).getOrElse("true")
     val condRefs = u.condition.toSeq
       .flatMap(_.references.toSeq.map(_.name)).distinct
-    TxnCatalog.updateWhere(spark, target.root, target.table,
-      condSql, assigns,
-      bounds = u.condition.toSeq.flatMap(bounds),
-      condRefs = condRefs)
+    val prunable = u.condition.toSeq.flatMap(bounds)
+    val partitioned = TxnCatalog.snapshot(spark, target.root)
+      .exists(s => !s.entries.contains((target.table, TxnCatalog.Whole)))
+    if (u.condition.isDefined && prunable.isEmpty && partitioned)
+      // no manifest-prunable conjunct: the rewrite path would re-write
+      // EVERY partition — route to the DV-backed positional update
+      // (one funnel scan + O(matched) written) instead
+      TxnCatalog.updatePositions(spark, target.root, target.table,
+        org.apache.spark.sql.functions.expr(condSql), assigns)
+    else
+      TxnCatalog.updateWhere(spark, target.root, target.table,
+        condSql, assigns,
+        bounds = prunable,
+        condRefs = condRefs)
     ()
   }
 }

@@ -2002,6 +2002,80 @@ object TxnCatalog {
       s"deletePositions on '$table' lost the commit race 5 times; retry")
   }
 
+  /** Row-level UPDATE as a deletion vector + append, in ONE atomic txn
+    * (Delta's DV-backed UPDATE): mark every row matching `cond` by its
+    * physical (file, row) coordinate and append the assigned versions
+    * as a fresh batch — the same-txn rule keeps the appended rows
+    * unmasked by their own vector, so readers see an atomic swap. The
+    * UPDATE shape for predicates manifest stats can't prune: cost is
+    * one funnel scan plus O(matched rows) written, where the rewrite
+    * path ([[updateWhere]] with no usable bounds) re-writes EVERY
+    * partition — at fact-table scale the difference between touching
+    * 0.1% of rows and touching all of them. Old entries keep their
+    * stats (their visible rows are a subset of what the stats cover —
+    * pruning stays conservative); the appended batch measures fresh
+    * stats, so updated values prune from birth. [[changeFeed]] sees the
+    * txn as full-payload delete events plus insert events — a
+    * row-precise update pair. CHECK constraints validate the appended
+    * batch like any data commit: an UPDATE cannot smuggle violating
+    * rows past a table's constraints.
+    *
+    * `assignments` are `(column, SQL expression)` pairs evaluated over
+    * the matched rows (expressions may reference any table column);
+    * assigned values cast back to the column's current type. The
+    * matched set is locally checkpointed before staging: the vector and
+    * the appended batch are written from ONE materialization, so a
+    * nondeterministic input can never delete one row set and append
+    * another. Commit is conditional on the pinned snapshot with bounded
+    * recompute-retries, exactly like [[deletePositions]]. */
+  def updatePositions(spark: SparkSession, root: String, table: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, String)]): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    checkTableName(table)
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val snap = snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      require(snap.dataEntries(table).nonEmpty, s"unknown table '$table'")
+      require(!snap.entries.contains((table, Whole)),
+        s"table '$table' holds a whole-table snapshot; positional " +
+          "updates need a partitioned table (use updateWhere)")
+      val marked = snap.readSelectedWithPos(table, snap.dataEntries(table))
+        .get.filter(cond).localCheckpoint()
+      try {
+        if (marked.isEmpty) return snap.txn
+        val data = marked.drop(DvPathColumn, DvPosColumn)
+        val assigned = assignments.toMap
+        assigned.keys.foreach(c0 => require(data.columns.contains(c0),
+          s"unknown UPDATE column '$c0' on '$table'"))
+        val updated = data.select(data.columns.toSeq.map { c0 =>
+          assigned.get(c0) match {
+            case Some(v) => expr(v).cast(data.schema(c0).dataType).as(c0)
+            case None => col(c0)
+          }
+        }: _*)
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        try {
+          return publish(spark, root,
+            Seq((table, s"~v-$nonce", marked),
+              (table, s"batch=u$nonce", updated)),
+            statsColumns = Nil, drops = Nil, expectedTxn = Some(snap.txn),
+            reconcile = identity,
+            deleteKeyCols = Map(
+              (table, s"~v-$nonce") -> DeletePosMarker))(() => ())
+        } catch {
+          // lost the commit race: positions may be stale — recompute
+          case _: java.io.IOException if attempts < 5 => ()
+        }
+      } finally marked.unpersist()
+    }
+    throw new java.io.IOException(
+      s"updatePositions on '$table' lost the commit race 5 times; retry")
+  }
+
   /** The storage half of a keyed MERGE, in ONE atomic txn: an equality
     * delete masking `deleteKeys[keyColumn]` AND the replacement/insert
     * batch `append` — the merge-on-read upsert. The delete applies only

@@ -103,6 +103,92 @@ class DvDeleteSpec extends GraftSuite {
       "DV delete events carry the deleted rows' full payload")
   }
 
+  test("updatePositions swaps matched rows atomically, no partition rewrite") {
+    val root = tmp("dvup"); lake(root)
+    val before = (0 until 3).map(b => dirOf(root, s"batch=$b"))
+    val t0 = TxnCatalog.currentTxn(spark, root).get
+    TxnCatalog.updatePositions(spark, root, "t",
+      ($"grp" === "g1" && $"k" < 150L) || $"k" === 299L,
+      Seq("name" -> "concat(name, '!')", "grp" -> "'gx'"))
+    // ONE txn for the vector + the appended batch
+    assert(TxnCatalog.currentTxn(spark, root).get === t0 + 1)
+    // merge-on-read: original data partitions untouched
+    assert((0 until 3).map(b => dirOf(root, s"batch=$b")) === before)
+    val got = TxnCatalog.read(spark, root, "t").get
+    assert(got.count() === 300L, "UPDATE must not change cardinality")
+    val changed = got.filter($"grp" === "gx")
+      .select("k", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val wantKeys = (0L until 150L).filter(_ % 3 == 1).toSet + 299L
+    assert(changed.map(_._1) === wantKeys)
+    assert(changed.forall { case (k, n) => n == s"r$k!" },
+      "assignment expressions evaluate over the matched rows' columns")
+    // untouched rows keep their values
+    assert(got.filter($"k" === 0L).select("name").as[String].head() === "r0")
+  }
+
+  test("changeFeed sees a positional update as delete+insert pairs") {
+    val root = tmp("dvupcdc"); lake(root)
+    TxnCatalog.updatePositions(spark, root, "t", $"k" === 7L,
+      Seq("name" -> "'fixed'"))
+    val feed = TxnCatalog.changeFeed(spark, root, "t", 1, 2).get
+    val events = feed.select("k", "name", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(events === Set((7L, "r7", "delete"), (7L, "fixed", "insert")))
+  }
+
+  test("updatePositions enforces CHECK constraints on the appended rows") {
+    val root = tmp("dvupcon"); lake(root)
+    TxnCatalog.setTableProperties(spark, root, "t",
+      Map("constraint.k_pos" -> "k >= 0"))
+    val t0 = TxnCatalog.currentTxn(spark, root).get
+    intercept[IllegalArgumentException] {
+      TxnCatalog.updatePositions(spark, root, "t", $"k" === 5L,
+        Seq("k" -> "-1"))
+    }
+    assert(TxnCatalog.currentTxn(spark, root).get === t0,
+      "a violating UPDATE publishes nothing")
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 300L)
+  }
+
+  test("SQL UPDATE with an unprunable WHERE routes to the DV path") {
+    val root = Files.createTempDirectory("dvupsql").toFile.getAbsolutePath
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-dvup-sql-test")
+      .config("spark.sql.catalog.lake", "graft.storage.GraftCatalog")
+      .config("spark.sql.catalog.lake.root", root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.storage.GraftMerge.install(s2)
+    try {
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 3).map(b => ("t", s"batch=$b",
+          (b * 100 until (b + 1) * 100)
+            .map(i => (i.toLong, s"g${i % 3}", s"r$i"))
+            .toDF("k", "grp", "name"))))
+      val before = (0 until 3).map(b => dirOf(root, s"batch=$b"))
+      s2.sql("""UPDATE lake.default.t SET name = concat(name, '+')
+               |WHERE grp = 'g2' OR k = 0""".stripMargin)
+      assert((0 until 3).map(b => dirOf(root, s"batch=$b")) === before,
+        "an OR condition has no pruning bounds — must land as DV+append")
+      assert(TxnCatalog.snapshot(s2, root).get.deleteEntries("t")
+        .map(_._3) === Seq(TxnCatalog.DeletePosMarker))
+      val got = s2.sql("SELECT k, name FROM lake.default.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.length === 300)
+      assert(got.forall { case (k, n) =>
+        if (k % 3 == 2 || k == 0L) n == s"r$k+" else n == s"r$k" })
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("SQL DELETE FROM with a non-key shape routes to a DV, no rewrite") {
     val root = Files.createTempDirectory("dvsql").toFile.getAbsolutePath
     val shared = spark
