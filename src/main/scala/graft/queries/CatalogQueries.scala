@@ -530,6 +530,66 @@ object CatalogQueries extends QueryGroup {
              |    AS c_acctbal
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // SQL MERGE with a COMPOSITE key — `ON t.k1 = s.k1 AND t.k2 = s.k2`
+    // has no single-equality rendering, so it takes the POSITIONAL
+    // path: the target joins the source under the raw condition, rows
+    // qualifying the conditional MATCHED UPDATE mask by (file, row)
+    // coordinate and replacements + inserts append — one deletion
+    // vector + one batch in one txn, no partition rewrite. Oracle:
+    // LEFT-JOIN CASE expansion of the same clauses.
+    QueryDef(
+      "s_sql_merge_pos",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_sqlmpos").toString
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          (0 until 3).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+          statsColumns = Seq("c_custkey"))
+        val cat = s"qmps${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.storage.GraftMerge.install(s)
+        cust.filter(col("c_custkey") < 200)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+          .union(s.sql("SELECT CAST(90000001 AS BIGINT), 'BUILDING', " +
+            "CAST(1234.5 AS DOUBLE)"))
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"""MERGE INTO $cat.default.cust t USING ${cat}_src src
+                 |ON t.c_custkey = src.c_custkey
+                 |  AND t.c_mktsegment = src.c_mktsegment
+                 |WHEN MATCHED AND src.c_acctbal > 0
+                 |  THEN UPDATE SET c_acctbal = src.c_acctbal
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"""SELECT c_custkey, c_mktsegment,
+                 |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM $cat.default.cust
+                 |ORDER BY c_custkey, c_mktsegment""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+             |  FROM customer WHERE c_custkey < 200
+             |  UNION ALL VALUES (90000001, 'BUILDING', 1234.5)),
+             |upd AS (
+             |  SELECT t.c_custkey, t.c_mktsegment,
+             |    CASE WHEN s.c_custkey IS NOT NULL AND s.c_acctbal > 0
+             |         THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+             |  FROM customer t LEFT JOIN src s
+             |    ON t.c_custkey = s.c_custkey
+             |   AND t.c_mktsegment = s.c_mktsegment),
+             |ins AS (
+             |  SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal
+             |  FROM src s LEFT JOIN customer t
+             |    ON t.c_custkey = s.c_custkey
+             |   AND t.c_mktsegment = s.c_mktsegment
+             |  WHERE t.c_custkey IS NULL)
+             |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+             |FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+             |ORDER BY c_custkey, c_mktsegment""".stripMargin)),
+
     // SQL UPDATE with an UNPRUNABLE WHERE (OR across two columns — no
     // manifest bounds): the planner routes it to the DV-backed
     // positional update (one funnel scan, (file,row) vector + appended

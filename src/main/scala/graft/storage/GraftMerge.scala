@@ -1,7 +1,7 @@
 package graft.storage
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction}
@@ -86,20 +86,36 @@ object GraftMerge {
         "(ON t.key = s.key, unconditional MATCHED UPDATE/DELETE, " +
         s"unconditional NOT MATCHED INSERT); $why")
 
-  /** Validate + execute the keyed merge (called at execution time). */
+  /** Validate + execute a merge (called at execution time). A single
+    * target-column = source-column equality ON rides the KEYED path —
+    * O(source), one equality-delete key list + one batch, never a
+    * target scan for the unconditional shapes. Every other
+    * deterministic ON condition (multi-column keys, expressions,
+    * inequalities) takes the POSITIONAL path: one funnel scan of the
+    * target joins the source under the raw condition, matched/NBS rows
+    * mask by their (file, row) coordinates and replacements append —
+    * one deletion vector + one batch in one conditional txn. */
   private[storage] def run(spark: SparkSession, target: GraftSqlTable,
       m: MergeIntoTable): Unit = {
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not supported")
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
-    val (tKey, sKey) = m.mergeCondition match {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if tOut.contains(a) && sOut.contains(b) => (a, b)
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if tOut.contains(b) && sOut.contains(a) => (b, a)
-      case other => refuse(s"ON must be one target-column = source-column " +
-        s"equality, got: ${other.sql}")
+    val keyed: Option[(AttributeReference, AttributeReference)] =
+      m.mergeCondition match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tOut.contains(a) && sOut.contains(b) => Some((a, b))
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tOut.contains(b) && sOut.contains(a) => Some((b, a))
+        case _ => None
+      }
+    // NBS UPDATE needs replacement rows for unmatched target rows —
+    // only the positional path can mask and re-append those
+    if (keyed.isEmpty || m.notMatchedBySourceActions.exists(
+        _.isInstanceOf[UpdateAction])) {
+      runPositional(spark, target, m)
+      return
     }
+    val (tKey, sKey) = keyed.get
     m.matchedActions.foreach {
       case _: UpdateAction | _: DeleteAction => ()
       case other => refuse(s"unsupported MATCHED action: $other")
@@ -261,6 +277,170 @@ object GraftMerge {
     TxnCatalog.mergeKeyed(spark, target.root, target.table, tKey.name,
       delKeys, append, statsColumns = Seq(tKey.name))
     ()
+  }
+
+  /** The POSITIONAL merge: arbitrary deterministic ON conditions
+    * (multi-column keys, expressions, inequalities) and the full clause
+    * surface including `WHEN NOT MATCHED BY SOURCE THEN UPDATE`. The
+    * target reads once through the delete-applying funnel WITH physical
+    * (file, row) coordinates; the source joins it under the raw
+    * condition. Matched rows qualifying a MATCHED action and NBS rows
+    * qualifying an NBS action mask by coordinate (a deletion vector);
+    * UPDATE shapes append their assigned versions; NOT MATCHED INSERTs
+    * append source projections — ONE vector + ONE batch in one
+    * conditional txn ([[TxnCatalog.mergePositional]]), recomputed and
+    * retried if a rival commit moves the layout. Cost: one target scan
+    * + one join per clause family, O(affected) written — no partition
+    * rewrite. Both plans' attributes are remapped by NAME onto disjoint
+    * `__t_`/`__s_` prefixes so `t.v` and `s.v` stay distinguishable
+    * when expressions are re-resolved against the joined frame. The
+    * source is locally checkpointed once per attempt: every clause
+    * evaluates ONE source materialization, so a nondeterministic source
+    * cannot desynchronize the matched, inserted, and NBS row sets. */
+  private def runPositional(spark: SparkSession, target: GraftSqlTable,
+      m: MergeIntoTable): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    def remap(e: Expression): Column =
+      GraftSqlBridge.column(e.transform {
+        case a: AttributeReference if tOut.contains(a) =>
+          UnresolvedAttribute(Seq(s"__t_${a.name}"))
+        case a: AttributeReference if sOut.contains(a) =>
+          UnresolvedAttribute(Seq(s"__s_${a.name}"))
+      })
+    m.matchedActions.foreach {
+      case _: UpdateAction | _: DeleteAction => ()
+      case other => refuse(s"unsupported MATCHED action: $other")
+    }
+    m.notMatchedActions.foreach {
+      case _: InsertAction => ()
+      case other => refuse(s"unsupported NOT MATCHED action: $other")
+    }
+    m.notMatchedBySourceActions.foreach {
+      case _: UpdateAction | _: DeleteAction => ()
+      case other => refuse(s"unsupported NOT MATCHED BY SOURCE action: $other")
+    }
+    if (m.matchedActions.size > 1)
+      refuse("at most one WHEN MATCHED action is supported")
+    if (m.notMatchedActions.size > 1)
+      refuse("at most one WHEN NOT MATCHED action is supported")
+    if (m.notMatchedBySourceActions.size > 1)
+      refuse("at most one WHEN NOT MATCHED BY SOURCE action is supported")
+    val update = m.matchedActions.collectFirst { case u: UpdateAction => u }
+    val delete = m.matchedActions.collectFirst { case d: DeleteAction => d }
+    val insert = m.notMatchedActions.collectFirst { case i: InsertAction => i }
+    val nbsUpdate = m.notMatchedBySourceActions
+      .collectFirst { case u: UpdateAction => u }
+    val nbsDelete = m.notMatchedBySourceActions
+      .collectFirst { case d: DeleteAction => d }
+    if (Seq(update, delete, insert, nbsUpdate, nbsDelete).forall(_.isEmpty))
+      refuse("MERGE needs at least one action")
+    val targetAttrs: Seq[Attribute] = m.targetTable.output
+    def assignedNames(as: Seq[Assignment]): Map[String, Expression] =
+      as.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => refuse(s"unsupported assignment key: ${other.sql}")
+        }
+        name -> a.value
+      }.toMap
+    /** Project a frame into the target schema: assigned columns take
+      * their (remapped) assignment expression, others `fallback`. */
+    def projected(df: DataFrame, as: Seq[Assignment],
+        fallback: String => Option[Column]): DataFrame = {
+      val byName = assignedNames(as)
+      df.select(targetAttrs.map { attr =>
+        byName.get(attr.name).map(remap)
+          .orElse(fallback(attr.name))
+          .getOrElse(refuse(s"no value for target column ${attr.name}"))
+          .cast(attr.dataType).as(attr.name)
+      }: _*)
+    }
+    val srcBase = GraftSqlBridge.ofPlan(spark, m.sourceTable)
+    val (pPath, pPos) =
+      (TxnCatalog.DvPathColumn, TxnCatalog.DvPosColumn)
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      val snap = TxnCatalog.snapshot(spark, target.root).getOrElse(
+        refuse(s"empty catalog under ${target.root}"))
+      if (snap.entries.contains((target.table, "-")))
+        refuse(s"table '${target.table}' holds a whole-table snapshot; " +
+          "positional MERGE needs a partitioned table")
+      val tgtPos = snap.readSelectedWithPos(target.table,
+        snap.dataEntries(target.table)).getOrElse(
+        refuse(s"unknown table '${target.table}'"))
+      val dataCols = tgtPos.columns
+        .filterNot(c => c == pPath || c == pPos).toSeq
+      val tgt = tgtPos.select(
+        dataCols.map(c => col(c).as(s"__t_$c")) ++
+          Seq(col(pPath), col(pPos)): _*)
+      val src = srcBase.select(m.sourceTable.output.map(a =>
+        GraftSqlBridge.column(a).as(s"__s_${a.name}")): _*).localCheckpoint()
+      try {
+        val cond = remap(m.mergeCondition)
+        lazy val matched = tgt.join(src, cond, "inner")
+        // SQL MERGE cardinality: >1 source rows per target ROW (by
+        // physical coordinate) with a matched action present is an error
+        if ((update.isDefined || delete.isDefined) &&
+            !matched.groupBy(col(pPath), col(pPos))
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("__mcnt"))
+              .filter(col("__mcnt") > 1).limit(1).isEmpty)
+          throw new IllegalStateException(
+            "MERGE_CARDINALITY_VIOLATION: the ON search condition " +
+              "matches a single target row with multiple source rows; " +
+              "deduplicate the source on the merge key")
+        val matchedCond = update.flatMap(_.condition)
+          .orElse(delete.flatMap(_.condition))
+        lazy val matchedQual =
+          matchedCond.map(e => matched.filter(remap(e))).getOrElse(matched)
+        lazy val nbs = tgt.join(src, cond, "left_anti")
+        val nbsCond = nbsUpdate.flatMap(_.condition)
+          .orElse(nbsDelete.flatMap(_.condition))
+        lazy val nbsQual =
+          nbsCond.map(e => nbs.filter(remap(e))).getOrElse(nbs)
+        // rows to mask, with original payload for row-precise CDC
+        def payload(df: DataFrame): DataFrame =
+          df.select(dataCols.map(c => col(s"__t_$c").as(c)) ++
+            Seq(col(pPath), col(pPos)): _*)
+        val dvFrames = Seq.newBuilder[DataFrame]
+        if (update.isDefined || delete.isDefined) dvFrames += payload(matchedQual)
+        if (nbsUpdate.isDefined || nbsDelete.isDefined) dvFrames += payload(nbsQual)
+        val dv = dvFrames.result().reduceOption(_.unionByName(_))
+        // replacement / insert rows
+        val newFrames = Seq.newBuilder[DataFrame]
+        update.foreach { u =>
+          newFrames += projected(matchedQual, u.assignments,
+            n => Some(col(s"__t_$n")))
+        }
+        insert.foreach { i =>
+          val anti = src.join(tgt, cond, "left_anti")
+          newFrames += projected(
+            i.condition.map(e => anti.filter(remap(e))).getOrElse(anti),
+            i.assignments, _ => None)
+        }
+        nbsUpdate.foreach { u =>
+          newFrames += projected(nbsQual, u.assignments,
+            n => Some(col(s"__t_$n")))
+        }
+        val append = newFrames.result().reduceOption(_.unionByName(_))
+        val dvNonEmpty = dv.filter(!_.isEmpty)
+        val appNonEmpty = append.filter(!_.isEmpty)
+        try {
+          TxnCatalog.mergePositional(spark, target.root, target.table,
+            snap.txn, dvNonEmpty, appNonEmpty)
+          return
+        } catch {
+          // lost the commit race: positions may be stale — recompute
+          case _: java.io.IOException if attempts < 5 => ()
+        }
+      } finally src.unpersist()
+    }
+    throw new java.io.IOException(
+      s"positional MERGE on '${target.table}' lost the commit race " +
+        "5 times; retry")
   }
 }
 

@@ -2076,6 +2076,31 @@ object TxnCatalog {
       s"updatePositions on '$table' lost the commit race 5 times; retry")
   }
 
+  /** The storage half of a POSITIONAL merge ([[GraftMerge]]'s
+    * arbitrary-ON path), in ONE atomic conditional txn: a deletion
+    * vector masking `deleted` (payload + [[DvPathColumn]]/
+    * [[DvPosColumn]] coordinates, as [[Snapshot.readSelectedWithPos]]
+    * renders them) and the replacement/insert batch `append`. The
+    * same-txn rule keeps appended rows unmasked by their own vector.
+    * Positions are valid only against the layout they were computed on,
+    * so the caller pins `expectedTxn` and drives recompute-retries on
+    * the IOException a lost race throws. */
+  private[storage] def mergePositional(spark: SparkSession, root: String,
+      table: String, expectedTxn: Long, deleted: Option[DataFrame],
+      append: Option[DataFrame]): Long = {
+    checkTableName(table)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dvEntry = deleted.map(df => (table, s"~v-$nonce", df))
+    val appEntry = append.map(df => (table, s"batch=m$nonce", df))
+    val updates = dvEntry.toSeq ++ appEntry.toSeq
+    if (updates.isEmpty) return expectedTxn
+    publish(spark, root, updates,
+      statsColumns = Nil, drops = Nil, expectedTxn = Some(expectedTxn),
+      reconcile = identity,
+      deleteKeyCols = dvEntry
+        .map(e => (e._1, e._2) -> DeletePosMarker).toMap)(() => ())
+  }
+
   /** The storage half of a keyed MERGE, in ONE atomic txn: an equality
     * delete masking `deleteKeys[keyColumn]` AND the replacement/insert
     * batch `append` — the merge-on-read upsert. The delete applies only
