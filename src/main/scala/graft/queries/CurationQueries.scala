@@ -19,6 +19,66 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries extends QueryGroup {
 
+  /** x_logreg_train's shared renderings: ONE SQL string per feature /
+    * label / iteration step, interpolated into BOTH the Spark
+    * expressions and the DuckDB oracle — the repo's single-rendering
+    * invariant. Every division is between explicit DOUBLE casts so
+    * neither engine's decimal-literal typing enters the arithmetic. */
+  private object LrQ {
+    val label = "CAST(CASE WHEN text LIKE '%spark%' THEN 1.0 ELSE 0.0 END " +
+      "AS DOUBLE)"
+    val features = Seq(
+      "CAST(length(text) - length(replace(text, 'spark', '')) AS DOUBLE)" +
+        " / CAST(5.0 AS DOUBLE)",
+      "CAST(length(text) - length(replace(text, 'query', '')) AS DOUBLE)" +
+        " / CAST(5.0 AS DOUBLE)",
+      "CAST(least(n_chars, 2000) AS DOUBLE) / CAST(1000.0 AS DOUBLE)")
+    val iters = 5
+
+    /** The 6-dp-pinned sigmoid over the current weight row (a0..a3) —
+      * textually identical per iteration, matching Training.sigmoid6. */
+    private val p =
+      "CAST(round(CAST(1.0 / (1.0 + exp(-(a0 + a1 * x1 + a2 * x2 + a3 * x3)))" +
+        " AS DECIMAL(18,12)), 6) AS DOUBLE)"
+
+    val oracle: String = {
+      val f = s"""f AS (SELECT $label AS y,
+                 |  ${features(0)} AS x1,
+                 |  ${features(1)} AS x2,
+                 |  ${features(2)} AS x3
+                 |FROM documents)""".stripMargin
+      val w0 = "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a0, " +
+        "CAST(0.0 AS DOUBLE) AS a1, CAST(0.0 AS DOUBLE) AS a2, " +
+        "CAST(0.0 AS DOUBLE) AS a3)"
+      val steps = (1 to iters).map { k =>
+        val terms = Seq("(p - y)", "(p - y) * x1", "(p - y) * x2",
+          "(p - y) * x3").zipWithIndex.map { case (t, j) =>
+          s"SUM(CAST($t AS DECIMAL(28,12))) AS s$j" }.mkString(", ")
+        val upd = (0 to 3).map(j =>
+          s"CAST(round(CAST(a$j - 2.0 * (CAST(s$j AS DOUBLE) / n) " +
+            s"AS DECIMAL(18,12)), 6) AS DOUBLE) AS a$j").mkString(", ")
+        s"""g$k AS (SELECT count(*) AS n, $terms
+           |  FROM (SELECT f.*, $p AS p FROM f, w${k - 1}) t),
+           |w$k AS (SELECT $upd FROM w${k - 1}, g$k)""".stripMargin
+      }
+      s"""WITH $f,
+         |$w0,
+         |${steps.mkString(",\n")},
+         |scored AS (SELECT y, $p AS p FROM f, w$iters)
+         |SELECT item, value FROM (
+         |  SELECT 'w_bias' AS item, a0 AS value FROM w$iters
+         |  UNION ALL SELECT 'w_kw', a1 FROM w$iters
+         |  UNION ALL SELECT 'w_ctx', a2 FROM w$iters
+         |  UNION ALL SELECT 'w_len', a3 FROM w$iters
+         |  UNION ALL SELECT 'n_pred_pos',
+         |    CAST((SELECT count(*) FROM scored WHERE p > 0.5) AS DOUBLE)
+         |  UNION ALL SELECT 'n_correct',
+         |    CAST((SELECT count(*) FROM scored
+         |          WHERE (p > 0.5) = (y > 0.5)) AS DOUBLE)
+         |) ORDER BY item""".stripMargin
+    }
+  }
+
   /** Shared kmeans CTE chain (k = 8, iters = 2, dim = 64) over `src`. */
   private def kmeansSql(src: String): String =
     s"""WITH v AS ($src),
@@ -268,6 +328,40 @@ object CurationQueries extends QueryGroup {
           |SELECT vec_id AS id, cid AS cluster,
           |  CAST(round(CAST(d AS DECIMAL(18,12)), 6) AS DOUBLE) AS dist
           |FROM a2 ORDER BY id""".stripMargin)),
+
+    // TRAIN a model-based quality classifier end to end: batch-gradient
+    // logistic regression (the fastText-style recipe behind production
+    // quality filters) learning to RECOVER a keyword labeling rule from
+    // bag-of-substring features — the standard heuristic-label setup
+    // (label by rule, learn a smooth scorer). After 5 rounds the weight
+    // concentrates on the informative feature and training accuracy
+    // reaches 100% (n_correct = corpus size) — the oracle proves
+    // convergence, not just arithmetic. Each round is ONE hash
+    // aggregate (2 + features partial sums, no row shuffle); sigmoid
+    // outputs pin to 6 dp and gradient terms sum as DECIMAL(28,12), so
+    // both engines walk the exact same trajectory (the kmeans
+    // determinism discipline applied to gradient descent). The oracle
+    // unrolls the rounds as CTEs from the SAME per-iteration rendering.
+    QueryDef(
+      "x_logreg_train",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val features = LrQ.features.map(expr)
+        val w = graft.ops.Training.logisticTrain(
+          docs, features, expr(LrQ.label), iters = LrQ.iters, lr = 2.0)
+        val scored = docs.select(expr(LrQ.label).as("y"),
+          graft.ops.Training.score(w, features).as("p"))
+        val Seq(nPred, nCorrect) = scored
+          .agg(count(when(col("p") > 0.5, 1)),
+            count(when((col("p") > 0.5) === (col("y") > 0.5), 1)))
+          .head().toSeq.map(_.asInstanceOf[Long])
+        Seq(("n_correct", nCorrect.toDouble),
+          ("n_pred_pos", nPred.toDouble), ("w_bias", w(0)),
+          ("w_ctx", w(2)), ("w_kw", w(1)), ("w_len", w(3)))
+          .toDF("item", "value").orderBy("item")
+      },
+      Some(LrQ.oracle)),
 
     // Winnowing (MOSS) fingerprints: min-hash of each 4-window of trigram
     // hashes — density-guaranteed shared fingerprints for any k+w-1-token

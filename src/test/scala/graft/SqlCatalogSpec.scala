@@ -281,21 +281,17 @@ class SqlCatalogSpec extends GraftSuite {
                  |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
       }
       assert(err.getMessage.contains("MERGE_CARDINALITY_VIOLATION"))
-      // non-key shapes are refused at planning with a clear error
-      val refusal = intercept[Exception] {
-        s2.sql("""MERGE INTO lake.default.t USING src
-                 |ON t.k = src.k AND t.v = src.v
-                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-      }
-      assert(refusal.getMessage.contains("keyed shape"))
-      val refusal2 = intercept[Exception] {
-        s2.sql("""MERGE INTO lake.default.t USING src ON t.k = src.k
-                 |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'x'
-                 |""".stripMargin)
-      }
-      assert(refusal2.getMessage.contains("NOT MATCHED BY SOURCE"))
+      // non-key ON shapes route to the POSITIONAL path (deletion
+      // vector + batch — PositionalMergeSpec pins its mechanics); here
+      // just pin that the compound ON executes with SQL semantics.
+      // After the deletes above the table holds (0,v0) and (1,v1);
+      // src holds (2,'B') and (5,'E') — nothing matches k AND v, so
+      // a matched-only merge is a no-op
+      s2.sql("""MERGE INTO lake.default.t USING src
+               |ON t.k = src.k AND t.v = src.v
+               |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
       assert(rows() === Seq((0L, "v0"), (1L, "v1")),
-        "refused merges must not change the table")
+        "compound-ON merge with no matches must not change the table")
     }
   }
 
