@@ -189,6 +189,46 @@ object CatalogQueries extends QueryGroup {
              |              AND TIMESTAMP '2024-01-13 00:00:00'
              |ORDER BY event_id""".stripMargin)),
 
+    // HIDDEN PARTITIONING (Iceberg transforms on this catalog): CREATE
+    // TABLE ... PARTITIONED BY (days(ts)) declares the layout ONCE;
+    // INSERT INTO routes every row into its day partition with no
+    // writer-side knob, auto-recording tight per-day ts stats — so the
+    // time-window read back prunes at manifest cost through the plain
+    // SQL path (the pruned flag pins it). The oracle is the plain
+    // filter over the same rows: transform routing, hive-escaped group
+    // renames, and per-group stats must be value-lossless end to end.
+    QueryDef(
+      "s_hidden_partitioning",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("q_hidpart").toString
+        val cat = s"qhp${java.util.UUID.randomUUID().toString.take(8)}"
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"""CREATE TABLE $cat.default.ev (
+                 |  event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+                 |PARTITIONED BY (days(ts))""".stripMargin)
+        Tables.events(s, d).select("event_id", "ts", "value")
+          .createOrReplaceTempView(s"${cat}_src")
+        s.sql(s"INSERT INTO $cat.default.ev SELECT * FROM ${cat}_src")
+        val snap = graft.storage.TxnCatalog.snapshot(s, root).get
+        def utc(iso: String) =
+          java.sql.Timestamp.from(java.time.Instant.parse(iso))
+        val surviving = snap.partitionsWhere("ev", "ts",
+          utc("2024-01-10T00:00:00Z"), utc("2024-01-13T00:00:00Z"))
+        val pruned = surviving.size <
+          snap.partitions("ev").count(_.contains("ts="))
+        s.sql(s"""SELECT event_id, ts, value FROM $cat.default.ev
+                 |WHERE ts BETWEEN timestamp'2024-01-10 00:00:00'
+                 |             AND timestamp'2024-01-13 00:00:00'
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("pruned", lit(pruned))
+      },
+      Some("""SELECT event_id, ts, value, TRUE AS pruned FROM events
+             |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+             |             AND TIMESTAMP '2024-01-13 00:00:00'
+             |ORDER BY event_id""".stripMargin)),
+
     // Storage round trip through CATALYST-PLANNED skipping: the same
     // commit→cluster lake as s_zorder_skipping, but read via
     // GraftLake.table — an ordinary DataFrame whose FileSourceScanExec

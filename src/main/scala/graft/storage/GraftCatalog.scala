@@ -232,9 +232,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     checkNs(ident.namespace())
-    require(partitions.isEmpty,
-      "partition transforms are not supported — commit partitions " +
-        "through TxnCatalog.commitPartitions/commitPartitioned")
     val t = ident.name()
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
@@ -256,11 +253,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val user = properties.asScala.toMap
       .filterNot { case (k, _) =>
         reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+    // HIDDEN PARTITIONING ([[PartitionSpec]]): `PARTITIONED BY
+    // (days(ts), bucket(8, k), ...)` serializes into TBLPROPERTIES and
+    // auto-configures the skipping machinery — range-friendly transform
+    // sources become stats columns (tight per partition by
+    // construction), bucket sources become Bloom columns (hash groups
+    // prune by membership, not range) — so every writer records
+    // prunable metadata with no per-call knob.
+    val spec = PartitionSpec.fromTransforms(partitions.toSeq)
+    spec.foreach(tr => require(schema.fieldNames.contains(tr.column),
+      s"partition transform references unknown column '${tr.column}'"))
+    def merged(key: String, add: Seq[String]): Option[(String, String)] = {
+      val cur = user.get(key).toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty)
+      val all = (cur ++ add).distinct
+      if (all.isEmpty) None else Some(key -> all.mkString(","))
+    }
+    val specProps =
+      if (spec.isEmpty) Map.empty[String, String]
+      else (Seq(PartitionSpec.Prop -> PartitionSpec.render(spec)) ++
+        merged(TxnCatalog.StatsColumnsProp,
+          spec.filterNot(_.wantsBloom).map(_.column)) ++
+        merged(TxnCatalog.BloomColumnsProp,
+          spec.filter(_.wantsBloom).map(_.column))).toMap
     // init partition + properties in ONE txn: no observer — crash,
     // rival commit, concurrent writer — can see the table without its
     // declared constraints ("constraints enforce from birth")
     TxnCatalog.createTableWithProperties(spark, root, t, "batch=init",
-      empty, user)
+      empty, user ++ specProps)
     new GraftSqlTable(root, t, schema)
   }
 
@@ -289,8 +309,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       mode: GraftStagedTable.Mode): StagedTable = {
     checkNs(ident.namespace())
     require(partitions.isEmpty,
-      "partition transforms are not supported — commit partitions " +
-        "through TxnCatalog.commitPartitions/commitPartitioned")
+      "CTAS/RTAS with PARTITIONED BY is not supported — CREATE the " +
+        "partitioned table first, then INSERT INTO it (inserts route " +
+        "through the declared transforms)")
     val schema = StructType(columns.toSeq.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
     new GraftStagedTable(root, ident.name(), schema,
@@ -478,6 +499,72 @@ private[storage] final class GraftSqlTable(
 
   override def version(): String = asOfTxn.map(_.toString).orNull
 
+  /** The table's declared HIDDEN-PARTITIONING transforms (if any) —
+    * parsed back from the `graft.partition-spec` property so DESCRIBE
+    * and `Table.partitioning()` consumers see the Iceberg-shaped spec. */
+  override def partitioning(): Array[Transform] =
+    specOf(SparkSession.active)
+      .map(PartitionSpec.toTransforms)
+      .getOrElse(Array.empty)
+
+  private def specOf(s: SparkSession): Option[Seq[PartitionSpec.PTransform]] =
+    TxnCatalog.snapshot(s, root)
+      .flatMap(_.properties(table).get(PartitionSpec.Prop))
+      .map(PartitionSpec.parse)
+
+  /** INSERT/OVERWRITE into a hidden-partitioned table: rows group by
+    * the transform expression; ≤ 32 distinct groups commit one entry
+    * per group through the publish path (stats + Blooms measured per
+    * partition — the daily-insert shape), more take the O(1)-jobs
+    * [[TxnCatalog.commitPartitioned]] bulk path (per-group stats; run
+    * ANALYZE for Blooms). Partition names are
+    * `b<nonce>.<label>=<value>` — the nonce keeps repeated inserts into
+    * one logical partition from colliding (appends land beside, never
+    * replace; compaction folds them). Retries on a lost commit race. */
+  private def insertSpec(s: SparkSession, df: DataFrame,
+      spec: Seq[PartitionSpec.PTransform], overwrite: Boolean): Unit = {
+    val g = PartitionSpec.groupExpr(spec, df.schema)
+    val label = PartitionSpec.label(spec)
+    val escape =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName _
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val nonce = java.util.UUID.randomUUID().toString.take(6)
+      val drops =
+        if (!overwrite) Nil
+        else TxnCatalog.snapshot(s, root).toSeq
+          .flatMap(_.partitions(table)).map((table, _))
+      try {
+        val groups = df.select(g.cast("string").as("__g")).distinct()
+          .limit(33).collect().map(r => Option(r.getString(0)))
+        if (groups.isEmpty && drops.isEmpty) return
+        if (groups.length <= 32) {
+          val updates = groups.toSeq.map { v =>
+            val part = s"b$nonce.$label=" + v.map(escape)
+              .getOrElse("__HIVE_DEFAULT_PARTITION__")
+            val rows = v match {
+              case Some(x) => df.filter(g.cast("string") === x)
+              case None => df.filter(g.isNull)
+            }
+            (table, part, rows)
+          }
+          TxnCatalog.commitPartitions(s, root, updates, drops = drops)
+        } else {
+          TxnCatalog.commitPartitioned(s, root, table, df,
+            keyCol = label, keyExpr = Some(g),
+            partPrefix = s"b$nonce.", drops = drops)
+        }
+        done = true
+      } catch {
+        case _: java.io.IOException if attempts < 20 =>
+          Thread.sleep(math.min(200L, attempts * 20L))
+      }
+    }
+  }
+
   /** `DELETE FROM ... WHERE` shapes with an exact storage-level
     * equivalent: no filter (truncate — drop every data partition),
     * a single-column equality or IN list (merge-on-read
@@ -645,7 +732,20 @@ private[storage] final class GraftSqlTable(
               // TxnCatalog.commit) takes the whole-table fallbacks
               val isWhole = snap.exists(
                 _.entries.contains((table, TxnCatalog.Whole)))
-              if (overwrite || ow) {
+              val spec = specOf(s).getOrElse(Nil)
+              if (spec.nonEmpty && !isWhole) {
+                // HIDDEN PARTITIONING: route rows into transform-derived
+                // partitions. Few distinct groups (the common daily /
+                // streaming insert) stage per-group through the publish
+                // path — full stats AND Blooms per partition; a backfill
+                // touching many groups takes the O(1)-jobs bulk path
+                // (stats per group; `CALL system.analyze` backfills
+                // Blooms). Names carry a nonce so repeated inserts into
+                // the same day/bucket land BESIDE each other (pruning
+                // reads stats, never names); overwrite drops every live
+                // partition in the same txn.
+                insertSpec(s, df, spec, overwrite || ow)
+              } else if (overwrite || ow) {
                 if (isWhole || snap.isEmpty)
                   TxnCatalog.commit(s, root, Seq((table, df)))
                 else

@@ -1519,12 +1519,20 @@ object TxnCatalog {
       statsColumns: Seq[String] = Nil,
       extraUpdates: Seq[(String, String, DataFrame)] = Nil,
       partPrefix: String = "",
-      drops: Seq[(String, String)] = Nil): Long = {
+      drops: Seq[(String, String)] = Nil,
+      keyExpr: Option[org.apache.spark.sql.Column] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
     checkTableName(table)
-    require(df.columns.contains(keyCol), s"no key column '$keyCol'")
+    // `keyExpr` generalizes the grouping to a DERIVED key (hidden
+    // partitioning: days(ts), bucket(n, c) — [[PartitionSpec]]): the
+    // expression groups the write and the staged stats pass but never
+    // becomes a data column; `keyCol` is then just the partition-name
+    // label. Without it the key is the named data column, as before.
+    if (keyExpr.isEmpty)
+      require(df.columns.contains(keyCol), s"no key column '$keyCol'")
+    val groupKey: org.apache.spark.sql.Column = keyExpr.getOrElse(col(keyCol))
     val f = fs(spark, root)
     val prev = currentTxn(spark, root)
     val prevManifest = prev.map(manifest(f, root, _)).getOrElse(Map.empty)
@@ -1543,7 +1551,7 @@ object TxnCatalog {
     val bulkKey = "__graft_bulk_key"
     val stagingDir = new Path(s"$root/$table/.bulk.$next.$nonce")
     // 1. one write job for every partition
-    df.withColumn(bulkKey, col(keyCol).cast("string"))
+    df.withColumn(bulkKey, groupKey.cast("string"))
       .write.partitionBy(bulkKey).parquet(stagingDir.toString)
     // Everything below measures the STAGED files, never the input frame
     // again: a nondeterministic (or concurrently-changing) input would
@@ -1595,7 +1603,7 @@ object TxnCatalog {
             max(m(c)).cast("string").as(s"max:$c"),
             count(col(c)).as(s"cnt:$c")))
     val grouped: Map[Option[String], (Map[String, ColStat], Long)] =
-      stagedDf.groupBy(col(keyCol).cast("string").as(bulkKey))
+      stagedDf.groupBy(groupKey.cast("string").as(bulkKey))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { row =>
           val stats = kinds.flatMap { case (c, kind) =>
