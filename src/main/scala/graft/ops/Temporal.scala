@@ -104,6 +104,50 @@ object Temporal {
         col("__f").as(valueCol), col("filled")): _*)
   }
 
+  /** [[gapFillLocf]]'s LINEAR cousin: unobserved slots interpolate
+    * between the surrounding observations instead of carrying the last
+    * one — the resampling step before any train-on-regular-grid
+    * pipeline. Leading gaps backfill from the first observation,
+    * trailing gaps carry the last (no extrapolation). Same scale shape
+    * as LOCF: one hash aggregate, a bounded sequence explode, and TWO
+    * passes of the same keyed window (one forward, one backward — still
+    * a single shuffle; Spark reuses the partitioning and re-sorts).
+    * Pure IEEE arithmetic (no libm), so results are bit-reproducible
+    * across engines given identical inputs: the interpolation ratio
+    * divides explicit doubles. */
+  def gapFillLinear(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val slotted = df.withColumn("__slot",
+      (floor(unix_timestamp(col(timeCol)) / stepSeconds) * stepSeconds).cast("long"))
+    val perSlot = slotted.groupBy(keys :+ col("__slot"): _*)
+      .agg(max_by(col(valueCol), struct(col(timeCol), col(valueCol))).as("__v"))
+    val bounds = slotted.groupBy(keys: _*)
+      .agg(min("__slot").as("__lo"), max("__slot").as("__hi"))
+    val grid = bounds.select(keys :+
+      explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds))).as("__slot"): _*)
+    val back = Window.partitionBy(keys: _*).orderBy(col("__slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keys: _*).orderBy(col("__slot"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsSlot = when(col("__v").isNotNull, col("__slot"))
+    grid.join(perSlot, keyCols :+ "__slot", "left")
+      .withColumn("filled", col("__v").isNull)
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__ps", last(obsSlot, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__ns", first(obsSlot, ignoreNulls = true).over(fwd))
+      .withColumn("__f",
+        when(col("__v").isNotNull, col("__v"))
+          .when(col("__pv").isNull, col("__nv")) // leading gap: backfill
+          .when(col("__nv").isNull, col("__pv")) // trailing gap: carry
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__slot") - col("__ps")).cast("double") /
+              (col("__ns") - col("__ps")).cast("double"))))
+      .select(keys ++ Seq(col("__slot").as("slot_ts"),
+        col("__f").as(valueCol), col("filled")): _*)
+  }
+
   /** OHLC resample: per key and epoch period, the first (open), max
     * (high), min (low) and last (close) of `valueCol`, plus the
     * observation count — the canonical downsample of any metered series.

@@ -403,6 +403,64 @@ object TemporalGraphQueries extends QueryGroup {
              |SELECT user_id, slot AS slot_ts, round(v, 6) AS value, filled
              |FROM f ORDER BY user_id, slot_ts""".stripMargin)),
 
+    // Daily-grid gap-fill with LINEAR INTERPOLATION — the resampling
+    // step before training on a regular grid: unobserved days take
+    // prev + (next-prev) * elapsed-fraction between the surrounding
+    // observations; leading gaps backfill, trailing gaps carry. Pure
+    // IEEE arithmetic (no libm) over explicit double casts, so both
+    // engines produce identical bits. Oracle: the same grid with
+    // IGNORE NULLS windows both directions.
+    QueryDef(
+      "x_gapfill_interp",
+      (s, d) => {
+        val purchases = Tables.events(s, d)
+          .filter(col("event_type") === "purchase" && col("user_id") < 300)
+          .select(col("user_id"), col("ts"), col("value"))
+        Temporal.gapFillLinear(purchases, Seq("user_id"), "ts", "value",
+            stepSeconds = 86400L)
+          .select(col("user_id"), col("slot_ts"),
+            round(col("value"), 6).as("value"), col("filled"))
+          .orderBy("user_id", "slot_ts")
+      },
+      Some("""WITH s AS (SELECT user_id,
+             |    CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) slot, ts, value
+             |  FROM events WHERE event_type = 'purchase' AND user_id < 300),
+             |ps AS (SELECT user_id, slot, value FROM (
+             |    SELECT user_id, slot, value,
+             |      row_number() OVER (PARTITION BY user_id, slot
+             |                         ORDER BY ts DESC, value DESC) rn FROM s)
+             |  WHERE rn = 1),
+             |b AS (SELECT user_id, min(slot) lo, max(slot) hi FROM s GROUP BY user_id),
+             |g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) slot FROM b),
+             |j AS (SELECT g.user_id, g.slot, ps.value
+             |      FROM g LEFT JOIN ps ON g.user_id = ps.user_id AND g.slot = ps.slot),
+             |f AS (SELECT user_id, slot, value, value IS NULL AS filled,
+             |        last_value(value IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY slot
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pv,
+             |        last_value(CASE WHEN value IS NOT NULL THEN slot END
+             |                   IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY slot
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pslot,
+             |        first_value(value IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY slot
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nv,
+             |        first_value(CASE WHEN value IS NOT NULL THEN slot END
+             |                    IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY slot
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nslot
+             |      FROM j),
+             |i AS (SELECT user_id, slot, filled,
+             |        CASE WHEN value IS NOT NULL THEN value
+             |             WHEN pv IS NULL THEN nv
+             |             WHEN nv IS NULL THEN pv
+             |             ELSE pv + (nv - pv) *
+             |               (CAST(slot - pslot AS DOUBLE) /
+             |                CAST(nslot - pslot AS DOUBLE)) END v
+             |      FROM f)
+             |SELECT user_id, slot AS slot_ts, round(v, 6) AS value, filled
+             |FROM i ORDER BY user_id, slot_ts""".stripMargin)),
+
     // Per-vertex triangle counts over the part co-occurrence graph (parts
     // sharing an order are linked). Spark side runs the degree-oriented
     // wedge-close algorithm (Graph.triangles — bounded out-degree, no hub

@@ -513,56 +513,64 @@ private[storage] final class GraftSqlTable(
       .map(PartitionSpec.parse)
 
   /** INSERT/OVERWRITE into a hidden-partitioned table: rows group by
-    * the transform expression; ≤ 32 distinct groups commit one entry
+    * the transform expression; ≤ 16 distinct groups commit one entry
     * per group through the publish path (stats + Blooms measured per
-    * partition — the daily-insert shape), more take the O(1)-jobs
-    * [[TxnCatalog.commitPartitioned]] bulk path (per-group stats; run
-    * ANALYZE for Blooms). Partition names are
+    * partition — the daily-insert shape; per-group cost is one staged
+    * write job each, so the threshold stays small), more take the
+    * O(1)-jobs [[TxnCatalog.commitPartitioned]] bulk path (per-group
+    * stats; run ANALYZE for Blooms). Partition names are
     * `b<nonce>.<label>=<value>` — the nonce keeps repeated inserts into
     * one logical partition from colliding (appends land beside, never
     * replace; compaction folds them). Retries on a lost commit race. */
-  private def insertSpec(s: SparkSession, df: DataFrame,
+  private def insertSpec(s: SparkSession, df0: DataFrame,
       spec: Seq[PartitionSpec.PTransform], overwrite: Boolean): Unit = {
-    val g = PartitionSpec.groupExpr(spec, df.schema)
-    val label = PartitionSpec.label(spec)
-    val escape =
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName _
-    var attempts = 0
-    var done = false
-    while (!done) {
-      attempts += 1
-      val nonce = java.util.UUID.randomUUID().toString.take(6)
-      val drops =
-        if (!overwrite) Nil
-        else TxnCatalog.snapshot(s, root).toSeq
-          .flatMap(_.partitions(table)).map((table, _))
-      try {
-        val groups = df.select(g.cast("string").as("__g")).distinct()
-          .limit(33).collect().map(r => Option(r.getString(0)))
-        if (groups.isEmpty && drops.isEmpty) return
-        if (groups.length <= 32) {
-          val updates = groups.toSeq.map { v =>
-            val part = s"b$nonce.$label=" + v.map(escape)
-              .getOrElse("__HIVE_DEFAULT_PARTITION__")
-            val rows = v match {
-              case Some(x) => df.filter(g.cast("string") === x)
-              case None => df.filter(g.isNull)
+    // ONE materialization: the group probe and the per-group filters
+    // below would otherwise re-evaluate the input — a nondeterministic
+    // INSERT ... SELECT could change a row's group between the probe
+    // and its filter and silently drop it
+    val df = df0.localCheckpoint()
+    try {
+      val g = PartitionSpec.groupExpr(spec, df.schema)
+      val label = PartitionSpec.label(spec)
+      val escape =
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName _
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        val nonce = java.util.UUID.randomUUID().toString.take(6)
+        val drops =
+          if (!overwrite) Nil
+          else TxnCatalog.snapshot(s, root).toSeq
+            .flatMap(_.partitions(table)).map((table, _))
+        try {
+          val groups = df.select(g.cast("string").as("__g")).distinct()
+            .limit(17).collect().map(r => Option(r.getString(0)))
+          if (groups.isEmpty && drops.isEmpty) return
+          if (groups.length <= 16) {
+            val updates = groups.toSeq.map { v =>
+              val part = s"b$nonce.$label=" + v.map(escape)
+                .getOrElse("__HIVE_DEFAULT_PARTITION__")
+              val rows = v match {
+                case Some(x) => df.filter(g.cast("string") === x)
+                case None => df.filter(g.isNull)
+              }
+              (table, part, rows)
             }
-            (table, part, rows)
+            TxnCatalog.commitPartitions(s, root, updates, drops = drops)
+          } else {
+            TxnCatalog.commitPartitioned(s, root, table, df,
+              keyCol = label, keyExpr = Some(g),
+              partPrefix = s"b$nonce.", drops = drops)
           }
-          TxnCatalog.commitPartitions(s, root, updates, drops = drops)
-        } else {
-          TxnCatalog.commitPartitioned(s, root, table, df,
-            keyCol = label, keyExpr = Some(g),
-            partPrefix = s"b$nonce.", drops = drops)
+          done = true
+        } catch {
+          case _: java.io.IOException if attempts < 20 =>
+            Thread.sleep(math.min(200L, attempts * 20L))
         }
-        done = true
-      } catch {
-        case _: java.io.IOException if attempts < 20 =>
-          Thread.sleep(math.min(200L, attempts * 20L))
       }
-    }
+    } finally { df.unpersist(); () }
   }
 
   /** `DELETE FROM ... WHERE` shapes with an exact storage-level

@@ -370,8 +370,43 @@ private[storage] final class LakeSink(root: String, table: String,
       TxnCatalog.commit(spark, root, Seq((table, fresh)))
       return
     }
-    TxnCatalog.appendBatch(spark, root, table, s"b$batchId", fresh,
-      statsColumns, bloomColumns, ledger = Some((appId, batchId)))
+    // HIDDEN-PARTITIONED tables ([[PartitionSpec]]): split the
+    // micro-batch by the declared transforms so per-day/bucket stats
+    // stay tight from the stream — all groups + the ledger fact land in
+    // ONE txn, replay-refused as a unit. A pathological trigger with
+    // more than 64 groups falls back to one batch partition (correct,
+    // just coarser stats until compaction re-clusters).
+    val spec = TxnCatalog.snapshot(spark, root)
+      .flatMap(_.properties(table).get(PartitionSpec.Prop))
+      .map(PartitionSpec.parse).getOrElse(Nil)
+    if (spec.nonEmpty) {
+      val pinned = fresh.localCheckpoint() // one materialization for
+      try {                                // the probe and the filters
+        val g = PartitionSpec.groupExpr(spec, pinned.schema)
+        val label = PartitionSpec.label(spec)
+        val escape = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName _
+        val groups = pinned.select(g.cast("string").as("__g")).distinct()
+          .limit(65).collect().map(r => Option(r.getString(0)))
+        if (groups.nonEmpty && groups.length <= 64) {
+          val parts = groups.toSeq.map { v =>
+            val part = s"batch=b$batchId.$label=" + v.map(escape)
+              .getOrElse("__HIVE_DEFAULT_PARTITION__")
+            val rows = v match {
+              case Some(x) => pinned.filter(g.cast("string") === x)
+              case None => pinned.filter(g.isNull)
+            }
+            (part, rows)
+          }
+          TxnCatalog.appendBatchMulti(spark, root, table, parts,
+            appId, batchId, statsColumns, bloomColumns)
+        } else if (groups.nonEmpty)
+          TxnCatalog.appendBatch(spark, root, table, s"b$batchId", pinned,
+            statsColumns, bloomColumns, ledger = Some((appId, batchId)))
+      } finally { pinned.unpersist(); () }
+    } else
+      TxnCatalog.appendBatch(spark, root, table, s"b$batchId", fresh,
+        statsColumns, bloomColumns, ledger = Some((appId, batchId)))
     // inline maintenance, exactly [[graft.streaming.Streams.lakeSink]]'s
     // (option parity for the declarative form): the txn LEDGER above is
     // what keeps replay evidence durable across these reorganizations

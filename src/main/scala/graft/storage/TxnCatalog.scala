@@ -1158,6 +1158,32 @@ object TxnCatalog {
     }
   }
 
+  /** [[appendBatch]] for a MULTI-PARTITION micro-batch — the streaming
+    * sink's shape for HIDDEN-PARTITIONED tables ([[PartitionSpec]]):
+    * one trigger lands N transform-derived partitions and the ledger
+    * fact in ONE txn, replay-refused as a unit. Same bounded
+    * race-retry as the single-partition form. */
+  private[graft] def appendBatchMulti(spark: SparkSession, root: String,
+      table: String, parts: Seq[(String, DataFrame)],
+      appId: String, version: Long,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Unit = {
+    if (parts.isEmpty) return
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        appendLedgered(spark, root,
+          parts.map { case (p, df) => (table, p, df) },
+          table, appId, version, statsColumns, bloomColumns)(() => ())
+        return
+      } catch {
+        case _: java.io.IOException if attempts < 20 =>
+          Thread.sleep(math.min(200L, attempts * 20L))
+      }
+    }
+  }
+
   /** Property-key prefix of streaming-sink idempotence ledger entries:
     * `graft.stream.<appId>` → the highest batch version that app has
     * applied to the table — Delta's txn appId/version pattern. The

@@ -121,6 +121,79 @@ class HiddenPartitionSpec extends GraftSuite {
     }
   }
 
+  test("the streaming sink routes micro-batches through the declared transforms") {
+    withCatalog { (s2, root) =>
+      s2.sql("""CREATE TABLE lake.default.ev (id BIGINT, ts TIMESTAMP)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      import s2.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+      val ckpt = Files.createTempDirectory("hidsink").toString
+      val src = MemoryStream[(Long, String)]
+      val q = src.toDF().toDF("id", "tss")
+        .select($"id", to_timestamp($"tss").as("ts"))
+        .writeStream.format("graft-lake")
+        .option("root", root).option("table", "ev")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        src.addData((1L, "2024-03-01 10:00:00"), (2L, "2024-03-02 10:00:00"))
+        q.processAllAvailable()
+        src.addData((3L, "2024-03-01 12:00:00"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val snap = TxnCatalog.snapshot(s2, root).get
+      val parts = snap.partitions("ev")
+      assert(parts.count(_.contains("ts=2024-03-01")) === 2,
+        s"each trigger lands its own day partitions: $parts")
+      assert(parts.count(_.contains("ts=2024-03-02")) === 1, parts.toString)
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .head.getLong(0) === 3L)
+      // per-day stats recorded from the stream: a one-day probe keeps
+      // only that day's partitions
+      def utc(iso: String) =
+        java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      val surv = snap.partitionsWhere("ev", "ts",
+        utc("2024-03-02T00:00:00Z"), utc("2024-03-02T23:00:00Z"))
+      assert(surv.count(_.contains("ts=")) === 1, surv.toString)
+    }
+  }
+
+  test("partition EVOLUTION: a new spec governs new writes only") {
+    withCatalog { (s2, root) =>
+      s2.sql("""CREATE TABLE lake.default.ev (id BIGINT, ts TIMESTAMP)
+               |PARTITIONED BY (months(ts))""".stripMargin)
+      s2.sql("""INSERT INTO lake.default.ev SELECT
+               |  id, timestamp'2024-01-15 00:00:00' + make_interval(0,
+               |    CAST(id % 2 AS INT), 0, 0, 0, 0, 0)
+               |FROM range(0, 100)""".stripMargin)
+      val before = TxnCatalog.snapshot(s2, root).get.partitions("ev")
+      assert(before.count(_.contains("ts=")) === 2, before.toString)
+      // evolve: months(ts) → days(ts). Names are opaque and pruning is
+      // stats-based, so old month partitions stay readable and prunable
+      // while new writes land at day grain — no rewrite, no migration.
+      s2.sql("""ALTER TABLE lake.default.ev
+               |SET TBLPROPERTIES('graft.partition-spec' = 'days(ts)')
+               |""".stripMargin)
+      s2.sql("""INSERT INTO lake.default.ev VALUES
+               |(900, timestamp'2024-03-05 08:00:00'),
+               |(901, timestamp'2024-03-06 08:00:00')""".stripMargin)
+      val after = TxnCatalog.snapshot(s2, root).get.partitions("ev")
+      assert((after.toSet -- before.toSet).size === 2,
+        "two new DAY partitions under the evolved spec")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .head.getLong(0) === 102L)
+      // stats still prune across BOTH generations of the spec
+      val snap = TxnCatalog.snapshot(s2, root).get
+      def utc(iso: String) =
+        java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      val surv = snap.partitionsWhere("ev", "ts",
+        utc("2024-03-05T00:00:00Z"), utc("2024-03-05T23:59:59Z"))
+      assert(surv.count(_.contains("ts=")) === 1,
+        s"a one-day probe must keep exactly the one day partition: $surv")
+    }
+  }
+
   test("multi-transform spec groups by the composite and a bulk insert works") {
     withCatalog { (s2, root) =>
       s2.sql("""CREATE TABLE lake.default.m (k BIGINT, ts TIMESTAMP)
