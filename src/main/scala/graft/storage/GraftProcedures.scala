@@ -165,8 +165,22 @@ private[storage] final class OptimizeProcedure(root: String)
         return one(oneRow(out, null, Integer.valueOf(0)))
       val into = "c" + (TxnCatalog.currentTxn(s, root).getOrElse(0L) + 1)
       try {
-        val txn = TxnCatalog.compactPartitions(s, root, table, parts, into,
-          statsColumns = csv(input, 2), bloomColumns = csv(input, 3))
+        // hidden-partitioned tables fold PER LOGICAL GROUP so the
+        // transform's per-day/bucket stat tightness survives OPTIMIZE
+        val spec = TxnCatalog.snapshot(s, root)
+          .flatMap(_.properties(table).get(PartitionSpec.Prop))
+          .map(PartitionSpec.parse).getOrElse(Nil)
+        val txn =
+          if (spec.isEmpty)
+            TxnCatalog.compactPartitions(s, root, table, parts, into,
+              statsColumns = csv(input, 2), bloomColumns = csv(input, 3))
+          else {
+            val schema = TxnCatalog.snapshot(s, root).get
+              .readPartitions(table, parts).get.schema
+            TxnCatalog.compactPartitionsBy(s, root, table, parts,
+              PartitionSpec.groupExpr(spec, schema),
+              PartitionSpec.label(spec), statsColumns = csv(input, 2))
+          }
         return one(oneRow(out, java.lang.Long.valueOf(txn),
           Integer.valueOf(parts.size)))
       } catch {

@@ -415,8 +415,20 @@ private[storage] final class LakeSink(root: String, table: String,
         .filter(_.startsWith("batch="))
       if (batches.size >= compactEvery) {
         val into = "c" + (TxnCatalog.currentTxn(spark, root).getOrElse(0L) + 1)
-        try { TxnCatalog.compactPartitions(spark, root, table, batches, into,
-          statsColumns = statsColumns, bloomColumns = bloomColumns); () }
+        try {
+          if (spec.isEmpty)
+            TxnCatalog.compactPartitions(spark, root, table, batches, into,
+              statsColumns = statsColumns, bloomColumns = bloomColumns)
+          else {
+            // per-logical-group fold: day/bucket stat tightness survives
+            val schema = TxnCatalog.snapshot(spark, root).get
+              .readPartitions(table, batches).get.schema
+            TxnCatalog.compactPartitionsBy(spark, root, table, batches,
+              PartitionSpec.groupExpr(spec, schema),
+              PartitionSpec.label(spec), statsColumns = statsColumns)
+          }
+          ()
+        }
         catch { case _: java.io.IOException => () } // rival won; next trigger
       }
     }

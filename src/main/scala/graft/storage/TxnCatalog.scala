@@ -1546,7 +1546,8 @@ object TxnCatalog {
       extraUpdates: Seq[(String, String, DataFrame)] = Nil,
       partPrefix: String = "",
       drops: Seq[(String, String)] = Nil,
-      keyExpr: Option[org.apache.spark.sql.Column] = None): Long = {
+      keyExpr: Option[org.apache.spark.sql.Column] = None,
+      dataTxn: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
@@ -1661,7 +1662,10 @@ object TxnCatalog {
         f.mkdirs(target.getParent)
         require(f.rename(d.getPath, target), s"staging move failed: $part")
         val (stats, rows) = grouped.getOrElse(key, (Map.empty[String, ColStat], 0L))
-        (table, part) -> Entry(dirName, stats, None, Some(rows))
+        // `dataTxn` carries the sources' max data txn when this bulk
+        // write is a REORGANIZATION (spec-aware compaction) — incremental
+        // consumers skip it exactly like compactPartitions' folds
+        (table, part) -> Entry(dirName, stats, dataTxn, Some(rows))
       }.toMap
     f.delete(stagingDir, true) // _SUCCESS and empty shell
     // extra entries ride the SAME txn, staged the classic per-entry way
@@ -1711,6 +1715,34 @@ object TxnCatalog {
     casPublish(f, root, next, nonce, prevManifest -- drops,
       staged ++ extraStaged)(() => ())
     next
+  }
+
+  /** Spec-aware OPTIMIZE ([[graft.storage.PartitionSpec]] tables): fold
+    * `parts` into ONE partition PER LOGICAL TRANSFORM GROUP instead of
+    * one blob — a hidden-partitioned table's nonce'd same-day batches
+    * re-land as one `c<txn>.<label>=<v>` entry per day/bucket, keeping
+    * the per-group stats exactly as tight as the transform guarantees
+    * (a single-blob fold would smear every day's min/max across the
+    * whole span and kill pruning). O(1) Spark jobs via the bulk path;
+    * sources read through the delete-applying funnel; the fold carries
+    * the sources' max data txn so incremental consumers skip it like
+    * any reorganization. Conditional by construction (the bulk CAS
+    * fails on any rival commit); throws IOException to retry. */
+  def compactPartitionsBy(spark: SparkSession, root: String, table: String,
+      parts: Seq[String], keyExpr: org.apache.spark.sql.Column,
+      label: String, statsColumns: Seq[String] = Nil): Long = {
+    require(parts.nonEmpty, "nothing to compact")
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val src = snap.readPartitions(table, parts).getOrElse(
+      throw new IllegalArgumentException(s"unknown partitions of '$table'"))
+    val carried = parts.map(p => entryDataTxn(snap.entries((table, p)))).max
+    commitPartitioned(spark, root, table, src,
+      keyCol = label, keyExpr = Some(keyExpr),
+      partPrefix = s"c${snap.txn + 1}.",
+      statsColumns = statsColumns,
+      drops = parts.map((table, _)),
+      dataTxn = Some(carried))
   }
 
   /** Compact N small partitions of `table` into ONE (`into`), atomically:

@@ -194,6 +194,37 @@ class HiddenPartitionSpec extends GraftSuite {
     }
   }
 
+  test("OPTIMIZE folds per logical group: day stats survive compaction") {
+    withCatalog { (s2, root) =>
+      s2.sql("""CREATE TABLE lake.default.ev (id BIGINT, ts TIMESTAMP)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      s2.sql("""INSERT INTO lake.default.ev VALUES
+               |(1, timestamp'2024-03-01 10:00:00'),
+               |(2, timestamp'2024-03-02 10:00:00')""".stripMargin)
+      s2.sql("""INSERT INTO lake.default.ev VALUES
+               |(3, timestamp'2024-03-01 12:00:00')""".stripMargin)
+      val preFold = TxnCatalog.snapshot(s2, root).get
+      assert(preFold.partitions("ev").count(_.contains("ts=")) === 3)
+      val t0 = preFold.txn
+      s2.sql("CALL lake.system.optimize(table => 'ev', prefix => 'b')")
+      val snap = TxnCatalog.snapshot(s2, root).get
+      val folded = snap.partitions("ev").filter(_.contains("ts="))
+      assert(folded.size === 2 && folded.forall(_.startsWith("c")),
+        s"one compacted partition per DAY, not one blob: $folded")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .head.getLong(0) === 3L)
+      // per-day stats survived the fold: a one-day probe keeps one part
+      def utc(iso: String) =
+        java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      val surv = snap.partitionsWhere("ev", "ts",
+        utc("2024-03-02T00:00:00Z"), utc("2024-03-02T23:00:00Z"))
+      assert(surv.count(_.contains("ts=")) === 1, surv.toString)
+      // the fold is a reorganization: incremental consumers skip it
+      assert(TxnCatalog.diffData(s2, root, t0, snap.txn).isEmpty,
+        "OPTIMIZE must be invisible to diffData consumers")
+    }
+  }
+
   test("multi-transform spec groups by the composite and a bulk insert works") {
     withCatalog { (s2, root) =>
       s2.sql("""CREATE TABLE lake.default.m (k BIGINT, ts TIMESTAMP)
