@@ -1547,7 +1547,8 @@ object TxnCatalog {
       partPrefix: String = "",
       drops: Seq[(String, String)] = Nil,
       keyExpr: Option[org.apache.spark.sql.Column] = None,
-      dataTxn: Option[Long] = None): Long = {
+      dataTxn: Option[Long] = None,
+      expectedTxn: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
@@ -1562,6 +1563,14 @@ object TxnCatalog {
     val groupKey: org.apache.spark.sql.Column = keyExpr.getOrElse(col(keyCol))
     val f = fs(spark, root)
     val prev = currentTxn(spark, root)
+    // a caller that READ a pinned snapshot to build `df` (spec-aware
+    // compaction, overwrite) pins it here: a rival commit between its
+    // read and this point would otherwise be silently folded over —
+    // the CAS below only guards the staging window
+    expectedTxn.foreach { e =>
+      if (prev.getOrElse(0L) != e) throw new java.io.IOException(
+        s"catalog moved to txn ${prev.getOrElse(0L)} since snapshot $e; retry")
+    }
     val prevManifest = prev.map(manifest(f, root, _)).getOrElse(Map.empty)
     require(!prevManifest.contains((table, Whole)),
       s"table '$table' holds a whole-table snapshot; partition commits " +
@@ -1742,7 +1751,8 @@ object TxnCatalog {
       partPrefix = s"c${snap.txn + 1}.",
       statsColumns = statsColumns,
       drops = parts.map((table, _)),
-      dataTxn = Some(carried))
+      dataTxn = Some(carried),
+      expectedTxn = Some(snap.txn))
   }
 
   /** Compact N small partitions of `table` into ONE (`into`), atomically:

@@ -189,6 +189,19 @@ class DvDeleteSpec extends GraftSuite {
     }
   }
 
+  test("100TB posture: the DV anti-join broadcasts; filters stay pushed") {
+    val root = tmp("dvplan"); lake(root)
+    TxnCatalog.deletePositions(spark, root, "t", $"grp" === "g1" && $"k" < 50L)
+    val df = TxnCatalog.read(spark, root, "t").get.filter($"k" >= 200L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"a KB-scale deletion vector must broadcast under the anti-join:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(k,200)"),
+      s"the caller's filter must still reach the parquet scan:\n$plan")
+    assert(df.count() === 100L)
+  }
+
   test("SQL DELETE FROM with a non-key shape routes to a DV, no rewrite") {
     val root = Files.createTempDirectory("dvsql").toFile.getAbsolutePath
     val shared = spark
