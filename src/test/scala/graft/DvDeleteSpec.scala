@@ -189,6 +189,27 @@ class DvDeleteSpec extends GraftSuite {
     }
   }
 
+  test("two racing positional deletes both land (recompute-retry)") {
+    val root = tmp("dvrace"); lake(root)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val a = Future {
+        TxnCatalog.deletePositions(spark, root, "t", $"k" === 10L) }
+      val b = Future {
+        TxnCatalog.deletePositions(spark, root, "t", $"k" === 222L) }
+      Await.result(Future.sequence(Seq(a, b)), 120.seconds)
+    } finally pool.shutdown()
+    val got = TxnCatalog.read(spark, root, "t").get
+      .filter($"k".isin(10L, 222L)).count()
+    assert(got === 0L, "both racing deletes must take effect")
+    assert(TxnCatalog.read(spark, root, "t").get.count() === 298L)
+    assert(TxnCatalog.snapshot(spark, root).get.deleteEntries("t")
+      .size === 2, "each delete lands its own vector")
+  }
+
   test("100TB posture: the DV anti-join broadcasts; filters stay pushed") {
     val root = tmp("dvplan"); lake(root)
     TxnCatalog.deletePositions(spark, root, "t", $"grp" === "g1" && $"k" < 50L)
