@@ -180,6 +180,28 @@ object SqlQueries extends QueryGroup {
              |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // UNPIVOT (melt) — the inverse of a_pivot: wide metric columns fold
+    // into (metric, value) rows via Dataset.unpivot (Spark 3.4's melt);
+    // DuckDB runs its native UNPIVOT. Both engines emit the source
+    // column NAME as the metric, so the rendering is structural.
+    QueryDef(
+      "q_unpivot",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_partkey") <= 50000)
+          .select(col("p_partkey"),
+            col("p_size").cast("double").as("p_size"),
+            col("p_retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("p_size"), col("p_retailprice")), "metric", "value")
+          .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+             |                  p_retailprice
+             |           FROM part WHERE p_partkey <= 50000)
+             |  ON p_size, p_retailprice INTO NAME metric VALUE value)
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
     // Map functions: construct, extract, keys (§2.2 map row — surface).
     QueryDef(
       "f_map_battery",
