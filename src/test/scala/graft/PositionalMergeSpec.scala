@@ -141,4 +141,99 @@ class PositionalMergeSpec extends GraftSuite {
       assert(events === Set((3L, "v3", "delete"), (3L, "three", "insert")))
     }
   }
+
+  // --- ordered multi-clause families (first-match-wins, VERDICT r8 #2)
+
+  test("ordered MATCHED clauses: the FIRST qualifying clause wins") {
+    withCatalog { (s2, root) =>
+      lake(s2, root) // rows (i, b{i%3}, v{i}) for i in 0..5
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(0 AS BIGINT), 'b0', 'DEL'),
+               |(CAST(2 AS BIGINT), 'b2', 'UP'),
+               |(CAST(4 AS BIGINT), 'b1', 'other') AS s(a, b, v)""".stripMargin)
+      // row 0 satisfies BOTH the delete and the fallback update — the
+      // DELETE is first, so it must win; row 2 satisfies only the
+      // second clause; row 4 matches no condition except the fallback
+      s2.sql("""MERGE INTO lake.default.t USING src
+               |ON t.a = src.a AND t.b = src.b
+               |WHEN MATCHED AND src.v = 'DEL' THEN DELETE
+               |WHEN MATCHED AND src.v = 'UP' THEN UPDATE SET v = src.v
+               |WHEN MATCHED THEN UPDATE SET v = 'FALLBACK'""".stripMargin)
+      assert(rows(s2) === Seq((1L, "b1", "v1"), (2L, "b2", "UP"),
+        (3L, "b0", "v3"), (4L, "b1", "FALLBACK"), (5L, "b2", "v5")))
+    }
+  }
+
+  test("ordered MATCHED clauses: all-conditional, no-winner rows stay") {
+    withCatalog { (s2, root) =>
+      lake(s2, root)
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(1 AS BIGINT), 'b1', 'skip'),
+               |(CAST(3 AS BIGINT), 'b0', 'DEL') AS s(a, b, v)""".stripMargin)
+      // row 1 is MATCHED but satisfies neither condition: untouched —
+      // its coordinates must not be masked
+      s2.sql("""MERGE INTO lake.default.t USING src
+               |ON t.a = src.a AND t.b = src.b
+               |WHEN MATCHED AND src.v = 'DEL' THEN DELETE
+               |WHEN MATCHED AND src.v = 'UP' THEN UPDATE SET v = src.v
+               |""".stripMargin)
+      assert(rows(s2) === Seq((0L, "b0", "v0"), (1L, "b1", "v1"),
+        (2L, "b2", "v2"), (4L, "b1", "v4"), (5L, "b2", "v5")))
+    }
+  }
+
+  test("ordered NOT MATCHED inserts: first qualifying clause supplies the row") {
+    withCatalog { (s2, root) =>
+      lake(s2, root)
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(100 AS BIGINT), 'hi', 'big'),
+               |(CAST(101 AS BIGINT), 'lo', 'small') AS s(a, b, v)""".stripMargin)
+      s2.sql("""MERGE INTO lake.default.t USING src
+               |ON t.a = src.a AND t.b = src.b
+               |WHEN NOT MATCHED AND src.b = 'hi' THEN INSERT
+               |  (a, b, v) VALUES (src.a, src.b, 'PRIORITY')
+               |WHEN NOT MATCHED THEN INSERT (a, b, v)
+               |  VALUES (src.a, src.b, 'DEFAULT')""".stripMargin)
+      assert(rows(s2).filter(_._1 >= 100) ===
+        Seq((100L, "hi", "PRIORITY"), (101L, "lo", "DEFAULT")))
+    }
+  }
+
+  test("single-equality ON with multiple MATCHED clauses routes positionally") {
+    withCatalog { (s2, root) =>
+      lake(s2, root)
+      val before = (0 until 2).map(p => dirOf(root, s"batch=$p"))
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(0 AS BIGINT), 'x'), (CAST(1 AS BIGINT), 'y')
+               |AS s(a, v)""".stripMargin)
+      // the keyed fast path handles ONE clause per family; the ordered
+      // list must fall through to the positional engine and still
+      // apply first-match-wins under a plain key equality
+      s2.sql("""MERGE INTO lake.default.t USING src
+               |ON t.a = src.a
+               |WHEN MATCHED AND src.v = 'x' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+      assert(rows(s2) === Seq((1L, "b1", "y"), (2L, "b2", "v2"),
+        (3L, "b0", "v3"), (4L, "b1", "v4"), (5L, "b2", "v5")))
+      assert((0 until 2).map(p => dirOf(root, s"batch=$p")) === before,
+        "multi-clause MERGE must land as a deletion vector, not a rewrite")
+    }
+  }
+
+  test("ordered NBS clauses: conditional UPDATE shadows the DELETE sweep") {
+    withCatalog { (s2, root) =>
+      lake(s2, root)
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(0 AS BIGINT), 'b0', 'keep') AS s(a, b, v)""".stripMargin)
+      // target rows with no source match: b1 rows get tombstoned by
+      // the first clause, everything else unmatched-by-source deletes
+      s2.sql("""MERGE INTO lake.default.t USING src
+               |ON t.a = src.a AND t.b = src.b
+               |WHEN NOT MATCHED BY SOURCE AND t.b = 'b1' THEN UPDATE
+               |  SET v = 'TOMBSTONE'
+               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(rows(s2) === Seq((0L, "b0", "v0"), (1L, "b1", "TOMBSTONE"),
+        (4L, "b1", "TOMBSTONE")))
+    }
+  }
 }
