@@ -498,6 +498,51 @@ object CatalogQueries extends QueryGroup {
              |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // MERGE WITH SCHEMA EVOLUTION (VERDICT r8 task #3): the source
+    // carries a column the target lacks; the analyzer's evolution rule
+    // (gated on the AUTOMATIC_SCHEMA_EVOLUTION capability) drives an
+    // ADD-COLUMN through GraftCatalog.alterTable — ONE zero-row
+    // widened-schema commit — then the merge lands against the evolved
+    // table. Pre-existing rows surface the new column as NULL through
+    // the merged-footer read; matched rows take the source's value via
+    // SET *. Oracle: the UPDATE+INSERT expansion with a NULL backfill.
+    QueryDef(
+      "s_sql_merge_evolve",
+      (s, d) => {
+        val root = QueryFixtures.mergeBase(s, d)
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        graft.storage.GraftMerge.install(s)
+        cust.filter(col("c_custkey") < 80)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + 500.0).as("c_acctbal"),
+            (col("c_custkey") % 5).cast("int").as("tier"))
+          .union(s.sql("SELECT CAST(90000001 AS BIGINT), " +
+            "CAST(777.0 AS DOUBLE), CAST(9 AS INT)"))
+          .createOrReplaceTempView(s"${cat}_evsrc")
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.default.$t t
+                 |USING ${cat}_evsrc src
+                 |ON t.c_custkey = src.c_custkey
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+                 |  tier FROM $cat.default.$t ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal,
+             |    CAST(c_custkey % 5 AS INT) AS tier
+             |  FROM customer WHERE c_custkey < 80
+             |  UNION ALL SELECT 90000001, 777.0, 9),
+             |merged AS (
+             |  SELECT c_custkey, c_acctbal, CAST(NULL AS INT) AS tier
+             |  FROM customer
+             |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+             |  UNION ALL SELECT c_custkey, c_acctbal, tier FROM src)
+             |SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal, tier
+             |FROM merged ORDER BY c_custkey""".stripMargin)),
+
     // ORDERED multi-clause SQL MERGE (first-match-wins, the Delta/SQL
     // contract — VERDICT r8 task #2): three MATCHED clauses (a
     // conditional DELETE shadowing a conditional UPDATE shadowing the

@@ -700,9 +700,17 @@ private[storage] final class GraftSqlTable(
     m
   }
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION is the analyzer gate for `MERGE WITH
+    * SCHEMA EVOLUTION`: ResolveMergeIntoSchemaEvolution diffs the
+    * source schema against the target and drives the ADD-COLUMN
+    * TableChanges through [[GraftCatalog.alterTable]] (one zero-row
+    * widened-schema commit; old rows read the new columns as null),
+    * then re-resolves the merge against the evolved relation. Type
+    * CONFLICTS fail in alterTable/analysis, nothing half-applies. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =

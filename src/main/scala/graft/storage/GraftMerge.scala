@@ -97,7 +97,14 @@ object GraftMerge {
     * one deletion vector + one batch in one conditional txn. */
   private[storage] def run(spark: SparkSession, target: GraftSqlTable,
       m: MergeIntoTable): Unit = {
-    if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not supported")
+    // `WITH SCHEMA EVOLUTION` is handled BEFORE this runs: Spark's
+    // ResolveMergeIntoSchemaEvolution computes the source-vs-target
+    // TableChanges and drives them through GraftCatalog.alterTable
+    // (one zero-row widened-schema commit; old rows surface the new
+    // columns as null via the merged-footer read), then re-resolves
+    // the merge against the evolved relation — by the time execution
+    // reaches here the target schema already carries the new columns,
+    // and type CONFLICTS were refused by alterTable/analysis.
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
     val keyed: Option[(AttributeReference, AttributeReference)] =

@@ -236,4 +236,64 @@ class PositionalMergeSpec extends GraftSuite {
         (4L, "b1", "TOMBSTONE")))
     }
   }
+
+  // --- MERGE schema evolution (VERDICT r8 task #3)
+
+  test("WITH SCHEMA EVOLUTION: new source column lands, old rows null") {
+    withCatalog { (s2, root) =>
+      lake(s2, root)
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(2 AS BIGINT), 'b2', 'UP', CAST(7.5 AS DOUBLE)),
+               |(CAST(9 AS BIGINT), 'b9', 'NEW', CAST(1.25 AS DOUBLE))
+               |AS s(a, b, v, score)""".stripMargin)
+      s2.sql("""MERGE WITH SCHEMA EVOLUTION INTO lake.default.t
+               |USING src ON t.a = src.a AND t.b = src.b
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = s2.sql(
+        "SELECT a, b, v, score FROM lake.default.t ORDER BY a, b")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+      assert(out.toSeq === Seq(
+        (0L, "b0", "v0", None), (1L, "b1", "v1", None),
+        (2L, "b2", "UP", Some(7.5)), (3L, "b0", "v3", None),
+        (4L, "b1", "v4", None), (5L, "b2", "v5", None),
+        (9L, "b9", "NEW", Some(1.25))))
+    }
+  }
+
+  test("WITH SCHEMA EVOLUTION: explicit INSERT naming the new column") {
+    withCatalog { (s2, root) =>
+      lake(s2, root)
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(9 AS BIGINT), 'b9', 'NEW', CAST(42.0 AS DOUBLE))
+               |AS s(a, b, v, score)""".stripMargin)
+      s2.sql("""MERGE WITH SCHEMA EVOLUTION INTO lake.default.t
+               |USING src ON t.a = src.a AND t.b = src.b
+               |WHEN NOT MATCHED THEN INSERT (a, b, v, score)
+               |  VALUES (src.a, src.b, src.v, src.score)""".stripMargin)
+      val added = s2.sql(
+        "SELECT a, score FROM lake.default.t WHERE a = 9").collect()
+      assert(added.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+        Seq((9L, 42.0)))
+      assert(s2.sql("SELECT count(*) FROM lake.default.t " +
+        "WHERE score IS NULL").collect().head.getLong(0) === 6L)
+    }
+  }
+
+  test("without SCHEMA EVOLUTION, an unknown insert column is refused") {
+    withCatalog { (s2, root) =>
+      lake(s2, root)
+      s2.sql("""CREATE OR REPLACE TEMP VIEW src AS SELECT * FROM VALUES
+               |(CAST(9 AS BIGINT), 'b9', 'NEW', CAST(42.0 AS DOUBLE))
+               |AS s(a, b, v, score)""".stripMargin)
+      intercept[Exception] {
+        s2.sql("""MERGE INTO lake.default.t USING src
+                 |ON t.a = src.a AND t.b = src.b
+                 |WHEN NOT MATCHED THEN INSERT (a, b, v, score)
+                 |  VALUES (src.a, src.b, src.v, src.score)""".stripMargin)
+      }
+      assert(rows(s2).size === 6, "refused MERGE publishes nothing")
+    }
+  }
 }
