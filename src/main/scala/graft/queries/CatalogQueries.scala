@@ -944,6 +944,33 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT c_custkey, c_acctbal AS balance FROM customer
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ALTER COLUMN TYPE widening round trip (VERDICT r8 task #6):
+    // the key was committed NARROW (int32 parquet); one MANIFEST-ONLY
+    // widen (a zero-row schema batch — no data rewritten) declares it
+    // BIGINT, an INSERT lands a key only the wide type can hold, and
+    // the read back serves old int32 files and the new int64 batch
+    // through one widened schema (Spark's parquet up-cast + the
+    // engine's width-tolerant footer merge). Oracle: the same rows
+    // with the key plainly cast.
+    QueryDef(
+      "s_sql_widen_col",
+      (s, d) => {
+        val root = QueryFixtures.widenBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        s.sql(s"ALTER TABLE $cat.default.$t ALTER COLUMN c_custkey " +
+          "TYPE BIGINT")
+        s.sql(s"INSERT INTO $cat.default.$t VALUES " +
+          "(CAST(5000000001 AS BIGINT), CAST(42.5 AS DOUBLE))")
+        s.sql(s"""SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM $cat.default.$t ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+             |FROM (SELECT c_custkey, c_acctbal FROM customer
+             |      UNION ALL VALUES (5000000001, 42.5))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TAGS round trip (Iceberg tags on the txn axis): commit the full
     // customer set, CALL tag it, destructively overwrite the table,
     // vacuum with keep=1 — the tagged txn is EXEMPT, so reading

@@ -248,6 +248,20 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for ALTER COLUMN TYPE widening: the key committed
+    * NARROW (INT — custkeys fit at every SF), 2 batches. */
+  def widenBase(s: SparkSession, sfDir: String): String =
+    fixture("widenbase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select(col("c_custkey").cast("int").as("c_custkey"),
+          col("c_acctbal"))
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 2).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+        statsColumns = Seq("c_custkey"))
+      ()
+    }
+
   /** Base lake for `s_sql_catalog` (INSERT INTO + pruned SELECT). */
   def sqlCatBase(s: SparkSession, sfDir: String): String =
     fixture("sqlcatbase-v1", sfDir) { root =>

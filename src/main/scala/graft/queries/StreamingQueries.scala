@@ -88,6 +88,62 @@ object StreamingQueries extends QueryGroup {
              |FROM events WHERE value >= 0.0
              |ORDER BY event_id, user_id, value, value2""".stripMargin)),
 
+    // APPLY CHANGES INTO under the oracle gate: a keyed bronze table's
+    // row-level CHANGE FEED (readChangeFeed=true) streams through
+    // Streams.cdcApplySink into a silver table maintained as the
+    // latest-row-per-key projection — initial load, then a delete +
+    // re-upsert commit arriving as incremental micro-batches. The
+    // silver read must hash-equal the plain latest-state SQL: deleted
+    // keys gone, upserted keys at their newest values, everything else
+    // untouched. Pins the whole CDC pipeline (feed rendering, final-
+    // state reduction, ledgered merge-on-read landing) to DuckDB.
+    QueryDef(
+      "st_cdc_apply",
+      (s, d) => {
+        import s.implicits._
+        val bronze = java.nio.file.Files
+          .createTempDirectory("q_cdcab").toString
+        val silver = java.nio.file.Files
+          .createTempDirectory("q_cdcas").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q_cdcac").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.commitPartitions(s, bronze,
+          (0 until 2).map(k => ("cust", s"b=$k",
+            cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+          statsColumns = Seq("c_custkey"))
+        val feed = s.readStream.format("graft-lake")
+          .option("root", bronze).option("table", "cust")
+          .option("readChangeFeed", "true").load()
+        val q = graft.streaming.Streams.cdcApplySink(feed, silver,
+          "cust", "c_custkey", ckpt, statsColumns = Seq("c_custkey"))
+        try {
+          q.processAllAvailable()
+          // 4242 exists only at sf >= 0.1 — a delete EVENT regardless;
+          // both engines adapt identically
+          graft.storage.TxnCatalog.deleteKeys(s, bronze, "cust",
+            "c_custkey", Seq(21L, 4242L).toDF("c_custkey"))
+          graft.storage.TxnCatalog.commitPartitions(s, bronze,
+            Seq(("cust", "b=up",
+              cust.filter(col("c_custkey") < 20)
+                .select(col("c_custkey"),
+                  (col("c_acctbal") + 1000.0).as("c_acctbal")))))
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.storage.TxnCatalog.read(s, silver, "cust").get
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM (
+             |  SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal
+             |  FROM customer WHERE c_custkey < 20
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal FROM customer
+             |  WHERE c_custkey >= 20 AND c_custkey NOT IN (21, 4242))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Tumbling event-time windows over the events table (10-minute buckets,
     // epoch-aligned in both engines).
     QueryDef(

@@ -369,16 +369,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val t = ident.name()
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val widens = changes.collect {
+      case u: TableChange.UpdateColumnType => u }
     val setProps = changes.collect {
       case p: TableChange.SetProperty => p.property -> p.value
       case p: TableChange.RemoveProperty => p.property -> ""
     }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    require(adds.size + setProps.size + renames.size + drops.size ==
-      changes.size,
-      "only ADD/RENAME/DROP COLUMN(S) and SET/UNSET TBLPROPERTIES are " +
-        s"supported; got: ${changes.mkString(", ")}")
+    require(adds.size + widens.size + setProps.size + renames.size +
+      drops.size == changes.size,
+      "only ADD/RENAME/DROP COLUMN(S), ALTER COLUMN TYPE (widening), " +
+        "and SET/UNSET TBLPROPERTIES are supported; got: " +
+        changes.mkString(", "))
     // RENAME/DROP are full-rewrite txns ([[TxnCatalog.renameColumn]])
     // with their own guards; keep them single-change so a refusal can
     // never leave a half-applied multi-change ALTER
@@ -407,9 +410,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val base = GraftLake.schemaOf(spark, root, t, snap0)
       .getOrElse(throw new NoSuchTableException(ident))
     // validate EVERY change before applying ANY (no partial ALTER)
-    require(adds.isEmpty || !snap0.entries.contains((t, TxnCatalog.Whole)),
-      "ADD COLUMN needs a partitioned table (whole-table snapshots " +
-        "rewrite through TxnCatalog.commit)")
+    require((adds.isEmpty && widens.isEmpty) ||
+      !snap0.entries.contains((t, TxnCatalog.Whole)),
+      "ADD COLUMN / ALTER COLUMN TYPE need a partitioned table " +
+        "(whole-table snapshots rewrite through TxnCatalog.commit)")
     val fresh = adds.map { a =>
       require(a.fieldNames().length == 1,
         s"nested column adds are not supported: ${a.fieldNames().mkString(".")}")
@@ -421,9 +425,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     fresh.foreach(f => require(!base.fieldNames.contains(f.name),
       s"column ${f.name} already exists"))
+    // ALTER COLUMN TYPE: MANIFEST-ONLY widening (one zero-row batch
+    // carrying the widened schema; Spark's parquet readers up-cast the
+    // untouched narrow files at read, so no data is rewritten) —
+    // admitted only for the parquet-readable widening set; everything
+    // else (narrowing, string casts, nested fields) refuses here.
+    def validateWidens(
+        cur: org.apache.spark.sql.types.StructType): Unit =
+      widens.foreach { w =>
+        require(w.fieldNames().length == 1,
+          s"nested column type changes are not supported: " +
+            w.fieldNames().mkString("."))
+        val name = w.fieldNames()(0)
+        val f = cur.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$name' in '$t'"))
+        require(TxnCatalog.isWidening(f.dataType, w.newDataType()),
+          s"ALTER COLUMN TYPE on '$name' supports only lossless " +
+            "parquet-readable widenings (byte/short/int->long, " +
+            "float->double, decimal precision/scale growth); got " +
+            s"${f.dataType.simpleString} -> " +
+            w.newDataType().simpleString)
+      }
+    validateWidens(base)
     if (setProps.nonEmpty)
       TxnCatalog.setTableProperties(spark, root, t, setProps.toMap)
-    if (adds.isEmpty) return new GraftSqlTable(root, t, base)
+    if (adds.isEmpty && widens.isEmpty)
+      return new GraftSqlTable(root, t, base)
     // CONDITIONAL commit, re-validated per attempt: two concurrent
     // ALTERs race the same deterministic batch=schema<txn+1> name, and
     // an unconditional commit would let the loser silently replace the
@@ -440,7 +468,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .getOrElse(throw new NoSuchTableException(ident))
       fresh.foreach(f => require(!cur.fieldNames.contains(f.name),
         s"column ${f.name} already exists"))
-      val widened = StructType(cur.fields.toSeq ++ fresh)
+      validateWidens(cur) // re-check per attempt: a rival may have moved
+      val newTypes = widens.map(w => w.fieldNames()(0) ->
+        w.newDataType()).toMap
+      val widened = StructType(cur.fields.toSeq.map(f =>
+        newTypes.get(f.name).map(dt => f.copy(dataType = dt))
+          .getOrElse(f)) ++ fresh)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], widened).repartition(1)
       try {

@@ -341,15 +341,88 @@ object TxnCatalog {
     * as mergeSchema rendered them). */
   private[storage] def readParquetCached(spark: SparkSession,
       paths: Seq[String]): DataFrame = {
+    if (pathSchemaCache.size > 8192) pathSchemaCache.clear() // bounded
     val key = paths.sorted.mkString("\n")
     pathSchemaCache.get(key) match {
       case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
       case None =>
         val df =
-          if (paths.sizeIs == 1) spark.read.parquet(paths.head)
-          else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          try {
+            if (paths.sizeIs == 1) spark.read.parquet(paths.head)
+            else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          } catch {
+            // WIDTH-mixed footers (int32 beside int64, float beside
+            // double — the layout ALTER COLUMN TYPE widening and a
+            // widened append both produce): Spark's footer merge
+            // refuses, but its parquet READERS up-cast fine when the
+            // requested schema is the wider type. Merge the per-path
+            // schemas ourselves with numeric widening and read
+            // explicitly; the union caches like any other pathset.
+            case e: org.apache.spark.SparkException
+                if e.getMessage != null &&
+                  e.getMessage.contains("CANNOT_MERGE_SCHEMAS") =>
+              val sc = paths.map(p => spark.read.parquet(p).schema)
+                .reduceLeft(widenMergeSchemas(_, _, e))
+              spark.read.schema(sc).parquet(paths: _*)
+          }
         pathSchemaCache.putIfAbsent(key, df.schema)
         df
+    }
+  }
+
+  /** Union `a` and `b` by field name, resolving same-name type clashes
+    * by NUMERIC WIDENING (the only clash the engine ever writes:
+    * byte/short/int/long chain, float→double, decimal growth — always
+    * from a column-type widen followed by conformed appends). Anything
+    * else rethrows the original merge failure: silent coercion of
+    * genuinely incompatible layouts would corrupt, not repair. */
+  private def widenMergeSchemas(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType,
+      orig: Exception): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def wider(x: DataType, y: DataType): DataType =
+      if (x == y) x
+      else (x, y) match {
+        case (dx: DecimalType, dy: DecimalType) =>
+          val intDigits = math.max(dx.precision - dx.scale,
+            dy.precision - dy.scale)
+          val scale = math.max(dx.scale, dy.scale)
+          DecimalType(math.min(38, intDigits + scale), scale)
+        case _ if isWidening(x, y) => y
+        case _ if isWidening(y, x) => x
+        case _ => throw orig
+      }
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { f =>
+      bByName.get(f.name) match {
+        case Some(g) => StructField(f.name, wider(f.dataType, g.dataType),
+          f.nullable || g.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    StructType(merged ++ b.fields.filterNot(f => aNames(f.name))
+      .map(_.copy(nullable = true)))
+  }
+
+  /** Is reading parquet written at `from` with a requested schema of
+    * `to` a supported UP-CAST in Spark's parquet readers? The widening
+    * set [[GraftCatalog]]'s ALTER COLUMN TYPE admits. */
+  private[storage] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    (from, to) match {
+      case (f, t) if integral.contains(f) && integral.contains(t) =>
+        integral.indexOf(f) < integral.indexOf(t)
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        (t.precision - t.scale) >= (f.precision - f.scale) &&
+          t.scale >= f.scale && (t.precision > f.precision ||
+            t.scale > f.scale)
+      case _ => false
     }
   }
 
@@ -363,7 +436,8 @@ object TxnCatalog {
     * queue behind data jobs. parquet-hadoop's Group reader reads the
     * same bytes in-process with ZERO jobs. */
   private[storage] def readPropsDirect(spark: SparkSession,
-      path: String): Map[String, String] =
+      path: String): Map[String, String] = {
+    if (propsDirCache.size > 8192) propsDirCache.clear() // bounded
     propsDirCache.getOrElseUpdate(path, {
       import org.apache.parquet.hadoop.ParquetReader
       import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -386,6 +460,7 @@ object TxnCatalog {
           finally rdr.close()
         }.toMap
     })
+  }
 
   /** A catalog view pinned at one committed txn: every read through the
     * same snapshot resolves against the SAME manifest, so a logical read
@@ -2289,6 +2364,72 @@ object TxnCatalog {
       deleteKeyCols = delEntry
         .map(e => (e._1, e._2) -> keyColumn).toMap,
       bloomColumns = bloomColumns)(() => ())
+  }
+
+  /** The storage half of a STREAMING CDC APPLY ([[graft.streaming
+    * .Streams.cdcApplySink]]): one micro-batch's key masks + final-state
+    * upserts AND the ledger fact "`appId` applied `version`" land in ONE
+    * atomic conditional txn — [[mergeKeyed]]'s merge-on-read upsert with
+    * [[appendLedgered]]'s replay protection. Returns false (committing
+    * nothing) when the ledger already covers `version`: a crashed
+    * trigger's redelivery is a no-op no matter what maintenance renamed
+    * since. Bootstraps the target table on its first batch (no delete
+    * entry is written while there is no data to mask). */
+  private[graft] def mergeBatchLedgered(spark: SparkSession, root: String,
+      table: String, keyColumn: String,
+      deleteKeys: Option[DataFrame], append: Option[DataFrame],
+      appId: String, version: Long,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Boolean = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    checkTableName(table)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val snap = snapshot(spark, root)
+      val props = snap.map(_.properties(table)).getOrElse(Map.empty)
+      if (props.get(ledgerKey(appId)).exists(_.toLong >= version))
+        return false
+      require(snap.forall(s => !s.entries.contains((table, Whole))),
+        s"table '$table' holds a whole-table snapshot; merge-on-read " +
+          "CDC apply needs a partitioned table")
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val exists = snap.exists(_.dataEntries(table).nonEmpty)
+      val delEntry =
+        if (!exists) None // nothing to mask before the first batch
+        else deleteKeys.map { k =>
+          require(k.columns.contains(keyColumn),
+            s"delete keys frame lacks column '$keyColumn'")
+          (table, s"~d-$nonce",
+            k.select(col(keyColumn).as(DeleteKeyColumn))
+              .filter(col(DeleteKeyColumn).isNotNull).distinct())
+        }
+      val appEntry = append.map(df => (table, s"batch=m$nonce", df))
+      val merged = props + (ledgerKey(appId) -> version.toString)
+      val kv = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          merged.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+        StructType(Seq(StructField("key", StringType, nullable = false),
+          StructField("value", StringType, nullable = false))))
+      val updates = delEntry.toSeq ++ appEntry.toSeq :+
+        ((table, PropsPartition, kv))
+      try {
+        publish(spark, root, updates,
+          statsColumns = statsColumns, drops = Nil,
+          expectedTxn = Some(snap.map(_.txn).getOrElse(0L)),
+          reconcile = identity,
+          deleteKeyCols = delEntry
+            .map(e => (e._1, e._2) -> keyColumn).toMap,
+          bloomColumns = bloomColumns)(() => ())
+        return true
+      } catch {
+        case _: java.io.IOException if attempts < 20 =>
+          Thread.sleep(math.min(200L, attempts * 20L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Materialize pending equality deletes: rewrite every data entry an

@@ -251,6 +251,50 @@ object Streams {
       }
       .start()
 
+  /** APPLY CHANGES INTO (Delta Live Tables' flagship CDC pattern): a
+    * row-level change stream — the graft-lake source with
+    * `readChangeFeed=true`, or any frame carrying
+    * `_change_type`/`_txn` — maintains `table` as the LATEST-row-per-
+    * key projection of the feed. Each micro-batch reduces to its final
+    * state per key (highest `_txn` wins; at the same txn an insert
+    * beats a delete — the engine's delete-before-data rule rendered on
+    * the feed), then lands as ONE conditional txn: an equality-delete
+    * masking every touched key + the final-state upsert batch + the
+    * replay ledger ([[graft.storage.TxnCatalog.mergeBatchLedgered]]).
+    * Exactly-once under crash-redelivery AND under downstream
+    * OPTIMIZE/clustering, like [[lakeSink]]. O(changes) per trigger —
+    * never a target rewrite — so a trickle of CDC against a
+    * 10 000-partition silver table costs one key list + one batch.
+    * NULL-keyed change rows are dropped (an equality key list cannot
+    * address them — the engine-wide rule). */
+  def cdcApplySink(changes: DataFrame, root: String, table: String,
+      keyCol: String, checkpointDir: String,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val ct = graft.storage.TxnCatalog.ChangeTypeColumn
+        val tx = graft.storage.TxnCatalog.ChangeTxnColumn
+        val keyed = batch.filter(col(keyCol).isNotNull)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col(tx).desc,
+            when(col(ct) === "insert", 1).otherwise(0).desc)
+        val ups = keyed
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1 && col(ct) === "insert")
+          .drop(ct, tx, "__graft_rn")
+        val keys = keyed.select(keyCol).distinct()
+        graft.storage.TxnCatalog.mergeBatchLedgered(s, root, table,
+          keyCol, Some(keys), Some(ups), checkpointDir, id,
+          statsColumns, bloomColumns)
+        ()
+      }
+      .start()
+
   /** E1 as a continuous ingest: a stream of image rows is classified
     * against the STATIC parcel table (centroid → containment-first spatial
     * join with 1-NN fallback, [[graft.pipelines.Pipelines.ingestClassify]])

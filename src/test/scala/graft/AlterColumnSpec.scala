@@ -137,4 +137,141 @@ class AlterColumnSpec extends GraftSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  // --- ALTER COLUMN TYPE widening (VERDICT r8 task #6)
+
+  private def withSqlCatalog[A](tag: String)(
+      f: (SparkSession, String) => A): A = {
+    val root = tmp(tag)
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName(s"graft-$tag-test")
+      .config("spark.sql.catalog.lake", "graft.storage.GraftCatalog")
+      .config("spark.sql.catalog.lake.root", root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try f(s2, root)
+    finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("ALTER COLUMN TYPE int->bigint is a manifest-only widen") {
+    withSqlCatalog("widen") { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0",
+          (0 until 50).map(i => (i, s"n$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      val dirsBefore = new java.io.File(s"$root/ev/b=0").listFiles()
+        .map(_.getName).sorted.toSeq
+      s2.sql("ALTER TABLE lake.default.ev ALTER COLUMN k TYPE BIGINT")
+      // schema widened, values intact, narrow files NOT rewritten
+      assert(s2.table("lake.default.ev").schema("k").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(s2.sql("SELECT sum(k) FROM lake.default.ev")
+        .collect().head.getLong(0) === (0 until 50).sum.toLong)
+      assert(new java.io.File(s"$root/ev/b=0").listFiles()
+        .map(_.getName).sorted.toSeq === dirsBefore,
+        "widening must not rewrite existing data")
+      // appends conform to the WIDE type; mixed-width footers still read
+      s2.sql("INSERT INTO lake.default.ev VALUES " +
+        "(CAST(5000000000 AS BIGINT), 'wide')")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev " +
+        "WHERE k > 2000000000").collect().head.getLong(0) === 1L)
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 51L)
+    }
+  }
+
+  test("ALTER COLUMN TYPE float->double and decimal growth") {
+    withSqlCatalog("widenf") { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("m", "b=0",
+          (0 until 10).map(i => (i.toLong, i.toFloat, i))
+            .toDF("k", "f", "d0")
+            .withColumn("d", col("d0").cast("decimal(10,2)")).drop("d0"))),
+        statsColumns = Seq("k"))
+      s2.sql("ALTER TABLE lake.default.m ALTER COLUMN f TYPE DOUBLE")
+      s2.sql("ALTER TABLE lake.default.m ALTER COLUMN d TYPE DECIMAL(38,4)")
+      val sch = s2.table("lake.default.m").schema
+      assert(sch("f").dataType === org.apache.spark.sql.types.DoubleType)
+      assert(sch("d").dataType ===
+        org.apache.spark.sql.types.DecimalType(38, 4))
+      assert(s2.sql("SELECT sum(f), sum(d) FROM lake.default.m")
+        .collect().head.getDouble(0) === 45.0)
+    }
+  }
+
+  test("ALTER COLUMN TYPE refuses narrowing and non-numeric casts") {
+    withSqlCatalog("widenref") { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0",
+          (0 until 5).map(i => (i.toLong, s"n$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      // Spark's own analysis refuses narrowing/non-numeric changes
+      // (NOT_SUPPORTED_CHANGE_COLUMN) before the catalog sees them;
+      // the catalog's widening gate is the second line of defense for
+      // direct TableChange callers
+      val e1 = intercept[Exception] {
+        s2.sql("ALTER TABLE lake.default.ev ALTER COLUMN k TYPE INT")
+      }
+      assert(e1.getMessage.contains("widening") ||
+        e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+      val e2 = intercept[Exception] {
+        s2.sql("ALTER TABLE lake.default.ev ALTER COLUMN nm TYPE BIGINT")
+      }
+      assert(e2.getMessage.contains("widening") ||
+        e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+      val e3 = intercept[Exception] {
+        // direct TableChange path: bypasses SQL analysis, hits the gate
+        s2.sessionState.catalogManager.catalog("lake")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+          .alterTable(
+            org.apache.spark.sql.connector.catalog.Identifier
+              .of(Array("default"), "ev"),
+            org.apache.spark.sql.connector.catalog.TableChange
+              .updateColumnType(Array("k"),
+                org.apache.spark.sql.types.IntegerType))
+      }
+      assert(e3.getMessage.contains("widening"))
+      // nothing half-applied
+      assert(s2.table("lake.default.ev").schema("k").dataType ===
+        org.apache.spark.sql.types.LongType)
+    }
+  }
+
+  test("widened column stays readable through the engine read paths") {
+    withSqlCatalog("widenrd") { (s2, root) =>
+      import s2.implicits._
+      (0 until 2).foreach { b =>
+        TxnCatalog.commitPartitions(s2, root,
+          Seq(("ev", s"b=$b",
+            (b * 10 until (b + 1) * 10).map(i => (i, i * 2L))
+              .toDF("k", "v"))),
+          statsColumns = Seq("k"))
+      }
+      s2.sql("ALTER TABLE lake.default.ev ALTER COLUMN k TYPE BIGINT")
+      // TxnCatalog.read (funnel), readWhere (stats pruning), and the
+      // Catalyst GraftLake path all serve the widened schema
+      val funnel = TxnCatalog.read(s2, root, "ev").get
+      assert(funnel.schema("k").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(funnel.count() === 20L)
+      val pruned = TxnCatalog.snapshot(s2, root).get
+        .readWhere("ev", "k", 0L, 5L).get
+      assert(pruned.filter(col("k") <= 5).count() === 6L)
+      val lake = graft.storage.GraftLake.table(s2, root, "ev").get
+      assert(lake.where(col("k") === 15L).count() === 1L)
+      // equality-delete with narrow key list still masks after widen
+      TxnCatalog.deleteKeys(s2, root, "ev", "k", Seq(3L).toDF("k"))
+      assert(TxnCatalog.read(s2, root, "ev").get.count() === 19L)
+    }
+  }
 }
