@@ -266,7 +266,11 @@ object Streams {
     * never a target rewrite — so a trickle of CDC against a
     * 10 000-partition silver table costs one key list + one batch.
     * NULL-keyed change rows are dropped (an equality key list cannot
-    * address them — the engine-wide rule). */
+    * address them — the engine-wide rule). `keyCol` must actually be a
+    * key UPSTREAM: two different inserts of the same key in the same
+    * source txn have no defined "latest" (the source table itself
+    * holds both rows), and the projection keeps an arbitrary one —
+    * the same contract as Delta Live Tables' APPLY CHANGES. */
   def cdcApplySink(changes: DataFrame, root: String, table: String,
       keyCol: String, checkpointDir: String,
       statsColumns: Seq[String] = Nil,
