@@ -1692,7 +1692,13 @@ object TxnCatalog {
       drops: Seq[(String, String)] = Nil,
       keyExpr: Option[org.apache.spark.sql.Column] = None,
       dataTxn: Option[Long] = None,
-      expectedTxn: Option[Long] = None): Long = {
+      expectedTxn: Option[Long] = None,
+      // [[rewritePartitionsBulk]] hooks: name each staged group with
+      // this function of the RAW key (instead of `<prefix><key>=<v>`),
+      // and exclude these columns from the staged data files (the
+      // attribution column a bulk rewrite rides on)
+      partNameOf: Option[String => String] = None,
+      dropData: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
@@ -1732,6 +1738,7 @@ object TxnCatalog {
     val stagingDir = new Path(s"$root/$table/.bulk.$next.$nonce")
     // 1. one write job for every partition
     df.withColumn(bulkKey, groupKey.cast("string"))
+      .drop(dropData: _*)
       .write.partitionBy(bulkKey).parquet(stagingDir.toString)
     // Everything below measures the STAGED files, never the input frame
     // again: a nondeterministic (or concurrently-changing) input would
@@ -1741,6 +1748,21 @@ object TxnCatalog {
     // recursiveFileLookup skips Hive partition discovery (no type
     // re-inference on the key); keyCol is a data column by contract, so
     // the staged read carries it at its original type.
+    val stagedKeyDirs = f.listStatus(stagingDir).filter(_.isDirectory)
+    // a bulk REWRITE can legitimately stage zero groups (every row of
+    // every touched partition deleted): nothing to measure or move —
+    // the commit is pure `drops`
+    if (stagedKeyDirs.isEmpty) {
+      f.delete(stagingDir, true)
+      require(extraUpdates.isEmpty || partNameOf.isDefined,
+        "bulk load staged no partitions (empty input frame)")
+      val extraStaged: Map[(String, String), Entry] =
+        stageExtras(spark, f, root, prevManifest, Map.empty, dirName,
+          extraUpdates, statsColumns)
+      casPublish(f, root, next, nonce, prevManifest -- drops,
+        extraStaged)(() => ())
+      return next
+    }
     val stagedDf = spark.read.option("recursiveFileLookup", "true")
       .parquet(stagingDir.toString)
     // table properties, read once: constraints below AND the
@@ -1781,8 +1803,28 @@ object TxnCatalog {
         Seq(min(m(c)).cast("string").as(s"min:$c"),
             max(m(c)).cast("string").as(s"max:$c"),
             count(col(c)).as(s"cnt:$c")))
+    // the grouping key for the staged stats pass: normally the same
+    // expression that partitioned the write (derivable from data
+    // columns); in partNameOf mode (bulk REWRITE) the key was an
+    // attribution column EXCLUDED from the data — recover it from each
+    // staged file's PARENT DIR instead. `_metadata.file_path` is a URI
+    // rendering (the on-disk hive-escaped name gets its '%' URI-escaped
+    // once more), so the captured parent decodes driver-side via
+    // java.net.URI back to the exact on-disk dir name the move loop
+    // sees.
+    val statsKey: org.apache.spark.sql.Column = partNameOf match {
+      case Some(_) => org.apache.spark.sql.functions.regexp_extract(
+        col("_metadata.file_path"), "^(.*)/[^/]+$", 1)
+      case None => groupKey.cast("string")
+    }
+    def statsMapKey(v: String): String = partNameOf match {
+      case Some(_) =>
+        val p = new java.net.URI(v).getPath
+        p.substring(p.lastIndexOf('/') + 1).stripPrefix(bulkKey + "=")
+      case None => v
+    }
     val grouped: Map[Option[String], (Map[String, ColStat], Long)] =
-      stagedDf.groupBy(groupKey.cast("string").as(bulkKey))
+      stagedDf.groupBy(statsKey.as(bulkKey))
         .agg(aggs.head, aggs.tail: _*)
         .collect().map { row =>
           val stats = kinds.flatMap { case (c, kind) =>
@@ -1794,7 +1836,7 @@ object TxnCatalog {
               case _ => None
             }
           }
-          Option(row.getAs[String](bulkKey)) ->
+          Option(row.getAs[String](bulkKey)).map(statsMapKey) ->
             ((stats, row.getAs[Long]("rows:")))
         }.toMap
     // 3. move each staged key dir into its partition slot
@@ -1805,15 +1847,24 @@ object TxnCatalog {
       f.listStatus(stagingDir).filter(_.isDirectory).map { d =>
         val hive = d.getPath.getName // __graft_bulk_key=<escaped value>
         val escaped = hive.substring(bulkKey.length + 1)
-        val part = s"$partPrefix$keyCol=$escaped"
-        checkPartitionName(part)
         val raw = unescape(escaped)
         val key =
           if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+        val part = partNameOf match {
+          case Some(fn) =>
+            require(key.isDefined, "bulk rewrite produced rows with no " +
+              "partition attribution (null rewrite key)")
+            fn(raw)
+          case None => s"$partPrefix$keyCol=$escaped"
+        }
+        checkPartitionName(part)
         val target = new Path(entryPath(root, table, part, dirName))
         f.mkdirs(target.getParent)
         require(f.rename(d.getPath, target), s"staging move failed: $part")
-        val (stats, rows) = grouped.getOrElse(key, (Map.empty[String, ColStat], 0L))
+        val statsLookup =
+          if (partNameOf.isDefined) Some(escaped) else key
+        val (stats, rows) =
+          grouped.getOrElse(statsLookup, (Map.empty[String, ColStat], 0L))
         // `dataTxn` carries the sources' max data txn when this bulk
         // write is a REORGANIZATION (spec-aware compaction) — incremental
         // consumers skip it exactly like compactPartitions' folds
@@ -1824,21 +1875,41 @@ object TxnCatalog {
     // (an index build commits its data cells in bulk and its small
     // router table atomically beside them — see [[graft.ops.VectorLake]]);
     // any failure here unwinds everything staged so far
-    def unstageAll(extras: Map[(String, String), Entry]): Unit =
-      (staged ++ extras).foreach { case ((st2, sp2), en) =>
-        f.delete(new Path(entryPath(root, st2, sp2, en.dir)), true)
-      }
     val extraStaged: Map[(String, String), Entry] =
-      try extraUpdates.map { case (t, p, edf) =>
-        checkTableName(t)
-        checkPartitionName(p)
-        require(!prevManifest.contains((t, Whole)),
-          s"table '$t' holds a whole-table snapshot")
-        require(!staged.contains((t, p)),
-          s"extra update collides with a bulk partition: ($t, $p)")
-        val path = entryPath(root, t, p, dirName)
-        edf.write.mode("errorifexists").parquet(path)
-        // enforce the extra table's constraints like the shared path does
+      stageExtras(spark, f, root, prevManifest, staged, dirName,
+        extraUpdates, statsColumns)
+    // 4. one manifest CAS for everything (drops applied to the carried
+    // manifest; dropping an entry this commit also replaces is
+    // redundant but harmless — the merge wins)
+    casPublish(f, root, next, nonce, prevManifest -- drops,
+      staged ++ extraStaged)(() => ())
+    next
+  }
+
+  /** [[commitPartitioned]]'s extra-entries staging, shared with its
+    * zero-group early exit: each extra (table, partition, frame) writes
+    * classic per-entry staging in the bulk txn's dir name, constraint-
+    * checked (skipped for the one admitted internal entry — a
+    * rewrite's `~p` kv frame, which has no data columns); any failure
+    * unwinds everything staged so far (bulk groups included). */
+  private def stageExtras(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, root: String,
+      prevManifest: Map[(String, String), Entry],
+      staged: Map[(String, String), Entry], dirName: String,
+      extraUpdates: Seq[(String, String, DataFrame)],
+      statsColumns: Seq[String]): Map[(String, String), Entry] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    try extraUpdates.map { case (t, p, edf) =>
+      checkTableName(t)
+      if (p != PropsPartition) checkPartitionName(p)
+      require(!prevManifest.contains((t, Whole)),
+        s"table '$t' holds a whole-table snapshot")
+      require(!staged.contains((t, p)),
+        s"extra update collides with a bulk partition: ($t, $p)")
+      val path = entryPath(root, t, p, dirName)
+      edf.write.mode("errorifexists").parquet(path)
+      // enforce the extra table's constraints like the shared path does
+      if (p != PropsPartition)
         prevManifest.get((t, "~p")).foreach { e =>
           val cons = readPropsDirect(spark, entryPath(root, t, "~p", e.dir))
             .toSeq
@@ -1851,23 +1922,96 @@ object TxnCatalog {
                 s"commit to '$t' violates $k ($v); nothing was published")
           }
         }
-        val (st, rows) = measureStats(spark, path, statsColumns, Nil,
-          knownSchema = Some(edf.schema))
-        (t, p) -> Entry(dirName, st, None, rows)
-      }.toMap
-      catch {
-        case scala.util.control.NonFatal(ex) =>
-          unstageAll(
-            extraUpdates.map { case (t, p, _) =>
-              (t, p) -> Entry(dirName) }.toMap)
-          throw ex
-      }
-    // 4. one manifest CAS for everything (drops applied to the carried
-    // manifest; dropping an entry this commit also replaces is
-    // redundant but harmless — the merge wins)
-    casPublish(f, root, next, nonce, prevManifest -- drops,
-      staged ++ extraStaged)(() => ())
-    next
+      val (st, rows) = measureStats(spark, path,
+        if (p == PropsPartition) Nil else statsColumns, Nil,
+        knownSchema = Some(edf.schema))
+      (t, p) -> Entry(dirName, st, None, rows)
+    }.toMap
+    catch {
+      case scala.util.control.NonFatal(ex) =>
+        (staged ++ extraUpdates.map { case (t, p, _) =>
+          (t, p) -> Entry(dirName) }.toMap).foreach {
+          case ((st2, sp2), en) =>
+            f.delete(new Path(entryPath(root, st2, sp2, en.dir)), true)
+        }
+        throw ex
+    }
+  }
+
+  /** Attribution column [[rewritePartitionsBulk]] rides on: each row's
+    * ORIGINAL partition name, derived from its physical file path.
+    * Transforms passed to the bulk rewrite must leave it untouched. */
+  private[storage] val RwPartCol = "__graft_rw_part"
+
+  /** How many partitions a rewrite must touch before the O(1)-jobs bulk
+    * path beats the per-entry path (2 Spark jobs per partition): below
+    * this, per-entry staging is simpler and measures Blooms; above it,
+    * per-partition scheduling overhead dominates — a 10 000-partition
+    * ALTER/DELETE/UPDATE rewrite would otherwise launch 20 000 driver
+    * round trips. */
+  private[storage] val BulkRewriteThreshold = 4
+
+  /** Rewrite `parts` (data entries of `table`) in O(1) SPARK JOBS,
+    * PRESERVING partition names — the scale path behind column
+    * rewrites, skipping-aware DELETE, and UPDATE when they touch many
+    * partitions. ONE funnel read with physical path coordinates
+    * (pending equality deletes materialize into the rewrite, exactly
+    * like the per-entry path), partition attribution by resolved-dir
+    * lookup (correct for `~ref:` clone/branch entries too), one
+    * `transform` over the union frame, then [[commitPartitioned]]'s
+    * one-write-job + one-grouped-stats-job + one-CAS pipeline with
+    * `partNameOf = identity` so every group lands back under its own
+    * name. All rewritten names are also `drops`: a partition whose
+    * rewrite yields ZERO rows is dropped from the manifest (the
+    * per-entry path writes an empty entry instead — same reads, fewer
+    * manifest rows). Blooms are NOT measured on this path — callers
+    * keep the per-entry path for bloom-configured tables. Conditional
+    * on `snap` (IOException on a rival commit; callers retry or
+    * surface). */
+  private def rewritePartitionsBulk(spark: SparkSession, root: String,
+      table: String, snap: Snapshot, parts: Seq[(String, Entry)],
+      transform: DataFrame => DataFrame,
+      statsColumns: Seq[String],
+      extraUpdates: Seq[(String, String, DataFrame)] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, element_at, regexp_extract, typedLit}
+    val f = fs(spark, root)
+    val dirMap: Map[String, String] = parts.map { case (p, e) =>
+      f.makeQualified(new Path(entryPath(root, table, p, e.dir)))
+        .toString -> p
+    }.toMap
+    val src = snap.readSelectedWithPos(table, parts).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val keyed = src
+      .withColumn(RwPartCol, element_at(typedLit(dirMap),
+        regexp_extract(col(DvPathColumn), "^(.*)/[^/]+$", 1)))
+      .drop(DvPathColumn, DvPosColumn)
+    val transformed = transform(keyed)
+    if (transformed.limit(1).isEmpty) {
+      // the rewrite empties EVERY touched partition: keep one empty
+      // entry under the first name so the table — and its schema —
+      // survive for later reads and appends (the per-entry path's
+      // behavior), and drop the rest
+      val schema = org.apache.spark.sql.types.StructType(
+        transformed.schema.fields.filterNot(_.name == RwPartCol))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // only row-deleting rewrites can get here (column rewrites keep
+      // every row), and those carry no extra entries
+      require(extraUpdates.isEmpty,
+        "a rewrite with extra entries cannot empty the table")
+      return commitPartitionsHooked(spark, root,
+        Seq((table, parts.head._1, empty)),
+        statsColumns, drops = parts.tail.map { case (p, _) => (table, p) },
+        expectedTxn = Some(snap.txn))(() => ())
+    }
+    commitPartitioned(spark, root, table, transformed,
+      keyCol = RwPartCol, keyExpr = Some(col(RwPartCol)),
+      partNameOf = Some(identity[String]),
+      dropData = Seq(RwPartCol),
+      statsColumns = statsColumns,
+      extraUpdates = extraUpdates,
+      drops = parts.map { case (p, _) => (table, p) },
+      expectedTxn = Some(snap.txn))
   }
 
   /** Spec-aware OPTIMIZE ([[graft.storage.PartitionSpec]] tables): fold
@@ -2033,6 +2177,20 @@ object TxnCatalog {
       case Seq((Whole, e)) =>
         commitHooked(spark, root,
           Seq(table -> survivors(Whole, e)))(beforePublish)
+      case _ if bloomCols.isEmpty &&
+          touched.sizeIs > BulkRewriteThreshold =>
+        // many partitions: ONE funnel read + ONE staged write + ONE
+        // grouped stats pass instead of 2 jobs per partition; fully-
+        // emptied partitions drop from the manifest
+        beforePublish()
+        rewritePartitionsBulk(spark, root, table, snap, touched,
+          transform = df =>
+            if (!df.columns.contains(column)) df
+            else {
+              val pred = rangePredicate(df, column, lo, hi)
+              df.filter(!pred || col(column).isNull)
+            },
+          statsColumns = statsCols)
       case _ =>
         commitPartitionsHooked(spark, root,
           touched.map { case (p, e) => (table, p, survivors(p, e)) },
@@ -2111,6 +2269,36 @@ object TxnCatalog {
         commitHooked(spark, root,
           Seq(table -> rewritten(Whole, e).get),
           expectedTxn = Some(snap.txn))(() => ())
+      case _ if bloomCols.isEmpty &&
+          touched.sizeIs > BulkRewriteThreshold &&
+          condRefs.forall(tableSchema.fieldNames.contains) =>
+        // many partitions: one funnel read + staged write + grouped
+        // stats instead of 2 jobs per partition. Partitions whose
+        // files lack a condition column rewrite as no-ops here (the
+        // NULL condition matches nothing) where the per-entry path
+        // skips them — same values, re-emitted to CDC per the
+        // documented rewrite contract.
+        rewritePartitionsBulk(spark, root, table, snap, touched,
+          transform = df => {
+            val cond = coalesce(expr(condSql), lit(false))
+            val assigned = assignments.toMap
+            val base = df.select(df.columns.toSeq.map { c0 =>
+              if (c0 == RwPartCol) col(c0)
+              else assigned.get(c0) match {
+                case Some(v) => when(cond, expr(v))
+                  .otherwise(col(c0)).cast(df.schema(c0).dataType).as(c0)
+                case None => col(c0)
+              }
+            }: _*)
+            assignments.collect {
+              case (c0, v) if !df.columns.contains(c0) &&
+                  tableSchema.fieldNames.contains(c0) => (c0, v)
+            }.foldLeft(base) { case (acc, (c0, v)) =>
+              acc.withColumn(c0, when(cond, expr(v))
+                .otherwise(lit(null)).cast(tableSchema(c0).dataType))
+            }
+          },
+          statsColumns = statsCols)
       case _ =>
         commitPartitionsHooked(spark, root, updates,
           statsCols, drops = Nil, expectedTxn = Some(snap.txn),
@@ -3108,18 +3296,27 @@ object TxnCatalog {
         newProps.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
       StructType(Seq(StructField("key", StringType, nullable = false),
         StructField("value", StringType, nullable = false))))
-    val updates = data.map { case (p, e) =>
-      (table, p, transform(snap.readSelected(table, Seq((p, e))).get))
-    } :+ ((table, PropsPartition, kv))
     // measure under the POST-change column names (the publish path's
     // table-config merge still reads the pre-change properties)
     val newStats = newProps.get(StatsColumnsProp).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val newBlooms = newProps.get(BloomColumnsProp).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    publish(spark, root, updates, statsColumns = newStats, drops = Nil,
-      expectedTxn = Some(snap.txn), reconcile = identity,
-      bloomColumns = newBlooms)(() => ())
+    if (newBlooms.isEmpty && data.sizeIs > BulkRewriteThreshold)
+      // many partitions: ONE read + ONE staged write + ONE grouped
+      // stats pass + ONE CAS (a 10 000-partition ALTER is 4 jobs, not
+      // 20 000); the rewritten properties ride the same txn
+      rewritePartitionsBulk(spark, root, table, snap, data,
+        transform = transform, statsColumns = newStats,
+        extraUpdates = Seq((table, PropsPartition, kv)))
+    else {
+      val updates = data.map { case (p, e) =>
+        (table, p, transform(snap.readSelected(table, Seq((p, e))).get))
+      } :+ ((table, PropsPartition, kv))
+      publish(spark, root, updates, statsColumns = newStats, drops = Nil,
+        expectedTxn = Some(snap.txn), reconcile = identity,
+        bloomColumns = newBlooms)(() => ())
+    }
   }
 
   /** Place `tmp` at `marker` ATOMICALLY, failing (false) if `marker`
