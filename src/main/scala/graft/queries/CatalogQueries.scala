@@ -944,6 +944,36 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT c_custkey, c_acctbal AS balance FROM customer
              |ORDER BY c_custkey""".stripMargin)),
 
+    // O(1)-JOBS BULK REWRITE round trip: an 8-batch lake (above the
+    // bulk threshold, so both mutations take rewritePartitionsBulk's
+    // one-read + one-staged-write + one-grouped-stats + one-CAS
+    // pipeline instead of 2 Spark jobs per partition) — a skipping-
+    // aware DELETE of an interior range, then a conditional UPDATE of
+    // the high tail, read back. The oracle is the plain CASE-filter
+    // composition; partition names, merge-on-read semantics, and
+    // per-partition stats all survive the bulk path under the hash
+    // gate. Route pinned by BulkRewriteSpec's job-count test.
+    QueryDef(
+      "s_bulk_rewrite",
+      (s, d) => {
+        val root = QueryFixtures.rewrite8Base(s, d)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        graft.storage.TxnCatalog.deleteWhere(s, root, t,
+          "c_acctbal", 0.0, 2000.0)
+        graft.storage.TxnCatalog.updateWhere(s, root, t,
+          "c_acctbal >= 8000.0",
+          Seq("c_acctbal" -> "c_acctbal + 100000.0"),
+          bounds = Seq(("c_acctbal", 8000.0, 10000.0)))
+        graft.storage.TxnCatalog.read(s, root, t).get
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal >= 8000.0 THEN c_acctbal + 100000.0
+             |       ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |WHERE NOT (c_acctbal BETWEEN 0.0 AND 2000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ALTER COLUMN TYPE widening round trip (VERDICT r8 task #6):
     // the key was committed NARROW (int32 parquet); one MANIFEST-ONLY
     // widen (a zero-row schema batch — no data rewritten) declares it

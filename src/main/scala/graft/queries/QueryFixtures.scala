@@ -262,6 +262,19 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for the BULK-rewrite round trip: 8 hash-split batches
+    * (above TxnCatalog.BulkRewriteThreshold, so clones' rewrites take
+    * the O(1)-jobs path), range stats on both columns. */
+  def rewrite8Base(s: SparkSession, sfDir: String): String =
+    fixture("rw8base-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 8).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(8)) === k))),
+        statsColumns = Seq("c_custkey", "c_acctbal"))
+      ()
+    }
+
   /** Base lake for `s_sql_catalog` (INSERT INTO + pruned SELECT). */
   def sqlCatBase(s: SparkSession, sfDir: String): String =
     fixture("sqlcatbase-v1", sfDir) { root =>

@@ -1634,7 +1634,13 @@ object TxnCatalog {
     updates.foreach { case (t, p, _) =>
       checkTableName(t); checkPartitionName(p)
     }
-    drops.foreach { case (t, p) => checkTableName(t); checkPartitionName(p) }
+    drops.foreach { case (t, p) =>
+      checkTableName(t)
+      // internal entries (equality-delete key lists, deletion vectors)
+      // are legitimately DROPPED by maintenance (applyDeletes' bulk
+      // path); only their CREATION stays restricted
+      if (!p.startsWith("~")) checkPartitionName(p)
+    }
     require(drops.distinct.size == drops.size, "duplicate drop")
     val updatedKeys = updates.map(u => (u._1, u._2)).toSet
     require(!drops.exists(updatedKeys), "a (table, partition) cannot be " +
@@ -1972,7 +1978,8 @@ object TxnCatalog {
       table: String, snap: Snapshot, parts: Seq[(String, Entry)],
       transform: DataFrame => DataFrame,
       statsColumns: Seq[String],
-      extraUpdates: Seq[(String, String, DataFrame)] = Nil): Long = {
+      extraUpdates: Seq[(String, String, DataFrame)] = Nil,
+      extraDrops: Seq[(String, String)] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, element_at, regexp_extract, typedLit}
     val f = fs(spark, root)
     val dirMap: Map[String, String] = parts.map { case (p, e) =>
@@ -2001,7 +2008,8 @@ object TxnCatalog {
         "a rewrite with extra entries cannot empty the table")
       return commitPartitionsHooked(spark, root,
         Seq((table, parts.head._1, empty)),
-        statsColumns, drops = parts.tail.map { case (p, _) => (table, p) },
+        statsColumns,
+        drops = parts.tail.map { case (p, _) => (table, p) } ++ extraDrops,
         expectedTxn = Some(snap.txn))(() => ())
     }
     commitPartitioned(spark, root, table, transformed,
@@ -2010,7 +2018,7 @@ object TxnCatalog {
       dropData = Seq(RwPartCol),
       statsColumns = statsColumns,
       extraUpdates = extraUpdates,
-      drops = parts.map { case (p, _) => (table, p) },
+      drops = parts.map { case (p, _) => (table, p) } ++ extraDrops,
       expectedTxn = Some(snap.txn))
   }
 
@@ -2642,18 +2650,28 @@ object TxnCatalog {
     val statsCols = affected.flatMap(_._2.stats.keys).distinct
     val bloomCols = affected.flatMap { case (_, e) =>
       e.stats.collect { case (c, st) if st.bloom.nonEmpty => c } }.distinct
-    val updates = affected.map { case (p, e) =>
-      (table, p, snap.readSelected(table, Seq((p, e))).get) }
     val dropKeys = dels.map { case (p, _, _, _) => (table, p) }
-    publish(spark, root, updates, statsCols, drops = Nil,
-      expectedTxn = Some(snap.txn),
-      reconcile = carried => {
-        val missing = dropKeys.filterNot(carried.contains)
-        require(missing.isEmpty, "delete entries vanished under " +
-          s"applyDeletes: ${missing.mkString(", ")}")
-        carried -- dropKeys
-      },
-      bloomColumns = bloomCols)(() => ())
+    if (bloomCols.isEmpty && affected.sizeIs > BulkRewriteThreshold)
+      // many affected partitions: ONE funnel read (deletes subtract
+      // inside it) + one staged write + one grouped stats pass instead
+      // of 2 jobs per partition; the delete entries drop in the same
+      // txn, and a partition whose rows were all deleted drops too
+      rewritePartitionsBulk(spark, root, table, snap, affected,
+        transform = identity, statsColumns = statsCols,
+        extraDrops = dropKeys)
+    else {
+      val updates = affected.map { case (p, e) =>
+        (table, p, snap.readSelected(table, Seq((p, e))).get) }
+      publish(spark, root, updates, statsCols, drops = Nil,
+        expectedTxn = Some(snap.txn),
+        reconcile = carried => {
+          val missing = dropKeys.filterNot(carried.contains)
+          require(missing.isEmpty, "delete entries vanished under " +
+            s"applyDeletes: ${missing.mkString(", ")}")
+          carried -- dropKeys
+        },
+        bloomColumns = bloomCols)(() => ())
+    }
   }
 
   /** Re-cluster N partitions of `table` into up to `buckets` partitions

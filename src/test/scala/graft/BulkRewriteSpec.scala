@@ -130,6 +130,32 @@ class BulkRewriteSpec extends GraftSuite {
       (0 until 120).count(_ * 2 > 100).toLong)
   }
 
+  test("bulk applyDeletes: folds the anti-join away across 8 partitions") {
+    val root = tmp("bulkapply")
+    build(root)
+    TxnCatalog.deleteKeys(spark, root, "ev", "k",
+      (0L until 120L by 7L).toDF("k"))
+    TxnCatalog.applyDeletes(spark, root, "ev")
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.deleteEntries("ev").isEmpty,
+      "applyDeletes must drop every delete entry in the same txn")
+    assert(rows(root) === (0 until 120).filter(_ % 7 != 0)
+      .map(i => (i.toLong, s"n$i", i * 2L)).toSet)
+  }
+
+  test("bulk applyDeletes that empties the table keeps its schema") {
+    val root = tmp("bulkapplyall")
+    build(root)
+    TxnCatalog.deleteKeys(spark, root, "ev", "k",
+      (0L until 120L).toDF("k"))
+    TxnCatalog.applyDeletes(spark, root, "ev")
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.deleteEntries("ev").isEmpty)
+    val df = TxnCatalog.read(spark, root, "ev").get
+    assert(df.count() === 0L)
+    assert(df.columns.toSeq === Seq("k", "nm", "v"))
+  }
+
   test("the bulk path is O(1) jobs, not O(partitions)") {
     val root = tmp("bulkjobs")
     build(root, n = 12)
