@@ -1760,6 +1760,14 @@ object TxnCatalog {
     // the commit is pure `drops`
     if (stagedKeyDirs.isEmpty) {
       f.delete(stagingDir, true)
+      // only the REWRITE mode ([[rewritePartitionsBulk]], which
+      // pre-guards full emptiness itself) may combine an empty staging
+      // with drops: a bulk LOAD or spec-aware COMPACTION whose input
+      // evaporated must not silently erase its sources
+      require(drops.isEmpty || partNameOf.isDefined,
+        "bulk commit staged zero partitions but carries drops; refusing " +
+          "to erase the sources — if pending deletes emptied them, run " +
+          "applyDeletes or deleteWhere instead")
       require(extraUpdates.isEmpty || partNameOf.isDefined,
         "bulk load staged no partitions (empty input frame)")
       val extraStaged: Map[(String, String), Entry] =
