@@ -179,7 +179,8 @@ private[storage] final class OptimizeProcedure(root: String)
               .readPartitions(table, parts).get.schema
             TxnCatalog.compactPartitionsBy(s, root, table, parts,
               PartitionSpec.groupExpr(spec, schema),
-              PartitionSpec.label(spec), statsColumns = csv(input, 2))
+              PartitionSpec.label(spec), statsColumns = csv(input, 2),
+              bloomColumns = csv(input, 3))
           }
         return one(oneRow(out, java.lang.Long.valueOf(txn),
           Integer.valueOf(parts.size)))

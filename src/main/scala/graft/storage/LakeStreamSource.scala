@@ -425,7 +425,8 @@ private[storage] final class LakeSink(root: String, table: String,
               .readPartitions(table, batches).get.schema
             TxnCatalog.compactPartitionsBy(spark, root, table, batches,
               PartitionSpec.groupExpr(spec, schema),
-              PartitionSpec.label(spec), statsColumns = statsColumns)
+              PartitionSpec.label(spec), statsColumns = statsColumns,
+              bloomColumns = bloomColumns)
           }
           ()
         }

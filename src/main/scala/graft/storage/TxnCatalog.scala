@@ -1686,10 +1686,12 @@ object TxnCatalog {
     * constraints enforce in one pass over the staged files (a violation
     * unstages and throws before the CAS). Existing partitions
     * with colliding names are REPLACED (same merge rule as
-    * [[commitPartitions]]); Blooms are not measured here — thread
-    * `bloomColumns` through a later compaction/clustering pass if point
-    * skipping is needed on bulk-loaded data. Returns the committed txn;
-    * throws IOException on a lost commit race (staging cleaned up). */
+    * [[commitPartitions]]); `bloomColumns` measure per group in ONE
+    * additional grouped job (Spark's BloomFilterAggregate over the
+    * same canonical renderings the per-entry path hashes — probe-
+    * compatible by the BulkRewriteSpec end-to-end pin). Returns the
+    * committed txn; throws IOException on a lost commit race (staging
+    * cleaned up). */
   def commitPartitioned(spark: SparkSession, root: String, table: String,
       df: DataFrame, keyCol: String,
       statsColumns: Seq[String] = Nil,
@@ -1704,7 +1706,8 @@ object TxnCatalog {
       // and exclude these columns from the staged data files (the
       // attribution column a bulk rewrite rides on)
       partNameOf: Option[String => String] = None,
-      dropData: Seq[String] = Nil): Long = {
+      dropData: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit,
       max, min, not, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
@@ -1800,8 +1803,17 @@ object TxnCatalog {
     // 2. one grouped stats job (same rendering as the staged-stats
     // pass); TBLPROPERTIES-configured stats columns merge in exactly
     // as on the publish path
+    // bloom columns union into the stat set like the per-entry path
+    val bloomCfg: Seq[String] =
+      (bloomColumns ++ tblProps.get(BloomColumnsProp).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)).distinct
+        .filter(stagedDf.schema.fieldNames.contains)
+        .filter(c => stagedDf.schema(c).dataType match {
+          case _: NumericType | StringType => true
+          case _                           => false
+        })
     val kinds: Map[String, String] =
-      (statsColumns ++ tblProps.get(StatsColumnsProp).toSeq
+      (statsColumns ++ bloomCfg ++ tblProps.get(StatsColumnsProp).toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)).distinct
       .filter(stagedDf.schema.fieldNames.contains)
       .map(c => c -> (stagedDf.schema(c).dataType match {
@@ -1853,6 +1865,50 @@ object TxnCatalog {
           Option(row.getAs[String](bulkKey)).map(statsMapKey) ->
             ((stats, row.getAs[Long]("rows:")))
         }.toMap
+    // 2b. grouped BLOOM pass (a second grouped job, only when bloom
+    // columns are configured): Spark's BloomFilterAggregate over the
+    // SAME canonical renderings the per-entry path hashes (strings
+    // raw, numerics via DECIMAL(38,18) — see bloomProbeRendering), so
+    // mightContainString probes agree by construction. The aggregate
+    // serializes through the same sketch writeTo format the manifest's
+    // BloomV2 payloads use. Capacity sizes to the LARGEST group (a
+    // per-group literal is not expressible) — smaller groups just get
+    // a lower FPP.
+    val groupBlooms: Map[Option[String], Map[String, String]] =
+      if (bloomCfg.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val maxCnt = grouped.values.map(_._2).foldLeft(0L)(math.max)
+        val capacity = math.min(BloomMaxCapacity,
+          math.max(BloomMinCapacity, maxCnt))
+        val numBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(capacity, BloomFpp)
+        val baggs = bloomCfg.map { c =>
+          val rendered = stagedDf.schema(c).dataType match {
+            case _: NumericType => col(c)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 18))
+              .cast("string")
+            case _ => col(c).cast("string")
+          }
+          org.apache.spark.sql.GraftSqlBridge.column(
+            new org.apache.spark.sql.catalyst.expressions.aggregate
+              .BloomFilterAggregate(
+                org.apache.spark.sql.GraftSqlBridge.expression(rendered),
+                Literal(capacity), Literal(numBits))
+              .toAggregateExpression())
+            .as(s"bloom:$c")
+        }
+        stagedDf.groupBy(statsKey.as(bulkKey))
+          .agg(baggs.head, baggs.tail: _*)
+          .collect().map { row =>
+            Option(row.getAs[String](bulkKey)).map(statsMapKey) ->
+              bloomCfg.flatMap { c =>
+                Option(row.getAs[Array[Byte]](s"bloom:$c")).map(b =>
+                  c -> (BloomV2 +
+                    java.util.Base64.getEncoder.encodeToString(b)))
+              }.toMap
+          }.toMap
+      }
     // 3. move each staged key dir into its partition slot
     val unescape =
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1877,8 +1933,11 @@ object TxnCatalog {
         require(f.rename(d.getPath, target), s"staging move failed: $part")
         val statsLookup =
           if (partNameOf.isDefined) Some(escaped) else key
-        val (stats, rows) =
+        val (stats0, rows) =
           grouped.getOrElse(statsLookup, (Map.empty[String, ColStat], 0L))
+        val bm = groupBlooms.getOrElse(statsLookup, Map.empty)
+        val stats = stats0.map { case (c, st) =>
+          c -> bm.get(c).map(b => st.copy(bloom = b)).getOrElse(st) }
         // `dataTxn` carries the sources' max data txn when this bulk
         // write is a REORGANIZATION (spec-aware compaction) — incremental
         // consumers skip it exactly like compactPartitions' folds
@@ -1987,7 +2046,8 @@ object TxnCatalog {
       transform: DataFrame => DataFrame,
       statsColumns: Seq[String],
       extraUpdates: Seq[(String, String, DataFrame)] = Nil,
-      extraDrops: Seq[(String, String)] = Nil): Long = {
+      extraDrops: Seq[(String, String)] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, element_at, regexp_extract, typedLit}
     val f = fs(spark, root)
     val dirMap: Map[String, String] = parts.map { case (p, e) =>
@@ -2018,7 +2078,8 @@ object TxnCatalog {
         Seq((table, parts.head._1, empty)),
         statsColumns,
         drops = parts.tail.map { case (p, _) => (table, p) } ++ extraDrops,
-        expectedTxn = Some(snap.txn))(() => ())
+        expectedTxn = Some(snap.txn),
+        bloomColumns = bloomColumns)(() => ())
     }
     commitPartitioned(spark, root, table, transformed,
       keyCol = RwPartCol, keyExpr = Some(col(RwPartCol)),
@@ -2027,7 +2088,8 @@ object TxnCatalog {
       statsColumns = statsColumns,
       extraUpdates = extraUpdates,
       drops = parts.map { case (p, _) => (table, p) } ++ extraDrops,
-      expectedTxn = Some(snap.txn))
+      expectedTxn = Some(snap.txn),
+      bloomColumns = bloomColumns)
   }
 
   /** Spec-aware OPTIMIZE ([[graft.storage.PartitionSpec]] tables): fold
@@ -2043,7 +2105,8 @@ object TxnCatalog {
     * fails on any rival commit); throws IOException to retry. */
   def compactPartitionsBy(spark: SparkSession, root: String, table: String,
       parts: Seq[String], keyExpr: org.apache.spark.sql.Column,
-      label: String, statsColumns: Seq[String] = Nil): Long = {
+      label: String, statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): Long = {
     require(parts.nonEmpty, "nothing to compact")
     val snap = snapshot(spark, root).getOrElse(
       throw new IllegalArgumentException(s"empty catalog under $root"))
@@ -2056,7 +2119,8 @@ object TxnCatalog {
       statsColumns = statsColumns,
       drops = parts.map((table, _)),
       dataTxn = Some(carried),
-      expectedTxn = Some(snap.txn))
+      expectedTxn = Some(snap.txn),
+      bloomColumns = bloomColumns)
   }
 
   /** Compact N small partitions of `table` into ONE (`into`), atomically:
@@ -2193,11 +2257,10 @@ object TxnCatalog {
       case Seq((Whole, e)) =>
         commitHooked(spark, root,
           Seq(table -> survivors(Whole, e)))(beforePublish)
-      case _ if bloomCols.isEmpty &&
-          touched.sizeIs > BulkRewriteThreshold =>
+      case _ if touched.sizeIs > BulkRewriteThreshold =>
         // many partitions: ONE funnel read + ONE staged write + ONE
-        // grouped stats pass instead of 2 jobs per partition; fully-
-        // emptied partitions drop from the manifest
+        // grouped stats (+ bloom) pass instead of 2 jobs per
+        // partition; fully-emptied partitions drop from the manifest
         beforePublish()
         rewritePartitionsBulk(spark, root, table, snap, touched,
           transform = df =>
@@ -2206,7 +2269,7 @@ object TxnCatalog {
               val pred = rangePredicate(df, column, lo, hi)
               df.filter(!pred || col(column).isNull)
             },
-          statsColumns = statsCols)
+          statsColumns = statsCols, bloomColumns = bloomCols)
       case _ =>
         commitPartitionsHooked(spark, root,
           touched.map { case (p, e) => (table, p, survivors(p, e)) },
@@ -2285,8 +2348,7 @@ object TxnCatalog {
         commitHooked(spark, root,
           Seq(table -> rewritten(Whole, e).get),
           expectedTxn = Some(snap.txn))(() => ())
-      case _ if bloomCols.isEmpty &&
-          touched.sizeIs > BulkRewriteThreshold &&
+      case _ if touched.sizeIs > BulkRewriteThreshold &&
           condRefs.forall(tableSchema.fieldNames.contains) =>
         // many partitions: one funnel read + staged write + grouped
         // stats instead of 2 jobs per partition. Partitions whose
@@ -2314,7 +2376,7 @@ object TxnCatalog {
                 .otherwise(lit(null)).cast(tableSchema(c0).dataType))
             }
           },
-          statsColumns = statsCols)
+          statsColumns = statsCols, bloomColumns = bloomCols)
       case _ =>
         commitPartitionsHooked(spark, root, updates,
           statsCols, drops = Nil, expectedTxn = Some(snap.txn),
@@ -2659,14 +2721,14 @@ object TxnCatalog {
     val bloomCols = affected.flatMap { case (_, e) =>
       e.stats.collect { case (c, st) if st.bloom.nonEmpty => c } }.distinct
     val dropKeys = dels.map { case (p, _, _, _) => (table, p) }
-    if (bloomCols.isEmpty && affected.sizeIs > BulkRewriteThreshold)
+    if (affected.sizeIs > BulkRewriteThreshold)
       // many affected partitions: ONE funnel read (deletes subtract
-      // inside it) + one staged write + one grouped stats pass instead
-      // of 2 jobs per partition; the delete entries drop in the same
-      // txn, and a partition whose rows were all deleted drops too
+      // inside it) + one staged write + one grouped stats (+ bloom)
+      // pass instead of 2 jobs per partition; the delete entries drop
+      // in the same txn, and a fully-emptied partition drops too
       rewritePartitionsBulk(spark, root, table, snap, affected,
         transform = identity, statsColumns = statsCols,
-        extraDrops = dropKeys)
+        extraDrops = dropKeys, bloomColumns = bloomCols)
     else {
       val updates = affected.map { case (p, e) =>
         (table, p, snap.readSelected(table, Seq((p, e))).get) }
@@ -3328,13 +3390,15 @@ object TxnCatalog {
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val newBlooms = newProps.get(BloomColumnsProp).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    if (newBlooms.isEmpty && data.sizeIs > BulkRewriteThreshold)
+    if (data.sizeIs > BulkRewriteThreshold)
       // many partitions: ONE read + ONE staged write + ONE grouped
-      // stats pass + ONE CAS (a 10 000-partition ALTER is 4 jobs, not
-      // 20 000); the rewritten properties ride the same txn
+      // stats (+ bloom) pass + ONE CAS (a 10 000-partition ALTER is a
+      // handful of jobs, not 20 000); the rewritten properties ride
+      // the same txn
       rewritePartitionsBulk(spark, root, table, snap, data,
         transform = transform, statsColumns = newStats,
-        extraUpdates = Seq((table, PropsPartition, kv)))
+        extraUpdates = Seq((table, PropsPartition, kv)),
+        bloomColumns = newBlooms)
     else {
       val updates = data.map { case (p, e) =>
         (table, p, transform(snap.readSelected(table, Seq((p, e))).get))

@@ -156,6 +156,31 @@ class BulkRewriteSpec extends GraftSuite {
     assert(df.columns.toSeq === Seq("k", "nm", "v"))
   }
 
+  test("bulk-measured Blooms prune point lookups (format-compatible)") {
+    val root = tmp("bulkbloom")
+    build(root)
+    // bloom config lives with the table; the bulk grouped bloom pass
+    // must produce filters the engine's own probe path can read —
+    // format compatibility proven end to end, not by inspection
+    TxnCatalog.setTableProperties(spark, root, "ev",
+      Map(TxnCatalog.BloomColumnsProp -> "k"))
+    TxnCatalog.updateWhere(spark, root, "ev",
+      "v >= 0", Seq("v" -> "v + 1"), bounds = Nil) // bulk: all 8 rewrite
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.partitions("ev").forall(p =>
+      snap.stats("ev", p)("k").bloom.nonEmpty),
+      "every bulk-rewritten entry must carry a bloom on k")
+    // k = 9 lives only in b=1 (9 % 8): the bloom must route the probe
+    // to exactly the owning partition even though every batch's k
+    // RANGE overlaps
+    assert(snap.partitionsWhereEq("ev", "k", 9L) === Seq("b=1"))
+    assert(snap.readWhereEq("ev", "k", 9L).get
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((9L, 19L)))
+    // an absent value prunes everywhere
+    assert(snap.partitionsWhereEq("ev", "k", 5555L).isEmpty)
+  }
+
   test("the bulk path is O(1) jobs, not O(partitions)") {
     val root = tmp("bulkjobs")
     build(root, n = 12)
