@@ -144,6 +144,70 @@ object StreamingQueries extends QueryGroup {
              |  WHERE c_custkey >= 20 AND c_custkey NOT IN (21, 4242))
              |ORDER BY c_custkey""".stripMargin)),
 
+    // APPLY CHANGES ... STORED AS SCD TYPE 2 under the oracle gate: the
+    // same bronze change feed as st_cdc_apply, but the silver table keeps
+    // the full VERSION HISTORY per key — __valid_from/__valid_to bracket
+    // each version by source txn, deletes close without reopening, updates
+    // close the old version and open the new one at the update's txn. The
+    // bronze fixture's txns are deterministic (template commit = 1, the
+    // delete = 2, the upsert = 3), so the oracle can state the expected
+    // history literally: v1 rows closed at 3 for updated keys, closed at 2
+    // for deleted keys, open v2 rows at 3, untouched keys open since 1.
+    QueryDef(
+      "st_scd2_apply",
+      (s, d) => {
+        import s.implicits._
+        val bronze = QueryFixtures
+          .linkCopy(QueryFixtures.bronzeCustTemplate(s, d))
+        val silver = java.nio.file.Files
+          .createTempDirectory("q_scd2s").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("q_scd2c").toString
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val feed = s.readStream.format("graft-lake")
+          .option("root", bronze).option("table", "cust")
+          .option("readChangeFeed", "true").load()
+        val q = graft.streaming.Streams.scd2ApplySink(feed, silver,
+          "cust", "c_custkey", ckpt, statsColumns = Seq("c_custkey"))
+        try {
+          q.processAllAvailable()
+          graft.storage.TxnCatalog.deleteKeys(s, bronze, "cust",
+            "c_custkey", Seq(21L, 4242L).toDF("c_custkey"))
+          graft.storage.TxnCatalog.commitPartitions(s, bronze,
+            Seq(("cust", "b=up",
+              cust.filter(col("c_custkey") < 20)
+                .select(col("c_custkey"),
+                  (col("c_acctbal") + 1000.0).as("c_acctbal")))))
+          q.processAllAvailable()
+        } finally q.stop()
+        graft.storage.TxnCatalog.read(s, silver, "cust").get
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("double").as("c_acctbal"),
+            col("__valid_from").as("valid_from"),
+            col("__valid_to").as("valid_to"),
+            col("__current").as("is_current"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+             |  CAST(valid_from AS BIGINT) AS valid_from,
+             |  CAST(valid_to AS BIGINT) AS valid_to, is_current FROM (
+             |  -- updated keys: v1 closed at the upsert txn (3)
+             |  SELECT c_custkey, c_acctbal, 1 AS valid_from,
+             |         3 AS valid_to, FALSE AS is_current
+             |  FROM customer WHERE c_custkey < 20
+             |  UNION ALL -- and their open v2 at +1000
+             |  SELECT c_custkey, c_acctbal + 1000.0, 3, NULL, TRUE
+             |  FROM customer WHERE c_custkey < 20
+             |  UNION ALL -- deleted keys: v1 closed at the delete txn (2)
+             |  SELECT c_custkey, c_acctbal, 1, 2, FALSE
+             |  FROM customer WHERE c_custkey IN (21, 4242)
+             |  UNION ALL -- untouched keys: open since the initial load
+             |  SELECT c_custkey, c_acctbal, 1, NULL, TRUE
+             |  FROM customer
+             |  WHERE c_custkey >= 20 AND c_custkey NOT IN (21, 4242))
+             |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // Tumbling event-time windows over the events table (10-minute buckets,
     // epoch-aligned in both engines).
     QueryDef(

@@ -299,6 +299,101 @@ object Streams {
       }
       .start()
 
+  /** SCD TYPE 2 `APPLY CHANGES` (Delta Live Tables'
+    * `STORED AS SCD TYPE 2`): the same row-level change stream as
+    * [[cdcApplySink]], but `table` is maintained as the full VERSION
+    * HISTORY per key — every change produces a history row carrying
+    * `__valid_from` / `__valid_to` (the source txns bracketing the
+    * version's validity; open versions have `__valid_to` NULL) and
+    * `__current`. A delete event closes the key's open version without
+    * opening a new one; a later re-insert starts a fresh version.
+    *
+    * Per micro-batch (ONE conditional txn, ledgered exactly-once like
+    * [[cdcApplySink]]):
+    *  - the batch's events sort per key by (`_txn`, delete-before-
+    *    insert at the same txn — the feed's rendering of the engine's
+    *    delete-before-data rule, so a same-txn replacement closes the
+    *    old version and opens the new one at that txn); each insert
+    *    becomes a version row valid until the key's NEXT event
+    *    (`lead`), the last one open;
+    *  - the target's OPEN versions for touched keys close at the key's
+    *    first batch event — read via an O(changes) join (the touched-
+    *    key frame is batch-sized and broadcastable; with Blooms on
+    *    `__scd_key` the scan itself prunes to owning partitions);
+    *  - history rows are IMMUTABLE once closed, so the equality delete
+    *    masks by `__scd_key` = `<key>@<valid_from>` — a version's
+    *    stable identity — never by the business key, and closed
+    *    history survives every future change untouched.
+    *
+    * History grows append-only: O(changes) rows per trigger, no target
+    * rewrite — a trickle of CDC against a 10 000-partition dimension
+    * costs one version-key list + one batch, and the result is
+    * point-in-time queryable (`WHERE __valid_from <= t AND
+    * (__valid_to IS NULL OR __valid_to > t)`) at any txn. NULL-keyed
+    * rows are dropped (equality keys cannot address them); batch
+    * SPLIT-invariance — the same feed in 1 or N micro-batches yields
+    * the identical table — is pinned by Scd2ApplySpec. */
+  def scd2ApplySink(changes: DataFrame, root: String, table: String,
+      keyCol: String, checkpointDir: String,
+      statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val ct = graft.storage.TxnCatalog.ChangeTypeColumn
+        val tx = graft.storage.TxnCatalog.ChangeTxnColumn
+        val keyed = batch.filter(col(keyCol).isNotNull)
+          // the window below is evaluated twice (versions + touched
+          // keys); pin the batch so a nondeterministic source cannot
+          // desynchronize them — same discipline as GraftMerge
+          .localCheckpoint(true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col(tx).asc,
+            when(col(ct) === "insert", 1).otherwise(0).asc)
+        // every insert event opens a version valid until the key's
+        // next event in this batch (delete events only close)
+        val versions = keyed
+          .withColumn("__graft_next", lead(col(tx), 1).over(w))
+          .filter(col(ct) === "insert")
+          .withColumn("__valid_from", col(tx).cast("long"))
+          .withColumn("__valid_to", col("__graft_next").cast("long"))
+          .withColumn("__current", col("__graft_next").isNull)
+          .drop(ct, tx, "__graft_next")
+        // per touched key: the txn its first batch event lands at —
+        // the instant any previously-open version stops being current
+        val firstTxn = keyed.groupBy(col(keyCol))
+          .agg(min(col(tx)).cast("long").as("__graft_close_at"))
+        val existing = graft.storage.TxnCatalog.read(s, root, table)
+        val closed = existing match {
+          case None => None // bootstrap: nothing to close
+          case Some(t) =>
+            val open = t.filter(col("__current"))
+              // recomputed below over the union (same value: closing
+              // never moves __valid_from)
+              .drop("__scd_key")
+              .join(firstTxn, Seq(keyCol))
+              .withColumn("__valid_to", col("__graft_close_at"))
+              .withColumn("__current", lit(false))
+              .drop("__graft_close_at")
+            Some(open)
+        }
+        val scdKey = concat(col(keyCol).cast("string"), lit("@"),
+          col("__valid_from").cast("string"))
+        val append = closed
+          .map(c => c.unionByName(versions))
+          .getOrElse(versions)
+          .withColumn("__scd_key", scdKey)
+        val delKeys = closed.map(_.select(scdKey.as("__scd_key")))
+        graft.storage.TxnCatalog.mergeBatchLedgered(s, root, table,
+          "__scd_key", delKeys, Some(append), checkpointDir, id,
+          statsColumns, bloomColumns)
+        ()
+      }
+      .start()
+
   /** E1 as a continuous ingest: a stream of image rows is classified
     * against the STATIC parcel table (centroid → containment-first spatial
     * join with 1-NN fallback, [[graft.pipelines.Pipelines.ingestClassify]])
