@@ -214,6 +214,45 @@ object CatalogQueries extends QueryGroup {
              |             AND TIMESTAMP '2024-01-13 00:00:00'
              |ORDER BY event_id""".stripMargin)),
 
+    // PARTITION-SPEC EVOLUTION (Iceberg's signature layout feature):
+    // the table starts PARTITIONED BY (months(ts)), takes half the
+    // rows, evolves to days(ts) via CALL system.evolve_partitioning —
+    // ONE manifest-only commit, zero data rewritten — and takes the
+    // other half. The time-window read must prune (manifest stats hold
+    // on BOTH generations, since pruning never parses names) and
+    // return exactly the plain filter's rows. mixed_layout pins that
+    // month- AND day-named partitions genuinely coexist, so the green
+    // hash is evidence of cross-generation correctness, not of a
+    // silent full rewrite.
+    QueryDef(
+      "s_partition_evolution",
+      (s, d) => {
+        val root = QueryFixtures.evolvePartLake(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val snap = graft.storage.TxnCatalog.snapshot(s, root).get
+        def utc(iso: String) =
+          java.sql.Timestamp.from(java.time.Instant.parse(iso))
+        // spec-routed partitions are named b<nonce>.ts=<group value>:
+        // a month group renders yyyy-MM, a day group yyyy-MM-dd
+        val parts = snap.partitions("ev").filter(_.contains("ts="))
+        val monthGen = parts.exists(_.matches(""".*\.ts=\d{4}-\d{2}"""))
+        val dayGen = parts.exists(_.matches(""".*\.ts=\d{4}-\d{2}-\d{2}"""))
+        val surviving = snap.partitionsWhere("ev", "ts",
+          utc("2024-01-10T00:00:00Z"), utc("2024-01-13T00:00:00Z"))
+        val pruned = surviving.size < parts.size
+        s.sql(s"""SELECT event_id, ts, value FROM $cat.default.ev
+                 |WHERE ts BETWEEN timestamp'2024-01-10 00:00:00'
+                 |             AND timestamp'2024-01-13 00:00:00'
+                 |ORDER BY event_id""".stripMargin)
+          .withColumn("pruned", lit(pruned))
+          .withColumn("mixed_layout", lit(monthGen && dayGen))
+      },
+      Some("""SELECT event_id, ts, value, TRUE AS pruned,
+             |  TRUE AS mixed_layout FROM events
+             |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+             |             AND TIMESTAMP '2024-01-13 00:00:00'
+             |ORDER BY event_id""".stripMargin)),
+
     // Storage round trip through CATALYST-PLANNED skipping: the same
     // commit→cluster lake as s_zorder_skipping, but read via
     // GraftLake.table — an ordinary DataFrame whose FileSourceScanExec
@@ -920,6 +959,52 @@ object CatalogQueries extends QueryGroup {
              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
              |    AS DECIMAL(28,2)) AS sum_bal,
              |  'seg_agg' AS answered_from
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // MV rewrite for AVG / COUNT(col): the view stores only ADDITIVE
+    // pieces (cnt, sum_val, cnt_val — the non-null count), and the
+    // optimizer answers avg(val) as sum_val/cnt_val and count(val)
+    // from cnt_val — correct under NULLs, where count(*) would be
+    // wrong. The measure column is deliberately null-bearing, the
+    // avg rides the round(6) convention, and answered_from pins that
+    // the plan read seg_avg, not the source.
+    QueryDef(
+      "s_mv_avg_rewrite",
+      (s, d) => {
+        val root = QueryFixtures.mvAvgLake(s, d)
+        graft.plans.MvRewrite.install(s)
+        val q = graft.storage.GraftLake.table(s, root, "cust").get
+          .groupBy("c_mktsegment")
+          .agg(avg(col("val")).as("avg_val"),
+            count(col("val")).as("cnt_val"),
+            count(lit(1)).as("cnt"))
+        val scanned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => h.location match {
+              case m: graft.storage.ManifestFileIndex => m.lakeTable
+              case _ => "?"
+            }
+            case _ => "?"
+          }
+        }.toSet
+        q.select(col("c_mktsegment"),
+            round(col("avg_val").cast("decimal(18,12)"), 6)
+              .cast("double").as("avg_val"),
+            col("cnt_val"), col("cnt"))
+          .withColumn("answered_from", lit(scanned.mkString(",")))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(ROUND(CAST(AVG(CASE WHEN c_acctbal >= 0
+             |      THEN CAST(c_acctbal AS DOUBLE) END)
+             |    AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_val,
+             |  CAST(COUNT(CASE WHEN c_acctbal >= 0 THEN 1 END)
+             |    AS BIGINT) AS cnt_val,
+             |  CAST(COUNT(*) AS BIGINT) AS cnt,
+             |  'seg_avg' AS answered_from
              |FROM customer GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
 

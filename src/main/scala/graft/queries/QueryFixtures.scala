@@ -435,6 +435,27 @@ object QueryFixtures {
       ()
     }
 
+  /** Read-only fixture for `s_mv_avg_rewrite`: base commits + an MV
+    * storing (cnt, sum_val, cnt_val) over a NULL-bearing double
+    * measure — what the avg/count(col) rewrite needs. */
+  def mvAvgLake(s: SparkSession, sfDir: String): String =
+    fixture("mvavg-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          when(col("c_acctbal") >= 0, col("c_acctbal").cast("double"))
+            .as("val"))
+      TxnCatalog.commitPartitions(s, root,
+        (0 until 2).map(k => ("cust", s"b=$k",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === k))),
+        statsColumns = Seq("c_custkey"))
+      graft.storage.MaterializedAgg.create(s, root, "seg_avg", "cust",
+        Seq("c_mktsegment"),
+        Seq(graft.storage.MaterializedAgg.AggSpec("count"),
+          graft.storage.MaterializedAgg.AggSpec("sum", "val"),
+          graft.storage.MaterializedAgg.AggSpec("count", "val")))
+      ()
+    }
+
   /** Read-only fixture for `s_ts_skipping`: events committed in 6
     * hash-split batches then Z-clustered on (user_id, ts) with
     * filesPerBucket=2 — the build mutates, the reads don't. */
@@ -465,6 +486,27 @@ object QueryFixtures {
       Tables.events(s, sfDir).select("event_id", "ts", "value")
         .createOrReplaceTempView(s"${cat}_src")
       s.sql(s"INSERT INTO $cat.default.ev SELECT * FROM ${cat}_src")
+      ()
+    }
+
+  /** Read-only fixture for `s_partition_evolution`: CREATE under
+    * months(ts), first insert, evolve to days(ts) via the stored
+    * procedure, second insert — a mixed-generation layout the pruned
+    * read then exercises as-is. */
+  def evolvePartLake(s: SparkSession, sfDir: String): String =
+    fixture("evopart-v1", sfDir) { root =>
+      val cat = sqlCatalog(s, root)
+      s.sql(s"""CREATE TABLE $cat.default.ev (
+               |  event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+               |PARTITIONED BY (months(ts))""".stripMargin)
+      Tables.events(s, sfDir).select("event_id", "ts", "value")
+        .createOrReplaceTempView(s"${cat}_evosrc")
+      s.sql(s"INSERT INTO $cat.default.ev " +
+        s"SELECT * FROM ${cat}_evosrc WHERE event_id % 2 = 0")
+      s.sql(s"CALL $cat.system.evolve_partitioning(" +
+        "table => 'ev', spec => 'days(ts)')")
+      s.sql(s"INSERT INTO $cat.default.ev " +
+        s"SELECT * FROM ${cat}_evosrc WHERE event_id % 2 = 1")
       ()
     }
 

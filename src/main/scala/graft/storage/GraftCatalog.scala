@@ -448,8 +448,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             w.newDataType().simpleString)
       }
     validateWidens(base)
-    if (setProps.nonEmpty)
-      TxnCatalog.setTableProperties(spark, root, t, setProps.toMap)
+    if (setProps.nonEmpty) {
+      val m = setProps.toMap
+      m.get(PartitionSpec.Prop) match {
+        // PARTITION-SPEC EVOLUTION via plain SQL (`ALTER TABLE t SET
+        // TBLPROPERTIES ('graft.partition-spec' = 'days(ts)')`): route
+        // through the validating path so a typo'd transform or column
+        // is refused here, not at the next INSERT, and the new spec's
+        // source columns auto-join the skipping config — same contract
+        // as CREATE. Other keys in the same ALTER ride the same txn.
+        case Some(specStr) => TxnCatalog.evolvePartitionSpec(
+          spark, root, t, specStr, m - PartitionSpec.Prop)
+        case None => TxnCatalog.setTableProperties(spark, root, t, m)
+      }
+    }
     if (adds.isEmpty && widens.isEmpty)
       return new GraftSqlTable(root, t, base)
     // CONDITIONAL commit, re-validated per attempt: two concurrent

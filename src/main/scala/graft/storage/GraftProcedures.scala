@@ -60,7 +60,7 @@ private[storage] object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
     "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
-    "drop_branch", "clone")
+    "drop_branch", "clone", "evolve_partitioning")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -85,6 +85,8 @@ private[storage] object GraftProcedures {
       case "clone"    => Some(new CloneProcedure(root))
       case "drop_tag" => Some(new DropTagProcedure(root))
       case "tags"     => Some(new TagsProcedure(root))
+      case "evolve_partitioning" =>
+        Some(new EvolvePartitioningProcedure(root))
       case _          => None
     }
   }
@@ -641,6 +643,45 @@ private[storage] final class TagProcedure(root: String)
     }
     TxnCatalog.createTag(s, root, name, txn)
     one(oneRow(out, UTF8String.fromString(name), java.lang.Long.valueOf(txn)))
+  }
+}
+
+/** `CALL cat.system.evolve_partitioning(table => 't',
+  * spec => 'days(ts);bucket(8,k)')`: replace the table's hidden-
+  * partitioning spec in ONE manifest-only commit
+  * ([[TxnCatalog.evolvePartitionSpec]]) — future writes route under the
+  * new transforms, existing partitions stay byte-identical, pruning
+  * holds on both generations (stats/Bloom config merges, never
+  * shrinks). Empty `spec` removes hidden partitioning. Returns
+  * `(txn, spec)`. */
+private[storage] final class EvolvePartitioningProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "evolve_partitioning"
+  override def description(): String =
+    "replace the hidden-partitioning spec; manifest-only, no rewrite"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("spec", StringType, "''",
+      "';'-separated transforms, e.g. 'days(ts);bucket(8,k)'; " +
+        "empty removes hidden partitioning"))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("spec", StringType, nullable = true)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    require(table.nonEmpty, "evolve_partitioning: table is required")
+    val spec = str(input, 1)
+    val txn = TxnCatalog.evolvePartitionSpec(s, root, table, spec)
+    one(oneRow(out, java.lang.Long.valueOf(txn),
+      if (spec.isEmpty) null else UTF8String.fromString(spec)))
   }
 }
 

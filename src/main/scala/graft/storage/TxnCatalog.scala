@@ -1494,6 +1494,57 @@ object TxnCatalog {
       reconcile = identity)(() => ())
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's headline `ALTER TABLE ...
+    * WRITE ORDERED BY`-family capability, doable here as ONE
+    * manifest-only commit because the layout contract is
+    * property-driven end to end): replace `table`'s hidden-partitioning
+    * spec ([[PartitionSpec.Prop]]) with `spec` — every FUTURE write
+    * (SQL INSERT, streaming sink, bulk load) routes rows under the new
+    * transforms; partitions already written under the old spec keep
+    * their dirs, names and stats untouched. Reads never parse partition
+    * names (pruning rides manifest min/max + Blooms), so a mixed-spec
+    * table prunes correctly on BOTH generations — the new transforms'
+    * source columns merge into `graft.stats-columns` /
+    * `graft.bloom-columns` here, and the OLD spec's columns stay
+    * listed, so neither generation loses skippability. A later
+    * `CALL system.optimize` regroups old data under the new spec's
+    * logical groups (the group expression evaluates DATA columns, not
+    * names) — evolution needs no rewrite, but re-layout is one
+    * procedure away when wanted. An empty `spec` REMOVES hidden
+    * partitioning (writes fall back to caller-named partitions).
+    * Validates every transform against the table's current schema
+    * before committing; returns the committed txn. */
+  def evolvePartitionSpec(spark: SparkSession, root: String,
+      table: String, spec: String,
+      extraProps: Map[String, String] = Map.empty): Long = {
+    checkTableName(table)
+    val parsed =
+      if (spec.trim.isEmpty) Nil else PartitionSpec.parse(spec.trim)
+    val snap = snapshot(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    require(snap.tables.contains(table), s"unknown table '$table'")
+    if (parsed.nonEmpty) {
+      val schema = snap.read(table).map(_.schema).getOrElse(
+        throw new IllegalArgumentException(s"cannot resolve schema of '$table'"))
+      parsed.foreach(tr => require(schema.fieldNames.contains(tr.column),
+        s"partition transform references unknown column '${tr.column}'"))
+    }
+    val cur = snap.properties(table)
+    def mergedList(key: String, add: Seq[String]): Option[(String, String)] = {
+      val have = cur.get(key).toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty)
+      val all = (have ++ add).distinct
+      if (all.isEmpty) None else Some(key -> all.mkString(","))
+    }
+    val specProps = Map(PartitionSpec.Prop ->
+      (if (parsed.isEmpty) "" else PartitionSpec.render(parsed))) ++
+      mergedList(StatsColumnsProp,
+        parsed.filterNot(_.wantsBloom).map(_.column)) ++
+      mergedList(BloomColumnsProp,
+        parsed.filter(_.wantsBloom).map(_.column))
+    setTableProperties(spark, root, table, extraProps ++ specProps)
+  }
+
   /** Create `table` — its first data partition AND its properties
     * (CHECK constraints included) — in ONE atomic txn: a crash or rival
     * commit can never observe the table without its declared
