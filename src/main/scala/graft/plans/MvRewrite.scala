@@ -104,11 +104,44 @@ object MvRewrite extends Rule[LogicalPlan] {
             case Alias(AggregateExpression(fn, _, false, None, _), _) =>
               def agg2(f: AggregateFunction): Expression =
                 f.toAggregateExpression()
+              // count(col) answers from the stored non-null count
+              // `cnt_<col>` — or from `cnt` (count(*)) when the column
+              // is non-nullable by schema, where the two are equal
+              def nonNullCnt(a: AttributeReference): Option[Attribute] =
+                storedCol(s"cnt_${a.name}").orElse(
+                  if (!a.nullable) storedCol("cnt") else None)
               fn match {
                 case Count(Seq(Literal(v, _))) if v != null =>
                   storedCol("cnt").map { c =>
                     if (exact) c: Expression
                     else Cast(agg2(Sum(c)), c.dataType)
+                  }
+                case Count(Seq(a: AttributeReference)) =>
+                  nonNullCnt(a).map { c =>
+                    if (exact) c: Expression
+                    else Cast(agg2(Sum(c)), c.dataType)
+                  }
+                // avg(col) = sum_<col> / cnt_<col>, both stored
+                // additively. Non-decimal inputs only: Spark's Average
+                // computes them in DOUBLE, which this division
+                // reproduces; the decimal path's precision/rounding
+                // rules (DecimalPrecision) are not replicated here, so
+                // decimal avg conservatively keeps the scan.
+                case Average(a: AttributeReference, _)
+                    if !a.dataType.isInstanceOf[
+                      org.apache.spark.sql.types.DecimalType] =>
+                  for {
+                    sc <- storedCol(s"sum_${a.name}")
+                    cc <- nonNullCnt(a)
+                  } yield {
+                    val (se, ce) =
+                      if (exact) (sc: Expression, cc: Expression)
+                      else (agg2(Sum(sc)), agg2(Sum(cc)))
+                    val dbl = org.apache.spark.sql.types.DoubleType
+                    val div: Expression =
+                      Divide(Cast(se, dbl), Cast(ce, dbl))
+                    if (div.dataType == ne.dataType) div
+                    else Cast(div, ne.dataType)
                   }
                 case Sum(a: AttributeReference, _) =>
                   storedCol(s"sum_${a.name}").map { c =>

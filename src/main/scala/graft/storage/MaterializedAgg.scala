@@ -39,11 +39,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
   */
 object MaterializedAgg {
 
-  /** One aggregate column: `op` in count|sum|min|max; `col` ignored for
-    * count. The view column is named `cnt` / `<op>_<col>`. */
+  /** One aggregate column: `op` in count|sum|min|max. `count` with no
+    * `col` is `count(*)` (view column `cnt`); with a `col` it is the
+    * NON-NULL count `count(col)` (view column `cnt_<col>` — additive
+    * like `cnt`, and together with `sum_<col>` it lets [[graft.plans
+    * .MvRewrite]] answer `avg(col)` and `count(col)` from the view).
+    * Other ops store `<op>_<col>`. */
   final case class AggSpec(op: String, col: String = "") {
     require(Set("count", "sum", "min", "max")(op), s"unknown agg op '$op'")
-    def alias: String = if (op == "count") "cnt" else s"${op}_$col"
+    def alias: String =
+      if (op == "count") { if (col.isEmpty) "cnt" else s"cnt_$col" }
+      else s"${op}_$col"
   }
 
   /** View-table properties: the defining query's pieces plus the
@@ -75,7 +81,7 @@ object MaterializedAgg {
         s"table '$view' already exists; drop it first")
       val src = snap.read(source).getOrElse(
         throw new IllegalArgumentException(s"unknown table '$source'"))
-      (groupCols ++ aggs.filter(_.op != "count").map(_.col)).foreach { c =>
+      (groupCols ++ aggs.map(_.col).filter(_.nonEmpty)).foreach { c =>
         require(src.columns.contains(c), s"'$source' has no column '$c'")
       }
       val full = aggregate(src, groupCols, aggs)
@@ -258,7 +264,8 @@ object MaterializedAgg {
   private def aggregate(df: DataFrame, groupCols: Seq[String],
       aggs: Seq[AggSpec]): DataFrame = {
     val cols = aggs.map {
-      case AggSpec("count", _) => count(lit(1)).as("cnt")
+      case AggSpec("count", "") => count(lit(1)).as("cnt")
+      case AggSpec("count", c) => count(col(c)).as(s"cnt_$c")
       case AggSpec("sum", c) => normSum(df, c, sum(col(c))).as(s"sum_$c")
       case AggSpec("min", c) => min(col(c)).as(s"min_$c")
       case AggSpec("max", c) => max(col(c)).as(s"max_$c")
@@ -275,7 +282,8 @@ object MaterializedAgg {
       groupCols: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
     val both = mv.unionByName(delta)
     val cols = aggs.map {
-      case AggSpec("count", _) => sum(col("cnt")).cast("long").as("cnt")
+      case a @ AggSpec("count", _) =>
+        sum(col(a.alias)).cast("long").as(a.alias)
       case AggSpec("sum", c) =>
         normSum(both, s"sum_$c", sum(col(s"sum_$c"))).as(s"sum_$c")
       case AggSpec("min", c) => min(col(s"min_$c")).as(s"min_$c")

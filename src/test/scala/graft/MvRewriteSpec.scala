@@ -183,4 +183,104 @@ class MvRewriteSpec extends GraftSuite {
       assert(q.agg(sum("n")).collect().head.getLong(0) === 199L)
     }
   }
+
+  /** A null-bearing double measure with (sum, non-null count) stored. */
+  private def buildAvg(s2: SparkSession, root: String): Unit = {
+    import s2.implicits._
+    TxnCatalog.commitPartitions(s2, root,
+      Seq(("ev", "b=0",
+        (0 until 200).map(i => (i.toLong, s"g${i % 3}",
+          if (i % 5 == 0) None else Some(i * 1.5)))
+          .toDF("k", "grp", "v"))),
+      statsColumns = Seq("k"))
+    MaterializedAgg.create(s2, root, "ev_avg", "ev", Seq("grp"),
+      Seq(AggSpec("count"), AggSpec("sum", "v"), AggSpec("count", "v")))
+  }
+
+  test("avg and count(col) answer from (sum, cnt_col) — NULL-exact") {
+    val root = tmp("mvrwavg")
+    withExtSession { s2 =>
+      buildAvg(s2, root)
+      val q = GraftLake.table(s2, root, "ev").get
+        .groupBy("grp")
+        .agg(avg(col("v")).as("a"), count(col("v")).as("nv"),
+          count(lit(1)).as("n"))
+      assert(scannedTables(q) === Set("ev_avg"),
+        s"avg must answer from the view:\n${q.queryExecution.optimizedPlan}")
+      val direct = TxnCatalog.read(s2, root, "ev").get
+        .groupBy("grp")
+        .agg(avg(col("v")).as("a"), count(col("v")).as("nv"),
+          count(lit(1)).as("n"))
+        .orderBy("grp").collect()
+      assert(q.orderBy("grp").collect() === direct)
+    }
+  }
+
+  test("avg without a stored non-null count keeps the scan (nullable col)") {
+    val root = tmp("mvrwavg2")
+    withExtSession { s2 =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0",
+          (0 until 60).map(i => (i.toLong, s"g${i % 2}", Some(i * 2.0)))
+            .toDF("k", "grp", "v"))),
+        statsColumns = Seq("k"))
+      // the view stores cnt + sum_v but NOT cnt_v; v is nullable by
+      // schema, so count(*) is not a safe stand-in for count(v)
+      MaterializedAgg.create(s2, root, "ev_agg", "ev", Seq("grp"),
+        Seq(AggSpec("count"), AggSpec("sum", "v")))
+      val q = GraftLake.table(s2, root, "ev").get
+        .groupBy("grp").agg(avg(col("v")).as("a"))
+      assert(scannedTables(q) === Set("ev"),
+        "avg over a nullable column must keep the scan without cnt_v")
+    }
+  }
+
+  test("decimal avg conservatively keeps the scan") {
+    val root = tmp("mvrwavg3")
+    withExtSession { s2 =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0",
+          (0 until 60).map(i => (i.toLong, s"g${i % 2}", i * 3L))
+            .toDF("k", "grp", "v0")
+            .select(col("k"), col("grp"),
+              col("v0").cast("decimal(18,2)").as("v")))),
+        statsColumns = Seq("k"))
+      MaterializedAgg.create(s2, root, "ev_agg", "ev", Seq("grp"),
+        Seq(AggSpec("count"), AggSpec("sum", "v"), AggSpec("count", "v")))
+      val q = GraftLake.table(s2, root, "ev").get
+        .groupBy("grp").agg(avg(col("v")).as("a"))
+      assert(scannedTables(q) === Set("ev"),
+        "decimal avg does not rewrite (Average's decimal rounding " +
+          "rules are not replicated)")
+      // but count(v) still answers from the view
+      val q2 = GraftLake.table(s2, root, "ev").get
+        .groupBy("grp").agg(count(col("v")).as("nv"))
+      assert(scannedTables(q2) === Set("ev_agg"))
+    }
+  }
+
+  test("avg rolls up: coarser grouping re-sums both pieces") {
+    val root = tmp("mvrwavg4")
+    withExtSession { s2 =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0",
+          (0 until 120).map(i => (i.toLong, s"g${i % 3}", s"h${i % 2}",
+            if (i % 7 == 0) None else Some(i * 0.5)))
+            .toDF("k", "grp", "sub", "v"))),
+        statsColumns = Seq("k"))
+      MaterializedAgg.create(s2, root, "ev_agg", "ev", Seq("grp", "sub"),
+        Seq(AggSpec("count"), AggSpec("sum", "v"), AggSpec("count", "v")))
+      val q = GraftLake.table(s2, root, "ev").get
+        .groupBy("grp").agg(avg(col("v")).as("a"))
+      assert(scannedTables(q) === Set("ev_agg"),
+        s"rollup avg must use the view:\n${q.queryExecution.optimizedPlan}")
+      val direct = TxnCatalog.read(s2, root, "ev").get
+        .groupBy("grp").agg(avg(col("v")).as("a"))
+        .orderBy("grp").collect()
+      assert(q.orderBy("grp").collect() === direct)
+    }
+  }
 }
