@@ -144,6 +144,88 @@ object StreamingQueries extends QueryGroup {
              |  WHERE c_custkey >= 20 AND c_custkey NOT IN (21, 4242))
              |ORDER BY c_custkey""".stripMargin)),
 
+    // STREAM-STREAM INNER JOIN under the oracle gate: two streams over
+    // the same bronze lake (one filtered to the probe keys, one full)
+    // joined on user_id with symmetric state — each side's arrivals
+    // probe the other side's state store, so matches surface whichever
+    // side lands first across micro-batches. Rows arrive over an
+    // initial load plus two incremental commits per side; the union of
+    // emitted matches must equal the plain batch join. No watermark on
+    // purpose: state is unbounded-complete, making the join's output
+    // set-equal to batch — the production bounded-state variant rides
+    // event-time constraints (StreamsSpec).
+    QueryDef(
+      "st_stream_join",
+      (s, d) => {
+        val bronze = QueryFixtures
+          .linkCopy(QueryFixtures.bronzeEventsTemplate(s, d))
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        def commit(k: Int): Unit =
+          graft.storage.TxnCatalog.commitPartitions(s, bronze,
+            Seq(("ev", s"b$k", ev.filter(pmod(col("event_id"), lit(3)) === k))),
+            statsColumns = Seq("event_id"))
+        def src() = s.readStream.format("graft-lake")
+          .option("root", bronze).option("table", "ev").load()
+        val left = src().filter(pmod(col("event_id"), lit(100)) === 0)
+          .select(col("event_id").as("l_id"), col("user_id"))
+        val right = src()
+          .select(col("event_id").as("r_id"), col("user_id"), col("value"))
+        val name = "q_st_stream_join_sink"
+        s.catalog.dropTempView(name)
+        val q = left.join(right, "user_id")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          commit(1); q.processAllAvailable()
+          commit(2); q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).select("l_id", "user_id", "r_id", "value")
+          .orderBy("l_id", "user_id", "r_id", "value")
+      },
+      Some("""SELECT a.event_id AS l_id, a.user_id AS user_id,
+             |  b.event_id AS r_id, b.value
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |WHERE a.event_id % 100 = 0
+             |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    // STREAMING STATEFUL DEDUPE under the oracle gate (the J5 catalog-
+    // idempotence upgrade): dropDuplicates over the key column holds
+    // first-seen keys in the state store ACROSS micro-batches, so a
+    // later commit re-delivering rows already streamed emits nothing
+    // for them — blind re-insertion becomes exactly-once survival. The
+    // second commit deliberately replays every batch-0 row alongside
+    // genuinely-new ones; the sink must equal plain DISTINCT over the
+    // union. Duplicate rows are byte-identical, so "first wins" is
+    // value-deterministic.
+    QueryDef(
+      "st_stream_dedupe",
+      (s, d) => {
+        val bronze = QueryFixtures
+          .linkCopy(QueryFixtures.bronzeEventsTemplate(s, d))
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        val name = "q_st_stream_dedupe_sink"
+        s.catalog.dropTempView(name)
+        val q = s.readStream.format("graft-lake")
+          .option("root", bronze).option("table", "ev").load()
+          .dropDuplicates("event_id")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          // replay ALL of batch 0 plus the new batch-1 rows
+          graft.storage.TxnCatalog.commitPartitions(s, bronze,
+            Seq(("ev", "b1", ev.filter(
+              pmod(col("event_id"), lit(3)) <= 1))),
+            statsColumns = Seq("event_id"))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).orderBy("event_id", "user_id", "value")
+      },
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_id % 3 <= 1
+             |ORDER BY event_id, user_id, value""".stripMargin)),
+
     // APPLY CHANGES ... STORED AS SCD TYPE 2 under the oracle gate: the
     // same bronze change feed as st_cdc_apply, but the silver table keeps
     // the full VERSION HISTORY per key — __valid_from/__valid_to bracket
