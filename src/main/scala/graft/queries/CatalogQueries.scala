@@ -1086,6 +1086,67 @@ object CatalogQueries extends QueryGroup {
              |      UNION ALL VALUES (5000000001, 42.5))
              |ORDER BY c_custkey""".stripMargin)),
 
+    // RENAME TABLE round trip: clone, `ALTER TABLE ... RENAME TO` (one
+    // zero-copy manifest commit: clone-by-reference under the new name
+    // + old-name drop in the same txn), then INSERT into and read from
+    // the NEW name — the rows must hash-equal the source plus the
+    // insert, proving entries, schema, stats config, and writability
+    // all survived the rename without a byte of data copied.
+    QueryDef(
+      "s_sql_rename",
+      (s, d) => {
+        val root = QueryFixtures.alterBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        s.sql(s"ALTER TABLE $cat.default.$t RENAME TO ${t}_r")
+        s.sql(s"INSERT INTO $cat.default.${t}_r VALUES " +
+          "(CAST(7000000001 AS BIGINT), 'MACHINERY', " +
+          "CAST(1.5 AS DOUBLE))")
+        s.sql(s"""SELECT c_custkey, c_mktsegment, c_acctbal
+                 |FROM $cat.default.${t}_r
+                 |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal
+             |FROM (SELECT c_custkey, c_mktsegment, c_acctbal
+             |      FROM customer
+             |      UNION ALL
+             |      SELECT CAST(7000000001 AS BIGINT),
+             |        'MACHINERY', CAST(1.5 AS DOUBLE))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // COLUMN DEFAULT VALUES round trip: the base table was declared
+    // with `DEFAULT`s at CREATE and bulk-filled with ONLY the key
+    // column (every status/score in it came from the persisted
+    // defaults, filled at write time). Per iteration: clone, flip the
+    // status default with ALTER COLUMN SET DEFAULT (properties-only —
+    // no committed file is touched), land one omitted-column INSERT
+    // and one explicit-DEFAULT-keyword INSERT, read back. The oracle
+    // states the fill rules relationally: old rows keep the CREATE
+    // default, new rows take the flipped one.
+    QueryDef(
+      "s_sql_defaults",
+      (s, d) => {
+        val root = QueryFixtures.defaultsBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        s.sql(s"ALTER TABLE $cat.default.$t ALTER COLUMN status " +
+          "SET DEFAULT 'redo'")
+        s.sql(s"INSERT INTO $cat.default.$t (c_custkey) " +
+          "VALUES (6000000001)")
+        s.sql(s"INSERT INTO $cat.default.$t VALUES " +
+          "(6000000002, DEFAULT, CAST(9.0 AS DOUBLE))")
+        s.sql(s"""SELECT c_custkey, status, score
+                 |FROM $cat.default.$t ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  'new' AS status, CAST(0.5 AS DOUBLE) AS score
+             |FROM customer
+             |UNION ALL
+             |SELECT * FROM (VALUES
+             |  (CAST(6000000001 AS BIGINT), 'redo', CAST(0.5 AS DOUBLE)),
+             |  (CAST(6000000002 AS BIGINT), 'redo', CAST(9.0 AS DOUBLE)))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TAGS round trip (Iceberg tags on the txn axis): commit the full
     // customer set, CALL tag it, destructively overwrite the table,
     // vacuum with keep=1 — the tagged txn is EXEMPT, so reading

@@ -262,6 +262,23 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for COLUMN DEFAULT VALUES: the table declared with
+    * defaults at CREATE, then bulk-filled with only the key column —
+    * every row's status/score came from the persisted defaults, filled
+    * at write time by the analyzer. */
+  def defaultsBase(s: SparkSession, sfDir: String): String =
+    fixture("dfltbase-v1", sfDir) { root =>
+      val cat = sqlCatalog(s, root)
+      s.sql(s"CREATE TABLE $cat.default.cust (c_custkey BIGINT, " +
+        "status STRING DEFAULT 'new', score DOUBLE DEFAULT 0.5) " +
+        "USING graft")
+      Tables.customer(s, sfDir).select("c_custkey")
+        .createOrReplaceTempView("qfix_dflt_src")
+      s.sql(s"INSERT INTO $cat.default.cust (c_custkey) " +
+        "SELECT c_custkey FROM qfix_dflt_src")
+      ()
+    }
+
   /** Base lake for the BULK-rewrite round trip: 8 hash-split batches
     * (above TxnCatalog.BulkRewriteThreshold, so clones' rewrites take
     * the O(1)-jobs path), range stats on both columns. */

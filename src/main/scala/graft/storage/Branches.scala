@@ -126,6 +126,60 @@ object Branch {
   /** Table property recording the source a clone was taken from. */
   val CloneOfProp = "graft.clone.of"
 
+  /** RENAME TABLE: `src` becomes `dst` in ONE conditional manifest
+    * commit — a zero-copy clone and the source drop in the same txn,
+    * so no observer ever sees both names (or neither). Data dirs stay
+    * at their physical paths and the new name's entries reference them
+    * (`~ref:`), exactly like a shallow clone; vacuum's path-based
+    * liveness keeps them alive under the new name. Time travel to a
+    * pre-rename txn still reads the OLD name — the rename is a fact
+    * about the namespace, not history. Refused while the table has
+    * live branches (their shadow names embed the table name) or a
+    * materialized view reads it (its `graft.mv.source` would dangle);
+    * publish/drop those first. Returns the committed txn. */
+  def renameTable(spark: SparkSession, root: String, src: String,
+      dst: String, attempts: Int = 5): Long = {
+    TxnCatalog.checkTableName(dst)
+    require(!src.contains(BranchInfix) && !dst.contains(BranchInfix),
+      "branches cannot be renamed; publish or drop the branch instead")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val srcAll = cur.entries.filter(_._1._1 == src)
+      require(srcAll.nonEmpty, s"unknown table '$src'")
+      require(!cur.entries.keys.exists(_._1 == dst),
+        s"table '$dst' already exists")
+      val brs = branches(spark, root, src)
+      require(brs.isEmpty,
+        s"'$src' has live branches (${brs.mkString(", ")}) — publish " +
+          "or drop them before renaming")
+      cur.tables.foreach { t =>
+        val mvSrc = cur.properties(t).get(MaterializedAgg.SourceProp)
+        require(!mvSrc.contains(src),
+          s"materialized view '$t' reads '$src' — drop or repoint it " +
+            "before renaming")
+      }
+      val copied: Map[(String, String), Entry] = srcAll.collect {
+        case ((_, p), e) if p != PropsPartition =>
+          (dst, p) -> refEntry(src, p, e)
+      }
+      val props = cur.properties(src)
+      try {
+        return TxnCatalog.publish(spark, root,
+          Seq((dst, PropsPartition, propsDf(spark, props))),
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried =>
+            carried.filterNot(_._1._1 == src) ++ copied)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def cloneInto(spark: SparkSession, root: String, table: String,
       dst: String, extraProps: Long => Map[String, String],
       attempts: Int): Long = {

@@ -73,6 +73,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** COLUMN DEFAULT VALUES: declaring the capability makes Spark's
+    * parser/analyzer accept `DEFAULT <expr>` in CREATE/ALTER and fill
+    * missing INSERT columns from the table's reported
+    * `CURRENT_DEFAULT` field metadata — the engine persists the
+    * (already analysis-validated) SQL text per column in
+    * TBLPROPERTIES and re-attaches it on every load, so defaults
+    * survive the manifest like constraints do. Values are filled at
+    * WRITE time by the analyzer, so files always physically carry
+    * them — no read-side machinery, which is why ADD COLUMN with a
+    * default (old files lacking the column) is refused rather than
+    * half-supported. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** `graft.default.<column>` — the column's CURRENT_DEFAULT SQL. */
+  private def defaultProp(c: String) = s"graft.default.$c"
+
+  /** Re-attach persisted column defaults as the CURRENT_DEFAULT field
+    * metadata Spark's INSERT resolution reads. The TBLPROPERTIES are
+    * the ONLY source of truth: the analyzer-filled insert frames carry
+    * the metadata into the parquet footers, so the footer-merged
+    * schema resurfaces whatever default was current at WRITE time —
+    * stale after SET/DROP DEFAULT — and must be scrubbed first. */
+  private def withDefaults(t: String, schema: StructType): StructType = {
+    val props = TxnCatalog.tableProperties(spark, root, t)
+    val ds = props.collect {
+      case (k, v) if k.startsWith("graft.default.") =>
+        k.stripPrefix("graft.default.") -> v
+    }
+    StructType(schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT")
+      ds.get(f.name).foreach(sql => mb.putString("CURRENT_DEFAULT", sql))
+      val m = mb.build()
+      if (m == f.metadata) f else f.copy(metadata = m)
+    })
+  }
+
   override def defaultNamespace(): Array[String] = Array("default")
 
   private def spark: SparkSession = SparkSession.active
@@ -180,7 +222,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
     val schema = GraftLake.schemaOf(spark, root, t, snap)
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftSqlTable(root, t, schema, asOfTxn = Some(snap.txn))
+    new GraftSqlTable(root, t, withDefaults(t, schema),
+      asOfTxn = Some(snap.txn))
   }
 
   /** `VERSION AS OF <txn | 'tag'>` — the table pinned at a committed
@@ -263,6 +306,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val spec = PartitionSpec.fromTransforms(partitions.toSeq)
     spec.foreach(tr => require(schema.fieldNames.contains(tr.column),
       s"partition transform references unknown column '${tr.column}'"))
+    // COLUMN DEFAULTS: the analyzer already validated each DEFAULT
+    // (constant-foldable, type-coercible) before handing us the
+    // Column — persist the SQL text so every future INSERT resolves
+    // the same expression
+    val defaultProps = columns.toSeq.flatMap { c =>
+      Option(c.defaultValue()).map { dv =>
+        require(dv.getSql != null && dv.getSql.nonEmpty,
+          s"column ${c.name}: DEFAULT without SQL text is not supported")
+        defaultProp(c.name) -> dv.getSql
+      }
+    }.toMap
     def merged(key: String, add: Seq[String]): Option[(String, String)] = {
       val cur = user.get(key).toSeq.flatMap(_.split(','))
         .map(_.trim).filter(_.nonEmpty)
@@ -280,8 +334,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // rival commit, concurrent writer — can see the table without its
     // declared constraints ("constraints enforce from birth")
     TxnCatalog.createTableWithProperties(spark, root, t, "batch=init",
-      empty, user ++ specProps)
-    new GraftSqlTable(root, t, schema)
+      empty, user ++ specProps ++ defaultProps)
+    new GraftSqlTable(root, t, withDefaults(t, schema))
   }
 
   /** User TBLPROPERTIES minus Spark's reserved/engine keys. */
@@ -377,26 +431,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    // SET/DROP DEFAULT is a properties-only change: the default fills
+    // at WRITE time, so flipping it never touches committed files
+    val dflts = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue => u }
     require(adds.size + widens.size + setProps.size + renames.size +
-      drops.size == changes.size,
+      drops.size + dflts.size == changes.size,
       "only ADD/RENAME/DROP COLUMN(S), ALTER COLUMN TYPE (widening), " +
-        "and SET/UNSET TBLPROPERTIES are supported; got: " +
-        changes.mkString(", "))
+        "ALTER COLUMN SET/DROP DEFAULT, and SET/UNSET TBLPROPERTIES " +
+        "are supported; got: " + changes.mkString(", "))
+    adds.foreach(a => require(a.defaultValue() == null,
+      s"ADD COLUMN ${a.fieldNames().mkString(".")} WITH DEFAULT is " +
+        "not supported: defaults fill at write time, and rows " +
+        "written before the column existed would read as NULL, not " +
+        "the default — ADD the column first, then ALTER COLUMN SET " +
+        "DEFAULT for future inserts"))
     // RENAME/DROP are full-rewrite txns ([[TxnCatalog.renameColumn]])
     // with their own guards; keep them single-change so a refusal can
     // never leave a half-applied multi-change ALTER
     if (renames.nonEmpty || drops.nonEmpty) {
       require(changes.size == 1,
         "RENAME/DROP COLUMN must be the only change in the ALTER")
+      // a stale `graft.default.<old>` would silently re-attach to a
+      // future column of the same name — make the user detach it first
+      def noDefault(c: String): Unit = require(
+        !TxnCatalog.tableProperties(spark, root, t)
+          .contains(defaultProp(c)),
+        s"column '$c' has a DEFAULT — ALTER COLUMN $c DROP DEFAULT first")
       renames.foreach { r =>
         require(r.fieldNames().length == 1,
           s"nested renames are not supported: ${r.fieldNames().mkString(".")}")
+        noDefault(r.fieldNames()(0))
         TxnCatalog.renameColumn(spark, root, t, r.fieldNames()(0),
           r.newName())
       }
       drops.foreach { d =>
         require(d.fieldNames().length == 1,
           s"nested drops are not supported: ${d.fieldNames().mkString(".")}")
+        noDefault(d.fieldNames()(0))
         TxnCatalog.dropColumn(spark, root, t, d.fieldNames()(0))
       }
       val snapR = TxnCatalog.snapshot(spark, root)
@@ -448,8 +520,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             w.newDataType().simpleString)
       }
     validateWidens(base)
-    if (setProps.nonEmpty) {
-      val m = setProps.toMap
+    val defaultSets = dflts.map { u =>
+      require(u.fieldNames().length == 1,
+        s"nested column defaults are not supported: " +
+          u.fieldNames().mkString("."))
+      val name = u.fieldNames()(0)
+      require(base.fieldNames.contains(name), s"no column '$name' in '$t'")
+      // DROP DEFAULT arrives as an empty/null new default; an empty
+      // property value is setTableProperties' removal signal
+      val sql = Option(u.newCurrentDefault()).map(_.getSql)
+        .orElse(Option(u.newDefaultValue())).getOrElse("")
+      defaultProp(name) -> sql
+    }
+    if (setProps.nonEmpty || defaultSets.nonEmpty) {
+      val m = setProps.toMap ++ defaultSets
       m.get(PartitionSpec.Prop) match {
         // PARTITION-SPEC EVOLUTION via plain SQL (`ALTER TABLE t SET
         // TBLPROPERTIES ('graft.partition-spec' = 'days(ts)')`): route
@@ -463,7 +547,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     if (adds.isEmpty && widens.isEmpty)
-      return new GraftSqlTable(root, t, base)
+      return new GraftSqlTable(root, t, withDefaults(t, base))
     // CONDITIONAL commit, re-validated per attempt: two concurrent
     // ALTERs race the same deterministic batch=schema<txn+1> name, and
     // an unconditional commit would let the loser silently replace the
@@ -501,8 +585,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new IllegalStateException("unreachable")
   }
 
-  override def renameTable(from: Identifier, to: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** `ALTER TABLE ... RENAME TO` — one zero-copy conditional manifest
+    * commit ([[Branch.renameTable]]): clone-by-reference under the new
+    * name + source drop in the same txn. */
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    checkNs(from.namespace()); checkNs(to.namespace())
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(to.toString)
+    Branch.renameTable(spark, root, from.name(), to.name())
+    ()
+  }
 
   // --- SupportsNamespaces (the single flat namespace) ---
 
