@@ -1147,6 +1147,39 @@ object CatalogQueries extends QueryGroup {
              |  (CAST(6000000002 AS BIGINT), 'redo', CAST(9.0 AS DOUBLE)))
              |ORDER BY c_custkey""".stripMargin)),
 
+    // GENERATED ALWAYS AS round trip: the base table's bucket column
+    // was NEVER provided by any writer — the insert path computed
+    // every stored value from the declared expression (and the auto
+    // CHECK constraint has enforced the invariant on every commit).
+    // Per iteration: clone, land one omitted-column INSERT and one
+    // matching-value INSERT, read back. The oracle recomputes the
+    // expression relationally — if any write path had stored a stale
+    // or wrong value, the hash gate catches it here.
+    QueryDef(
+      "s_sql_generated",
+      (s, d) => {
+        val root = QueryFixtures.generatedBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        s.sql(s"INSERT INTO $cat.default.$t (c_custkey, c_acctbal) " +
+          "VALUES (CAST(8000000001 AS BIGINT), CAST(2500.0 AS DOUBLE))")
+        s.sql(s"INSERT INTO $cat.default.$t VALUES " +
+          "(CAST(8000000002 AS BIGINT), CAST(-250.0 AS DOUBLE), " +
+          "CAST(-1 AS BIGINT))")
+        s.sql(s"""SELECT c_custkey, c_acctbal, bal_bucket
+                 |FROM $cat.default.$t ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+             |FROM (SELECT c_custkey, c_acctbal FROM customer
+             |      UNION ALL
+             |      SELECT CAST(8000000001 AS BIGINT),
+             |        CAST(2500.0 AS DOUBLE)
+             |      UNION ALL
+             |      SELECT CAST(8000000002 AS BIGINT),
+             |        CAST(-250.0 AS DOUBLE))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TAGS round trip (Iceberg tags on the txn axis): commit the full
     // customer set, CALL tag it, destructively overwrite the table,
     // vacuum with keep=1 — the tagged txn is EXEMPT, so reading

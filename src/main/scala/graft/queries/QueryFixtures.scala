@@ -279,6 +279,23 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for GENERATED ALWAYS AS columns: the bucket column is
+    * never provided — every stored value was computed by the insert
+    * path from the declared expression, and the auto CHECK constraint
+    * (`gen_bal_bucket`) has enforced the invariant since birth. */
+  def generatedBase(s: SparkSession, sfDir: String): String =
+    fixture("genbase-v1", sfDir) { root =>
+      val cat = sqlCatalog(s, root)
+      s.sql(s"CREATE TABLE $cat.default.cust (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE, bal_bucket BIGINT GENERATED ALWAYS AS " +
+        "(CAST(floor(c_acctbal / 1000.0) AS BIGINT))) USING graft")
+      Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("qfix_gen_src")
+      s.sql(s"INSERT INTO $cat.default.cust (c_custkey, c_acctbal) " +
+        "SELECT c_custkey, c_acctbal FROM qfix_gen_src")
+      ()
+    }
+
   /** Base lake for the BULK-rewrite round trip: 8 hash-split batches
     * (above TxnCatalog.BulkRewriteThreshold, so clones' rewrites take
     * the O(1)-jobs path), range stats on both columns. */

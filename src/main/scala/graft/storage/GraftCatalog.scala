@@ -87,11 +87,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** `graft.default.<column>` — the column's CURRENT_DEFAULT SQL. */
   private def defaultProp(c: String) = s"graft.default.$c"
+
+  /** `graft.generated.<column>` — the column's GENERATED ALWAYS AS
+    * SQL. The SQL INSERT path computes it for rows that arrive with
+    * the column NULL ([[GraftSqlTable]]); an auto-created CHECK
+    * constraint (`constraint.gen_<column>`) makes EVERY write path —
+    * bulk loads, streaming sinks, MERGE/UPDATE rewrites — refuse rows
+    * where the stored value disagrees with the expression, so the
+    * invariant can never silently go stale. */
+  private def generatedProp(c: String) = GraftCatalog.GeneratedPrefix + c
 
   /** Re-attach persisted column defaults as the CURRENT_DEFAULT field
     * metadata Spark's INSERT resolution reads. The TBLPROPERTIES are
@@ -317,6 +329,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         defaultProp(c.name) -> dv.getSql
       }
     }.toMap
+    // GENERATED ALWAYS AS (expr): the analyzer already validated the
+    // expression (deterministic, references only non-generated
+    // columns). Persist the SQL — the insert path computes it for
+    // NULL arrivals — and pin the invariant as a CHECK constraint so
+    // no write path (bulk load, streaming sink, MERGE rewrite) can
+    // publish a row whose stored value disagrees with the expression.
+    val generatedProps = columns.toSeq.flatMap { c =>
+      Option(c.generationExpression()).map { sql =>
+        require(c.defaultValue() == null,
+          s"column ${c.name}: GENERATED columns cannot also have DEFAULT")
+        Seq(generatedProp(c.name) -> sql,
+          s"${TxnCatalog.ConstraintPrefix}gen_${c.name}" ->
+            s"`${c.name}` <=> ($sql)")
+      }
+    }.flatten.toMap
     def merged(key: String, add: Seq[String]): Option[(String, String)] = {
       val cur = user.get(key).toSeq.flatMap(_.split(','))
         .map(_.trim).filter(_.nonEmpty)
@@ -334,7 +361,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // rival commit, concurrent writer — can see the table without its
     // declared constraints ("constraints enforce from birth")
     TxnCatalog.createTableWithProperties(spark, root, t, "batch=init",
-      empty, user ++ specProps ++ defaultProps)
+      empty, user ++ specProps ++ defaultProps ++ generatedProps)
     new GraftSqlTable(root, t, withDefaults(t, schema))
   }
 
@@ -651,6 +678,35 @@ private[storage] final class GraftSqlTable(
       .flatMap(_.properties(table).get(PartitionSpec.Prop))
       .map(PartitionSpec.parse)
 
+  /** GENERATED ALWAYS AS columns on the SQL INSERT path: rows arriving
+    * with the column NULL get it computed (the omitted-column shape —
+    * Spark fills NULL for a missing nullable column); rows carrying a
+    * matching value pass through; a DISAGREEING value raises at
+    * execution — the same contract Delta enforces, so `INSERT INTO t
+    * SELECT * FROM t` round-trips but a corrupting write cannot land.
+    * The cast pins the expression to the declared column type. */
+  private def fillGenerated(s: SparkSession, df: DataFrame): DataFrame = {
+    val gens = TxnCatalog.tableProperties(s, root, table).collect {
+      case (k, v) if k.startsWith(GraftCatalog.GeneratedPrefix) =>
+        k.stripPrefix(GraftCatalog.GeneratedPrefix) -> v
+    }
+    gens.foldLeft(df) { case (d, (c, sql)) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val computed = org.apache.spark.sql.functions.expr(sql)
+          .cast(d.schema(c).dataType)
+        d.withColumn(c,
+          org.apache.spark.sql.functions.when(col(c).isNull, computed)
+            .when(col(c) <=> computed, col(c))
+            .otherwise(org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(
+                lit(s"value for generated column $c does not match " +
+                  s"GENERATED ALWAYS AS ($sql): "),
+                col(c).cast("string")))))
+      }
+    }
+  }
+
   /** INSERT/OVERWRITE into a hidden-partitioned table: rows group by
     * the transform expression; ≤ 16 distinct groups commit one entry
     * per group through the publish path (stats + Blooms measured per
@@ -879,8 +935,9 @@ private[storage] final class GraftSqlTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation(): InsertableRelation =
           new InsertableRelation {
-            override def insert(df: DataFrame, ow: Boolean): Unit = {
-              val s = df.sparkSession
+            override def insert(df0: DataFrame, ow: Boolean): Unit = {
+              val s = df0.sparkSession
+              val df = fillGenerated(s, df0)
               val snap = TxnCatalog.snapshot(s, root)
               // tables created/filled through the catalog stay
               // PARTITIONED; a whole-table snapshot (external
@@ -1045,6 +1102,11 @@ private[storage] final class GraftMetaTable(tname: String, df: DataFrame)
         }
       }
     }
+}
+
+private[storage] object GraftCatalog {
+  /** Property-key prefix for GENERATED ALWAYS AS column expressions. */
+  val GeneratedPrefix = "graft.generated."
 }
 
 private[storage] object GraftV1Scan {
