@@ -1180,6 +1180,33 @@ object CatalogQueries extends QueryGroup {
              |        CAST(-250.0 AS DOUBLE))
              |ORDER BY c_custkey""".stripMargin)),
 
+    // IDENTITY COLUMNS round trip: the base table's ids were assigned
+    // by the insert path over a sorted bulk insert (id == rank by
+    // custkey — deterministic by range partitioning + per-partition
+    // indexing), and the watermark lives in MANIFEST stats. Per
+    // iteration: clone, append one row (takes id = count+1 — the
+    // watermark survived the clone), read the full mapping back. The
+    // oracle restates assignment relationally: row_number over the
+    // same order, count+1 for the appended row.
+    QueryDef(
+      "s_sql_identity",
+      (s, d) => {
+        val root = QueryFixtures.identityBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        s.sql(s"INSERT INTO $cat.default.$t (c_custkey) " +
+          "VALUES (CAST(9000000001 AS BIGINT))")
+        s.sql(s"""SELECT id, c_custkey FROM $cat.default.$t
+                 |ORDER BY id""".stripMargin)
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY c_custkey)
+             |    AS BIGINT) AS id, c_custkey
+             |FROM customer
+             |UNION ALL
+             |SELECT CAST((SELECT count(*) + 1 FROM customer) AS BIGINT),
+             |  CAST(9000000001 AS BIGINT)
+             |ORDER BY id""".stripMargin)),
+
     // TAGS round trip (Iceberg tags on the txn axis): commit the full
     // customer set, CALL tag it, destructively overwrite the table,
     // vacuum with keep=1 — the tagged txn is EXEMPT, so reading

@@ -296,6 +296,22 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for IDENTITY columns: ids assigned by the insert path
+    * over a SORTED bulk insert — range partitioning + per-partition
+    * zipWithIndex makes id == rank(c_custkey), so the oracle can state
+    * the mapping relationally (row_number over the same order). */
+  def identityBase(s: SparkSession, sfDir: String): String =
+    fixture("idbase-v1", sfDir) { root =>
+      val cat = sqlCatalog(s, root)
+      s.sql(s"CREATE TABLE $cat.default.cust (id BIGINT GENERATED " +
+        "BY DEFAULT AS IDENTITY, c_custkey BIGINT) USING graft")
+      Tables.customer(s, sfDir).select("c_custkey")
+        .createOrReplaceTempView("qfix_id_src")
+      s.sql(s"INSERT INTO $cat.default.cust (c_custkey) " +
+        "SELECT c_custkey FROM qfix_id_src ORDER BY c_custkey")
+      ()
+    }
+
   /** Base lake for the BULK-rewrite round trip: 8 hash-split batches
     * (above TxnCatalog.BulkRewriteThreshold, so clones' rewrites take
     * the O(1)-jobs path), range stats on both columns. */

@@ -91,7 +91,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** `graft.default.<column>` — the column's CURRENT_DEFAULT SQL. */
   private def defaultProp(c: String) = s"graft.default.$c"
@@ -344,6 +346,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"`${c.name}` <=> ($sql)")
       }
     }.flatten.toMap
+    // GENERATED ... AS IDENTITY: persist (start, step, allowExplicit)
+    // and auto-declare the column a STATS column — the insert path's
+    // high watermark then reads from the MANIFEST (driver-side text,
+    // zero jobs) instead of scanning data. Identity + hidden
+    // partitioning is refused: the transform-routed insert path
+    // commits per-group and cannot carry the watermark CAS.
+    val identityCols = columns.toSeq.filter(_.identityColumnSpec() != null)
+    identityCols.foreach { c =>
+      require(c.dataType == org.apache.spark.sql.types.LongType ||
+        c.dataType == org.apache.spark.sql.types.IntegerType,
+        s"column ${c.name}: IDENTITY needs BIGINT or INT, " +
+          s"got ${c.dataType.simpleString}")
+      require(spec.isEmpty,
+        "IDENTITY columns and hidden partitioning cannot be combined " +
+          "(the transform-routed insert cannot serialize the watermark)")
+    }
+    val identityProps = identityCols.map { c =>
+      val ic = c.identityColumnSpec()
+      GraftCatalog.IdentityPrefix + c.name ->
+        s"${ic.getStart},${ic.getStep},${ic.isAllowExplicitInsert}"
+    }.toMap
     def merged(key: String, add: Seq[String]): Option[(String, String)] = {
       val cur = user.get(key).toSeq.flatMap(_.split(','))
         .map(_.trim).filter(_.nonEmpty)
@@ -351,17 +374,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (all.isEmpty) None else Some(key -> all.mkString(","))
     }
     val specProps =
-      if (spec.isEmpty) Map.empty[String, String]
-      else (Seq(PartitionSpec.Prop -> PartitionSpec.render(spec)) ++
+      ((if (spec.isEmpty) Nil
+        else Seq(PartitionSpec.Prop -> PartitionSpec.render(spec))) ++
         merged(TxnCatalog.StatsColumnsProp,
-          spec.filterNot(_.wantsBloom).map(_.column)) ++
+          spec.filterNot(_.wantsBloom).map(_.column) ++
+            identityCols.map(_.name)) ++
         merged(TxnCatalog.BloomColumnsProp,
           spec.filter(_.wantsBloom).map(_.column))).toMap
     // init partition + properties in ONE txn: no observer — crash,
     // rival commit, concurrent writer — can see the table without its
     // declared constraints ("constraints enforce from birth")
     TxnCatalog.createTableWithProperties(spark, root, t, "batch=init",
-      empty, user ++ specProps ++ defaultProps ++ generatedProps)
+      empty, user ++ specProps ++ defaultProps ++ generatedProps ++
+        identityProps)
     new GraftSqlTable(root, t, withDefaults(t, schema))
   }
 
@@ -481,10 +506,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "RENAME/DROP COLUMN must be the only change in the ALTER")
       // a stale `graft.default.<old>` would silently re-attach to a
       // future column of the same name — make the user detach it first
-      def noDefault(c: String): Unit = require(
-        !TxnCatalog.tableProperties(spark, root, t)
-          .contains(defaultProp(c)),
-        s"column '$c' has a DEFAULT — ALTER COLUMN $c DROP DEFAULT first")
+      // (same for identity/generated bookkeeping; generated columns
+      // are additionally pinned by their auto CHECK constraint)
+      def noDefault(c: String): Unit = {
+        val props = TxnCatalog.tableProperties(spark, root, t)
+        require(!props.contains(defaultProp(c)),
+          s"column '$c' has a DEFAULT — ALTER COLUMN $c DROP DEFAULT first")
+        require(!props.contains(GraftCatalog.IdentityPrefix + c),
+          s"column '$c' is an IDENTITY column and cannot be " +
+            "renamed or dropped")
+        require(!props.contains(GraftCatalog.GeneratedPrefix + c),
+          s"column '$c' is GENERATED and cannot be renamed or dropped")
+      }
       renames.foreach { r =>
         require(r.fieldNames().length == 1,
           s"nested renames are not supported: ${r.fieldNames().mkString(".")}")
@@ -677,6 +710,115 @@ private[storage] final class GraftSqlTable(
     TxnCatalog.snapshot(s, root)
       .flatMap(_.properties(table).get(PartitionSpec.Prop))
       .map(PartitionSpec.parse)
+
+  /** The table's IDENTITY columns: name -> (start, step, allowExplicit). */
+  private def identitySpecs(
+      s: SparkSession): Seq[(String, Long, Long, Boolean)] =
+    TxnCatalog.tableProperties(s, root, table).collect {
+      case (k, v) if k.startsWith(GraftCatalog.IdentityPrefix) =>
+        val Array(st, sp, ae) = v.split(",", 3)
+        (k.stripPrefix(GraftCatalog.IdentityPrefix),
+          st.toLong, sp.toLong, ae.toBoolean)
+    }.toSeq
+
+  /** The identity watermark (last assigned value in `step`'s
+    * direction) from MANIFEST column stats — driver-side text, zero
+    * jobs, zero file reads. The column is auto-declared a stats column
+    * at CREATE, so every commit measures it; a zero-row entry carries
+    * nothing and is skipped. Falls back to one max/min aggregate job
+    * only if some entry lacks the stat (a pre-identity external
+    * commit). Data-derived on purpose: a TRUNCATE restarts the
+    * sequence, an overwrite re-bases it — and any value a rival insert
+    * just committed is visible because the caller re-reads under a
+    * conditional-commit loop. */
+  private def identityHwm(s: SparkSession, cur: TxnCatalog.Snapshot,
+      c: String, step: Long): Option[Long] = {
+    val entries = cur.dataEntries(table).map(_._2)
+      .filterNot(_.rows.contains(0L))
+    val picks = entries.map(e => e.stats.get(c).map(st =>
+      if (step > 0) st.max else st.min))
+    if (picks.forall(_.isDefined)) {
+      val vals = picks.flatten.flatMap(v =>
+        if (v.isEmpty) None else v.toLongOption)
+      if (vals.isEmpty) None
+      else Some(if (step > 0) vals.max else vals.min)
+    } else {
+      // exact fallback: one metadata-or-scan aggregate over the table
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val agg = if (step > 0) fmax(col(c)) else fmin(col(c))
+      cur.read(table).flatMap { d =>
+        val r = d.agg(agg.cast("long")).collect().head
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    }
+  }
+
+  /** INSERT into a table with IDENTITY columns: assign values above
+    * the watermark and commit CONDITIONALLY on the snapshot that
+    * produced it — a rival insert makes the CAS fail, and the retry
+    * re-reads the watermark, so two racing inserts can never assign
+    * the same ids (Delta's optimistic-transaction guarantee). The
+    * input materializes ONCE (`localCheckpoint`); `zipWithIndex`
+    * assigns contiguous per-row offsets from the cached blocks (one
+    * count pass over cache, not a source re-read), so ids are compact
+    * — gaps appear only across retries and explicit-value inserts,
+    * which SQL identity permits. GENERATED ALWAYS refuses non-null
+    * arrivals at execution; BY DEFAULT passes them through. */
+  private[storage] def insertWithIdentity(s: SparkSession, df0: DataFrame,
+      specs: Seq[(String, Long, Long, Boolean)],
+      overwrite: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{when => fwhen}
+    require(!TxnCatalog.snapshot(s, root)
+      .exists(_.entries.contains((table, TxnCatalog.Whole))),
+      s"'$table' holds a whole-table snapshot; IDENTITY inserts need " +
+        "a partitioned table")
+    val persisted = df0.localCheckpoint()
+    try {
+      val idxField = "__graft_idx"
+      val rdd = persisted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i) }
+      val withIdx = s.createDataFrame(rdd, org.apache.spark.sql.types
+        .StructType(persisted.schema.fields :+
+          org.apache.spark.sql.types.StructField(idxField,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      var attempts = 0
+      while (true) {
+        attempts += 1
+        val cur = TxnCatalog.snapshot(s, root).getOrElse(
+          throw new IllegalStateException(s"empty catalog under $root"))
+        val assigned = specs.foldLeft(withIdx) {
+          case (d, (c, start, step, allowExplicit)) =>
+            val hwm = identityHwm(s, cur, c, step)
+            val base = hwm.map { h =>
+              if (step > 0) math.max(h + step, start)
+              else math.min(h + step, start)
+            }.getOrElse(start)
+            val computed = (lit(base) + col(idxField) * lit(step))
+              .cast(d.schema(c).dataType)
+            val onExplicit =
+              if (allowExplicit) col(c)
+              else org.apache.spark.sql.functions.raise_error(lit(
+                s"cannot INSERT into GENERATED ALWAYS AS IDENTITY " +
+                  s"column $c (it has no BY DEFAULT clause)"))
+            d.withColumn(c, fwhen(col(c).isNull, computed)
+              .otherwise(onExplicit))
+        }
+        val filled = fillGenerated(s, assigned.drop(idxField))
+        val part = s"batch=${java.util.UUID.randomUUID().toString.take(8)}"
+        try {
+          TxnCatalog.commitPartitionsHooked(s, root,
+            Seq((table, part, filled)),
+            drops = if (overwrite)
+              cur.partitions(table).map((table, _)) else Nil,
+            expectedTxn = Some(cur.txn))(() => ())
+          return
+        } catch {
+          case _: java.io.IOException if attempts < 20 =>
+            Thread.sleep(math.min(200L, attempts * 20L))
+        }
+      }
+    } finally { persisted.unpersist(); () }
+  }
 
   /** GENERATED ALWAYS AS columns on the SQL INSERT path: rows arriving
     * with the column NULL get it computed (the omitted-column shape —
@@ -937,6 +1079,11 @@ private[storage] final class GraftSqlTable(
           new InsertableRelation {
             override def insert(df0: DataFrame, ow: Boolean): Unit = {
               val s = df0.sparkSession
+              val idents = identitySpecs(s)
+              if (idents.nonEmpty) {
+                insertWithIdentity(s, df0, idents, overwrite || ow)
+                return
+              }
               val df = fillGenerated(s, df0)
               val snap = TxnCatalog.snapshot(s, root)
               // tables created/filled through the catalog stay
@@ -1107,6 +1254,8 @@ private[storage] final class GraftMetaTable(tname: String, df: DataFrame)
 private[storage] object GraftCatalog {
   /** Property-key prefix for GENERATED ALWAYS AS column expressions. */
   val GeneratedPrefix = "graft.generated."
+  /** Property-key prefix for IDENTITY columns: `start,step,allowExplicit`. */
+  val IdentityPrefix = "graft.identity."
 }
 
 private[storage] object GraftV1Scan {
