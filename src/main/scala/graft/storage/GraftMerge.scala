@@ -535,6 +535,49 @@ object GraftUpdate {
       noSubquery(a.value)
       name -> bareSql(a.value)
     }
+    // GENERATED columns: a SET that rewrites a referenced base column
+    // would stale the invariant (and die at the auto CHECK) — instead,
+    // recompute the generated column alongside, substituting the new
+    // value expressions into the generation SQL so it evaluates over
+    // the POST-update row. Direct SETs on generated columns refuse,
+    // like Delta.
+    val genProps = TxnCatalog
+      .tableProperties(spark, target.root, target.table).collect {
+        case (k, v) if k.startsWith(GraftCatalog.GeneratedPrefix) =>
+          k.stripPrefix(GraftCatalog.GeneratedPrefix) -> v
+      }
+    assigns.foreach { case (n, _) =>
+      if (genProps.keys.exists(_.equalsIgnoreCase(n)))
+        refuse(s"SET on generated column $n (it is recomputed " +
+          "automatically when its inputs change)")
+    }
+    val assignBySet = assigns.toMap
+    val genAssigns = genProps.toSeq.sortBy(_._1).flatMap {
+      case (gc, gsql) =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(gsql)
+        val hit = parsed.exists {
+          case ua: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute =>
+            assignBySet.keys.exists(_.equalsIgnoreCase(ua.name))
+          case _ => false
+        }
+        if (!hit) None
+        else {
+          // transformUp: post-order, so the substituted value
+          // expression (which may reference the same column — e.g.
+          // SET k = k + 10) is never re-visited
+          val substituted = parsed.transformUp {
+            case ua: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute =>
+              assignBySet.collectFirst {
+                case (n, sql) if n.equalsIgnoreCase(ua.name) =>
+                  spark.sessionState.sqlParser.parseExpression(s"($sql)")
+              }.getOrElse(ua)
+          }
+          Some(gc -> substituted.sql)
+        }
+    }
+    val allAssigns = assigns ++ genAssigns
     val condSql = u.condition.map(bareSql).getOrElse("true")
     val condRefs = u.condition.toSeq
       .flatMap(_.references.toSeq.map(_.name)).distinct
@@ -546,10 +589,10 @@ object GraftUpdate {
       // EVERY partition — route to the DV-backed positional update
       // (one funnel scan + O(matched) written) instead
       TxnCatalog.updatePositions(spark, target.root, target.table,
-        org.apache.spark.sql.functions.expr(condSql), assigns)
+        org.apache.spark.sql.functions.expr(condSql), allAssigns)
     else
       TxnCatalog.updateWhere(spark, target.root, target.table,
-        condSql, assigns,
+        condSql, allAssigns,
         bounds = prunable,
         condRefs = condRefs)
     ()

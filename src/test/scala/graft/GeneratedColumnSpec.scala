@@ -50,8 +50,7 @@ class GeneratedColumnSpec extends GraftSuite {
     }
   }
 
-  test("raw engine appends and staling rewrites refuse via the " +
-    "auto CHECK constraint") {
+  test("raw appends refuse via the auto CHECK; SQL UPDATE recomputes") {
     withCatalog { (s2, root) =>
       import s2.implicits._
       s2.sql("CREATE TABLE lake.default.g (k BIGINT, " +
@@ -62,15 +61,17 @@ class GeneratedColumnSpec extends GraftSuite {
           Seq((10L, 99L)).toDF("k", "k2"))
       }
       assert(e1.getMessage.contains("gen_k2"))
-      // an UPDATE that rewrites k but not k2 would stale the pair —
-      // the rewrite's constraint re-check refuses, nothing published
-      val e2 = intercept[Exception] {
-        s2.sql("UPDATE lake.default.g SET k = k + 10 WHERE k = 5")
-      }
-      assert(e2.getMessage.contains("gen_k2"))
+      // an UPDATE rewriting k recomputes k2 over the POST-update row
+      // (the generation SQL with the new-value expression substituted)
+      s2.sql("UPDATE lake.default.g SET k = k + 10 WHERE k = 5")
       val got = s2.sql("SELECT k, k2 FROM lake.default.g ORDER BY k")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(got === Array((1L, 2L), (5L, 6L)))
+      assert(got === Array((1L, 2L), (15L, 16L)))
+      // a direct SET on the generated column refuses, like Delta
+      val e2 = intercept[Exception] {
+        s2.sql("UPDATE lake.default.g SET k2 = 42 WHERE k = 1")
+      }
+      assert(e2.getMessage.contains("generated column"))
     }
   }
 
