@@ -1207,6 +1207,32 @@ object CatalogQueries extends QueryGroup {
              |  CAST(9000000001 AS BIGINT)
              |ORDER BY id""".stripMargin)),
 
+    // ZERO-COPY ONBOARDING round trip (`CALL system.add_files`,
+    // Iceberg's add_files): an EXTERNAL parquet directory becomes a
+    // lake table in one manifest txn — nothing copied, nothing scanned
+    // beyond footers; `analyze` then backfills manifest stats so the
+    // imported entries prune like native ones. The read-back must
+    // hash-equal the source (proving external resolution end to end)
+    // with the entry count pinned; at 100 TB this is the onboarding
+    // path: a directory listing + a CAS instead of a full rewrite.
+    QueryDef(
+      "s_add_files",
+      (s, d) => {
+        val src = QueryFixtures.extParquetDir(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("qimp").toString
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val r = s.sql(s"CALL $cat.system.add_files(table => 'cust', " +
+          s"source_path => '$src')").collect().head
+        s.sql(s"CALL $cat.system.analyze(table => 'cust', " +
+          "stats_columns => 'c_custkey')")
+        s.sql(s"""SELECT c_custkey, c_acctbal FROM $cat.default.cust
+                 |ORDER BY c_custkey""".stripMargin)
+          .withColumn("added_entries", lit(r.getInt(1)))
+      },
+      Some("""SELECT c_custkey, c_acctbal, 4 AS added_entries
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // TAGS round trip (Iceberg tags on the txn axis): commit the full
     // customer set, CALL tag it, destructively overwrite the table,
     // vacuum with keep=1 — the tagged txn is EXEMPT, so reading

@@ -312,6 +312,19 @@ object QueryFixtures {
       ()
     }
 
+  /** An EXTERNAL parquet directory (outside any lake root): customer
+    * key+balance hash-split into 4 flat subdirectories — the shape
+    * `add_files` onboards by reference. Built once per (version, sf). */
+  def extParquetDir(s: SparkSession, sfDir: String): String =
+    fixture("extpq-v1", sfDir) { dir =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      (0 until 4).foreach { i =>
+        cust.filter(pmod(col("c_custkey"), lit(4)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/part$i")
+      }
+      ()
+    }
+
   /** Base lake for the BULK-rewrite round trip: 8 hash-split batches
     * (above TxnCatalog.BulkRewriteThreshold, so clones' rewrites take
     * the O(1)-jobs path), range stats on both columns. */

@@ -60,7 +60,7 @@ private[storage] object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
     "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
-    "drop_branch", "clone", "evolve_partitioning")
+    "drop_branch", "clone", "evolve_partitioning", "add_files")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -87,6 +87,7 @@ private[storage] object GraftProcedures {
       case "tags"     => Some(new TagsProcedure(root))
       case "evolve_partitioning" =>
         Some(new EvolvePartitioningProcedure(root))
+      case "add_files" => Some(new AddFilesProcedure(root))
       case _          => None
     }
   }
@@ -274,6 +275,42 @@ private[storage] final class VacuumProcedure(root: String)
       minAgeMs = input.getLong(1))
     val after = TxnCatalog.txns(s, root).size
     one(oneRow(out, Integer.valueOf(before - after), Integer.valueOf(after)))
+  }
+}
+
+/** `CALL cat.system.add_files(table => 't', source_path => '/data')`:
+  * zero-copy onboarding of existing parquet ([[Importer.addFiles]] —
+  * Iceberg's add_files): each child of the source directory becomes a
+  * manifest entry referencing the data IN PLACE (`~ext:`), one
+  * conditional manifest txn, nothing copied or scanned beyond footers.
+  * Follow with `analyze` to backfill skipping stats. Returns
+  * `(txn, added_entries)`. */
+private[storage] final class AddFilesProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "add_files"
+  override def description(): String =
+    "import external parquet by reference - zero copy, one manifest txn"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("source_path", StringType))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false),
+    StructField("added_entries", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    val path = str(input, 1)
+    require(table.nonEmpty, "add_files: table is required")
+    require(path.nonEmpty, "add_files: source_path is required")
+    val (txn, n) = Importer.addFiles(s, root, table, path)
+    one(oneRow(out, java.lang.Long.valueOf(txn), Integer.valueOf(n)))
   }
 }
 

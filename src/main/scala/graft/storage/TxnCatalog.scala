@@ -112,8 +112,16 @@ object TxnCatalog {
     * manifest references it under ANY name. */
   private[storage] val RefPrefix = "~ref:"
 
+  /** Dir-field prefix marking an EXTERNAL entry: data imported BY
+    * REFERENCE from outside the root (`~ext:<absolute path>` —
+    * [[Importer.addFiles]]). Resolves here like every entry;
+    * [[vacuum]] never deletes external paths (the lake does not own
+    * them — dropping the last reference merely forgets them). */
+  private[storage] val ExtPrefix = "~ext:"
+
   private[storage] def entryPath(root: String, tab: String, part: String, dir: String) =
-    if (dir.startsWith(RefPrefix)) s"$root/${dir.stripPrefix(RefPrefix)}"
+    if (dir.startsWith(ExtPrefix)) dir.stripPrefix(ExtPrefix)
+    else if (dir.startsWith(RefPrefix)) s"$root/${dir.stripPrefix(RefPrefix)}"
     else if (part == Whole) s"$root/$tab/$dir" else s"$root/$tab/$part/$dir"
 
   private[storage] def checkTableName(t: String): Unit =
@@ -376,7 +384,7 @@ object TxnCatalog {
     * from a column-type widen followed by conformed appends). Anything
     * else rethrows the original merge failure: silent coercion of
     * genuinely incompatible layouts would corrupt, not repair. */
-  private def widenMergeSchemas(a: org.apache.spark.sql.types.StructType,
+  private[storage] def widenMergeSchemas(a: org.apache.spark.sql.types.StructType,
       b: org.apache.spark.sql.types.StructType,
       orig: Exception): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -3865,7 +3873,9 @@ object TxnCatalog {
         entryPath(root, tab, p, e.dir) }).toSet
     dropped.foreach { t =>
       manifest(f, root, t).foreach { case ((tab, p), e) =>
-        if (!live.contains(entryPath(root, tab, p, e.dir)))
+        // external (~ext:) data is never owned: forget, don't delete
+        if (!e.dir.startsWith(ExtPrefix) &&
+            !live.contains(entryPath(root, tab, p, e.dir)))
           f.delete(new Path(entryPath(root, tab, p, e.dir)), true)
       }
       f.delete(new Path(tdir, t.toString), false)

@@ -206,7 +206,8 @@ class ProcedureSpec extends GraftSuite {
       assert(names === Set("optimize", "cluster", "vacuum", "history",
         "analyze", "apply_deletes", "restore", "bucket", "create_mv",
         "refresh_mv", "tag", "drop_tag", "tags", "branch",
-        "publish_branch", "drop_branch", "clone", "evolve_partitioning"))
+        "publish_branch", "drop_branch", "clone", "evolve_partitioning",
+        "add_files"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
