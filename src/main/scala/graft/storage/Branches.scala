@@ -85,7 +85,11 @@ object Branch {
     * incremental-consumer skipping exactly. */
   private def refEntry(ownTable: String, part: String, e: Entry): Entry = {
     val dir =
-      if (e.dir.startsWith(RefPrefix)) e.dir
+      // already-indirect dirs stay verbatim: a `~ref:` keeps naming the
+      // original physical location, an `~ext:` keeps naming the
+      // imported absolute path ([[TxnCatalog.ExtPrefix]])
+      if (e.dir.startsWith(RefPrefix) ||
+        e.dir.startsWith(TxnCatalog.ExtPrefix)) e.dir
       else if (part == Whole) s"$RefPrefix$ownTable/${e.dir}"
       else s"$RefPrefix$ownTable/$part/${e.dir}"
     e.copy(dir = dir, dataTxn = Some(TxnCatalog.entryDataTxn(e)))

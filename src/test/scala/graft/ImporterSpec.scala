@@ -109,6 +109,22 @@ class ImporterSpec extends GraftSuite {
     assert(e2.getMessage.contains("nested"))
   }
 
+  test("clone and rename of an imported table keep external dirs intact") {
+    val root = Files.createTempDirectory("imp7").toFile.getAbsolutePath
+    val src = writeExt(spark, 2)
+    Importer.addFiles(spark, root, "ev", src)
+    graft.storage.Branch.cloneTable(spark, root, "ev", "ev2")
+    assert(TxnCatalog.read(spark, root, "ev2").get.count() === 20L)
+    graft.storage.Branch.renameTable(spark, root, "ev2", "ev3")
+    assert(TxnCatalog.read(spark, root, "ev3").get.count() === 20L)
+    // DV-backed positional DELETE works over external entries too
+    TxnCatalog.deletePositions(spark, root, "ev3",
+      org.apache.spark.sql.functions.col("k") < 5L)
+    assert(TxnCatalog.read(spark, root, "ev3").get.count() === 15L)
+    // and the external source is still byte-identical
+    assert(spark.read.parquet(s"$src/part0").count() === 10L)
+  }
+
   test("CALL system.add_files imports through plain SQL") {
     val root = Files.createTempDirectory("imp6").toFile.getAbsolutePath
     val src = writeExt(spark, 2)
