@@ -1233,6 +1233,41 @@ object CatalogQueries extends QueryGroup {
       Some("""SELECT c_custkey, c_acctbal, 4 AS added_entries
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // ANSI CONSTRAINT DDL round trip: the base table was created with
+    // a CHECK (every bulk row passed the staged-bytes funnel at
+    // build); per iteration: clone, ADD a second CONSTRAINT (validated
+    // against all existing rows before publishing), land a violating
+    // INSERT (must refuse — pinned as a constant column) and a passing
+    // one, read back. The oracle is the passing relation plus the
+    // pinned refusal count: if enforcement ever went soft, either the
+    // extra row or the flag breaks the hash.
+    QueryDef(
+      "s_sql_constraint",
+      (s, d) => {
+        val root = QueryFixtures.constraintBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val t = QueryFixtures.cloneOf(s, root, "cust")
+        s.sql(s"ALTER TABLE $cat.default.$t ADD CONSTRAINT key_pos " +
+          "CHECK (c_custkey >= 0)")
+        val refused =
+          try {
+            s.sql(s"INSERT INTO $cat.default.$t VALUES " +
+              "(CAST(-5 AS BIGINT), CAST(1.0 AS DOUBLE))")
+            0
+          } catch { case _: Exception => 1 }
+        s.sql(s"INSERT INTO $cat.default.$t VALUES " +
+          "(CAST(9000000077 AS BIGINT), CAST(7.5 AS DOUBLE))")
+        s.sql(s"""SELECT c_custkey, c_acctbal FROM $cat.default.$t
+                 |ORDER BY c_custkey""".stripMargin)
+          .withColumn("refused", lit(refused))
+      },
+      Some("""SELECT c_custkey, c_acctbal, 1 AS refused
+             |FROM (SELECT c_custkey, c_acctbal FROM customer
+             |      UNION ALL
+             |      SELECT CAST(9000000077 AS BIGINT),
+             |        CAST(7.5 AS DOUBLE))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // TAGS round trip (Iceberg tags on the txn axis): commit the full
     // customer set, CALL tag it, destructively overwrite the table,
     // vacuum with keep=1 — the tagged txn is EXEMPT, so reading

@@ -312,6 +312,22 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for ANSI constraint DDL: declared with a CHECK at
+    * CREATE (every bulk row validated through the staged-bytes
+    * constraint funnel at build time). */
+  def constraintBase(s: SparkSession, sfDir: String): String =
+    fixture("consbase-v1", sfDir) { root =>
+      val cat = sqlCatalog(s, root)
+      s.sql(s"CREATE TABLE $cat.default.cust (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE, CONSTRAINT bal_floor CHECK " +
+        "(c_acctbal > -100000.0)) USING graft")
+      Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+        .createOrReplaceTempView("qfix_cons_src")
+      s.sql(s"INSERT INTO $cat.default.cust " +
+        "SELECT c_custkey, c_acctbal FROM qfix_cons_src")
+      ()
+    }
+
   /** An EXTERNAL parquet directory (outside any lake root): customer
     * key+balance hash-split into 4 flat subdirectories — the shape
     * `add_files` onboards by reference. Built once per (version, sf). */

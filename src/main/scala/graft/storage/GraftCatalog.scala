@@ -93,7 +93,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** `graft.default.<column>` — the column's CURRENT_DEFAULT SQL. */
   private def defaultProp(c: String) = s"graft.default.$c"
@@ -284,6 +286,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"no txn committed at or before timestamp $cutoffMs ms"))
     loadTable(ident, at.toString)
   }
+
+  /** ANSI constraint DDL (`CREATE TABLE ... CHECK (...)`,
+    * `CONSTRAINT c CHECK (...)`): each enforced CHECK becomes a
+    * `constraint.<name>` property — the SAME enforcement funnel raw
+    * TBLPROPERTIES constraints use, so every write path validates it
+    * from birth. PRIMARY KEY / FOREIGN KEY / UNIQUE are refused: the
+    * engine will not record a constraint it cannot enforce. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val cProps = constraintProps(info.constraints())
+    val merged = new util.HashMap[String, String](info.properties())
+    cProps.foreach { case (k, v) => merged.put(k, v) }
+    createTable(ident, info.columns(), info.partitions(), merged)
+  }
+
+  /** Enforced CHECK constraints as `constraint.<name>` properties. */
+  private def constraintProps(
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint]): Map[String, String] =
+    cs.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(c.enforced(),
+          s"CHECK constraint ${c.name()}: NOT ENFORCED is not " +
+            "supported — the engine records only constraints it " +
+            "enforces")
+        require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+          s"CHECK constraint ${c.name()} carries no SQL predicate")
+        s"${TxnCatalog.ConstraintPrefix}${c.name()}" -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported (cannot enforce " +
+          s"${other.toDDL()})")
+    }.toMap
 
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
@@ -487,11 +521,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // at WRITE time, so flipping it never touches committed files
     val dflts = changes.collect {
       case u: TableChange.UpdateColumnDefaultValue => u }
+    // ADD/DROP CONSTRAINT ride the constraint-properties funnel —
+    // ADD validates existing rows inside setTableProperties before
+    // anything publishes, exactly like a raw `constraint.*` SET
+    val consAdds = changes.collect {
+      case a: TableChange.AddConstraint => a }
+    val consDrops = changes.collect {
+      case d: TableChange.DropConstraint => d }
     require(adds.size + widens.size + setProps.size + renames.size +
-      drops.size + dflts.size == changes.size,
+      drops.size + dflts.size + consAdds.size + consDrops.size ==
+        changes.size,
       "only ADD/RENAME/DROP COLUMN(S), ALTER COLUMN TYPE (widening), " +
-        "ALTER COLUMN SET/DROP DEFAULT, and SET/UNSET TBLPROPERTIES " +
-        "are supported; got: " + changes.mkString(", "))
+        "ALTER COLUMN SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK), " +
+        "and SET/UNSET TBLPROPERTIES are supported; got: " +
+        changes.mkString(", "))
     adds.foreach(a => require(a.defaultValue() == null,
       s"ADD COLUMN ${a.fieldNames().mkString(".")} WITH DEFAULT is " +
         "not supported: defaults fill at write time, and rows " +
@@ -580,7 +623,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             w.newDataType().simpleString)
       }
     validateWidens(base)
-    val defaultSets = dflts.map { u =>
+    val consSets: Seq[(String, String)] =
+      constraintProps(consAdds.map(_.constraint()).toArray).toSeq ++
+        consDrops.map { d =>
+          val key = TxnCatalog.ConstraintPrefix + d.name()
+          val props = TxnCatalog.tableProperties(spark, root, t)
+          require(d.ifExists() || props.contains(key),
+            s"no constraint '${d.name()}' on '$t'")
+          // the gen_<col> CHECK is the generated column's engine
+          // invariant — it lives and dies with the column, not DDL
+          val genCol = d.name().stripPrefix("gen_")
+          require(!(d.name().startsWith("gen_") && props.contains(
+            GraftCatalog.GeneratedPrefix + genCol)),
+            s"'${d.name()}' enforces GENERATED column '$genCol' — it " +
+              "cannot be dropped while the column is generated")
+          key -> ""
+        }
+    val defaultSets0 = dflts.map { u =>
       require(u.fieldNames().length == 1,
         s"nested column defaults are not supported: " +
           u.fieldNames().mkString("."))
@@ -592,6 +651,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .orElse(Option(u.newDefaultValue())).getOrElse("")
       defaultProp(name) -> sql
     }
+    val defaultSets = defaultSets0 ++ consSets
     if (setProps.nonEmpty || defaultSets.nonEmpty) {
       val m = setProps.toMap ++ defaultSets
       m.get(PartitionSpec.Prop) match {
@@ -710,6 +770,31 @@ private[storage] final class GraftSqlTable(
     TxnCatalog.snapshot(s, root)
       .flatMap(_.properties(table).get(PartitionSpec.Prop))
       .map(PartitionSpec.parse)
+
+  /** Report the table's enforced CHECK constraints (DESCRIBE, and
+    * Spark's analyzer-side write validation). The auto `gen_<col>`
+    * CHECKs are engine invariants enforced at COMMIT and are not
+    * reported: Spark would otherwise validate them against the raw
+    * insert input BEFORE the engine computes the generated column. */
+  override def constraints(): Array[org.apache.spark.sql.connector
+      .catalog.constraints.Constraint] = {
+    val props = TxnCatalog.tableProperties(SparkSession.active, root, table)
+    props.toSeq.sortBy(_._1).flatMap {
+      case (k, v) if k.startsWith(TxnCatalog.ConstraintPrefix) =>
+        val name = k.stripPrefix(TxnCatalog.ConstraintPrefix)
+        val isGenInvariant = name.startsWith("gen_") &&
+          props.contains(GraftCatalog.GeneratedPrefix +
+            name.stripPrefix("gen_"))
+        if (isGenInvariant) None
+        else Some(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.check(name).predicateSql(v)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog.constraints
+            .Constraint)
+      case _ => None
+    }.toArray
+  }
 
   /** The table's IDENTITY columns: name -> (start, step, allowExplicit). */
   private def identitySpecs(

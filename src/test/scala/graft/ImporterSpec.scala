@@ -125,6 +125,26 @@ class ImporterSpec extends GraftSuite {
     assert(spark.read.parquet(s"$src/part0").count() === 10L)
   }
 
+  test("compaction folds imported entries into owned storage") {
+    val root = Files.createTempDirectory("imp8").toFile.getAbsolutePath
+    val src = writeExt(spark, 3)
+    Importer.addFiles(spark, root, "ev", src)
+    val parts = TxnCatalog.snapshot(spark, root).get.partitions("ev")
+    TxnCatalog.compactPartitions(spark, root, "ev", parts, "folded",
+      statsColumns = Seq("k"))
+    val snap = TxnCatalog.snapshot(spark, root).get
+    assert(snap.partitions("ev") === Seq("folded"))
+    import spark.implicits._
+    val got = TxnCatalog.read(spark, root, "ev").get
+      .orderBy("k").as[(Long, String)].collect()
+    assert(got === (0 until 30).map(k => (k.toLong, s"v$k")).toArray)
+    // after a hard vacuum the table is fully owned and the external
+    // source remains untouched
+    TxnCatalog.vacuum(spark, root, keep = 1)
+    assert(TxnCatalog.read(spark, root, "ev").get.count() === 30L)
+    assert(spark.read.parquet(s"$src/part0").count() === 10L)
+  }
+
   test("CALL system.add_files imports through plain SQL") {
     val root = Files.createTempDirectory("imp6").toFile.getAbsolutePath
     val src = writeExt(spark, 2)
