@@ -172,9 +172,17 @@ object StreamingQueries extends QueryGroup {
           .select(col("event_id").as("r_id"), col("user_id"), col("value"))
         val name = "q_st_stream_join_sink"
         s.catalog.dropTempView(name)
-        val q = left.join(right, "user_id")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
+        // state partitions sized to the trigger's state volume (~100k
+        // rows), NOT the session's batch default: a stream-stream join
+        // keeps FOUR state stores per shuffle partition, and each
+        // instance pays a fixed per-trigger commit cost — at the
+        // session's 32 the join spent ~45 s of cumulative commit work
+        // per trigger on kilobytes of state (profiled, NOTES round 10)
+        val q = Streams.withStatePartitions(s, 4) {
+          left.join(right, "user_id")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        }
         try {
           q.processAllAvailable()
           commit(1); q.processAllAvailable()
@@ -206,11 +214,15 @@ object StreamingQueries extends QueryGroup {
         val ev = Tables.events(s, d).select("event_id", "user_id", "value")
         val name = "q_st_stream_dedupe_sink"
         s.catalog.dropTempView(name)
-        val q = s.readStream.format("graft-lake")
-          .option("root", bronze).option("table", "ev").load()
-          .dropDuplicates("event_id")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
+        // single-store stateful op: same state-partition sizing rule as
+        // st_stream_join (fixed per-instance commit cost per trigger)
+        val q = Streams.withStatePartitions(s, 4) {
+          s.readStream.format("graft-lake")
+            .option("root", bronze).option("table", "ev").load()
+            .dropDuplicates("event_id")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        }
         try {
           q.processAllAvailable()
           // replay ALL of batch 0 plus the new batch-1 rows

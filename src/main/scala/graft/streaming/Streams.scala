@@ -31,6 +31,38 @@ object Streams {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
+  /** Run `start` (a `writeStream...start()` call) with the stream's
+    * shuffle partitions — and therefore its STATE-STORE instance count —
+    * pinned to `n`, independent of the session's batch default.
+    *
+    * Stateful streams must size shuffle partitions to state volume, not
+    * to the batch-scan default: each state-store instance (one per
+    * shuffle partition PER stateful-operator store — a stream-stream
+    * join keeps four) pays a fixed per-trigger commit cost (version-map
+    * maintenance + delta write + fsync). Measured on this engine at
+    * local[32]: a 4-store join at the session's 32-partition default ran
+    * 128 instances at ~350 ms cumulative commit each (~45 s of commit
+    * work per trigger for kilobytes of state); at n=4 the same trigger's
+    * total commit cost is ~0.6 s — a 2.5× end-to-end speedup
+    * (NOTES.md round 10). The instance count is also FROZEN into the
+    * checkpoint at first start, so it must be chosen deliberately, and
+    * up-front: on a 1000-executor cluster against 100 TB you raise it to
+    * spread state, on a per-table incremental hop you size it to the
+    * trigger's key cardinality.
+    *
+    * The session conf is restored before this returns: StreamExecution
+    * clones the session synchronously inside `start()`, so the running
+    * stream keeps `n` for its lifetime while concurrent batch work sees
+    * the original value (pinned by StreamsSpec). */
+  def withStatePartitions[A](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(start: => A): A = {
+    require(n >= 1, "state partition count must be >= 1")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try start finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling event-time windows with per-type aggregates.
     * @param watermark e.g. "1 hour" — late rows beyond it are dropped. */
   def tumblingAgg(events: DataFrame, tsCol: String, width: String,

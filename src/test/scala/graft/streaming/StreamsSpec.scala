@@ -606,4 +606,35 @@ class StreamsSpec extends GraftSuite {
       assert(got === Set((1L, 9.99)))
     } finally q.stop()
   }
+
+  test("withStatePartitions: stream keeps n, session conf reverts, results exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val src = MemoryStream[Ev]
+    val q = Streams.withStatePartitions(spark, 3) {
+      // mid-start the conf must be what the stream clones
+      assert(spark.conf.get(key) === "3")
+      src.toDF().dropDuplicates("user_id")
+        .writeStream.format("memory").queryName("t_state_parts")
+        .outputMode("append").start()
+    }
+    try {
+      // restored for batch work the moment start() returns
+      assert(spark.conf.get(key) === before)
+      src.addData(Seq(Ev(ts(1), 1, "a", 1.0), Ev(ts(2), 1, "b", 2.0)))
+      q.processAllAvailable()
+      src.addData(Seq(Ev(ts(3), 1, "c", 3.0), Ev(ts(4), 2, "d", 4.0)))
+      q.processAllAvailable()
+      // the RUNNING stream kept n=3: state is spread over exactly 3
+      // shuffle partitions (StreamExecution clones the session inside
+      // start(), before the conf reverts)
+      val lastProgress = q.recentProgress.last
+      assert(lastProgress.stateOperators.head.numShufflePartitions === 3L)
+      // dedupe semantics unaffected: first row per user_id survives
+      val got = spark.table("t_state_parts")
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 1.0), (2L, 4.0)))
+    } finally q.stop()
+  }
 }
