@@ -1120,9 +1120,13 @@ object CatalogQueries extends QueryGroup {
     // defaults, filled at write time). Per iteration: clone, flip the
     // status default with ALTER COLUMN SET DEFAULT (properties-only —
     // no committed file is touched), land one omitted-column INSERT
-    // and one explicit-DEFAULT-keyword INSERT, read back. The oracle
-    // states the fill rules relationally: old rows keep the CREATE
-    // default, new rows take the flipped one.
+    // and one explicit-DEFAULT-keyword INSERT, then ADD COLUMN ...
+    // DEFAULT (the TWO-DEFAULT model: every row committed so far
+    // PREDATES the column and must read the frozen exists-default, not
+    // NULL — no file is rewritten), land one post-alter INSERT with an
+    // explicit tier, read back. The oracle states the fill rules
+    // relationally: old rows keep the CREATE default, new rows take
+    // the flipped one, and every pre-alter row reads 'bronze'.
     QueryDef(
       "s_sql_defaults",
       (s, d) => {
@@ -1135,16 +1139,25 @@ object CatalogQueries extends QueryGroup {
           "VALUES (6000000001)")
         s.sql(s"INSERT INTO $cat.default.$t VALUES " +
           "(6000000002, DEFAULT, CAST(9.0 AS DOUBLE))")
-        s.sql(s"""SELECT c_custkey, status, score
+        s.sql(s"ALTER TABLE $cat.default.$t ADD COLUMN tier STRING " +
+          "DEFAULT 'bronze'")
+        s.sql(s"INSERT INTO $cat.default.$t VALUES " +
+          "(6000000003, 'done', CAST(3.0 AS DOUBLE), 'gold')")
+        s.sql(s"""SELECT c_custkey, status, score, tier
                  |FROM $cat.default.$t ORDER BY c_custkey""".stripMargin)
       },
       Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-             |  'new' AS status, CAST(0.5 AS DOUBLE) AS score
+             |  'new' AS status, CAST(0.5 AS DOUBLE) AS score,
+             |  'bronze' AS tier
              |FROM customer
              |UNION ALL
              |SELECT * FROM (VALUES
-             |  (CAST(6000000001 AS BIGINT), 'redo', CAST(0.5 AS DOUBLE)),
-             |  (CAST(6000000002 AS BIGINT), 'redo', CAST(9.0 AS DOUBLE)))
+             |  (CAST(6000000001 AS BIGINT), 'redo',
+             |   CAST(0.5 AS DOUBLE), 'bronze'),
+             |  (CAST(6000000002 AS BIGINT), 'redo',
+             |   CAST(9.0 AS DOUBLE), 'bronze'),
+             |  (CAST(6000000003 AS BIGINT), 'done',
+             |   CAST(3.0 AS DOUBLE), 'gold'))
              |ORDER BY c_custkey""".stripMargin)),
 
     // GENERATED ALWAYS AS round trip: the base table's bucket column
@@ -1232,6 +1245,39 @@ object CatalogQueries extends QueryGroup {
       },
       Some("""SELECT c_custkey, c_acctbal, 4 AS added_entries
              |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // HIVE-PARTITIONED zero-copy onboarding (the add_files shape an
+    // existing Spark/Hive lake actually has): the source was written by
+    // Spark's own partitioned writer over (seg string, bucket long), so
+    // the files physically LACK both partition columns — the import
+    // synthesizes them from the directory names (types inferred, values
+    // recorded as per-entry min=max stats, one manifest txn, nothing
+    // copied). The read back is a POINT LOOKUP on both synthesized
+    // columns — values must surface typed and exact, and the manifest
+    // index prunes to the one owning leaf (pinned by ImporterSpec's
+    // numFiles probe); the entry count (5 segments × 2 buckets) rides
+    // along pinned.
+    QueryDef(
+      "s_add_files_hive",
+      (s, d) => {
+        val src = QueryFixtures.extHiveDir(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("qimph").toString
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val r = s.sql(s"CALL $cat.system.add_files(table => 'cust', " +
+          s"source_path => '$src')").collect().head
+        s.sql(s"""SELECT seg, bucket, c_custkey, c_acctbal
+                 |FROM $cat.default.cust
+                 |WHERE seg = 'BUILDING' AND bucket = 1
+                 |ORDER BY c_custkey""".stripMargin)
+          .withColumn("added_entries", lit(r.getInt(1)))
+      },
+      Some("""SELECT c_mktsegment AS seg,
+             |  CAST(c_custkey % 2 AS BIGINT) AS bucket,
+             |  c_custkey, c_acctbal, 10 AS added_entries
+             |FROM customer
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 1
+             |ORDER BY c_custkey""".stripMargin)),
 
     // ANSI CONSTRAINT DDL round trip: the base table was created with
     // a CHECK (every bulk row passed the staged-bytes funnel at

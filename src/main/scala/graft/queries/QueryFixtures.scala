@@ -341,6 +341,21 @@ object QueryFixtures {
       ()
     }
 
+  /** Hive-partitioned external source for `s_add_files_hive`: customer
+    * laid out by Spark's OWN partitioned writer over (seg string,
+    * bucket long) — two levels, 5×2 leaves whose files physically lack
+    * both partition columns. Read-only (each iteration imports into a
+    * fresh root). */
+  def extHiveDir(s: SparkSession, sfDir: String): String =
+    fixture("exthive-v1", sfDir) { dir =>
+      Tables.customer(s, sfDir)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_mktsegment").as("seg"),
+          pmod(col("c_custkey"), lit(2)).cast("long").as("bucket"))
+        .write.partitionBy("seg", "bucket").mode("overwrite").parquet(dir)
+      ()
+    }
+
   /** Base lake for the BULK-rewrite round trip: 8 hash-split batches
     * (above TxnCatalog.BulkRewriteThreshold, so clones' rewrites take
     * the O(1)-jobs path), range stats on both columns. */

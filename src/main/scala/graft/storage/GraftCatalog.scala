@@ -79,11 +79,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `CURRENT_DEFAULT` field metadata — the engine persists the
     * (already analysis-validated) SQL text per column in
     * TBLPROPERTIES and re-attaches it on every load, so defaults
-    * survive the manifest like constraints do. Values are filled at
-    * WRITE time by the analyzer, so files always physically carry
-    * them — no read-side machinery, which is why ADD COLUMN with a
-    * default (old files lacking the column) is refused rather than
-    * half-supported. */
+    * survive the manifest like constraints do. INSERT values are
+    * filled at WRITE time by the analyzer, so new files physically
+    * carry them; ADD COLUMN ... DEFAULT additionally records an
+    * EXISTS_DEFAULT ([[TxnCatalog.ExistsDefaultPrefix]]) that the read
+    * stacks fill into rows predating the column — Delta's two-default
+    * model, committed atomically with the widening schema batch. */
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
@@ -383,18 +384,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // GENERATED ... AS IDENTITY: persist (start, step, allowExplicit)
     // and auto-declare the column a STATS column — the insert path's
     // high watermark then reads from the MANIFEST (driver-side text,
-    // zero jobs) instead of scanning data. Identity + hidden
-    // partitioning is refused: the transform-routed insert path
-    // commits per-group and cannot carry the watermark CAS.
+    // zero jobs) instead of scanning data. Identity COMPOSES with
+    // hidden partitioning: the insert path assigns ids BEFORE the
+    // transform split and lands every group in ONE commit conditional
+    // on the watermark snapshot ([[insertWithIdentity]]), so the CAS
+    // covers the whole grouped txn.
     val identityCols = columns.toSeq.filter(_.identityColumnSpec() != null)
     identityCols.foreach { c =>
       require(c.dataType == org.apache.spark.sql.types.LongType ||
         c.dataType == org.apache.spark.sql.types.IntegerType,
         s"column ${c.name}: IDENTITY needs BIGINT or INT, " +
           s"got ${c.dataType.simpleString}")
-      require(spec.isEmpty,
-        "IDENTITY columns and hidden partitioning cannot be combined " +
-          "(the transform-routed insert cannot serialize the watermark)")
     }
     val identityProps = identityCols.map { c =>
       val ic = c.identityColumnSpec()
@@ -535,12 +535,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "ALTER COLUMN SET/DROP DEFAULT, ADD/DROP CONSTRAINT (CHECK), " +
         "and SET/UNSET TBLPROPERTIES are supported; got: " +
         changes.mkString(", "))
-    adds.foreach(a => require(a.defaultValue() == null,
-      s"ADD COLUMN ${a.fieldNames().mkString(".")} WITH DEFAULT is " +
-        "not supported: defaults fill at write time, and rows " +
-        "written before the column existed would read as NULL, not " +
-        "the default — ADD the column first, then ALTER COLUMN SET " +
-        "DEFAULT for future inserts"))
+    // ADD COLUMN ... DEFAULT — the TWO-DEFAULT model (Delta's):
+    // CURRENT_DEFAULT fills future INSERTs at write time (analyzer),
+    // EXISTS_DEFAULT fills rows whose entries PREDATE this alter at
+    // read time (TxnCatalog.ExistsDefaultPrefix — exact, the column
+    // could hold no value before it existed). Both properties land in
+    // the SAME txn as the widening schema batch, so no crash or rival
+    // can observe the column without its fill.
+    val addDefaults: Map[String, String] = adds.flatMap { a =>
+      Option(a.defaultValue()).map { dv =>
+        require(dv.getSql != null,
+          s"column ${a.fieldNames().mkString(".")}: DEFAULT without " +
+            "SQL text is not supported")
+        a.fieldNames()(0) -> dv.getSql
+      }
+    }.toMap
     // RENAME/DROP are full-rewrite txns ([[TxnCatalog.renameColumn]])
     // with their own guards; keep them single-change so a refusal can
     // never leave a half-applied multi-change ALTER
@@ -555,6 +564,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val props = TxnCatalog.tableProperties(spark, root, t)
         require(!props.contains(defaultProp(c)),
           s"column '$c' has a DEFAULT — ALTER COLUMN $c DROP DEFAULT first")
+        require(!props.contains(TxnCatalog.ExistsDefaultPrefix + c),
+          s"column '$c' carries an exists-default for pre-alter rows — " +
+            s"UNSET TBLPROPERTIES ('${TxnCatalog.ExistsDefaultPrefix}$c') " +
+            "first (this freezes not-yet-rewritten pre-alter rows at NULL)")
         require(!props.contains(GraftCatalog.IdentityPrefix + c),
           s"column '$c' is an IDENTITY column and cannot be " +
             "renamed or dropped")
@@ -692,11 +705,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(f)) ++ fresh)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], widened).repartition(1)
+      val schemaUpdate = (t, s"batch=schema${snap.txn + 1}", empty)
       try {
-        TxnCatalog.commitPartitionsHooked(spark, root,
-          Seq((t, s"batch=schema${snap.txn + 1}", empty)),
-          expectedTxn = Some(snap.txn))(() => ())
-        return new GraftSqlTable(root, t, widened)
+        if (addDefaults.isEmpty)
+          TxnCatalog.commitPartitionsHooked(spark, root,
+            Seq(schemaUpdate), expectedTxn = Some(snap.txn))(() => ())
+        else {
+          // schema batch + BOTH default properties in ONE conditional
+          // txn (the committed txn is snap.txn+1 by the CAS guard, so
+          // the exists-default can name it before publishing)
+          val typeOf = fresh.map(f => f.name -> f.dataType.sql).toMap
+          val merged = (TxnCatalog.tableProperties(spark, root, t) ++
+            addDefaults.map { case (c, sql) =>
+              defaultProp(c) -> sql } ++
+            addDefaults.map { case (c, sql) =>
+              TxnCatalog.ExistsDefaultPrefix + c ->
+                s"${snap.txn + 1};${typeOf(c)};$sql"
+            }).filter(_._2.nonEmpty)
+          val kv = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              merged.toSeq.sorted.map { case (k, v) => Row(k, v) }, 1),
+            StructType(Seq(
+              org.apache.spark.sql.types.StructField("key",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("value",
+                org.apache.spark.sql.types.StringType, nullable = false))))
+          TxnCatalog.publish(spark, root,
+            Seq(schemaUpdate, (t, TxnCatalog.PropsPartition, kv)),
+            statsColumns = Nil, drops = Nil,
+            expectedTxn = Some(snap.txn),
+            reconcile = identity)(() => ())
+        }
+        return new GraftSqlTable(root, t, withDefaults(t, widened))
       } catch {
         case _: java.io.IOException if attempts < 20 =>
           Thread.sleep(math.min(200L, attempts * 20L))
@@ -889,13 +929,59 @@ private[storage] final class GraftSqlTable(
               .otherwise(onExplicit))
         }
         val filled = fillGenerated(s, assigned.drop(idxField))
-        val part = s"batch=${java.util.UUID.randomUUID().toString.take(8)}"
+        val drops = if (overwrite)
+          cur.partitions(table).map((table, _)) else Nil
         try {
-          TxnCatalog.commitPartitionsHooked(s, root,
-            Seq((table, part, filled)),
-            drops = if (overwrite)
-              cur.partitions(table).map((table, _)) else Nil,
-            expectedTxn = Some(cur.txn))(() => ())
+          val spec = specOf(s).getOrElse(Nil)
+          if (spec.isEmpty) {
+            val part = s"batch=${java.util.UUID.randomUUID().toString.take(8)}"
+            TxnCatalog.commitPartitionsHooked(s, root,
+              Seq((table, part, filled)),
+              drops = drops, expectedTxn = Some(cur.txn))(() => ())
+          } else {
+            // IDENTITY × HIDDEN PARTITIONING: ids were assigned above
+            // (before the split), so the transform routing below sees
+            // final rows; every group + the watermark evidence land in
+            // ONE txn conditional on the snapshot that produced the
+            // watermark — a rival insert fails the CAS and the retry
+            // re-reads, exactly the single-batch contract. The filled
+            // frame pins once: the group probe and per-group filters
+            // must see identical rows.
+            val pinned = filled.localCheckpoint()
+            try {
+              val g = PartitionSpec.groupExpr(spec, pinned.schema)
+              val label = PartitionSpec.label(spec)
+              val escape = org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName _
+              val nonce = java.util.UUID.randomUUID().toString.take(6)
+              val groups = pinned.select(g.cast("string").as("__g"))
+                .distinct().limit(17).collect()
+                .map(r => Option(r.getString(0)))
+              if (groups.isEmpty && drops.nonEmpty) {
+                // zero-row OVERWRITE still truncates, conditionally
+                TxnCatalog.commitPartitionsHooked(s, root, Nil,
+                  drops = drops, expectedTxn = Some(cur.txn))(() => ())
+              } else if (groups.nonEmpty && groups.length <= 16) {
+                val updates = groups.toSeq.map { v =>
+                  val part = s"b$nonce.$label=" + v.map(escape)
+                    .getOrElse("__HIVE_DEFAULT_PARTITION__")
+                  val rows = v match {
+                    case Some(x) => pinned.filter(g.cast("string") === x)
+                    case None => pinned.filter(g.isNull)
+                  }
+                  (table, part, rows)
+                }
+                TxnCatalog.commitPartitionsHooked(s, root, updates,
+                  drops = drops, expectedTxn = Some(cur.txn))(() => ())
+              } else if (groups.nonEmpty) {
+                TxnCatalog.commitPartitioned(s, root, table, pinned,
+                  keyCol = label, keyExpr = Some(g),
+                  partPrefix = s"b$nonce.", drops = drops,
+                  expectedTxn = Some(cur.txn))
+                ()
+              }
+            } finally { pinned.unpersist(); () }
+          }
           return
         } catch {
           case _: java.io.IOException if attempts < 20 =>

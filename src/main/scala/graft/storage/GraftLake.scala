@@ -106,9 +106,61 @@ object GraftLake {
     // table, so evolved partitions surface added columns as nulls
     val schema = schemaOf(spark, root, table, snap).get
     val bucket = bucketSpecOf(spark, root, table, snap, schema)
-    composeWithDeletes(spark, snap, table, data,
-      parts => relationFrame(spark, root, table, snap, parts, schema,
-        streaming = false, bucket = bucket))
+    composedRead(spark, root, table, snap, data, schema,
+      streaming = false, bucket = bucket)
+  }
+
+  /** The hive/plain split shared by batch reads ([[tableAt]]) and the
+    * streaming source's `getBatch`: HIVE-IMPORTED entries (files that
+    * do not physically carry their partition columns —
+    * [[TxnCatalog.extHiveDepth]]) plan through a relation whose
+    * [[ManifestFileIndex]] synthesizes the declared partition columns
+    * per entry (Spark appends them as constant partition values, and
+    * `listFiles` prunes on them exactly); everything else keeps the
+    * plain relation, whose merged schema surfaces not-yet-materialized
+    * partition columns as nulls (or real values once a rewrite
+    * materializes them). Each side composes its merge-on-read deletes
+    * independently; the union is by name so the split is invisible. */
+  private[storage] def composedRead(spark: SparkSession, root: String,
+      table: String, snap: TxnCatalog.Snapshot,
+      data: Seq[(String, TxnCatalog.Entry)],
+      schema: org.apache.spark.sql.types.StructType, streaming: Boolean,
+      bucket: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+        None): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // ADD COLUMN ... DEFAULT: entries predating the alter group per
+    // applicable fill set and coalesce the exists-default ABOVE their
+    // scan (before deletes — mirrors the direct-read stack exactly)
+    val eds = snap.existsDefaults(table)
+    def edsFor(e: TxnCatalog.Entry) =
+      eds.filter { case (_, txn, _, _) => TxnCatalog.entryDataTxn(e) < txn }
+    val edGroups = data.groupBy(d => edsFor(d._2).map(_._1).mkString(","))
+      .toSeq.sortBy(_._1)
+    val frames = edGroups.flatMap { case (_, es) =>
+      val fills = edsFor(es.head._2)
+      def filled(df: DataFrame): DataFrame =
+        TxnCatalog.fillExistsDefaults(df, fills)
+      val (hive, plain) = es.partition { case (_, e) =>
+        TxnCatalog.extHiveDepth(e.dir) > 0 }
+      val plainFrame = composeWithDeletes(spark, snap, table, plain,
+        parts => relationFrame(spark, root, table, snap, parts, schema,
+          streaming = streaming, bucket = bucket).map(filled))
+      val hiveFrame =
+        if (hive.isEmpty) None
+        else {
+          val hiveCols = TxnCatalog.hivePartCols(snap.properties(table))
+          val partSchema = StructType(hiveCols.map { case (n, dt) =>
+            StructField(n, dt, nullable = true) })
+          val dataSchema = StructType(
+            schema.filterNot(f => hiveCols.exists(_._1 == f.name)))
+          composeWithDeletes(spark, snap, table, hive,
+            parts => relationFrame(spark, root, table, snap, parts,
+              dataSchema, streaming = streaming,
+              partSchema = partSchema).map(filled))
+        }
+      Seq(plainFrame, hiveFrame).flatten
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** A Catalyst-planned frame over a PARTITION SUBSET of `table`: one
@@ -121,16 +173,18 @@ object GraftLake {
       table: String, snap: TxnCatalog.Snapshot, parts: Set[String],
       schema: StructType, streaming: Boolean,
       bucket: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
-        None): Option[DataFrame] = {
+        None,
+      partSchema: StructType = StructType(Nil)): Option[DataFrame] = {
     val index = new ManifestFileIndex(spark, root, table, snap,
-      only = Some(parts), dataSchema = Some(schema))
+      only = Some(parts), dataSchema = Some(schema),
+      partSchema = partSchema)
     // manifest-level emptiness check — file listing stays lazy; an
     // entry whose dir holds no parquet files simply scans empty
     if (index.partitionCount == 0) None
     else {
       val relation = HadoopFsRelation(
         location = index,
-        partitionSchema = StructType(Nil),
+        partitionSchema = partSchema,
         dataSchema = schema,
         bucketSpec = bucket,
         fileFormat = new ParquetFileFormat(),

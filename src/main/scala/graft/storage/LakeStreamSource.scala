@@ -109,9 +109,17 @@ final class LakeStreamSource(
         .getOrElse(GraftSqlBridge.emptyStreaming(spark, schema))
     val fresh = snap.dataEntries(table)
       .filter { case (_, e) => TxnCatalog.entryDataTxn(e) > from }
-    GraftLake.composeWithDeletes(spark, snap, table, fresh,
-      parts => GraftLake.relationFrame(spark, root, table, snap, parts,
-        schema, streaming = true))
+    GraftLake.composedRead(spark, root, table, snap, fresh, schema,
+      streaming = true)
+      .map { df =>
+        // the engine requires getBatch's columns to match the declared
+        // source schema positionally; the hive/plain union is by-name,
+        // so re-project when a synthesized-partition table's frame
+        // surfaces columns in a different order
+        if (df.columns.toSeq == schema.fieldNames.toSeq) df
+        else df.select(schema.fieldNames.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+      }
       .getOrElse(GraftSqlBridge.emptyStreaming(spark, schema))
   }
 

@@ -40,7 +40,8 @@ final class ManifestFileIndex(
     spark: SparkSession, root: String, table: String,
     snap: TxnCatalog.Snapshot,
     only: Option[Set[String]] = None,
-    dataSchema: Option[StructType] = None) extends FileIndex {
+    dataSchema: Option[StructType] = None,
+    partSchema: StructType = StructType(Nil)) extends FileIndex {
 
   import TxnCatalog.ColStat
 
@@ -59,13 +60,13 @@ final class ManifestFileIndex(
     * partitions a fully-pruned query costs a handful of list calls, not
     * 10 000 — the snapshot is immutable, so a memoized list can never
     * drift (ordered by partition name for plan determinism). */
-  private val parts: Seq[(String, Map[String, ColStat], Option[Long], Path)] =
+  private val parts: Seq[(String, Map[String, ColStat], Option[Long], Path, String)] =
     snap.dataEntries(table)
       .filter { case (p, _) => only.forall(_(p)) }
       .sortBy(_._1)
       .map { case (p, e) =>
         (p, e.stats, e.rows,
-          new Path(TxnCatalog.entryPath(root, table, p, e.dir)))
+          new Path(TxnCatalog.entryPath(root, table, p, e.dir)), e.dir)
       }
 
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -160,7 +161,7 @@ final class ManifestFileIndex(
     * no stat, disable the answer). */
   def exactNonNullCount(column: String): Option[Long] = {
     if (parts.isEmpty) return None
-    val per = parts.map { case (_, stats, rows, _) =>
+    val per = parts.map { case (_, stats, rows, _, _) =>
       for { r <- rows; st <- stats.get(column); n <- st.nulls } yield r - n
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
@@ -170,9 +171,49 @@ final class ManifestFileIndex(
     * laziness probe for tests. */
   private[graft] def listedPartitionCount: Int = listed.size()
 
+  /** The synthesized PARTITION-VALUE row of one entry, in `partSchema`
+    * order — values recovered from the hive-imported dir's trailing
+    * `key=value` segments ([[TxnCatalog.extHiveValues]]), typed per the
+    * schema (kind-consistent by [[Importer.addFiles]]'s inference);
+    * entries without a value for a declared column (owned commits in a
+    * mixed table) read NULL. Identity when no partition schema is
+    * declared. */
+  private def partRow(dir: String): InternalRow = {
+    if (partSchema.isEmpty) return InternalRow.empty
+    val vals = TxnCatalog.extHiveValues(dir).toMap
+    InternalRow.fromSeq(partSchema.map { f =>
+      vals.get(f.name).flatten.map[Any] { v =>
+        f.dataType match {
+          case LongType =>
+            v.toLongOption.map(Long.box).orNull
+          case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+        }
+      }.orNull
+    })
+  }
+
+  /** `partitionFilters` evaluated exactly against an entry's
+    * synthesized values — the same bind-and-eval
+    * PartitioningAwareFileIndex does over discovered hive layouts;
+    * filters referencing anything outside `partSchema` keep the entry
+    * (conservative, like every other pruning claim here). */
+  private def keepPart(row: InternalRow, filters: Seq[Expression]): Boolean =
+    filters.forall { f =>
+      if (!f.references.forall(a => partSchema.fieldNames.contains(a.name)))
+        true
+      else try {
+        val bound = f.transform {
+          case a: AttributeReference =>
+            val i = partSchema.fieldNames.indexOf(a.name)
+            BoundReference(i, partSchema(i).dataType, nullable = true)
+        }
+        Predicate.createInterpreted(bound).eval(row)
+      } catch { case NonFatal(_) => true }
+    }
+
   override def rootPaths: Seq[Path] = Seq(new Path(s"$root/$table"))
 
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = partSchema
 
   override def refresh(): Unit = () // snapshot-pinned by design
 
@@ -183,7 +224,7 @@ final class ManifestFileIndex(
     * full listing only as the last resort. */
   override def sizeInBytes: Long = {
     val rowWidth = dataSchema.map(s => math.max(s.defaultSize, 1))
-    if (parts.forall { case (p, _, _, _) => listed.containsKey(p) })
+    if (parts.forall { case (p, _, _, _, _) => listed.containsKey(p) })
       parts.iterator.flatMap(e => listed.get(e._1)).map(_.getLen).sum
     else if (rowWidth.isDefined && parts.forall(_._3.isDefined))
       parts.iterator.map(_._3.get).sum * rowWidth.get
@@ -198,11 +239,25 @@ final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = parts.filter { case (_, stats, _, _) =>
+    val kept = parts.filter { case (_, stats, _, _, _) =>
       stats.isEmpty || dataFilters.forall(f => keep(stats, f))
     }
-    val files = filesOf(kept.map(e => (e._1, e._4))).flatten
-    Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+    if (partSchema.isEmpty) {
+      val files = filesOf(kept.map(e => (e._1, e._4))).flatten
+      Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+    } else {
+      // synthesized-partition entries: one PartitionDirectory per
+      // distinct value tuple (Spark appends the values as constant
+      // partition columns in the scan), partitionFilters evaluated
+      // EXACTLY per entry — manifest-level partition pruning
+      kept.filter(e => keepPart(partRow(e._5), partitionFilters))
+        .groupBy(e => partRow(e._5))
+        .toSeq.sortBy(_._2.head._1)
+        .map { case (row, es) =>
+          PartitionDirectory(row,
+            filesOf(es.map(e => (e._1, e._4))).flatten.toArray)
+        }
+    }
   }
 
   /** Files surviving `dataFilters` — the test- and tooling-facing probe

@@ -119,8 +119,52 @@ object TxnCatalog {
     * them — dropping the last reference merely forgets them). */
   private[storage] val ExtPrefix = "~ext:"
 
+  /** Optional header INSIDE an external dir marking a HIVE-PARTITIONED
+    * import: `~ext:hive=<n>;<absolute path>` — the path's last `n`
+    * segments are Hive `key=value` partition dirs whose files do NOT
+    * physically carry those columns; both read stacks synthesize them
+    * per entry ([[Importer.addFiles]] records the column types in
+    * [[HivePartColsProp]]). The `~ext:` prefix is shared so every
+    * externality rule applies unchanged: [[vacuum]] never deletes,
+    * branches/clones carry the dir verbatim, [[entryPath]] resolves to
+    * the leaf directory. An absolute path always starts with '/', so
+    * the header is unambiguous. */
+  private[storage] val ExtHiveHeader = "hive="
+
+  /** Number of trailing `key=value` partition segments of a
+    * hive-imported external dir; 0 for every other dir shape. */
+  private[storage] def extHiveDepth(dir: String): Int =
+    if (!dir.startsWith(ExtPrefix)) 0
+    else {
+      val rest = dir.stripPrefix(ExtPrefix)
+      if (!rest.startsWith(ExtHiveHeader)) 0
+      else rest.substring(ExtHiveHeader.length, rest.indexOf(';'))
+        .toIntOption.getOrElse(0)
+    }
+
+  /** The synthesized (column, value) pairs of a hive-imported external
+    * dir, in path order — values Hive-unescaped, the
+    * `__HIVE_DEFAULT_PARTITION__` sentinel as None (reads NULL). Empty
+    * for every other dir shape. */
+  private[storage] def extHiveValues(dir: String): Seq[(String, Option[String])] = {
+    val n = extHiveDepth(dir)
+    if (n == 0) Seq.empty
+    else entryPath("", "", "", dir).split('/').takeRight(n).toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.substring(i + 1))
+      (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.substring(0, i)),
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw))
+    }
+  }
+
   private[storage] def entryPath(root: String, tab: String, part: String, dir: String) =
-    if (dir.startsWith(ExtPrefix)) dir.stripPrefix(ExtPrefix)
+    if (dir.startsWith(ExtPrefix)) {
+      val rest = dir.stripPrefix(ExtPrefix)
+      if (rest.startsWith(ExtHiveHeader)) rest.substring(rest.indexOf(';') + 1)
+      else rest
+    }
     else if (dir.startsWith(RefPrefix)) s"$root/${dir.stripPrefix(RefPrefix)}"
     else if (part == Whole) s"$root/$tab/$dir" else s"$root/$tab/$part/$dir"
 
@@ -533,6 +577,21 @@ object TxnCatalog {
       if (paths.isEmpty) None
       else Some(readParquetCached(spark, paths))
 
+    /** The ADD COLUMN ... DEFAULT fills applicable at this snapshot:
+      * (column, alterTxn, ddl type, sql literal) per
+      * [[TxnCatalog.ExistsDefaultPrefix]] property — parsed once per
+      * read (KB-scale driver text). */
+    private[storage] def existsDefaults(table: String)
+        : Seq[(String, Long, String, String)] =
+      properties(table).toSeq.collect {
+        case (k, v) if k.startsWith(ExistsDefaultPrefix) &&
+            v.split(";", 3).length == 3 =>
+          val Array(txn, tp, sql) = v.split(";", 3)
+          (k.stripPrefix(ExistsDefaultPrefix),
+            txn.toLongOption.getOrElse(Long.MaxValue), tp, sql)
+      }.sortBy(_._1)
+
+
     /** Read a set of DATA entries with every applicable equality delete
       * subtracted — the merge-on-read funnel behind [[read]],
       * [[readPartitions]], and the `readWhere*` family. A delete D
@@ -566,17 +625,53 @@ object TxnCatalog {
         keepPos: Boolean): Option[DataFrame] = {
       if (sel.isEmpty) return None
       val dels = deleteEntries(table)
+      val eds = existsDefaults(table)
+      def edsFor(e: Entry): Seq[(String, Long, String, String)] =
+        eds.filter { case (_, txn, _, _) => entryDataTxn(e) < txn }
       def paths(es: Seq[(String, Entry)]) =
         es.map { case (p, e) => entryPath(root, table, p, e.dir) }.sorted
-      if (dels.isEmpty && !keepPos) readPaths(paths(sel))
+      // the common all-owned no-delete no-fill shape keeps the single
+      // multi-path funnel; hive-imported entries (whose files do not
+      // physically carry their partition columns) group per value
+      // tuple below and project the synthesized columns as typed
+      // literals, and entries predating an ADD COLUMN ... DEFAULT
+      // group per applicable fill set — so both surface in reads,
+      // folds, and rewrites alike
+      if (dels.isEmpty && !keepPos &&
+          sel.forall(e => extHiveDepth(e._2.dir) == 0) &&
+          (eds.isEmpty || sel.forall(e => edsFor(e._2).isEmpty)))
+        readPaths(paths(sel))
       else {
-        val groups = sel.groupBy { case (_, e) =>
-          dels.collect { case (_, txn, _, _) if txn > entryDataTxn(e) => txn }
-            .toSet
+        lazy val hiveTypes = hivePartCols(properties(table)).toMap
+        def frameOf(es: Seq[(String, Entry)]): Option[DataFrame] = {
+          val synth = extHiveValues(es.head._2.dir)
+          readPaths(paths(es)).map { df =>
+            val withSynth = synth.foldLeft(df) { case (acc, (c, v)) =>
+              if (acc.columns.contains(c)) acc // later physical twin wins
+              else acc.withColumn(c,
+                org.apache.spark.sql.functions.lit(v.orNull).cast(
+                  hiveTypes.getOrElse(c,
+                    org.apache.spark.sql.types.StringType)))
+            }
+            fillExistsDefaults(withSynth, edsFor(es.head._2))
+          }
         }
-        val frames = groups.toSeq.sortBy(_._1.toSeq.sorted.mkString(","))
-          .flatMap { case (applicable, es) =>
-            readPaths(paths(es)).map { df =>
+        val groups = sel.groupBy { case (_, e) =>
+          (dels.collect { case (_, txn, _, _) if txn > entryDataTxn(e) => txn }
+            .toSet,
+            // distinct synthesized tuples must not share a literal
+            // projection ("" = no synthesis — one shared group)
+            if (extHiveDepth(e.dir) == 0) ""
+            else extHiveValues(e.dir).mkString("|"),
+            // entries before/after an ADD COLUMN ... DEFAULT must not
+            // share a fill
+            edsFor(e).map(_._1).mkString(","))
+        }
+        val frames = groups.toSeq
+          .sortBy { case ((ts, sk, ek), _) =>
+            (ts.toSeq.sorted.mkString(","), sk, ek) }
+          .flatMap { case ((applicable, _, _), es) =>
+            frameOf(es).map { df =>
               applyDeleteEntries(spark, df,
                 dels.filter(d => applicable(d._2)), keepPos)
           }
@@ -1450,6 +1545,56 @@ object TxnCatalog {
   val StatsColumnsProp = "graft.stats-columns"
   /** [[StatsColumnsProp]]'s Bloom-filter counterpart. */
   val BloomColumnsProp = "graft.bloom-columns"
+
+  /** Property-key prefix recording a column's EXISTS_DEFAULT (Delta's
+    * two-default model): `graft.existsdefault.<col>` =
+    * `<alterTxn>;<ddl type>;<sql literal>`, written by ADD COLUMN ...
+    * DEFAULT in the SAME txn as the widening schema batch. Rows in
+    * entries whose data PREDATES `alterTxn` read the literal instead
+    * of NULL — exact, because the column did not exist before that
+    * txn, so a pre-alter NULL can only mean "absent" (a coalesce fill,
+    * which also stays a no-op on reorganized entries that carried the
+    * materialized values forward). CURRENT_DEFAULT
+    * (`graft.default.<col>`) stays the write-time fill for future
+    * inserts and can be SET/DROPped freely; the exists-default is
+    * frozen at ADD COLUMN, exactly Delta's contract. */
+  val ExistsDefaultPrefix = "graft.existsdefault."
+
+  /** Apply the exists-default fills in `eds` to a frame read from
+    * entries that PREDATE them: a present column coalesces (pre-alter
+    * NULL can only mean absent; reorganized entries' materialized
+    * values pass through), an absent column materializes as the
+    * literal outright. Shared by both read stacks. */
+  private[storage] def fillExistsDefaults(df: DataFrame,
+      eds: Seq[(String, Long, String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr}
+    eds.foldLeft(df) { case (acc, (c, _, tp, sql)) =>
+      if (acc.columns.contains(c))
+        acc.withColumn(c, coalesce(col(c), expr(sql).cast(tp)))
+      else acc.withColumn(c, expr(sql).cast(tp))
+    }
+  }
+
+  /** Table property declaring the SYNTHESIZED partition columns of
+    * hive-imported external entries (`name:kind,...` in partition-path
+    * order; kind "n" reads LongType, "s" StringType — the ColStat kind
+    * alphabet, so import-time stats and the read type agree by
+    * construction). Recorded once at the first hive [[Importer.addFiles]]
+    * and REQUIRED to stay consistent across later imports: a column's
+    * declared type never changes with entry churn. Entries without
+    * values (owned commits, flat imports) read NULL for these columns
+    * until a rewrite materializes them physically. */
+  val HivePartColsProp = "graft.import.hive-columns"
+
+  /** [[HivePartColsProp]] parsed: (column, Spark type) in declared
+    * order; empty when the table has no hive-imported entries. */
+  private[storage] def hivePartCols(props: Map[String, String])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    props.get(HivePartColsProp).toSeq.flatMap(_.split(',')).map { s =>
+      val Array(n, k) = s.split(':')
+      (n, if (k == "n") org.apache.spark.sql.types.LongType
+          else org.apache.spark.sql.types.StringType)
+    }
 
   /** Table properties at the latest committed txn. */
   def tableProperties(spark: SparkSession, root: String,

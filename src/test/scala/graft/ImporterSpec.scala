@@ -92,21 +92,186 @@ class ImporterSpec extends GraftSuite {
     assert(spark.read.parquet(s"$src/part1").count() === 10L)
   }
 
-  test("hive layouts and nested dirs refuse at listing cost") {
+  test("nested non-hive dirs refuse at listing cost") {
     import spark.implicits._
     val root = Files.createTempDirectory("imp5").toFile.getAbsolutePath
-    val hive = Files.createTempDirectory("exthive").toFile.getAbsolutePath
-    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$hive/day=2020-01-01")
-    val e1 = intercept[IllegalArgumentException] {
-      Importer.addFiles(spark, root, "ev", hive)
-    }
-    assert(e1.getMessage.contains("hive-partitioned"))
     val nested = Files.createTempDirectory("extnest").toFile.getAbsolutePath
     Seq((1L, "a")).toDF("k", "v").write.parquet(s"$nested/a/b")
     val e2 = intercept[IllegalArgumentException] {
       Importer.addFiles(spark, root, "ev", nested)
     }
     assert(e2.getMessage.contains("nested"))
+  }
+
+  /** A hive-laid-out source: Spark's own partitioned writer over
+    * (k, v, day[, region]) — files physically lack the partition
+    * column(s), exactly the onboarding shape. */
+  private def writeHive(s: SparkSession, twoLevel: Boolean = false): String = {
+    import s.implicits._
+    val dir = Files.createTempDirectory("exthive").toFile.getAbsolutePath
+    val df = (0 until 30).map { k =>
+      (k.toLong, s"v$k", (k % 3).toLong, if (k % 2 == 0) "east" else "west")
+    }.toDF("k", "v", "day", "region")
+    if (twoLevel)
+      df.write.partitionBy("day", "region").mode("overwrite").parquet(dir)
+    else
+      df.drop("region").write.partitionBy("day").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("hive import synthesizes typed partition columns on both read stacks") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("imph1").toFile.getAbsolutePath
+    val src = writeHive(spark)
+    val (_, n) = Importer.addFiles(spark, root, "ev", src)
+    assert(n === 3) // one entry per day= leaf
+    val expected = (0 until 30).map(k => (k.toLong, s"v$k", (k % 3).toLong))
+    // stack A (direct read): values present, LONG-typed by inference
+    val a = TxnCatalog.read(spark, root, "ev").get
+    assert(a.schema("day").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(a.select("k", "v", "day").orderBy("k")
+      .as[(Long, String, Long)].collect() === expected.toArray)
+    // stack B (Catalyst relation): same values, and a partition-filter
+    // query PRUNES to the one owning leaf at the manifest index
+    val b = graft.storage.GraftLake.table(spark, root, "ev").get
+    assert(b.select("k", "v", "day").orderBy("k")
+      .as[(Long, String, Long)].collect() === expected.toArray)
+    val total = b.inputFiles.length
+    val pruned = b.filter($"day" === 1L)
+    assert(pruned.collect().length === 10) // executes THIS plan instance
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in the executed plan"))
+    // partition-filter pruning engaged at the manifest index: the scan
+    // read only the day=1 leaf's files
+    assert(scan.metrics("numFiles").value < total,
+      s"scan read ${scan.metrics("numFiles").value} of $total files")
+    assert(scan.metrics("numFiles").value ===
+      spark.read.parquet(s"$src/day=1").inputFiles.length.toLong)
+    // nothing copied: the only thing under the root is the KB-scale
+    // properties entry (declared partition columns) — no data dirs
+    assert(new java.io.File(s"$root/ev").list().toSeq === Seq("~p"))
+  }
+
+  test("two-level hive import: both columns synthesize, string stays string") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("imph2").toFile.getAbsolutePath
+    val src = writeHive(spark, twoLevel = true)
+    val (_, n) = Importer.addFiles(spark, root, "ev", src)
+    assert(n === 6) // 3 days x 2 regions
+    val df = TxnCatalog.read(spark, root, "ev").get
+    assert(df.schema("region").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val got = df.select("k", "day", "region").orderBy("k")
+      .as[(Long, Long, String)].collect()
+    assert(got === (0 until 30).map(k =>
+      (k.toLong, (k % 3).toLong, if (k % 2 == 0) "east" else "west")).toArray)
+    // SQL aggregation over the synthesized columns (Catalyst stack)
+    val cnt = graft.storage.GraftLake.table(spark, root, "ev").get
+      .groupBy("region").count().orderBy("region")
+      .as[(String, Long)].collect()
+    assert(cnt === Array(("east", 15L), ("west", 15L)))
+  }
+
+  test("hive import appends consistently; conflicts refuse") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("imph3").toFile.getAbsolutePath
+    val src = writeHive(spark)
+    Importer.addFiles(spark, root, "ev", src)
+    // a second import with the same key and long-parsing values lands
+    val more = Files.createTempDirectory("exthive2").toFile.getAbsolutePath
+    Seq((100L, "x", 7L)).toDF("k", "v", "day")
+      .write.partitionBy("day").mode("overwrite").parquet(more)
+    Importer.addFiles(spark, root, "ev", more)
+    assert(TxnCatalog.read(spark, root, "ev").get.count() === 31L)
+    assert(TxnCatalog.read(spark, root, "ev").get
+      .filter($"day" === 7L).count() === 1L)
+    // same key, now with a NON-long value: declared type never changes
+    val bad = Files.createTempDirectory("exthive3").toFile.getAbsolutePath
+    Seq((200L, "y", "misc")).toDF("k", "v", "day")
+      .write.partitionBy("day").mode("overwrite").parquet(bad)
+    val e1 = intercept[IllegalArgumentException] {
+      Importer.addFiles(spark, root, "ev", bad)
+    }
+    assert(e1.getMessage.contains("declared"))
+    // a key colliding with an existing DATA column refuses
+    val bad2 = Files.createTempDirectory("exthive4").toFile.getAbsolutePath
+    Seq((300L, 1L)).toDF("k", "day2")
+      .write.partitionBy("k").mode("overwrite").parquet(bad2)
+    val e2 = intercept[IllegalArgumentException] {
+      Importer.addFiles(spark, root, "ev", bad2)
+    }
+    assert(e2.getMessage.contains("data column"))
+  }
+
+  test("flat rows beside hive imports read NULL partition columns; " +
+    "owned compaction materializes them") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("imph4").toFile.getAbsolutePath
+    val src = writeHive(spark)
+    Importer.addFiles(spark, root, "ev", src)
+    // an OWNED append without the synthesized column: reads NULL
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("ev", "b=own", Seq((999L, "own")).toDF("k", "v"))),
+      statsColumns = Seq("k"))
+    val mixed = TxnCatalog.read(spark, root, "ev").get
+    assert(mixed.filter($"day".isNull).select("k")
+      .as[Long].collect() === Array(999L))
+    assert(mixed.count() === 31L)
+    // compaction folds everything into owned storage with `day`
+    // MATERIALIZED physically — values survive, external dirs survive
+    val parts = TxnCatalog.snapshot(spark, root).get.partitions("ev")
+    TxnCatalog.compactPartitions(spark, root, "ev", parts, "folded")
+    TxnCatalog.vacuum(spark, root, keep = 1)
+    val folded = TxnCatalog.read(spark, root, "ev").get
+    assert(folded.count() === 31L)
+    assert(folded.filter($"day" === 2L).count() === 10L)
+    assert(spark.read.parquet(s"$src/day=0").count() === 10L)
+  }
+
+  test("hive import refuses a partition key already in the footers " +
+    "and ragged layouts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("imph5").toFile.getAbsolutePath
+    // footer collision: files already CARRY `day`
+    val dup = Files.createTempDirectory("exthive5").toFile.getAbsolutePath
+    Seq((1L, 5L)).toDF("k", "day").coalesce(1)
+      .write.parquet(s"$dup/day=5")
+    val e1 = intercept[IllegalArgumentException] {
+      Importer.addFiles(spark, root, "ev", dup)
+    }
+    assert(e1.getMessage.contains("footer column"))
+    // ragged: sibling leaves at different depths
+    val rag = Files.createTempDirectory("exthive6").toFile.getAbsolutePath
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(s"$rag/day=1")
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$rag/day=2/region=east")
+    val e2 = intercept[IllegalArgumentException] {
+      Importer.addFiles(spark, root, "ev2", rag)
+    }
+    assert(e2.getMessage.toLowerCase.contains("hive layout") ||
+      e2.getMessage.contains("ragged"))
+  }
+
+  test("hive-imported table streams through graft-lake with " +
+    "synthesized columns intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("imph6").toFile.getAbsolutePath
+    val src = writeHive(spark)
+    Importer.addFiles(spark, root, "ev", src)
+    val name = "t_hive_stream"
+    spark.catalog.dropTempView(name)
+    val q = spark.readStream.format("graft-lake")
+      .option("root", root).option("table", "ev").load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).select("k", "day").orderBy("k")
+        .as[(Long, Long)].collect()
+      assert(got === (0 until 30).map(k => (k.toLong, (k % 3).toLong)).toArray)
+    } finally q.stop()
   }
 
   test("clone and rename of an imported table keep external dirs intact") {
