@@ -175,6 +175,26 @@ class DefaultValueSpec extends GraftSuite {
     }
   }
 
+  test("time travel respects the alter boundary: before it the column " +
+    "is absent, after it pre-alter rows read the fill") {
+    withCatalog { (s2, root) =>
+      import graft.storage.{GraftLake, TxnCatalog}
+      s2.sql("CREATE TABLE lake.default.n (k BIGINT) USING graft")
+      s2.sql("INSERT INTO lake.default.n VALUES (1)")
+      val beforeAlter = TxnCatalog.currentTxn(s2, root).get
+      s2.sql("ALTER TABLE lake.default.n ADD COLUMN w INT DEFAULT 7")
+      s2.sql("INSERT INTO lake.default.n VALUES (2, 9)")
+      // at the pre-alter txn the table has no `w` at all — the
+      // exists-default property did not exist in that snapshot
+      val old = GraftLake.tableAsOf(s2, root, "n", beforeAlter).get
+      assert(old.columns.toSeq === Seq("k"))
+      // at the post-alter txn both rows surface, the old one filled
+      val now = GraftLake.table(s2, root, "n").get
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(now === Array((1L, 7), (2L, 9)))
+    }
+  }
+
   test("non-foldable DEFAULT is refused at CREATE by the analyzer") {
     withCatalog { (s2, _) =>
       intercept[Exception] {
