@@ -1381,6 +1381,49 @@ object CatalogQueries extends QueryGroup {
              |  TRUE AS append_shaped
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // BRANCH REBASE under a concurrent main writer — the WAP shape
+    // production actually has (Branch.rebase three-way merge): evens on
+    // main, fork 'wap', then main lands mod4==1 WHILE the branch stages
+    // mod4==3. Publish must REFUSE (main advanced — pinned as
+    // needed_rebase), `CALL system.rebase_branch` must merge both
+    // sides' disjoint partitions zero-copy, and the post-rebase publish
+    // must fast-forward APPEND-SHAPED (both carried sides resolve to
+    // main's own paths; only the branch's staged partition is new).
+    // The published table must hash-equal the full source.
+    QueryDef(
+      "s_branch_rebase",
+      (s, d) => {
+        val root = QueryFixtures.linkCopy(QueryFixtures.wapTemplate(s, d))
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.Branch.create(s, root, "cust", "wap")
+        val shadow = graft.storage.Branch.shadowName("cust", "wap")
+        // main advances while the branch stages
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", "m",
+            cust.filter(pmod(col("c_custkey"), lit(4)) === 1))),
+          statsColumns = Seq("c_custkey"))
+        graft.storage.TxnCatalog.appendBatch(s, root, shadow, "w",
+          cust.filter(pmod(col("c_custkey"), lit(4)) === 3),
+          statsColumns = Seq("c_custkey"))
+        val neededRebase =
+          try { graft.storage.Branch.publish(s, root, "cust", "wap"); false }
+          catch { case _: IllegalStateException => true }
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        s.sql(s"CALL $cat.system.rebase_branch(" +
+          "table => 'cust', name => 'wap')")
+        graft.storage.Branch.publish(s, root, "cust", "wap")
+        val appendShaped = !graft.storage.TxnCatalog
+          .tableProperties(s, root, "cust")
+          .contains(graft.storage.TxnCatalog.RestoreTxnProp)
+        graft.storage.TxnCatalog.read(s, root, "cust").get
+          .withColumn("needed_rebase", lit(neededRebase))
+          .withColumn("append_shaped", lit(appendShaped))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  TRUE AS needed_rebase, TRUE AS append_shaped
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

@@ -319,6 +319,170 @@ object Branch {
     throw new IllegalStateException("unreachable")
   }
 
+  /** REBASE branch `branch` onto `table`'s CURRENT state — the answer
+    * to [[publish]]'s fast-forward refusal when main advanced since the
+    * fork, without discarding the branch's staged work (the old answer,
+    * "re-create the branch", threw the audit away). A three-way merge
+    * at the manifest's own (partition) grain, zero-copy on both sides:
+    *
+    *  - each side's CHANGE SET is computed against the fork-point
+    *    snapshot by RESOLVED physical path + delete marker (so a
+    *    zero-copy ref and the dir it names compare equal, exactly like
+    *    [[publish]]'s unchanged test);
+    *  - disjoint changes merge: the branch keeps its own entries for
+    *    partitions it changed, and main's new/rewritten/dropped entries
+    *    enter the branch as `~ref:` entries with their ORIGINAL data
+    *    txns — branch and main share ONE txn axis (one `_txns/` log),
+    *    so every sequence rule (equality-delete applicability, stream
+    *    offsets, [[TxnCatalog.diffData]]) stays exact across the merge
+    *    with no renumbering;
+    *  - table-property deltas merge key-wise the same way (markers —
+    *    restore stamps, publish stamps, the branch's own bookkeeping —
+    *    excluded);
+    *  - [[BranchBaseProp]] advances to the txn rebased onto, so a
+    *    subsequent [[publish]] fast-forwards.
+    *
+    * CONFLICTS refuse with the offending list (nothing commits):
+    *
+    *  - the same partition changed differently on both sides (two
+    *    appends to one logical partition, rival rewrites, a drop racing
+    *    a rewrite) — identical changes, e.g. both sides materializing
+    *    the same pending delete, are NOT conflicts;
+    *  - the same table property set differently on both sides;
+    *  - either side added merge-on-read DELETE entries (equality
+    *    `~d-*` or positional `~v-*`) while the other touched any
+    *    PRE-FORK data: a deletion vector pins (file, row) coordinates
+    *    of the layout it was computed on, and an equality delete's
+    *    txn-sequencing assumes the data it masked still has its old
+    *    dataTxns — a rewrite on the other side would silently
+    *    resurrect deleted rows. Delete-vs-pure-append compositions are
+    *    safe and allowed (the carried appends get txn-ordered replay
+    *    semantics: a branch delete at txn d masks main rows committed
+    *    before d, not after — Iceberg's sequence-number rule applied
+    *    across the merge).
+    *
+    * Idempotent when main has not advanced (returns the current txn,
+    * no commit). Conditional on the snapshot it merged (CAS + bounded
+    * retries). The fork-point manifest must still exist — a vacuumed
+    * base refuses (re-create the branch). Returns the committed txn. */
+  def rebase(spark: SparkSession, root: String, table: String,
+      branch: String, attempts: Int = 5): Long = {
+    val shadow = shadowName(table, branch)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val shadowAll = cur.entries.filter(_._1._1 == shadow)
+      require(shadowAll.nonEmpty, s"unknown branch '$branch' of '$table'")
+      val shadowProps = cur.properties(shadow)
+      require(shadowProps.get(BranchOfProp).contains(table),
+        s"'$shadow' is not a branch of '$table'")
+      val base = shadowProps.get(BranchBaseProp).flatMap(_.toLongOption)
+        .getOrElse(throw new IllegalStateException(
+          s"branch '$branch' carries no base txn"))
+      val baseSnap =
+        try TxnCatalog.snapshotAt(spark, root, base)
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"branch '$branch' base txn $base has been vacuumed; " +
+              "re-create the branch")
+        }
+      def dataOf(es: Map[(String, String), Entry], t: String) =
+        es.collect { case ((`t`, p), e) if p != PropsPartition => p -> e }
+      val baseMain = dataOf(baseSnap.entries, table)
+      val curMain = dataOf(cur.entries, table)
+      require(curMain.nonEmpty,
+        s"table '$table' was dropped since branch '$branch' forked")
+      val curShadow = dataOf(shadowAll, shadow)
+      // an entry's CONTENT identity: resolved physical path + delete
+      // marker (refs and the dirs they name compare equal)
+      def sig(t: String, p: String, e: Entry) =
+        (TxnCatalog.entryPath(root, t, p, e.dir), e.deleteKey)
+      // partition → what this side now holds (None = dropped), only
+      // where it differs from base
+      def changesOf(now: Map[String, Entry], nowT: String)
+          : Map[String, Option[Entry]] =
+        (baseMain.keySet ++ now.keySet).iterator.flatMap { p =>
+          (baseMain.get(p), now.get(p)) match {
+            case (Some(b), Some(n))
+              if sig(table, p, b) == sig(nowT, p, n) => None
+            case (None, None) => None
+            case (_, n) => Some(p -> n)
+          }
+        }.toMap
+      val mainCh = changesOf(curMain, table)
+      val branchCh = changesOf(curShadow, shadow)
+      val markers = Set(TxnCatalog.RestoreTxnProp, BranchPublishedProp,
+        BranchOfProp, BranchBaseProp)
+      val baseProps = baseSnap.properties(table) -- markers
+      val mainProps = cur.properties(table) -- markers
+      val brProps = shadowProps -- markers
+      def propDelta(now: Map[String, String]): Map[String, Option[String]] =
+        (baseProps.keySet ++ now.keySet).iterator.flatMap { k =>
+          if (baseProps.get(k) == now.get(k)) None else Some(k -> now.get(k))
+        }.toMap
+      val mainPd = propDelta(mainProps)
+      val branchPd = propDelta(brProps)
+      if (mainCh.isEmpty && mainPd.isEmpty) return cur.txn // already based
+      val partConf = mainCh.keySet.intersect(branchCh.keySet).filter { p =>
+        mainCh(p).map(e => sig(table, p, e)) !=
+          branchCh(p).map(e => sig(shadow, p, e))
+      }
+      val propConf = mainPd.keySet.intersect(branchPd.keySet)
+        .filter(k => mainPd(k) != branchPd(k))
+      if (partConf.nonEmpty || propConf.nonEmpty)
+        throw new IllegalStateException(
+          s"rebase of branch '$branch' onto '$table' txn ${cur.txn} " +
+            "conflicts: " +
+            (partConf.toSeq.sorted.map(p => s"partition '$p'") ++
+              propConf.toSeq.sorted.map(k => s"property '$k'"))
+              .mkString(", ") +
+            " changed on both sides since fork txn " + base)
+      def addedDeletes(ch: Map[String, Option[Entry]]) =
+        ch.values.exists(_.exists(_.deleteKey.isDefined))
+      def touchedBase(ch: Map[String, Option[Entry]]) =
+        ch.keysIterator.exists(baseMain.contains)
+      if (addedDeletes(branchCh) && touchedBase(mainCh))
+        throw new IllegalStateException(
+          s"rebase of branch '$branch': the branch added merge-on-read " +
+            s"deletes while '$table' rewrote pre-fork data — the " +
+            "delete's coordinates/sequencing would silently miss the " +
+            "rewritten rows. Publish with force, or re-apply the " +
+            "delete on a fresh branch.")
+      if (addedDeletes(mainCh) && touchedBase(branchCh))
+        throw new IllegalStateException(
+          s"rebase of branch '$branch': '$table' added merge-on-read " +
+            "deletes while the branch rewrote pre-fork data — main's " +
+            "delete would silently miss the branch's rewritten rows. " +
+            "Re-create the branch from the current state.")
+      val newShadow: Map[(String, String), Entry] =
+        (baseMain.keySet ++ curMain.keySet ++ curShadow.keySet)
+          .iterator.flatMap { p =>
+            if (branchCh.contains(p))
+              curShadow.get(p).map(e => (shadow, p) -> e)
+            else if (mainCh.contains(p))
+              curMain.get(p).map(e => (shadow, p) -> refEntry(table, p, e))
+            else curShadow.get(p).map(e => (shadow, p) -> e)
+          }.toMap
+      val mergedProps = mainPd.foldLeft(brProps) {
+        case (acc, (k, Some(v))) => acc + (k -> v)
+        case (acc, (k, None)) => acc - k
+      } + (BranchOfProp -> table) + (BranchBaseProp -> cur.txn.toString)
+      try {
+        return TxnCatalog.publish(spark, root,
+          Seq((shadow, PropsPartition, propsDf(spark, mergedProps))),
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried =>
+            carried.filterNot(_._1._1 == shadow) ++ newShadow)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Drop branch `branch` of `table` (a plain table drop — the branch's
     * own staged files become vacuum-reclaimable once unreferenced;
     * physical data shared with main is path-protected). Returns the

@@ -81,6 +81,7 @@ private[storage] object GraftProcedures {
       case "tag"      => Some(new TagProcedure(root))
       case "branch"   => Some(new BranchProcedure(root))
       case "publish_branch" => Some(new PublishBranchProcedure(root))
+      case "rebase_branch" => Some(new RebaseBranchProcedure(root))
       case "drop_branch" => Some(new DropBranchProcedure(root))
       case "clone"    => Some(new CloneProcedure(root))
       case "drop_tag" => Some(new DropTagProcedure(root))
@@ -801,6 +802,37 @@ private[storage] final class BranchProcedure(root: String)
     val txn = Branch.create(spark, root, table, nm)
     one(oneRow(out, UTF8String.fromString(Branch.shadowName(table, nm)),
       java.lang.Long.valueOf(txn)))
+  }
+}
+
+/** `CALL cat.system.rebase_branch(table => 't', name => 'wap')`:
+  * three-way-merge the branch onto main's current state
+  * ([[Branch.rebase]]) so a subsequent publish fast-forwards; refuses
+  * on partition/property conflicts or delete-vs-rewrite hazards.
+  * Returns `(txn)`. */
+private[storage] final class RebaseBranchProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "rebase_branch"
+  override def description(): String =
+    "rebase a branch onto its table's current state (three-way merge)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("name", StringType))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val (table, nm) = (str(input, 0), str(input, 1))
+    require(table.nonEmpty && nm.nonEmpty,
+      "rebase_branch: table and name required")
+    val txn = Branch.rebase(spark, root, table, nm)
+    one(oneRow(out, java.lang.Long.valueOf(txn)))
   }
 }
 
