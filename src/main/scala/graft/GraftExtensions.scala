@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_contains"),
       info("graft_contains", "graft_contains(ring, x, y) - ray-casting point in polygon"),
       (exprs: Seq[Expression]) => geo.PointInPolygon(exprs.head, exprs(1), exprs(2))))
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.storage.ChangesTvf.Name),
+      info(graft.storage.ChangesTvf.Name,
+        "graft_table_changes(ident, fromTxn, toTxn) - CDC rows of a " +
+          "graft-lake table in the txn window (fromTxn, toTxn]"),
+      (exprs: Seq[Expression]) => graft.storage.ChangesTvf.builder(exprs)))
     ext.injectOptimizerRule(_ => plans.SpatialJoinRewrite)
     ext.injectOptimizerRule(_ => plans.MetadataOnlyAgg)
     ext.injectOptimizerRule(_ => plans.MvRewrite)

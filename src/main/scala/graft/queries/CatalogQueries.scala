@@ -787,6 +787,42 @@ object CatalogQueries extends QueryGroup {
              |  WHERE c_custkey IN (7, 42))
              |ORDER BY _txn, _change_type, c_custkey""".stripMargin)),
 
+    // The change feed as SQL — `graft_table_changes(ident, from, to)`,
+    // Delta's table_changes TVF on this catalog (ChangesTvf): the same
+    // feed window as s_change_feed, consumed entirely through SQL with
+    // a WHERE over the feed (filters push into the TVF's expansion —
+    // it resolves to ordinary manifest-addressed scans at analysis).
+    QueryDef(
+      "s_table_changes_sql",
+      (s, d) => {
+        import s.implicits._
+        val root = QueryFixtures.linkCopy(QueryFixtures.cdcTemplate(s, d))
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.deleteKeys(s, root, "cust",
+          "c_custkey", Seq(7L, 21L, 4242L).toDF("c_custkey"))
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("cust", "batch=re",
+            cust.filter(col("c_custkey").isin(7L, 42L)))))
+        graft.storage.ChangesTvf.install(s)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        s.sql(
+          s"""SELECT c_custkey, c_acctbal, _change_type, _txn
+             |FROM graft_table_changes('$cat.cust', 0, 3)
+             |WHERE _change_type = 'delete' OR c_custkey % 3 = 0
+             |ORDER BY _txn, _change_type, c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_acctbal, _change_type, _txn FROM (
+             |  SELECT c_custkey, c_acctbal, 'insert' AS _change_type,
+             |         CAST(1 AS BIGINT) AS _txn FROM customer
+             |  UNION ALL
+             |  SELECT k, NULL, 'delete', 2
+             |  FROM (VALUES (7), (21), (4242)) t(k)
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal, 'insert', 3 FROM customer
+             |  WHERE c_custkey IN (7, 42))
+             |WHERE _change_type = 'delete' OR c_custkey % 3 = 0
+             |ORDER BY _txn, _change_type, c_custkey""".stripMargin)),
+
     // The maintenance surface as SQL stored procedures (DSv2
     // ProcedureCatalog): CALL system.optimize folds the 4 batch
     // partitions into one compacted partition, CALL system.vacuum

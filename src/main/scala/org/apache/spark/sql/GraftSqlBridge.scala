@@ -23,6 +23,19 @@ object GraftSqlBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Register `name` as a SQL-callable TABLE function (TVF) in this
+    * session — `SELECT * FROM name(...)`. The builder runs at analysis
+    * and returns the logical plan the call resolves to; Spark's
+    * `tableFunctionRegistry` is `private[sql]`, so libraries shipping
+    * TVFs (graft's `graft_table_changes`) need exactly this hook, the
+    * table-valued twin of [[registerFunction]]. */
+  def registerTableFunction(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** Wrap a [[org.apache.spark.sql.sources.BaseRelation]] (e.g. a
     * `HadoopFsRelation` over a library-provided `FileIndex`) as a
     * DataFrame. Spark 4's abstract SparkSession no longer exposes
