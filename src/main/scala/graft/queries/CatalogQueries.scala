@@ -1460,6 +1460,60 @@ object CatalogQueries extends QueryGroup {
              |  TRUE AS needed_rebase, TRUE AS append_shaped
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // CATALOG BRANCH (Nessie-style whole-catalog WAP): fork BOTH tables
+    // of a two-table lake with one commit, stage the odd customers and
+    // half the odd orders on the branch WHILE main lands the other half
+    // of the odd orders, then heal with rebase_catalog and cut over
+    // with publish_catalog — ONE commit moves both tables (pinned:
+    // one_commit compares the txn counter across the publish). The
+    // result joins the published tables, so any cross-table tearing or
+    // lost row breaks the hash against a plain customer⋈orders oracle.
+    QueryDef(
+      "s_catalog_branch",
+      (s, d) => {
+        val root =
+          QueryFixtures.linkCopy(QueryFixtures.catalogWapTemplate(s, d))
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        s.sql(s"CALL $cat.system.branch_catalog(name => 'wap')")
+        // main advances on ord while the branch stages both tables
+        graft.storage.TxnCatalog.commitPartitions(s, root,
+          Seq(("ord", "m",
+            ord.filter(pmod(col("o_orderkey"), lit(4)) === 1))))
+        graft.storage.TxnCatalog.appendBatch(s, root,
+          graft.storage.Branch.shadowName("cust", "wap"), "w",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 1),
+          statsColumns = Seq("c_custkey"))
+        graft.storage.TxnCatalog.appendBatch(s, root,
+          graft.storage.Branch.shadowName("ord", "wap"), "w",
+          ord.filter(pmod(col("o_orderkey"), lit(4)) === 3),
+          statsColumns = Seq("o_orderkey"))
+        val neededRebase =
+          try {
+            graft.storage.Branch.publishAll(s, root, "wap"); false
+          } catch { case _: IllegalStateException => true }
+        s.sql(s"CALL $cat.system.rebase_catalog(name => 'wap')")
+        val before = graft.storage.TxnCatalog.currentTxn(s, root).get
+        s.sql(s"CALL $cat.system.publish_catalog(name => 'wap')")
+        val oneCommit =
+          graft.storage.TxnCatalog.currentTxn(s, root).get == before + 1
+        val pc = graft.storage.TxnCatalog.read(s, root, "cust").get
+        val po = graft.storage.TxnCatalog.read(s, root, "ord").get
+        pc.join(po, pc("c_custkey") === po("o_custkey"))
+          .groupBy("c_custkey", "c_acctbal")
+          .agg(count("o_orderkey").as("num_orders"))
+          .withColumn("needed_rebase", lit(neededRebase))
+          .withColumn("one_commit", lit(oneCommit))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |  CAST(COUNT(o_orderkey) AS BIGINT) AS num_orders,
+             |  TRUE AS needed_rebase, TRUE AS one_commit
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_acctbal
+             |ORDER BY c_custkey""".stripMargin)),
+
     // S5: content-addressed object keys; multi-dot filenames keep only the
     // final extension (fixes §2.3.7).
     QueryDef(

@@ -460,6 +460,23 @@ object QueryFixtures {
       ()
     }
 
+  /** Template for `s_catalog_branch`: a TWO-table lake (even customers,
+    * even orders) committed in one txn — the base a catalog branch
+    * forks from. */
+  def catalogWapTemplate(s: SparkSession, sfDir: String): String =
+    fixture("catwaptmpl-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select("c_custkey", "c_acctbal")
+      val ord = Tables.orders(s, sfDir)
+        .select("o_orderkey", "o_custkey")
+      TxnCatalog.commitPartitions(s, root,
+        Seq(("cust", "b=0",
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 0)),
+          ("ord", "b=0",
+            ord.filter(pmod(col("o_orderkey"), lit(2)) === 0))),
+        statsColumns = Seq("c_custkey", "o_orderkey"))
+      ()
+    }
+
   /** Template for `s_mv_incremental`: commits b=0, b=1, the MV create,
     * then commit b=2 — so the per-iteration refresh on the copy sees
     * exactly one unfolded partition (the INCREMENTAL classification

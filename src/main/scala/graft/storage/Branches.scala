@@ -242,81 +242,100 @@ object Branch {
       attempt += 1
       val cur = TxnCatalog.snapshot(spark, root).getOrElse(
         throw new IllegalArgumentException(s"empty catalog under $root"))
-      val shadowAll = cur.entries.filter(_._1._1 == shadow)
-      require(shadowAll.nonEmpty, s"unknown branch '$branch' of '$table'")
-      val shadowProps = cur.properties(shadow)
-      require(shadowProps.get(BranchOfProp).contains(table),
-        s"'$shadow' is not a branch of '$table'")
-      val curMain: Map[(String, String), Entry] = cur.entries.filter {
-        case ((t, p), _) => t == table && p != PropsPartition }
-      if (!force) {
-        val base = shadowProps.get(BranchBaseProp).flatMap(_.toLongOption)
-          .getOrElse(throw new IllegalStateException(
-            s"branch '$branch' carries no base txn"))
-        val baseSnap =
-          try TxnCatalog.snapshotAt(spark, root, base)
-          catch { case _: IllegalArgumentException =>
-            throw new IllegalStateException(
-              s"branch '$branch' base txn $base has been vacuumed; " +
-                "re-create the branch or publish with force = true")
-          }
-        val baseMain = baseSnap.entries.filter {
-          case ((t, p), _) => t == table && p != PropsPartition }
-        val markers = Seq(TxnCatalog.RestoreTxnProp, BranchPublishedProp)
-        if (curMain != baseMain ||
-            (cur.properties(table) -- markers) !=
-              (baseSnap.properties(table) -- markers))
-          throw new IllegalStateException(
-            s"table '$table' advanced since branch '$branch' forked at " +
-              s"txn ${base}: publishing would clobber those commits. " +
-              "Re-create the branch from the current state (rebase) or " +
-              "publish with force = true to overwrite knowingly.")
-      }
-      val shadowData = shadowAll.filter(_._1._2 != PropsPartition)
-      // per-partition classification against main's CURRENT entry: a
-      // shadow entry resolving to the same physical path is the same
-      // content — keep main's entry verbatim (zero diff churn)
-      def resolved(t: String, p: String, e: Entry) =
-        TxnCatalog.entryPath(root, t, p, e.dir)
-      val unchanged: Set[String] = shadowData.collect {
-        case ((_, p), e) if curMain.get((table, p)).exists(me =>
-          resolved(table, p, me) == resolved(shadow, p, e) &&
-            me.deleteKey == e.deleteKey) => p
-      }.toSet
-      val newOnes = shadowData.filter { case ((_, p), _) => !unchanged(p) }
-      // append-shaped iff every main entry survives untouched and every
-      // branch addition is plain data (no delete keys, no drops)
-      val fastAppend =
-        curMain.keys.forall { case (_, p) => unchanged(p) } &&
-          newOnes.values.forall(_.deleteKey.isEmpty)
-      val publishTxn = cur.txn + 1
-      val newMain: Map[(String, String), Entry] = shadowData.map {
-        case ((_, p), e) =>
-          if (unchanged(p)) (table, p) -> curMain((table, p))
-          else (table, p) -> refEntry(shadow, p, e).copy(dataTxn =
-            Some(if (fastAppend) publishTxn else TxnCatalog.entryDataTxn(e)))
-      }
-      val marker = s"$publishTxn:$branch"
-      val mainProps = shadowProps -
-        BranchOfProp - BranchBaseProp - TxnCatalog.RestoreTxnProp -
-        BranchPublishedProp +
-        (BranchPublishedProp -> marker) ++
-        (if (fastAppend) Map.empty[String, String]
-         else Map(TxnCatalog.RestoreTxnProp -> marker))
-      val rebased = shadowProps + (BranchBaseProp -> publishTxn.toString)
+      val plan = publishPlan(spark, root, cur, table, branch, force)
       try {
         return TxnCatalog.publish(spark, root,
-          Seq((table, PropsPartition, propsDf(spark, mainProps)),
-            (shadow, PropsPartition, propsDf(spark, rebased))),
+          Seq((table, PropsPartition, propsDf(spark, plan.mainProps)),
+            (shadow, PropsPartition, propsDf(spark, plan.rebasedProps))),
           statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
           reconcile = carried =>
-            carried.filterNot(_._1._1 == table) ++ newMain)(() => ())
+            carried.filterNot(_._1._1 == table) ++ plan.newMain)(() => ())
       } catch {
         case _: java.io.IOException if attempt < attempts =>
           Thread.sleep(attempt * 20L)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** One table's publish decision at a pinned snapshot — the per-table
+    * core [[publish]] and [[publishAll]] share: fast-forward check,
+    * unchanged/new classification, append-shaped detection, and the
+    * main/shadow property updates, all computed for the commit that
+    * will land at `cur.txn + 1`. Nothing is written here. */
+  private final case class PublishPlan(
+      newMain: Map[(String, String), Entry],
+      mainProps: Map[String, String],
+      rebasedProps: Map[String, String],
+      fastAppend: Boolean)
+
+  private def publishPlan(spark: SparkSession, root: String,
+      cur: TxnCatalog.Snapshot, table: String, branch: String,
+      force: Boolean): PublishPlan = {
+    val shadow = shadowName(table, branch)
+    val shadowAll = cur.entries.filter(_._1._1 == shadow)
+    require(shadowAll.nonEmpty, s"unknown branch '$branch' of '$table'")
+    val shadowProps = cur.properties(shadow)
+    require(shadowProps.get(BranchOfProp).contains(table),
+      s"'$shadow' is not a branch of '$table'")
+    val curMain: Map[(String, String), Entry] = cur.entries.filter {
+      case ((t, p), _) => t == table && p != PropsPartition }
+    if (!force) {
+      val base = shadowProps.get(BranchBaseProp).flatMap(_.toLongOption)
+        .getOrElse(throw new IllegalStateException(
+          s"branch '$branch' carries no base txn"))
+      val baseSnap =
+        try TxnCatalog.snapshotAt(spark, root, base)
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"branch '$branch' base txn $base has been vacuumed; " +
+              "re-create the branch or publish with force = true")
+        }
+      val baseMain = baseSnap.entries.filter {
+        case ((t, p), _) => t == table && p != PropsPartition }
+      val markers = Seq(TxnCatalog.RestoreTxnProp, BranchPublishedProp)
+      if (curMain != baseMain ||
+          (cur.properties(table) -- markers) !=
+            (baseSnap.properties(table) -- markers))
+        throw new IllegalStateException(
+          s"table '$table' advanced since branch '$branch' forked at " +
+            s"txn ${base}: publishing would clobber those commits. " +
+            "Rebase the branch onto the current state (Branch.rebase) " +
+            "or publish with force = true to overwrite knowingly.")
+    }
+    val shadowData = shadowAll.filter(_._1._2 != PropsPartition)
+    // per-partition classification against main's CURRENT entry: a
+    // shadow entry resolving to the same physical path is the same
+    // content — keep main's entry verbatim (zero diff churn)
+    def resolved(t: String, p: String, e: Entry) =
+      TxnCatalog.entryPath(root, t, p, e.dir)
+    val unchanged: Set[String] = shadowData.collect {
+      case ((_, p), e) if curMain.get((table, p)).exists(me =>
+        resolved(table, p, me) == resolved(shadow, p, e) &&
+          me.deleteKey == e.deleteKey) => p
+    }.toSet
+    val newOnes = shadowData.filter { case ((_, p), _) => !unchanged(p) }
+    // append-shaped iff every main entry survives untouched and every
+    // branch addition is plain data (no delete keys, no drops)
+    val fastAppend =
+      curMain.keys.forall { case (_, p) => unchanged(p) } &&
+        newOnes.values.forall(_.deleteKey.isEmpty)
+    val publishTxn = cur.txn + 1
+    val newMain: Map[(String, String), Entry] = shadowData.map {
+      case ((_, p), e) =>
+        if (unchanged(p)) (table, p) -> curMain((table, p))
+        else (table, p) -> refEntry(shadow, p, e).copy(dataTxn =
+          Some(if (fastAppend) publishTxn else TxnCatalog.entryDataTxn(e)))
+    }
+    val marker = s"$publishTxn:$branch"
+    val mainProps = shadowProps -
+      BranchOfProp - BranchBaseProp - TxnCatalog.RestoreTxnProp -
+      BranchPublishedProp +
+      (BranchPublishedProp -> marker) ++
+      (if (fastAppend) Map.empty[String, String]
+       else Map(TxnCatalog.RestoreTxnProp -> marker))
+    val rebased = shadowProps + (BranchBaseProp -> publishTxn.toString)
+    PublishPlan(newMain, mainProps, rebased, fastAppend)
   }
 
   /** REBASE branch `branch` onto `table`'s CURRENT state — the answer
@@ -373,114 +392,134 @@ object Branch {
       attempt += 1
       val cur = TxnCatalog.snapshot(spark, root).getOrElse(
         throw new IllegalArgumentException(s"empty catalog under $root"))
-      val shadowAll = cur.entries.filter(_._1._1 == shadow)
-      require(shadowAll.nonEmpty, s"unknown branch '$branch' of '$table'")
-      val shadowProps = cur.properties(shadow)
-      require(shadowProps.get(BranchOfProp).contains(table),
-        s"'$shadow' is not a branch of '$table'")
-      val base = shadowProps.get(BranchBaseProp).flatMap(_.toLongOption)
-        .getOrElse(throw new IllegalStateException(
-          s"branch '$branch' carries no base txn"))
-      val baseSnap =
-        try TxnCatalog.snapshotAt(spark, root, base)
-        catch { case _: IllegalArgumentException =>
-          throw new IllegalStateException(
-            s"branch '$branch' base txn $base has been vacuumed; " +
-              "re-create the branch")
-        }
-      def dataOf(es: Map[(String, String), Entry], t: String) =
-        es.collect { case ((`t`, p), e) if p != PropsPartition => p -> e }
-      val baseMain = dataOf(baseSnap.entries, table)
-      val curMain = dataOf(cur.entries, table)
-      require(curMain.nonEmpty,
-        s"table '$table' was dropped since branch '$branch' forked")
-      val curShadow = dataOf(shadowAll, shadow)
-      // an entry's CONTENT identity: resolved physical path + delete
-      // marker (refs and the dirs they name compare equal)
-      def sig(t: String, p: String, e: Entry) =
-        (TxnCatalog.entryPath(root, t, p, e.dir), e.deleteKey)
-      // partition → what this side now holds (None = dropped), only
-      // where it differs from base
-      def changesOf(now: Map[String, Entry], nowT: String)
-          : Map[String, Option[Entry]] =
-        (baseMain.keySet ++ now.keySet).iterator.flatMap { p =>
-          (baseMain.get(p), now.get(p)) match {
-            case (Some(b), Some(n))
-              if sig(table, p, b) == sig(nowT, p, n) => None
-            case (None, None) => None
-            case (_, n) => Some(p -> n)
+      rebasePlan(spark, root, cur, table, branch) match {
+        case None => return cur.txn // already based
+        case Some(plan) =>
+          try {
+            return TxnCatalog.publish(spark, root,
+              Seq((shadow, PropsPartition, propsDf(spark, plan.mergedProps))),
+              statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+              reconcile = carried =>
+                carried.filterNot(_._1._1 == shadow) ++ plan.newShadow)(
+              () => ())
+          } catch {
+            case _: java.io.IOException if attempt < attempts =>
+              Thread.sleep(attempt * 20L)
           }
-        }.toMap
-      val mainCh = changesOf(curMain, table)
-      val branchCh = changesOf(curShadow, shadow)
-      val markers = Set(TxnCatalog.RestoreTxnProp, BranchPublishedProp,
-        BranchOfProp, BranchBaseProp)
-      val baseProps = baseSnap.properties(table) -- markers
-      val mainProps = cur.properties(table) -- markers
-      val brProps = shadowProps -- markers
-      def propDelta(now: Map[String, String]): Map[String, Option[String]] =
-        (baseProps.keySet ++ now.keySet).iterator.flatMap { k =>
-          if (baseProps.get(k) == now.get(k)) None else Some(k -> now.get(k))
-        }.toMap
-      val mainPd = propDelta(mainProps)
-      val branchPd = propDelta(brProps)
-      if (mainCh.isEmpty && mainPd.isEmpty) return cur.txn // already based
-      val partConf = mainCh.keySet.intersect(branchCh.keySet).filter { p =>
-        mainCh(p).map(e => sig(table, p, e)) !=
-          branchCh(p).map(e => sig(shadow, p, e))
-      }
-      val propConf = mainPd.keySet.intersect(branchPd.keySet)
-        .filter(k => mainPd(k) != branchPd(k))
-      if (partConf.nonEmpty || propConf.nonEmpty)
-        throw new IllegalStateException(
-          s"rebase of branch '$branch' onto '$table' txn ${cur.txn} " +
-            "conflicts: " +
-            (partConf.toSeq.sorted.map(p => s"partition '$p'") ++
-              propConf.toSeq.sorted.map(k => s"property '$k'"))
-              .mkString(", ") +
-            " changed on both sides since fork txn " + base)
-      def addedDeletes(ch: Map[String, Option[Entry]]) =
-        ch.values.exists(_.exists(_.deleteKey.isDefined))
-      def touchedBase(ch: Map[String, Option[Entry]]) =
-        ch.keysIterator.exists(baseMain.contains)
-      if (addedDeletes(branchCh) && touchedBase(mainCh))
-        throw new IllegalStateException(
-          s"rebase of branch '$branch': the branch added merge-on-read " +
-            s"deletes while '$table' rewrote pre-fork data — the " +
-            "delete's coordinates/sequencing would silently miss the " +
-            "rewritten rows. Publish with force, or re-apply the " +
-            "delete on a fresh branch.")
-      if (addedDeletes(mainCh) && touchedBase(branchCh))
-        throw new IllegalStateException(
-          s"rebase of branch '$branch': '$table' added merge-on-read " +
-            "deletes while the branch rewrote pre-fork data — main's " +
-            "delete would silently miss the branch's rewritten rows. " +
-            "Re-create the branch from the current state.")
-      val newShadow: Map[(String, String), Entry] =
-        (baseMain.keySet ++ curMain.keySet ++ curShadow.keySet)
-          .iterator.flatMap { p =>
-            if (branchCh.contains(p))
-              curShadow.get(p).map(e => (shadow, p) -> e)
-            else if (mainCh.contains(p))
-              curMain.get(p).map(e => (shadow, p) -> refEntry(table, p, e))
-            else curShadow.get(p).map(e => (shadow, p) -> e)
-          }.toMap
-      val mergedProps = mainPd.foldLeft(brProps) {
-        case (acc, (k, Some(v))) => acc + (k -> v)
-        case (acc, (k, None)) => acc - k
-      } + (BranchOfProp -> table) + (BranchBaseProp -> cur.txn.toString)
-      try {
-        return TxnCatalog.publish(spark, root,
-          Seq((shadow, PropsPartition, propsDf(spark, mergedProps))),
-          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
-          reconcile = carried =>
-            carried.filterNot(_._1._1 == shadow) ++ newShadow)(() => ())
-      } catch {
-        case _: java.io.IOException if attempt < attempts =>
-          Thread.sleep(attempt * 20L)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** One table's rebase decision at a pinned snapshot — the three-way
+    * merge core [[rebase]] and [[rebaseAll]] share. None = main has not
+    * advanced (nothing to do); throws on conflicts. Nothing is written
+    * here. */
+  private final case class RebasePlan(
+      newShadow: Map[(String, String), Entry],
+      mergedProps: Map[String, String])
+
+  private def rebasePlan(spark: SparkSession, root: String,
+    cur: TxnCatalog.Snapshot, table: String,
+    branch: String): Option[RebasePlan] = {
+    val shadow = shadowName(table, branch)
+    val shadowAll = cur.entries.filter(_._1._1 == shadow)
+    require(shadowAll.nonEmpty, s"unknown branch '$branch' of '$table'")
+    val shadowProps = cur.properties(shadow)
+    require(shadowProps.get(BranchOfProp).contains(table),
+    s"'$shadow' is not a branch of '$table'")
+    val base = shadowProps.get(BranchBaseProp).flatMap(_.toLongOption)
+    .getOrElse(throw new IllegalStateException(
+      s"branch '$branch' carries no base txn"))
+    val baseSnap =
+    try TxnCatalog.snapshotAt(spark, root, base)
+    catch { case _: IllegalArgumentException =>
+      throw new IllegalStateException(
+        s"branch '$branch' base txn $base has been vacuumed; " +
+          "re-create the branch")
+    }
+    def dataOf(es: Map[(String, String), Entry], t: String) =
+    es.collect { case ((`t`, p), e) if p != PropsPartition => p -> e }
+    val baseMain = dataOf(baseSnap.entries, table)
+    val curMain = dataOf(cur.entries, table)
+    require(curMain.nonEmpty,
+    s"table '$table' was dropped since branch '$branch' forked")
+    val curShadow = dataOf(shadowAll, shadow)
+    // an entry's CONTENT identity: resolved physical path + delete
+    // marker (refs and the dirs they name compare equal)
+    def sig(t: String, p: String, e: Entry) =
+      (TxnCatalog.entryPath(root, t, p, e.dir), e.deleteKey)
+    // partition → what this side now holds (None = dropped), only
+    // where it differs from base
+    def changesOf(now: Map[String, Entry], nowT: String)
+        : Map[String, Option[Entry]] =
+      (baseMain.keySet ++ now.keySet).iterator.flatMap { p =>
+        (baseMain.get(p), now.get(p)) match {
+          case (Some(b), Some(n))
+            if sig(table, p, b) == sig(nowT, p, n) => None
+          case (None, None) => None
+          case (_, n) => Some(p -> n)
+        }
+      }.toMap
+    val mainCh = changesOf(curMain, table)
+    val branchCh = changesOf(curShadow, shadow)
+    val markers = Set(TxnCatalog.RestoreTxnProp, BranchPublishedProp,
+      BranchOfProp, BranchBaseProp)
+    val baseProps = baseSnap.properties(table) -- markers
+    val mainProps = cur.properties(table) -- markers
+    val brProps = shadowProps -- markers
+    def propDelta(now: Map[String, String]): Map[String, Option[String]] =
+      (baseProps.keySet ++ now.keySet).iterator.flatMap { k =>
+        if (baseProps.get(k) == now.get(k)) None else Some(k -> now.get(k))
+      }.toMap
+    val mainPd = propDelta(mainProps)
+    val branchPd = propDelta(brProps)
+    if (mainCh.isEmpty && mainPd.isEmpty) return None // already based
+    val partConf = mainCh.keySet.intersect(branchCh.keySet).filter { p =>
+    mainCh(p).map(e => sig(table, p, e)) !=
+      branchCh(p).map(e => sig(shadow, p, e))
+    }
+    val propConf = mainPd.keySet.intersect(branchPd.keySet)
+      .filter(k => mainPd(k) != branchPd(k))
+    if (partConf.nonEmpty || propConf.nonEmpty)
+      throw new IllegalStateException(
+        s"rebase of branch '$branch' onto '$table' txn ${cur.txn} " +
+          "conflicts: " +
+          (partConf.toSeq.sorted.map(p => s"partition '$p'") ++
+            propConf.toSeq.sorted.map(k => s"property '$k'"))
+            .mkString(", ") +
+          " changed on both sides since fork txn " + base)
+    def addedDeletes(ch: Map[String, Option[Entry]]) =
+      ch.values.exists(_.exists(_.deleteKey.isDefined))
+    def touchedBase(ch: Map[String, Option[Entry]]) =
+      ch.keysIterator.exists(baseMain.contains)
+    if (addedDeletes(branchCh) && touchedBase(mainCh))
+      throw new IllegalStateException(
+        s"rebase of branch '$branch': the branch added merge-on-read " +
+          s"deletes while '$table' rewrote pre-fork data — the " +
+          "delete's coordinates/sequencing would silently miss the " +
+          "rewritten rows. Publish with force, or re-apply the " +
+          "delete on a fresh branch.")
+    if (addedDeletes(mainCh) && touchedBase(branchCh))
+      throw new IllegalStateException(
+        s"rebase of branch '$branch': '$table' added merge-on-read " +
+          "deletes while the branch rewrote pre-fork data — main's " +
+          "delete would silently miss the branch's rewritten rows. " +
+          "Re-create the branch from the current state.")
+    val newShadow: Map[(String, String), Entry] =
+      (baseMain.keySet ++ curMain.keySet ++ curShadow.keySet)
+        .iterator.flatMap { p =>
+          if (branchCh.contains(p))
+            curShadow.get(p).map(e => (shadow, p) -> e)
+          else if (mainCh.contains(p))
+            curMain.get(p).map(e => (shadow, p) -> refEntry(table, p, e))
+          else curShadow.get(p).map(e => (shadow, p) -> e)
+        }.toMap
+    val mergedProps = mainPd.foldLeft(brProps) {
+      case (acc, (k, Some(v))) => acc + (k -> v)
+      case (acc, (k, None)) => acc - k
+    } + (BranchOfProp -> table) + (BranchBaseProp -> cur.txn.toString)
+    Some(RebasePlan(newShadow, mergedProps))
   }
 
   /** Drop branch `branch` of `table` (a plain table drop — the branch's
@@ -490,4 +529,185 @@ object Branch {
   def drop(spark: SparkSession, root: String, table: String,
       branch: String): Long =
     TxnCatalog.dropTable(spark, root, shadowName(table, branch))
+
+  // ---------------------------------------------------------------------
+  // CATALOG BRANCHES: one branch name spanning EVERY table, with fork,
+  // publish, and rebase each a SINGLE manifest commit — Nessie/lakeFS-
+  // style whole-catalog versioning, which per-table branches (Delta,
+  // Iceberg) cannot give: a training-data refresh that must land
+  // documents + embeddings + lineage together stages all of them on one
+  // branch, audits cross-table invariants THERE, and publishes
+  // atomically — a reader can never observe table A's new state with
+  // table B's old one, because one manifest rename commits every table
+  // (the catalog's own multi-table txn guarantee, lifted to WAP).
+  // Per-table machinery is reused verbatim: a catalog branch IS the set
+  // of per-table branches sharing a name, so per-table publish/rebase/
+  // audit still work on any member, and per-table conflict rules apply
+  // table-wise during [[rebaseAll]].
+  // ---------------------------------------------------------------------
+
+  /** Tables eligible for a catalog branch at `cur`: real tables — not
+    * branch shadows, not materialized views (an MV is DERIVED state;
+    * its `graft.mv.source` points at the main table, so a forked copy
+    * would refresh from the wrong side — refresh it after publish
+    * instead). */
+  private def branchable(cur: TxnCatalog.Snapshot): Seq[String] =
+    cur.tables.filterNot(t => t.contains(BranchInfix) ||
+      cur.properties(t).contains(MaterializedAgg.SourceProp))
+
+  /** Tables participating in catalog branch `branch` (sorted). */
+  def catalogTables(spark: SparkSession, root: String,
+      branch: String): Seq[String] =
+    TxnCatalog.tables(spark, root)
+      .collect { case t if t.endsWith(BranchInfix + branch) =>
+        t.stripSuffix(BranchInfix + branch) }
+      .filterNot(_.contains(BranchInfix)) // branch-of-branch: not ours
+      .sorted
+
+  /** Fork EVERY eligible table (or the explicit `tables` list) into
+    * branch `branch` in ONE conditional manifest commit — zero-copy,
+    * all-or-nothing: no observer ever sees half a catalog forked.
+    * Returns the committed txn. */
+  def createAll(spark: SparkSession, root: String, branch: String,
+      tables: Seq[String] = Nil, attempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val tabs = if (tables.nonEmpty) tables.sorted else branchable(cur)
+      require(tabs.nonEmpty, s"no branchable tables under $root")
+      tabs.foreach { t =>
+        require(cur.tables.contains(t), s"unknown table '$t'")
+        val shadow = shadowName(t, branch)
+        require(!cur.tables.contains(shadow),
+          s"branch '$branch' of '$t' already exists")
+      }
+      val copied: Map[(String, String), Entry] = tabs.flatMap { t =>
+        cur.entries.collect {
+          case ((`t`, p), e) if p != PropsPartition =>
+            (shadowName(t, branch), p) -> refEntry(t, p, e)
+        }
+      }.toMap
+      val propUpdates = tabs.map { t =>
+        val props = cur.properties(t) -
+          TxnCatalog.RestoreTxnProp - BranchPublishedProp - CloneOfProp -
+          BranchOfProp - BranchBaseProp +
+          (BranchOfProp -> t) + (BranchBaseProp -> cur.txn.toString)
+        (shadowName(t, branch), PropsPartition, propsDf(spark, props))
+      }
+      try {
+        return TxnCatalog.publish(spark, root, propUpdates,
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried => carried ++ copied)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish EVERY table of catalog branch `branch` in ONE conditional
+    * manifest commit: each member table passes its own fast-forward
+    * check ([[publish]]'s rule — any table that advanced refuses the
+    * WHOLE publish unless `force`), and all main tables move together —
+    * the atomic cross-table cutover per-table WAP cannot express.
+    * Returns the committed txn. */
+  def publishAll(spark: SparkSession, root: String, branch: String,
+      force: Boolean = false, attempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val tabs = catalogTables(spark, root, branch)
+      require(tabs.nonEmpty, s"unknown catalog branch '$branch'")
+      val plans = tabs.map(t =>
+        t -> publishPlan(spark, root, cur, t, branch, force))
+      val updates = plans.flatMap { case (t, plan) =>
+        Seq((t, PropsPartition, propsDf(spark, plan.mainProps)),
+          (shadowName(t, branch), PropsPartition,
+            propsDf(spark, plan.rebasedProps)))
+      }
+      val touched = tabs.toSet
+      val newMains = plans.flatMap(_._2.newMain).toMap
+      try {
+        return TxnCatalog.publish(spark, root, updates,
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried =>
+            carried.filterNot { case ((t, _), _) => touched(t) } ++
+              newMains)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Rebase EVERY table of catalog branch `branch` onto main's current
+    * state in ONE conditional manifest commit — per-table three-way
+    * merges ([[rebase]]'s rules), all-or-nothing: one table's conflict
+    * refuses the whole rebase, so the branch never holds a half-rebased
+    * catalog. Already-based tables pass through untouched. Returns the
+    * committed txn (the current one when nothing advanced). */
+  def rebaseAll(spark: SparkSession, root: String, branch: String,
+      attempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val tabs = catalogTables(spark, root, branch)
+      require(tabs.nonEmpty, s"unknown catalog branch '$branch'")
+      val plans = tabs.flatMap { t =>
+        rebasePlan(spark, root, cur, t, branch).map(p =>
+          shadowName(t, branch) -> p)
+      }
+      if (plans.isEmpty) return cur.txn // every member already based
+      val updates = plans.map { case (shadow, plan) =>
+        (shadow, PropsPartition, propsDf(spark, plan.mergedProps))
+      }
+      val touched = plans.map(_._1).toSet
+      val newShadows = plans.flatMap(_._2.newShadow).toMap
+      try {
+        return TxnCatalog.publish(spark, root, updates,
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried =>
+            carried.filterNot { case ((t, _), _) => touched(t) } ++
+              newShadows)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Drop EVERY table of catalog branch `branch` in ONE commit (shared
+    * physical data stays path-protected, exactly like [[drop]]).
+    * Returns the committed txn. */
+  def dropAll(spark: SparkSession, root: String, branch: String,
+      attempts: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = TxnCatalog.snapshot(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"empty catalog under $root"))
+      val tabs = catalogTables(spark, root, branch)
+      require(tabs.nonEmpty, s"unknown catalog branch '$branch'")
+      val shadows = tabs.map(shadowName(_, branch)).toSet
+      try {
+        return TxnCatalog.publish(spark, root, Nil,
+          statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
+          reconcile = carried =>
+            carried.filterNot { case ((t, _), _) => shadows(t) })(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -82,6 +82,11 @@ private[storage] object GraftProcedures {
       case "branch"   => Some(new BranchProcedure(root))
       case "publish_branch" => Some(new PublishBranchProcedure(root))
       case "rebase_branch" => Some(new RebaseBranchProcedure(root))
+      case "branch_catalog" => Some(new BranchCatalogProcedure(root))
+      case "publish_catalog" => Some(new PublishCatalogProcedure(root))
+      case "rebase_catalog" => Some(new RebaseCatalogProcedure(root))
+      case "drop_catalog_branch" =>
+        Some(new DropCatalogBranchProcedure(root))
       case "drop_branch" => Some(new DropBranchProcedure(root))
       case "clone"    => Some(new CloneProcedure(root))
       case "drop_tag" => Some(new DropTagProcedure(root))
@@ -802,6 +807,127 @@ private[storage] final class BranchProcedure(root: String)
     val txn = Branch.create(spark, root, table, nm)
     one(oneRow(out, UTF8String.fromString(Branch.shadowName(table, nm)),
       java.lang.Long.valueOf(txn)))
+  }
+}
+
+/** `CALL cat.system.branch_catalog(name => 'wap')` (optionally
+  * `tables => 't1,t2'`): fork every eligible table — or the explicit
+  * list — into one catalog branch in ONE commit ([[Branch.createAll]],
+  * Nessie-style whole-catalog versioning). Returns `(tables, txn)`. */
+private[storage] final class BranchCatalogProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "branch_catalog"
+  override def description(): String =
+    "fork every table into one zero-copy catalog branch (one commit)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("name", StringType),
+    param("tables", StringType, "''",
+      "comma-separated table list; empty = every eligible table"))
+
+  private val out = StructType(Seq(
+    StructField("tables", StringType, nullable = false),
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val nm = str(input, 0)
+    require(nm.nonEmpty, "branch_catalog: name required")
+    val tabs = str(input, 1).split(',').map(_.trim).filter(_.nonEmpty)
+    val txn = Branch.createAll(spark, root, nm, tabs.toSeq)
+    val forked = Branch.catalogTables(spark, root, nm)
+    one(oneRow(out, UTF8String.fromString(forked.mkString(",")),
+      java.lang.Long.valueOf(txn)))
+  }
+}
+
+/** `CALL cat.system.publish_catalog(name => 'wap')`: publish every
+  * table of the catalog branch atomically — one commit moves them all
+  * ([[Branch.publishAll]]); any advanced member refuses the whole
+  * publish unless `force => true`. Returns `(tables, txn)`. */
+private[storage] final class PublishCatalogProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "publish_catalog"
+  override def description(): String =
+    "atomically publish every table of a catalog branch (one commit)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("name", StringType),
+    param("force", BooleanType, "false", "overwrite diverged tables"))
+
+  private val out = StructType(Seq(
+    StructField("tables", StringType, nullable = false),
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val nm = str(input, 0)
+    require(nm.nonEmpty, "publish_catalog: name required")
+    val tabs = Branch.catalogTables(spark, root, nm)
+    val txn = Branch.publishAll(spark, root, nm,
+      force = input.getBoolean(1))
+    one(oneRow(out, UTF8String.fromString(tabs.mkString(",")),
+      java.lang.Long.valueOf(txn)))
+  }
+}
+
+/** `CALL cat.system.rebase_catalog(name => 'wap')`: rebase every table
+  * of the catalog branch onto main's current state in one commit
+  * ([[Branch.rebaseAll]]); any member's conflict refuses the whole
+  * rebase. Returns `(txn)`. */
+private[storage] final class RebaseCatalogProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "rebase_catalog"
+  override def description(): String =
+    "rebase every table of a catalog branch in one commit"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("name", StringType))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val nm = str(input, 0)
+    require(nm.nonEmpty, "rebase_catalog: name required")
+    one(oneRow(out, java.lang.Long.valueOf(
+      Branch.rebaseAll(spark, root, nm))))
+  }
+}
+
+/** `CALL cat.system.drop_catalog_branch(name => 'wap')`: drop every
+  * table of the catalog branch in one commit. Returns `(txn)`. */
+private[storage] final class DropCatalogBranchProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "drop_catalog_branch"
+  override def description(): String =
+    "drop every table of a catalog branch (one commit)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("name", StringType))
+
+  private val out = StructType(Seq(
+    StructField("txn", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val nm = str(input, 0)
+    require(nm.nonEmpty, "drop_catalog_branch: name required")
+    one(oneRow(out, java.lang.Long.valueOf(
+      Branch.dropAll(spark, root, nm))))
   }
 }
 
