@@ -97,6 +97,54 @@ object CatalogQueries extends QueryGroup {
              |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // DECLARED WRITE SORT ORDER (Iceberg's write.sort-order +
+    // distribution-mode=range): the table carries graft.sort-columns /
+    // graft.sort-mode=global, so every commit range-partitions and
+    // sorts its staged rows at the publish chokepoint — row-group
+    // min/max tight from BIRTH, no OPTIMIZE pass needed. Three
+    // arrival-order batches land, the per-file sortedness of every
+    // post-create file is verified from _metadata (pinned as a
+    // constant column), and the answer is a range read through the
+    // manifest stats the sorted layout produced — value-lossless vs
+    // the plain filter.
+    QueryDef(
+      "s_sort_order",
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("sortord").toFile.getAbsolutePath
+        val cust = Tables.customer(s, d).select("c_custkey", "c_acctbal")
+        graft.storage.TxnCatalog.createTableWithProperties(s, root,
+          "cust", "b0", cust.filter(pmod(col("c_custkey"), lit(4)) === 0),
+          Map(graft.storage.TxnCatalog.SortColumnsProp -> "c_acctbal",
+            graft.storage.TxnCatalog.SortModeProp -> "global",
+            graft.storage.TxnCatalog.StatsColumnsProp -> "c_acctbal"))
+        (1 to 3).foreach { k =>
+          graft.storage.TxnCatalog.commitPartitions(s, root,
+            Seq(("cust", s"b$k",
+              cust.filter(pmod(col("c_custkey"), lit(4)) === k))))
+        }
+        // every post-create file must be internally sorted by the
+        // declared column (the birth batch predates the property txn)
+        val facts = graft.storage.TxnCatalog.read(s, root, "cust").get
+          .select(col("c_acctbal"),
+            col("_metadata.file_path").as("f"),
+            col("_metadata.row_index").as("pos"))
+          .filter(!col("f").contains("/b0/"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("f").orderBy("pos")
+        val allSorted = facts
+          .withColumn("prev", lag("c_acctbal", 1).over(w))
+          .filter(col("prev") > col("c_acctbal")).isEmpty
+        graft.storage.TxnCatalog.snapshot(s, root).get
+          .readWhere("cust", "c_acctbal", 1000.0, 3000.0).get
+          .select("c_custkey", "c_acctbal")
+          .withColumn("write_sorted", lit(allSorted))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal, TRUE AS write_sorted
+             |FROM customer WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // DYNAMIC file pruning (Databricks DFP at partition grain): the
     // fact side's pruning keys exist only at RUNTIME — a dimension
     // frame's filter output — not in any literal predicate.

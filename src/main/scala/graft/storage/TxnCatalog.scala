@@ -1545,6 +1545,25 @@ object TxnCatalog {
   val StatsColumnsProp = "graft.stats-columns"
   /** [[StatsColumnsProp]]'s Bloom-filter counterpart. */
   val BloomColumnsProp = "graft.bloom-columns"
+  /** Table property declaring the WRITE SORT ORDER (comma-separated
+    * columns — Iceberg's `write.sort-order`): every NEW data commit to
+    * the table sorts its staged rows by these columns before writing,
+    * so parquet row-group min/max are tight from BIRTH — the reader's
+    * footer pruning works on the first commit, not only after an
+    * OPTIMIZE pass. Applied at the publish staging chokepoint, which
+    * is every write path at once (SQL INSERT, streaming sink,
+    * appendBatch, MERGE appends); reorganizations (compaction,
+    * Z-clustering) are exempt — they stage an order they chose
+    * deliberately, which a re-sort would destroy. Columns missing from
+    * a staged frame are skipped (schema evolution stays safe). */
+  val SortColumnsProp = "graft.sort-columns"
+  /** [[SortColumnsProp]]'s distribution mode: `local` (default — sort
+    * within each task's file, no shuffle: tight row groups, possibly
+    * overlapping file ranges) or `global` (range-repartition first —
+    * one extra shuffle buys DISJOINT file ranges, so point/range reads
+    * skip whole files by footer, Iceberg's
+    * `write.distribution-mode=range`). */
+  val SortModeProp = "graft.sort-mode"
 
   /** Property-key prefix recording a column's EXISTS_DEFAULT (Delta's
     * two-default model): `graft.existsdefault.<col>` =
@@ -3361,11 +3380,29 @@ object TxnCatalog {
     // lists) and missing columns are skipped by measureStats itself.
     def statsFor(t: String) = (statsColumns ++ cfgCols(t, StatsColumnsProp)).distinct
     def bloomFor(t: String) = (bloomColumns ++ cfgCols(t, BloomColumnsProp)).distinct
-    // 1. all staging writes finish before anything is published
+    // 1. all staging writes finish before anything is published. NEW
+    // data entries honor the table's declared write sort order
+    // ([[SortColumnsProp]]) here — the one chokepoint every write path
+    // shares — so row-group stats are tight from birth; internal
+    // entries (delete lists, `~p`) and reorganizations (explicit
+    // dataTxns — compaction/Z-cluster chose their own order) pass
+    // through verbatim.
+    def sortedForWrite(t: String, p: String, df: DataFrame): DataFrame = {
+      if (p.startsWith("~") || deleteKeyCols.contains((t, p)) ||
+          dataTxns.contains((t, p))) return df
+      val sortCols = cfgCols(t, SortColumnsProp).filter(df.columns.contains)
+      if (sortCols.isEmpty) return df
+      val cs = sortCols.map(org.apache.spark.sql.functions.col)
+      val base =
+        if (tableProps(t).get(SortModeProp).contains("global"))
+          df.repartitionByRange(cs: _*)
+        else df
+      base.sortWithinPartitions(cs: _*)
+    }
     val staged: Map[(String, String), Entry] = updates.map { case (t, p, df) =>
       val dirName = s"v=$next.$nonce"
       val path = entryPath(root, t, p, dirName)
-      df.write.mode("errorifexists").parquet(path)
+      sortedForWrite(t, p, df).write.mode("errorifexists").parquet(path)
       // delete entries (equality key lists, deletion vectors) are not
       // data: never measure table stats/Blooms on them — a DV's row
       // payload would otherwise leak DELETED values into skipping
