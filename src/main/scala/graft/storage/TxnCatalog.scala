@@ -1564,6 +1564,22 @@ object TxnCatalog {
     * skip whole files by footer, Iceberg's
     * `write.distribution-mode=range`). */
   val SortModeProp = "graft.sort-mode"
+  /** Table property declaring columns that get PARQUET bloom filters
+    * written into every new data file (comma-separated) — the
+    * FILE-grain complement to [[BloomColumnsProp]]'s manifest Blooms:
+    * the manifest Bloom prunes whole PARTITIONS at driver cost; within
+    * a surviving partition, parquet-mr's reader consults the per-row-
+    * group bloom on pushed equality predicates
+    * (`parquet.filter.bloom.enabled`, on by default) and skips row
+    * groups min/max can't rule out — exactly the high-cardinality
+    * point-lookup shape (content hash, uuid, url) where every row
+    * group spans the full lexical range. Applied at the publish
+    * staging chokepoint like [[SortColumnsProp]] — including
+    * reorganizations (a compacted file should keep its blooms);
+    * delete entries and `~p` are exempt (a DV payload must never leak
+    * deleted values into file metadata), and absent columns are
+    * skipped. */
+  val ParquetBloomColumnsProp = "graft.parquet-bloom-columns"
 
   /** Property-key prefix recording a column's EXISTS_DEFAULT (Delta's
     * two-default model): `graft.existsdefault.<col>` =
@@ -3399,10 +3415,20 @@ object TxnCatalog {
         else df
       base.sortWithinPartitions(cs: _*)
     }
+    // data entries also write PARQUET bloom filters for the table's
+    // declared columns ([[ParquetBloomColumnsProp]]) — file-grain
+    // equality skipping inside partitions the manifest couldn't prune
+    def bloomWriteOptions(t: String, p: String,
+        df: DataFrame): Map[String, String] =
+      if (p.startsWith("~") || deleteKeyCols.contains((t, p))) Map.empty
+      else cfgCols(t, ParquetBloomColumnsProp)
+        .filter(df.columns.contains)
+        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
     val staged: Map[(String, String), Entry] = updates.map { case (t, p, df) =>
       val dirName = s"v=$next.$nonce"
       val path = entryPath(root, t, p, dirName)
-      sortedForWrite(t, p, df).write.mode("errorifexists").parquet(path)
+      sortedForWrite(t, p, df).write.mode("errorifexists")
+        .options(bloomWriteOptions(t, p, df)).parquet(path)
       // delete entries (equality key lists, deletion vectors) are not
       // data: never measure table stats/Blooms on them — a DV's row
       // payload would otherwise leak DELETED values into skipping
