@@ -1984,10 +1984,49 @@ object TxnCatalog {
     val dirName = s"v=$next.$nonce"
     val bulkKey = "__graft_bulk_key"
     val stagingDir = new Path(s"$root/$table/.bulk.$next.$nonce")
+    // table properties, read once (driver-direct, cached): the write
+    // below honors the declared sort order and parquet-bloom columns —
+    // the bulk path writes the same kind of data files as the publish
+    // staging loop, so a backfill/bulk rewrite must not lose the
+    // layout the per-entry path guarantees; constraints and configured
+    // stats columns further down come from the same read
+    val tblProps: Map[String, String] =
+      prevManifest.get((table, "~p")).map { e =>
+        readPropsDirect(spark, entryPath(root, table, "~p", e.dir))
+      }.getOrElse(Map.empty)
+    def cfgProp(prop: String): Seq[String] = tblProps.get(prop).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     // 1. one write job for every partition
-    df.withColumn(bulkKey, groupKey.cast("string"))
+    val keyed = df.withColumn(bulkKey, groupKey.cast("string"))
       .drop(dropData: _*)
-      .write.partitionBy(bulkKey).parquet(stagingDir.toString)
+    // declared write sort order ([[SortColumnsProp]]): sort within the
+    // write tasks by (group, sort columns) — the dynamic-partition
+    // writer keeps a satisfied ordering, so each staged file comes out
+    // internally sorted exactly like the publish path's files.
+    // Reorganizations (explicit `dataTxn` — spec-aware compaction,
+    // Z-cluster folds) are exempt: they stage an order they chose.
+    val sortCols =
+      if (dataTxn.isDefined) Nil
+      else cfgProp(SortColumnsProp).filter(keyed.columns.contains)
+    val arranged =
+      if (sortCols.isEmpty) keyed
+      else {
+        val cs = col(bulkKey) +: sortCols.map(col)
+        val base =
+          if (tblProps.get(SortModeProp).contains("global"))
+            keyed.repartitionByRange(cs: _*)
+          else keyed
+        base.sortWithinPartitions(cs: _*)
+      }
+    // declared parquet blooms ([[ParquetBloomColumnsProp]]): bulk data
+    // files carry them too (reorgs included — a compacted file keeps
+    // its blooms); the bulk path stages data entries only, so the
+    // delete-entry exemption never applies here
+    val pqBloomOpts: Map[String, String] =
+      cfgProp(ParquetBloomColumnsProp).filter(keyed.columns.contains)
+        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    arranged.write.partitionBy(bulkKey).options(pqBloomOpts)
+      .parquet(stagingDir.toString)
     // Everything below measures the STAGED files, never the input frame
     // again: a nondeterministic (or concurrently-changing) input would
     // otherwise publish stats/row counts/constraint verdicts describing
@@ -2021,12 +2060,6 @@ object TxnCatalog {
     }
     val stagedDf = spark.read.option("recursiveFileLookup", "true")
       .parquet(stagingDir.toString)
-    // table properties, read once: constraints below AND the
-    // table-configured stats columns both come from here
-    val tblProps: Map[String, String] =
-      prevManifest.get((table, "~p")).map { e =>
-        readPropsDirect(spark, entryPath(root, table, "~p", e.dir))
-      }.getOrElse(Map.empty)
     // constraints enforce on the staged bytes; a violation unstages
     // everything and throws before the catalog can move
     tblProps.toSeq

@@ -75,6 +75,22 @@ class ParquetBloomSpec extends GraftSuite {
       "DV payload files carry no bloom (deleted values must not leak)")
   }
 
+  test("bulk path (commitPartitioned) writes declared blooms") {
+    val root = tmp("pqbloomblk")
+    TxnCatalog.createTableWithProperties(spark, root, "ev", "b0",
+      (0 until 100).map(i => (i.toLong, s"h$i", i % 3L))
+        .toDF("id", "h", "g"),
+      Map(TxnCatalog.ParquetBloomColumnsProp -> "h"))
+    TxnCatalog.commitPartitioned(spark, root, "ev",
+      (100 until 1100).map(i => (i.toLong, s"h$i", i % 3L))
+        .toDF("id", "h", "g"),
+      "g", partPrefix = "bk.")
+    val bulk = dataFiles(root, "ev").filter(!_.contains("/b0/"))
+    assert(bulk.nonEmpty && bulk.forall(hasBloom(_, "h")),
+      s"bulk-staged files bloom 'h': $bulk")
+    assert(bulk.forall(!hasBloom(_, "id")), "undeclared column: no bloom")
+  }
+
   test("compaction keeps blooming (reorgs write blooms too)") {
     val root = tmp("pqbloomc")
     TxnCatalog.createTableWithProperties(spark, root, "ev", "b0",

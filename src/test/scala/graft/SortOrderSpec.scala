@@ -104,6 +104,38 @@ class SortOrderSpec extends GraftSuite {
     assert(TxnCatalog.read(spark, root, "ev").get.count() === 1002L)
   }
 
+  test("bulk path (commitPartitioned) honors the declared sort order") {
+    val root = tmp("sortbulk")
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("ev", "seed", Seq((0L, "p0", 0L)).toDF("id", "payload", "g"))))
+    TxnCatalog.setTableProperties(spark, root, "ev",
+      Map(TxnCatalog.SortColumnsProp -> "id"))
+    // the O(1)-jobs bulk path writes the same kind of data files as
+    // the publish loop — a backfill must not lose the sorted layout
+    val rows = scrambled(1, 3001).withColumn("g", pmod(col("id"), lit(3)))
+    TxnCatalog.commitPartitioned(spark, root, "ev", rows, "g",
+      partPrefix = "bk.")
+    val bulk = fileFacts(root, "ev").filter(!_._1.contains("/seed/"))
+    assert(bulk.nonEmpty && bulk.forall(_._4),
+      s"every bulk-staged file sorted by id: $bulk")
+    assert(TxnCatalog.read(spark, root, "ev").get.count() === 3001L)
+  }
+
+  test("bulk reorganizations (explicit dataTxn) stay exempt") {
+    val root = tmp("sortbulkreorg")
+    TxnCatalog.commitPartitions(spark, root,
+      Seq(("ev", "b0", scrambled(0, 400, 2).withColumn("g", lit(0L))),
+        ("ev", "b1", scrambled(400, 800, 2).withColumn("g", lit(1L)))))
+    TxnCatalog.setTableProperties(spark, root, "ev",
+      Map(TxnCatalog.SortColumnsProp -> "payload"))
+    // spec-aware compaction routes through the bulk path with a carried
+    // dataTxn — it chose its own order, the declared sort must not
+    // destroy it; value-lossless is the contract under test
+    TxnCatalog.compactPartitionsBy(spark, root, "ev",
+      Seq("b0", "b1"), col("g"), "g")
+    assert(TxnCatalog.read(spark, root, "ev").get.count() === 800L)
+  }
+
   test("delete entries never sort (key lists, DVs pass verbatim)") {
     val root = tmp("sortdel")
     TxnCatalog.commitPartitions(spark, root,
