@@ -515,10 +515,38 @@ object Branch {
             curMain.get(p).map(e => (shadow, p) -> refEntry(table, p, e))
           else curShadow.get(p).map(e => (shadow, p) -> e)
         }.toMap
-    val mergedProps = mainPd.foldLeft(brProps) {
+    val merged0 = mainPd.foldLeft(brProps) {
       case (acc, (k, Some(v))) => acc + (k -> v)
       case (acc, (k, None)) => acc - k
     } + (BranchOfProp -> table) + (BranchBaseProp -> cur.txn.toString)
+    // RESTORE-marker propagation — the one marker the merge must NOT
+    // silently swallow. Two rules:
+    //  1. the shadow's OWN marker (a branch-side restore) survives the
+    //     rebase verbatim — a lagging branch stream still needs to fail
+    //     fast on it;
+    //  2. when main was RESTORED (or rewrite-shape-published) since the
+    //     fork AND the merge absorbs a pre-fork partition whose
+    //     replacement carries a pre-fork data txn — i.e. reverted
+    //     history enters the branch INVISIBLY to the incremental rules
+    //     (an UPDATE-shaped rewrite has a fresh dataTxn and re-delivers;
+    //     a compaction is content-identical and main carries no marker)
+    //     — the shadow gets a fresh marker AT THE REBASE TXN, because
+    //     that is when the branch's visible state reverts. Branch
+    //     streams then fail fast exactly like main streams do across a
+    //     restore ([[LakeStreamSource]]'s guard).
+    val mainMarkerTxn = cur.properties(table).get(TxnCatalog.RestoreTxnProp)
+      .flatMap(_.split(':').head.toLongOption)
+    val absorbsRevert = mainMarkerTxn.exists(_ > base) &&
+      mainCh.exists { case (p, e) =>
+        baseMain.contains(p) &&
+          e.exists(TxnCatalog.entryDataTxn(_) <= base)
+      }
+    val mergedProps =
+      if (absorbsRevert)
+        merged0 + (TxnCatalog.RestoreTxnProp ->
+          s"${cur.txn + 1}:rebase:$branch")
+      else shadowProps.get(TxnCatalog.RestoreTxnProp)
+        .fold(merged0)(m => merged0 + (TxnCatalog.RestoreTxnProp -> m))
     Some(RebasePlan(newShadow, mergedProps))
   }
 

@@ -205,6 +205,66 @@ class BranchRebaseSpec extends GraftSuite {
       "main's drop applies; branch append survives")
   }
 
+  test("absorbing a main RESTORE stamps a restore marker on the branch") {
+    val root = tmp("rbrestore")
+    commitBatch(root, "ev", "b0", 0, 50)          // txn 1: b0 @ dataTxn 1
+    commitBatch(root, "ev", "b0", 0, 30)          // txn 2: b0 REWRITTEN
+    Branch.create(spark, root, "ev", "wap")        // fork base = 2
+    val shadow = Branch.shadowName("ev", "wap")
+    TxnCatalog.appendBatch(spark, root, shadow, "w1",
+      Seq((200L, "e200")).toDF("id", "name"))
+    // main reverts b0 to the PRE-FORK layout: original dataTxn 1 ≤ base
+    // — invisible to the incremental rules, exactly what the marker
+    // exists to fail-fast on
+    TxnCatalog.restoreTable(spark, root, "ev", 1L)
+    val rebasedAt = Branch.rebase(spark, root, "ev", "wap")
+    assert(ids(root, shadow) === ((0L until 50L) ++ Seq(200L)).sorted,
+      "the reverted pre-fork content is absorbed; branch append survives")
+    val marker = TxnCatalog.tableProperties(spark, root, shadow)
+      .get(TxnCatalog.RestoreTxnProp)
+    assert(marker.exists(_.split(':').head.toLong == rebasedAt),
+      s"branch marker stamped AT the rebase txn (got $marker), so a " +
+        "lagging branch stream fails fast instead of silently missing " +
+        "the reversion")
+  }
+
+  test("the branch's own restore marker survives a plain rebase") {
+    val root = tmp("rbownmarker")
+    commitBatch(root, "ev", "b0", 0, 10)
+    val forkTxn = Branch.create(spark, root, "ev", "wap")
+    val shadow = Branch.shadowName("ev", "wap")
+    TxnCatalog.appendBatch(spark, root, shadow, "w1",
+      Seq((50L, "e50")).toDF("id", "name"))
+    TxnCatalog.restoreTable(spark, root, shadow, forkTxn)
+    val own = TxnCatalog.tableProperties(spark, root, shadow)
+      .get(TxnCatalog.RestoreTxnProp)
+    assert(own.nonEmpty, "branch-side restore stamped its marker")
+    commitBatch(root, "ev", "m1", 100, 110)       // main pure append
+    Branch.rebase(spark, root, "ev", "wap")
+    assert(TxnCatalog.tableProperties(spark, root, shadow)
+      .get(TxnCatalog.RestoreTxnProp) === own,
+      "a pure-append rebase keeps the shadow's own marker verbatim")
+  }
+
+  test("absorbing a main compaction does NOT stamp a marker") {
+    val root = tmp("rbcompact")
+    commitBatch(root, "ev", "b0", 0, 10)
+    commitBatch(root, "ev", "b1", 10, 20)
+    Branch.create(spark, root, "ev", "wap")
+    val shadow = Branch.shadowName("ev", "wap")
+    TxnCatalog.appendBatch(spark, root, shadow, "w1",
+      Seq((50L, "e50")).toDF("id", "name"))
+    // a main compaction also replaces pre-fork entries with carried
+    // (pre-fork) dataTxns — but it is content-identical and main
+    // carries no restore marker, so the branch must not fail streams
+    TxnCatalog.compactPartitions(spark, root, "ev", Seq("b0", "b1"), "c")
+    Branch.rebase(spark, root, "ev", "wap")
+    assert(ids(root, shadow) === ((0L until 20L) ++ Seq(50L)).sorted)
+    assert(!TxnCatalog.tableProperties(spark, root, shadow)
+      .contains(TxnCatalog.RestoreTxnProp),
+      "no marker for a content-identical reorganization")
+  }
+
   test("SQL: CALL rebase_branch merges, then publish fast-forwards") {
     val root = tmp("rbsql")
     commitBatch(root, "ev", "b0", 0, 10)
