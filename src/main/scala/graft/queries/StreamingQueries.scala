@@ -49,6 +49,48 @@ object StreamingQueries extends QueryGroup {
       Some("""SELECT event_id, user_id, value FROM events
              |ORDER BY event_id, user_id, value""".stripMargin)),
 
+    // Trigger.AvailableNow CATCH-UP under the gate — the nightly
+    // batch-incremental shape: a 3-txn backlog exists BEFORE the stream
+    // starts, the source's admission control
+    // (SupportsTriggerAvailableNow) drains it in maxTxnsPerBatch-bounded
+    // micro-batches to the goalpost pinned at start, and the query stops
+    // by itself. Delivered rows must equal the plain batch SQL, and the
+    // drain must actually have been BOUNDED (>= one batch per backlog
+    // txn — pinned as a constant column). Without the interface, a v1
+    // source's first capped getOffset becomes the final end and the
+    // job would stop after ONE increment.
+    QueryDef(
+      "st_available_now",
+      (s, d) => {
+        val root = QueryFixtures
+          .linkCopy(QueryFixtures.bronzeEventsTemplate(s, d))
+        val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+        (1 to 2).foreach { k =>
+          graft.storage.TxnCatalog.commitPartitions(s, root,
+            Seq(("ev", s"b$k",
+              ev.filter(pmod(col("event_id"), lit(3)) === k))),
+            statsColumns = Seq("event_id"))
+        }
+        val name = "q_st_available_now_sink"
+        s.catalog.dropTempView(name)
+        val q = s.readStream.format("graft-lake")
+          .option("root", root).option("table", "ev")
+          .option("maxTxnsPerBatch", "1").load()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        val done = try q.awaitTermination(300000L) finally q.stop()
+        require(done, "AvailableNow drain must self-terminate")
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        s.table(name)
+          .withColumn("bounded_drain", lit(dataBatches >= 3))
+          .orderBy("event_id", "user_id", "value")
+      },
+      Some("""SELECT event_id, user_id, value, TRUE AS bounded_drain
+             |FROM events
+             |ORDER BY event_id, user_id, value""".stripMargin)),
+
     // End-to-end MEDALLION hop under the gate: a bronze lake committed in
     // three batches streams through the graft-lake source, transforms,
     // and lands exactly-once in a SILVER lake via Streams.lakeSink (with

@@ -47,7 +47,12 @@ final class LakeStreamSource(
     override val schema: StructType, startingTxn: Long,
     maxTxnsPerBatch: Long = Long.MaxValue,
     changeFeed: Boolean = false,
-    ignoreRestores: Boolean = false) extends Source {
+    ignoreRestores: Boolean = false) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   /** Highest txn this source has delivered (admission-control floor).
     * After a checkpoint restart the true floor lives in the checkpoint,
@@ -56,6 +61,57 @@ final class LakeStreamSource(
     * any capped getOffset is acted on, so the cap resumes from the
     * checkpoint rather than re-proposing long-vacuumed txns. */
   @volatile private var delivered: Long = startingTxn
+
+  /** End pinned by [[prepareForTriggerAvailableNow]]: under
+    * `Trigger.AvailableNow` the stream drains the backlog UP TO the txn
+    * committed at start — in `maxTxnsPerBatch`-bounded micro-batches —
+    * then stops, ignoring data that lands mid-drain. Without this
+    * interface Spark's v1 wrapper would pin the FIRST `getOffset` as
+    * the final end, i.e. one rate-limited increment instead of the
+    * backlog (and, uncapped, the whole backlog as ONE micro-batch —
+    * unbounded at lake scale). The nightly-catch-up pattern needs both:
+    * a fixed goalpost and bounded steps. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(TxnCatalog.currentTxn(spark, root).getOrElse(startingTxn))
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxTxnsPerBatch == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(
+      math.min(maxTxnsPerBatch, Int.MaxValue.toLong).toInt)
+
+  /** Uncapped latest committed txn — progress reporting only. */
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    TxnCatalog.currentTxn(spark, root)
+      .filter(_ > startingTxn).map(LongOffset(_)).orNull
+
+  /** The admission-control offset path ([[Source.getOffset]] is never
+    * called once this interface is present): propose at most the read
+    * limit's txns past `start`, clamped to the AvailableNow goalpost
+    * when one is pinned. Returning `start` unchanged means "no new
+    * data" — under `Trigger.AvailableNow` that is the drain-complete
+    * signal that stops the query. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(_.json().toLong).getOrElse(startingTxn)
+    val base = math.max(math.max(delivered, startingTxn), from)
+    val step = limit match {
+      case _: ReadAllAvailable => Long.MaxValue
+      case m: ReadMaxFiles => m.maxFiles().toLong
+      case _ => maxTxnsPerBatch // composite/unknown: keep the own cap
+    }
+    val current0 = TxnCatalog.currentTxn(spark, root).getOrElse(startingTxn)
+    val current = availableNowCap.fold(current0)(math.min(_, current0))
+    // saturating add: the unlimited default must never wrap
+    val cap = if (step > Long.MaxValue - base) Long.MaxValue else base + step
+    val end = math.min(current, cap)
+    if (end > base && end > startingTxn) LongOffset(end) else start
+  }
 
   override def getOffset: Option[Offset] =
     TxnCatalog.currentTxn(spark, root)

@@ -122,6 +122,59 @@ class LakeStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the whole backlog in capped batches, then stops") {
+    val root = tmp("lsavnow")
+    commitBatch(root, "b0", 0, 30)
+    commitBatch(root, "b1", 30, 60)
+    commitBatch(root, "b2", 60, 90)
+    commitBatch(root, "b3", 90, 120) // 4-txn backlog before the stream starts
+    val q = lakeStream(root, "maxTxnsPerBatch" -> "1")
+      .writeStream.format("memory").queryName("ls_avnow")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000L),
+        "AvailableNow must stop by itself once the backlog is drained")
+      assert(spark.table("ls_avnow").select("id").as[Long].collect().sorted
+        === (0L until 120L).toArray,
+        "the WHOLE backlog drains — not one rate-limited increment " +
+          "(the v1-wrapper behavior this source's admission control " +
+          "exists to avoid)")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= 4,
+        s"a 4-txn backlog under cap 1 must take >= 4 bounded " +
+          s"micro-batches, took $dataBatches")
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+        .forall(_.numInputRows <= 30L),
+        "no micro-batch may exceed one txn's rows")
+    } finally q.stop()
+  }
+
+  test("AvailableNow restart picks up only what landed since — the nightly hop") {
+    val root = tmp("lsavrestart")
+    val ckpt = tmp("lsavckpt")
+    val out = tmp("lsavout")
+    commitBatch(root, "b0", 0, 40)
+    commitBatch(root, "b1", 40, 60)
+    def runOnce(): Unit = {
+      val q = lakeStream(root, "maxTxnsPerBatch" -> "1")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000L)) finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 60L)
+    commitBatch(root, "b2", 60, 90) // lands while the job is DOWN
+    runOnce()
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(got === (0L until 90L).toArray,
+      "the second run delivers exactly the new txns — no replay, no loss")
+  }
+
   test("checkpoint restart resumes from the committed txn offset") {
     val root = tmp("lsckpt")
     val ckpt = tmp("lsckptdir")
