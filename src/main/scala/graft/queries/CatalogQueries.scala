@@ -460,6 +460,31 @@ object CatalogQueries extends QueryGroup {
              |WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // METADATA-ONLY SQL AGGREGATE over the catalog identifier: the
+    // 100 TB sanity queries — count(*), count(col), min/max of a stats
+    // column — answered from the MANIFEST with zero file reads, now on
+    // the SQL path too (MetadataOnlyAgg's DSv2 match; the DataFrame
+    // path has folded since round 2). The fold actually happening is
+    // pinned as a constant column read off the optimized plan: a
+    // LocalRelation or the oracle fails.
+    QueryDef(
+      "s_sql_meta_agg",
+      (s, d) => {
+        graft.plans.MetadataOnlyAgg.install(s)
+        val root = QueryFixtures.sqlCatBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val q = s.sql(
+          s"""SELECT count(*) AS n_rows, count(c_acctbal) AS n_bal,
+             |  min(c_custkey) AS lo_key, max(c_custkey) AS hi_key
+             |FROM $cat.default.cust""".stripMargin)
+        val folded = q.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        q.withColumn("metadata_only", lit(folded))
+      },
+      Some("""SELECT count(*) AS n_rows, count(c_acctbal) AS n_bal,
+             |  min(c_custkey) AS lo_key, max(c_custkey) AS hi_key,
+             |  TRUE AS metadata_only FROM customer""".stripMargin)),
+
     // SQL MERGE INTO over the lake catalog (GraftMergeStrategy): the
     // canonical upsert — matched keys take the source row, new keys
     // insert — lands as ONE txn of equality-delete keys + one batch

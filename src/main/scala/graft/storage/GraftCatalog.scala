@@ -1322,9 +1322,10 @@ private[storage] final class GraftSqlTable(
   * Catalyst-planned [[GraftLake.table]] frame — filters translate back
   * to Columns and land ON the manifest-indexed frame, so partition
   * pruning happens inside exactly as on the DataFrame path. */
-private[storage] final class GraftV1Scan(root: String, table: String,
-    required: StructType, filters: Array[Filter],
-    asOfTxn: Option[Long] = None) extends V1Scan
+private[storage] final class GraftV1Scan(
+    private[storage] val root: String, private[storage] val table: String,
+    required: StructType, private[storage] val filters: Array[Filter],
+    private[storage] val asOfTxn: Option[Long] = None) extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -1513,4 +1514,31 @@ private[storage] final class GraftStagedTable(
   }
 
   override def abortStagedChanges(): Unit = pending = None
+}
+
+/** [[graft.plans.MetadataOnlyAgg]]'s view into the SQL-catalog read
+  * path: the (root, table, asOfTxn) coordinates behind a DSv2 relation
+  * or scan over a graft lake table, so the rule can fold ungrouped
+  * count/min/max over `SELECT ... FROM cat.tbl` to manifest metadata
+  * exactly like it does for the DataFrame path's
+  * [[ManifestFileIndex]]-backed relations. `scanCoords` refuses a scan
+  * with PUSHED FILTERS — those prune inside the v1 bridge, so a bare
+  * ScanRelation above one is not the bare table. */
+private[graft] object MetadataAggHook {
+
+  def tableCoords(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[(String, String, Option[Long])] = t match {
+    case g: GraftSqlTable => Some((g.root, g.table, g.asOfTxn))
+    case _ => None
+  }
+
+  def scanCoords(s: org.apache.spark.sql.connector.read.Scan)
+      : Option[(String, String, Option[Long])] = s match {
+    case v: GraftV1Scan if v.filters.isEmpty =>
+      Some((v.root, v.table, v.asOfTxn))
+    // post-pushdown, V2ScanRelationPushDown hands a V1Scan back wrapped
+    case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+      scanCoords(w.v1Scan)
+    case _ => None
+  }
 }

@@ -65,6 +65,53 @@ class MetadataCountSpec extends GraftSuite {
     }
   }
 
+  test("SQL-catalog path folds count/min/max; every unsound shape keeps the scan") {
+    val root = tmp("metasqlcat")
+    withExtSession { s2 =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("t", "b0", (0 until 500).map(i => (i.toLong, s"r$i"))
+          .toDF("k", "name"))),
+        statsColumns = Seq("k"))
+      val cat = s"ms${java.util.UUID.randomUUID().toString.take(8)}"
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def v2Scan(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+          case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+          case _ => false
+        }
+      // the 100 TB sanity query: zero-scan over the SQL identifier
+      val q = s2.sql(
+        s"SELECT count(*) AS n, min(k) AS lo, max(k) AS hi FROM $cat.t")
+      assert(q.collect().head.toSeq === Seq(500L, 0L, 499L))
+      assert(!v2Scan(q), "SQL count/min/max must fold to metadata:\n" +
+        q.queryExecution.optimizedPlan)
+      // a WHERE keeps the real scan
+      val f = s2.sql(s"SELECT max(k) AS hi FROM $cat.t WHERE k > 5")
+      assert(f.collect().head.getLong(0) === 499L)
+      assert(v2Scan(f), "a filtered aggregate must scan")
+      // ADD COLUMN DEFAULT: the filled column has no pre-alter stats —
+      // min must come from the SCAN (which reads the exists-default),
+      // never from metadata that predates the column
+      s2.sql(s"ALTER TABLE $cat.t ADD COLUMN tier STRING DEFAULT 'bronze'")
+      val d = s2.sql(s"SELECT min(tier) AS lo FROM $cat.t")
+      assert(d.collect().head.getString(0) === "bronze")
+      assert(v2Scan(d), "an exists-default column must scan")
+      // a pending deletion vector sends metadata answers dark
+      TxnCatalog.deletePositions(s2, root, "t",
+        org.apache.spark.sql.functions.col("k") === 10L)
+      val q2 = s2.sql(s"SELECT count(*) AS n FROM $cat.t")
+      assert(q2.collect().head.getLong(0) === 499L)
+      assert(v2Scan(q2), "metadata answers go dark while a DV pends")
+      // time travel folds at the pinned txn, before the delete
+      val q3 = s2.sql(s"SELECT count(*) AS n FROM $cat.t VERSION AS OF 1")
+      assert(q3.collect().head.getLong(0) === 500L)
+      assert(!v2Scan(q3), "time-travel fold at the pinned snapshot")
+    }
+  }
+
   test("min/max over stat columns fold to metadata, exactly, per type") {
     val root = tmp("metamm")
     withExtSession { s2 =>
