@@ -47,7 +47,8 @@ final class LakeStreamSource(
     override val schema: StructType, startingTxn: Long,
     maxTxnsPerBatch: Long = Long.MaxValue,
     changeFeed: Boolean = false,
-    ignoreRestores: Boolean = false) extends Source
+    ignoreRestores: Boolean = false,
+    maxRowsPerBatch: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -77,10 +78,12 @@ final class LakeStreamSource(
     availableNowCap =
       Some(TxnCatalog.currentTxn(spark, root).getOrElse(startingTxn))
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxTxnsPerBatch == Long.MaxValue) ReadLimit.allAvailable()
-    else ReadLimit.maxFiles(
+  override def getDefaultReadLimit: ReadLimit = maxRowsPerBatch match {
+    case Some(n) => ReadLimit.maxRows(n)
+    case None if maxTxnsPerBatch == Long.MaxValue => ReadLimit.allAvailable()
+    case None => ReadLimit.maxFiles(
       math.min(maxTxnsPerBatch, Int.MaxValue.toLong).toInt)
+  }
 
   /** Uncapped latest committed txn — progress reporting only. */
   override def reportLatestOffset()
@@ -100,17 +103,62 @@ final class LakeStreamSource(
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val from = Option(start).map(_.json().toLong).getOrElse(startingTxn)
     val base = math.max(math.max(delivered, startingTxn), from)
-    val step = limit match {
-      case _: ReadAllAvailable => Long.MaxValue
-      case m: ReadMaxFiles => m.maxFiles().toLong
-      case _ => maxTxnsPerBatch // composite/unknown: keep the own cap
-    }
     val current0 = TxnCatalog.currentTxn(spark, root).getOrElse(startingTxn)
     val current = availableNowCap.fold(current0)(math.min(_, current0))
-    // saturating add: the unlimited default must never wrap
-    val cap = if (step > Long.MaxValue - base) Long.MaxValue else base + step
-    val end = math.min(current, cap)
+    val end = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(current, rowBudgetEnd(base, current, m.maxRows()))
+      case _ =>
+        val step = limit match {
+          case _: ReadAllAvailable => Long.MaxValue
+          case m: ReadMaxFiles => m.maxFiles().toLong
+          case _ => maxTxnsPerBatch // composite/unknown: keep the own cap
+        }
+        // saturating add: the unlimited default must never wrap
+        val cap =
+          if (step > Long.MaxValue - base) Long.MaxValue else base + step
+        math.min(current, cap)
+    }
     if (end > base && end > startingTxn) LongOffset(end) else start
+  }
+
+  /** ROW-budget admission ([[ReadLimit.maxRows]] — Delta's
+    * maxBytesPerTrigger shape on the txn axis): walk txns past `base`,
+    * summing each txn's DELIVERABLE rows from its manifest (data
+    * entries whose dataTxn IS that txn — appends and rewrites alike,
+    * because a rewrite re-delivers), and stop before the txn that would
+    * overflow the budget. Always admits at least one txn (a single
+    * oversized commit must still make progress — Delta's at-least-one-
+    * file rule); a txn with unrecorded row counts stops the walk AFTER
+    * itself (can't budget past an unknown). Manifest reads are
+    * driver-side text, one per walked txn, bounded by the budget walk
+    * and additionally by maxTxnsPerBatch when both options are set. */
+  private def rowBudgetEnd(base: Long, current: Long, budget: Long): Long = {
+    var end = base
+    var spent = 0L
+    val walkCap =
+      if (maxTxnsPerBatch > current - base) current
+      else base + maxTxnsPerBatch
+    while (end < walkCap) {
+      val t = end + 1
+      val txnRows: Option[Long] = scala.util.Try {
+        TxnCatalog.snapshotAt(spark, root, t).dataEntries(table)
+          .collect { case (_, e) if TxnCatalog.entryDataTxn(e) == t =>
+            e.rows }
+      }.toOption.map(rs => if (rs.exists(_.isEmpty)) -1L
+        else rs.flatten.sum).filter(_ >= 0L)
+      txnRows match {
+        case Some(r) =>
+          if (end > base && spent + r > budget) return end
+          spent += r
+          end = t
+          if (spent >= budget) return end
+        case None =>
+          // unknown size: admit it (progress) and stop the batch here
+          return t
+      }
+    }
+    end
   }
 
   override def getOffset: Option[Offset] =
@@ -408,7 +456,12 @@ final class LakeSourceProvider
     new LakeStreamSource(sqlContext.sparkSession, root, table, resolved,
       starting, maxTxns(parameters), isChangeFeed(parameters),
       ignoreRestores = parameters.get("ignorerestores")
-        .orElse(parameters.get("ignoreRestores")).exists(_.toBoolean))
+        .orElse(parameters.get("ignoreRestores")).exists(_.toBoolean),
+      maxRowsPerBatch = parameters.get("maxrowsperbatch")
+        .orElse(parameters.get("maxRowsPerBatch")).map(_.toLong)
+        .map { n =>
+          require(n >= 1, "maxRowsPerBatch must be >= 1"); n
+        })
   }
 }
 

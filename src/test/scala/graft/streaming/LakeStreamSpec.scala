@@ -122,6 +122,31 @@ class LakeStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("maxRowsPerBatch budgets micro-batches by rows; an oversized txn still lands") {
+    val root = tmp("lsrows")
+    commitBatch(root, "b0", 0, 30)
+    commitBatch(root, "b1", 30, 60)
+    commitBatch(root, "b2", 60, 90)
+    commitBatch(root, "b3", 90, 120)
+    commitBatch(root, "big", 200, 400) // 200 rows — alone over any 60-budget
+    val q = lakeStream(root, "maxRowsPerBatch" -> "60")
+      .writeStream.format("memory")
+      .queryName("ls_rows").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ls_rows").select("id").as[Long].collect().sorted
+        === ((0L until 120L) ++ (200L until 400L)).toArray,
+        "every committed row exactly once under the row budget")
+      val data = q.recentProgress.filter(_.numInputRows > 0)
+      assert(data.length >= 3, s"the backlog must split, got ${data.length}")
+      assert(data.forall(p => p.numInputRows <= 60L || p.numInputRows == 200L),
+        "every batch within budget except the single oversized txn " +
+          s"(at-least-one-txn progress): ${data.map(_.numInputRows).toSeq}")
+      assert(data.exists(_.numInputRows == 200L),
+        "the oversized txn must deliver alone, not wedge the stream")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the whole backlog in capped batches, then stops") {
     val root = tmp("lsavnow")
     commitBatch(root, "b0", 0, 30)
