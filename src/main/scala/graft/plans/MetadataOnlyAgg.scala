@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.storage.ManifestFileIndex
+import graft.storage.{ManifestFileIndex, TxnCatalog}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
@@ -60,6 +60,11 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     def nonNull(col: String): Option[Long]
     /** (kind, lo, hi) — kind "t" carries micros-since-epoch Longs. */
     def bounds(col: String): Option[(String, Any, Any)]
+    /** Per live data entry: (column stats, row count) — the entry grain
+      * the GROUP BY fold needs. None when merge-on-read deletes may
+      * mask rows (SQL path; the DataFrame path is structurally safe —
+      * composed deletes put joins above the bare relation). */
+    def perEntry: Option[Seq[(Map[String, TxnCatalog.ColStat], Option[Long])]]
   }
 
   private final case class IndexFacts(idx: ManifestFileIndex)
@@ -68,6 +73,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     def nonNull(col: String): Option[Long] = idx.exactNonNullCount(col)
     def bounds(col: String): Option[(String, Any, Any)] =
       idx.exactBounds(col)
+    def perEntry: Option[Seq[(Map[String, TxnCatalog.ColStat], Option[Long])]] =
+      Some(idx.entryFacts)
   }
 
   /** SQL-catalog facts: `SELECT count(*)/min/max FROM cat.tbl` answers
@@ -88,6 +95,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     def rowCount: Option[Long] = snap.flatMap(_.rowCount(table))
     def nonNull(col: String): Option[Long] =
       snap.flatMap(_.columnNonNullCount(table, col))
+    def perEntry: Option[Seq[(Map[String, TxnCatalog.ColStat], Option[Long])]] =
+      snap.flatMap(_.entryFactsClean(table))
     def bounds(col: String): Option[(String, Any, Any)] =
       snap.flatMap(_.columnBounds(table, col)).flatMap { cs =>
         cs.kind match {
@@ -176,6 +185,98 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Stat string → the [[Facts.bounds]] value convention ("t" carries
+    * micros-since-epoch Longs); None when a timestamp bound does not
+    * parse. */
+  private def statVal(kind: String, s: String): Option[Any] =
+    if (kind == "t") s.toLongOption else Some(s)
+
+  /** Table-level bounds of `col` over ONE group's entries — the
+    * per-group [[Facts.bounds]]: every entry must carry the stat,
+    * folded kind-true by [[TxnCatalog.foldColStats]]. */
+  private def groupBounds(
+      es: Seq[(Map[String, TxnCatalog.ColStat], Option[Long])],
+      col: String): Option[(String, Any, Any)] = {
+    val sts = es.map(_._1.get(col))
+    if (sts.exists(_.isEmpty)) None
+    else TxnCatalog.foldColStats(sts.flatten).flatMap { cs =>
+      for { lo <- statVal(cs.kind, cs.min); hi <- statVal(cs.kind, cs.max) }
+        yield (cs.kind, lo, hi)
+    }
+  }
+
+  /** One output expression's value for ONE group — [[foldValue]]'s
+    * shapes evaluated over the group's entries, plus the grouping
+    * attributes themselves (constant within the group by construction). */
+  private def foldGroupValue(e: Expression, keys: Map[ExprId, Any],
+      es: Seq[(Map[String, TxnCatalog.ColStat], Option[Long])])
+      : Option[Any] = e match {
+    case Alias(c, _) => foldGroupValue(c, keys, es)
+    case a: AttributeReference if keys.contains(a.exprId) =>
+      keys.get(a.exprId)
+    case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+        if v != null =>
+      val rs = es.map(_._2)
+      if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+    case AggregateExpression(Count(Seq(a: AttributeReference)), _, false,
+        None, _) =>
+      val per = es.map { case (st, r) =>
+        for { rr <- r; s <- st.get(a.name); n <- s.nulls } yield rr - n }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
+      groupBounds(es, a.name).flatMap { case (kind, lo, _) =>
+        convert(kind, lo, a.dataType) }
+    case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
+      groupBounds(es, a.name).flatMap { case (kind, _, hi) =>
+        convert(kind, hi, a.dataType) }
+    case _ => None
+  }
+
+  /** `GROUP BY <constant-per-entry columns>` answered from the
+    * manifest — Iceberg's `partitions` metadata table as an optimizer
+    * rewrite. Every live entry must hold each grouping column CONSTANT
+    * (recorded min == max with ZERO recorded nulls — identity-
+    * partitioned layouts, hive-synthesized import columns), which
+    * attributes each entry to exactly one group; per-group aggregates
+    * then fold like the ungrouped arm (count(*) = Σ rows, count(col) =
+    * Σ(rows − nulls), min/max from the group's entry stats). Groups are
+    * keyed by the RENDERED stat strings — key equality is exactly "same
+    * recorded rendering", never a lossy numeric comparison — and any
+    * refusal anywhere (missing stat, nulls in a group column, a shape
+    * outside the folded set) keeps the scan: exact or not given. */
+  private def foldGrouped(groups: Seq[AttributeReference],
+      exprs: Seq[NamedExpression],
+      entries: Seq[(Map[String, TxnCatalog.ColStat], Option[Long])])
+      : Option[Seq[InternalRow]] = {
+    val keyed: Seq[Option[(Seq[(String, String)],
+        (Map[String, TxnCatalog.ColStat], Option[Long]))]] =
+      entries.map { case e @ (stats, _) =>
+        val key = groups.map { g =>
+          stats.get(g.name).filter(st =>
+            st.min == st.max && st.nulls.contains(0L) &&
+              statVal(st.kind, st.min)
+                .flatMap(convert(st.kind, _, g.dataType)).isDefined)
+            .map(st => (st.kind, st.min))
+        }
+        if (key.exists(_.isEmpty)) None
+        else Some((key.map(_.get), e))
+      }
+    if (keyed.exists(_.isEmpty)) return None
+    val rows = keyed.flatten.groupBy(_._1).toSeq
+      .sortBy(_._1.map(kv => kv._1 + ":" + kv._2).mkString(" | "))
+      .map { case (key, group) =>
+        val keyVals: Map[ExprId, Any] = groups.zip(key).map {
+          case (g, (kind, s)) =>
+            g.exprId -> statVal(kind, s)
+              .flatMap(convert(kind, _, g.dataType)).get
+        }.toMap
+        val vals = exprs.map(foldGroupValue(_, keyVals, group.map(_._2)))
+        if (vals.exists(_.isEmpty)) None
+        else Some(InternalRow.fromSeq(vals.map(_.get)))
+      }
+    if (rows.exists(_.isEmpty)) None else Some(rows.map(_.get))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
       factsOf(child) match {
@@ -187,5 +288,14 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
           else agg
         case None => agg
       }
+    case agg @ Aggregate(groups, exprs, child, _)
+        if groups.nonEmpty && exprs.nonEmpty &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
+      (for {
+        facts <- factsOf(child)
+        entries <- facts.perEntry
+        rows <- foldGrouped(
+          groups.map(_.asInstanceOf[AttributeReference]), exprs, entries)
+      } yield LocalRelation(agg.output, rows)).getOrElse(agg)
   }
 }

@@ -485,6 +485,71 @@ object CatalogQueries extends QueryGroup {
              |  min(c_custkey) AS lo_key, max(c_custkey) AS hi_key,
              |  TRUE AS metadata_only FROM customer""".stripMargin)),
 
+    // GROUPED METADATA-ONLY AGGREGATE: `GROUP BY <partition column>`
+    // answered from the manifest — Iceberg's `partitions` metadata
+    // table as an optimizer rewrite. Each entry holds ONE segment
+    // (identity-partitioned layout; recorded min == max attributes the
+    // entry to its group), so per-segment count/min/max fold with ZERO
+    // file reads — on a 100 TB table this is "rows per partition" for
+    // the price of a driver-side manifest read. The fold actually
+    // firing is pinned as a constant column: every leaf of the
+    // optimized plan must be a LocalRelation or the oracle fails.
+    QueryDef(
+      "s_sql_group_meta",
+      (s, d) => {
+        graft.plans.MetadataOnlyAgg.install(s)
+        val root = QueryFixtures.groupMetaBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val q = s.sql(
+          s"""SELECT c_mktsegment, count(*) AS n_rows,
+             |  count(c_acctbal) AS n_bal, min(c_custkey) AS lo_key,
+             |  max(c_custkey) AS hi_key
+             |FROM $cat.default.cust
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        val folded = q.queryExecution.optimizedPlan.collectLeaves()
+          .forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        q.withColumn("metadata_only", lit(folded))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_rows,
+             |  count(c_acctbal) AS n_bal, min(c_custkey) AS lo_key,
+             |  max(c_custkey) AS hi_key, TRUE AS metadata_only
+             |FROM customer GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // SKIPPING OBSERVABILITY: `CALL system.skipping(...)` dry-runs the
+    // point-lookup pruning at manifest cost and reports the per-layer
+    // kill counts — the 100 TB layout-audit loop (is this key worth a
+    // Bloom? is the table clustered enough?) without launching a scan.
+    // The report uses the READ PATH's own predicates, pinned here two
+    // ways: the layer counts as constants (a present key range-prunes
+    // 3 of 4 disjoint ranges and scans 1; an absent odd probe against
+    // the even-only key range-prunes 3 and BLOOM-prunes the survivor),
+    // and the actual pruned read's rows hash-checked against DuckDB.
+    QueryDef(
+      "s_skipping_report",
+      (s, d) => {
+        val root = QueryFixtures.skipBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val hit = s.sql(s"""CALL $cat.system.skipping(table => 'cust',
+          column => 'c_custkey', value => '42')""").collect().head
+        val miss = s.sql(s"""CALL $cat.system.skipping(table => 'cust',
+          column => 'c_evenkey', value => '85')""").collect().head
+        s.sql(s"""SELECT c_custkey, c_acctbal FROM $cat.default.cust
+                 |WHERE c_custkey = 42""".stripMargin)
+          .withColumn("entries_total", lit(hit.getInt(0)))
+          .withColumn("hit_pruned_range", lit(hit.getInt(1)))
+          .withColumn("hit_scanned", lit(hit.getInt(3)))
+          .withColumn("miss_pruned_range", lit(miss.getInt(1)))
+          .withColumn("miss_pruned_bloom", lit(miss.getInt(2)))
+          .withColumn("miss_scanned", lit(miss.getInt(3)))
+      },
+      Some("""SELECT c_custkey, c_acctbal, 4 AS entries_total,
+             |  3 AS hit_pruned_range, 1 AS hit_scanned,
+             |  3 AS miss_pruned_range, 1 AS miss_pruned_bloom,
+             |  0 AS miss_scanned
+             |FROM customer WHERE c_custkey = 42""".stripMargin)),
+
     // SQL MERGE INTO over the lake catalog (GraftMergeStrategy): the
     // canonical upsert — matched keys take the source row, new keys
     // insert — lands as ONE txn of equality-delete keys + one batch

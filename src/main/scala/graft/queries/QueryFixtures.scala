@@ -380,6 +380,42 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for `s_sql_group_meta`: customer split into one entry
+    * PER MARKET SEGMENT (identity-partitioned layout), stats on the
+    * segment column itself — the shape whose GROUP BY folds to the
+    * manifest. The five segment values are TPC-H constants. */
+  def groupMetaBase(s: SparkSession, sfDir: String): String =
+    fixture("groupmetabase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      TxnCatalog.commitPartitions(s, root,
+        segs.map(g => ("cust", s"seg=$g",
+          cust.filter(col("c_mktsegment") === g))),
+        statsColumns = Seq("c_custkey", "c_mktsegment", "c_acctbal"))
+      ()
+    }
+
+  /** Base lake for `s_skipping_report`: customer in 4 DISJOINT key
+    * ranges with stats + Blooms on the key and on a derived even-only
+    * key — the layout where both pruning layers have something to
+    * prove (range kills 3 of 4; the Bloom kills the survivor on an
+    * absent odd probe). */
+  def skipBase(s: SparkSession, sfDir: String): String =
+    fixture("skipbase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir).select(col("c_custkey"),
+        (col("c_custkey") * lit(2L)).as("c_evenkey"), col("c_acctbal"))
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      val width = math.max(1L, (maxKey + 3) / 4)
+      TxnCatalog.commitPartitions(s, root,
+        (0L until 4L).map(r => ("cust", s"r=$r",
+          cust.filter(expr(s"(c_custkey - 1) div $width = $r")))),
+        statsColumns = Seq("c_custkey", "c_evenkey", "c_acctbal"),
+        bloomColumns = Seq("c_custkey", "c_evenkey"))
+      ()
+    }
+
   /** Base lake for `s_bucket_join`: unbucketed cust + ord — each
     * iteration clones both and pays only the bucket REWRITE it tests. */
   def bucketBase(s: SparkSession, sfDir: String): String =

@@ -275,13 +275,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // DSv2 hands micros-since-epoch; ONE listStatus yields every
     // (txn, mtime) pair — never a stat call per committed txn
     val cutoffMs = timestamp / 1000L
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val tdir = new org.apache.hadoop.fs.Path(s"$root/_txns")
-    val fs = tdir.getFileSystem(hconf)
-    val at = fs.listStatus(tdir).toSeq
-      .filterNot(_.getPath.getName.startsWith("."))
-      .flatMap(st => st.getPath.getName.toLongOption
-        .map(_ -> st.getModificationTime))
+    val at = TxnCatalog.txnMtimes(spark, root)
       .filter(_._2 <= cutoffMs).map(_._1).sorted.lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no txn committed at or before timestamp $cutoffMs ms"))

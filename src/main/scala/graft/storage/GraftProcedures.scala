@@ -60,7 +60,7 @@ private[storage] object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
     "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
-    "drop_branch", "clone", "evolve_partitioning", "add_files")
+    "drop_branch", "clone", "evolve_partitioning", "add_files", "skipping")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -94,6 +94,7 @@ private[storage] object GraftProcedures {
       case "evolve_partitioning" =>
         Some(new EvolvePartitioningProcedure(root))
       case "add_files" => Some(new AddFilesProcedure(root))
+      case "skipping" => Some(new SkippingProcedure(root))
       case _          => None
     }
   }
@@ -281,6 +282,79 @@ private[storage] final class VacuumProcedure(root: String)
       minAgeMs = input.getLong(1))
     val after = TxnCatalog.txns(s, root).size
     one(oneRow(out, Integer.valueOf(before - after), Integer.valueOf(after)))
+  }
+}
+
+/** `CALL cat.system.skipping(table => 't', column => 'k', value => '42')`:
+  * EXPLAIN for manifest data skipping — a DRY RUN of the point-lookup
+  * pruning that reports, per layer, how many entries a `column = value`
+  * read would skip: range stats first, then recorded Blooms. Every
+  * count comes from the SAME predicates the read path evaluates
+  * ([[TxnCatalog.mayOverlap]] / [[TxnCatalog.bloomMayContain]] — the
+  * exact pair behind [[TxnCatalog.Snapshot.partitionsWhereEq]] and the
+  * Catalyst bridge's pushed-filter pruning), so the report can never
+  * disagree with what a read would scan; stat-less entries and
+  * unparseable probe values count as SCANNED, mirroring the read
+  * path's conservative keep. The 100 TB layout-audit loop: check a
+  * key's selectivity here (zero cluster jobs, driver-side manifest
+  * text) before deciding a table needs `cluster`/`bucket`/Blooms.
+  * `value` parses by each entry's stat kind — numeric columns as a
+  * decimal, strings verbatim, timestamps as ISO-8601 instants. Returns
+  * `(entries_total, pruned_range, pruned_bloom, scanned)`. */
+private[storage] final class SkippingProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "skipping"
+  override def description(): String =
+    "dry-run manifest pruning report for a column = value read"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("column", StringType),
+    param("value", StringType))
+
+  private val out = StructType(Seq(
+    StructField("entries_total", IntegerType, nullable = false),
+    StructField("pruned_range", IntegerType, nullable = false),
+    StructField("pruned_bloom", IntegerType, nullable = false),
+    StructField("scanned", IntegerType, nullable = false)))
+
+  /** The probe value under the stat's own kind — None (keep, never
+    * prune) when the rendering can't be exact for that kind. */
+  private def probe(kind: String, value: String): Option[Any] = kind match {
+    case "n" => scala.util.Try(new java.math.BigDecimal(value)).toOption
+    case "s" => Some(value)
+    case "t" => scala.util.Try(
+      java.time.Instant.parse(value): Any).toOption
+    case _ => None
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    val column = str(input, 1)
+    val value = str(input, 2)
+    require(table.nonEmpty, "skipping: table is required")
+    require(column.nonEmpty, "skipping: column is required")
+    val snap = TxnCatalog.snapshot(s, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    var range = 0; var bloom = 0; var kept = 0
+    snap.dataEntries(table).foreach { case (_, e) =>
+      e.stats.get(column).flatMap(st => probe(st.kind, value)
+        .map(st -> _)) match {
+        case None => kept += 1 // stat-less / kind-mismatch: reads keep it
+        case Some((st, v)) =>
+          if (!TxnCatalog.mayOverlap(st, v, v)) range += 1
+          else if (!TxnCatalog.bloomMayContain(st, v)) bloom += 1
+          else kept += 1
+      }
+    }
+    one(oneRow(out, Integer.valueOf(range + bloom + kept),
+      Integer.valueOf(range), Integer.valueOf(bloom),
+      Integer.valueOf(kept)))
   }
 }
 

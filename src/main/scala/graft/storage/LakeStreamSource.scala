@@ -236,7 +236,10 @@ final class LakeStreamSource(
   * Streaming read options: `root` (the catalog root; `path` is accepted
   * as an alias), `table`, and optional `startingTxn` (deliver only data
   * committed AFTER this txn — skip the initial load, Delta's
-  * `startingVersion`). The schema is the table's merged footer schema at
+  * `startingVersion`) or `startingTimestamp` (ISO-8601 instant or epoch
+  * millis; deliver txns committed at or after it — Delta's
+  * `startingTimestamp`, resolved against manifest mtimes once at
+  * source construction). The schema is the table's merged footer schema at
   * stream start and stays fixed for the stream's lifetime (columns added
   * later are dropped until restart; columns removed read as null).
   *
@@ -399,9 +402,24 @@ final class LakeSourceProvider
     val table = params.getOrElse("table",
       throw new IllegalArgumentException(
         "graft-lake source needs option 'table'"))
-    val starting = params.get("startingtxn")
-      .orElse(params.get("startingTxn")).map(_.toLong).getOrElse(0L)
-    (root, table, starting)
+    val byTxn = params.get("startingtxn")
+      .orElse(params.get("startingTxn")).map(_.toLong)
+    // Delta's startingTimestamp: deliver every txn committed AT OR
+    // AFTER the instant — the exclusive floor is the last txn whose
+    // manifest mtime (the commit clock) PRECEDES it. ISO-8601 instant
+    // or epoch millis; resolved once at source construction, so a
+    // checkpointed stream replays identically whatever the clock does.
+    val byTs = params.get("startingtimestamp")
+      .orElse(params.get("startingTimestamp")).map { raw =>
+        val cutoffMs = raw.toLongOption.getOrElse(
+          java.time.Instant.parse(raw).toEpochMilli)
+        TxnCatalog.txnMtimes(SparkSession.active, root)
+          .filter(_._2 < cutoffMs).map(_._1).sorted.lastOption
+          .getOrElse(0L)
+      }
+    require(byTxn.isEmpty || byTs.isEmpty,
+      "options startingTxn and startingTimestamp are mutually exclusive")
+    (root, table, byTxn.orElse(byTs).getOrElse(0L))
   }
 
   /** Admission control: at most this many txns per micro-batch (option

@@ -107,6 +107,14 @@ final class ManifestFileIndex(
     * count, unlike [[totalFileCount]]. */
   def partitionCount: Int = parts.size
 
+  /** Per-entry (column stats, row count) facts behind this index — the
+    * entry grain [[graft.plans.MetadataOnlyAgg]]'s GROUP BY fold needs.
+    * Merge-on-read soundness is structural on this path: a funnel with
+    * applicable deletes plans anti-joins ABOVE the relation, so the
+    * bare-relation match the fold requires can never see masked rows. */
+  private[graft] def entryFacts: Seq[(Map[String, ColStat], Option[Long])] =
+    parts.map(p => (p._2, p._3))
+
   /** Exact total rows behind this index, from manifest counts alone —
     * Some only when EVERY entry recorded one (the
     * [[graft.plans.MetadataOnlyAgg]] contract: exact or absent). */

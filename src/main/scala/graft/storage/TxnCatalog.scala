@@ -769,21 +769,20 @@ object TxnCatalog {
       if (data.isEmpty || hasApplicableDeletes(table, data)) return None
       val sts = data.map { case (_, e) => e.stats.get(column) }
       if (sts.exists(_.isEmpty)) return None
-      val all = sts.flatten.toSeq
-      all.map(_.kind).distinct match {
-        case Seq("n") => try {
-          val ord = Ordering.by((s: String) => new java.math.BigDecimal(s))
-          Some(ColStat("n", all.map(_.min).min(ord), all.map(_.max).max(ord)))
-        } catch { case _: NumberFormatException => None }
-        case Seq("s") =>
-          val ord = Ordering.fromLessThan(utf8Lt)
-          Some(ColStat("s", all.map(_.min).min(ord), all.map(_.max).max(ord)))
-        case Seq("t") => try {
-          val ord = Ordering.by((s: String) => s.toLong)
-          Some(ColStat("t", all.map(_.min).min(ord), all.map(_.max).max(ord)))
-        } catch { case _: NumberFormatException => None }
-        case _ => None
-      }
+      foldColStats(sts.flatten.toSeq)
+    }
+
+    /** Per-entry (column stats, row count) facts of `table`'s live data
+      * entries — None while any merge-on-read delete (equality or DV)
+      * may mask rows, exactly like [[rowCount]]/[[columnBounds]]. The
+      * grouped counterpart those helpers can't express: it preserves
+      * the ENTRY grain so [[graft.plans.MetadataOnlyAgg]] can fold
+      * `GROUP BY <constant-per-entry column>` from the manifest. */
+    def entryFactsClean(table: String)
+        : Option[Seq[(Map[String, ColStat], Option[Long])]] = {
+      val data = dataEntries(table)
+      if (hasApplicableDeletes(table, data)) None
+      else Some(data.map { case (_, e) => (e.stats, e.rows) })
     }
 
     /** Non-null count of `column` across the whole table at manifest
@@ -1183,6 +1182,31 @@ object TxnCatalog {
     case _ => None
   }
 
+  /** Fold several entries' stats for one column into table-level
+    * bounds, kind-true (numeric via BigDecimal — no double rounding
+    * past 2^53; strings by UTF-8 bytes like Spark; timestamps by their
+    * micros). None on an empty or kind-inconsistent set, or when a
+    * bound does not parse (a NaN extreme answers None — a scan query
+    * would surface it, a metadata answer must not silently differ).
+    * Values keep the manifest's string rendering; bloom is empty. */
+  private[graft] def foldColStats(all: Seq[ColStat]): Option[ColStat] = {
+    if (all.isEmpty) return None
+    all.map(_.kind).distinct match {
+      case Seq("n") => try {
+        val ord = Ordering.by((s: String) => new java.math.BigDecimal(s))
+        Some(ColStat("n", all.map(_.min).min(ord), all.map(_.max).max(ord)))
+      } catch { case _: NumberFormatException => None }
+      case Seq("s") =>
+        val ord = Ordering.fromLessThan(utf8Lt)
+        Some(ColStat("s", all.map(_.min).min(ord), all.map(_.max).max(ord)))
+      case Seq("t") => try {
+        val ord = Ordering.by((s: String) => s.toLong)
+        Some(ColStat("t", all.map(_.min).min(ord), all.map(_.max).max(ord)))
+      } catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
   /** Can a value in [lo, hi] exist in an entry whose `column` spans
     * [st.min, st.max]? Kind-mismatched bounds never prune. */
   private[storage] def mayOverlap(st: ColStat, lo: Any, hi: Any): Boolean =
@@ -1199,6 +1223,21 @@ object TxnCatalog {
         }
       case _ => true
     }
+
+  /** Every committed (txn, manifest mtime ms) pair in ONE listStatus —
+    * manifest file mtimes are the commit clock (the publishing rename
+    * stamps them), never a stat call per txn. Powers `TIMESTAMP AS OF`
+    * and the stream source's `startingTimestamp`. */
+  private[storage] def txnMtimes(spark: SparkSession,
+      root: String): Seq[(Long, Long)] = {
+    val tdir = new Path(txnsDir(root))
+    val f = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(tdir)) return Nil
+    f.listStatus(tdir).toSeq
+      .filterNot(_.getPath.getName.startsWith("."))
+      .flatMap(st => st.getPath.getName.toLongOption
+        .map(_ -> st.getModificationTime))
+  }
 
   /** Pin the latest committed txn for snapshot-consistent multi-call
     * reads. None for an empty catalog. */

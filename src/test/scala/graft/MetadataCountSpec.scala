@@ -205,6 +205,103 @@ class MetadataCountSpec extends GraftSuite {
     }
   }
 
+  test("GROUP BY a constant-per-entry column folds to the manifest") {
+    val root = tmp("metagrp")
+    withExtSession { s2 =>
+      import s2.implicits._
+      // identity-partitioned layout: each entry holds ONE segment value
+      val df = (0 until 300).map { i =>
+        (i.toLong, Seq("A", "B", "C")(i % 3), i * 0.5)
+      }.toDF("k", "seg", "x")
+      TxnCatalog.commitPartitions(s2, root,
+        Seq("A", "B", "C").map(g =>
+          ("t", s"seg=$g", df.filter($"seg" === g))),
+        statsColumns = Seq("k", "seg", "x"))
+      val lake = GraftLake.table(s2, root, "t").get
+      lake.createOrReplaceTempView("grp_t")
+      val q = s2.sql(
+        """SELECT seg, count(*) AS n, count(x) AS nx,
+          |       min(k) AS lo, max(k) AS hi
+          |FROM grp_t GROUP BY seg ORDER BY seg""".stripMargin)
+      val rows = q.collect()
+      assert(!hasScan(q), "grouped metadata fold must not plan a scan:\n" +
+        q.queryExecution.optimizedPlan)
+      // the folded groups equal a real scan's, bit for bit
+      val scan = lake.groupBy("seg").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.count($"x").as("nx"),
+        org.apache.spark.sql.functions.min("k").as("lo"),
+        org.apache.spark.sql.functions.max("k").as("hi"))
+        .orderBy("seg").collect()
+      assert(rows.map(_.toSeq).toSeq === scan.map(_.toSeq).toSeq)
+      assert(rows.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
+      assert(rows.map(_.getLong(1)).sum === 300L)
+      // grouping on a NON-constant column keeps the scan (k spans the
+      // entry; min != max refuses the fold)
+      val bad = lake.groupBy("k").count()
+      assert(hasScan(bad), "a non-constant group column must scan")
+      // an aggregate outside the folded set refuses the whole rewrite
+      val avg = s2.sql("SELECT seg, avg(x) AS m FROM grp_t GROUP BY seg")
+      assert(hasScan(avg), "avg cannot fold — grouped rewrite must refuse")
+      // a filter under the grouping keeps the scan
+      val filt = s2.sql(
+        "SELECT seg, count(*) AS n FROM grp_t WHERE k > 5 GROUP BY seg")
+      assert(hasScan(filt), "a filtered grouped count must scan")
+    }
+  }
+
+  test("grouped fold on the SQL-catalog path; nulls in the group column refuse") {
+    val root = tmp("metagrpsql")
+    withExtSession { s2 =>
+      import s2.implicits._
+      val df = (0 until 200).map { i =>
+        (i.toLong, if (i % 2 == 0) "even" else "odd")
+      }.toDF("k", "par")
+      TxnCatalog.commitPartitions(s2, root,
+        Seq("even", "odd").map(g => ("t", s"p=$g", df.filter($"par" === g))),
+        statsColumns = Seq("k", "par"))
+      val cat = s"mg${java.util.UUID.randomUUID().toString.take(8)}"
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def v2Scan(dfq: org.apache.spark.sql.DataFrame): Boolean =
+        dfq.queryExecution.optimizedPlan.collectLeaves().exists {
+          case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+          case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+          case _ => false
+        }
+      val q = s2.sql(s"""SELECT par, count(*) AS n, min(k) AS lo
+                        |FROM $cat.t GROUP BY par ORDER BY par""".stripMargin)
+      assert(q.collect().map(_.toSeq).toSeq ===
+        Seq(Seq("even", 100L, 0L), Seq("odd", 100L, 1L)))
+      assert(!v2Scan(q), "SQL grouped fold must answer from the manifest:\n" +
+        q.queryExecution.optimizedPlan)
+      // an applicable equality delete sends the grouped answer dark
+      TxnCatalog.deleteKeys(s2, root, "t", "k", Seq(0L).toDF("k"))
+      val q2 = s2.sql(s"SELECT par, count(*) AS n FROM $cat.t GROUP BY par")
+      assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("even" -> 99L, "odd" -> 100L))
+      assert(v2Scan(q2), "masked rows must never fold from metadata")
+    }
+    // a group column with NULLs in some entry refuses (the NULL group's
+    // membership is invisible to min/max stats)
+    val root2 = tmp("metagrpnull")
+    withExtSession { s2 =>
+      import s2.implicits._
+      val df = (0 until 40).map(i =>
+        (i.toLong, if (i < 20) Some("g0") else None)).toDF("k", "par")
+      TxnCatalog.commitPartitions(s2, root2,
+        Seq(("t", "p=g0", df.filter($"par".isNotNull)),
+          ("t", "p=null", df.filter($"par".isNull))),
+        statsColumns = Seq("k", "par"))
+      val lake = GraftLake.table(s2, root2, "t").get
+      val g = lake.groupBy("par").count()
+      assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("g0" -> 20L, null.asInstanceOf[String] -> 20L))
+      assert(hasScan(g), "a NULL-holding group column must keep the scan")
+    }
+  }
+
   test("uncounted entries and applicable deletes disable the rewrite") {
     val root = tmp("metacntdel")
     withExtSession { s2 =>

@@ -197,6 +197,39 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("CALL system.skipping dry-runs pruning with the read path's own counts") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      // 4 disjoint key ranges, stats + Blooms on k (values 0,3,6,…)
+      (0 until 4).foreach { b =>
+        TxnCatalog.commitPartitions(s2, root,
+          Seq(("ev", s"r=$b",
+            (b * 100 until (b + 1) * 100).map(i => (i * 3L, s"n$i"))
+              .toDF("k", "nm"))),
+          statsColumns = Seq("k"), bloomColumns = Seq("k"))
+      }
+      def report(col: String, v: String) =
+        s2.sql(s"CALL lake.system.skipping(table => 'ev', " +
+          s"column => '$col', value => '$v')").collect().head
+      // a present key: 3 of 4 ranges prune, the owner scans
+      val hit = report("k", "300")
+      assert(hit.toSeq === Seq(4, 3, 0, 1))
+      // an absent key INSIDE a range: the Bloom kills the survivor
+      val miss = report("k", "301")
+      assert(miss.toSeq === Seq(4, 3, 1, 0))
+      // out of every range: pure range kill
+      val out = report("k", "99999")
+      assert(out.toSeq === Seq(4, 4, 0, 0))
+      // a stat-less column never claims pruning
+      val free = report("nm", "n5")
+      assert(free.toSeq === Seq(4, 0, 0, 4))
+      // the report's scanned set is EXACTLY what the read path keeps
+      val snap = TxnCatalog.snapshot(s2, root).get
+      assert(snap.partitionsWhereEq("ev", "k", 300L).size === hit.getInt(3))
+      assert(snap.partitionsWhereEq("ev", "k", 301L).size === miss.getInt(3))
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
     withCatalog { (s2, _) =>
       val listed = s2.sql("SHOW PROCEDURES IN lake.system")
@@ -207,7 +240,7 @@ class ProcedureSpec extends GraftSuite {
         "analyze", "apply_deletes", "restore", "bucket", "create_mv",
         "refresh_mv", "tag", "drop_tag", "tags", "branch",
         "publish_branch", "drop_branch", "clone", "evolve_partitioning",
-        "add_files"))
+        "add_files", "skipping"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }

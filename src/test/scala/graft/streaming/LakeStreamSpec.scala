@@ -86,6 +86,34 @@ class LakeStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("startingTimestamp starts at the first txn committed at/after it") {
+    val root = tmp("lststamp")
+    commitBatch(root, "b0", 0, 100)
+    // a cutoff strictly between txn 1's commit and txn 2's: everything
+    // from txn 2 on delivers, the initial load does not
+    Thread.sleep(1100)
+    val cutoff = java.time.Instant.now()
+    Thread.sleep(1100)
+    commitBatch(root, "b1", 100, 130)
+    val q = lakeStream(root, "startingTimestamp" -> cutoff.toString)
+      .writeStream.format("memory")
+      .queryName("ls_stamp").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ls_stamp").select("id").as[Long].collect().sorted
+        === (100L until 130L).toArray,
+        "only txns committed after the cutoff deliver")
+    } finally q.stop()
+    // both start options together refuse
+    val err = intercept[Exception] {
+      lakeStream(root, "startingTimestamp" -> cutoff.toString,
+        "startingTxn" -> "1")
+        .writeStream.format("memory").queryName("ls_stamp2")
+        .outputMode("append").start().processAllAvailable()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("maxTxnsPerBatch paces a backlog into bounded micro-batches") {
     val root = tmp("lspace")
     commitBatch(root, "b0", 0, 30)
