@@ -19,8 +19,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Delta's OptimizeMetadataOnlyQuery for this catalog, extended to the
   * freshness probe (`max(ts)`) every incremental consumer runs.
   *
+  * Two further arms extend the same contract: `GROUP BY` columns that
+  * are CONSTANT per manifest entry (recorded min == max, zero nulls —
+  * identity-partitioned layouts, hive-synthesized import columns) fold
+  * per-group, and a deterministic WHERE over such columns prunes
+  * entries before either fold (each entry keeps all rows or none, so
+  * the survivors are exactly attributable) — `SELECT day, count(*)
+  * FROM t WHERE region = 'eu' GROUP BY day` as one driver-side
+  * manifest read, Iceberg's `partitions` metadata table as a rewrite.
+  *
   * Soundness: the rewrite fires ONLY on the bare relation (optionally
-  * under an attribute-only Project). Any Filter breaks the match; a
+  * under an attribute-only Project, optionally under the ONE
+  * constant-column Filter described above). Any other Filter breaks the match; a
   * merge-on-read read with APPLICABLE equality deletes plans anti-joins
   * above the relation, so masked rows can never be answered from
   * metadata (inapplicable deletes leave the bare relation — and mask
@@ -277,25 +287,107 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     if (rows.exists(_.isEmpty)) None else Some(rows.map(_.get))
   }
 
+  /** The entries a deterministic predicate over CONSTANT-per-entry
+    * columns keeps — partition pruning for metadata answers. Each
+    * referenced attribute must be constant in EVERY entry (recorded
+    * min == max, zero nulls, convertible); the predicate is then
+    * evaluated per entry BY CATALYST ITSELF — every attribute
+    * substituted with the entry's constant as a Literal, `eval` on the
+    * folded tree — so comparison/coercion semantics can never drift
+    * from a real scan's. A constant column means the predicate keeps
+    * ALL of an entry's rows or NONE, which is what makes the surviving
+    * set exactly attributable. Subqueries, non-determinism, an eval
+    * error (e.g. an ANSI cast), or any unattributable entry refuse. */
+  private def filterEntries(cond: Expression,
+      entries: Seq[(Map[String, TxnCatalog.ColStat], Option[Long])])
+      : Option[Seq[(Map[String, TxnCatalog.ColStat], Option[Long])]] = {
+    if (!cond.deterministic ||
+        cond.exists(_.isInstanceOf[PlanExpression[_]])) return None
+    val attrs = cond.references.toSeq
+    val out = Seq.newBuilder[(Map[String, TxnCatalog.ColStat], Option[Long])]
+    for (e <- entries) {
+      val vals: Seq[Option[(ExprId, Any)]] = attrs.map { a =>
+        e._1.get(a.name)
+          .filter(st => st.min == st.max && st.nulls.contains(0L))
+          .flatMap(st => statVal(st.kind, st.min)
+            .flatMap(convert(st.kind, _, a.dataType)))
+          .map(a.exprId -> _)
+      }
+      if (vals.exists(_.isEmpty)) return None
+      val m = vals.flatten.toMap
+      val sub = cond.transform {
+        case a: AttributeReference if m.contains(a.exprId) =>
+          Literal(m(a.exprId), a.dataType)
+      }
+      scala.util.Try(sub.eval(null)) match {
+        case scala.util.Success(true) => out += e
+        case scala.util.Success(_)    => () // false/null: no rows match
+        case scala.util.Failure(_)    => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** An aggregate's value over ZERO entries — the ungrouped empty
+    * result SQL mandates: count = 0, min/max = NULL. */
+  private def emptyAggValue(e: Expression): Option[Any] = e match {
+    case Alias(c, _) => emptyAggValue(c)
+    case AggregateExpression(Count(_), _, false, None, _) => Some(0L)
+    case AggregateExpression(Min(_), _, false, None, _) => Some(null)
+    case AggregateExpression(Max(_), _, false, None, _) => Some(null)
+    case _ => None
+  }
+
+  /** Fold over an already-filtered entry subset: grouped entries go
+    * through [[foldGrouped]]; an ungrouped aggregate over NO surviving
+    * entries still returns its one mandated row. */
+  private def foldFiltered(groups: Seq[AttributeReference],
+      exprs: Seq[NamedExpression],
+      kept: Seq[(Map[String, TxnCatalog.ColStat], Option[Long])])
+      : Option[Seq[InternalRow]] =
+    if (groups.isEmpty && kept.isEmpty) {
+      val vals = exprs.map(emptyAggValue)
+      if (vals.exists(_.isEmpty)) None
+      else Some(Seq(InternalRow.fromSeq(vals.map(_.get))))
+    } else foldGrouped(groups, exprs, kept)
+
+  /** Peel attribute-only projections (column pruning inserts them both
+    * above and below a Filter). */
+  private def underProjects(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      underProjects(child)
+    case other => other
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty =>
-      factsOf(child) match {
-        case Some(facts) =>
+    case agg @ Aggregate(groups, exprs, child0, _)
+        if exprs.nonEmpty &&
+          groups.forall(_.isInstanceOf[AttributeReference]) =>
+      // an optional Filter over constant-per-entry columns prunes
+      // entries; the (grouped or ungrouped) aggregate folds over the
+      // survivors — `SELECT day, count(*) … WHERE region = 'eu' GROUP
+      // BY day` as one driver-side manifest read
+      val (condOpt, base) = underProjects(child0) match {
+        case Filter(cond, ch) => (Some(cond), ch)
+        case other => (None, other)
+      }
+      val gattrs = groups.map(_.asInstanceOf[AttributeReference])
+      factsOf(base) match {
+        case None => agg
+        case Some(facts) if condOpt.isEmpty && groups.isEmpty =>
+          // whole-table facts: cheaper, and the long-proven arm
           val vals = exprs.map(foldValue(_, facts))
           if (vals.forall(_.isDefined))
             LocalRelation(agg.output,
               Seq(InternalRow.fromSeq(vals.map(_.get))))
           else agg
-        case None => agg
+        case Some(facts) =>
+          (for {
+            entries <- facts.perEntry
+            kept <- condOpt.fold(
+              Option(entries))(filterEntries(_, entries))
+            rows <- foldFiltered(gattrs, exprs, kept)
+          } yield LocalRelation(agg.output, rows)).getOrElse(agg)
       }
-    case agg @ Aggregate(groups, exprs, child, _)
-        if groups.nonEmpty && exprs.nonEmpty &&
-          groups.forall(_.isInstanceOf[AttributeReference]) =>
-      (for {
-        facts <- factsOf(child)
-        entries <- facts.perEntry
-        rows <- foldGrouped(
-          groups.map(_.asInstanceOf[AttributeReference]), exprs, entries)
-      } yield LocalRelation(agg.output, rows)).getOrElse(agg)
   }
 }

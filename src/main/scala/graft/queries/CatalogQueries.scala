@@ -517,6 +517,36 @@ object CatalogQueries extends QueryGroup {
              |FROM customer GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin)),
 
+    // FILTERED METADATA-ONLY AGGREGATE: a WHERE over constant-per-
+    // entry columns prunes manifest entries (each entry keeps all rows
+    // or none — exactly attributable), then the aggregate folds over
+    // the survivors: `count(*) WHERE segment IN (...)` answered by a
+    // driver-side manifest read, zero cluster jobs. The predicate is
+    // evaluated per entry by Catalyst itself (attributes substituted
+    // with the entry's constants), so coercion semantics can never
+    // drift from a real scan's. Fold pinned as a constant column.
+    QueryDef(
+      "s_meta_filter_agg",
+      (s, d) => {
+        graft.plans.MetadataOnlyAgg.install(s)
+        val root = QueryFixtures.groupMetaBase(s, d)
+        graft.storage.GraftLake.table(s, root, "cust").get
+          .createOrReplaceTempView("meta_filter_cust")
+        val q = s.sql(
+          """SELECT count(*) AS n_rows, min(c_custkey) AS lo_key,
+            |  max(c_custkey) AS hi_key
+            |FROM meta_filter_cust
+            |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin)
+        val folded = q.queryExecution.optimizedPlan.collectLeaves()
+          .forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        q.withColumn("metadata_only", lit(folded))
+      },
+      Some("""SELECT count(*) AS n_rows, min(c_custkey) AS lo_key,
+             |  max(c_custkey) AS hi_key, TRUE AS metadata_only
+             |FROM customer
+             |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin)),
+
     // SKIPPING OBSERVABILITY: `CALL system.skipping(...)` dry-runs the
     // point-lookup pruning at manifest cost and reports the per-layer
     // kill counts — the 100 TB layout-audit loop (is this key worth a

@@ -251,6 +251,58 @@ class MetadataCountSpec extends GraftSuite {
     }
   }
 
+  test("a WHERE over constant-per-entry columns prunes entries, then folds") {
+    val root = tmp("metafilt")
+    withExtSession { s2 =>
+      import s2.implicits._
+      val df = (0 until 300).map { i =>
+        (i.toLong, Seq("A", "B", "C")(i % 3), Seq("x", "y")(i % 2))
+      }.toDF("k", "seg", "tier")
+      TxnCatalog.commitPartitions(s2, root,
+        (for { g <- Seq("A", "B", "C"); t <- Seq("x", "y") } yield
+          ("t", s"seg=$g.tier=$t",
+            df.filter($"seg" === g && $"tier" === t))),
+        statsColumns = Seq("k", "seg", "tier"))
+      val lake = GraftLake.table(s2, root, "t").get
+      lake.createOrReplaceTempView("filt_t")
+      // ungrouped under IN + equality: folds, exact vs the scan
+      val q = s2.sql(
+        """SELECT count(*) AS n, min(k) AS lo, max(k) AS hi
+          |FROM filt_t WHERE seg IN ('A', 'C') AND tier = 'x'""".stripMargin)
+      assert(!hasScan(q), "constant-column WHERE must fold:\n" +
+        q.queryExecution.optimizedPlan)
+      val scan = lake.filter($"seg".isin("A", "C") && $"tier" === "x")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).collect().head
+      assert(q.collect().head.toSeq === scan.toSeq)
+      // grouped + filtered folds too
+      val g = s2.sql(
+        """SELECT seg, count(*) AS n FROM filt_t
+          |WHERE tier = 'y' GROUP BY seg ORDER BY seg""".stripMargin)
+      assert(!hasScan(g), "grouped+filtered fold:\n" +
+        g.queryExecution.optimizedPlan)
+      assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        === Seq(("A", 50L), ("B", 50L), ("C", 50L)))
+      // a predicate no entry satisfies still returns SQL's one row
+      val none = s2.sql(
+        """SELECT count(*) AS n, max(k) AS hi FROM filt_t
+          |WHERE seg = 'ZZZ'""".stripMargin)
+      assert(!hasScan(none))
+      assert(none.collect().head.toSeq === Seq(0L, null))
+      // a predicate over a NON-constant column keeps the scan
+      val non = s2.sql("SELECT count(*) AS n FROM filt_t WHERE k < 10")
+      assert(non.collect().head.getLong(0) === 10L)
+      assert(hasScan(non), "a row-grain predicate must scan")
+      // a non-deterministic predicate keeps the scan (OR-joined so the
+      // optimizer can't simplify the rand conjunct away first)
+      val rnd = s2.sql(
+        "SELECT count(*) AS n FROM filt_t WHERE rand() >= 0.5 OR seg = 'A'")
+      assert(hasScan(rnd), "non-deterministic predicates must scan")
+    }
+  }
+
   test("grouped fold on the SQL-catalog path; nulls in the group column refuse") {
     val root = tmp("metagrpsql")
     withExtSession { s2 =>
