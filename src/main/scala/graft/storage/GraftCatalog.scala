@@ -168,14 +168,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `t`), `.partitions` (live manifest entries: data txn, rows, which
     * columns carry stats/Blooms), `.changes` (the full CDC feed,
     * [[TxnCatalog.changeFeed]] over every committed txn), `.refs`
-    * (named references: tags and branches with their txn/base). All
-    * are built from the MANIFEST driver-side (KB-scale; `.changes`
-    * reads data files only when actually scanned). Read-only. */
+    * (named references: tags and branches with their txn/base),
+    * `.files` (every live data file with its physical size — the
+    * small-file/compaction audit). All are built from the MANIFEST
+    * driver-side (KB-scale; `.changes` reads data files only when
+    * actually scanned, `.files` adds one listStatus per entry).
+    * Read-only. */
   private def metaTable(ident: Identifier): Option[Table] = {
     val ns = ident.namespace()
     if (ns.length != 2 || ns(0) != "default") return None
     val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
-    if (!Seq("history", "partitions", "changes", "refs").contains(kind))
+    if (!Seq("history", "partitions", "changes", "refs", "files")
+        .contains(kind))
       return None
     val s = spark
     val t = ns(1)
@@ -208,6 +212,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.sortBy(_._1)
         s.createDataFrame(rows).toDF("partition", "data_txn", "rows",
           "stat_columns", "bloom_columns")
+      case "files" =>
+        // Iceberg's files table: every live data file with its physical
+        // size — the file-grain audit behind `.partitions` (small-file
+        // pressure, compaction targets). One listStatus per entry,
+        // driver-side; externality is explicit (`~ext:`/`~ref:` dirs
+        // resolve exactly like every reader, so clones and imports show
+        // their true physical paths)
+        val hconf = s.sparkContext.hadoopConfiguration
+        val rows = snap.dataEntries(t).flatMap { case (p, e) =>
+          val dir = new org.apache.hadoop.fs.Path(
+            TxnCatalog.entryPath(root, t, p, e.dir))
+          scala.util.Try(dir.getFileSystem(hconf).listStatus(dir)
+            .filter(f => f.isFile &&
+              f.getPath.getName.endsWith(".parquet"))
+            .toSeq).getOrElse(Nil).map { f =>
+            (p, f.getPath.toString, f.getLen,
+              f.getModificationTime, TxnCatalog.entryDataTxn(e))
+          }
+        }.sortBy(r => (r._1, r._2))
+        s.createDataFrame(rows).toDF("partition", "file_path",
+          "size_bytes", "modified_at_ms", "data_txn")
       case "refs" =>
         // Iceberg's refs table: every named reference to this table's
         // state — tags (a pinned txn, vacuum-exempt) and branches (a

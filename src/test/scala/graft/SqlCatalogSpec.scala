@@ -493,7 +493,7 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
-  test("metadata tables: history / partitions / changes resolve under the data table") {
+  test("metadata tables: history / partitions / changes / files resolve under the data table") {
     withCatalog { (s2, root) =>
       import s2.implicits._
       TxnCatalog.commitPartitions(s2, root,
@@ -529,6 +529,19 @@ class SqlCatalogSpec extends GraftSuite {
       // filters push into the metadata frame
       assert(s2.sql("SELECT k FROM lake.default.ev.changes " +
         "WHERE _change_type = 'delete'").collect().head.getLong(0) === 7L)
+      // files: every live data file with its physical size, per entry
+      val files = s2.sql(
+        "SELECT partition, file_path, size_bytes " +
+          "FROM lake.default.ev.files ORDER BY partition, file_path")
+        .collect()
+      assert(files.map(_.getString(0)).distinct.toSeq === Seq("b=0", "b=1"),
+        "delete-key entries are not data files")
+      assert(files.forall(_.getString(1).endsWith(".parquet")))
+      assert(files.forall(_.getLong(2) > 0L))
+      // sizes are the real physical bytes
+      val onDisk = files.map { r =>
+        new java.io.File(new java.net.URI(r.getString(1))).length }
+      assert(files.map(_.getLong(2)).toSeq === onDisk.toSeq)
     }
   }
 
