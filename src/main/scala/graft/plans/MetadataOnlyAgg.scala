@@ -201,6 +201,18 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
   private def statVal(kind: String, s: String): Option[Any] =
     if (kind == "t") s.toLongOption else Some(s)
 
+  /** Types usable as a GROUP key or inside a folded WHERE. Float and
+    * double are refused: ±0.0 and NaN sit on the fault line between
+    * Spark's interpreted orderings and codegen `==` (grouping
+    * normalizes -0.0 to 0.0, comparisons don't), so a metadata answer
+    * could diverge from a scan's in exactly those corners — and a
+    * partition key is never realistically a float. Aggregating min/max
+    * OVER doubles stays allowed (bounds fold, no equality involved). */
+  private def keyableType(dt: DataType): Boolean = dt match {
+    case DoubleType | FloatType => false
+    case _ => true
+  }
+
   /** Table-level bounds of `col` over ONE group's entries — the
     * per-group [[Facts.bounds]]: every entry must carry the stat,
     * folded kind-true by [[TxnCatalog.foldColStats]]. */
@@ -263,7 +275,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       entries.map { case e @ (stats, _) =>
         val key = groups.map { g =>
           stats.get(g.name).filter(st =>
-            st.min == st.max && st.nulls.contains(0L) &&
+            keyableType(g.dataType) &&
+              st.min == st.max && st.nulls.contains(0L) &&
               statVal(st.kind, st.min)
                 .flatMap(convert(st.kind, _, g.dataType)).isDefined)
             .map(st => (st.kind, st.min))
@@ -308,7 +321,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     for (e <- entries) {
       val vals: Seq[Option[(ExprId, Any)]] = attrs.map { a =>
         e._1.get(a.name)
-          .filter(st => st.min == st.max && st.nulls.contains(0L))
+          .filter(st => keyableType(a.dataType) &&
+            st.min == st.max && st.nulls.contains(0L))
           .flatMap(st => statVal(st.kind, st.min)
             .flatMap(convert(st.kind, _, a.dataType)))
           .map(a.exprId -> _)
