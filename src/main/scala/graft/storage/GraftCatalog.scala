@@ -205,13 +205,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .toDF("txn", "committed_at_ms", "partitions", "row_count")
       case "partitions" =>
         val rows = snap.dataEntries(t).map { case (p, e) =>
-          (p, TxnCatalog.entryDataTxn(e), e.rows,
+          (p, TxnCatalog.entryDataTxn(e), e.rows, e.bytes,
             e.stats.keys.toSeq.sorted.mkString(","),
             e.stats.collect { case (c, st) if st.bloom.nonEmpty => c }
               .toSeq.sorted.mkString(","))
         }.sortBy(_._1)
         s.createDataFrame(rows).toDF("partition", "data_txn", "rows",
-          "stat_columns", "bloom_columns")
+          "size_bytes", "stat_columns", "bloom_columns")
       case "files" =>
         // Iceberg's files table: every live data file with its physical
         // size — the file-grain audit behind `.partitions` (small-file

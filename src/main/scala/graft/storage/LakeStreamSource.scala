@@ -48,12 +48,14 @@ final class LakeStreamSource(
     maxTxnsPerBatch: Long = Long.MaxValue,
     changeFeed: Boolean = false,
     ignoreRestores: Boolean = false,
-    maxRowsPerBatch: Option[Long] = None) extends Source
+    maxRowsPerBatch: Option[Long] = None,
+    maxBytesPerBatch: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{
-    ReadAllAvailable, ReadLimit, ReadMaxFiles}
+    CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes,
+    ReadMaxFiles, ReadMaxRows}
 
   /** Highest txn this source has delivered (admission-control floor).
     * After a checkpoint restart the true floor lives in the checkpoint,
@@ -78,12 +80,16 @@ final class LakeStreamSource(
     availableNowCap =
       Some(TxnCatalog.currentTxn(spark, root).getOrElse(startingTxn))
 
-  override def getDefaultReadLimit: ReadLimit = maxRowsPerBatch match {
-    case Some(n) => ReadLimit.maxRows(n)
-    case None if maxTxnsPerBatch == Long.MaxValue => ReadLimit.allAvailable()
-    case None => ReadLimit.maxFiles(
-      math.min(maxTxnsPerBatch, Int.MaxValue.toLong).toInt)
-  }
+  override def getDefaultReadLimit: ReadLimit =
+    (maxRowsPerBatch, maxBytesPerBatch) match {
+      case (Some(r), Some(b)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxRows(r), ReadLimit.maxBytes(b)))
+      case (Some(r), None) => ReadLimit.maxRows(r)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ if maxTxnsPerBatch == Long.MaxValue => ReadLimit.allAvailable()
+      case _ => ReadLimit.maxFiles(
+        math.min(maxTxnsPerBatch, Int.MaxValue.toLong).toInt)
+    }
 
   /** Uncapped latest committed txn — progress reporting only. */
   override def reportLatestOffset()
@@ -105,35 +111,48 @@ final class LakeStreamSource(
     val base = math.max(math.max(delivered, startingTxn), from)
     val current0 = TxnCatalog.currentTxn(spark, root).getOrElse(startingTxn)
     val current = availableNowCap.fold(current0)(math.min(_, current0))
-    val end = limit match {
-      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        math.min(current, rowBudgetEnd(base, current, m.maxRows()))
-      case _ =>
-        val step = limit match {
+    val end = endFor(base, current, limit)
+    if (end > base && end > startingTxn) LongOffset(end) else start
+  }
+
+  /** One read limit → the proposed end txn. A composite limit is the
+    * MIN of its members (every budget must hold — Delta's
+    * maxFiles+maxBytes composition); rows and bytes walk the manifest
+    * ([[budgetEnd]]); everything else is a txn-count step. */
+  private def endFor(base: Long, current: Long, limit: ReadLimit): Long =
+    limit match {
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(endFor(base, current, _)).min
+      case m: ReadMaxRows =>
+        math.min(current, budgetEnd(base, current, m.maxRows())(_.rows))
+      case m: ReadMaxBytes =>
+        math.min(current, budgetEnd(base, current, m.maxBytes())(_.bytes))
+      case other =>
+        val step = other match {
           case _: ReadAllAvailable => Long.MaxValue
           case m: ReadMaxFiles => m.maxFiles().toLong
-          case _ => maxTxnsPerBatch // composite/unknown: keep the own cap
+          case _ => maxTxnsPerBatch // unknown: keep the own cap
         }
         // saturating add: the unlimited default must never wrap
         val cap =
           if (step > Long.MaxValue - base) Long.MaxValue else base + step
         math.min(current, cap)
     }
-    if (end > base && end > startingTxn) LongOffset(end) else start
-  }
 
-  /** ROW-budget admission ([[ReadLimit.maxRows]] — Delta's
-    * maxBytesPerTrigger shape on the txn axis): walk txns past `base`,
-    * summing each txn's DELIVERABLE rows from its manifest (data
-    * entries whose dataTxn IS that txn — appends and rewrites alike,
-    * because a rewrite re-delivers), and stop before the txn that would
-    * overflow the budget. Always admits at least one txn (a single
-    * oversized commit must still make progress — Delta's at-least-one-
-    * file rule); a txn with unrecorded row counts stops the walk AFTER
-    * itself (can't budget past an unknown). Manifest reads are
-    * driver-side text, one per walked txn, bounded by the budget walk
-    * and additionally by maxTxnsPerBatch when both options are set. */
-  private def rowBudgetEnd(base: Long, current: Long, budget: Long): Long = {
+  /** Budgeted admission ([[ReadLimit.maxRows]]/[[ReadLimit.maxBytes]] —
+    * Delta's maxBytesPerTrigger shape on the txn axis): walk txns past
+    * `base`, summing each txn's DELIVERABLE size from its manifest
+    * (data entries whose dataTxn IS that txn — appends and rewrites
+    * alike, because a rewrite re-delivers; `of` picks rows or bytes),
+    * and stop before the txn that would overflow the budget. Always
+    * admits at least one txn (a single oversized commit must still
+    * make progress — Delta's at-least-one-file rule); a txn with an
+    * unrecorded size stops the walk AFTER itself (can't budget past an
+    * unknown). Manifest reads are driver-side text, one per walked
+    * txn, bounded by the budget walk and additionally by
+    * maxTxnsPerBatch when both options are set. */
+  private def budgetEnd(base: Long, current: Long, budget: Long)(
+      of: TxnCatalog.Entry => Option[Long]): Long = {
     var end = base
     var spent = 0L
     val walkCap =
@@ -144,7 +163,7 @@ final class LakeStreamSource(
       val txnRows: Option[Long] = scala.util.Try {
         TxnCatalog.snapshotAt(spark, root, t).dataEntries(table)
           .collect { case (_, e) if TxnCatalog.entryDataTxn(e) == t =>
-            e.rows }
+            of(e) }
       }.toOption.map(rs => if (rs.exists(_.isEmpty)) -1L
         else rs.flatten.sum).filter(_ >= 0L)
       txnRows match {
@@ -479,6 +498,11 @@ final class LakeSourceProvider
         .orElse(parameters.get("maxRowsPerBatch")).map(_.toLong)
         .map { n =>
           require(n >= 1, "maxRowsPerBatch must be >= 1"); n
+        },
+      maxBytesPerBatch = parameters.get("maxbytesperbatch")
+        .orElse(parameters.get("maxBytesPerBatch")).map(_.toLong)
+        .map { n =>
+          require(n >= 1, "maxBytesPerBatch must be >= 1"); n
         })
   }
 }

@@ -238,7 +238,7 @@ object TxnCatalog {
     * per-file counts in the log. */
   final case class Entry(dir: String, stats: Map[String, ColStat] = Map.empty,
       dataTxn: Option[Long] = None, rows: Option[Long] = None,
-      deleteKey: Option[String] = None)
+      deleteKey: Option[String] = None, bytes: Option[Long] = None)
 
   /** The highest txn whose data `e` contains: the explicit reorg-carried
     * value, else the creating txn parsed from the dir name; unparseable
@@ -323,16 +323,19 @@ object TxnCatalog {
   /** Entry properties beyond dir + stats ride a 5th `k=v,k=v` field:
     * `d` = reorg [[Entry.dataTxn]], `n` = [[Entry.rows]], `e` = the
     * URL-escaped key column of an EQUALITY-DELETE entry (the entry's
-    * parquet holds keys to subtract, not data — [[Entry.deleteKey]]).
-    * Unknown keys are ignored on read (forward compatibility); the
-    * field is written only when at least one property is set. */
+    * parquet holds keys to subtract, not data — [[Entry.deleteKey]]),
+    * `b` = [[Entry.bytes]] (the entry's physical parquet bytes —
+    * byte-budget stream admission, small-file audits). Unknown keys
+    * are ignored on read (forward compatibility); the field is
+    * written only when at least one property is set. */
   private def propsField(e: Entry): String =
     (e.dataTxn.map(v => s"d=$v") ++ e.rows.map(v => s"n=$v") ++
-      e.deleteKey.map(c => s"e=${enc(c)}"))
+      e.deleteKey.map(c => s"e=${enc(c)}") ++
+      e.bytes.map(v => s"b=$v"))
       .mkString(",")
 
   private def parseProps(field: String)
-      : (Option[Long], Option[Long], Option[String]) = {
+      : (Option[Long], Option[Long], Option[String], Option[Long]) = {
     val kv = field.split(',').filter(_.nonEmpty).flatMap { item =>
       item.split("=", 2) match {
         case Array(k, v) => Some(k -> v)
@@ -340,7 +343,7 @@ object TxnCatalog {
       }
     }.toMap
     (kv.get("d").flatMap(_.toLongOption), kv.get("n").flatMap(_.toLongOption),
-      kv.get("e").map(dec))
+      kv.get("e").map(dec), kv.get("b").flatMap(_.toLongOption))
   }
 
   /** The (table, partition)→[[Entry]] mapping a committed txn's manifest
@@ -360,8 +363,8 @@ object TxnCatalog {
         case Array(t, p, d)    => (t, p) -> Entry(d)
         case Array(t, p, d, s) => (t, p) -> Entry(d, parseStats(s))
         case Array(t, p, d, s, pr) =>
-          val (dataTxn, rows, delKey) = parseProps(pr)
-          (t, p) -> Entry(d, parseStats(s), dataTxn, rows, delKey)
+          val (dataTxn, rows, delKey, bytes) = parseProps(pr)
+          (t, p) -> Entry(d, parseStats(s), dataTxn, rows, delKey, bytes)
         case _ => throw new java.io.IOException(
           s"corrupt manifest line in txn $txn: '$line'")
       }
@@ -784,6 +787,13 @@ object TxnCatalog {
       if (hasApplicableDeletes(table, data)) None
       else Some(data.map { case (_, e) => (e.stats, e.rows) })
     }
+
+    /** (partition, rows, bytes) of each live data entry — the public
+      * sizing view behind the `.partitions` metadata table
+      * ([[Entry.bytes]] is recorded at commit; None on entries from
+      * pre-upgrade manifests until `analyze` backfills them). */
+    def entrySizes(table: String): Seq[(String, Option[Long], Option[Long])] =
+      dataEntries(table).map { case (p, e) => (p, e.rows, e.bytes) }
 
     /** Non-null count of `column` across the whole table at manifest
       * cost — [[columnBounds]]'s count(col) counterpart, Some only when
@@ -2252,7 +2262,8 @@ object TxnCatalog {
         // `dataTxn` carries the sources' max data txn when this bulk
         // write is a REORGANIZATION (spec-aware compaction) — incremental
         // consumers skip it exactly like compactPartitions' folds
-        (table, part) -> Entry(dirName, stats, dataTxn, Some(rows))
+        (table, part) -> Entry(dirName, stats, dataTxn, Some(rows),
+          bytes = dirBytes(spark, target.toString))
       }.toMap
     f.delete(stagingDir, true) // _SUCCESS and empty shell
     // extra entries ride the SAME txn, staged the classic per-entry way
@@ -2309,7 +2320,8 @@ object TxnCatalog {
       val (st, rows) = measureStats(spark, path,
         if (p == PropsPartition) Nil else statsColumns, Nil,
         knownSchema = Some(edf.schema))
-      (t, p) -> Entry(dirName, st, None, rows)
+      (t, p) -> Entry(dirName, st, None, rows,
+        bytes = dirBytes(spark, path))
     }.toMap
     catch {
       case scala.util.control.NonFatal(ex) =>
@@ -3350,6 +3362,18 @@ object TxnCatalog {
     * additionally get a Bloom filter over the column's values rendered
     * as strings (Spark's cast-to-string), one distributed aggregate per
     * bloom column. */
+  /** Physical parquet bytes under a just-staged entry dir — ONE driver
+    * listStatus, no cluster job. None only when the listing fails (the
+    * budget walks treat unknown sizes conservatively). */
+  private def dirBytes(spark: SparkSession, path: String): Option[Long] =
+    scala.util.Try {
+      val p = new Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.toOption
+
   private def measureStats(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
       knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
@@ -3510,7 +3534,7 @@ object TxnCatalog {
         else measureStats(spark, path, statsFor(t), bloomFor(t),
           knownSchema = Some(df.schema))
       (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows,
-        deleteKeyCols.get((t, p)))
+        deleteKeyCols.get((t, p)), bytes = dirBytes(spark, path))
     }.toMap
     // CHECK-constraint enforcement over freshly staged DATA: internal
     // entries (delete key lists, `~p`) are not rows, and reorganizations
@@ -3859,10 +3883,12 @@ object TxnCatalog {
       if (targets.isEmpty) return None
       val measured: Map[(String, String), Entry] = targets.map {
         case (p, e) =>
-          val (st, rows) = measureStats(spark,
-            entryPath(root, table, p, e.dir), statsColumns, bloomColumns)
+          val path = entryPath(root, table, p, e.dir)
+          val (st, rows) = measureStats(spark, path,
+            statsColumns, bloomColumns)
           (table, p) -> e.copy(stats = e.stats ++ st,
-            rows = rows.orElse(e.rows))
+            rows = rows.orElse(e.rows),
+            bytes = e.bytes.orElse(dirBytes(spark, path)))
       }.toMap
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       try {
@@ -4093,7 +4119,9 @@ object TxnCatalog {
         carried = manifest(f, root, snap.txn)
           .filterNot(_._1._1 == table),
         staged = Map(
-          (table, part) -> Entry(dirName, stats, Some(dataTxn), rows),
+          (table, part) -> Entry(dirName, stats, Some(dataTxn), rows,
+            bytes = dirBytes(spark,
+              entryPath(root, table, part, dirName))),
           (table, PropsPartition) -> Entry(dirName)))(() => ())
       next
     } catch {

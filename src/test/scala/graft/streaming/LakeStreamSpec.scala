@@ -175,6 +175,31 @@ class LakeStreamSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerBatch budgets micro-batches by recorded entry bytes") {
+    val root = tmp("lsbytes")
+    (0 until 4).foreach(b => commitBatch(root, s"b$b", b * 30, (b + 1) * 30))
+    // every entry's physical size was recorded at commit
+    val snap = TxnCatalog.snapshot(spark, root).get
+    val sizes = snap.entrySizes("ev").map(_._3)
+    assert(sizes.forall(_.isDefined),
+      "commitPartitions must record entry bytes")
+    val one = sizes.head.get
+    // budget fits TWO same-sized txns per batch → the 4-txn backlog
+    // drains in 2 batches, every row exactly once
+    val q = lakeStream(root, "maxBytesPerBatch" -> (one * 2).toString)
+      .writeStream.format("memory")
+      .queryName("ls_bytes").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ls_bytes").select("id").as[Long].collect().sorted
+        === (0L until 120L).toArray)
+      val data = q.recentProgress.filter(_.numInputRows > 0)
+      assert(data.length >= 2, s"the backlog must split: ${data.length}")
+      assert(data.forall(_.numInputRows <= 60L),
+        s"two 30-row txns per byte budget: ${data.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the whole backlog in capped batches, then stops") {
     val root = tmp("lsavnow")
     commitBatch(root, "b0", 0, 30)
