@@ -60,7 +60,8 @@ private[storage] object GraftProcedures {
   val Names: Seq[String] = Seq("optimize", "cluster", "vacuum", "history",
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
     "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
-    "drop_branch", "clone", "evolve_partitioning", "add_files", "skipping")
+    "drop_branch", "clone", "evolve_partitioning", "add_files", "skipping",
+    "clustering_depth")
 
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
@@ -95,6 +96,7 @@ private[storage] object GraftProcedures {
         Some(new EvolvePartitioningProcedure(root))
       case "add_files" => Some(new AddFilesProcedure(root))
       case "skipping" => Some(new SkippingProcedure(root))
+      case "clustering_depth" => Some(new ClusteringDepthProcedure(root))
       case _          => None
     }
   }
@@ -155,7 +157,10 @@ private[storage] final class OptimizeProcedure(root: String)
     param("prefix", StringType, "'batch='",
       "only partitions with this name prefix are folded"),
     param("stats_columns", StringType, "''", "comma-separated"),
-    param("bloom_columns", StringType, "''", "comma-separated"))
+    param("bloom_columns", StringType, "''", "comma-separated"),
+    param("max_bytes", LongType, "0",
+      "fold only entries smaller than this (0 = all; Delta's " +
+        "OPTIMIZE file-size threshold over recorded entry bytes)"))
 
   private val out = StructType(Seq(
     StructField("txn", LongType, nullable = true),
@@ -165,12 +170,26 @@ private[storage] final class OptimizeProcedure(root: String)
     val s = spark
     val table = str(input, 0)
     val prefix = str(input, 1)
+    val maxBytes = input.getLong(4)
     require(table.nonEmpty, "optimize: table is required")
     var attempts = 0
     while (true) {
       attempts += 1
+      // the byte threshold consults recorded entry sizes: an already-
+      // compacted (large) partition is left alone instead of being
+      // rewritten again on every maintenance pass; entries with no
+      // recorded bytes (pre-upgrade manifests) count as small — folding
+      // is always safe, skipping a fold is the only risky direction
+      val small: String => Boolean =
+        if (maxBytes <= 0) _ => true
+        else {
+          val sizes = TxnCatalog.snapshot(s, root)
+            .map(_.entrySizes(table)).getOrElse(Nil)
+            .map { case (p, _, b) => p -> b }.toMap
+          p => sizes.get(p).forall(_.forall(_ < maxBytes))
+        }
       val parts = TxnCatalog.partitions(s, root, table)
-        .filter(_.startsWith(prefix))
+        .filter(_.startsWith(prefix)).filter(small)
       if (parts.size < 2)
         return one(oneRow(out, null, Integer.valueOf(0)))
       val into = "c" + (TxnCatalog.currentTxn(s, root).getOrElse(0L) + 1)
@@ -355,6 +374,102 @@ private[storage] final class SkippingProcedure(root: String)
     one(oneRow(out, Integer.valueOf(range + bloom + kept),
       Integer.valueOf(range), Integer.valueOf(bloom),
       Integer.valueOf(kept)))
+  }
+}
+
+/** `CALL cat.system.clustering_depth(table => 't', column => 'c')`:
+  * HOW WELL is the table laid out for range pruning on `c`? For every
+  * live data entry carrying `c` stats, count the entries whose
+  * [min, max] interval OVERLAPS it (inclusive, kind-true — BigDecimal
+  * for numerics, UTF-8 order for strings, micros for timestamps: the
+  * same comparisons [[TxnCatalog.mayOverlap]] prunes with). Perfectly
+  * clustered data (sorted ingest, `cluster`, disjoint `bucket` ranges)
+  * has average depth 1.0 and 100% disjoint entries — every point
+  * lookup scans one entry; unclustered append-order data converges on
+  * depth ≈ n — range stats prune nothing and only Blooms help. The
+  * number that tells you whether `CALL cluster`/declared sort order
+  * would pay for itself, computed from manifest text alone. Exact
+  * O(n²) over entries, refused above 8192 (at that scale run it on a
+  * partition-name subset instead). Returns `(entries_total,
+  * entries_measured, avg_depth, max_depth, disjoint_pct)`. */
+private[storage] final class ClusteringDepthProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "clustering_depth"
+  override def description(): String =
+    "per-entry range-overlap depth of a column - the re-cluster signal"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("column", StringType))
+
+  private val out = StructType(Seq(
+    StructField("entries_total", IntegerType, nullable = false),
+    StructField("entries_measured", IntegerType, nullable = false),
+    StructField("avg_depth", DoubleType, nullable = true),
+    StructField("max_depth", IntegerType, nullable = true),
+    StructField("disjoint_pct", DoubleType, nullable = true)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    val column = str(input, 1)
+    require(table.nonEmpty, "clustering_depth: table is required")
+    require(column.nonEmpty, "clustering_depth: column is required")
+    val snap = TxnCatalog.snapshot(s, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val entries = snap.dataEntries(table)
+    // one comparable key pair per measured entry, kind-true
+    val ivals: Seq[(Any, Any, Ordering[Any])] = entries.flatMap {
+      case (_, e) => e.stats.get(column).flatMap { st =>
+        scala.util.Try[(Any, Any, Ordering[Any])] {
+          st.kind match {
+            case "n" =>
+              (scala.math.BigDecimal(st.min): Any,
+                scala.math.BigDecimal(st.max): Any,
+                Ordering.by((x: Any) => x.asInstanceOf[scala.math.BigDecimal]))
+            case "s" =>
+              val o: Ordering[Any] = new Ordering[Any] {
+                def compare(a: Any, b: Any): Int = {
+                  val (x, y) = (a.asInstanceOf[String], b.asInstanceOf[String])
+                  if (TxnCatalog.utf8Lt(x, y)) -1
+                  else if (TxnCatalog.utf8Lt(y, x)) 1 else 0
+                }
+              }
+              (st.min, st.max, o)
+            case "t" =>
+              (st.min.toLong: Any, st.max.toLong: Any,
+                Ordering.by((x: Any) => x.asInstanceOf[Long]))
+            case _ => throw new IllegalArgumentException("unmeasurable")
+          }
+        }.toOption
+      }
+    }
+    require(ivals.size <= 8192,
+      s"clustering_depth is exact O(n²); ${ivals.size} entries exceed " +
+        "the 8192 cap - measure a partition subset instead")
+    if (ivals.isEmpty)
+      return one(oneRow(out, Integer.valueOf(entries.size),
+        Integer.valueOf(0), null, null, null))
+    val n = ivals.size
+    val depths = Array.fill(n)(1) // self counts: depth 1 = disjoint
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val (lo1, hi1, ord) = ivals(i)
+      val (lo2, hi2, _) = ivals(j)
+      // [lo1,hi1] ∩ [lo2,hi2] ≠ ∅ ⟺ lo1 ≤ hi2 ∧ lo2 ≤ hi1
+      if (ord.lteq(lo1, hi2) && ord.lteq(lo2, hi1)) {
+        depths(i) += 1; depths(j) += 1
+      }
+    }
+    val avg = depths.sum.toDouble / n
+    val disjoint = depths.count(_ == 1).toDouble / n
+    one(oneRow(out, Integer.valueOf(entries.size), Integer.valueOf(n),
+      java.lang.Double.valueOf(math.rint(avg * 10000) / 10000),
+      Integer.valueOf(depths.max),
+      java.lang.Double.valueOf(math.rint(disjoint * 10000) / 10000)))
   }
 }
 

@@ -230,6 +230,66 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("CALL system.clustering_depth measures range-overlap; optimize honors max_bytes") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      // 4 DISJOINT key ranges: perfectly clustered for k
+      (0 until 4).foreach { b =>
+        TxnCatalog.commitPartitions(s2, root,
+          Seq(("ev", s"batch=$b",
+            (b * 100 until (b + 1) * 100).map(i => (i.toLong, s"n$i"))
+              .toDF("k", "nm"))),
+          statsColumns = Seq("k"))
+      }
+      def depth(col: String) = s2.sql("CALL lake.system.clustering_depth(" +
+        s"table => 'ev', column => '$col')").collect().head
+      val d0 = depth("k")
+      assert(d0.getInt(0) === 4 && d0.getInt(1) === 4)
+      assert(d0.getDouble(2) === 1.0 && d0.getInt(3) === 1 &&
+        d0.getDouble(4) === 1.0, s"disjoint ranges: $d0")
+      // a stat-less column measures nothing (and says so)
+      val dn = depth("nm")
+      assert(dn.getInt(1) === 0 && dn.isNullAt(2))
+      // one full-range append ruins the depth: it overlaps all four
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "batch=all",
+          Seq(0L, 399L).map(i => (i, s"n$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      val d1 = depth("k")
+      assert(d1.getInt(3) === 5, "the spanning entry overlaps all others")
+      assert(d1.getDouble(2) === 2.6 && d1.getDouble(4) === 0.0,
+        s"avg (4*2 + 5)/5, nothing disjoint: $d1")
+
+      // optimize(max_bytes): only SUB-THRESHOLD entries fold — the
+      // already-compacted big ones are not rewritten again. Two tiny
+      // entries (2 rows each) next to four 100-row ones; the threshold
+      // sits between the sizes.
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "batch=tiny",
+          Seq(7000L, 7001L).map(i => (i, s"n$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      val sizes = TxnCatalog.snapshot(s2, root).get.entrySizes("ev")
+        .map { case (p, _, b) => p -> b.get }.toMap
+      assert(sizes("batch=all") < sizes("batch=0"))
+      val cut = sizes("batch=0") // exclusive: batch=0..3 stay
+      val r = s2.sql("CALL lake.system.optimize(table => 'ev', " +
+        s"stats_columns => 'k', max_bytes => ${cut}L)").collect().head
+      assert(r.getInt(1) === 2,
+        s"exactly the two sub-threshold entries fold: $r")
+      assert(TxnCatalog.partitions(s2, root, "ev")
+        .count(_.startsWith("batch=")) === 4,
+        "the four at-threshold entries were left alone")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 404L)
+      // an unbounded optimize still folds everything with the prefix
+      val r2 = s2.sql("CALL lake.system.optimize(table => 'ev', " +
+        "stats_columns => 'k')").collect().head
+      assert(r2.getInt(1) === 4, s"unbounded fold takes the rest: $r2")
+      assert(s2.sql("SELECT count(*) FROM lake.default.ev")
+        .collect().head.getLong(0) === 404L)
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
     withCatalog { (s2, _) =>
       val listed = s2.sql("SHOW PROCEDURES IN lake.system")
@@ -240,7 +300,7 @@ class ProcedureSpec extends GraftSuite {
         "analyze", "apply_deletes", "restore", "bucket", "create_mv",
         "refresh_mv", "tag", "drop_tag", "tags", "branch",
         "publish_branch", "drop_branch", "clone", "evolve_partitioning",
-        "add_files", "skipping"))
+        "add_files", "skipping", "clustering_depth"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
