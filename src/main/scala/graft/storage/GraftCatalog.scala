@@ -830,6 +830,29 @@ private[storage] final class GraftSqlTable(
       .flatMap(_.properties(table).get(PartitionSpec.Prop))
       .map(PartitionSpec.parse)
 
+  /** Opt-in AUTO-COMPACT (Delta's autoOptimize.autoCompact): when
+    * [[TxnCatalog.AutoCompactProp]] is declared and this append pushed
+    * the accumulated `batch=` partition count to the threshold, fold
+    * them right here with the table's declared stats/Bloom layout —
+    * micro-batch ingest stops accreting small files without a
+    * scheduled OPTIMIZE. Best-effort: the insert itself has committed;
+    * a maintenance race lost to a rival compaction changes nothing. */
+  private def autoCompactAfterAppend(s: SparkSession): Unit = {
+    val props = TxnCatalog.tableProperties(s, root, table)
+    props.get(TxnCatalog.AutoCompactProp).flatMap(_.toIntOption)
+      .filter(_ >= 2).foreach { n =>
+        val batches = TxnCatalog.partitions(s, root, table)
+          .count(_.startsWith("batch="))
+        def cols(p: String): Seq[String] = props.get(p).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        if (batches >= n)
+          try GraftProcedures.optimizeFold(s, root, table, "batch=",
+            cols(TxnCatalog.StatsColumnsProp),
+            cols(TxnCatalog.BloomColumnsProp), maxBytes = 0L)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+  }
+
   /** Report the table's enforced CHECK constraints (DESCRIBE, and
     * Spark's analyzer-side write validation). The auto `gen_<col>`
     * CHECKs are engine invariants enforced at COMMIT and are not
@@ -1326,9 +1349,11 @@ private[storage] final class GraftSqlTable(
                         Thread.sleep(math.min(200L, attempts * 20L))
                     }
                   }
-                } else
+                } else {
                   TxnCatalog.appendBatch(s, root, table,
                     java.util.UUID.randomUUID().toString.take(8), df)
+                  autoCompactAfterAppend(s)
+                }
               }
               ()
             }

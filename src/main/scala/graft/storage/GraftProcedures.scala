@@ -63,6 +63,61 @@ private[storage] object GraftProcedures {
     "drop_branch", "clone", "evolve_partitioning", "add_files", "skipping",
     "clustering_depth")
 
+  /** The optimize fold as a library call — shared by
+    * [[OptimizeProcedure]] and [[GraftSqlTable]]'s auto-compact hook:
+    * fold `prefix`-named partitions of `table` (only those under
+    * `maxBytes` recorded bytes when > 0 — an already-compacted
+    * partition stops being rewritten on every pass; entries without
+    * recorded bytes count as small, folding being the safe direction)
+    * into one compacted partition, CAS-retried against rival commits.
+    * Hidden-partitioned tables fold PER LOGICAL GROUP so the
+    * transform's per-day/bucket stat tightness survives. None when
+    * fewer than 2 partitions qualify. */
+  private[storage] def optimizeFold(s: SparkSession, root: String,
+      table: String, prefix: String, statsColumns: Seq[String],
+      bloomColumns: Seq[String], maxBytes: Long): Option[(Long, Int)] = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val small: String => Boolean =
+        if (maxBytes <= 0) _ => true
+        else {
+          val sizes = TxnCatalog.snapshot(s, root)
+            .map(_.entrySizes(table)).getOrElse(Nil)
+            .map { case (p, _, b) => p -> b }.toMap
+          p => sizes.get(p).forall(_.forall(_ < maxBytes))
+        }
+      val parts = TxnCatalog.partitions(s, root, table)
+        .filter(_.startsWith(prefix)).filter(small)
+      if (parts.size < 2) return None
+      val into = "c" + (TxnCatalog.currentTxn(s, root).getOrElse(0L) + 1)
+      try {
+        val spec = TxnCatalog.snapshot(s, root)
+          .flatMap(_.properties(table).get(PartitionSpec.Prop))
+          .map(PartitionSpec.parse).getOrElse(Nil)
+        val txn =
+          if (spec.isEmpty)
+            TxnCatalog.compactPartitions(s, root, table, parts, into,
+              statsColumns = statsColumns, bloomColumns = bloomColumns)
+          else {
+            val schema = TxnCatalog.snapshot(s, root).get
+              .readPartitions(table, parts).get.schema
+            TxnCatalog.compactPartitionsBy(s, root, table, parts,
+              PartitionSpec.groupExpr(spec, schema),
+              PartitionSpec.label(spec), statsColumns = statsColumns,
+              bloomColumns = bloomColumns)
+          }
+        return Some((txn, parts.size))
+      } catch {
+        // a rival commit moved the catalog between pin and publish —
+        // re-list against the new snapshot and retry
+        case _: java.io.IOException if attempts < 5 =>
+          Thread.sleep(attempts * 20L)
+      }
+    }
+    None // unreachable
+  }
+
   def load(root: String, ident: Identifier): Option[UnboundProcedure] = {
     val ns = ident.namespace()
     val ok = ns.isEmpty || ns.sameElements(Array("system")) ||
@@ -169,58 +224,13 @@ private[storage] final class OptimizeProcedure(root: String)
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val s = spark
     val table = str(input, 0)
-    val prefix = str(input, 1)
-    val maxBytes = input.getLong(4)
     require(table.nonEmpty, "optimize: table is required")
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      // the byte threshold consults recorded entry sizes: an already-
-      // compacted (large) partition is left alone instead of being
-      // rewritten again on every maintenance pass; entries with no
-      // recorded bytes (pre-upgrade manifests) count as small — folding
-      // is always safe, skipping a fold is the only risky direction
-      val small: String => Boolean =
-        if (maxBytes <= 0) _ => true
-        else {
-          val sizes = TxnCatalog.snapshot(s, root)
-            .map(_.entrySizes(table)).getOrElse(Nil)
-            .map { case (p, _, b) => p -> b }.toMap
-          p => sizes.get(p).forall(_.forall(_ < maxBytes))
-        }
-      val parts = TxnCatalog.partitions(s, root, table)
-        .filter(_.startsWith(prefix)).filter(small)
-      if (parts.size < 2)
-        return one(oneRow(out, null, Integer.valueOf(0)))
-      val into = "c" + (TxnCatalog.currentTxn(s, root).getOrElse(0L) + 1)
-      try {
-        // hidden-partitioned tables fold PER LOGICAL GROUP so the
-        // transform's per-day/bucket stat tightness survives OPTIMIZE
-        val spec = TxnCatalog.snapshot(s, root)
-          .flatMap(_.properties(table).get(PartitionSpec.Prop))
-          .map(PartitionSpec.parse).getOrElse(Nil)
-        val txn =
-          if (spec.isEmpty)
-            TxnCatalog.compactPartitions(s, root, table, parts, into,
-              statsColumns = csv(input, 2), bloomColumns = csv(input, 3))
-          else {
-            val schema = TxnCatalog.snapshot(s, root).get
-              .readPartitions(table, parts).get.schema
-            TxnCatalog.compactPartitionsBy(s, root, table, parts,
-              PartitionSpec.groupExpr(spec, schema),
-              PartitionSpec.label(spec), statsColumns = csv(input, 2),
-              bloomColumns = csv(input, 3))
-          }
-        return one(oneRow(out, java.lang.Long.valueOf(txn),
-          Integer.valueOf(parts.size)))
-      } catch {
-        // a rival commit moved the catalog between pin and publish —
-        // re-list against the new snapshot and retry
-        case _: java.io.IOException if attempts < 5 =>
-          Thread.sleep(attempts * 20L)
-      }
+    GraftProcedures.optimizeFold(s, root, table, str(input, 1),
+      csv(input, 2), csv(input, 3), input.getLong(4)) match {
+      case Some((txn, n)) =>
+        one(oneRow(out, java.lang.Long.valueOf(txn), Integer.valueOf(n)))
+      case None => one(oneRow(out, null, Integer.valueOf(0)))
     }
-    throw new IllegalStateException("unreachable")
   }
 }
 

@@ -1594,6 +1594,14 @@ object TxnCatalog {
   val StatsColumnsProp = "graft.stats-columns"
   /** [[StatsColumnsProp]]'s Bloom-filter counterpart. */
   val BloomColumnsProp = "graft.bloom-columns"
+
+  /** Opt-in AUTO-COMPACT for the SQL append path (Delta's
+    * autoOptimize.autoCompact): when `batch=` partitions accumulated
+    * by INSERT INTO reach this count, the insert that crossed the
+    * threshold folds them into one compacted partition right after its
+    * own commit (best-effort — a lost maintenance race never fails the
+    * insert). Declared layout (stats/Bloom columns) rides along. */
+  val AutoCompactProp = "graft.autocompact.min-batches"
   /** Table property declaring the WRITE SORT ORDER (comma-separated
     * columns — Iceberg's `write.sort-order`): every NEW data commit to
     * the table sorts its staged rows by these columns before writing,

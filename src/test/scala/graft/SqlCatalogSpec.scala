@@ -545,6 +545,39 @@ class SqlCatalogSpec extends GraftSuite {
     }
   }
 
+  test("auto-compact folds accumulated INSERT batches at the declared threshold") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      // partitioned from birth (a CREATE TABLE shell takes the
+      // whole-table snapshot path, which never accretes batches)
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "batch=seed", Seq((1L, "a"), (2L, "b")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      s2.sql("ALTER TABLE lake.default.ev SET TBLPROPERTIES (" +
+        "'graft.autocompact.min-batches' = '3', " +
+        "'graft.stats-columns' = 'k')")
+      def batches = TxnCatalog.partitions(s2, root, "ev")
+        .count(_.startsWith("batch="))
+      def compacted = TxnCatalog.partitions(s2, root, "ev")
+        .count(_.startsWith("c"))
+      s2.sql("INSERT INTO lake.default.ev VALUES (3, 'c')")
+      assert(batches === 2 && compacted === 0, "below threshold: no fold")
+      s2.sql("INSERT INTO lake.default.ev VALUES (4, 'd')")
+      assert(batches === 0 && compacted === 1,
+        "the third batch crossed the threshold and folded all three")
+      assert(s2.sql("SELECT k FROM lake.default.ev ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+      // the fold measured the declared stats columns: k still prunes
+      val snap = TxnCatalog.snapshot(s2, root).get
+      assert(snap.entrySizes("ev").nonEmpty)
+      assert(snap.partitionsWhereEq("ev", "k", 99L).isEmpty,
+        "compacted entry carries k stats - an absent key prunes")
+      // accumulation restarts below the threshold
+      s2.sql("INSERT INTO lake.default.ev VALUES (5, 'e')")
+      assert(batches === 1 && compacted === 1)
+    }
+  }
+
   test("concurrent SQL INSERTs all land: the append path's txn-race retry holds") {
     withCatalog { (s2, _) =>
       s2.sql("CREATE TABLE lake.default.ev (k BIGINT, nm STRING)")
