@@ -68,6 +68,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
   private sealed trait Facts {
     def rowCount: Option[Long]
     def nonNull(col: String): Option[Long]
+    /** Exact BigDecimal total of the per-entry recorded sums. */
+    def colSum(col: String): Option[java.math.BigDecimal]
     /** (kind, lo, hi) — kind "t" carries micros-since-epoch Longs. */
     def bounds(col: String): Option[(String, Any, Any)]
     /** Per live data entry: (column stats, row count) — the entry grain
@@ -81,6 +83,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       extends Facts {
     def rowCount: Option[Long] = idx.exactRowCount
     def nonNull(col: String): Option[Long] = idx.exactNonNullCount(col)
+    def colSum(col: String): Option[java.math.BigDecimal] =
+      idx.exactSum(col)
     def bounds(col: String): Option[(String, Any, Any)] =
       idx.exactBounds(col)
     def perEntry: Option[Seq[(Map[String, TxnCatalog.ColStat], Option[Long])]] =
@@ -105,6 +109,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     def rowCount: Option[Long] = snap.flatMap(_.rowCount(table))
     def nonNull(col: String): Option[Long] =
       snap.flatMap(_.columnNonNullCount(table, col))
+    def colSum(col: String): Option[java.math.BigDecimal] =
+      snap.flatMap(_.columnSum(table, col))
     def perEntry: Option[Seq[(Map[String, TxnCatalog.ColStat], Option[Long])]] =
       snap.flatMap(_.entryFactsClean(table))
     def bounds(col: String): Option[(String, Any, Any)] =
@@ -165,8 +171,26 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         facts.bounds(a.name).flatMap { case (kind, _, hi) =>
           convert(kind, hi, a.dataType)
         }
+      case AggregateExpression(s @ Sum(a: AttributeReference, _), _, false,
+          None, _) =>
+        facts.colSum(a.name).flatMap(convertSum(_, s.dataType))
       case _ => None
     }
+
+  /** An exact BigDecimal total → the Sum aggregate's result type, or
+    * None when it does not FIT — out-of-range keeps the scan, so the
+    * fold can never differ from the scan's own overflow behavior
+    * (wrap, null, or ANSI error — all only reachable via the scan). */
+  private def convertSum(total: java.math.BigDecimal,
+      dt: DataType): Option[Any] = dt match {
+    case LongType =>
+      try Some(total.longValueExact())
+      catch { case _: ArithmeticException => None }
+    case d: DecimalType =>
+      val dec = Decimal(total)
+      if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+    case _ => None
+  }
 
   /** Rendered stat value → the column type's INTERNAL representation.
     * Every conversion here is an exact inverse of the stat rendering
@@ -200,6 +224,20 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     * parse. */
   private def statVal(kind: String, s: String): Option[Any] =
     if (kind == "t") s.toLongOption else Some(s)
+
+  /** Canonical group-key rendering: numeric stats normalize through
+    * BigDecimal (exact for every keyable numeric — float/double are
+    * refused as keys) so the SAME value recorded under two scales keys
+    * one group. A decimal widening (`ALTER COLUMN TYPE decimal(10,0) →
+    * decimal(12,2)`) makes pre-alter entries render `5` while
+    * post-alter entries render `5.00`; raw-string keying would split
+    * one logical group into two rows with identical output values.
+    * Strings and timestamp-micros renderings are already canonical. */
+  private def canonKey(kind: String, s: String): String =
+    if (kind == "n")
+      try new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+      catch { case _: NumberFormatException => s }
+    else s
 
   /** Types usable as a GROUP key or inside a folded WHERE. Float and
     * double are refused: ±0.0 and NaN sit on the fault line between
@@ -251,6 +289,13 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     case AggregateExpression(Max(a: AttributeReference), _, false, None, _) =>
       groupBounds(es, a.name).flatMap { case (kind, _, hi) =>
         convert(kind, hi, a.dataType) }
+    case AggregateExpression(s @ Sum(a: AttributeReference, _), _, false,
+        None, _) =>
+      val per = es.map(_._1.get(a.name).flatMap(_.sum))
+      if (per.exists(_.isEmpty)) None
+      else scala.util.Try(per.flatten
+        .map(new java.math.BigDecimal(_)).reduce(_.add(_))).toOption
+        .flatMap(convertSum(_, s.dataType))
     case _ => None
   }
 
@@ -277,9 +322,9 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
           stats.get(g.name).filter(st =>
             keyableType(g.dataType) &&
               st.min == st.max && st.nulls.contains(0L) &&
-              statVal(st.kind, st.min)
+              statVal(st.kind, canonKey(st.kind, st.min))
                 .flatMap(convert(st.kind, _, g.dataType)).isDefined)
-            .map(st => (st.kind, st.min))
+            .map(st => (st.kind, canonKey(st.kind, st.min)))
         }
         if (key.exists(_.isEmpty)) None
         else Some((key.map(_.get), e))
@@ -349,6 +394,7 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     case AggregateExpression(Count(_), _, false, None, _) => Some(0L)
     case AggregateExpression(Min(_), _, false, None, _) => Some(null)
     case AggregateExpression(Max(_), _, false, None, _) => Some(null)
+    case AggregateExpression(Sum(_, _), _, false, None, _) => Some(null)
     case _ => None
   }
 

@@ -547,6 +547,52 @@ object CatalogQueries extends QueryGroup {
              |FROM customer
              |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""".stripMargin)),
 
+    // EXACT SUM METADATA FOLD: per-entry decimal(38) sums recorded in
+    // the same stats pass as min/max make `sum(col)` — ungrouped,
+    // grouped, and under a constant-column WHERE — a driver-side
+    // manifest read. `sum(revenue) GROUP BY day` over a 100 TB table
+    // costs zero file reads; the fold refuses (keeps the scan) for
+    // float/double columns (order-dependent rounding), totals outside
+    // the result type, DISTINCT, or any entry missing the stat —
+    // exact or not given, like every metadata answer. Fold pinned as
+    // a constant column off the optimized plan.
+    QueryDef(
+      "s_sql_sum_fold",
+      (s, d) => {
+        graft.plans.MetadataOnlyAgg.install(s)
+        val root = QueryFixtures.groupMetaBase(s, d)
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        // catalog-path ungrouped sum: one driver-side manifest read,
+        // pinned as constants (value + plan shape)
+        val c = s.sql(
+          s"SELECT sum(c_custkey) AS s FROM $cat.default.cust")
+        val cFolded = c.queryExecution.optimizedPlan.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        val total = c.collect().head.getLong(0)
+        // DataFrame-path grouped sum under a constant-column WHERE
+        graft.storage.GraftLake.table(s, root, "cust").get
+          .createOrReplaceTempView("sum_fold_cust")
+        val q = s.sql(
+          """SELECT c_mktsegment, sum(c_custkey) AS sum_key,
+            |  count(*) AS n_rows, min(c_custkey) AS lo_key
+            |FROM sum_fold_cust
+            |WHERE c_mktsegment <> 'FURNITURE'
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        val folded = q.queryExecution.optimizedPlan.collectLeaves()
+          .forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        q.withColumn("metadata_only", lit(folded && cFolded))
+          .withColumn("total_key", lit(total))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+             |  count(*) AS n_rows, min(c_custkey) AS lo_key,
+             |  TRUE AS metadata_only,
+             |  (SELECT CAST(sum(c_custkey) AS BIGINT) FROM customer)
+             |    AS total_key
+             |FROM customer WHERE c_mktsegment <> 'FURNITURE'
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // SKIPPING OBSERVABILITY: `CALL system.skipping(...)` dry-runs the
     // point-lookup pruning at manifest cost and reports the per-layer
     // kill counts — the 100 TB layout-audit loop (is this key worth a

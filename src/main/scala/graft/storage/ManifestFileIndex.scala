@@ -113,14 +113,25 @@ final class ManifestFileIndex(
     * applicable deletes plans anti-joins ABOVE the relation, so the
     * bare-relation match the fold requires can never see masked rows. */
   private[graft] def entryFacts: Seq[(Map[String, ColStat], Option[Long])] =
-    parts.map(p => (p._2, p._3))
+    liveRowParts.map(p => (p._2, p._3))
+
+  /** [[parts]] minus entries with a RECORDED zero row count (CREATE
+    * shells, ALTER schema batches): they hold no values and no nulls,
+    * so they contribute nothing to any metadata answer — and their
+    * missing column stats must never refuse a fold they can't affect.
+    * Entries with UNRECORDED counts stay; each helper treats unknown
+    * as fatal for its own shape. */
+  private def liveRowParts
+      : Seq[(String, Map[String, ColStat], Option[Long], Path, String)] =
+    parts.filterNot(_._3.contains(0L))
 
   /** Exact total rows behind this index, from manifest counts alone —
     * Some only when EVERY entry recorded one (the
     * [[graft.plans.MetadataOnlyAgg]] contract: exact or absent). */
   def exactRowCount: Option[Long] = {
-    val counts = parts.map(_._3)
-    if (parts.isEmpty || counts.exists(_.isEmpty)) None
+    if (parts.isEmpty) return None
+    val counts = liveRowParts.map(_._3)
+    if (counts.exists(_.isEmpty)) None
     else Some(counts.flatten.sum)
   }
 
@@ -134,7 +145,7 @@ final class ManifestFileIndex(
     * null semantics; an all-null or empty column has no stat → None. */
   def exactBounds(column: String): Option[(String, Any, Any)] = {
     if (parts.isEmpty) return None
-    val sts = parts.map(_._2.get(column))
+    val sts = liveRowParts.map(_._2.get(column))
     if (sts.exists(_.isEmpty)) return None
     val all = sts.flatten
     val kinds = all.map(_.kind).distinct
@@ -169,10 +180,23 @@ final class ManifestFileIndex(
     * no stat, disable the answer). */
   def exactNonNullCount(column: String): Option[Long] = {
     if (parts.isEmpty) return None
-    val per = parts.map { case (_, stats, rows, _, _) =>
+    val per = liveRowParts.map { case (_, stats, rows, _, _) =>
       for { r <- rows; st <- stats.get(column); n <- st.nulls } yield r - n
     }
     if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** EXACT sum of `column` from manifest stats alone — the BigDecimal
+    * total of per-entry sums, Some only when EVERY live entry carries
+    * one ([[graft.storage.TxnCatalog.Snapshot.columnSum]]'s twin on
+    * the DataFrame path; the caller range-checks against the
+    * aggregate's result type). */
+  def exactSum(column: String): Option[java.math.BigDecimal] = {
+    if (parts.isEmpty) return None
+    val per = liveRowParts.map(_._2.get(column).flatMap(_.sum))
+    if (per.exists(_.isEmpty)) None
+    else scala.util.Try(per.flatten
+      .map(new java.math.BigDecimal(_)).reduce(_ add _)).toOption
   }
 
   /** How many partitions have had their files listed so far — the

@@ -213,7 +213,8 @@ object TxnCatalog {
     * happen — probes that can't reproduce the build rendering exactly
     * never prune — so pruning stays conservative. */
   final case class ColStat(kind: String, min: String, max: String,
-      bloom: String = "", nulls: Option[Long] = None)
+      bloom: String = "", nulls: Option[Long] = None,
+      sum: Option[String] = None)
 
   /** One live manifest entry: the snapshot dir plus optional column
     * stats. Stats ride the manifest line, so they carry forward with the
@@ -298,12 +299,17 @@ object TxnCatalog {
   private def statsField(stats: Map[String, ColStat]): String =
     stats.toSeq.sortBy(_._1).map { case (c, st) =>
       val base = s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
-      // the null count rides as a 5th component; it forces the (possibly
-      // empty) bloom component so positions stay fixed
-      st.nulls match {
-        case Some(n) => s"$base:${enc(st.bloom)}:$n"
-        case None =>
-          if (st.bloom.isEmpty) base else s"$base:${enc(st.bloom)}"
+      // the null count rides as a 5th component and the exact column
+      // SUM as a 6th; each forces the (possibly empty) components
+      // before it so positions stay fixed
+      st.sum match {
+        case Some(sm) =>
+          s"$base:${enc(st.bloom)}:${st.nulls.fold("")(_.toString)}:${enc(sm)}"
+        case None => st.nulls match {
+          case Some(n) => s"$base:${enc(st.bloom)}:$n"
+          case None =>
+            if (st.bloom.isEmpty) base else s"$base:${enc(st.bloom)}"
+        }
       }
     }.mkString(";")
 
@@ -311,11 +317,14 @@ object TxnCatalog {
     field.split(';').filter(_.nonEmpty).map { item =>
       // bounded splits: an empty-string min/max must survive the parse
       val Array(name, rest) = item.split("=", 2)
-      rest.split(":", 5) match {
+      rest.split(":", 6) match {
         case Array(kind, mi, ma)     => dec(name) -> ColStat(kind, dec(mi), dec(ma))
         case Array(kind, mi, ma, bl) => dec(name) -> ColStat(kind, dec(mi), dec(ma), dec(bl))
         case Array(kind, mi, ma, bl, nn) =>
           dec(name) -> ColStat(kind, dec(mi), dec(ma), dec(bl), nn.toLongOption)
+        case Array(kind, mi, ma, bl, nn, sm) =>
+          dec(name) -> ColStat(kind, dec(mi), dec(ma), dec(bl),
+            nn.toLongOption, Some(dec(sm)))
         case _ => throw new java.io.IOException(s"corrupt stats item '$item'")
       }
     }.toMap
@@ -735,12 +744,27 @@ object TxnCatalog {
       * The metadata-only count Delta/Iceberg answer from their logs. */
     def rowCount(table: String): Option[Long] = {
       val data = dataEntries(table)
-      if (data.isEmpty || hasApplicableDeletes(table, data)) None
+      if (data.isEmpty) return None
+      // entries with a RECORDED zero row count (CREATE shells, ALTER
+      // schema batches) hold no values and no nulls: they contribute
+      // nothing to any metadata answer and must not refuse one — a
+      // delete can't mask rows from an empty entry either
+      val live = liveRowEntries(data)
+      if (hasApplicableDeletes(table, live)) None
       else {
-        val counts = data.map(_._2.rows)
+        val counts = live.map(_._2.rows)
         if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
       }
     }
+
+    /** [[dataEntries]] minus entries whose RECORDED row count is zero —
+      * the entry set every metadata-only answer folds over (an empty
+      * entry carries no stats, which must never refuse a fold it
+      * cannot affect). Entries with UNRECORDED counts stay: the caller
+      * decides whether unknown is fatal for its shape. */
+    private def liveRowEntries(data: Seq[(String, Entry)])
+        : Seq[(String, Entry)] =
+      data.filterNot(_._2.rows.contains(0L))
 
     /** Exact row count of one partition, when recorded at commit (None
       * while an equality delete may still subtract from it — a metadata
@@ -768,7 +792,7 @@ object TxnCatalog {
       * would surface it, a metadata answer must not silently differ).
       * Values keep the manifest's string rendering; bloom is empty. */
     def columnBounds(table: String, column: String): Option[ColStat] = {
-      val data = dataEntries(table)
+      val data = liveRowEntries(dataEntries(table))
       if (data.isEmpty || hasApplicableDeletes(table, data)) return None
       val sts = data.map { case (_, e) => e.stats.get(column) }
       if (sts.exists(_.isEmpty)) return None
@@ -783,7 +807,7 @@ object TxnCatalog {
       * `GROUP BY <constant-per-entry column>` from the manifest. */
     def entryFactsClean(table: String)
         : Option[Seq[(Map[String, ColStat], Option[Long])]] = {
-      val data = dataEntries(table)
+      val data = liveRowEntries(dataEntries(table))
       if (hasApplicableDeletes(table, data)) None
       else Some(data.map { case (_, e) => (e.stats, e.rows) })
     }
@@ -799,8 +823,26 @@ object TxnCatalog {
       * cost — [[columnBounds]]'s count(col) counterpart, Some only when
       * every live entry records both its row count and the column's
       * null count and no equality delete applies (exact-or-absent). */
+    /** EXACT sum of `column` across the whole table at manifest cost —
+      * Some only when every live entry recorded a sum stat (integral/
+      * decimal stats columns record one at every stats-measured commit;
+      * see sumScaleOf) and no merge-on-read delete applies. The value
+      * is the BigDecimal total of the per-entry decimal(38,s) sums —
+      * exact by construction; the CALLER decides whether it fits the
+      * aggregate's result type (exact-or-absent, like every helper
+      * here). */
+    def columnSum(table: String, column: String)
+        : Option[java.math.BigDecimal] = {
+      val data = liveRowEntries(dataEntries(table))
+      if (data.isEmpty || hasApplicableDeletes(table, data)) return None
+      val per = data.map(_._2.stats.get(column).flatMap(_.sum))
+      if (per.exists(_.isEmpty)) None
+      else scala.util.Try(per.flatten
+        .map(new java.math.BigDecimal(_)).reduce(_ add _)).toOption
+    }
+
     def columnNonNullCount(table: String, column: String): Option[Long] = {
-      val data = dataEntries(table)
+      val data = liveRowEntries(dataEntries(table))
       if (data.isEmpty || hasApplicableDeletes(table, data)) return None
       val per = data.map { case (_, e) =>
         for { r <- e.rows; st <- e.stats.get(column); n <- st.nulls }
@@ -2153,11 +2195,21 @@ object TxnCatalog {
       })).filter(_._2.nonEmpty).toMap
     def m(c: String) =
       if (kinds(c) == "t") unix_micros(col(c)) else col(c)
+    // exact per-group SUMS, same eligibility + rendering as the
+    // per-entry pass — bulk rewrites keep sum(col) folding to metadata
+    val sumScales: Map[String, Int] = kinds.keys.toSeq
+      .flatMap(c => sumScaleOf(stagedDf.schema(c).dataType).map(c -> _))
+      .toMap
     val aggs = count(lit(1)).as("rows:") +:
-      kinds.keys.toSeq.sorted.flatMap(c =>
+      (kinds.keys.toSeq.sorted.flatMap(c =>
         Seq(min(m(c)).cast("string").as(s"min:$c"),
             max(m(c)).cast("string").as(s"max:$c"),
-            count(col(c)).as(s"cnt:$c")))
+            count(col(c)).as(s"cnt:$c"))) ++
+        sumScales.toSeq.sortBy(_._1).map { case (c, sc) =>
+          org.apache.spark.sql.functions.try_sum(
+            col(c).cast(org.apache.spark.sql.types.DecimalType(38, sc)))
+            .cast("string").as(s"sum:$c")
+        })
     // the grouping key for the staged stats pass: normally the same
     // expression that partitioned the write (derivable from data
     // columns); in partNameOf mode (bulk REWRITE) the key was an
@@ -2187,7 +2239,9 @@ object TxnCatalog {
               Option(row.getAs[String](s"max:$c"))) match {
               case (Some(mi), Some(ma)) => Some(c -> ColStat(kind, mi, ma,
                 "", Some(row.getAs[Long]("rows:") -
-                  row.getAs[Long](s"cnt:$c"))))
+                  row.getAs[Long](s"cnt:$c")),
+                sum = sumScales.get(c)
+                  .flatMap(_ => Option(row.getAs[String](s"sum:$c")))))
               case _ => None
             }
           }
@@ -3382,13 +3436,60 @@ object TxnCatalog {
         .map(_.getLen).sum
     }.toOption
 
+  /** Exact row count of a just-staged entry dir from its parquet
+    * FOOTERS — driver-direct, zero cluster jobs (block counts are
+    * footer metadata; no pages are read). Used when no stats aggregate
+    * runs over the staged files (no declared stats columns, internal
+    * zero-row schema batches, delete-key lists) so EVERY entry still
+    * records its row count: `count(*)` keeps folding to the manifest
+    * after a CREATE-shell or ALTER schema batch, and zero-row entries
+    * stay attributable in the grouped folds. None when any footer
+    * fails to read — exact or absent, like every manifest stat. */
+  private def footerRowCount(spark: SparkSession,
+      path: String): Option[Long] =
+    scala.util.Try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).iterator
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map { st =>
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromStatus(st, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }.toOption
+
+  /** The decimal(38, scale) rendering scale of a column eligible for
+    * EXACT sum stats — integral types at scale 0, decimals at their own
+    * scale. 38 digits of headroom make a per-entry overflow practically
+    * unreachable (and `try_sum` nulls it out — no stat — if it happens).
+    * Float/double refuse: their scan-side sum is evaluation-order-
+    * dependent, so no recorded value could be exact-versus-scan. */
+  private def sumScaleOf(
+      dt: org.apache.spark.sql.types.DataType): Option[Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(0)
+      case d: DecimalType => Some(d.scale)
+      case _ => None
+    }
+  }
+
   private def measureStats(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
       knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : (Map[String, ColStat], Option[Long]) = {
     import org.apache.spark.sql.functions.{col, lit, max, min, unix_micros}
     import org.apache.spark.sql.types.{NumericType, StringType, TimestampType}
-    if (cols.isEmpty && bloomCols.isEmpty) return (Map.empty, None)
+    if (cols.isEmpty && bloomCols.isEmpty)
+      return (Map.empty, footerRowCount(spark, path))
     // a caller that just WROTE the files knows their schema exactly —
     // passing it skips the per-staging-dir schema-inference job (pure
     // scheduler overhead that a many-partition commit pays N times)
@@ -3404,17 +3505,27 @@ object TxnCatalog {
         case TimestampType  => "t"
         case _              => ""
       })).filter(_._2.nonEmpty).toMap
-    if (kinds.isEmpty) return (Map.empty, None)
+    if (kinds.isEmpty) return (Map.empty, footerRowCount(spark, path))
     // timestamps are measured in micros-since-epoch: an integer min/max
     // compares exactly, where the rendered-string form would be
     // session-zone- and fraction-format-sensitive
     def m(c: String) =
       if (kinds(c) == "t") unix_micros(col(c)) else col(c)
+    // exact column SUMS ride the same pass for integral/decimal stats
+    // columns (see sumScaleOf): sum(col) / grouped dashboards fold to
+    // the manifest exactly like count/min/max ([[Snapshot.columnSum]])
+    val sumScales: Map[String, Int] = kinds.keys.toSeq
+      .flatMap(c => sumScaleOf(df.schema(c).dataType).map(c -> _)).toMap
     val aggs = org.apache.spark.sql.functions.count(lit(1)).as("rows:") +:
-      kinds.keys.toSeq.sorted.flatMap(c =>
+      (kinds.keys.toSeq.sorted.flatMap(c =>
         Seq(min(m(c)).cast("string").as(s"min:$c"),
             max(m(c)).cast("string").as(s"max:$c"),
-            org.apache.spark.sql.functions.count(col(c)).as(s"cnt:$c")))
+            org.apache.spark.sql.functions.count(col(c)).as(s"cnt:$c"))) ++
+        sumScales.toSeq.sortBy(_._1).map { case (c, sc) =>
+          org.apache.spark.sql.functions.try_sum(
+            col(c).cast(org.apache.spark.sql.types.DecimalType(38, sc)))
+            .cast("string").as(s"sum:$c")
+        })
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // blooms stay n/s-only: a timestamp probe's string rendering is not
     // canonical across callers, so membership would be unreliable.
@@ -3447,7 +3558,9 @@ object TxnCatalog {
           // pass: lets IS NULL prune (nulls = 0) and count(col) fold to
           // metadata (see ManifestFileIndex / MetadataOnlyAgg)
           Some(c -> ColStat(kind, mi, ma, blooms.getOrElse(c, ""),
-            Some(row.getAs[Long]("rows:") - row.getAs[Long](s"cnt:$c"))))
+            Some(row.getAs[Long]("rows:") - row.getAs[Long](s"cnt:$c")),
+            sum = sumScales.get(c)
+              .flatMap(_ => Option(row.getAs[String](s"sum:$c")))))
         case _ => None
       }
     }

@@ -358,14 +358,27 @@ class MetadataCountSpec extends GraftSuite {
     val root = tmp("metacntdel")
     withExtSession { s2 =>
       import s2.implicits._
-      // no statsColumns -> no recorded row count -> no metadata answer
+      // no statsColumns: the row count is still recorded — driver-
+      // direct from the staged parquet footers — so count(*) folds
+      // even on tables with no declared stats columns
       TxnCatalog.commitPartitions(s2, root,
         Seq(("t", "b=0", (0 until 20).map(i => (i.toLong, s"r$i"))
           .toDF("k", "name"))))
       val lake0 = GraftLake.table(s2, root, "t").get
       val c0 = lake0.groupBy().count()
       assert(c0.collect().head.getLong(0) === 20L)
-      assert(hasScan(c0), "an uncounted entry must force the scan")
+      assert(!hasScan(c0),
+        "a stats-less commit records footer row counts — count(*) folds")
+      // a genuinely uncounted entry (un-analyzed add_files import:
+      // external files the engine never scanned) keeps the scan
+      val ext = tmp("metacntext")
+      (100 until 110).map(i => (i.toLong, s"x$i")).toDF("k", "name")
+        .coalesce(1).write.mode("overwrite").parquet(ext)
+      graft.storage.Importer.addFiles(s2, root, "t", ext)
+      val lakeI = GraftLake.table(s2, root, "t").get
+      val cI = lakeI.groupBy().count()
+      assert(cI.collect().head.getLong(0) === 30L)
+      assert(hasScan(cI), "an uncounted import must force the scan")
 
       // counted batch + applicable delete: the anti-join breaks the
       // match, the count reflects the masked rows
@@ -376,8 +389,140 @@ class MetadataCountSpec extends GraftSuite {
       TxnCatalog.deleteKeys(s2, root, "t", "k", Seq(0L, 25L).toDF("k"))
       val lake1 = GraftLake.table(s2, root, "t").get
       val c1 = lake1.groupBy().count()
-      assert(c1.collect().head.getLong(0) === 38L)
+      assert(c1.collect().head.getLong(0) === 48L)
       assert(hasScan(c1), "masked rows must never be counted from metadata")
+    }
+  }
+
+  test("sum folds to the manifest — exact, typed, refused when unsound") {
+    val root = tmp("metasum")
+    withExtSession { s2 =>
+      import s2.implicits._
+      val df = (1 to 300).map { i =>
+        (i.toLong, i, BigDecimal(i) / 4, i * 0.5,
+          Seq("A", "B", "C")(i % 3))
+      }.toDF("k", "i", "dec", "x", "seg")
+        .withColumn("dec", $"dec".cast("decimal(10,2)"))
+      TxnCatalog.commitPartitions(s2, root,
+        Seq("A", "B", "C").map(g =>
+          ("t", s"seg=$g", df.filter($"seg" === g))),
+        statsColumns = Seq("k", "i", "dec", "x", "seg"))
+      val lake = GraftLake.table(s2, root, "t").get
+      lake.createOrReplaceTempView("sum_t")
+
+      // long + decimal sums fold, bit-exact vs a real scan
+      val q = s2.sql(
+        "SELECT sum(k) AS sk, sum(dec) AS sd FROM sum_t")
+      val scan = lake.selectExpr("sum(k) AS sk", "sum(dec) AS sd")
+        .collect().head
+      assert(q.collect().head.toSeq === scan.toSeq)
+      assert(!hasScan(q), "sum(long)/sum(decimal) must fold:\n" +
+        q.queryExecution.optimizedPlan)
+      assert(q.schema("sd").dataType ===
+        org.apache.spark.sql.types.DecimalType(20, 2))
+
+      // int sums fold too (Sum's result is LongType)
+      val qi = s2.sql("SELECT sum(i) AS si FROM sum_t")
+      assert(qi.collect().head.getLong(0) === 300L * 301 / 2)
+      assert(!hasScan(qi), "sum(int) must fold:\n" +
+        qi.queryExecution.optimizedPlan)
+
+      // double sums never fold (order-dependent rounding)
+      val qx = s2.sql("SELECT sum(x) AS sx FROM sum_t")
+      assert(hasScan(qx), "sum(double) must keep the scan")
+      // DISTINCT refuses
+      assert(hasScan(s2.sql("SELECT sum(DISTINCT k) AS s FROM sum_t")),
+        "sum(DISTINCT) must keep the scan")
+
+      // grouped + filtered sums fold and match the scan exactly
+      val g = s2.sql(
+        """SELECT seg, sum(k) AS sk, sum(dec) AS sd, count(*) AS n
+          |FROM sum_t WHERE seg IN ('A', 'C')
+          |GROUP BY seg ORDER BY seg""".stripMargin)
+      val gs = lake.filter($"seg".isin("A", "C")).groupBy("seg")
+        .agg(org.apache.spark.sql.functions.sum("k").as("sk"),
+          org.apache.spark.sql.functions.sum("dec").as("sd"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("seg").collect()
+      assert(g.collect().map(_.toSeq).toSeq === gs.map(_.toSeq).toSeq)
+      assert(!hasScan(g), "grouped+filtered sum must fold:\n" +
+        g.queryExecution.optimizedPlan)
+
+      // nulls are skipped exactly like the scan's sum
+      val root2 = tmp("metasumnull")
+      val dfn = (1 to 50).map(i =>
+        (i.toLong, if (i % 5 == 0) None else Some(i.toLong)))
+        .toDF("k", "v")
+      TxnCatalog.commitPartitions(s2, root2, Seq(("t", "b=0", dfn)),
+        statsColumns = Seq("k", "v"))
+      val lake2 = GraftLake.table(s2, root2, "t").get
+      val qn = lake2.selectExpr("sum(v) AS sv")
+      assert(qn.collect().head.getLong(0) ===
+        (1 to 50).filter(_ % 5 != 0).map(_.toLong).sum)
+      assert(!hasScan(qn), "null-skipping sum must fold")
+
+      // an entry without the sum stat (stats-less commit) refuses
+      TxnCatalog.commitPartitions(s2, root2,
+        Seq(("t", "b=1", Seq((51L, Some(51L))).toDF("k", "v"))))
+      val lake3 = GraftLake.table(s2, root2, "t").get
+      val qr = lake3.selectExpr("sum(v) AS sv")
+      assert(hasScan(qr), "an entry missing the sum stat must scan")
+
+      // a total OUTSIDE the result type keeps the scan (the fold must
+      // never paper over the scan's own overflow behavior)
+      val root3 = tmp("metasumovf")
+      val big = Seq(Long.MaxValue / 2 + 1L, Long.MaxValue / 2 + 1L)
+        .toDF("k")
+      TxnCatalog.commitPartitions(s2, root3, Seq(("t", "b=0", big)),
+        statsColumns = Seq("k"))
+      val lakeO = GraftLake.table(s2, root3, "t").get
+      val qo = lakeO.selectExpr("sum(k) AS sk")
+      assert(hasScan(qo), "an over-Long total must keep the scan")
+    }
+  }
+
+  test("grouped fold survives decimal scale widening (rendered-key seam)") {
+    val root = tmp("metawiden")
+    withExtSession { s2 =>
+      val cat = s"mw${java.util.UUID.randomUUID().toString.take(8)}"
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s2.sql(s"""CREATE TABLE $cat.wt (k BIGINT, seg DECIMAL(10,0))
+                |TBLPROPERTIES ('graft.stats-columns' = 'k,seg')""".stripMargin)
+      // pre-widening entry: seg constant 5, stat rendered "5"
+      s2.sql(s"INSERT INTO $cat.wt VALUES (1, 5), (2, 5)")
+      s2.sql(s"ALTER TABLE $cat.wt ALTER COLUMN seg TYPE DECIMAL(12,2)")
+      // post-widening entry: the SAME value now renders "5.00"
+      s2.sql(s"INSERT INTO $cat.wt VALUES (3, 5.00), (4, 5.00)")
+      val q = s2.sql(
+        s"SELECT seg, count(*) AS n, min(k) AS lo FROM $cat.wt GROUP BY seg")
+      val rows = q.collect()
+      // the scan's answer: ONE group — a fold must agree or refuse
+      assert(rows.length === 1,
+        s"one logical group must yield one row, got ${rows.toSeq}")
+      assert(rows.head.getDecimal(0) ===
+        new java.math.BigDecimal("5.00"))
+      assert(rows.head.getLong(1) === 4L)
+      assert(rows.head.getLong(2) === 1L)
+      // and it must be a FOLD: the "5"-era and "5.00"-era stat
+      // renderings key one canonical group; the CREATE shell and the
+      // ALTER schema batch (recorded zero rows) don't refuse it
+      def v2Scan(dfq: org.apache.spark.sql.DataFrame): Boolean =
+        dfq.queryExecution.optimizedPlan.collectLeaves().exists {
+          case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+          case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => true
+          case _ => false
+        }
+      assert(!v2Scan(q),
+        "grouped fold must survive a decimal widening:\n" +
+          q.queryExecution.optimizedPlan)
+      // ungrouped count(*) folds across the shell + schema batches too
+      val c = s2.sql(s"SELECT count(*) AS n FROM $cat.wt")
+      assert(c.collect().head.getLong(0) === 4L)
+      assert(!v2Scan(c),
+        "count(*) must fold past zero-row schema entries:\n" +
+          c.queryExecution.optimizedPlan)
     }
   }
 }

@@ -559,7 +559,8 @@ class StorageSpec extends GraftSuite {
       statsColumns = Seq("ID", "INDICE"))
     val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
     assert(snap.stats("facts", "b=0")("ID") ===
-      graft.storage.TxnCatalog.ColStat("n", "1", "10", "", Some(0L)))
+      graft.storage.TxnCatalog.ColStat("n", "1", "10", "", Some(0L),
+        Some("55")))
     assert(snap.stats("facts", "b=2")("INDICE").kind === "s")
     // numeric bound touching one batch prunes the other two
     assert(snap.partitionsWhere("facts", "ID", 12.0, 15.0) === Seq("b=1"))
@@ -664,7 +665,8 @@ class StorageSpec extends GraftSuite {
       .as[(Long, String)].collect().toSet === before)
     val snap = graft.storage.TxnCatalog.snapshot(spark, root).get
     assert(snap.stats("docs", "compact=1")("ID") ===
-      graft.storage.TxnCatalog.ColStat("n", "0", "2", "", Some(0L)))
+      graft.storage.TxnCatalog.ColStat("n", "0", "2", "", Some(0L),
+        Some("3")))
     val dataDir = new java.io.File(s"$root/docs/compact=1").listFiles()
       .filter(_.getName.startsWith("v=")).head
     assert(dataDir.listFiles().count(_.getName.startsWith("part-")) === 1)
@@ -1190,10 +1192,12 @@ class StorageSpec extends GraftSuite {
       statsColumns = Seq("ID"))
     val snap2 = T.snapshot(spark, root).get
     assert(snap2.rowCount("t") === Some(5L))
-    // …but one stat-less entry makes both answers None, never a guess
+    // a stat-less entry still records its ROW COUNT (driver-direct
+    // from the staged footers), so count(*) keeps folding — but the
+    // column answers refuse: no stat, no guess
     T.commitPartitions(spark, root, Seq(("t", "batch=2", b(2L))))
     val snap3 = T.snapshot(spark, root).get
-    assert(snap3.rowCount("t") === None)
+    assert(snap3.rowCount("t") === Some(6L))
     assert(snap3.columnBounds("t", "ID") === None)
     assert(snap3.rowCount("missing") === None)
     // numeric fold is exact past 2^53 (BigDecimal, not double)
