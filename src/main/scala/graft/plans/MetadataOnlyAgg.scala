@@ -174,8 +174,48 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       case AggregateExpression(s @ Sum(a: AttributeReference, _), _, false,
           None, _) =>
         facts.colSum(a.name).flatMap(convertSum(_, s.dataType))
+      case AggregateExpression(av: Average, _, false, None, _)
+          if avgFoldable(av) =>
+        val a = av.child.asInstanceOf[AttributeReference]
+        for {
+          total <- facts.colSum(a.name)
+          n <- facts.nonNull(a.name)
+          v <- evalAverage(av, total, n)
+        } yield v
       case _ => None
     }
+
+  /** avg folds ONLY for decimal columns: Spark sums integral and
+    * floating averages in a DOUBLE buffer, which is evaluation-order-
+    * dependent — no recorded total could reproduce a scan's value
+    * bit-for-bit. A decimal child keeps exact decimal arithmetic end
+    * to end. */
+  private def avgFoldable(av: Average): Boolean =
+    av.child.isInstanceOf[AttributeReference] &&
+      av.child.dataType.isInstanceOf[DecimalType]
+
+  /** avg(decimal) from the manifest by evaluating Spark's OWN
+    * [[Average.evaluateExpression]] with the exact recorded total and
+    * non-null count substituted for the sum/count buffer attributes —
+    * the division, precision, and rounding semantics are Spark's by
+    * construction, never a re-implementation that could drift. Refuses
+    * when the total does not fit the sum buffer type (there the scan
+    * itself overflows) or when evaluation fails (ANSI overflow — the
+    * scan surfaces it, a fold must not preempt it). */
+  private def evalAverage(av: Average, total: java.math.BigDecimal,
+      n: Long): Option[Any] = av.sumDataType match {
+    case sdt: DecimalType =>
+      val sumDec = Decimal(total)
+      if (!sumDec.changePrecision(sdt.precision, sdt.scale)) return None
+      val sub = av.evaluateExpression.transform {
+        case r: AttributeReference if r.exprId == av.sum.exprId =>
+          Literal(sumDec, sdt)
+        case r: AttributeReference if r.exprId == av.count.exprId =>
+          Literal(n, LongType)
+      }
+      scala.util.Try(Option(sub.eval(null))).toOption.flatten
+    case _ => None
+  }
 
   /** An exact BigDecimal total → the Sum aggregate's result type, or
     * None when it does not FIT — out-of-range keeps the scan, so the
@@ -291,12 +331,29 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         convert(kind, hi, a.dataType) }
     case AggregateExpression(s @ Sum(a: AttributeReference, _), _, false,
         None, _) =>
-      val per = es.map(_._1.get(a.name).flatMap(_.sum))
-      if (per.exists(_.isEmpty)) None
-      else scala.util.Try(per.flatten
-        .map(new java.math.BigDecimal(_)).reduce(_.add(_))).toOption
-        .flatMap(convertSum(_, s.dataType))
+      groupSum(es, a.name).flatMap(convertSum(_, s.dataType))
+    case AggregateExpression(av: Average, _, false, None, _)
+        if avgFoldable(av) =>
+      val a = av.child.asInstanceOf[AttributeReference]
+      val nn = es.map { case (st, r) =>
+        for { rr <- r; s <- st.get(a.name); n <- s.nulls } yield rr - n }
+      for {
+        total <- groupSum(es, a.name)
+        n <- if (nn.exists(_.isEmpty)) None else Some(nn.flatten.sum)
+        v <- evalAverage(av, total, n)
+      } yield v
     case _ => None
+  }
+
+  /** Exact BigDecimal total of one group's recorded per-entry sums —
+    * Some only when EVERY entry carries one. */
+  private def groupSum(
+      es: Seq[(Map[String, TxnCatalog.ColStat], Option[Long])],
+      col: String): Option[java.math.BigDecimal] = {
+    val per = es.map(_._1.get(col).flatMap(_.sum))
+    if (per.exists(_.isEmpty)) None
+    else scala.util.Try(per.flatten
+      .map(new java.math.BigDecimal(_)).reduce(_.add(_))).toOption
   }
 
   /** `GROUP BY <constant-per-entry columns>` answered from the
@@ -395,6 +452,9 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     case AggregateExpression(Min(_), _, false, None, _) => Some(null)
     case AggregateExpression(Max(_), _, false, None, _) => Some(null)
     case AggregateExpression(Sum(_, _), _, false, None, _) => Some(null)
+    // avg over ZERO rows is NULL for every child type — no arithmetic,
+    // no rounding concern, so the empty arm need not be decimal-only
+    case AggregateExpression(_: Average, _, false, None, _) => Some(null)
     case _ => None
   }
 

@@ -469,6 +469,42 @@ class MetadataCountSpec extends GraftSuite {
       val qr = lake3.selectExpr("sum(v) AS sv")
       assert(hasScan(qr), "an entry missing the sum stat must scan")
 
+      // avg(decimal) folds by evaluating Spark's OWN average tree with
+      // the manifest totals substituted — bit-exact on rounding-
+      // sensitive values (1/3, 1/7 at scale s+4); avg over double or
+      // integral children refuses (double sum buffer, order-dependent)
+      val rootA = tmp("metaavg")
+      val dfa = (1 to 100).map { i =>
+        (i.toLong, BigDecimal(i) / 7, i * 0.5,
+          Seq("A", "B")(i % 2))
+      }.toDF("k", "dec", "x", "seg")
+        .withColumn("dec", $"dec".cast("decimal(12,3)"))
+      TxnCatalog.commitPartitions(s2, rootA,
+        Seq("A", "B").map(g =>
+          ("t", s"seg=$g", dfa.filter($"seg" === g))),
+        statsColumns = Seq("k", "dec", "x", "seg"))
+      val lakeA = GraftLake.table(s2, rootA, "t").get
+      lakeA.createOrReplaceTempView("avg_t")
+      val qa = s2.sql("SELECT avg(dec) AS ad FROM avg_t")
+      val scanA = lakeA.selectExpr("avg(dec) AS ad").collect().head
+      assert(qa.collect().head.toSeq === scanA.toSeq)
+      assert(!hasScan(qa), "avg(decimal) must fold:\n" +
+        qa.queryExecution.optimizedPlan)
+      val qg = s2.sql(
+        """SELECT seg, avg(dec) AS ad, sum(dec) AS sd FROM avg_t
+          |GROUP BY seg ORDER BY seg""".stripMargin)
+      val scanG = lakeA.groupBy("seg")
+        .agg(org.apache.spark.sql.functions.avg("dec").as("ad"),
+          org.apache.spark.sql.functions.sum("dec").as("sd"))
+        .orderBy("seg").collect()
+      assert(qg.collect().map(_.toSeq).toSeq === scanG.map(_.toSeq).toSeq)
+      assert(!hasScan(qg), "grouped avg(decimal) must fold:\n" +
+        qg.queryExecution.optimizedPlan)
+      assert(hasScan(s2.sql("SELECT avg(x) AS a FROM avg_t")),
+        "avg(double) must keep the scan")
+      assert(hasScan(s2.sql("SELECT avg(k) AS a FROM avg_t")),
+        "avg(bigint) sums in a double buffer — must keep the scan")
+
       // a total OUTSIDE the result type keeps the scan (the fold must
       // never paper over the scan's own overflow behavior)
       val root3 = tmp("metasumovf")
