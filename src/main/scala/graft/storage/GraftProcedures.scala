@@ -61,7 +61,7 @@ private[storage] object GraftProcedures {
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
     "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
     "drop_branch", "clone", "evolve_partitioning", "add_files", "skipping",
-    "clustering_depth")
+    "clustering_depth", "fold_report")
 
   /** The optimize fold as a library call — shared by
     * [[OptimizeProcedure]] and [[GraftSqlTable]]'s auto-compact hook:
@@ -152,6 +152,7 @@ private[storage] object GraftProcedures {
       case "add_files" => Some(new AddFilesProcedure(root))
       case "skipping" => Some(new SkippingProcedure(root))
       case "clustering_depth" => Some(new ClusteringDepthProcedure(root))
+      case "fold_report" => Some(new FoldReportProcedure(root))
       case _          => None
     }
   }
@@ -402,6 +403,111 @@ private[storage] final class SkippingProcedure(root: String)
   * O(n²) over entries, refused above 8192 (at that scale run it on a
   * partition-name subset instead). Returns `(entries_total,
   * entries_measured, avg_depth, max_depth, disjoint_pct)`. */
+/** `CALL cat.system.fold_report(table => 't' [, columns => 'a,b'])`:
+  * which metadata-only aggregates can fold RIGHT NOW, and what blocks
+  * the ones that can't — the debugging loop behind "why does my
+  * count(*) scan?" on a 100 TB table, at manifest cost. One row per
+  * aspect: `count(*)`, then per column `min/max(c)` / `count(c)` /
+  * `sum(c)` / `avg(c)`, each with a FOLDABLE flag computed by the SAME
+  * Snapshot helpers [[graft.plans.MetadataOnlyAgg]] answers from (the
+  * report can never disagree with the rewrite) and, when blocked, a
+  * human-readable blocker naming the remedy: entries missing counts or
+  * stats → `analyze`, pending merge-on-read deletes → `apply_deletes`,
+  * float/double columns → by design (order-dependent scan arithmetic).
+  * `columns` defaults to the table's declared stats columns. */
+private[storage] final class FoldReportProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "fold_report"
+  override def description(): String =
+    "which metadata aggregates fold, and what blocks the ones that don't"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("table", StringType),
+    param("columns", StringType, "''",
+      "comma-separated; defaults to the declared stats columns"))
+
+  private val out = StructType(Seq(
+    StructField("aspect", StringType, nullable = false),
+    StructField("foldable", BooleanType, nullable = false),
+    StructField("blocker", StringType, nullable = true)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val table = str(input, 0)
+    require(table.nonEmpty, "fold_report: table is required")
+    val snap = TxnCatalog.snapshot(s, root).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $root"))
+    val cols = {
+      val asked = csv(input, 1)
+      if (asked.nonEmpty) asked
+      else snap.properties(table).get(TxnCatalog.StatsColumnsProp)
+        .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    }
+    val entries = snap.dataEntries(table)
+    val live = entries.filterNot(_._2.rows.contains(0L))
+    val deletes = snap.deleteEntries(table)
+    val pendingDel = deletes.exists { case (_, txn, _, _) =>
+      live.exists { case (_, e) => txn > TxnCatalog.entryDataTxn(e) } }
+    val schema = GraftLake.schemaOf(s, root, table, snap)
+    def typeOf(c: String) = schema.flatMap(_.fields.find(_.name == c))
+      .map(_.dataType)
+    def row(aspect: String, ok: Boolean, blocker: Option[String]) =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(aspect),
+        java.lang.Boolean.valueOf(ok),
+        (if (ok) None else blocker).map(UTF8String.fromString).orNull))
+    def deletesBlocker: Option[String] =
+      if (pendingDel) Some("pending merge-on-read deletes mask rows " +
+        "(CALL system.apply_deletes)") else None
+    def missing(n: Int, what: String): Option[String] =
+      if (n > 0) Some(s"$n of ${live.size} entries missing $what " +
+        "(CALL system.analyze)") else None
+    val rows = Seq.newBuilder[InternalRow]
+    // count(*): every live entry needs a recorded row count
+    val noCount = live.count(_._2.rows.isEmpty)
+    rows += row("count(*)", snap.rowCount(table).isDefined,
+      deletesBlocker.orElse(missing(noCount, "row counts")).orElse(
+        if (entries.isEmpty) Some("no data entries") else None))
+    for (c <- cols) {
+      val isFp = typeOf(c).exists(dt =>
+        dt == org.apache.spark.sql.types.DoubleType ||
+          dt == org.apache.spark.sql.types.FloatType)
+      val noStat = live.count(!_._2.stats.contains(c))
+      val noNulls = live.count(_._2.stats.get(c).exists(_.nulls.isEmpty))
+      val noSum = live.count(_._2.stats.get(c).exists(_.sum.isEmpty))
+      val statBlock = deletesBlocker
+        .orElse(missing(noStat, s"'$c' stats"))
+      rows += row(s"min/max($c)",
+        snap.columnBounds(table, c).isDefined,
+        statBlock.orElse(Some(
+          "stat bounds unparseable (NaN/Infinity or mixed kinds)")))
+      rows += row(s"count($c)",
+        snap.columnNonNullCount(table, c).isDefined,
+        statBlock.orElse(missing(noCount, "row counts"))
+          .orElse(missing(noNulls, s"'$c' null counts")))
+      val sumOk = snap.columnSum(table, c).isDefined && !isFp
+      rows += row(s"sum($c)", sumOk,
+        if (isFp) Some("float/double sums are evaluation-order-" +
+          "dependent — never folds, by design")
+        else statBlock.orElse(missing(noSum, s"'$c' sum stats")))
+      val isDec = typeOf(c).exists(
+        _.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      rows += row(s"avg($c)",
+        sumOk && isDec && snap.columnNonNullCount(table, c).isDefined,
+        if (isFp) Some("float/double averages are evaluation-order-" +
+          "dependent — never folds, by design")
+        else if (!isDec) Some("non-decimal averages sum in a double " +
+          "buffer — never folds, by design")
+        else statBlock.orElse(missing(noSum, s"'$c' sum stats"))
+          .orElse(missing(noNulls, s"'$c' null counts")))
+    }
+    one(manyRows(out, rows.result()))
+  }
+}
+
 private[storage] final class ClusteringDepthProcedure(root: String)
     extends UnboundProcedure with BoundProcedure {
   import GraftProcedures._

@@ -290,6 +290,68 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("CALL system.fold_report names what folds and what blocks it") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      s2.sql("""CREATE TABLE lake.default.ft (
+        |k BIGINT, d DECIMAL(10,2), x DOUBLE)
+        |TBLPROPERTIES ('graft.stats-columns' = 'k,d,x')""".stripMargin)
+      s2.sql("INSERT INTO lake.default.ft VALUES " +
+        "(1, 1.50, 0.5), (2, 2.25, 1.5)")
+      def report() = s2.sql(
+        "CALL lake.system.fold_report(table => 'ft')").collect()
+        .map(r => r.getString(0) ->
+          ((r.getBoolean(1), Option(r.getString(2))))).toMap
+      val r0 = report()
+      // everything the plane supports folds on a healthy table
+      assert(r0("count(*)") === ((true, None)))
+      assert(r0("min/max(k)") === ((true, None)))
+      assert(r0("count(k)") === ((true, None)))
+      assert(r0("sum(k)") === ((true, None)))
+      assert(r0("sum(d)") === ((true, None)))
+      assert(r0("avg(d)") === ((true, None)))
+      // by-design refusals name themselves
+      assert(r0("sum(x)")._1 === false)
+      assert(r0("sum(x)")._2.get.contains("order-dependent"))
+      assert(r0("avg(k)")._1 === false)
+      assert(r0("avg(k)")._2.get.contains("double buffer"))
+      // a pending merge-on-read delete darkens every answer, naming
+      // the remedy
+      s2.sql("DELETE FROM lake.default.ft WHERE k = 1")
+      val r1 = report()
+      assert(r1("count(*)")._1 === false)
+      assert(r1("count(*)")._2.get.contains("apply_deletes"))
+      assert(r1("sum(k)")._1 === false)
+      s2.sql("CALL lake.system.apply_deletes(table => 'ft')")
+      val r2 = report()
+      assert(r2("count(*)") === ((true, None)),
+        s"applied deletes restore the fold: ${r2("count(*)")}")
+      assert(r2("sum(k)") === ((true, None)))
+      // a table with NO declared stats columns: footer counts keep
+      // count(*) foldable, column answers point at analyze — which
+      // heals them (explicit `columns` restricts the report's rows)
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("fu", "b=0", (1 to 20).map(i => (i.toLong, s"n$i"))
+          .toDF("k", "nm"))))
+      def reportFu() = s2.sql(
+        "CALL lake.system.fold_report(table => 'fu', columns => 'k')")
+        .collect().map(r => r.getString(0) ->
+          ((r.getBoolean(1), Option(r.getString(2))))).toMap
+      val r3 = reportFu()
+      assert(r3("count(*)")._1 === true,
+        "footer counts keep count(*) foldable even without stats")
+      assert(r3("min/max(k)")._1 === false)
+      assert(r3("min/max(k)")._2.get.contains("analyze"))
+      assert(!r3.contains("min/max(nm)"), "explicit columns restrict rows")
+      s2.sql(
+        "CALL lake.system.analyze(table => 'fu', stats_columns => 'k')")
+      val r4 = reportFu()
+      assert(r4("min/max(k)") === ((true, None)))
+      assert(r4("sum(k)") === ((true, None)),
+        "analyze backfills sum stats too")
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
     withCatalog { (s2, _) =>
       val listed = s2.sql("SHOW PROCEDURES IN lake.system")
@@ -300,7 +362,7 @@ class ProcedureSpec extends GraftSuite {
         "analyze", "apply_deletes", "restore", "bucket", "create_mv",
         "refresh_mv", "tag", "drop_tag", "tags", "branch",
         "publish_branch", "drop_branch", "clone", "evolve_partitioning",
-        "add_files", "skipping", "clustering_depth"))
+        "add_files", "skipping", "clustering_depth", "fold_report"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
