@@ -323,6 +323,21 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       val per = es.map { case (st, r) =>
         for { rr <- r; s <- st.get(a.name); n <- s.nulls } yield rr - n }
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    // count(DISTINCT c) when EVERY entry holds c constant (recorded
+    // min == max): the distinct set is exactly the distinct canonical
+    // renderings — "how many days does this table span" at manifest
+    // cost. Nulls don't disturb it (DISTINCT skips them; a stat's
+    // presence pins the one non-null value); an entry with NO stat
+    // could be all-null or unmeasured — indistinguishable, so refuse.
+    case AggregateExpression(Count(Seq(a: AttributeReference)), _, true,
+        None, _) =>
+      val keys = es.map(_._1.get(a.name).filter(st =>
+        keyableType(a.dataType) && st.min == st.max &&
+          statVal(st.kind, canonKey(st.kind, st.min))
+            .flatMap(convert(st.kind, _, a.dataType)).isDefined)
+        .map(st => (st.kind, canonKey(st.kind, st.min))))
+      if (keys.exists(_.isEmpty)) None
+      else Some(keys.flatten.distinct.size.toLong)
     case AggregateExpression(Min(a: AttributeReference), _, false, None, _) =>
       groupBounds(es, a.name).flatMap { case (kind, lo, _) =>
         convert(kind, lo, a.dataType) }
@@ -448,7 +463,8 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     * result SQL mandates: count = 0, min/max = NULL. */
   private def emptyAggValue(e: Expression): Option[Any] = e match {
     case Alias(c, _) => emptyAggValue(c)
-    case AggregateExpression(Count(_), _, false, None, _) => Some(0L)
+    // count over ZERO rows is 0, DISTINCT or not
+    case AggregateExpression(Count(_), _, _, None, _) => Some(0L)
     case AggregateExpression(Min(_), _, false, None, _) => Some(null)
     case AggregateExpression(Max(_), _, false, None, _) => Some(null)
     case AggregateExpression(Sum(_, _), _, false, None, _) => Some(null)
@@ -495,12 +511,18 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       factsOf(base) match {
         case None => agg
         case Some(facts) if condOpt.isEmpty && groups.isEmpty =>
-          // whole-table facts: cheaper, and the long-proven arm
+          // whole-table facts: cheaper, and the long-proven arm; shapes
+          // only the ENTRY grain can answer (count(DISTINCT c) over a
+          // constant-per-entry column) fall back to the grouped
+          // machinery with an empty key
           val vals = exprs.map(foldValue(_, facts))
           if (vals.forall(_.isDefined))
             LocalRelation(agg.output,
               Seq(InternalRow.fromSeq(vals.map(_.get))))
-          else agg
+          else (for {
+            entries <- facts.perEntry
+            rows <- foldFiltered(Nil, exprs, entries)
+          } yield LocalRelation(agg.output, rows)).getOrElse(agg)
         case Some(facts) =>
           (for {
             entries <- facts.perEntry

@@ -562,13 +562,17 @@ object CatalogQueries extends QueryGroup {
         graft.plans.MetadataOnlyAgg.install(s)
         val root = QueryFixtures.groupMetaBase(s, d)
         val cat = QueryFixtures.sqlCatalog(s, root)
-        // catalog-path ungrouped sum: one driver-side manifest read,
-        // pinned as constants (value + plan shape)
+        // catalog-path ungrouped sum + count(DISTINCT segment): one
+        // driver-side manifest read each, pinned as constants (value +
+        // plan shape)
         val c = s.sql(
-          s"SELECT sum(c_custkey) AS s FROM $cat.default.cust")
+          s"""SELECT sum(c_custkey) AS s,
+             |  count(DISTINCT c_mktsegment) AS nseg
+             |FROM $cat.default.cust""".stripMargin)
         val cFolded = c.queryExecution.optimizedPlan.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
-        val total = c.collect().head.getLong(0)
+        val cRow = c.collect().head
+        val (total, nseg) = (cRow.getLong(0), cRow.getLong(1))
         // DataFrame-path grouped sum under a constant-column WHERE
         graft.storage.GraftLake.table(s, root, "cust").get
           .createOrReplaceTempView("sum_fold_cust")
@@ -583,13 +587,16 @@ object CatalogQueries extends QueryGroup {
             org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
         q.withColumn("metadata_only", lit(folded && cFolded))
           .withColumn("total_key", lit(total))
+          .withColumn("n_segments", lit(nseg))
       },
       Some("""SELECT c_mktsegment,
              |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
              |  count(*) AS n_rows, min(c_custkey) AS lo_key,
              |  TRUE AS metadata_only,
              |  (SELECT CAST(sum(c_custkey) AS BIGINT) FROM customer)
-             |    AS total_key
+             |    AS total_key,
+             |  (SELECT count(DISTINCT c_mktsegment) FROM customer)
+             |    AS n_segments
              |FROM customer WHERE c_mktsegment <> 'FURNITURE'
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 

@@ -469,6 +469,22 @@ class MetadataCountSpec extends GraftSuite {
       val qr = lake3.selectExpr("sum(v) AS sv")
       assert(hasScan(qr), "an entry missing the sum stat must scan")
 
+      // count(DISTINCT c) over a constant-per-entry column folds: the
+      // distinct set is exactly the distinct canonical renderings —
+      // ungrouped (the entry-grain fallback), filtered, and the
+      // non-constant refusal
+      val qd = s2.sql("SELECT count(DISTINCT seg) AS n FROM sum_t")
+      assert(qd.collect().head.getLong(0) === 3L)
+      assert(!hasScan(qd), "count(DISTINCT constant-col) must fold:\n" +
+        qd.queryExecution.optimizedPlan)
+      val qdf = s2.sql(
+        "SELECT count(DISTINCT seg) AS n FROM sum_t WHERE seg <> 'B'")
+      assert(qdf.collect().head.getLong(0) === 2L)
+      assert(!hasScan(qdf), "filtered count(DISTINCT) must fold")
+      assert(hasScan(
+        s2.sql("SELECT count(DISTINCT k) AS n FROM sum_t")),
+        "count(DISTINCT) over a non-constant column must scan")
+
       // avg(decimal) folds by evaluating Spark's OWN average tree with
       // the manifest totals substituted — bit-exact on rounding-
       // sensitive values (1/3, 1/7 at scale s+4); avg over double or
