@@ -299,17 +299,40 @@ private[storage] final class VacuumProcedure(root: String)
   override def parameters(): Array[ProcedureParameter] = Array(
     param("keep", IntegerType, "1", "txns to retain, newest first"),
     param("min_age_ms", LongType, "0",
-      "reclaim only txns whose successor is at least this old"))
+      "reclaim only txns whose successor is at least this old"),
+    param("dry_run", BooleanType, "false",
+      "list what WOULD be reclaimed, touch nothing"))
 
   private val out = StructType(Seq(
     StructField("reclaimed_txns", IntegerType, nullable = false),
     StructField("kept_txns", IntegerType, nullable = false)))
 
+  private val dryOut = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = true)))
+
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val s = spark
+    val (keep, minAge) = (input.getInt(0), input.getLong(1))
+    if (input.getBoolean(2)) {
+      // DRY RUN (Delta's VACUUM ... DRY RUN): the exact plan the real
+      // vacuum would execute — audit it, then run without the flag
+      val conf = s.sessionState.newHadoopConf()
+      val rows = TxnCatalog.vacuumPlan(s, root, keep, minAge)
+        .map { case (kind, p) =>
+          val bytes = scala.util.Try(
+            p.getFileSystem(conf).getContentSummary(p).getLength)
+            .toOption
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(kind),
+            UTF8String.fromString(p.toString),
+            bytes.map(java.lang.Long.valueOf).orNull))
+        }
+      return one(manyRows(dryOut, rows))
+    }
     val before = TxnCatalog.txns(s, root).size
-    TxnCatalog.vacuum(s, root, keep = input.getInt(0),
-      minAgeMs = input.getLong(1))
+    TxnCatalog.vacuum(s, root, keep = keep, minAgeMs = minAge)
     val after = TxnCatalog.txns(s, root).size
     one(oneRow(out, Integer.valueOf(before - after), Integer.valueOf(after)))
   }

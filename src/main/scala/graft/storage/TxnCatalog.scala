@@ -4270,16 +4270,27 @@ object TxnCatalog {
     * once its successor has been committed at least that long, and an
     * orphan staging dir only once it has sat unreferenced that long (its
     * writer may still be mid-job after losing the race). */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 1,
-      minAgeMs: Long = 0L): Unit = {
+  /** Everything [[vacuum]] with the same arguments WOULD remove,
+    * without removing it — `(kind, path)` pairs: `"data"` (owned entry
+    * dirs of dropped txns no surviving manifest references), `"orphan"`
+    * (unreferenced `v=` staging dirs), `"staging"` (crashed bulk-load
+    * dirs), `"manifest"` (the dropped txn files themselves). The
+    * safety loop before an irreversible delete on a 100 TB lake:
+    * audit the list (`CALL system.vacuum(dry_run => true)`), then run
+    * the real one. Computed by the SAME liveness/retention/tag-pinning
+    * rules as the delete path — [[vacuum]] executes exactly this plan,
+    * so the dry run can never disagree with the real run against the
+    * same catalog state. */
+  def vacuumPlan(spark: SparkSession, root: String, keep: Int = 1,
+      minAgeMs: Long = 0L): Seq[(String, Path)] = {
     require(keep >= 1, "must keep at least the current txn")
     val f = fs(spark, root)
     val tdir = new Path(txnsDir(root))
-    if (!f.exists(tdir)) return
+    if (!f.exists(tdir)) return Nil
     val committed = f.listStatus(tdir).toSeq.map(_.getPath.getName)
       .filterNot(_.startsWith("."))
       .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
-    if (committed.isEmpty) return
+    if (committed.isEmpty) return Nil
     val now = System.currentTimeMillis()
     def successorAge(t: Long): Long = {
       val next = committed.find(_ > t).get
@@ -4300,14 +4311,18 @@ object TxnCatalog {
     val live: Set[String] = survivors
       .flatMap(t => manifest(f, root, t).toSeq.map { case ((tab, p), e) =>
         entryPath(root, tab, p, e.dir) }).toSet
+    val plan = Seq.newBuilder[(String, Path)]
+    val planned = scala.collection.mutable.Set.empty[Path]
+    def add(kind: String, p: Path): Unit =
+      if (planned.add(p)) plan += (kind -> p)
     dropped.foreach { t =>
       manifest(f, root, t).foreach { case ((tab, p), e) =>
         // external (~ext:) data is never owned: forget, don't delete
         if (!e.dir.startsWith(ExtPrefix) &&
             !live.contains(entryPath(root, tab, p, e.dir)))
-          f.delete(new Path(entryPath(root, tab, p, e.dir)), true)
+          add("data", new Path(entryPath(root, tab, p, e.dir)))
       }
-      f.delete(new Path(tdir, t.toString), false)
+      add("manifest", new Path(tdir, t.toString))
     }
     // orphans: unreferenced v=<n>.<nonce> dirs at committed txn numbers,
     // at both grains (whole-table dirs and per-partition dirs)
@@ -4324,7 +4339,9 @@ object TxnCatalog {
         // VersionedTable.vacuum): never delete a possibly-still-writing
         // loser's staging dir inside the window
         .filter(s => minAgeMs <= 0L || now - s.getModificationTime >= minAgeMs)
-        .foreach(s => f.delete(s.getPath, true))
+        // a dir can be both a dropped txn's dead data AND unreferenced:
+        // `add` plans it once, under the more specific "data" kind
+        .foreach(s => add("orphan", s.getPath))
     // crashed bulk-load staging dirs (.bulk.<n>.<nonce>): nothing ever
     // references them once <n> is committed — same retention window as
     // other orphans (the writer may still be mid-job after losing)
@@ -4337,7 +4354,7 @@ object TxnCatalog {
           scala.util.Try(base.toLong).toOption.exists(_ <= maxCommitted)
         }
         .filter(s => minAgeMs <= 0L || now - s.getModificationTime >= minAgeMs)
-        .foreach(s => f.delete(s.getPath, true))
+        .foreach(s => add("staging", s.getPath))
     f.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
       .foreach { tdirStatus =>
@@ -4352,5 +4369,21 @@ object TxnCatalog {
             reclaimOrphans(pdir.getPath, d => s"$root/$tab/$part/$d")
           }
       }
+    plan.result()
+  }
+
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1,
+      minAgeMs: Long = 0L): Unit = {
+    val f = fs(spark, root)
+    // data/orphan/staging dirs first, dropped manifests LAST: a crash
+    // mid-vacuum leaves manifests whose data is partially gone — but
+    // those txns are already outside the retention window (no reader
+    // may pin them), and the next vacuum re-plans and finishes. The
+    // reverse order could drop a manifest while a parallel planner
+    // still counts its dirs as owned.
+    val plan = vacuumPlan(spark, root, keep, minAgeMs)
+    val (manifests, dirs) = plan.partition(_._1 == "manifest")
+    dirs.foreach { case (_, p) => f.delete(p, true) }
+    manifests.foreach { case (_, p) => f.delete(p, false) }
   }
 }

@@ -352,6 +352,49 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("vacuum dry_run lists the exact reclamation plan, touches nothing") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      (0 until 3).foreach { i =>
+        TxnCatalog.commitPartitions(s2, root,
+          Seq(("v", s"b=$i",
+            (0 until 10).map(j => ((i * 10 + j).toLong, s"r$i$j"))
+              .toDF("k", "nm"))))
+      }
+      // compaction strands the three small dirs once their txns drop
+      TxnCatalog.compactPartitions(s2, root, "v",
+        Seq("b=0", "b=1", "b=2"), "c=0")
+      val txnsBefore = TxnCatalog.txns(s2, root).size
+      val dry = s2.sql(
+        "CALL lake.system.vacuum(keep => 1, dry_run => true)").collect()
+      val byKind = dry.groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).toSeq).toMap
+      assert(byKind("manifest").size === txnsBefore - 1,
+        s"every dropped txn's manifest is planned: $byKind")
+      assert(byKind("data").nonEmpty,
+        "the compacted-away dirs are planned as dead data")
+      assert(dry.forall(r => !r.isNullAt(2) && r.getLong(2) >= 0L),
+        "each planned path reports its bytes")
+      // nothing was touched: txns intact, every planned path present
+      assert(TxnCatalog.txns(s2, root).size === txnsBefore)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s2.sparkContext.hadoopConfiguration)
+      assert(dry.forall(r =>
+        fs.exists(new org.apache.hadoop.fs.Path(r.getString(1)))),
+        "dry run deletes nothing")
+      // the real run executes exactly that plan
+      val real = s2.sql("CALL lake.system.vacuum(keep => 1)")
+        .collect().head
+      assert(real.getInt(0) === byKind("manifest").size,
+        "reclaimed txns == planned manifests")
+      assert(dry.forall(r =>
+        !fs.exists(new org.apache.hadoop.fs.Path(r.getString(1)))),
+        "every planned path is gone after the real vacuum")
+      assert(s2.sql("SELECT count(*) FROM lake.default.v")
+        .collect().head.getLong(0) === 30L, "live data untouched")
+    }
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL fails cleanly") {
     withCatalog { (s2, _) =>
       val listed = s2.sql("SHOW PROCEDURES IN lake.system")
