@@ -178,8 +178,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ns = ident.namespace()
     if (ns.length != 2 || ns(0) != "default") return None
     val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
-    if (!Seq("history", "partitions", "changes", "refs", "files")
-        .contains(kind))
+    if (!Seq("history", "partitions", "changes", "refs", "files",
+        "detail").contains(kind))
       return None
     val s = spark
     val t = ns(1)
@@ -233,6 +233,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.sortBy(r => (r._1, r._2))
         s.createDataFrame(rows).toDF("partition", "file_path",
           "size_bytes", "modified_at_ms", "data_txn")
+      case "detail" =>
+        // Delta's DESCRIBE DETAIL: ONE row of table-level facts from
+        // the manifest and properties — entry/row/byte totals (exact
+        // when every entry recorded them, NULL otherwise — row_count
+        // also goes NULL while merge-on-read deletes are pending, the
+        // same exact-or-absent rule as the metadata folds), the
+        // declared layout knobs, and the two numbers that say what
+        // maintenance is due (pending_deletes → apply_deletes,
+        // external_entries → analyze after add_files)
+        val props = snap.properties(t)
+        val data = snap.dataEntries(t)
+        val bytes = {
+          val bs = data.map(_._2.bytes)
+          if (bs.isEmpty || bs.exists(_.isEmpty)) None
+          else Some(bs.flatten.sum)
+        }
+        val row = (t, snap.txn, data.size, snap.rowCount(t), bytes,
+          props.getOrElse(PartitionSpec.Prop, ""),
+          props.getOrElse(TxnCatalog.SortColumnsProp, ""),
+          props.getOrElse(TxnCatalog.StatsColumnsProp, ""),
+          props.getOrElse(TxnCatalog.BloomColumnsProp, ""),
+          snap.deleteEntries(t).size,
+          data.count(_._2.dir.startsWith(TxnCatalog.ExtPrefix)))
+        s.createDataFrame(Seq(row)).toDF("table", "txn", "entries",
+          "row_count", "size_bytes", "partitioning", "sort_columns",
+          "stats_columns", "bloom_columns", "pending_deletes",
+          "external_entries")
       case "refs" =>
         // Iceberg's refs table: every named reference to this table's
         // state — tags (a pinned txn, vacuum-exempt) and branches (a

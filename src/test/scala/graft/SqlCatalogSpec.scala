@@ -542,6 +542,26 @@ class SqlCatalogSpec extends GraftSuite {
       val onDisk = files.map { r =>
         new java.io.File(new java.net.URI(r.getString(1))).length }
       assert(files.map(_.getLong(2)).toSeq === onDisk.toSeq)
+      // detail: one row of table-level facts — entry/byte totals exact,
+      // row_count NULL while the delete above is pending (the same
+      // exact-or-absent rule as the metadata folds), maintenance
+      // counters naming what's due
+      val det = s2.sql("SELECT * FROM lake.default.ev.detail")
+        .collect().head
+      assert(det.getAs[String]("table") === "ev")
+      assert(det.getAs[Int]("entries") === 2)
+      assert(det.isNullAt(det.fieldIndex("row_count")),
+        "a pending delete sends row_count dark")
+      assert(det.getAs[Long]("size_bytes") === onDisk.sum)
+      assert(det.getAs[Int]("pending_deletes") === 1)
+      assert(det.getAs[Int]("external_entries") === 0)
+      assert(det.getAs[String]("stats_columns") === "")
+      // apply the delete: row_count comes back, counters clear
+      s2.sql("CALL lake.system.apply_deletes(table => 'ev')")
+      val det2 = s2.sql("SELECT row_count, pending_deletes " +
+        "FROM lake.default.ev.detail").collect().head
+      assert(det2.getLong(0) === 79L)
+      assert(det2.getInt(1) === 0)
     }
   }
 
