@@ -154,14 +154,39 @@ object GraftMerge {
     val sKeyCol = GraftSqlBridge.column(sKey)
     val tKeyCol = GraftSqlBridge.column(tKey)
 
-    // SQL MERGE cardinality: a target row matched by >1 source rows is
-    // an error — with matched actions present, duplicate source keys
-    // would otherwise append twice (one source-sized aggregate)
-    if ((update.isDefined || delete.isDefined) &&
-        !srcDf.groupBy(sKeyCol.as("__mkey"))
+    // ONE capped source-key probe — the distinct merge keys with their
+    // multiplicities — shared by the cardinality check, the manifest
+    // pruning of the target scan, and the delete-key list. The previous
+    // shape derived those three driver-sized artifacts with three
+    // separate source-side cluster jobs (cardinality aggregate,
+    // prune-key collect, delete-key distinct shuffle); a MERGE source
+    // is driver-sized on the KEY axis even when its payload is wide,
+    // so one aggregate pass feeds all three. Over the cap every
+    // consumer falls back to its distributed form — exact either way,
+    // just unfused. Lazy: an insert-only MERGE touches none of the
+    // three and pays nothing.
+    lazy val keyProbe: Option[IndexedSeq[(Any, Long)]] =
+      Trace("merge: key probe") {
+        val rows = srcDf.groupBy(sKeyCol.as("__mkey"))
           .agg(org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("__mcnt"))
-          .filter(col("__mcnt") > 1).limit(1).isEmpty)
+          .limit(10001).collect()
+        if (rows.length <= 10000)
+          Some(rows.toIndexedSeq.map(r => (r.get(0), r.getLong(1))))
+        else None
+      }
+
+    // SQL MERGE cardinality: a target row matched by >1 source rows is
+    // an error — with matched actions present, duplicate source keys
+    // would otherwise append twice (answered by the probe; over the
+    // cap, by one source-sized aggregate)
+    if ((update.isDefined || delete.isDefined) &&
+        !keyProbe.map(_.forall(_._2 <= 1L)).getOrElse(
+          Trace("merge: cardinality check")(
+            srcDf.groupBy(sKeyCol.as("__mkey"))
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("__mcnt"))
+              .filter(col("__mcnt") > 1).limit(1).isEmpty)))
       throw new IllegalStateException(
         "MERGE_CARDINALITY_VIOLATION: the ON search condition matches " +
           "a single target row with multiple source rows; deduplicate " +
@@ -214,12 +239,11 @@ object GraftMerge {
       * 1 000-row MERGE against a 10 000-partition table scans the few
       * owning partitions, not the table). Over the cap the unpruned
       * join is still exact, just unskipped. */
-    lazy val prunedTgt: DataFrame = {
-      val keys = srcDf.select(sKeyCol).na.drop().distinct()
-        .limit(10001).collect().map(_.get(0))
-      if (keys.nonEmpty && keys.length <= 10000)
-        tgtDf.filter(tKeyCol.isin(keys.toIndexedSeq: _*))
-      else tgtDf
+    lazy val prunedTgt: DataFrame = keyProbe match {
+      case Some(kc) =>
+        val keys = kc.map(_._1).filter(_ != null)
+        if (keys.nonEmpty) tgtDf.filter(tKeyCol.isin(keys: _*)) else tgtDf
+      case None => tgtDf
     }
     // the matched join: attribute ids from BOTH plans are in scope, so
     // assignment and condition expressions evaluate directly
@@ -227,7 +251,20 @@ object GraftMerge {
       prunedTgt.join(srcDf, tKeyCol === sKeyCol, "inner")
     def condCol(e: Expression) = GraftSqlBridge.column(e)
 
-    val matchedNew: Option[DataFrame] = update.map { u =>
+    // THE canonical upsert — unconditional `WHEN MATCHED THEN UPDATE
+    // SET *` + `WHEN NOT MATCHED THEN INSERT *`: the matched
+    // replacement rows (source ⋉ target keys) and the inserted rows
+    // (source ▷ target keys) are COMPLEMENTARY partitions of the
+    // source, and both star projections are the same projection — so
+    // the append is just the projected source. No target scan, no
+    // joins: the whole txn is O(source) end to end (one source pass
+    // for the key probe, one for the append write).
+    val starUpsert: Boolean = update.isDefined && insert.isDefined &&
+      delete.isEmpty && matchedCond.isEmpty &&
+      insert.get.condition.isEmpty &&
+      isStarShape(update.get.assignments) &&
+      isStarShape(insert.get.assignments)
+    val matchedNew: Option[DataFrame] = if (starUpsert) None else update.map { u =>
       if (matchedCond.isEmpty && isStarShape(u.assignments))
         // SET *: replacement rows are the MATCHED source rows (semi
         // join on the key — the scan under tgtDf prunes by manifest)
@@ -241,16 +278,19 @@ object GraftMerge {
         projected(base, u.assignments, attr => Some(attr))
       }
     }
-    val insertedNew: Option[DataFrame] = insert.map { i =>
+    val insertedNew: Option[DataFrame] = if (starUpsert) None else insert.map { i =>
       val anti = srcDf.join(tgtDf.select(tKeyCol.as("__mk")).distinct(),
         sKeyCol === col("__mk"), "left_anti")
       projected(i.condition.map(e => anti.filter(condCol(e))).getOrElse(anti),
         i.assignments, _ => None)
     }
-    val append = (matchedNew, insertedNew) match {
-      case (Some(a), Some(b)) => Some(a.unionByName(b))
-      case (a, b) => a.orElse(b)
-    }
+    val append =
+      if (starUpsert)
+        Some(projected(srcDf, insert.get.assignments, _ => None))
+      else (matchedNew, insertedNew) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
     // keys to mask. Unconditional matched updates/deletes mask ALL
     // source keys (equivalent — keys absent from the table mask
     // nothing — and costs no target scan); conditional ones mask
@@ -263,8 +303,22 @@ object GraftMerge {
     val tKeyOut = GraftSqlBridge.column(tKey).cast(tKey.dataType).as(tKey.name)
     val keyFrames = Seq.newBuilder[DataFrame]
     if (update.isDefined || delete.isDefined) keyFrames += (matchedCond match {
-      case None =>
-        srcDf.select(sKeyCol.cast(tKey.dataType).as(tKey.name))
+      case None => keyProbe match {
+        case Some(kc) =>
+          // the probe IS the distinct key list: hand the delete entry a
+          // driver-local one-partition relation, so its staging write
+          // below skips the source re-scan and the distinct shuffle
+          import scala.jdk.CollectionConverters._
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              tKey.name, sKey.dataType, nullable = true)))
+          spark.createDataFrame(
+            kc.map(_._1).filter(_ != null)
+              .map(org.apache.spark.sql.Row(_)).asJava, schema)
+            .select(col(tKey.name).cast(tKey.dataType).as(tKey.name))
+        case None =>
+          srcDf.select(sKeyCol.cast(tKey.dataType).as(tKey.name))
+      }
       case Some(c) =>
         matchedJoin.filter(condCol(c)).select(tKeyOut)
     })
@@ -278,8 +332,9 @@ object GraftMerge {
     val frames = keyFrames.result()
     val delKeys =
       if (frames.isEmpty) None else Some(frames.reduce(_.unionByName(_)))
-    TxnCatalog.mergeKeyed(spark, target.root, target.table, tKey.name,
-      delKeys, append, statsColumns = Seq(tKey.name))
+    Trace("merge: mergeKeyed txn")(
+      TxnCatalog.mergeKeyed(spark, target.root, target.table, tKey.name,
+        delKeys, append, statsColumns = Seq(tKey.name)))
     ()
   }
 

@@ -3583,12 +3583,13 @@ object TxnCatalog {
       deleteKeyCols: Map[(String, String), String] = Map.empty)(
       beforePublish: () => Unit): Long = {
     val f = fs(spark, root)
-    val prev = currentTxn(spark, root)
+    val prev = Trace("publish: currentTxn")(currentTxn(spark, root))
     expectedTxn.foreach { e =>
       if (prev.getOrElse(0L) != e) throw new java.io.IOException(
         s"catalog moved to txn ${prev.getOrElse(0L)} since snapshot $e; retry")
     }
-    val prevManifest = prev.map(manifest(f, root, _)).getOrElse(Map.empty)
+    val prevManifest = Trace("publish: manifest read")(
+      prev.map(manifest(f, root, _)).getOrElse(Map.empty))
     val next = prev.getOrElse(0L) + 1L
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     // table properties, read once per table per publish (KB-scale
@@ -3644,18 +3645,20 @@ object TxnCatalog {
     val staged: Map[(String, String), Entry] = updates.map { case (t, p, df) =>
       val dirName = s"v=$next.$nonce"
       val path = entryPath(root, t, p, dirName)
-      sortedForWrite(t, p, df).write.mode("errorifexists")
-        .options(bloomWriteOptions(t, p, df)).parquet(path)
+      Trace(s"publish: write $t/$p")(
+        sortedForWrite(t, p, df).write.mode("errorifexists")
+          .options(bloomWriteOptions(t, p, df)).parquet(path))
       // delete entries (equality key lists, deletion vectors) are not
       // data: never measure table stats/Blooms on them — a DV's row
       // payload would otherwise leak DELETED values into skipping
       // metadata that pruning paths must never consult
-      val (stats, rows) =
+      val (stats, rows) = Trace(s"publish: stats $t/$p")(
         if (deleteKeyCols.contains((t, p))) measureStats(spark, path, Nil)
         else measureStats(spark, path, statsFor(t), bloomFor(t),
-          knownSchema = Some(df.schema))
+          knownSchema = Some(df.schema)))
       (t, p) -> Entry(dirName, stats, dataTxns.get((t, p)), rows,
-        deleteKeyCols.get((t, p)), bytes = dirBytes(spark, path))
+        deleteKeyCols.get((t, p)),
+        bytes = Trace(s"publish: bytes $t/$p")(dirBytes(spark, path)))
     }.toMap
     // CHECK-constraint enforcement over freshly staged DATA: internal
     // entries (delete key lists, `~p`) are not rows, and reorganizations
@@ -3666,7 +3669,7 @@ object TxnCatalog {
       !p.startsWith("~") && !deleteKeyCols.contains((t, p)) &&
         !dataTxns.contains((t, p))
     }.toSeq.sorted
-    if (checked.nonEmpty) {
+    if (checked.nonEmpty) Trace("publish: constraint pass") {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       val byTable = checked.groupBy(_._1)
       val violation = byTable.keys.toSeq.sorted.iterator.flatMap { t =>
@@ -3691,7 +3694,8 @@ object TxnCatalog {
       }
     }
     val carried = reconcile(prevManifest)
-    casPublish(f, root, next, nonce, carried, staged)(beforePublish)
+    Trace("publish: casPublish")(
+      casPublish(f, root, next, nonce, carried, staged)(beforePublish))
     next
   }
 
