@@ -422,10 +422,12 @@ private[storage] final class SkippingProcedure(root: String)
   * lookup scans one entry; unclustered append-order data converges on
   * depth ≈ n — range stats prune nothing and only Blooms help. The
   * number that tells you whether `CALL cluster`/declared sort order
-  * would pay for itself, computed from manifest text alone. Exact
-  * O(n²) over entries, refused above 8192 (at that scale run it on a
-  * partition-name subset instead). Returns `(entries_total,
-  * entries_measured, avg_depth, max_depth, disjoint_pct)`. */
+  * would pay for itself, computed from manifest text alone. Exact for
+  * every entry at O(n log n) ([[ClusteringDepth.depths]] — two sorted
+  * endpoint arrays, two binary searches per entry), so a 100 TB
+  * table's full manifest measures in milliseconds, no entry cap.
+  * Returns `(entries_total, entries_measured, avg_depth, max_depth,
+  * disjoint_pct)`. */
 /** `CALL cat.system.fold_report(table => 't' [, columns => 'a,b'])`:
   * which metadata-only aggregates can fold RIGHT NOW, and what blocks
   * the ones that can't — the debugging loop behind "why does my
@@ -472,9 +474,9 @@ private[storage] final class FoldReportProcedure(root: String)
     }
     val entries = snap.dataEntries(table)
     val live = entries.filterNot(_._2.rows.contains(0L))
-    val deletes = snap.deleteEntries(table)
-    val pendingDel = deletes.exists { case (_, txn, _, _) =>
-      live.exists { case (_, e) => txn > TxnCatalog.entryDataTxn(e) } }
+    // the read path's OWN applicable-delete predicate — never a
+    // re-implementation that could drift from the fold helpers' test
+    val pendingDel = snap.hasPendingApplicableDeletes(table)
     val schema = GraftLake.schemaOf(s, root, table, snap)
     def typeOf(c: String) = schema.flatMap(_.fields.find(_.name == c))
       .map(_.dataType)
@@ -505,8 +507,12 @@ private[storage] final class FoldReportProcedure(root: String)
         .orElse(missing(noStat, s"'$c' stats"))
       rows += row(s"min/max($c)",
         snap.columnBounds(table, c).isDefined,
-        statBlock.orElse(Some(
-          "stat bounds unparseable (NaN/Infinity or mixed kinds)")))
+        statBlock
+          .orElse(if (live.isEmpty)
+            Some("no live data entries (all recorded row counts zero)")
+          else None)
+          .orElse(Some(
+            "stat bounds unparseable (NaN/Infinity or mixed kinds)")))
       rows += row(s"count($c)",
         snap.columnNonNullCount(table, c).isDefined,
         statBlock.orElse(missing(noCount, "row counts"))
@@ -528,6 +534,52 @@ private[storage] final class FoldReportProcedure(root: String)
           .orElse(missing(noNulls, s"'$c' null counts")))
     }
     one(manyRows(out, rows.result()))
+  }
+}
+
+/** The exact per-entry overlap-depth computation behind
+  * [[ClusteringDepthProcedure]], factored for direct spec coverage.
+  * depth(i) = #intervals [lo_j, hi_j] intersecting [lo_i, hi_i],
+  * self included (so 1 = disjoint). Computed in O(n log n) from two
+  * sorted endpoint arrays: the sets {j : lo_j > hi_i} ("entirely
+  * right of i") and {j : hi_j < lo_i} ("entirely left of i") are
+  * disjoint (both holding would need lo_j > hi_i ≥ lo_i > hi_j ≥
+  * lo_j), so depth(i) = #{lo_j ≤ hi_i} − #{hi_j < lo_i} — two binary
+  * searches per entry under the SAME kind-true ordering the pairwise
+  * form compared with. Exact for every entry, no sampling: a 100 TB
+  * table's ~10⁵-entry manifest — exactly where the layout audit
+  * matters — measures in milliseconds. */
+private[graft] object ClusteringDepth {
+  def depths(ivals: IndexedSeq[(Any, Any)],
+      ord: Ordering[Any]): Array[Int] = {
+    val n = ivals.size
+    val los = ivals.map(_._1).toArray.sortWith(ord.lt)
+    val his = ivals.map(_._2).toArray.sortWith(ord.lt)
+    // #elements of `sorted` strictly below / at-or-below x
+    def countLt(sorted: Array[Any], x: Any): Int = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (ord.lt(sorted(m), x)) lo = m + 1 else hi = m
+      }
+      lo
+    }
+    def countLe(sorted: Array[Any], x: Any): Int = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (ord.lteq(sorted(m), x)) lo = m + 1 else hi = m
+      }
+      lo
+    }
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val (lo, hi) = ivals(i)
+      out(i) = countLe(los, hi) - countLt(his, lo)
+      i += 1
+    }
+    out
   }
 }
 
@@ -587,23 +639,15 @@ private[storage] final class ClusteringDepthProcedure(root: String)
         }.toOption
       }
     }
-    require(ivals.size <= 8192,
-      s"clustering_depth is exact O(n²); ${ivals.size} entries exceed " +
-        "the 8192 cap - measure a partition subset instead")
     if (ivals.isEmpty)
       return one(oneRow(out, Integer.valueOf(entries.size),
         Integer.valueOf(0), null, null, null))
     val n = ivals.size
-    val depths = Array.fill(n)(1) // self counts: depth 1 = disjoint
-    for (i <- 0 until n; j <- (i + 1) until n) {
-      val (lo1, hi1, ord) = ivals(i)
-      val (lo2, hi2, _) = ivals(j)
-      // [lo1,hi1] ∩ [lo2,hi2] ≠ ∅ ⟺ lo1 ≤ hi2 ∧ lo2 ≤ hi1
-      if (ord.lteq(lo1, hi2) && ord.lteq(lo2, hi1)) {
-        depths(i) += 1; depths(j) += 1
-      }
-    }
-    val avg = depths.sum.toDouble / n
+    // exact per-entry overlap depths in O(n log n) — no entry cap: the
+    // many-entry tables are the ones whose layout audit matters
+    val depths = ClusteringDepth.depths(
+      ivals.map(v => (v._1, v._2)).toIndexedSeq, ivals.head._3)
+    val avg = depths.map(_.toLong).sum.toDouble / n
     val disjoint = depths.count(_ == 1).toDouble / n
     one(oneRow(out, Integer.valueOf(entries.size), Integer.valueOf(n),
       java.lang.Double.valueOf(math.rint(avg * 10000) / 10000),

@@ -783,6 +783,14 @@ object TxnCatalog {
       deleteEntries(table).exists { case (_, txn, _, _) =>
         sel.exists { case (_, e) => txn > entryDataTxn(e) } }
 
+    /** Do pending merge-on-read deletes mask any live rows of `table`?
+      * The SAME predicate every metadata-only helper refuses with,
+      * exposed so observability surfaces (`fold_report`) attribute
+      * their blockers through the read path's own test instead of a
+      * re-implementation that could drift from it. */
+    def hasPendingApplicableDeletes(table: String): Boolean =
+      hasApplicableDeletes(table, liveRowEntries(dataEntries(table)))
+
     /** MIN/MAX of `column` across the whole table at manifest cost: the
       * per-entry stats folded with kind-true comparison (numeric via
       * BigDecimal — no double rounding past 2^53; strings by UTF-8
@@ -4316,9 +4324,14 @@ object TxnCatalog {
       .flatMap(t => manifest(f, root, t).toSeq.map { case ((tab, p), e) =>
         entryPath(root, tab, p, e.dir) }).toSet
     val plan = Seq.newBuilder[(String, Path)]
+    // dedup on the QUALIFIED form: "data" paths are built from entry
+    // strings (no scheme) while "orphan"/"staging" come from listStatus
+    // fully qualified — raw Path equality would never match across the
+    // arms and a dropped txn's dead dir (which also meets the orphan
+    // criteria) would be planned twice with double-counted bytes
     val planned = scala.collection.mutable.Set.empty[Path]
     def add(kind: String, p: Path): Unit =
-      if (planned.add(p)) plan += (kind -> p)
+      if (planned.add(f.makeQualified(p))) plan += (kind -> p)
     dropped.foreach { t =>
       manifest(f, root, t).foreach { case ((tab, p), e) =>
         // external (~ext:) data is never owned: forget, don't delete

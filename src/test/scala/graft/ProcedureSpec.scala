@@ -230,6 +230,45 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("ClusteringDepth sweep ≡ pairwise O(n²) on randomized fixtures; no entry cap") {
+    import graft.storage.ClusteringDepth
+    val ord: Ordering[Any] = Ordering.by((x: Any) => x.asInstanceOf[Long])
+    def pairwise(ivals: IndexedSeq[(Any, Any)]): Array[Int] = {
+      val n = ivals.size
+      val d = Array.fill(n)(1)
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val (lo1, hi1) = ivals(i); val (lo2, hi2) = ivals(j)
+        if (ord.lteq(lo1, hi2) && ord.lteq(lo2, hi1)) { d(i) += 1; d(j) += 1 }
+      }
+      d
+    }
+    val rnd = new scala.util.Random(42)
+    // randomized fixtures across overlap regimes, incl. duplicate
+    // endpoints and point intervals (lo == hi)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(60)
+      val span = Seq(10L, 100L, 1000L)(trial % 3) // dense → sparse
+      val ivals: IndexedSeq[(Any, Any)] = (0 until n).map { _ =>
+        val lo = rnd.nextLong(span)
+        val hi = lo + rnd.nextLong(span / 5 + 1)
+        (lo: Any, hi: Any)
+      }
+      assert(ClusteringDepth.depths(ivals, ord).toSeq ===
+        pairwise(ivals).toSeq, s"trial $trial: $ivals")
+    }
+    // far beyond the old 8192 cap: 20 000 entries measure in
+    // milliseconds (the pairwise form would do 2×10⁸ comparisons)
+    val big: IndexedSeq[(Any, Any)] = (0 until 20000).map { i =>
+      val lo = rnd.nextLong(1000000L)
+      (lo: Any, (lo + rnd.nextLong(500L)): Any)
+    }
+    val t0 = System.nanoTime()
+    val depths = ClusteringDepth.depths(big, ord)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(depths.length === 20000 && depths.forall(_ >= 1))
+    assert(ms < 1000.0, f"20k-entry sweep took $ms%.1f ms")
+  }
+
   test("CALL system.clustering_depth measures range-overlap; optimize honors max_bytes") {
     withCatalog { (s2, root) =>
       import s2.implicits._
@@ -375,6 +414,13 @@ class ProcedureSpec extends GraftSuite {
         "the compacted-away dirs are planned as dead data")
       assert(dry.forall(r => !r.isNullAt(2) && r.getLong(2) >= 0L),
         "each planned path reports its bytes")
+      // a dropped txn's dead data dir ALSO meets the orphan criteria —
+      // the plan must list each physical path exactly ONCE (qualified-
+      // path dedup across kinds), never double-counting its bytes
+      val normalized = dry.map(r => new org.apache.hadoop.fs.Path(
+        r.getString(1)).toUri.getPath).toSeq
+      assert(normalized.distinct.size === normalized.size,
+        s"duplicate paths across kinds: ${normalized.diff(normalized.distinct)}")
       // nothing was touched: txns intact, every planned path present
       assert(TxnCatalog.txns(s2, root).size === txnsBefore)
       val fs = new org.apache.hadoop.fs.Path(root)
