@@ -54,7 +54,10 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     * [[graft.GraftExtensions]] (the [[MvRewrite.install]] twin).
     * `experimental.extraOptimizations` runs after the main optimizer —
     * the relation arrives as a post-pushdown DSv2 ScanRelation there,
-    * which [[factsOf]] matches (refusing pushed filters). Idempotent. */
+    * which [[factsOf]] matches; a scan carrying pushed predicates
+    * folds through [[FilteredFacts]] (the pushed filters re-derive the
+    * surviving entry set) when every predicate references only
+    * constant-per-entry columns, and refuses otherwise. Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(MetadataOnlyAgg))
       spark.experimental.extraOptimizations =
@@ -124,11 +127,86 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       }
   }
 
+  /** Facts for a scan that carries PUSHED predicates: not the bare
+    * table, so every whole-table helper refuses — but the entry grain
+    * stays answerable by re-deriving the surviving entry set from the
+    * pushed predicates with the SAME bind-and-eval the pre-pushdown
+    * Filter arm uses ([[filterEntries]]: every referenced column
+    * constant per entry, Catalyst evaluates the substituted tree).
+    * This is what lets an `install()`-only session — where
+    * `extraOptimizations` runs AFTER pushdown has consumed the Filter
+    * into the scan — still fold `count(*) … WHERE region = 'eu'`.
+    * Sound regardless of whether the residual Filter also survives
+    * above the scan (this catalog keeps every pushed filter residual):
+    * re-applying the same deterministic predicate to the kept entries
+    * is idempotent. */
+  private final case class FilteredFacts(inner: Facts, cond: Expression)
+      extends Facts {
+    def rowCount: Option[Long] = None
+    def nonNull(col: String): Option[Long] = None
+    def colSum(col: String): Option[java.math.BigDecimal] = None
+    def bounds(col: String): Option[(String, Any, Any)] = None
+    def perEntry: Option[Seq[(Map[String, TxnCatalog.ColStat], Option[Long])]] =
+      inner.perEntry.flatMap(filterEntries(cond, _))
+  }
+
+  /** One pushed [[org.apache.spark.sql.sources.Filter]] → the Catalyst
+    * predicate it was translated FROM, re-resolved against the
+    * relation's own attributes — so the filtered-fold arm evaluates
+    * pushed predicates through the exact same expression machinery as
+    * a plan Filter. Pushed values are external Scala types already
+    * type-aligned with their column by Spark's translation;
+    * `Literal(v)` inverts that rendering. Any untranslatable shape or
+    * unresolvable column → None, which refuses the whole fold (an
+    * unaccounted pushed predicate could prune rows the fold would
+    * still count). */
+  private def pushedToExpr(f: org.apache.spark.sql.sources.Filter,
+      attrs: Map[String, Attribute]): Option[Expression] = {
+    import org.apache.spark.sql.{sources => sf}
+    def a(name: String): Option[Attribute] = attrs.get(name)
+    def l(v: Any): Option[Expression] =
+      scala.util.Try(Literal(v)).toOption
+    f match {
+      case sf.EqualTo(c, v) => for (x <- a(c); y <- l(v)) yield EqualTo(x, y)
+      case sf.EqualNullSafe(c, v) =>
+        for (x <- a(c); y <- l(v)) yield EqualNullSafe(x, y)
+      case sf.GreaterThan(c, v) =>
+        for (x <- a(c); y <- l(v)) yield GreaterThan(x, y)
+      case sf.GreaterThanOrEqual(c, v) =>
+        for (x <- a(c); y <- l(v)) yield GreaterThanOrEqual(x, y)
+      case sf.LessThan(c, v) =>
+        for (x <- a(c); y <- l(v)) yield LessThan(x, y)
+      case sf.LessThanOrEqual(c, v) =>
+        for (x <- a(c); y <- l(v)) yield LessThanOrEqual(x, y)
+      case sf.In(c, vs) =>
+        val lits = vs.toSeq.map(l)
+        if (lits.exists(_.isEmpty)) None
+        else a(c).map(x => In(x, lits.map(_.get)))
+      case sf.IsNull(c) => a(c).map(IsNull)
+      case sf.IsNotNull(c) => a(c).map(IsNotNull)
+      case sf.StringStartsWith(c, p) =>
+        a(c).map(x => StartsWith(x, Literal(p)))
+      case sf.StringEndsWith(c, p) =>
+        a(c).map(x => EndsWith(x, Literal(p)))
+      case sf.StringContains(c, p) =>
+        a(c).map(x => Contains(x, Literal(p)))
+      case sf.And(x, y) =>
+        for (xe <- pushedToExpr(x, attrs); ye <- pushedToExpr(y, attrs))
+          yield And(xe, ye)
+      case sf.Or(x, y) =>
+        for (xe <- pushedToExpr(x, attrs); ye <- pushedToExpr(y, attrs))
+          yield Or(xe, ye)
+      case sf.Not(x) => pushedToExpr(x, attrs).map(Not)
+      case _ => None
+    }
+  }
+
   /** The metadata facts behind `plan`, when `plan` is the bare relation
     * (or an attribute-only projection of it) — DataFrame path
     * (LogicalRelation over a [[ManifestFileIndex]]) or SQL-catalog path
-    * (DSv2 relation/scan over a graft table; a scan with pushed filters
-    * refuses in the hook). */
+    * (DSv2 relation/scan over a graft table). A scan carrying pushed
+    * filters yields [[FilteredFacts]] when every pushed predicate
+    * converts back to a bindable Catalyst expression; otherwise None. */
   private def factsOf(plan: LogicalPlan): Option[Facts] =
     plan match {
       case lr: LogicalRelation => lr.relation match {
@@ -142,8 +220,22 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         graft.storage.MetadataAggHook.tableCoords(r.table)
           .map((SnapshotFacts.apply _).tupled)
       case sr: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-        graft.storage.MetadataAggHook.scanCoords(sr.scan)
-          .map((SnapshotFacts.apply _).tupled)
+        graft.storage.MetadataAggHook.scanCoordsWithFilters(sr.scan)
+          .flatMap { case (coords, pushed) =>
+            val base = (SnapshotFacts.apply _).tupled(coords)
+            if (pushed.isEmpty) Some(base)
+            else {
+              // resolve pushed column names against the RELATION's full
+              // attribute set (a filter column may be pruned out of the
+              // scan's output)
+              val attrs: Map[String, Attribute] =
+                sr.relation.output.map(a => a.name -> (a: Attribute)).toMap
+              val exprs = pushed.toSeq.map(pushedToExpr(_, attrs))
+              if (exprs.exists(_.isEmpty)) None
+              else Some(FilteredFacts(base,
+                exprs.map(_.get).reduce(And)))
+            }
+          }
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         factsOf(child)
@@ -173,7 +265,9 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         }
       case AggregateExpression(s @ Sum(a: AttributeReference, _), _, false,
           None, _) =>
-        facts.colSum(a.name).flatMap(convertSum(_, s.dataType))
+        val ansiUnsafe = isAnsiSum(s) && s.dataType == LongType &&
+          !facts.perEntry.exists(ansiLongSafe(_, a.name))
+        facts.colSum(a.name).flatMap(convertSum(_, s.dataType, ansiUnsafe))
       case AggregateExpression(av: Average, _, false, None, _)
           if avgFoldable(av) =>
         val a = av.child.asInstanceOf[AttributeReference]
@@ -219,11 +313,21 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
 
   /** An exact BigDecimal total → the Sum aggregate's result type, or
     * None when it does not FIT — out-of-range keeps the scan, so the
-    * fold can never differ from the scan's own overflow behavior
-    * (wrap, null, or ANSI error — all only reachable via the scan). */
-  private def convertSum(total: java.math.BigDecimal,
-      dt: DataType): Option[Any] = dt match {
-    case LongType =>
+    * fold can never differ from the scan's own final-value overflow
+    * behavior (wrap, null, or error — all only reachable via the scan).
+    * `ansiUnsafe` refuses an integral sum whose ANSI scan could raise
+    * on an order-dependent intermediate PARTIAL sum even though the
+    * mathematical total fits Long (e.g. rows reaching Long.MaxValue
+    * before a trailing negative) — an error a fold must never
+    * suppress; see [[ansiLongSafe]] for the proof obligation. Decimal
+    * sums keep folding under ANSI: both the scan buffer and the
+    * recorded per-entry sums are Decimal(38,s) — an intermediate
+    * exceeding 38 digits while the final fits is unreachable for any
+    * realistic row count, and the final-fit check here matches the
+    * scan's own result-precision gate. */
+  private def convertSum(total: java.math.BigDecimal, dt: DataType,
+      ansiUnsafe: Boolean): Option[Any] = dt match {
+    case LongType if !ansiUnsafe =>
       try Some(total.longValueExact())
       catch { case _: ArithmeticException => None }
     case d: DecimalType =>
@@ -231,6 +335,29 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
       if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
     case _ => None
   }
+
+  private def isAnsiSum(s: Sum): Boolean =
+    s.evalContext.evalMode == EvalMode.ANSI
+
+  /** Is an ANSI Long-buffer sum over these entries provably free of
+    * intermediate overflow in EVERY evaluation order? Sufficient exact
+    * bound: every partial sum of any subset of rows in any order lies
+    * within ±Σ_entries rows·max(|lo|, |hi|) — when that bound fits
+    * Long, no per-row accumulation path can leave Long range, so the
+    * fold cannot suppress an error the scan would raise. Any missing
+    * row count, missing/unparseable stat, or a bound past Long.MaxValue
+    * refuses (false). */
+  private def ansiLongSafe(
+      es: Seq[(Map[String, TxnCatalog.ColStat], Option[Long])],
+      col: String): Boolean = scala.util.Try {
+    val bound = es.map { case (st, r) =>
+      val s = st(col)
+      val mag = new java.math.BigDecimal(s.min).abs
+        .max(new java.math.BigDecimal(s.max).abs)
+      mag.multiply(java.math.BigDecimal.valueOf(r.get))
+    }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    bound.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) <= 0
+  }.getOrElse(false)
 
   /** Rendered stat value → the column type's INTERNAL representation.
     * Every conversion here is an exact inverse of the stat rendering
@@ -346,7 +473,9 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
         convert(kind, hi, a.dataType) }
     case AggregateExpression(s @ Sum(a: AttributeReference, _), _, false,
         None, _) =>
-      groupSum(es, a.name).flatMap(convertSum(_, s.dataType))
+      val ansiUnsafe = isAnsiSum(s) && s.dataType == LongType &&
+        !ansiLongSafe(es, a.name)
+      groupSum(es, a.name).flatMap(convertSum(_, s.dataType, ansiUnsafe))
     case AggregateExpression(av: Average, _, false, None, _)
         if avgFoldable(av) =>
       val a = av.child.asInstanceOf[AttributeReference]

@@ -1612,4 +1612,19 @@ private[graft] object MetadataAggHook {
       scanCoords(w.v1Scan)
     case _ => None
   }
+
+  /** Coordinates PLUS the pushed source filters — the shape the
+    * filtered-fold arm needs: a scan carrying pushed predicates is not
+    * the bare table, but when every predicate references only
+    * constant-per-entry columns the rule re-derives the surviving
+    * entry set itself (same bind-and-eval as the pre-pushdown Filter
+    * arm) instead of refusing. */
+  def scanCoordsWithFilters(s: org.apache.spark.sql.connector.read.Scan)
+      : Option[((String, String, Option[Long]),
+        Array[org.apache.spark.sql.sources.Filter])] = s match {
+    case v: GraftV1Scan => Some(((v.root, v.table, v.asOfTxn), v.filters))
+    case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+      scanCoordsWithFilters(w.v1Scan)
+    case _ => None
+  }
 }

@@ -354,6 +354,56 @@ class MetadataCountSpec extends GraftSuite {
     }
   }
 
+  test("install()-only session folds a filtered agg from pushed predicates") {
+    // runtime injection (extraOptimizations) runs AFTER pushdown has
+    // consumed the WHERE into the DSv2 scan: the fold must re-derive
+    // the surviving entries from the scan's PUSHED filters
+    val root = tmp("metainstflt")
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-metainstall-test")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      graft.plans.MetadataOnlyAgg.install(s2)
+      val df = (0 until 200).map { i =>
+        (i.toLong, if (i % 2 == 0) "even" else "odd")
+      }.toDF("k", "par")
+      TxnCatalog.commitPartitions(s2, root,
+        Seq("even", "odd").map(g => ("t", s"p=$g", df.filter($"par" === g))),
+        statsColumns = Seq("k", "par"))
+      val cat = s"mi${java.util.UUID.randomUUID().toString.take(8)}"
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.storage.GraftCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def folded(dfq: org.apache.spark.sql.DataFrame): Boolean =
+        dfq.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      // constant-column WHERE: count folds to the pruned entry set
+      val q = s2.sql(s"SELECT count(*) AS n FROM $cat.t WHERE par = 'even'")
+      assert(q.collect().head.getLong(0) === 100L)
+      assert(folded(q), "install()-only filtered count must fold from " +
+        "pushed predicates:\n" + q.queryExecution.optimizedPlan)
+      // ... including under grouping and min/max over the survivors
+      val q2 = s2.sql(s"""SELECT par, count(*) AS n, min(k) AS lo
+                         |FROM $cat.t WHERE par <> 'even'
+                         |GROUP BY par""".stripMargin)
+      assert(q2.collect().map(_.toSeq).toSeq === Seq(Seq("odd", 100L, 1L)))
+      assert(folded(q2), q2.queryExecution.optimizedPlan.toString)
+      // a predicate over a NON-constant column refuses: the pushed
+      // filter can prune rows inside entries, so the fold keeps the scan
+      val q3 = s2.sql(s"SELECT count(*) AS n FROM $cat.t WHERE k < 10")
+      assert(q3.collect().head.getLong(0) === 10L)
+      assert(!folded(q3), "row-grain predicates must keep the scan")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("uncounted entries and applicable deletes disable the rewrite") {
     val root = tmp("metacntdel")
     withExtSession { s2 =>
@@ -430,6 +480,43 @@ class MetadataCountSpec extends GraftSuite {
       // double sums never fold (order-dependent rounding)
       val qx = s2.sql("SELECT sum(x) AS sx FROM sum_t")
       assert(hasScan(qx), "sum(double) must keep the scan")
+      // ANSI (the Spark 4 default) integral sums fold ONLY when no
+      // evaluation order can overflow an intermediate partial sum
+      // (bound: Σ rows·max(|lo|,|hi|) ≤ Long.MaxValue) — an ANSI scan
+      // raises on the first overflowing PARTIAL even when the total
+      // fits, an error a fold must never suppress. sum_t's bound is
+      // tiny, so it folds (assertions above, ANSI-default session);
+      // a near-Long.MaxValue fixture must refuse despite its total
+      // fitting Long.
+      val rootAnsi = tmp("metasumansi")
+      val dfAnsi = Seq((1L, Long.MaxValue - 5L), (2L, -100L), (3L, 50L))
+        .toDF("k", "v")
+      TxnCatalog.commitPartitions(s2, rootAnsi, Seq(("t", "b=0", dfAnsi)),
+        statsColumns = Seq("k", "v"))
+      val lakeAnsi = GraftLake.table(s2, rootAnsi, "t").get
+      val qAnsi = lakeAnsi.selectExpr("sum(v) AS sv")
+      assert(hasScan(qAnsi), "an ANSI Long sum whose partials could " +
+        "overflow must keep the scan")
+      // the scan's own outcome is ORDER-DEPENDENT: a partial may pair
+      // (MaxValue-5) with (+50) and raise, or accumulate safely to the
+      // fitting total — both are legitimate ANSI scan behaviors, and a
+      // fold would have silently pinned one of them
+      scala.util.Try(qAnsi.collect().head.getLong(0)) match {
+        case scala.util.Success(v) => assert(v === Long.MaxValue - 55L)
+        case scala.util.Failure(e) =>
+          assert(e.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+            Option(e.getCause).exists(
+              _.getMessage.contains("ARITHMETIC_OVERFLOW")), e.toString)
+      }
+      // with ANSI off, the same total folds (scan would wrap, never
+      // raise — and the recorded total fits, matching the scan result)
+      s2.conf.set("spark.sql.ansi.enabled", "false")
+      try {
+        val qn2 = lakeAnsi.selectExpr("sum(v) AS sv")
+        assert(qn2.collect().head.getLong(0) === Long.MaxValue - 55L)
+        assert(!hasScan(qn2), "non-ANSI Long sum folds on the total:\n" +
+          qn2.queryExecution.optimizedPlan)
+      } finally s2.conf.set("spark.sql.ansi.enabled", "true")
       // DISTINCT refuses
       assert(hasScan(s2.sql("SELECT sum(DISTINCT k) AS s FROM sum_t")),
         "sum(DISTINCT) must keep the scan")
