@@ -577,8 +577,8 @@ object Branch {
   /** Tables eligible for a catalog branch at `cur`: real tables — not
     * branch shadows, not materialized views (an MV is DERIVED state;
     * its `graft.mv.source` points at the main table, so a forked copy
-    * would refresh from the wrong side — refresh it after publish
-    * instead). */
+    * would refresh from the wrong side — [[publishAll]] refreshes it
+    * atomically with the cutover instead). */
   private def branchable(cur: TxnCatalog.Snapshot): Seq[String] =
     cur.tables.filterNot(t => t.contains(BranchInfix) ||
       cur.properties(t).contains(MaterializedAgg.SourceProp))
@@ -641,7 +641,17 @@ object Branch {
     * check ([[publish]]'s rule — any table that advanced refuses the
     * WHOLE publish unless `force`), and all main tables move together —
     * the atomic cross-table cutover per-table WAP cannot express.
-    * Returns the committed txn. */
+    *
+    * MATERIALIZED VIEWS whose `graft.mv.source` is a published table
+    * refresh IN THE SAME COMMIT: the new view rows are recomputed from
+    * the branch's (post-publish) source state and land atomically with
+    * the cutover, watermark covering this txn — a dashboard read
+    * straight after publish can never serve pre-publish aggregates
+    * (the staleness window a separate refresh-after-publish would
+    * leave). The recompute is a full source aggregate — the
+    * conservative choice at cutover grain; steady-state refreshes stay
+    * incremental via [[MaterializedAgg.refresh]]. Returns the
+    * committed txn. */
   def publishAll(spark: SparkSession, root: String, branch: String,
       force: Boolean = false, attempts: Int = 5): Long = {
     var attempt = 0
@@ -653,11 +663,34 @@ object Branch {
       require(tabs.nonEmpty, s"unknown catalog branch '$branch'")
       val plans = tabs.map(t =>
         t -> publishPlan(spark, root, cur, t, branch, force))
+      val published = tabs.toSet
+      // MVs reading a published source: recompute from the branch side
+      // (exactly the post-publish main state) and ride the same txn
+      val mvUpdates = cur.tables.sorted.flatMap { v =>
+        val props = cur.properties(v)
+        props.get(MaterializedAgg.SourceProp)
+          .filter(published)
+          .map { srcTable =>
+            val postSrc = cur.read(shadowName(srcTable, branch))
+              .getOrElse(throw new IllegalStateException(
+                s"branch shadow of '$srcTable' unreadable"))
+            val groupCols =
+              props(MaterializedAgg.GroupProp).split(',').toSeq
+            val aggs =
+              MaterializedAgg.parseAggs(props(MaterializedAgg.AggsProp))
+            val fresh =
+              MaterializedAgg.aggregate(postSrc, groupCols, aggs)
+            val mvProps = props + (MaterializedAgg.WatermarkProp ->
+              (cur.txn + 1).toString)
+            Seq((v, Whole, fresh),
+              (v, PropsPartition, propsDf(spark, mvProps)))
+          }
+      }.flatten
       val updates = plans.flatMap { case (t, plan) =>
         Seq((t, PropsPartition, propsDf(spark, plan.mainProps)),
           (shadowName(t, branch), PropsPartition,
             propsDf(spark, plan.rebasedProps)))
-      }
+      } ++ mvUpdates
       val touched = tabs.toSet
       val newMains = plans.flatMap(_._2.newMain).toMap
       try {

@@ -261,7 +261,14 @@ object MaterializedAgg {
     Some(delta)
   }
 
-  private def aggregate(df: DataFrame, groupCols: Seq[String],
+  /** Parse the [[AggsProp]] rendering back to specs — shared by
+    * refresh and the branch-publish MV refresh ([[Branches.publishAll]]). */
+  private[storage] def parseAggs(s: String): Seq[AggSpec] =
+    s.split(',').toSeq.map { x =>
+      val Array(op, c) = x.split(":", 2); AggSpec(op, c)
+    }
+
+  private[storage] def aggregate(df: DataFrame, groupCols: Seq[String],
       aggs: Seq[AggSpec]): DataFrame = {
     val cols = aggs.map {
       case AggSpec("count", "") => count(lit(1)).as("cnt")

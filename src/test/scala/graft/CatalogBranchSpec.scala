@@ -60,6 +60,40 @@ class CatalogBranchSpec extends GraftSuite {
     assert(pinned.read("embs").get.count() === 10L)
   }
 
+  test("publishAll refreshes MVs over published sources in the SAME commit") {
+    val root = twoTableLake()
+    // an MV over docs: count + max per constant group
+    graft.storage.MaterializedAgg.create(spark, root, "docs_mv", "docs",
+      groupCols = Seq("name"), aggs = Seq(
+        graft.storage.MaterializedAgg.AggSpec("count"),
+        graft.storage.MaterializedAgg.AggSpec("max", "id")))
+    def mvTotal(): Long = TxnCatalog.read(spark, root, "docs_mv").get
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect()
+      .head.getLong(0)
+    assert(mvTotal() === 20L)
+    // branch, stage new docs rows, publish — ONE commit
+    Branch.createAll(spark, root, "wap")
+    TxnCatalog.appendBatch(spark, root, Branch.shadowName("docs", "wap"),
+      "w", Seq((100L, "d100"), (101L, "d101")).toDF("id", "name"))
+    val before = TxnCatalog.currentTxn(spark, root).get
+    val txn = Branch.publishAll(spark, root, "wap")
+    assert(txn === before + 1,
+      "MV refresh must ride the publish commit, never a second txn")
+    // the MV reflects the published data immediately — a dashboard
+    // read straight after cutover never serves pre-publish aggregates
+    assert(mvTotal() === 22L, "post-publish MV read must be current")
+    assert(TxnCatalog.read(spark, root, "docs_mv").get
+      .filter($"name" === "d101").select("max_id").as[Long]
+      .collect().toSeq === Seq(101L))
+    // the watermark covers the publish txn: the next refresh is a noop
+    val r = graft.storage.MaterializedAgg.refresh(spark, root, "docs_mv")
+    assert(r.mode === "noop", s"watermark must cover the publish: $r")
+    // a reader pinned BEFORE the publish still sees the old MV rows
+    assert(TxnCatalog.snapshotAt(spark, root, before).read("docs_mv").get
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect()
+      .head.getLong(0) === 20L)
+  }
+
   test("one advanced table refuses the WHOLE publish; rebaseAll heals") {
     val root = twoTableLake()
     Branch.createAll(spark, root, "wap")
