@@ -104,9 +104,15 @@ object MultimodalQueries extends QueryGroup {
 
     // Perceptual-hash image dedup: PNG / JPEG / downscaled re-encodings of
     // the same patterns pair up despite fully different bytes (banded
-    // Hamming self-join over dHash — the bucketed 100 TB shape). dHash
-    // values are implementation-defined, so no cross-engine SQL oracle:
-    // rows-only here, semantics pinned by MultimodalOpsSpec.
+    // Hamming self-join over dHash — the bucketed 100 TB shape). The
+    // PAIR SET is fully deterministic (each base image's three
+    // re-encodings pair up, zero cross-image pairs — the dedup claim
+    // itself), and so are the Hamming distances of the LOSSLESS legs
+    // (exact PNG decode + this library's own boxResize/dHash); only the
+    // JPEG legs' exact distances depend on the JDK encoder's
+    // quantization, so those report membership with a NULL distance.
+    // Hash-gated against a VALUES oracle; JPEG distances stay pinned
+    // (≤ banding slack) in MultimodalOpsSpec.
     QueryDef(
       "m_image_neardup",
       (s, _) => {
@@ -120,9 +126,28 @@ object MultimodalQueries extends QueryGroup {
               ImageCodec.encode(ImageCodec.boxResize(img, w / 2, h / 2), "png")))
         }.toDF("path", "content")
         Multimodal.imageNearDupPairs(reencoded, maxHamming = 5)
+          .withColumn("lossless_hamming",
+            when(!col("patha").endsWith(".jpg") &&
+                !col("pathb").endsWith(".jpg"), col("hamming"))
+              .cast("int"))
+          .select("patha", "pathb", "lossless_hamming")
           .orderBy("patha", "pathb")
       },
-      None),
+      Some("""SELECT * FROM (VALUES
+             |  ('img0.half.png', 'img0.jpg', CAST(NULL AS INT)),
+             |  ('img0.half.png', 'img0.png', 1),
+             |  ('img0.jpg', 'img0.png', CAST(NULL AS INT)),
+             |  ('img1.half.png', 'img1.jpg', CAST(NULL AS INT)),
+             |  ('img1.half.png', 'img1.png', 3),
+             |  ('img1.jpg', 'img1.png', CAST(NULL AS INT)),
+             |  ('img2.half.png', 'img2.jpg', CAST(NULL AS INT)),
+             |  ('img2.half.png', 'img2.png', 2),
+             |  ('img2.jpg', 'img2.png', CAST(NULL AS INT)),
+             |  ('img3.half.png', 'img3.jpg', CAST(NULL AS INT)),
+             |  ('img3.half.png', 'img3.png', 0),
+             |  ('img3.jpg', 'img3.png', CAST(NULL AS INT))
+             |) AS t(patha, pathb, lossless_hamming)
+             |ORDER BY patha, pathb""".stripMargin)),
 
     // Typed media dispatch over a mixed corpus through the header-only
     // metadata fast path (decode() routes real PNG/WAV headers vs opaque
