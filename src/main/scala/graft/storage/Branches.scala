@@ -225,6 +225,36 @@ object Branch {
         t.stripPrefix(table + BranchInfix) }
       .filterNot(_.contains(BranchInfix)).sorted
 
+  /** Staged updates refreshing every materialized view whose
+    * `graft.mv.source` is one of `published` — recomputed from the
+    * branch's (post-publish) source state so the new view rows and
+    * watermark land IN THE SAME COMMIT as the cutover: no window in
+    * which the catalog shows new data but old rollups. Shared by
+    * [[publish]] and [[publishAll]]. */
+  private def mvRefreshUpdates(spark: SparkSession,
+      cur: TxnCatalog.Snapshot, published: Set[String], branch: String)
+      : Seq[(String, String, org.apache.spark.sql.DataFrame)] =
+    cur.tables.sorted.flatMap { v =>
+      val props = cur.properties(v)
+      props.get(MaterializedAgg.SourceProp)
+        .filter(published)
+        .map { srcTable =>
+          val postSrc = cur.read(shadowName(srcTable, branch))
+            .getOrElse(throw new IllegalStateException(
+              s"branch shadow of '$srcTable' unreadable"))
+          val groupCols =
+            props(MaterializedAgg.GroupProp).split(',').toSeq
+          val aggs =
+            MaterializedAgg.parseAggs(props(MaterializedAgg.AggsProp))
+          val fresh =
+            MaterializedAgg.aggregate(postSrc, groupCols, aggs)
+          val mvProps = props + (MaterializedAgg.WatermarkProp ->
+            (cur.txn + 1).toString)
+          Seq((v, Whole, fresh),
+            (v, PropsPartition, propsDf(spark, mvProps)))
+        }
+    }.flatten
+
   /** Publish (fast-forward) `branch` into `table` — the WAP publish:
     * one conditional zero-copy commit making main's state the branch's
     * state (see the object doc for the append-shaped vs rewrite-shaped
@@ -233,7 +263,8 @@ object Branch {
     * audit decided the branch wins), or when the base manifest has been
     * vacuumed (re-create the branch). The branch survives, rebased to
     * the publish txn — audit→publish cycles repeat on the same branch.
-    * Returns the committed txn. */
+    * Materialized views over `table` refresh in the same commit
+    * ([[mvRefreshUpdates]]). Returns the committed txn. */
   def publish(spark: SparkSession, root: String, table: String,
       branch: String, force: Boolean = false, attempts: Int = 5): Long = {
     val shadow = shadowName(table, branch)
@@ -246,7 +277,8 @@ object Branch {
       try {
         return TxnCatalog.publish(spark, root,
           Seq((table, PropsPartition, propsDf(spark, plan.mainProps)),
-            (shadow, PropsPartition, propsDf(spark, plan.rebasedProps))),
+            (shadow, PropsPartition, propsDf(spark, plan.rebasedProps))) ++
+            mvRefreshUpdates(spark, cur, Set(table), branch),
           statsColumns = Nil, drops = Nil, expectedTxn = Some(cur.txn),
           reconcile = carried =>
             carried.filterNot(_._1._1 == table) ++ plan.newMain)(() => ())
@@ -663,34 +695,13 @@ object Branch {
       require(tabs.nonEmpty, s"unknown catalog branch '$branch'")
       val plans = tabs.map(t =>
         t -> publishPlan(spark, root, cur, t, branch, force))
-      val published = tabs.toSet
       // MVs reading a published source: recompute from the branch side
       // (exactly the post-publish main state) and ride the same txn
-      val mvUpdates = cur.tables.sorted.flatMap { v =>
-        val props = cur.properties(v)
-        props.get(MaterializedAgg.SourceProp)
-          .filter(published)
-          .map { srcTable =>
-            val postSrc = cur.read(shadowName(srcTable, branch))
-              .getOrElse(throw new IllegalStateException(
-                s"branch shadow of '$srcTable' unreadable"))
-            val groupCols =
-              props(MaterializedAgg.GroupProp).split(',').toSeq
-            val aggs =
-              MaterializedAgg.parseAggs(props(MaterializedAgg.AggsProp))
-            val fresh =
-              MaterializedAgg.aggregate(postSrc, groupCols, aggs)
-            val mvProps = props + (MaterializedAgg.WatermarkProp ->
-              (cur.txn + 1).toString)
-            Seq((v, Whole, fresh),
-              (v, PropsPartition, propsDf(spark, mvProps)))
-          }
-      }.flatten
       val updates = plans.flatMap { case (t, plan) =>
         Seq((t, PropsPartition, propsDf(spark, plan.mainProps)),
           (shadowName(t, branch), PropsPartition,
             propsDf(spark, plan.rebasedProps)))
-      } ++ mvUpdates
+      } ++ mvRefreshUpdates(spark, cur, tabs.toSet, branch)
       val touched = tabs.toSet
       val newMains = plans.flatMap(_._2.newMain).toMap
       try {

@@ -98,6 +98,26 @@ class BranchSpec extends GraftSuite {
       "a delete-carrying publish is not an append: streams must restart")
   }
 
+  test("per-table publish refreshes dependent MVs in the same commit") {
+    val root = tmp("brmv")
+    commitBatch(root, "ev", "b0", 0, 30)
+    graft.storage.MaterializedAgg.create(spark, root, "ev_mv", "ev",
+      groupCols = Seq("name"), aggs = Seq(
+        graft.storage.MaterializedAgg.AggSpec("count")))
+    def mvTotal(): Long = TxnCatalog.read(spark, root, "ev_mv").get
+      .agg(sum("cnt")).collect().head.getLong(0)
+    assert(mvTotal() === 30L)
+    Branch.create(spark, root, "ev", "wap")
+    TxnCatalog.appendBatch(spark, root, Branch.shadowName("ev", "wap"),
+      "b1", Seq((100L, "x")).toDF("id", "name"))
+    val before = TxnCatalog.currentTxn(spark, root).get
+    assert(Branch.publish(spark, root, "ev", "wap") === before + 1,
+      "MV refresh rides the publish commit")
+    assert(mvTotal() === 31L, "post-publish MV read must be current")
+    assert(graft.storage.MaterializedAgg
+      .refresh(spark, root, "ev_mv").mode === "noop")
+  }
+
   test("publish refuses when main advanced since the fork; force wins") {
     val root = tmp("brff")
     commitBatch(root, "ev", "b0", 0, 10)
