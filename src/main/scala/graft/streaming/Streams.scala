@@ -323,7 +323,9 @@ object Streams {
           .withColumn("__graft_rn", row_number().over(w))
           .filter(col("__graft_rn") === 1 && col(ct) === "insert")
           .drop(ct, tx, "__graft_rn")
-        val keys = keyed.select(keyCol).distinct()
+        // no pre-distinct: mergeBatchLedgered's delete entry distincts
+        // the key list itself — a second shuffle here bought nothing
+        val keys = keyed.select(keyCol)
         graft.storage.TxnCatalog.mergeBatchLedgered(s, root, table,
           keyCol, Some(keys), Some(ups), checkpointDir, id,
           statsColumns, bloomColumns)
@@ -410,6 +412,10 @@ object Streams {
               .withColumn("__valid_to", col("__graft_close_at"))
               .withColumn("__current", lit(false))
               .drop("__graft_close_at")
+              // batch-sized (touched keys only), and consumed TWICE —
+              // by the append batch and by the delete-key list: pin it
+              // so the target is scanned once per trigger, not twice
+              .localCheckpoint(true)
             Some(open)
         }
         val scdKey = concat(col(keyCol).cast("string"), lit("@"),
