@@ -633,6 +633,41 @@ object CatalogQueries extends QueryGroup {
              |  0 AS miss_scanned
              |FROM customer WHERE c_custkey = 42""".stripMargin)),
 
+    // CROSS-ROOT EXPORT (`CALL system.export`): deep-copy a pinned
+    // snapshot into ANOTHER catalog root in one conditional commit
+    // there — promotion, DR, dataset sharing. The fixture lake holds a
+    // PENDING equality delete, so this also pins that exports read
+    // through the delete funnel and MATERIALIZE the masks: the
+    // destination is a clean table (zero delete entries — pinned as a
+    // constant column) whose rows are exactly the source's funnel
+    // read. Read back from the DESTINATION catalog.
+    QueryDef(
+      "s_export",
+      (s, d) => {
+        val root = QueryFixtures.exportBase(s, d)
+        val dest = java.nio.file.Files
+          .createTempDirectory("q_export").toString
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        val r = s.sql(s"CALL $cat.system.export(dest => '$dest')")
+          .collect().head
+        val dcat = QueryFixtures.sqlCatalog(s, dest)
+        val dsnap = graft.storage.TxnCatalog.snapshot(s, dest).get
+        s.sql(s"""SELECT c_custkey, c_mktsegment,
+                 |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM $dcat.default.cust
+                 |ORDER BY c_custkey""".stripMargin)
+          .withColumn("dest_txn", lit(r.getLong(0)))
+          .withColumn("n_tables", lit(r.getInt(1)))
+          .withColumn("clean_dest",
+            lit(dsnap.deleteEntries("cust").isEmpty))
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+             |  CAST(1 AS BIGINT) AS dest_txn, 1 AS n_tables,
+             |  TRUE AS clean_dest
+             |FROM customer WHERE c_custkey NOT IN (7, 42)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // SQL MERGE INTO over the lake catalog (GraftMergeStrategy): the
     // canonical upsert — matched keys take the source row, new keys
     // insert — lands as ONE txn of equality-delete keys + one batch

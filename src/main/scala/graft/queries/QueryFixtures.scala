@@ -397,6 +397,25 @@ object QueryFixtures {
       ()
     }
 
+  /** Base lake for `s_export`: customer partitioned by segment with a
+    * PENDING equality delete masking two keys — exactly the state a
+    * cross-root export must read through its funnel and materialize. */
+  def exportBase(s: SparkSession, sfDir: String): String =
+    fixture("exportbase-v1", sfDir) { root =>
+      val cust = Tables.customer(s, sfDir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")
+      TxnCatalog.commitPartitions(s, root,
+        segs.map(g => ("cust", s"seg=$g",
+          cust.filter(col("c_mktsegment") === g))),
+        statsColumns = Seq("c_custkey", "c_acctbal"))
+      import s.implicits._
+      TxnCatalog.deleteKeys(s, root, "cust", "c_custkey",
+        Seq(7L, 42L).toDF("c_custkey"))
+      ()
+    }
+
   /** Base lake for `s_skipping_report`: customer in 4 DISJOINT key
     * ranges with stats + Blooms on the key and on a derived even-only
     * key — the layout where both pruning layers have something to

@@ -61,7 +61,7 @@ private[storage] object GraftProcedures {
     "analyze", "apply_deletes", "restore", "bucket", "create_mv",
     "refresh_mv", "tag", "drop_tag", "tags", "branch", "publish_branch",
     "drop_branch", "clone", "evolve_partitioning", "add_files", "skipping",
-    "clustering_depth", "fold_report")
+    "clustering_depth", "fold_report", "export")
 
   /** The optimize fold as a library call — shared by
     * [[OptimizeProcedure]] and [[GraftSqlTable]]'s auto-compact hook:
@@ -153,6 +153,7 @@ private[storage] object GraftProcedures {
       case "skipping" => Some(new SkippingProcedure(root))
       case "clustering_depth" => Some(new ClusteringDepthProcedure(root))
       case "fold_report" => Some(new FoldReportProcedure(root))
+      case "export" => Some(new ExportProcedure(root))
       case _          => None
     }
   }
@@ -688,6 +689,46 @@ private[storage] final class AddFilesProcedure(root: String)
     require(table.nonEmpty, "add_files: table is required")
     require(path.nonEmpty, "add_files: source_path is required")
     val (txn, n) = Importer.addFiles(s, root, table, path)
+    one(oneRow(out, java.lang.Long.valueOf(txn), Integer.valueOf(n)))
+  }
+}
+
+/** `CALL cat.system.export(dest => '/dr/root' [, tables => 't1,t2']
+  * [, as_of => txn])`: deep-export a pinned snapshot into ANOTHER
+  * catalog root in one conditional commit there
+  * ([[TxnCatalog.exportTables]]) — promotion, DR, and dataset sharing.
+  * Pending merge-on-read deletes are materialized, properties and
+  * skipping config travel, stats/Blooms re-measure at the destination.
+  * Returns `(dest_txn, exported_tables)`. */
+private[storage] final class ExportProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import GraftProcedures._
+
+  override def name(): String = "export"
+  override def description(): String =
+    "deep-export tables into another catalog root - one commit there"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    param("dest", StringType),
+    param("tables", StringType, "''",
+      "comma-separated; defaults to every non-shadow table"),
+    param("as_of", LongType, "0L", "source txn; 0 = current"))
+
+  private val out = StructType(Seq(
+    StructField("dest_txn", LongType, nullable = false),
+    StructField("exported_tables", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val s = spark
+    val dest = str(input, 0)
+    require(dest.nonEmpty, "export: dest is required")
+    val tabs = csv(input, 1)
+    val asOf = Option(input.getLong(2)).filter(_ > 0L)
+    val txn = TxnCatalog.exportTables(s, root, dest, tabs, asOf)
+    val n = if (tabs.nonEmpty) tabs.size
+      else TxnCatalog.snapshot(s, dest).map(_.tables.size).getOrElse(0)
     one(oneRow(out, java.lang.Long.valueOf(txn), Integer.valueOf(n)))
   }
 }

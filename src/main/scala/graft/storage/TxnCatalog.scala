@@ -3137,6 +3137,91 @@ object TxnCatalog {
     }
   }
 
+  /** Deep-EXPORT a pinned snapshot of `tables` into the catalog at
+    * `destRoot` — cross-root promotion/DR/sharing as ONE conditional
+    * commit at the destination: every listed table's data lands with
+    * its partition grain, table properties, and skipping config intact,
+    * or nothing lands at all. Reads go through the source's
+    * delete-applying funnel, so pending merge-on-read deletes are
+    * MATERIALIZED at the destination (a clean table — no cross-root
+    * delete entries whose positional coordinates would dangle against
+    * re-encoded files) and hive-synthesized / exists-default columns
+    * arrive as real data. Stats and Blooms re-measure on the
+    * destination's own write path under the source's declared config,
+    * so skipping is tight from birth there. `asOf` exports a time-travel
+    * state; pair with a source TAG to keep the exported txn stable
+    * against vacuum while a large copy runs. Refuses when any target
+    * table already exists at the destination, when the roots are the
+    * same (use branches/clones inside one catalog — they are
+    * zero-copy), and the empty list exports every non-shadow table.
+    * Scale: one distributed funnel-read + write per partition — the
+    * honest cost of leaving the root; within one catalog, fork/clone
+    * stay the zero-copy paths. Returns the destination's committed
+    * txn. */
+  def exportTables(spark: SparkSession, srcRoot: String, destRoot: String,
+      tables: Seq[String] = Nil, asOf: Option[Long] = None,
+      attempts: Int = 5): Long = {
+    require(new Path(srcRoot).toUri.getPath !=
+        new Path(destRoot).toUri.getPath,
+      "export needs a DIFFERENT destination root (within one catalog, " +
+        "branches and shallow clones are the zero-copy paths)")
+    val snap = asOf.map(snapshotAt(spark, srcRoot, _)).orElse(
+      snapshot(spark, srcRoot)).getOrElse(
+      throw new IllegalArgumentException(s"empty catalog under $srcRoot"))
+    val tabs =
+      if (tables.nonEmpty) tables.sorted
+      else snap.tables.filterNot(_.contains("~")).sorted
+    require(tabs.nonEmpty, s"nothing to export from $srcRoot")
+    tabs.foreach(t => require(snap.tables.contains(t),
+      s"unknown table '$t' under $srcRoot"))
+    // markers that are facts about the SOURCE catalog's history, not
+    // the table: restore lineage, branch/clone bookkeeping
+    val dropKeys = Set(RestoreTxnProp, Branch.BranchOfProp,
+      Branch.BranchBaseProp, Branch.BranchPublishedProp, Branch.CloneOfProp)
+    val statsCols = tabs.flatMap(t => snap.properties(t)
+      .get(StatsColumnsProp).toSeq.flatMap(_.split(',')))
+      .map(_.trim).filter(_.nonEmpty).distinct
+    val bloomCols = tabs.flatMap(t => snap.properties(t)
+      .get(BloomColumnsProp).toSeq.flatMap(_.split(',')))
+      .map(_.trim).filter(_.nonEmpty).distinct
+    val updates: Seq[(String, String, DataFrame)] = tabs.flatMap { t =>
+      val data = snap.dataEntries(t).map { case (p, e) =>
+        (t, p, snap.readSelected(t, Seq((p, e))).getOrElse(
+          throw new IllegalStateException(s"unreadable entry $t/$p")))
+      }
+      val props = snap.properties(t) -- dropKeys
+      val kv = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          props.toSeq.sorted.map { case (k, v) =>
+            org.apache.spark.sql.Row(k, v) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      data :+ ((t, PropsPartition, kv))
+    }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val destPrev = snapshot(spark, destRoot)
+      destPrev.foreach { d =>
+        tabs.foreach(t => require(!d.tables.contains(t),
+          s"table '$t' already exists under $destRoot"))
+      }
+      try {
+        return publish(spark, destRoot, updates,
+          statsColumns = statsCols, drops = Nil,
+          expectedTxn = Some(destPrev.map(_.txn).getOrElse(0L)),
+          reconcile = identity, bloomColumns = bloomCols)(() => ())
+      } catch {
+        case _: java.io.IOException if attempt < attempts =>
+          Thread.sleep(attempt * 20L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Re-cluster N partitions of `table` into up to `buckets` partitions
     * that are contiguous RANGES of the Morton (Z-order) code of
     * (`aCol`, `bCol`), in one atomic conditional commit — the lakehouse

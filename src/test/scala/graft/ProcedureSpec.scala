@@ -391,6 +391,52 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("CALL system.export deep-copies a snapshot into another root") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      // two tables, partitioned + whole grain, with skipping config
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 2).map(b => ("ev", s"b=$b",
+          (b * 50 until (b + 1) * 50).map(i => (i.toLong, s"n$i"))
+            .toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      s2.sql("ALTER TABLE lake.default.ev " +
+        "SET TBLPROPERTIES ('graft.stats-columns' = 'k')")
+      TxnCatalog.commit(s2, root,
+        Seq(("dim", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))))
+      // a pending equality delete: the export must MATERIALIZE it
+      TxnCatalog.deleteKeys(s2, root, "ev", "k", Seq(7L, 99L).toDF("k"))
+      val dest = Files.createTempDirectory("procexp").toFile.getAbsolutePath
+      val r = s2.sql(
+        s"CALL lake.system.export(dest => '$dest')").collect().head
+      assert(r.getLong(0) === 1L && r.getInt(1) === 2,
+        s"one commit at the destination, both tables: $r")
+      // rows equal the source's FUNNEL read (deletes applied)...
+      val dsnap = TxnCatalog.snapshot(s2, dest).get
+      assert(dsnap.read("ev").get.select("k").as[Long].collect().sorted
+        === (0L until 100L).filterNot(Set(7L, 99L)))
+      assert(dsnap.read("dim").get.count() === 2L)
+      // ...with NO delete entries at the destination (clean table)
+      assert(dsnap.deleteEntries("ev").isEmpty,
+        "pending deletes materialize, never travel")
+      // partition grain and skipping config survive; stats re-measured
+      assert(dsnap.partitions("ev").toSet === Set("b=0", "b=1"))
+      assert(dsnap.properties("ev")
+        .get(TxnCatalog.StatsColumnsProp).contains("k"))
+      assert(dsnap.columnBounds("ev", "k").isDefined,
+        "stats re-measure on the destination write path")
+      // metadata answers work at the destination immediately
+      assert(dsnap.rowCount("ev").contains(98L))
+      // re-export refuses: the target tables already exist
+      val e = intercept[Exception] {
+        s2.sql(s"CALL lake.system.export(dest => '$dest')").collect()
+      }
+      assert(e.getMessage.contains("already exists"))
+      // source untouched
+      assert(TxnCatalog.read(s2, root, "ev").get.count() === 98L)
+    }
+  }
+
   test("vacuum dry_run lists the exact reclamation plan, touches nothing") {
     withCatalog { (s2, root) =>
       import s2.implicits._
@@ -451,7 +497,8 @@ class ProcedureSpec extends GraftSuite {
         "analyze", "apply_deletes", "restore", "bucket", "create_mv",
         "refresh_mv", "tag", "drop_tag", "tags", "branch",
         "publish_branch", "drop_branch", "clone", "evolve_partitioning",
-        "add_files", "skipping", "clustering_depth", "fold_report"))
+        "add_files", "skipping", "clustering_depth", "fold_report",
+        "export"))
       val e = intercept[Exception] {
         s2.sql("CALL lake.system.nope()").collect()
       }
