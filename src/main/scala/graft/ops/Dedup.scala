@@ -552,8 +552,13 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     require(n >= 2 && minDf >= 2, "need n >= 2 and minDf >= 2")
+    // the tokenized corpus feeds THREE arms (span index, position
+    // explode, final length join) and the span index feeds two (df
+    // count, coverage) — pin both or the regex tokenization and span
+    // construction re-run per consumer (3× / 2× the corpus scan)
     val base = docs.select(col(idCol).as("doc"),
       TextAnalysis.regexTokens(col(textCol)).as("tl"))
+      .localCheckpoint(false)
 
     // (doc, p0, s): every n-token span with its 1-based start position.
     // `tl` is a materialized attribute, so the lambda's slice reads the
@@ -563,6 +568,7 @@ object Dedup {
         sequence(lit(1), size(col("tl")) - (n - 1)),
         i => concat_ws(" ", slice(col("tl"), i, lit(n))))).as(Seq("off", "s")))
       .select(col("doc"), (col("off") + 1).as("p0"), col("s"))
+      .localCheckpoint(false)
 
     // boilerplate shingles: document frequency >= minDf
     val bp = sh.select("doc", "s").distinct()

@@ -76,8 +76,12 @@ object TextStats {
     */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
+    // tokenization feeds two arms (bigram + unigram explode) and the
+    // bigram frame three (count table, scoring join) — pin both so the
+    // regex pass and the bigram construction run once, not per consumer
     val base = docs.select(col(idCol).as("doc"),
       TextAnalysis.regexTokens(col(textCol)).as("tl"))
+      .localCheckpoint(false)
     val bi = base.filter(size(col("tl")) >= 2)
       .select(col("doc"), explode(transform(
         sequence(lit(1), size(col("tl")) - 1),
@@ -85,6 +89,7 @@ object TextStats {
           element_at(col("tl"), i).as("prev"),
           concat_ws(" ", slice(col("tl"), i, lit(2))).as("bg")))).as("b"))
       .select(col("doc"), col("b.prev"), col("b.bg"))
+      .localCheckpoint(false)
     val uni = base.select(col("doc"), explode(col("tl")).as("term"))
     val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
     val c1 = uni.groupBy(col("term").as("prev")).agg(count(lit(1)).as("c1"))
