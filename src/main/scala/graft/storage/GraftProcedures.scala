@@ -714,7 +714,9 @@ private[storage] final class ExportProcedure(root: String)
     param("dest", StringType),
     param("tables", StringType, "''",
       "comma-separated; defaults to every non-shadow table"),
-    param("as_of", LongType, "0L", "source txn; 0 = current"))
+    param("as_of", LongType, "0L", "source txn; 0 = current"),
+    param("mode", StringType, "'copy'",
+      "copy (deep, deletes materialize) | reference (zero-copy ~ext)"))
 
   private val out = StructType(Seq(
     StructField("dest_txn", LongType, nullable = false),
@@ -726,7 +728,8 @@ private[storage] final class ExportProcedure(root: String)
     require(dest.nonEmpty, "export: dest is required")
     val tabs = csv(input, 1)
     val asOf = Option(input.getLong(2)).filter(_ > 0L)
-    val txn = TxnCatalog.exportTables(s, root, dest, tabs, asOf)
+    val mode = str(input, 3)
+    val txn = TxnCatalog.exportTables(s, root, dest, tabs, asOf, mode)
     val n = if (tabs.nonEmpty) tabs.size
       else TxnCatalog.snapshot(s, dest).map(_.tables.size).getOrElse(0)
     one(oneRow(out, java.lang.Long.valueOf(txn), Integer.valueOf(n)))

@@ -3160,7 +3160,9 @@ object TxnCatalog {
     * txn. */
   def exportTables(spark: SparkSession, srcRoot: String, destRoot: String,
       tables: Seq[String] = Nil, asOf: Option[Long] = None,
-      attempts: Int = 5): Long = {
+      mode: String = "copy", attempts: Int = 5): Long = {
+    require(mode == "copy" || mode == "reference",
+      s"unknown export mode '$mode' (copy | reference)")
     require(new Path(srcRoot).toUri.getPath !=
         new Path(destRoot).toUri.getPath,
       "export needs a DIFFERENT destination root (within one catalog, " +
@@ -3174,23 +3176,44 @@ object TxnCatalog {
     require(tabs.nonEmpty, s"nothing to export from $srcRoot")
     tabs.foreach(t => require(snap.tables.contains(t),
       s"unknown table '$t' under $srcRoot"))
+    if (mode == "reference") tabs.foreach { t =>
+      // reference entries keep the SOURCE's physical dirs but lose its
+      // txn axis, so anything whose semantics depend on relative txn
+      // ordering cannot travel: pending deletes (mask-vs-data order)
+      // and exists-default fills (fill-vs-entry order) must be
+      // materialized first — apply_deletes / copy mode
+      require(snap.deleteEntries(t).isEmpty,
+        s"'$t' has pending merge-on-read deletes; CALL " +
+          "system.apply_deletes first or export with mode => 'copy'")
+      require(!snap.properties(t).keys.exists(
+          _.startsWith(ExistsDefaultPrefix)),
+        s"'$t' carries exists-default fills; export with mode => 'copy'")
+    }
     // markers that are facts about the SOURCE catalog's history, not
-    // the table: restore lineage, branch/clone bookkeeping
+    // the table: restore lineage, branch/clone bookkeeping. Copy mode
+    // additionally drops read-time synthesis markers the funnel read
+    // has MATERIALIZED into the copied files (exists-default fills,
+    // hive-synthesized partition columns) — carrying them would
+    // re-apply a fill over data that already contains it (an explicit
+    // post-alter NULL would wrongly read as the default at the
+    // destination). Reference mode keeps the hive marker: its ext-hive
+    // entries still need the synthesis.
     val dropKeys = Set(RestoreTxnProp, Branch.BranchOfProp,
       Branch.BranchBaseProp, Branch.BranchPublishedProp, Branch.CloneOfProp)
+    def exportProps(t: String): Map[String, String] = {
+      val base = snap.properties(t) -- dropKeys
+      if (mode == "reference") base
+      else base.filterNot { case (k, _) =>
+        k.startsWith(ExistsDefaultPrefix) } - HivePartColsProp
+    }
     val statsCols = tabs.flatMap(t => snap.properties(t)
       .get(StatsColumnsProp).toSeq.flatMap(_.split(',')))
       .map(_.trim).filter(_.nonEmpty).distinct
     val bloomCols = tabs.flatMap(t => snap.properties(t)
       .get(BloomColumnsProp).toSeq.flatMap(_.split(',')))
       .map(_.trim).filter(_.nonEmpty).distinct
-    val updates: Seq[(String, String, DataFrame)] = tabs.flatMap { t =>
-      val data = snap.dataEntries(t).map { case (p, e) =>
-        (t, p, snap.readSelected(t, Seq((p, e))).getOrElse(
-          throw new IllegalStateException(s"unreadable entry $t/$p")))
-      }
-      val props = snap.properties(t) -- dropKeys
-      val kv = spark.createDataFrame(
+    def kvFrame(props: Map[String, String]): DataFrame =
+      spark.createDataFrame(
         spark.sparkContext.parallelize(
           props.toSeq.sorted.map { case (k, v) =>
             org.apache.spark.sql.Row(k, v) }, 1),
@@ -3199,7 +3222,14 @@ object TxnCatalog {
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("value",
             org.apache.spark.sql.types.StringType, nullable = false))))
-      data :+ ((t, PropsPartition, kv))
+    val updates: Seq[(String, String, DataFrame)] = tabs.flatMap { t =>
+      val data =
+        if (mode == "reference") Nil
+        else snap.dataEntries(t).map { case (p, e) =>
+          (t, p, snap.readSelected(t, Seq((p, e))).getOrElse(
+            throw new IllegalStateException(s"unreadable entry $t/$p")))
+        }
+      data :+ ((t, PropsPartition, kvFrame(exportProps(t))))
     }
     var attempt = 0
     while (true) {
@@ -3209,11 +3239,30 @@ object TxnCatalog {
         tabs.foreach(t => require(!d.tables.contains(t),
           s"table '$t' already exists under $destRoot"))
       }
+      val destNext = destPrev.map(_.txn).getOrElse(0L) + 1L
+      // reference mode: no bytes move — the destination manifest names
+      // the source's physical dirs (`~ext:` — never owned, so a dest
+      // vacuum forgets them, never deletes), stats/rows/bytes carried
+      // verbatim (content identical). The source's OWN vacuum does not
+      // know about foreign references: pin a source TAG for as long as
+      // the reference export must stay readable.
+      val refEntries: Map[(String, String), Entry] =
+        if (mode != "reference") Map.empty
+        else tabs.flatMap { t =>
+          snap.dataEntries(t).map { case (p, e) =>
+            val dir =
+              if (e.dir.startsWith(ExtPrefix)) e.dir // already external
+              else ExtPrefix + entryPath(srcRoot, t, p, e.dir)
+            (t, p) -> Entry(dir, e.stats, dataTxn = Some(destNext),
+              rows = e.rows, bytes = e.bytes)
+          }
+        }.toMap
       try {
         return publish(spark, destRoot, updates,
           statsColumns = statsCols, drops = Nil,
           expectedTxn = Some(destPrev.map(_.txn).getOrElse(0L)),
-          reconcile = identity, bloomColumns = bloomCols)(() => ())
+          reconcile = carried => carried ++ refEntries,
+          bloomColumns = bloomCols)(() => ())
       } catch {
         case _: java.io.IOException if attempt < attempts =>
           Thread.sleep(attempt * 20L)

@@ -437,6 +437,55 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("export mode => reference is zero-copy; txn-dependent state refuses") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 2).map(b => ("ev", s"b=$b",
+          (b * 50 until (b + 1) * 50).map(i => (i.toLong, s"n$i"))
+            .toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      val dest = Files.createTempDirectory("procexpr").toFile.getAbsolutePath
+      val r = s2.sql(s"CALL lake.system.export(dest => '$dest', " +
+        "mode => 'reference')").collect().head
+      assert(r.getLong(0) === 1L)
+      // rows readable at the destination, carried stats intact...
+      val dsnap = TxnCatalog.snapshot(s2, dest).get
+      assert(dsnap.read("ev").get.count() === 100L)
+      assert(dsnap.rowCount("ev").contains(100L))
+      assert(dsnap.columnBounds("ev", "k").isDefined,
+        "stats carry verbatim (content identical)")
+      // ...and NOT ONE data file exists under the destination root:
+      // every entry references the source's physical dirs
+      def parquetUnder(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).toSeq.flatten
+        kids.filter(_.getName.endsWith(".parquet")) ++
+          kids.filter(k => k.isDirectory && k.getName != "_txns")
+            .flatMap(parquetUnder)
+      }
+      val dataFiles = parquetUnder(new java.io.File(dest))
+        .filterNot(_.getPath.contains("~p")) // the KB-scale props entry
+      assert(dataFiles.isEmpty,
+        s"reference export must move zero data bytes: $dataFiles")
+      // a destination vacuum FORGETS external dirs, never deletes them
+      TxnCatalog.read(s2, dest, "ev").get.count()
+      // pending deletes refuse the reference mode (txn order is lost)
+      TxnCatalog.deleteKeys(s2, root, "ev", "k", Seq(3L).toDF("k"))
+      val dest2 = Files.createTempDirectory("procexpr2")
+        .toFile.getAbsolutePath
+      val e = intercept[Exception] {
+        s2.sql(s"CALL lake.system.export(dest => '$dest2', " +
+          "mode => 'reference')").collect()
+      }
+      assert(e.getMessage.contains("apply_deletes"))
+      // ... while copy mode materializes them happily
+      s2.sql(s"CALL lake.system.export(dest => '$dest2', " +
+        "mode => 'copy')").collect()
+      assert(TxnCatalog.snapshot(s2, dest2).get
+        .read("ev").get.count() === 99L)
+    }
+  }
+
   test("vacuum dry_run lists the exact reclamation plan, touches nothing") {
     withCatalog { (s2, root) =>
       import s2.implicits._
