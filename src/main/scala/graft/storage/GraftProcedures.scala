@@ -716,7 +716,10 @@ private[storage] final class ExportProcedure(root: String)
       "comma-separated; defaults to every non-shadow table"),
     param("as_of", LongType, "0L", "source txn; 0 = current"),
     param("mode", StringType, "'copy'",
-      "copy (deep, deletes materialize) | reference (zero-copy ~ext)"))
+      "copy (deep, deletes materialize) | reference (zero-copy ~ext)"),
+    param("pin_tag", StringType, "''",
+      "tag the exported txn at the SOURCE (vacuum-exempt) - the " +
+        "retention handshake a reference export needs"))
 
   private val out = StructType(Seq(
     StructField("dest_txn", LongType, nullable = false),
@@ -729,7 +732,9 @@ private[storage] final class ExportProcedure(root: String)
     val tabs = csv(input, 1)
     val asOf = Option(input.getLong(2)).filter(_ > 0L)
     val mode = str(input, 3)
-    val txn = TxnCatalog.exportTables(s, root, dest, tabs, asOf, mode)
+    val pinTag = Option(str(input, 4)).filter(_.nonEmpty)
+    val txn = TxnCatalog.exportTables(s, root, dest, tabs, asOf, mode,
+      pinTag)
     val n = if (tabs.nonEmpty) tabs.size
       else TxnCatalog.snapshot(s, dest).map(_.tables.size).getOrElse(0)
     one(oneRow(out, java.lang.Long.valueOf(txn), Integer.valueOf(n)))

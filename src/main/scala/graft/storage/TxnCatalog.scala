@@ -3160,7 +3160,8 @@ object TxnCatalog {
     * txn. */
   def exportTables(spark: SparkSession, srcRoot: String, destRoot: String,
       tables: Seq[String] = Nil, asOf: Option[Long] = None,
-      mode: String = "copy", attempts: Int = 5): Long = {
+      mode: String = "copy", pinTag: Option[String] = None,
+      attempts: Int = 5): Long = {
     require(mode == "copy" || mode == "reference",
       s"unknown export mode '$mode' (copy | reference)")
     require(new Path(srcRoot).toUri.getPath !=
@@ -3206,6 +3207,12 @@ object TxnCatalog {
       else base.filterNot { case (k, _) =>
         k.startsWith(ExistsDefaultPrefix) } - HivePartColsProp
     }
+    // a reference export's bytes stay under the SOURCE root, exposed
+    // to the source's own vacuum once its txns age out — `pinTag`
+    // tags the exported txn there (vacuum-exempt until dropped), the
+    // explicit retention handshake a long-lived reference needs. Also
+    // honored for copy mode (pin the provenance txn).
+    pinTag.foreach(createTag(spark, srcRoot, _, snap.txn))
     val statsCols = tabs.flatMap(t => snap.properties(t)
       .get(StatsColumnsProp).toSeq.flatMap(_.split(',')))
       .map(_.trim).filter(_.nonEmpty).distinct

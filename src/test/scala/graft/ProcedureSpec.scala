@@ -447,8 +447,12 @@ class ProcedureSpec extends GraftSuite {
         statsColumns = Seq("k"))
       val dest = Files.createTempDirectory("procexpr").toFile.getAbsolutePath
       val r = s2.sql(s"CALL lake.system.export(dest => '$dest', " +
-        "mode => 'reference')").collect().head
+        "mode => 'reference', pin_tag => 'dr1')").collect().head
       assert(r.getLong(0) === 1L)
+      // the pin tag landed at the SOURCE, pinning the exported txn
+      // against vacuum for as long as the reference must stay readable
+      assert(TxnCatalog.tags(s2, root) ===
+        Map("dr1" -> TxnCatalog.currentTxn(s2, root).get))
       // rows readable at the destination, carried stats intact...
       val dsnap = TxnCatalog.snapshot(s2, dest).get
       assert(dsnap.read("ev").get.count() === 100L)
