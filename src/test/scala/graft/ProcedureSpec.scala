@@ -437,6 +437,47 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("single-table many-partition export takes the O(1)-jobs bulk path") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      // 6 partitions (> BulkRewriteThreshold) + a pending delete: the
+      // bulk path must funnel-read WITH attribution, materialize the
+      // mask, and keep the partition grain at the destination
+      TxnCatalog.commitPartitions(s2, root,
+        (0 until 6).map(b => ("ev", s"b=$b",
+          (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"n$i"))
+            .toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      TxnCatalog.deleteKeys(s2, root, "ev", "k", Seq(11L, 42L).toDF("k"))
+      val dest = Files.createTempDirectory("procexpb").toFile.getAbsolutePath
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      s2.sparkContext.addSparkListener(listener)
+      try {
+        s2.sql(s"CALL lake.system.export(dest => '$dest', " +
+          "tables => 'ev')").collect()
+        Thread.sleep(300) // listener events are async
+      } finally s2.sparkContext.removeSparkListener(listener)
+      // O(1) jobs, not O(partitions): write + stats + small fixed
+      // overhead — far under the ~18 the per-entry loop would need
+      assert(jobs.get() <= 8, s"bulk export must be O(1) jobs: ${jobs.get()}")
+      val dsnap = TxnCatalog.snapshot(s2, dest).get
+      assert(dsnap.partitions("ev").toSet ===
+        (0 until 6).map(b => s"b=$b").toSet, "partition grain survives")
+      assert(dsnap.read("ev").get.select("k").as[Long].collect().sorted
+        === (0L until 60L).filterNot(Set(11L, 42L)),
+        "masks materialize through the bulk funnel")
+      assert(dsnap.deleteEntries("ev").isEmpty)
+      assert(dsnap.columnBounds("ev", "k").isDefined,
+        "grouped stats ride the bulk pass")
+    }
+  }
+
   test("export mode => reference is zero-copy; txn-dependent state refuses") {
     withCatalog { (s2, root) =>
       import s2.implicits._
