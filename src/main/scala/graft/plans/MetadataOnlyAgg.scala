@@ -336,8 +336,15 @@ object MetadataOnlyAgg extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Sum modes whose SCAN outcome can depend on an order-sensitive
+    * intermediate partial overflow even when the total fits Long: ANSI
+    * raises, TRY (try_sum) returns NULL — either way an outcome the
+    * fold must not preempt unless [[ansiLongSafe]] proves no partial
+    * can overflow. LEGACY wraps modulo 2⁶⁴, where a fitting total IS
+    * the scan's answer in every order. */
   private def isAnsiSum(s: Sum): Boolean =
-    s.evalContext.evalMode == EvalMode.ANSI
+    s.evalContext.evalMode == EvalMode.ANSI ||
+      s.evalContext.evalMode == EvalMode.TRY
 
   /** Is an ANSI Long-buffer sum over these entries provably free of
     * intermediate overflow in EVERY evaluation order? Sufficient exact

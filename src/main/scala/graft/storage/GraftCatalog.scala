@@ -1603,15 +1603,13 @@ private[graft] object MetadataAggHook {
     case _ => None
   }
 
+  /** Coordinates of a scan with NO pushed predicates (the bare table)
+    * — the conservative subset of [[scanCoordsWithFilters]]. */
   def scanCoords(s: org.apache.spark.sql.connector.read.Scan)
-      : Option[(String, String, Option[Long])] = s match {
-    case v: GraftV1Scan if v.filters.isEmpty =>
-      Some((v.root, v.table, v.asOfTxn))
-    // post-pushdown, V2ScanRelationPushDown hands a V1Scan back wrapped
-    case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
-      scanCoords(w.v1Scan)
-    case _ => None
-  }
+      : Option[(String, String, Option[Long])] =
+    scanCoordsWithFilters(s).collect {
+      case (coords, pushed) if pushed.isEmpty => coords
+    }
 
   /** Coordinates PLUS the pushed source filters — the shape the
     * filtered-fold arm needs: a scan carrying pushed predicates is not

@@ -735,8 +735,12 @@ private[storage] final class ExportProcedure(root: String)
     val pinTag = Option(str(input, 4)).filter(_.nonEmpty)
     val txn = TxnCatalog.exportTables(s, root, dest, tabs, asOf, mode,
       pinTag)
+    // count what was EXPORTED (the same default list exportTables
+    // derives from the source), never the destination's table count —
+    // a dest root holding unrelated tables must not inflate it
     val n = if (tabs.nonEmpty) tabs.size
-      else TxnCatalog.snapshot(s, dest).map(_.tables.size).getOrElse(0)
+      else TxnCatalog.snapshot(s, root)
+        .map(_.tables.count(!_.contains("~"))).getOrElse(0)
     one(oneRow(out, java.lang.Long.valueOf(txn), Integer.valueOf(n)))
   }
 }

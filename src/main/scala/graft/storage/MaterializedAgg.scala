@@ -118,9 +118,7 @@ object MaterializedAgg {
         throw new IllegalArgumentException(
           s"'$view' is not a materialized view (no ${SourceProp})"))
       val groupCols = props(GroupProp).split(',').toSeq
-      val aggs = props(AggsProp).split(',').toSeq.map { s =>
-        val Array(op, c) = s.split(":", 2); AggSpec(op, c)
-      }
+      val aggs = parseAggs(props(AggsProp))
       val wm = props(WatermarkProp).toLong
       if (wm == snap.txn) return Refresh(snap.txn, "noop", 0)
 
@@ -193,9 +191,7 @@ object MaterializedAgg {
               .exists(r => r > wm && r <= snap.txn)
         }.map { _ =>
           (t, props(GroupProp).split(',').toSeq,
-            props(AggsProp).split(',').toSeq.map { s =>
-              val Array(op, c) = s.split(":", 2); AggSpec(op, c)
-            })
+            parseAggs(props(AggsProp)))
         }
       }
       if (viewCache.size > 4096) viewCache.clear() // bounded

@@ -3164,8 +3164,11 @@ object TxnCatalog {
       attempts: Int = 5): Long = {
     require(mode == "copy" || mode == "reference",
       s"unknown export mode '$mode' (copy | reference)")
-    require(new Path(srcRoot).toUri.getPath !=
-        new Path(destRoot).toUri.getPath,
+    // same-root check on the FULLY-QUALIFIED URIs (scheme + authority +
+    // path): the canonical DR layout is the same path under a different
+    // bucket/namenode, which a bare-path compare would wrongly refuse
+    require(fs(spark, srcRoot).makeQualified(new Path(srcRoot)) !=
+        fs(spark, destRoot).makeQualified(new Path(destRoot)),
       "export needs a DIFFERENT destination root (within one catalog, " +
         "branches and shallow clones are the zero-copy paths)")
     val snap = asOf.map(snapshotAt(spark, srcRoot, _)).orElse(
@@ -3177,6 +3180,17 @@ object TxnCatalog {
     require(tabs.nonEmpty, s"nothing to export from $srcRoot")
     tabs.foreach(t => require(snap.tables.contains(t),
       s"unknown table '$t' under $srcRoot"))
+    // a materialized view travels only WITH its source: its
+    // `graft.mv.source` must resolve at the destination or every
+    // refresh there dangles
+    tabs.foreach { t =>
+      snap.properties(t).get(MaterializedAgg.SourceProp).foreach { src =>
+        require(tabs.contains(src),
+          s"'$t' is a materialized view over '$src', which is not in " +
+            "the export list — export both, or re-create the view at " +
+            "the destination")
+      }
+    }
     if (mode == "reference") tabs.foreach { t =>
       // reference entries keep the SOURCE's physical dirs but lose its
       // txn axis, so anything whose semantics depend on relative txn
@@ -3201,8 +3215,18 @@ object TxnCatalog {
     // entries still need the synthesis.
     val dropKeys = Set(RestoreTxnProp, Branch.BranchOfProp,
       Branch.BranchBaseProp, Branch.BranchPublishedProp, Branch.CloneOfProp)
-    def exportProps(t: String): Map[String, String] = {
-      val base = snap.properties(t) -- dropKeys
+    def exportProps(t: String, destNext: Long): Map[String, String] = {
+      val base0 = snap.properties(t) -- dropKeys
+      // an MV watermark is a fact about the SOURCE txn axis; the
+      // destination's axis restarts, so the carried watermark pins the
+      // DESTINATION commit the exported rows are complete as of —
+      // refresh there starts as a clean noop instead of resolving
+      // source txns that don't exist (or, worse, silently skipping
+      // appended rows once the destination axis passes them)
+      val base =
+        if (base0.contains(MaterializedAgg.SourceProp))
+          base0 + (MaterializedAgg.WatermarkProp -> destNext.toString)
+        else base0
       if (mode == "reference") base
       else base.filterNot { case (k, _) =>
         k.startsWith(ExistsDefaultPrefix) } - HivePartColsProp
@@ -3238,15 +3262,16 @@ object TxnCatalog {
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("value",
             org.apache.spark.sql.types.StringType, nullable = false))))
-    lazy val updates: Seq[(String, String, DataFrame)] = tabs.flatMap { t =>
-      val data =
-        if (mode == "reference") Nil
-        else snap.dataEntries(t).map { case (p, e) =>
-          (t, p, snap.readSelected(t, Seq((p, e))).getOrElse(
-            throw new IllegalStateException(s"unreadable entry $t/$p")))
-        }
-      data :+ ((t, PropsPartition, kvFrame(exportProps(t))))
-    }
+    def updates(destNext: Long): Seq[(String, String, DataFrame)] =
+      tabs.flatMap { t =>
+        val data =
+          if (mode == "reference") Nil
+          else snap.dataEntries(t).map { case (p, e) =>
+            (t, p, snap.readSelected(t, Seq((p, e))).getOrElse(
+              throw new IllegalStateException(s"unreadable entry $t/$p")))
+          }
+        data :+ ((t, PropsPartition, kvFrame(exportProps(t, destNext))))
+      }
     // SINGLE-table copy of a MANY-partition table routes through the
     // O(1)-jobs bulk path: ONE attributed funnel read + one
     // dynamic-partition staged write + one grouped stats pass at the
@@ -3277,12 +3302,18 @@ object TxnCatalog {
             org.apache.spark.sql.functions.col(DvPathColumn),
             "^(.*)/[^/]+$", 1)))
         .drop(DvPathColumn, DvPosColumn)
+      // a fully-masked table stages ZERO groups on the bulk path,
+      // which would land a props-only commit and lose the schema —
+      // fall through to the per-entry loop, whose empty staged entries
+      // keep the table (and its schema) readable at the destination
+      if (!keyed.limit(1).isEmpty) {
       var attempt = 0
       while (true) {
         attempt += 1
         val destPrev = snapshot(spark, destRoot)
         destPrev.foreach(d => require(!d.tables.contains(t),
           s"table '$t' already exists under $destRoot"))
+        val destNext = destPrev.map(_.txn).getOrElse(0L) + 1L
         try {
           return commitPartitioned(spark, destRoot, t, keyed,
             keyCol = RwPartCol,
@@ -3290,13 +3321,15 @@ object TxnCatalog {
             partNameOf = Some(identity[String]),
             dropData = Seq(RwPartCol),
             statsColumns = statsCols,
-            extraUpdates = Seq((t, PropsPartition, kvFrame(exportProps(t)))),
+            extraUpdates = Seq((t, PropsPartition,
+              kvFrame(exportProps(t, destNext)))),
             expectedTxn = Some(destPrev.map(_.txn).getOrElse(0L)),
             bloomColumns = bloomCols)
         } catch {
           case _: java.io.IOException if attempt < attempts =>
             Thread.sleep(attempt * 20L)
         }
+      }
       }
     }
     var attempt = 0
@@ -3326,7 +3359,7 @@ object TxnCatalog {
           }
         }.toMap
       try {
-        return publish(spark, destRoot, updates,
+        return publish(spark, destRoot, updates(destNext),
           statsColumns = statsCols, drops = Nil,
           expectedTxn = Some(destPrev.map(_.txn).getOrElse(0L)),
           reconcile = carried => carried ++ refEntries,

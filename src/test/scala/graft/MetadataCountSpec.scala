@@ -508,6 +508,17 @@ class MetadataCountSpec extends GraftSuite {
             Option(e.getCause).exists(
               _.getMessage.contains("ARITHMETIC_OVERFLOW")), e.toString)
       }
+      // try_sum (TRY eval mode) is overflow-sensitive the same way —
+      // a partial overflow makes the scan return NULL, an outcome the
+      // fold must not preempt: unsafe bound keeps the scan...
+      val qTry = lakeAnsi.selectExpr("try_sum(v) AS sv")
+      assert(hasScan(qTry), "try_sum over overflow-capable partials " +
+        "must keep the scan")
+      // ...while a provably-safe bound folds try_sum like plain sum
+      val qTrySafe = s2.sql("SELECT try_sum(k) AS sk FROM sum_t")
+      assert(qTrySafe.collect().head.getLong(0) === 300L * 301 / 2)
+      assert(!hasScan(qTrySafe), "safe-bound try_sum folds:\n" +
+        qTrySafe.queryExecution.optimizedPlan)
       // with ANSI off, the same total folds (scan would wrap, never
       // raise — and the recorded total fits, matching the scan result)
       s2.conf.set("spark.sql.ansi.enabled", "false")

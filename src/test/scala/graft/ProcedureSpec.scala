@@ -463,9 +463,10 @@ class ProcedureSpec extends GraftSuite {
           "tables => 'ev')").collect()
         Thread.sleep(300) // listener events are async
       } finally s2.sparkContext.removeSparkListener(listener)
-      // O(1) jobs, not O(partitions): write + stats + small fixed
-      // overhead — far under the ~18 the per-entry loop would need
-      assert(jobs.get() <= 8, s"bulk export must be O(1) jobs: ${jobs.get()}")
+      // O(1) jobs, not O(partitions): emptiness probe + write + stats +
+      // small fixed overhead — far under the ~18 the per-entry loop
+      // would need for 6 partitions (and the gap widens with N)
+      assert(jobs.get() <= 12, s"bulk export must be O(1) jobs: ${jobs.get()}")
       val dsnap = TxnCatalog.snapshot(s2, dest).get
       assert(dsnap.partitions("ev").toSet ===
         (0 until 6).map(b => s"b=$b").toSet, "partition grain survives")
@@ -475,6 +476,48 @@ class ProcedureSpec extends GraftSuite {
       assert(dsnap.deleteEntries("ev").isEmpty)
       assert(dsnap.columnBounds("ev", "k").isDefined,
         "grouped stats ride the bulk pass")
+    }
+  }
+
+  test("export re-bases MV watermarks onto the destination txn axis") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      // several commits first, so the source watermark (a SOURCE-axis
+      // txn) is far past anything the destination axis will have
+      (0 until 3).foreach { b =>
+        TxnCatalog.commitPartitions(s2, root,
+          Seq(("ev", s"b=$b",
+            (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"n$i"))
+              .toDF("k", "nm"))))
+      }
+      graft.storage.MaterializedAgg.create(s2, root, "ev_mv", "ev",
+        groupCols = Seq("nm"), aggs = Seq(
+          graft.storage.MaterializedAgg.AggSpec("count")))
+      val dest = Files.createTempDirectory("procexpmv")
+        .toFile.getAbsolutePath
+      s2.sql(s"CALL lake.system.export(dest => '$dest')").collect()
+      // the carried watermark must pin the DEST commit (txn 1), not
+      // the source's txn 4: refresh starts as a clean noop there...
+      val r0 = graft.storage.MaterializedAgg.refresh(s2, dest, "ev_mv")
+      assert(r0.mode === "noop", s"fresh export must be current: $r0")
+      // ...and a destination append refreshes INCREMENTALLY (a stale
+      // source-axis watermark would crash resolving absent txns or
+      // silently skip these rows)
+      TxnCatalog.appendBatch(s2, dest, "ev", "b=9",
+        Seq((99L, "x99")).toDF("k", "nm"))
+      val r1 = graft.storage.MaterializedAgg.refresh(s2, dest, "ev_mv")
+      assert(r1.mode === "incremental" && r1.partitionsRead === 1, s"$r1")
+      assert(TxnCatalog.read(s2, dest, "ev_mv").get
+        .agg(org.apache.spark.sql.functions.sum("cnt")).collect()
+        .head.getLong(0) === 31L)
+      // an MV without its source in the export list refuses
+      val dest2 = Files.createTempDirectory("procexpmv2")
+        .toFile.getAbsolutePath
+      val e = intercept[Exception] {
+        s2.sql(s"CALL lake.system.export(dest => '$dest2', " +
+          "tables => 'ev_mv')").collect()
+      }
+      assert(e.getMessage.contains("materialized view"))
     }
   }
 
