@@ -668,6 +668,46 @@ object CatalogQueries extends QueryGroup {
              |FROM customer WHERE c_custkey NOT IN (7, 42)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ZERO-COPY cross-root export (`mode => 'reference'`): the
+    // destination manifest names the SOURCE's physical dirs (`~ext:`)
+    // with stats carried verbatim — instant same-filesystem promotion.
+    // Pinned two ways: the destination holds ZERO data files (only the
+    // KB-scale `~p` props entry — counted and emitted as a constant)
+    // yet reads the full table, and the carried stats still answer the
+    // metadata plane there (row count folded, emitted as a constant).
+    QueryDef(
+      "s_export_ref",
+      (s, d) => {
+        val root = QueryFixtures.groupMetaBase(s, d)
+        val dest = java.nio.file.Files
+          .createTempDirectory("q_exportref").toString
+        val cat = QueryFixtures.sqlCatalog(s, root)
+        s.sql(s"CALL $cat.system.export(dest => '$dest', " +
+          "mode => 'reference')").collect()
+        def parquets(f: java.io.File): Int = {
+          val kids = Option(f.listFiles()).toSeq.flatten
+          kids.count(k => k.isFile && k.getName.endsWith(".parquet") &&
+            !k.getParentFile.getName.startsWith("~p")) +
+            kids.filter(k => k.isDirectory && k.getName != "_txns" &&
+              !k.getName.startsWith("~p")).map(parquets).sum
+        }
+        val dsnap = graft.storage.TxnCatalog.snapshot(s, dest).get
+        val folded = dsnap.rowCount("cust")
+        s.sql(s"""SELECT c_custkey, c_mktsegment,
+                 |  CAST(c_acctbal AS DOUBLE) AS c_acctbal
+                 |FROM ${QueryFixtures.sqlCatalog(s, dest)}.default.cust
+                 |ORDER BY c_custkey""".stripMargin)
+          .withColumn("dest_data_files",
+            lit(parquets(new java.io.File(dest))))
+          .withColumn("folded_rows", lit(folded.getOrElse(-1L)))
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+             |  c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+             |  0 AS dest_data_files,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM customer)
+             |    AS folded_rows
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // SQL MERGE INTO over the lake catalog (GraftMergeStrategy): the
     // canonical upsert — matched keys take the source row, new keys
     // insert — lands as ONE txn of equality-delete keys + one batch
