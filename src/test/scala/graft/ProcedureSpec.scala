@@ -574,6 +574,49 @@ class ProcedureSpec extends GraftSuite {
     }
   }
 
+  test("export as_of pins a time-travel state; reference carries hive entries") {
+    withCatalog { (s2, root) =>
+      import s2.implicits._
+      TxnCatalog.commitPartitions(s2, root,
+        Seq(("ev", "b=0",
+          (0 until 40).map(i => (i.toLong, s"n$i")).toDF("k", "nm"))),
+        statsColumns = Seq("k"))
+      val preDelete = TxnCatalog.currentTxn(s2, root).get
+      TxnCatalog.deleteKeys(s2, root, "ev", "k", Seq(5L).toDF("k"))
+      // as_of the PRE-delete txn: the destination holds all 40 rows —
+      // the masked key included, because the mask postdates the pin
+      val dest = Files.createTempDirectory("procexpao").toFile.getAbsolutePath
+      s2.sql(s"CALL lake.system.export(dest => '$dest', " +
+        s"tables => 'ev', as_of => ${preDelete}L)").collect()
+      assert(TxnCatalog.snapshot(s2, dest).get.read("ev").get
+        .count() === 40L, "time-travel export pins the as_of state")
+      // current-state export materializes the mask
+      val dest2 = Files.createTempDirectory("procexpao2")
+        .toFile.getAbsolutePath
+      s2.sql(s"CALL lake.system.export(dest => '$dest2', " +
+        "tables => 'ev')").collect()
+      assert(TxnCatalog.snapshot(s2, dest2).get.read("ev").get
+        .count() === 39L)
+
+      // a hive add_files table reference-exports with its ext-hive
+      // entries (and the synthesis declaration) carried verbatim
+      val hive = Files.createTempDirectory("procexphv")
+        .toFile.getAbsolutePath
+      (0 until 30).map(k => (k.toLong, s"v$k", (k % 3).toLong))
+        .toDF("k", "v", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(hive)
+      graft.storage.Importer.addFiles(s2, root, "hv", hive)
+      val dest3 = Files.createTempDirectory("procexphv2")
+        .toFile.getAbsolutePath
+      s2.sql(s"CALL lake.system.export(dest => '$dest3', " +
+        "tables => 'hv', mode => 'reference')").collect()
+      val hvd = TxnCatalog.snapshot(s2, dest3).get.read("hv").get
+      assert(hvd.count() === 30L)
+      assert(hvd.filter($"day" === 1L).count() === 10L,
+        "synthesized hive columns survive the reference export")
+    }
+  }
+
   test("vacuum dry_run lists the exact reclamation plan, touches nothing") {
     withCatalog { (s2, root) =>
       import s2.implicits._
